@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline: pages are
+synthesized deterministically from the sf0.001 ``documents`` parquet
+(BASELINE.json input shape: url, warc_ts, html, text, lang; the html
+embeds package-manifest JSON + JSON-LD + microdata), then
+extract -> doc->triples (SURVEY.md §3.1) and the triples DataFrame is
+returned.
+
+``queries()`` / ``oracle_sql()`` expose the operator suite
+(npm_extraction_server_spark/operators/suite.py) for the DuckDB
+cross-check at sf=0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +17,120 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
+    """Build the north-star pages table from the driver-provided
+    documents parquet: html wraps a deterministic package manifest keyed
+    by doc_id plus the document's own text (pass-through invariant)."""
+    import json as jsonlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if limit:
+        docs = docs.filter(F.col("doc_id") < limit)
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from npm_extraction_server_spark.sources.synth import (
+            synth_jsonld_blob,
+            synth_microdata,
+            synth_package,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                i = int(doc_id)
+                pkg = synth_package(i)
+                html = (
+                    "<!DOCTYPE html><html><body>"
+                    '<script type="application/json" data-kind="npm-manifest">'
+                    + jsonlib.dumps(pkg, separators=(",", ":"))
+                    + "</script>"
+                    + ('<script type="application/ld+json">'
+                       + jsonlib.dumps(synth_jsonld_blob(i), separators=(",", ":"))
+                       + "</script>" if i % 3 == 0 else "")
+                    + (synth_microdata(i) if i % 4 == 0 else "")
+                    + f"<article>{text}</article></body></html>"
+                ).encode("utf-8")
+                rows.append((
+                    f"http://crawl.example.org/{i % 100}/doc-{i}",
+                    pd.Timestamp("2017-06-01") + pd.Timedelta(seconds=i),
+                    html, text, lang,
+                ))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(build, schema=schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extract->triples KG pipeline on sf0.001 pages."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    result = run_pipeline(pages)
+    return result["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from npm_extraction_server_spark.operators.suite import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    extra: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "kg_pipeline_triples": _kg_pipeline_triples,
+        "kg_lineage": _kg_lineage,
+        "semver_resolve": _semver_resolve,
+    }
+    return {**SPARK_QUERIES, **extra}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from npm_extraction_server_spark.operators.suite import ORACLE_SQL
+
+    # kg_pipeline_triples / kg_lineage / semver_resolve and the
+    # hash-based dedup/ANN variants are non-SQL-expressible -> rows-only.
+    return dict(ORACLE_SQL)
+
+
+# --- rows-only KG queries -------------------------------------------------
+
+def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    return run_pipeline(pages)["triples"]
+
+
+def _kg_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    return run_pipeline(pages)["lineage"]
+
+
+def _semver_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the distributed semver range-resolution join over the
+    synthetic corpus (dep edges x version lists -> npm:maxSatisfying)."""
+    from npm_extraction_server_spark.operators.semver_join import (
+        dependency_edges,
+        resolve_ranges,
+        version_rows,
+    )
+    from npm_extraction_server_spark.plans.kg import extract_docs, repartition_pages
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    docs = extract_docs(repartition_pages(pages))
+    edges = dependency_edges(docs)
+    versions = version_rows(docs)
+    return resolve_ranges(edges, versions)

@@ -1,0 +1,77 @@
+"""HTML -> embedded structured-metadata blobs (the north-star extract
+stage).
+
+Pure per-page functions (no Spark imports): the Spark layer maps these
+over Arrow batches in ``mapInPandas``. All parsing happens on ``html``;
+``text`` is never touched (byte-identical pass-through invariant,
+BASELINE.json input_hint).
+
+Recovered doc kinds:
+- ``npm_manifest``: CouchDB-style package documents in
+  ``<script type="application/json" data-kind="npm-manifest">`` tags —
+  these feed the reference pipeline (kernel/pipeline.py) unchanged.
+- ``jsonld``: ``<script type="application/ld+json">`` blobs.
+- ``microdata``: itemscope/itemtype/itemprop trees, converted to a
+  JSON-LD dict with vocabulary-resolved property IRIs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json as jsonlib
+import re
+
+_MANIFEST_RE = re.compile(
+    r'<script\s+type="application/json"\s+data-kind="npm-manifest"\s*>(.*?)</script>',
+    re.S,
+)
+_JSONLD_RE = re.compile(r'<script\s+type="application/ld\+json"\s*>(.*?)</script>', re.S)
+_ITEMSCOPE_RE = re.compile(
+    r'<(\w+)[^>]*\bitemscope\b[^>]*\bitemtype="([^"]+)"[^>]*>(.*?)</\1>', re.S
+)
+_ITEMPROP_TEXT_RE = re.compile(r'<[^>]*\bitemprop="([^"]+)"[^>]*>([^<]*)<', re.S)
+_ITEMPROP_HREF_RE = re.compile(
+    r'<a[^>]*\bitemprop="([^"]+)"[^>]*\bhref="([^"]+)"', re.S
+)
+
+
+def doc_sha(doc_json: str) -> str:
+    return hashlib.sha256(doc_json.encode("utf-8")).hexdigest()
+
+
+def microdata_to_jsonld(url: str, idx: int, itemtype: str, body: str) -> dict:
+    vocab = itemtype.rsplit("/", 1)[0] + "/"
+    node: dict = {"@id": f"{url}#item{idx}", "@type": itemtype}
+    for prop, href in _ITEMPROP_HREF_RE.findall(body):
+        node[vocab + prop] = {"@id": href}
+    for prop, value in _ITEMPROP_TEXT_RE.findall(body):
+        key = vocab + prop
+        if key not in node and value.strip():
+            node[key] = value.strip()
+    return node
+
+
+def extract_blobs(url: str, html: bytes) -> list[tuple[str, str]]:
+    """One page -> [(doc_kind, doc_json)]. Broken JSON blobs are skipped
+    (a malformed blob must not fail the page)."""
+    try:
+        text = html.decode("utf-8", errors="replace")
+    except Exception:
+        return []
+    out: list[tuple[str, str]] = []
+    for m in _MANIFEST_RE.finditer(text):
+        try:
+            doc = jsonlib.loads(m.group(1))
+        except Exception:
+            continue
+        out.append(("npm_manifest", jsonlib.dumps(doc, separators=(",", ":"))))
+    for m in _JSONLD_RE.finditer(text):
+        try:
+            doc = jsonlib.loads(m.group(1))
+        except Exception:
+            continue
+        out.append(("jsonld", jsonlib.dumps(doc, separators=(",", ":"))))
+    for i, m in enumerate(_ITEMSCOPE_RE.finditer(text)):
+        node = microdata_to_jsonld(url, i, m.group(2), m.group(3))
+        out.append(("microdata", jsonlib.dumps(node, separators=(",", ":"))))
+    return out

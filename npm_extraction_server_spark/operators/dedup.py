@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale shapes (the 100 TB story):
+- exact: one hash-groupBy shuffle on a 64-char digest (not the text).
+- n-gram Jaccard: shingle-explode -> self-join on shingle -> pair agg.
+  Quadratic within a shingle bucket only; hot shingles are capped
+  (``max_shingle_freq``) exactly like stop-shingle filtering in
+  production dedup, which also bounds skew.
+- MinHash-LSH: shingles -> 64 min-hashes -> band buckets -> join on
+  (band, bucket-signature). Only bucket collisions are compared; the
+  candidate join key is (band_id, band_hash) so head buckets can be
+  salted/AQE-split.
+- SimHash: 64-bit weighted-token signature, grouped by rotation bands
+  for near-match candidates.
+
+All heavy lifting uses built-in expressions (xxhash64/md5/explode/agg);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via sha2 groupBy: survivor = min doc_id per digest."""
+    digest = F.sha2(F.col(text_col), 256).alias("text_sha")
+    return (
+        documents.select("doc_id", digest)
+        .groupBy("text_sha")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def word_shingles(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — word k-shingles of the normalized text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, k: int = 3, threshold: float = 0.5,
+                        text_col: str = "text",
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """Near-dup pairs by exact word-k-gram Jaccard >= threshold.
+
+    shingle-join candidate generation + |A∩B| / (|A|+|B|-|A∩B|).
+    ``max_shingle_freq`` drops stop-shingles that would otherwise
+    produce quadratic hot buckets (skew control at scale)."""
+    sh = word_shingles(documents, k, text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = (
+        sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)
+                            .select("shingle")), "shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<bigint>) — min over shingles of
+    xxhash64(shingle, seed) per seed. Built-in hash, no UDF."""
+    sh = word_shingles(documents, k, text_col)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      k: int = 3, threshold: float = 0.5,
+                      text_col: str = "text") -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature, join on
+    (band_id, band_signature) buckets, then estimate Jaccard as the
+    fraction of agreeing min-hashes."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, k, text_col)
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ), ",")).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v)) / F.lit(num_hashes), 6)
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+
+
+def simhash_signatures(documents: DataFrame, bits: int = 64,
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per token, xxhash64(token); per bit, sum of +1/-1
+    weighted by token frequency; sign -> bit. Pure column ops: tokens ->
+    explode -> per-bit contributions -> groupBy doc."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(r"[a-z0-9]+"), 0)).alias("token"),
+    )
+    h = F.xxhash64("token")
+    bit_cols = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_cols)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        # shiftleft wraps at bit 63 (two's complement) — no literal overflow
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming via 4-band
+    rotation blocking (any pair within distance 3 of a 64-bit hash
+    agrees exactly on at least one 16-bit band)."""
+    sigs = simhash_signatures(documents, 64, text_col)
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftrightunsigned("simhash", b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+            for b in range(4)
+        ])).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

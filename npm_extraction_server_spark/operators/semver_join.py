@@ -1,0 +1,206 @@
+"""J1: the semver range-resolution join, distributed.
+
+Reference semantics (/root/reference/lib/npm/NpmBundle.js:41-59): exact
+version-key match, else ``semver.maxSatisfying`` over the bundle's
+version set, else dist-tag indirection; the resolution is materialized
+as an ``npm:maxSatisfying`` triple (/root/reference/bin/index.js:167-171).
+
+Spark shape (SURVEY.md J1): dep edges equi-join the per-package version
+list (collect_list keeps the right side bounded: one row per package,
+versions arrays of bounded size), then a vectorized pandas UDF applies
+max-satisfying per Arrow batch. ``pkg`` is the skew key — head packages
+(lodash-alikes) dominate — so AQE skew-join is on session-wide and an
+optional broadcast of the head-package version dictionary short-circuits
+the hot keys entirely.
+"""
+
+from __future__ import annotations
+
+import json as jsonlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EDGES_SCHEMA = T.StructType([
+    T.StructField("src_bundle", T.StringType(), False),
+    T.StructField("src_version", T.StringType(), False),
+    T.StructField("dep_type", T.StringType(), False),
+    T.StructField("dep_pkg", T.StringType(), False),
+    T.StructField("dep_range", T.StringType(), False),
+])
+
+VERSIONS_SCHEMA = T.StructType([
+    T.StructField("pkg", T.StringType(), False),
+    T.StructField("version", T.StringType(), False),
+])
+
+TAGS_SCHEMA = T.StructType([
+    T.StructField("pkg", T.StringType(), False),
+    T.StructField("tag", T.StringType(), False),
+    T.StructField("tag_version", T.StringType(), False),
+])
+
+_DEP_KEYS = ("dependencies", "devDependencies", "peerDependencies",
+             "optionalDependencies")
+
+
+def _edges_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.semver import valid_range
+
+    cols = [f.name for f in EDGES_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for doc_json in pdf["doc_json"]:
+            doc = jsonlib.loads(doc_json)
+            name = doc.get("name") or doc.get("_id")
+            for ver, manifest in (doc.get("versions") or {}).items():
+                if not isinstance(manifest, dict):
+                    continue
+                for dep_type in _DEP_KEYS:
+                    for pkg, rng in (manifest.get(dep_type) or {}).items():
+                        if isinstance(rng, str) and valid_range(rng):
+                            rows.append((name, ver, dep_type, pkg, rng))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def dependency_edges(docs: DataFrame) -> DataFrame:
+    """(src_bundle, src_version, dep_type, dep_pkg, dep_range) for every
+    semver-range dependency in npm_manifest docs."""
+    return (
+        docs.filter(F.col("doc_kind") == "npm_manifest")
+        .select("doc_json")
+        .mapInPandas(_edges_partition, schema=EDGES_SCHEMA)
+    )
+
+
+def _versions_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in VERSIONS_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for doc_json in pdf["doc_json"]:
+            doc = jsonlib.loads(doc_json)
+            name = doc.get("name") or doc.get("_id")
+            for ver in (doc.get("versions") or {}).keys():
+                rows.append((name, ver))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def version_rows(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.col("doc_kind") == "npm_manifest")
+        .select("doc_json")
+        .mapInPandas(_versions_partition, schema=VERSIONS_SCHEMA)
+        .dropDuplicates(["pkg", "version"])
+    )
+
+
+def _tags_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in TAGS_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for doc_json in pdf["doc_json"]:
+            doc = jsonlib.loads(doc_json)
+            name = doc.get("name") or doc.get("_id")
+            for tag, ver in (doc.get("dist-tags") or {}).items():
+                rows.append((name, tag, ver))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def dist_tag_rows(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.col("doc_kind") == "npm_manifest")
+        .select("doc_json")
+        .mapInPandas(_tags_partition, schema=TAGS_SCHEMA)
+        .dropDuplicates(["pkg", "tag"])
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _max_satisfying_udf(versions: pd.Series, rng: pd.Series) -> pd.Series:
+    """Vectorized maxSatisfying with the exact-match short-circuit
+    (NpmBundle.js:45-47). Arrow-batched; no per-row Python dispatch
+    from Spark's side."""
+    from ..functions.semver import max_satisfying
+
+    out = []
+    for vlist, r in zip(versions, rng):
+        if vlist is None or r is None:
+            out.append(None)
+        elif r in set(vlist):
+            out.append(r)  # exact version-key match
+        else:
+            out.append(max_satisfying(list(vlist), r))
+    return pd.Series(out, dtype=object)
+
+
+def resolve_ranges(edges: DataFrame, versions: DataFrame,
+                   dist_tags: DataFrame | None = None,
+                   root: str = "http://example.org/") -> DataFrame:
+    """Edges x per-package version sets -> resolved versions.
+
+    One shuffle: versions collapse to (pkg, sorted version array), then
+    an equi-join on pkg (AQE skew-split; the array side is tiny so
+    Spark can broadcast it when below the threshold). Optional dist-tag
+    fallback replays unresolved edges through the tag table (one level,
+    like the reference's recursion on fixtures)."""
+    vsets = versions.groupBy("pkg").agg(
+        F.sort_array(F.collect_list("version")).alias("version_set"))
+
+    j = edges.join(vsets, edges.dep_pkg == vsets.pkg, "left").drop("pkg")
+    resolved = j.withColumn(
+        "resolved_version",
+        _max_satisfying_udf(F.col("version_set"), F.col("dep_range")))
+
+    if dist_tags is not None:
+        tags = dist_tags.select(
+            F.col("pkg").alias("t_pkg"), F.col("tag").alias("t_tag"),
+            F.col("tag_version").alias("t_version"))
+        resolved = (
+            resolved.join(
+                F.broadcast(tags),
+                (F.col("dep_pkg") == F.col("t_pkg"))
+                & (F.col("dep_range") == F.col("t_tag")), "left")
+            .withColumn(
+                "resolved_version",
+                F.coalesce(
+                    F.col("resolved_version"),
+                    _max_satisfying_udf(F.col("version_set"), F.col("t_version"))))
+            .drop("t_pkg", "t_tag", "t_version")
+        )
+
+    return resolved.select(
+        "src_bundle", "src_version", "dep_type", "dep_pkg", "dep_range",
+        "resolved_version",
+    )
+
+
+def max_satisfying_triples(resolved: DataFrame,
+                           root: str = "http://example.org/") -> DataFrame:
+    """The 307-redirect triple (bin/index.js:171): requested-range
+    module IRI --npm:maxSatisfying--> resolved module IRI."""
+    from ..kernel.vocab import PREFIXES
+
+    enc = _encode_uri_component_col
+    req = F.concat(F.lit(root + "bundles/npm/"), enc(F.col("dep_pkg")),
+                   F.lit("/"), enc(F.col("dep_range")))
+    res = F.concat(F.lit(root + "bundles/npm/"), enc(F.col("dep_pkg")),
+                   F.lit("/"), enc(F.col("resolved_version")))
+    return (
+        resolved.filter(F.col("resolved_version").isNotNull())
+        .select(
+            req.alias("subj"),
+            F.lit(PREFIXES["npm"] + "maxSatisfying").alias("pred"),
+            res.alias("obj"),
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _encode_uri_component_col(s: pd.Series) -> pd.Series:
+    from ..functions.jsuri import encode_uri_component
+
+    return s.map(lambda v: encode_uri_component(v) if v is not None else None)

@@ -1,0 +1,671 @@
+"""The driver-contract query suite: Spark callables + DuckDB oracles.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text analysis). Every
+aggregate over doubles is stabilized for cross-engine bit-equality:
+row-level round -> decimal sum (exact) -> double -> final round, so the
+DuckDB oracle hashes identically regardless of partial-agg order.
+
+Naming: every computed column is aliased identically in the Spark plan
+and the oracle SQL (driver compares sorted-by-name columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from .similarity import cosine_topk, ivf_topk, lsh_topk
+from .text import fingerprints, lang_id, quality_scores, token_counts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale=2, out_scale=2):
+    """Deterministic money-sum: round each term, sum exactly as decimal,
+    emit double."""
+    return F.round(
+        F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast("double"), out_scale
+    )
+
+
+# --- scans / filters / projections (SC1-SC6, P1-P8) ----------------------
+
+def sc1_scan_filter(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter((F.col("source") != "src0") & (F.col("n_chars") > 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def sc2_point_lookup(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") == 42)
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    )
+
+
+def sc3_json_get(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .select(F.get_json_object("props", "$.k").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def sc5_changed_window(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate").between("1995-06-01", "1995-08-31"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(F.count("*").alias("n_orders"),
+             _dec_sum(F.col("o_totalprice")).alias("day_total"))
+    )
+
+
+def p4_derive_project(spark, sf):
+    # price/discount carry exactly 2 decimals, so the product sits on the
+    # 4-decimal grid: round(.,4) has no cross-engine tie cases (a .5 tie
+    # would need 5+ true decimals).
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue"),
+        )
+    )
+
+
+# --- aggregations (A1-A3) ------------------------------------------------
+
+def a1_group_collect(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.array_join(F.sort_array(F.collect_set("event_type")), ",")
+             .alias("event_types"))
+    )
+
+
+def a2_last_write_wins(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_type"),
+                F.round("value", 2).alias("last_value"))
+    )
+
+
+def a3_distinct(spark, sf):
+    return _t(spark, sf, "documents").select("lang", "source").distinct()
+
+
+# --- joins (J1-J7 shapes) ------------------------------------------------
+
+def j1_range_pick(spark, sf):
+    """J1 shape: equi-join + predicate + max-by pick (the semver
+    resolution join pattern: per edge, the best matching version)."""
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").between(30, 40))
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("l_quantity"),
+                                                 F.asc("l_linenumber"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", F.col("l_quantity").alias("picked_qty"),
+                F.col("l_linenumber").alias("picked_line"))
+    )
+
+
+def j2_broadcast_dim(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), _dec_sum(F.col("c_acctbal")).alias("sum_bal"))
+    )
+
+
+def j6_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+
+
+def j7_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+
+
+# --- windows (W1, W4) ----------------------------------------------------
+
+def w1_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+def w4_running_sum(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+# --- analytics (TPC-H-style headline queries) ----------------------------
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price, 4).alias("sum_disc_price"),
+            _dec_sum(charge, 4).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                 "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("revenue"))
+    )
+
+
+def q5_region_revenue(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), (s.s_nationkey == n.n_nationkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("revenue"))
+    )
+
+
+def events_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_session).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+# --- training-data operators ---------------------------------------------
+
+def dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sig = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+    return (
+        sig.groupBy("text_sha")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_exact_pairs(spark, sf):
+    return exact_duplicates(_t(spark, sf, "documents"))
+
+
+def dedup_ngram(spark, sf):
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.05)
+
+
+def dedup_minhash(spark, sf):
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=64, bands=32,
+                             threshold=0.2)
+
+
+def dedup_simhash(spark, sf):
+    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def text_tokens(spark, sf):
+    return token_counts(_t(spark, sf, "documents"))
+
+
+def text_quality(spark, sf):
+    return quality_scores(_t(spark, sf, "documents"))
+
+
+def text_langid(spark, sf):
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def text_fingerprint(spark, sf):
+    return fingerprints(_t(spark, sf, "documents"))
+
+
+def sim_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+def sim_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
+
+
+def sim_ivf_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def emb_stats(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v)
+    norm = F.round(F.sqrt(sq), 6)
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.round(F.sum(F.col("norm").cast("decimal(28,6)")).cast("double") /
+                     F.count("*"), 4).alias("avg_norm"))
+    )
+
+
+# --- registry -------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "sc1_scan_filter": sc1_scan_filter,
+    "sc2_point_lookup": sc2_point_lookup,
+    "sc3_json_get": sc3_json_get,
+    "sc5_changed_window": sc5_changed_window,
+    "p4_derive_project": p4_derive_project,
+    "a1_group_collect": a1_group_collect,
+    "a2_last_write_wins": a2_last_write_wins,
+    "a3_distinct": a3_distinct,
+    "j1_range_pick": j1_range_pick,
+    "j2_broadcast_dim": j2_broadcast_dim,
+    "j6_semi_join": j6_semi_join,
+    "j7_anti_join": j7_anti_join,
+    "w1_topk_per_group": w1_topk_per_group,
+    "w4_running_sum": w4_running_sum,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "events_sessionize": events_sessionize,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram": dedup_ngram,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    "emb_stats": emb_stats,
+}
+
+
+def _dec_sum_sql(expr, scale=2, out_scale=2):
+    return (f"round(cast(sum(cast(round({expr}, {scale}) as decimal(28,{scale}))) "
+            f"as double), {out_scale})")
+
+
+ORACLE_SQL = {
+    "sc1_scan_filter": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE source <> 'src0' AND n_chars > 200
+    """,
+    "sc2_point_lookup": """
+        SELECT p_partkey, p_name, p_brand, p_type FROM part WHERE p_partkey = 42
+    """,
+    "sc3_json_get": """
+        SELECT json_extract_string(props, '$.k') AS k_val, count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "sc5_changed_window": f"""
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               count(*) AS n_orders,
+               {_dec_sum_sql('o_totalprice')} AS day_total
+        FROM orders
+        WHERE o_orderdate BETWEEN timestamp '1995-06-01 00:00:00'
+                              AND timestamp '1995-08-31 00:00:00'
+        GROUP BY 1
+    """,
+    "p4_derive_project": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem WHERE l_quantity > 45
+    """,
+    "a1_group_collect": """
+        SELECT user_id,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',')
+                   AS event_types
+        FROM events GROUP BY user_id
+    """,
+    "a2_last_write_wins": """
+        SELECT user_id, last_type, last_value FROM (
+            SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "a3_distinct": "SELECT DISTINCT lang, source FROM documents",
+    "j1_range_pick": """
+        SELECT o_orderkey, o_custkey, picked_qty, picked_line FROM (
+            SELECT o.o_orderkey, o.o_custkey, l.l_quantity AS picked_qty,
+                   l.l_linenumber AS picked_line,
+                   row_number() OVER (PARTITION BY o.o_orderkey
+                                      ORDER BY l.l_quantity DESC, l.l_linenumber)
+                       AS rn
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F' AND l.l_quantity BETWEEN 30 AND 40)
+        WHERE rn = 1
+    """,
+    "j2_broadcast_dim": f"""
+        SELECT r_name, n_name, count(*) AS n_cust,
+               {_dec_sum_sql('c_acctbal')} AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "j6_semi_join": """
+        SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "j7_anti_join": """
+        SELECT c_nationkey, count(*) AS n_without_orders FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        GROUP BY c_nationkey
+    """,
+    "w1_topk_per_group": """
+        SELECT o_custkey, o_orderkey, totalprice, rank FROM (
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders WHERE o_custkey <= 50)
+        WHERE rank <= 3
+    """,
+    "w4_running_sum": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_qty
+        FROM lineitem WHERE l_suppkey <= 5
+    """,
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dec_sum_sql('l_quantity')} AS sum_qty,
+               {_dec_sum_sql('l_extendedprice')} AS sum_base_price,
+               {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)}
+                   AS sum_disc_price,
+               {_dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)}
+                   AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderpriority,
+               {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < timestamp '1996-03-15 00:00:00'
+          AND l_shipdate > timestamp '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, order_date, o_orderpriority
+    """,
+    "q5_region_revenue": f"""
+        SELECT n_name,
+               {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged)
+        SELECT user_id, cast(max(session_id) AS bigint) AS n_sessions,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id
+    """,
+    "dedup_exact": """
+        SELECT sha256(text) AS text_sha, min(doc_id) AS survivor_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram": """
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                                ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+            FROM norm
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_common,
+               round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.05
+    """,
+    "text_tokens": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+               len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                   AS distinct_words
+        FROM documents
+    """,
+    "text_quality": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, n_chars, len(words) AS n_words,
+                   CASE WHEN n_chars > 0
+                        THEN cast(n_punct AS double) / n_chars ELSE 0.0 END
+                       AS punct_ratio_raw,
+                   CASE WHEN len(words) > 0
+                        THEN cast(len(list_distinct(list_filter(words,
+                             w -> list_contains(['the','and','of','to','in','is',
+                                                 'that','for','with','on'], w))))
+                             AS double) / len(words)
+                        ELSE 0.0 END AS stop_ratio_raw,
+                   CASE WHEN len(words) > 0
+                        THEN cast(length(regexp_replace(text, '[\\s]', '', 'g'))
+                             AS double) / len(words)
+                        ELSE 0.0 END AS awl_raw
+            FROM base)
+        SELECT doc_id, n_chars, n_words,
+               round(punct_ratio_raw, 6) AS punct_ratio,
+               round(stop_ratio_raw, 6) AS stopword_ratio,
+               round(awl_raw, 6) AS avg_word_len,
+               round(least(n_words / 100.0, 1.0) * 0.5
+                     + (1.0 - punct_ratio_raw) * 0.3
+                     + least(stop_ratio_raw * 5, 1.0) * 0.2, 6) AS quality_score
+        FROM feat
+    """,
+    "text_langid": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS words
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, text, greatest(len(words), 1) AS n_words,
+                   len(list_distinct(list_filter(words, w -> list_contains(
+                       ['the','and','of','to','in','is','that','for','with','on'],
+                       w)))) AS en_hits,
+                   len(list_distinct(list_filter(words, w -> list_contains(
+                       ['el','la','de','que','y','en','los','por','con','una'],
+                       w)))) AS es_hits,
+                   cast(length(regexp_replace(text, '[^一-鿿぀-ヿ]', '', 'g'))
+                        AS double) / greatest(length(text), 1) AS cjk_raw
+            FROM base)
+        SELECT doc_id,
+               round(cast(en_hits AS double) / n_words, 6) AS en_score,
+               round(cast(es_hits AS double) / n_words, 6) AS es_score,
+               round(cjk_raw, 6) AS cjk_ratio,
+               CASE WHEN cjk_raw > 0.2 THEN 'cjk'
+                    WHEN en_hits > es_hits THEN 'en'
+                    WHEN es_hits > en_hits THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM feat
+    """,
+    "text_fingerprint": """
+        WITH norm AS (
+            SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, ntext, string_split(ntext, ' ') AS words FROM norm)
+        SELECT doc_id, md5(ntext) AS doc_md5,
+               list_min(list_transform(
+                   range(1, greatest(len(words) - 5, 0) + 2),
+                   i -> md5(array_to_string(words[i:i+4], ' ')))) AS min_shingle_md5
+        FROM sh
+    """,
+    "sim_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS item_id,
+                   round(
+                       list_sum(list_transform(range(1, 65),
+                           i -> cast(e.embedding[i] AS double)
+                                * cast(q.qv[i] AS double)))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                              i -> cast(e.embedding[i] AS double)
+                                   * cast(e.embedding[i] AS double))))
+                          * sqrt(list_sum(list_transform(range(1, 65),
+                              i -> cast(q.qv[i] AS double)
+                                   * cast(q.qv[i] AS double))))), 6) AS cosine
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, item_id, cosine, rank FROM (
+            SELECT query_id, item_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, item_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    "emb_stats": """
+        WITH norms AS (
+            SELECT label,
+                   round(sqrt(list_sum(list_transform(embedding,
+                       x -> cast(x AS double) * cast(x AS double)))), 6) AS norm
+            FROM embeddings)
+        SELECT label, count(*) AS n_vecs,
+               round(cast(sum(cast(norm AS decimal(28,6))) AS double)
+                     / count(*), 4) AS avg_norm
+        FROM norms GROUP BY label
+    """,
+    # dedup_minhash / dedup_simhash / sim_lsh_topk / sim_ivf_topk:
+    # hash-function-dependent (xxhash64 / hyperplane seeds) — genuinely not
+    # SQL-expressible in DuckDB; driver records rows-only checks.
+}

@@ -1,0 +1,110 @@
+"""Text-analysis operators for the training-data pipeline.
+
+All hot paths are built-in column expressions (JVM-side, codegen'd) —
+no Python in the row path. Each operator returns a DataFrame keyed by
+``doc_id`` so it joins back to ``documents`` without a shuffle surprise
+(same partitioning source).
+
+Operators: token counting (whitespace + word-regex), quality scoring
+(length/punct/stopword ratios), language-ID heuristic (marker-word +
+script-class scoring), document fingerprinting (md5 whole-doc +
+min-shingle winnowing fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker-word lists for the lang-id heuristic (en vs es markers)
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"]
+ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "los", "por", "con", "una"]
+
+WORD_RE = r"[A-Za-z0-9]+"
+
+
+def _tokens(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(WORD_RE), 0)
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + word-regex tokens + distinct words."""
+    toks = _tokens(F.col(text_col))
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(toks).alias("word_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_words"),
+    )
+
+
+def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score, all as built-in expressions."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    words = _tokens(text)
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    avg_word_len = F.when(n_words > 0, (F.length(F.regexp_replace(text, r"[\s]", "")))
+                          / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word n-gram heuristic: en/es stopword hit-rates + CJK
+    script fraction -> predicted label."""
+    text = F.col(text_col)
+    words = _tokens(F.lower(text))
+    n_words = F.greatest(F.size(words), F.lit(1))
+    en_hits = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    es_hits = F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ES_STOPWORDS])))
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿぀-ヿ]", ""))
+    cjk_ratio = cjk.cast("double") / F.greatest(F.length(text), F.lit(1))
+    pred = (
+        F.when(cjk_ratio > 0.2, F.lit("cjk"))
+        .when(en_hits > es_hits, F.lit("en"))
+        .when(es_hits > en_hits, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return documents.select(
+        "doc_id",
+        F.round(en_hits.cast("double") / n_words, 6).alias("en_score"),
+        F.round(es_hits.cast("double") / n_words, 6).alias("es_score"),
+        F.round(cjk_ratio, 6).alias("cjk_ratio"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(documents: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text plus a
+    winnowing-style min-k-gram fingerprint (min md5 over word
+    k-shingles) — both portable to any SQL engine for the oracle."""
+    text = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    words = F.split(norm, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    min_shingle_md5 = F.array_min(F.transform(shingles, F.md5))
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("doc_md5"),
+        min_shingle_md5.alias("min_shingle_md5"),
+    )

@@ -1,0 +1,209 @@
+"""The KG-construction batch pipeline (north star, SURVEY.md §3.1).
+
+    pages ──repartition(xxhash64(url))──▶ extract (mapInPandas, Arrow)
+          ──▶ docs ──▶ triples (mapInPandas, kernel/pipeline.py)
+          ──▶ [triples table | lineage table]   (+ engine dimension union)
+
+Scale notes (the 100 TB design):
+- one explicit shuffle (the url-hash repartition); extract and triple
+  stages are narrow — a doc is self-contained, so doc->triples never
+  shuffles.
+- all Python work is Arrow-batched ``mapInPandas`` (no per-row UDFs);
+  everything after the triple stage is built-in column ops.
+- per-partition lineage rows (A6/SN2) are derived from the same rows
+  that form the triples table — one pass, no second job.
+- failed bundles emit an error row instead of triples (T2 per-bundle
+  atomicity; mirrors the -e/-E sidecar files,
+  /root/reference/bin/exportTriples.js:168-180).
+"""
+
+from __future__ import annotations
+
+import json as jsonlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_ROOT = "http://example.org/"
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("doc_kind", T.StringType(), False),
+    T.StructField("doc_json", T.StringType(), False),
+    T.StructField("doc_sha", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),  # byte-identical pass-through
+])
+
+TRIPLES_SCHEMA = T.StructType([
+    T.StructField("src_url", T.StringType(), True),
+    T.StructField("bundle", T.StringType(), True),
+    T.StructField("subj", T.StringType(), True),
+    T.StructField("pred", T.StringType(), True),
+    T.StructField("obj", T.StringType(), True),
+    T.StructField("obj_is_literal", T.BooleanType(), True),
+    T.StructField("graph", T.StringType(), True),
+    T.StructField("part_id", T.IntegerType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def repartition_pages(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit url-hash repartition (north_rule): spreads crawl-order
+    locality so no executor sees a hot host's pages clustered."""
+    n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    return pages.repartition(n, F.xxhash64("url"))
+
+
+def _extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..extract.html import doc_sha, extract_blobs
+
+    cols = [f.name for f in DOCS_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for url, warc_ts, html, text, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+        ):
+            blob = bytes(html) if html is not None else b""
+            for kind, doc_json in extract_blobs(url, blob):
+                rows.append((url, warc_ts, lang, kind, doc_json, doc_sha(doc_json), text))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    return pages.mapInPandas(_extract_partition, schema=DOCS_SCHEMA)
+
+
+def _triples_partition(root: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..kernel.jsonld_rdf import to_triples
+        from ..kernel.pipeline import export_bundle
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
+        cols = [f.name for f in TRIPLES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, kind, doc_json in zip(pdf["url"], pdf["doc_kind"], pdf["doc_json"]):
+                try:
+                    doc = jsonlib.loads(doc_json)
+                except Exception as e:
+                    rows.append((url, None, None, None, None, None, None, part_id, str(e)))
+                    continue
+                if kind == "npm_manifest":
+                    result = export_bundle(doc, root)
+                    if result.error is not None:
+                        rows.append((url, result.bundle, None, None, None, None,
+                                     None, part_id, result.error))
+                        continue
+                    for t in result.triples:
+                        rows.append((url, result.bundle, t.subj, t.pred, t.obj,
+                                     t.obj_is_literal, t.graph, part_id, None))
+                else:  # jsonld / microdata: generic JSON-LD over the page IRI
+                    try:
+                        for t in to_triples(doc, root=url):
+                            rows.append((url, None, t.subj, t.pred, t.obj,
+                                         t.obj_is_literal, t.graph, part_id, None))
+                    except Exception as e:
+                        rows.append((url, None, None, None, None, None, None,
+                                     part_id, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def docs_to_triples(docs: DataFrame, root: str = DEFAULT_ROOT) -> DataFrame:
+    """Docs -> raw triple rows (error rows included; narrow, no shuffle)."""
+    return docs.select("url", "doc_kind", "doc_json").mapInPandas(
+        _triples_partition(root), schema=TRIPLES_SCHEMA
+    )
+
+
+def engine_triples(spark: SparkSession, root: str = DEFAULT_ROOT,
+                   index_by_name: dict | None = None) -> DataFrame:
+    """The engine dimension (SC8): tiny, generated driver-side once —
+    the analog of the reference's single nodejs.org fetch."""
+    from ..kernel.pipeline import export_engines
+
+    if index_by_name is None:
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tests"))
+        from fixtures import ENGINE_INDEX
+        index_by_name = ENGINE_INDEX
+    rows = [
+        ("engine:", "engines", t.subj, t.pred, t.obj, t.obj_is_literal, t.graph, -1, None)
+        for t in export_engines(index_by_name, root)
+    ]
+    return spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+
+
+def split_errors(triples_raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    triples = triples_raw.filter(F.col("subj").isNotNull()).drop("error")
+    errors = triples_raw.filter(F.col("error").isNotNull()).select(
+        "src_url", "bundle", "part_id", "error"
+    )
+    return triples, errors
+
+
+def lineage(triples_raw: DataFrame, stage: str = "doc_to_triples") -> DataFrame:
+    """A6/SN4: per-partition metrics derived from the triple rows."""
+    return (
+        triples_raw.groupBy("part_id")
+        .agg(
+            F.lit(stage).alias("stage"),
+            F.countDistinct("src_url").alias("n_in"),
+            F.count("subj").alias("n_out"),
+            F.count("error").alias("n_failed"),
+            F.first("error", ignorenulls=True).alias("error_sample"),
+        )
+    )
+
+
+def verify_text_invariant(pages: DataFrame, docs: DataFrame) -> int:
+    """Per-row invariant (BASELINE.json): extracted text byte-identical
+    per url. Returns the number of violating urls (must be 0)."""
+    lhs = pages.select("url", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("in_sha"))
+    rhs = docs.select("url", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("out_sha")).distinct()
+    joined = lhs.join(rhs, "url", "inner")
+    return joined.filter(F.col("in_sha") != F.col("out_sha")).count()
+
+
+def write_triples(triples: DataFrame, path: str, n_buckets: int = 64,
+                  mode: str = "overwrite") -> None:
+    """Partitioned sink (Iceberg-table stand-in: parquet with explicit
+    subj-hash bucketing — Iceberg's bucket(N, subj) transform; jars for
+    the real catalog are not in this image)."""
+    (
+        triples.withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def run_pipeline(pages: DataFrame, root: str = DEFAULT_ROOT,
+                 num_partitions: int | None = None,
+                 include_engines: bool = True) -> dict:
+    """Full extract->triples pass; returns the interesting DataFrames."""
+    spark = pages.sparkSession
+    pages_p = repartition_pages(pages, num_partitions)
+    docs = extract_docs(pages_p)
+    raw = docs_to_triples(docs, root)
+    triples, errors = split_errors(raw)
+    if include_engines:
+        triples = triples.unionByName(engine_triples(spark, root).drop("error"))
+    return {
+        "pages": pages_p,
+        "docs": docs,
+        "raw": raw,
+        "triples": triples,
+        "errors": errors,
+        "lineage": lineage(raw),
+    }

@@ -1,0 +1,123 @@
+"""Spark-side integration tests: pages -> docs -> triples, invariants,
+Spark-vs-kernel parity (the Spark UDF path must emit exactly the oracle
+kernel's triples), lineage, sink layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures import ROOT as FIXTURE_ROOT
+from fixtures import all_packages
+
+from npm_extraction_server_spark.kernel.pipeline import export_bundle
+from npm_extraction_server_spark.plans.kg import (
+    DEFAULT_ROOT,
+    extract_docs,
+    lineage,
+    repartition_pages,
+    run_pipeline,
+    split_errors,
+    verify_text_invariant,
+    write_triples,
+)
+from npm_extraction_server_spark.sources.pages import pages_df
+
+N_PAGES = 80
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark):
+    pages = pages_df(spark, N_PAGES, partitions=8)
+    result = run_pipeline(pages, include_engines=True)
+    result["triples"].cache().count()
+    result["docs"].cache().count()
+    return {"pages": pages, **result}
+
+
+def test_extract_counts(pipeline):
+    docs = pipeline["docs"]
+    kinds = {r["doc_kind"]: r["n"] for r in
+             docs.groupBy("doc_kind").agg(F.count("*").alias("n")).collect()}
+    assert kinds.get("npm_manifest") == N_PAGES  # one manifest per page
+    assert kinds.get("jsonld", 0) > 0
+    assert kinds.get("microdata", 0) > 0
+
+
+def test_no_errors_and_triples_present(pipeline):
+    assert pipeline["errors"].count() == 0
+    assert pipeline["triples"].count() > 1000
+
+
+def test_text_invariant(pipeline):
+    assert verify_text_invariant(pipeline["pages"], pipeline["docs"]) == 0
+
+
+def test_spark_matches_kernel_oracle(pipeline, spark):
+    """Differential: the Spark path must reproduce the pure-Python kernel
+    triple-for-triple on the same manifests (P/R == 1.0)."""
+    import json as jsonlib
+
+    docs = (
+        pipeline["docs"].filter(F.col("doc_kind") == "npm_manifest")
+        .select("doc_json").limit(10).collect()
+    )
+    spark_triples = (
+        pipeline["triples"].filter(F.col("bundle").isNotNull())
+        .select("bundle", "subj", "pred", "obj").collect()
+    )
+    by_bundle = {}
+    for r in spark_triples:
+        by_bundle.setdefault(r["bundle"], set()).add((r["subj"], r["pred"], r["obj"]))
+    checked = 0
+    for row in docs:
+        doc = jsonlib.loads(row["doc_json"])
+        expected = export_bundle(doc, DEFAULT_ROOT)
+        assert expected.error is None
+        exp_set = {(t.subj, t.pred, t.obj) for t in expected.triples}
+        got = by_bundle.get(expected.bundle, set())
+        assert got == exp_set, f"triple mismatch for {expected.bundle}"
+        checked += 1
+    assert checked == 10
+
+
+def test_lineage_rows(pipeline):
+    rows = pipeline["lineage"].collect()
+    assert len(rows) > 0
+    assert sum(r["n_failed"] for r in rows) == 0
+    assert sum(r["n_out"] for r in rows) > 0
+
+
+def test_engine_triples_included(pipeline):
+    eng = pipeline["triples"].filter(F.col("bundle") == "engines")
+    assert eng.count() > 50
+
+
+def test_atomicity_error_rows(spark):
+    """A page with a broken manifest yields an error row, zero triples
+    for that bundle, and healthy pages are unaffected."""
+    import json as jsonlib
+
+    bad_pkg = all_packages()[0]
+    bad_pkg["versions"]["1.0.0"]["license"] = {}
+    html = (
+        '<html><body><script type="application/json" data-kind="npm-manifest">'
+        + jsonlib.dumps(bad_pkg) + "</script></body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("http://x.org/bad", None, html, "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    r = run_pipeline(pages, include_engines=False)
+    assert r["errors"].count() == 1
+    assert r["triples"].count() == 0
+    err = r["errors"].collect()[0]
+    assert "toUpperCase" in err["error"]
+
+
+def test_write_triples_bucketed(pipeline, tmp_path):
+    out = str(tmp_path / "triples")
+    write_triples(pipeline["triples"].limit(500), out, n_buckets=8)
+    spark = pipeline["triples"].sparkSession
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert "bucket" in back.columns
+    assert back.select("bucket").distinct().count() > 1
