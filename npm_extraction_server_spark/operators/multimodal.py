@@ -1,0 +1,187 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct — the Spark-side plumbing (schema, partitioning,
+Arrow batch shape, UDF signatures) is real and tested; the actual codec
+work is STUBBED (``decode_backend='fake'`` is a deterministic
+byte-derived fake; ``'real'`` raises NotImplementedError because
+image/audio libraries are not in this container).
+
+Operators:
+- ``attach_media_metadata``: sniff container type + size from magic
+  bytes (pure column ops on the binary prefix).
+- ``decode_features``: mapInPandas batch "decode" -> fixed-size feature
+  vector per blob (the plumbing for an embedding/extract stage).
+- ``resize_images`` / ``sample_frames``: same shape, different typed
+  output (stub transforms), demonstrating batch-in/batch-out contracts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("media_kind", T.StringType(), True),   # image|audio|video|unknown
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("sha", T.StringType(), True),
+])
+
+_MAGIC = [
+    (b"\x89PNG", "image"),
+    (b"\xff\xd8\xff", "image"),
+    (b"GIF8", "image"),
+    (b"RIFF", "audio"),
+    (b"ID3", "audio"),
+    (b"\x00\x00\x00\x18ftyp", "video"),
+    (b"\x1aE\xdf\xa3", "video"),
+]
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "media_id") -> DataFrame:
+    """Magic-byte sniffing with built-in expressions (no Python)."""
+    p = F.col(payload_col)
+    kind = F.lit("unknown")
+    for magic, k in reversed(_MAGIC):
+        hexs = magic.hex()
+        kind = F.when(F.hex(F.substring(p, 1, len(magic))) == hexs.upper(),
+                      F.lit(k)).otherwise(kind)
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        p.alias("payload"),
+        kind.alias("media_kind"),
+        F.length(p).cast("long").alias("n_bytes"),
+        F.sha2(p, 256).alias("sha"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: sha256-expanded
+    pseudo-features. Replace with a real codec on a cluster image."""
+    out = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        out.extend((b - 128) / 128.0 for b in h)
+        counter += 1
+    return out[:dim]
+
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_kind", T.StringType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def decode_features(media: DataFrame, dim: int = 32,
+                    decode_backend: str = "fake") -> DataFrame:
+    """Batch decode -> feature vectors. Arrow-batched mapInPandas; the
+    real backend is a stub (no codec libs in this container)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                raise NotImplementedError(
+                    "real decoders (PIL/av/soundfile) not available in this "
+                    "container; use decode_backend='fake'")
+            feats = [
+                _fake_decode(bytes(p) if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_kind": pdf["media_kind"],
+                "features": feats,
+            })
+
+    return media.select("media_id", "media_kind", "payload").mapInPandas(
+        fn, schema=FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  decode_backend: str = "fake") -> DataFrame:
+    """Resize stub: emits a deterministic thumbnail-sized payload
+    (sha-derived) with the target dimensions; real backend raises."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                raise NotImplementedError("real image resize not available")
+            thumbs = [
+                hashlib.sha256(bytes(p or b"") + b"resize").digest()[: width * height // 128]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": width, "height": height,
+                "payload": thumbs,
+            })
+
+    img = media.filter(F.col("media_kind") == "image")
+    return img.select("media_id", "payload").mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_sha", T.StringType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_n: int = 10,
+                  max_frames: int = 4, decode_backend: str = "fake") -> DataFrame:
+    """Frame-sampling stub for video blobs: one output row per sampled
+    frame (demonstrates the 1->N batch contract)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                raise NotImplementedError("real frame decode not available")
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(p or b"")
+                for i in range(max_frames):
+                    fsha = hashlib.sha256(
+                        blob + (i * every_n).to_bytes(4, "big")).hexdigest()
+                    rows.append((mid, i * every_n, fsha))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    vid = media.filter(F.col("media_kind") == "video")
+    return vid.select("media_id", "payload").mapInPandas(fn, schema=FRAMES_SCHEMA)
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic media corpus: cycles through PNG/JPEG/WAV/MP4-style
+    magic prefixes with sha-derived bodies."""
+    prefixes = [b"\x89PNG\r\n", b"\xff\xd8\xff\xe0", b"RIFF1234WAVE",
+                b"\x00\x00\x00\x18ftypmp42", b"junk"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                body = hashlib.sha256(f"media:{i}".encode()).digest() * (1 + i % 4)
+                rows.append((i, prefixes[i % len(prefixes)] + body))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    base = spark.range(n)
+    raw = base.mapInPandas(gen, schema="media_id long, payload binary")
+    return attach_media_metadata(raw)

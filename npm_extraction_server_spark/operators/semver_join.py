@@ -204,3 +204,32 @@ def _encode_uri_component_col(s: pd.Series) -> pd.Series:
     from ..functions.jsuri import encode_uri_component
 
     return s.map(lambda v: encode_uri_component(v) if v is not None else None)
+
+
+def resolve_engine_ranges(edges: DataFrame, engine_index: dict[str, list[dict]],
+                          spark=None) -> DataFrame:
+    """J2: engine range resolution against the broadcast release
+    dimension (/root/reference/lib/npm/NodeEngineBundle.js:34-44 —
+    'v'-prefix stripped before maxSatisfying, re-prefixed after).
+    ``edges``: (src_bundle, src_version, engine, engine_range)."""
+    spark = spark or edges.sparkSession
+    dim_rows = [
+        (name, entry["version"][1:])
+        for name, index in engine_index.items()
+        for entry in index
+    ]
+    dim = spark.createDataFrame(dim_rows, "engine string, bare_version string")
+    vsets = dim.groupBy("engine").agg(
+        F.sort_array(F.collect_list("bare_version")).alias("version_set"))
+    joined = edges.join(F.broadcast(vsets), "engine", "left")
+    return (
+        joined.withColumn(
+            "resolved_bare",
+            _max_satisfying_udf(F.col("version_set"), F.col("engine_range")))
+        .withColumn(
+            "resolved_version",
+            F.when(F.col("resolved_bare").isNotNull(),
+                   F.concat(F.lit("v"), F.col("resolved_bare"))))
+        .select("src_bundle", "src_version", "engine", "engine_range",
+                "resolved_version")
+    )

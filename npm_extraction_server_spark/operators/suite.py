@@ -313,7 +313,8 @@ def sim_cosine_topk(spark, sf):
 
 def sim_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64,
+                    tables=16, bits=4)
 
 
 def sim_ivf_topk(spark, sf):

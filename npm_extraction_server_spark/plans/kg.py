@@ -59,6 +59,23 @@ def repartition_pages(pages: DataFrame, num_partitions: int | None = None) -> Da
     return pages.repartition(n, F.xxhash64("url"))
 
 
+def maybe_repartition_pages(pages: DataFrame,
+                            num_partitions: int | None = None) -> DataFrame:
+    """Shuffle only when the scan is under-parallel. A shuffle feeding a
+    python stage forces row-wise shuffle-read -> Arrow conversion, which
+    measured ~2x slower than the columnar parquet->Arrow path — so when
+    the file layout already yields >= cores partitions (uniform crawl
+    shards), skip it; the explicit url-hash shuffle stays for skewed
+    layouts (hot hosts clustered into few files) and for the bucketed
+    writers."""
+    spark = pages.sparkSession
+    target = num_partitions or spark.sparkContext.defaultParallelism
+    current = pages.rdd.getNumPartitions()
+    if current >= target:
+        return pages
+    return pages.repartition(target, F.xxhash64("url"))
+
+
 def _extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..extract.html import doc_sha, extract_blobs
 
@@ -123,6 +140,87 @@ def docs_to_triples(docs: DataFrame, root: str = DEFAULT_ROOT) -> DataFrame:
     return docs.select("url", "doc_kind", "doc_json").mapInPandas(
         _triples_partition(root), schema=TRIPLES_SCHEMA
     )
+
+
+def _fused_partition(root: str):
+    """pages -> triples in ONE python stage (extract + kernel fused).
+
+    Chained mapInPandas stages each pin their own python worker per
+    task — two chained UDFs means 2N concurrent python processes for N
+    task slots, which oversubscribes the host and inverts scaling
+    (measured: local[32] slower than local[8] on 32 cores). Fusing
+    keeps exactly one python worker per task slot and removes an Arrow
+    round-trip of the intermediate docs table."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ..extract.html import extract_blobs
+        from ..kernel.jsonld_rdf import to_triples
+        from ..kernel.pipeline import export_bundle
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
+        for pdf in batches:
+            # columnar accumulation: ~3x cheaper than list-of-tuples ->
+            # pd.DataFrame for wide string output at millions of rows
+            c_url, c_bundle = [], []
+            c_subj, c_pred, c_obj, c_lit, c_graph, c_err = [], [], [], [], [], []
+
+            def emit_error(url, bundle, msg):
+                c_url.append(url); c_bundle.append(bundle)
+                c_subj.append(None); c_pred.append(None); c_obj.append(None)
+                c_lit.append(None); c_graph.append(None); c_err.append(msg)
+
+            def emit_triples(url, bundle, triples):
+                n = len(triples)
+                c_url.extend([url] * n); c_bundle.extend([bundle] * n)
+                c_subj.extend(t.subj for t in triples)
+                c_pred.extend(t.pred for t in triples)
+                c_obj.extend(t.obj for t in triples)
+                c_lit.extend(t.obj_is_literal for t in triples)
+                c_graph.extend(t.graph for t in triples)
+                c_err.extend([None] * n)
+
+            for url, html in zip(pdf["url"], pdf["html"]):
+                blob = bytes(html) if html is not None else b""
+                for kind, doc_json in extract_blobs(url, blob):
+                    try:
+                        doc = jsonlib.loads(doc_json)
+                    except Exception as e:
+                        emit_error(url, None, str(e))
+                        continue
+                    if kind == "npm_manifest":
+                        result = export_bundle(doc, root)
+                        if result.error is not None:
+                            emit_error(url, result.bundle, result.error)
+                        else:
+                            emit_triples(url, result.bundle, result.triples)
+                    else:
+                        try:
+                            emit_triples(url, None, to_triples(doc, root=url))
+                        except Exception as e:
+                            emit_error(url, None, f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({
+                "src_url": pd.Series(c_url, dtype=object),
+                "bundle": pd.Series(c_bundle, dtype=object),
+                "subj": pd.Series(c_subj, dtype=object),
+                "pred": pd.Series(c_pred, dtype=object),
+                "obj": pd.Series(c_obj, dtype=object),
+                "obj_is_literal": pd.Series(c_lit, dtype=object),
+                "graph": pd.Series(c_graph, dtype=object),
+                "part_id": pd.Series([part_id] * len(c_url), dtype="int32"),
+                "error": pd.Series(c_err, dtype=object),
+            })
+
+    return fn
+
+
+def pages_to_triples(pages: DataFrame, root: str = DEFAULT_ROOT) -> DataFrame:
+    """Fused pages -> raw triple rows (one python stage, no intermediate
+    docs materialization). The hot path for throughput."""
+    return pages.select("url", "html").mapInPandas(
+        _fused_partition(root), schema=TRIPLES_SCHEMA)
 
 
 def engine_triples(spark: SparkSession, root: str = DEFAULT_ROOT,
@@ -190,12 +288,21 @@ def write_triples(triples: DataFrame, path: str, n_buckets: int = 64,
 
 def run_pipeline(pages: DataFrame, root: str = DEFAULT_ROOT,
                  num_partitions: int | None = None,
-                 include_engines: bool = True) -> dict:
-    """Full extract->triples pass; returns the interesting DataFrames."""
+                 include_engines: bool = True,
+                 fused: bool = True) -> dict:
+    """Full extract->triples pass; returns the interesting DataFrames.
+
+    ``fused=True`` (default) runs extract+kernel in one python stage —
+    the throughput path. The returned ``docs`` DataFrame is the
+    separate extract stage either way (lazy; only computed if the
+    caller uses it, e.g. for the text-pass-through check)."""
     spark = pages.sparkSession
-    pages_p = repartition_pages(pages, num_partitions)
+    pages_p = maybe_repartition_pages(pages, num_partitions)
     docs = extract_docs(pages_p)
-    raw = docs_to_triples(docs, root)
+    if fused:
+        raw = pages_to_triples(pages_p, root)
+    else:
+        raw = docs_to_triples(docs, root)
     triples, errors = split_errors(raw)
     if include_engines:
         triples = triples.unionByName(engine_triples(spark, root).drop("error"))

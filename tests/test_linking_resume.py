@@ -1,0 +1,129 @@
+"""Entity linking, connected components, resume, incremental tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_extraction_server_spark.plans.kg import run_pipeline
+from npm_extraction_server_spark.plans.linking import (
+    candidate_edges,
+    canonicalize_triples,
+    connected_components,
+    entity_mentions,
+    link_entities,
+)
+from npm_extraction_server_spark.plans.resume import (
+    completed_chunks,
+    read_resumable_triples,
+    run_resumable,
+)
+from npm_extraction_server_spark.sources.pages import pages_df, write_pages
+from npm_extraction_server_spark.streaming.incremental import (
+    changed_since,
+    incremental_triples,
+    stream_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    pages = pages_df(spark, 100, partitions=8)
+    t = run_pipeline(pages)["triples"].cache()
+    t.count()
+    return t
+
+
+def test_connected_components_basic(spark):
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)],
+                              ["entity_iri"])
+    e = spark.createDataFrame([("b", "c"), ("c", "d")], ["src", "dst"])
+    labels = {r["entity_iri"]: r["canonical_id"]
+              for r in connected_components(v, e).collect()}
+    assert labels["b"] == labels["c"] == labels["d"] == "b"
+    assert labels["a"] == "a" and labels["e"] == "e"
+
+
+def test_connected_components_chain(spark):
+    """long chain needs multiple propagation rounds"""
+    n = 40
+    v = spark.createDataFrame([(f"n{i:02d}",) for i in range(n)], ["entity_iri"])
+    e = spark.createDataFrame([(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n - 1)],
+                              ["src", "dst"])
+    labels = connected_components(v, e)
+    assert labels.select("canonical_id").distinct().count() == 1
+
+
+def test_entity_linking_email_clusters(triples):
+    ents = link_entities(triples).cache()
+    # every (user IRI, mailto node) pair sharing an email is one cluster
+    bad = (
+        ents.filter(F.col("email").isNotNull())
+        .groupBy("email")
+        .agg(F.countDistinct("canonical_id").alias("n"), F.count("*").alias("m"))
+        .filter((F.col("m") > 1) & (F.col("n") > 1))
+        .count()
+    )
+    assert bad == 0
+    # clusters exist (mailto <-> user-IRI merges)
+    assert ents.count() > ents.select("canonical_id").distinct().count()
+
+
+def test_canonicalize_preserves_count(triples):
+    ents = link_entities(triples)
+    canon = canonicalize_triples(triples, ents)
+    assert canon.count() == triples.count()
+    # literals are never rewritten
+    lits = triples.filter(F.col("obj_is_literal")).select("obj")
+    lits_c = canon.filter(F.col("obj_is_literal")).select("obj")
+    assert lits.exceptAll(lits_c).count() == 0
+
+
+def test_head_entity_shortcircuit(triples, spark):
+    mentions = entity_mentions(triples)
+    edges_with = candidate_edges(mentions, triples)
+    # head-dictionary path must not break correctness of email edges
+    assert edges_with.filter(F.col("dst").startswith("mailto:")).count() > 0
+
+
+def test_resume_kill_rerun(spark, tmp_path):
+    pages = pages_df(spark, 60, partitions=4).cache()
+    out1 = str(tmp_path / "full")
+    full = run_resumable(pages, out1, n_chunks=4)
+    assert sorted(full["processed"]) == [0, 1, 2, 3]
+    expected = read_resumable_triples(spark, out1)
+
+    out2 = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(pages, out2, n_chunks=4, fail_after=2)
+    assert len(completed_chunks(out2)) == 2
+    second = run_resumable(pages, out2, n_chunks=4)
+    assert len(second["processed"]) == 2
+    assert sorted(second["skipped"]) == sorted(completed_chunks(out2) - set(second["processed"]))
+
+    resumed = read_resumable_triples(spark, out2)
+    # identical final triple multiset, no duplicates from the rerun
+    assert resumed.count() == expected.count()
+    assert resumed.select("subj", "pred", "obj").exceptAll(
+        expected.select("subj", "pred", "obj")).count() == 0
+
+
+def test_changed_since_pruning(spark):
+    pages = pages_df(spark, 100, partitions=8).cache()
+    lo, hi = "2018-01-01", "2018-07-01"
+    window = changed_since(pages, lo, hi)
+    n_window = window.count()
+    assert 0 < n_window < pages.count()
+    t = incremental_triples(pages, lo, hi)
+    assert t.select("src_url").distinct().count() <= n_window
+
+
+def test_streaming_pipeline(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_pages(pages_df(spark, 30, partitions=3), pages_dir)
+
+    q = stream_pipeline(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out_dir}/triples")
+    assert got.count() > 100
+    assert got.select("src_url").distinct().count() == 30

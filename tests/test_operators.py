@@ -1,0 +1,174 @@
+"""Operator-level Spark tests: dedup recall, ANN recall vs brute force,
+semver join vs kernel oracle, engine resolution, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_extraction_server_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from npm_extraction_server_spark.operators.multimodal import (
+    decode_features,
+    resize_images,
+    sample_frames,
+    synth_media_df,
+)
+from npm_extraction_server_spark.operators.semver_join import (
+    dependency_edges,
+    dist_tag_rows,
+    max_satisfying_triples,
+    resolve_engine_ranges,
+    resolve_ranges,
+    version_rows,
+)
+from npm_extraction_server_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted exact + near duplicates."""
+    base = ("the quick brown fox jumps over the lazy dog while the spark "
+            "engine shuffles partitions across the cluster every day")
+    near = base.replace("lazy dog", "sleepy dog")  # 1-word change
+    rows = [(0, base), (1, base), (2, near),
+            (3, "completely different text about databases and queries"),
+            (4, "another unrelated document mentioning vectors and joins")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted(dup_docs):
+    dups = exact_duplicates(dup_docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["survivor_id"] == 0 and dups[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_finds_near(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(dup_docs, k=3, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(dup_docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_near(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(dup_docs, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["item_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    # bits sized to the corpus: 2^4 buckets x 16 tables on ~500 vectors
+    # (6-bit buckets starve the candidate sets at this scale)
+    approx = {(r["query_id"], r["item_id"])
+              for r in lsh_topk(emb, queries, k=5, dim=64,
+                                tables=16, bits=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_semver_join_matches_kernel(spark):
+    """The distributed J1 must agree with the sequential reference
+    semantics (resolve_module_version) edge by edge."""
+    import json as jsonlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from fixtures import all_packages
+
+    from npm_extraction_server_spark.kernel.pipeline import resolve_module_version
+
+    pkgs = all_packages()
+    docs = spark.createDataFrame(
+        [("npm_manifest", jsonlib.dumps(p)) for p in pkgs],
+        "doc_kind string, doc_json string")
+    edges = dependency_edges(docs)
+    versions = version_rows(docs)
+    tags = dist_tag_rows(docs)
+    resolved = {
+        (r["src_bundle"], r["src_version"], r["dep_pkg"], r["dep_range"]):
+            r["resolved_version"]
+        for r in resolve_ranges(edges, versions, tags).collect()
+    }
+    by_name = {p["name"]: p for p in pkgs}
+    assert len(resolved) > 0
+    for (src, sver, pkg, rng), got in resolved.items():
+        if pkg in by_name:
+            expect = resolve_module_version(by_name[pkg], rng)
+            assert got == expect, f"{pkg}@{rng}: spark={got} kernel={expect}"
+        else:
+            assert got is None
+
+
+def test_max_satisfying_triples(spark):
+    resolved = spark.createDataFrame(
+        [("a", "1.0.0", "dependencies", "hotpkg", "^1.0.0", "1.4.0"),
+         ("a", "1.0.0", "dependencies", "gone", "^9", None)],
+        "src_bundle string, src_version string, dep_type string, "
+        "dep_pkg string, dep_range string, resolved_version string")
+    triples = max_satisfying_triples(resolved).collect()
+    assert len(triples) == 1
+    t = triples[0]
+    assert t["subj"].endswith("/hotpkg/%5E1.0.0")
+    assert t["obj"].endswith("/hotpkg/1.4.0")
+    assert t["pred"].endswith("maxSatisfying")
+
+
+def test_engine_resolution_broadcast(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from fixtures import ENGINE_INDEX
+
+    edges = spark.createDataFrame(
+        [("a", "1.0.0", "node", ">=4"), ("a", "1.0.0", "iojs", "^3.0.0"),
+         ("b", "2.0.0", "node", ">=99"), ("b", "2.0.0", "weird", "*")],
+        "src_bundle string, src_version string, engine string, "
+        "engine_range string")
+    got = {(r["engine"], r["engine_range"]): r["resolved_version"]
+           for r in resolve_engine_ranges(edges, ENGINE_INDEX).collect()}
+    assert got[("node", ">=4")] == "v8.0.0"
+    assert got[("iojs", "^3.0.0")] == "v3.3.1"
+    assert got[("node", ">=99")] is None
+    assert got[("weird", "*")] is None
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_df(spark, 40).cache()
+    kinds = {r["media_kind"] for r in media.select("media_kind").distinct().collect()}
+    assert {"image", "audio", "video", "unknown"} <= kinds
+
+    feats = decode_features(media, dim=16).collect()
+    assert len(feats) == 40
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic fake: same payload -> same features
+    again = decode_features(media, dim=16).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == \
+        {r["media_id"]: r["features"] for r in again}
+
+    thumbs = resize_images(media, 64, 64).collect()
+    assert len(thumbs) > 0 and all(r["width"] == 64 for r in thumbs)
+
+    frames = sample_frames(media, every_n=5, max_frames=3).collect()
+    n_videos = media.filter(F.col("media_kind") == "video").count()
+    assert len(frames) == 3 * n_videos
+
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_features(media, dim=8, decode_backend="real").collect()
