@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_lineage": _kg_lineage,
         "semver_resolve": _semver_resolve,
+        "kg_entity_linking": _kg_entity_linking,
+        "kg_user_index": _kg_user_index,
+        "kg_incremental": _kg_incremental,
+        "mm_media_features": _mm_media_features,
     }
     return {**SPARK_QUERIES, **extra}
 
@@ -117,6 +121,55 @@ def _kg_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages_from_documents(spark, sf_dir, limit=100)
     return run_pipeline(pages)["lineage"]
+
+
+def _kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7: MinHash-LSH blocking + connected-components canonical ids."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.linking import link_entities
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    triples = run_pipeline(pages)["triples"].localCheckpoint(eager=True)
+    return link_entities(triples).select(
+        "entity_iri", "kind", "canonical_id").orderBy("entity_iri")
+
+
+def _kg_user_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC4/A1: byUser inverted index over the triples table."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.warehouse import user_package_index
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    triples = run_pipeline(pages)["triples"]
+    return user_package_index(triples)
+
+
+def _kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC5: changed-since window -> triples of only those pages."""
+    from npm_extraction_server_spark.streaming.incremental import incremental_triples
+
+    pages = _pages_from_documents(spark, sf_dir, limit=200)
+    return incremental_triples(pages, "2017-06-01 00:00:30", "2017-06-01 00:01:40")
+
+
+def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media -> typed metadata + features."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        decode_features,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 64)
+    feats = decode_features(media, dim=8)
+    return media.select("media_id", "media_kind", "n_bytes", "sha").join(
+        feats.select("media_id", F.round(
+            F.aggregate("features", F.lit(0.0),
+                        lambda a, v: a + v * v), 6).alias("feat_norm_sq")),
+        "media_id")
 
 
 def _semver_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,123 @@
+"""RDF serializers: N-Triples, N-Quads, Turtle, TriG (SN3 formats).
+
+The reference serves nt/nq/n3/ttl/trig via N3.js
+(/root/reference/bin/index.js:31-37, bin/exportTriples.js:14-21,
+lib/util/JsonLdParser.js:43). These writers cover the same formats
+(n3 == ttl for our triple shapes, as in N3.js default mode):
+deterministic output, prefix-compressed Turtle, graph-grouped TriG.
+"""
+
+from __future__ import annotations
+
+from .jsonld_rdf import Triple, _nt_term
+from .vocab import PREFIXES
+
+# stable prefix order for Turtle headers
+_PREFIX_ORDER = ["rdf", "rdfs", "xsd", "owl", "doap", "dcterms", "foaf",
+                 "spdx", "npm", "lsd"]
+
+
+def to_ntriples(triples: list[Triple]) -> str:
+    lines = [
+        f"<{t.subj}> <{t.pred}> {_nt_term(t.obj, t.obj_is_literal)} ."
+        for t in triples
+    ]
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def to_nquads(triples: list[Triple]) -> str:
+    lines = []
+    for t in triples:
+        obj = _nt_term(t.obj, t.obj_is_literal)
+        if t.graph:
+            lines.append(f"<{t.subj}> <{t.pred}> {obj} <{t.graph}> .")
+        else:
+            lines.append(f"<{t.subj}> <{t.pred}> {obj} .")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def _compact(iri: str, used: set[str]) -> str:
+    for prefix in _PREFIX_ORDER:
+        ns = PREFIXES[prefix]
+        if iri.startswith(ns):
+            local = iri[len(ns):]
+            # PN_LOCAL subset: keep it conservative
+            if local and all(c.isalnum() or c in "_-." for c in local) \
+                    and not local.startswith(("-", ".")) and not local.endswith("."):
+                used.add(prefix)
+                return f"{prefix}:{local}"
+    return f"<{iri}>"
+
+
+def _ttl_object(t: Triple, used: set[str]) -> str:
+    if not t.obj_is_literal:
+        return _compact(t.obj, used)
+    term = _nt_term(t.obj, t.obj_is_literal)
+    # compact datatype IRIs too: "v"^^<...#int> -> "v"^^xsd:int
+    if "^^<" in term:
+        lit, dt = term.rsplit("^^<", 1)
+        return lit + "^^" + _compact(dt[:-1], used)
+    return term
+
+
+def to_turtle(triples: list[Triple]) -> str:
+    """Subject-grouped, predicate-grouped Turtle with prefix header."""
+    used: set[str] = set()
+    by_subj: dict[str, dict[str, list[str]]] = {}
+    subj_order: list[str] = []
+    for t in triples:
+        if t.subj not in by_subj:
+            by_subj[t.subj] = {}
+            subj_order.append(t.subj)
+        preds = by_subj[t.subj]
+        key = _compact(t.pred, used)
+        preds.setdefault(key, []).append(_ttl_object(t, used))
+
+    blocks = []
+    for subj in subj_order:
+        s = _compact(subj, used)
+        pred_strs = []
+        for pred, objs in by_subj[subj].items():
+            pred_strs.append(f"{pred} " + ", ".join(objs))
+        blocks.append(f"{s} " + ";\n    ".join(pred_strs) + " .")
+
+    header = "".join(
+        f"@prefix {p}: <{PREFIXES[p]}> .\n" for p in _PREFIX_ORDER if p in used
+    )
+    body = "\n".join(blocks)
+    return (header + "\n" if header else "") + body + ("\n" if body else "")
+
+
+def to_trig(triples: list[Triple]) -> str:
+    """Graph-grouped TriG: default graph bare, named graphs in blocks."""
+    default = [t for t in triples if not t.graph]
+    named: dict[str, list[Triple]] = {}
+    for t in triples:
+        if t.graph:
+            named.setdefault(t.graph, []).append(t)
+    parts = []
+    if default:
+        parts.append(to_turtle(default))
+    for graph, ts in named.items():
+        used: set[str] = set()
+        inner = to_turtle(ts)
+        # strip the inner prefix header; a single header would need
+        # hoisting — keep prefixes expanded inside named blocks instead
+        inner_lines = [ln for ln in inner.splitlines() if not ln.startswith("@prefix")]
+        parts.append("<%s> {\n%s\n}" % (graph, "\n".join(ln for ln in inner_lines if ln)))
+    return "\n".join(parts) + ("\n" if parts else "")
+
+
+SERIALIZERS = {
+    "nt": to_ntriples,
+    "nq": to_nquads,
+    "ttl": to_turtle,
+    "n3": to_turtle,  # reference's formatMap treats n3 ~ turtle family
+    "trig": to_trig,
+}
+
+
+def serialize(triples: list[Triple], fmt: str = "nt") -> str:
+    if fmt not in SERIALIZERS:
+        raise ValueError(f"Invalid format {fmt}")
+    return SERIALIZERS[fmt](triples)

@@ -49,4 +49,30 @@ def get_spark(app: str = "npm_extraction_server_spark",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the spark-submit --py-files
+    equivalent): python workers resolve imports from PYTHONPATH + shipped
+    archives, not the driver's sys.path, so a driver launched outside
+    the repo root would otherwise hit ModuleNotFoundError."""
+    import hashlib
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parents[1]
+    files = sorted(pkg_root.rglob("*.py"))
+    digest = hashlib.sha256(
+        "".join(f"{p}:{p.stat().st_mtime_ns}:{p.stat().st_size}" for p in files)
+        .encode()).hexdigest()[:12]
+    zip_path = Path(tempfile.gettempdir()) / f"nes_spark_{digest}.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in files:
+                zf.write(py, py.relative_to(pkg_root.parent))
+        tmp.rename(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))

@@ -1,0 +1,111 @@
+"""Graph materialization: triples + entities + lineage tables, plus
+text serialization sinks (the north_rule's "graph materialize" step).
+
+Layout (Iceberg-style on parquet — the bucket transform is explicit
+since the Iceberg runtime jars are not in this image; swapping
+``.parquet`` for ``.format("iceberg")`` + a catalog is the only change
+needed on a real cluster):
+
+  out/triples/bucket=<xxhash64(subj) % N>/...
+  out/entities/                          (entity_iri, kind, features, canonical_id)
+  out/lineage/                           (part_id, stage, n_in, n_out, n_failed, ...)
+  out/errors/                            (src_url, bundle, error)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kg import lineage, run_pipeline, split_errors, write_triples
+from .linking import canonicalize_triples, link_entities
+
+
+def nt_lines(triples: DataFrame) -> DataFrame:
+    """Triples -> one N-Triples line per row, entirely JVM-side column
+    ops (escaping + datatype wrapping; no python in the path)."""
+    def esc(col):
+        col = F.regexp_replace(col, r"\\", r"\\\\")
+        col = F.regexp_replace(col, '"', '\\\\"')
+        col = F.regexp_replace(col, "\n", "\\\\n")
+        col = F.regexp_replace(col, "\r", "\\\\r")
+        col = F.regexp_replace(col, "\t", "\\\\t")
+        return col
+
+    # Decompose the kernel's N3-encoded literal: "value", "value"@lang,
+    # "value"^^datatype — split on the LAST closing quote (DOTALL so
+    # multiline readme literals match).
+    df = triples.withColumn(
+        "lit_value",
+        F.regexp_extract("obj", r'(?s)^"(.*)"((\^\^|@).*)?$', 1),
+    ).withColumn(
+        "lit_suffix",
+        F.regexp_extract("obj", r'(?s)^"(.*)"((\^\^|@).*)?$', 2),
+    )
+    literal_term = F.concat(
+        F.lit('"'), esc(F.col("lit_value")), F.lit('"'),
+        F.when(F.col("lit_suffix").startswith("^^"),
+               F.concat(F.lit("^^<"), F.expr("substring(lit_suffix, 3)"),
+                        F.lit(">")))
+        .when(F.col("lit_suffix") != "", F.col("lit_suffix"))
+        .otherwise(F.lit("")),
+    )
+    term = F.when(F.col("obj_is_literal"), literal_term).otherwise(
+        F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+    return df.select(
+        F.concat(F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
+                 F.lit("> "), term, F.lit(" .")).alias("line"))
+
+
+def export_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """SN1 analog: the bulk text export, written distributed."""
+    nt_lines(triples).write.mode(mode).text(path)
+
+
+def materialize_graph(pages: DataFrame, out_dir: str,
+                      root: str = "http://example.org/",
+                      n_buckets: int = 64, do_linking: bool = True) -> dict:
+    """pages -> {triples, entities, lineage, errors} tables on disk."""
+    spark = pages.sparkSession
+    result = run_pipeline(pages, root=root)
+    raw = result["raw"]
+    triples, errors = split_errors(raw)
+    triples = triples.unionByName(
+        result["triples"].filter(F.col("bundle") == "engines"))
+    triples = triples.localCheckpoint(eager=True)  # one pass over pages
+
+    if do_linking:
+        entities = link_entities(triples)
+        entities = entities.localCheckpoint(eager=True)
+        canonical = canonicalize_triples(triples, entities)
+    else:
+        entities = None
+        canonical = triples
+
+    write_triples(canonical, f"{out_dir}/triples", n_buckets=n_buckets)
+    if entities is not None:
+        entities.write.mode("overwrite").parquet(f"{out_dir}/entities")
+    lineage(raw).write.mode("overwrite").parquet(f"{out_dir}/lineage")
+    errors.write.mode("overwrite").parquet(f"{out_dir}/errors")
+
+    back = spark.read.parquet(f"{out_dir}/triples")
+    return {
+        "n_triples": back.count(),
+        "n_entities": entities.count() if entities is not None else 0,
+        "out_dir": out_dir,
+    }
+
+
+def user_package_index(triples: DataFrame) -> DataFrame:
+    """SC4/A1: the byUser inverted index
+    (/root/reference/lib/npm/NpmCouchDb.js:67-70 + NpmUser.js:36-53):
+    maintainer -> sorted distinct list of maintained bundle IRIs."""
+    DOAP = "http://usefulinc.com/ns/doap#"
+    return (
+        triples.filter((F.col("pred") == DOAP + "maintainer")
+                       & ~F.col("obj_is_literal"))
+        .select(F.col("obj").alias("user_iri"), F.col("subj").alias("module_iri"))
+        .groupBy("user_iri")
+        .agg(F.sort_array(F.collect_set("module_iri")).alias("maintains"),
+             F.count("*").alias("n_mentions"))
+    )

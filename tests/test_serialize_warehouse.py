@@ -1,0 +1,129 @@
+"""Serializer (SN3 formats) + warehouse materialization tests."""
+
+import pytest
+
+from fixtures import ROOT, pkg_simple
+
+from npm_extraction_server_spark.kernel.pipeline import export_bundle
+from npm_extraction_server_spark.kernel.serialize import (
+    serialize,
+    to_nquads,
+    to_ntriples,
+    to_trig,
+    to_turtle,
+)
+
+
+@pytest.fixture(scope="module")
+def triples():
+    r = export_bundle(pkg_simple(), ROOT)
+    assert r.error is None
+    return r.triples
+
+
+def test_nt_roundtrippable(triples):
+    nt = to_ntriples(triples)
+    lines = [ln for ln in nt.splitlines() if ln]
+    assert len(lines) == len(triples)
+    for ln in lines:
+        assert ln.startswith("<") and ln.endswith(" .")
+    # multiline readme literal escaped onto one line
+    assert any("\\n" in ln for ln in lines)
+    assert not any("\n" in ln for ln in lines)
+
+
+def test_nquads(triples):
+    nq = to_nquads(triples)
+    assert len(nq.splitlines()) == len(triples)
+
+
+def test_turtle_prefixes_and_grouping(triples):
+    ttl = to_turtle(triples)
+    assert "@prefix doap: <http://usefulinc.com/ns/doap#> ." in ttl
+    assert "doap:name" in ttl  # compacted predicate
+    # subject grouping: fewer '.' statement terminators than triples
+    n_statements = sum(1 for ln in ttl.splitlines() if ln.rstrip().endswith(" ."))
+    assert 0 < n_statements < len(triples)
+
+
+def test_trig(triples):
+    trig = to_trig(triples)
+    assert trig  # no named graphs in our output -> turtle-equivalent body
+    assert "doap:name" in trig
+
+
+def test_serialize_dispatch(triples):
+    for fmt in ("nt", "nq", "ttl", "n3", "trig"):
+        assert serialize(triples, fmt)
+    with pytest.raises(ValueError, match="Invalid format"):
+        serialize(triples, "bogus")
+
+
+def test_materialize_graph(spark, tmp_path):
+    from npm_extraction_server_spark.plans.warehouse import (
+        export_ntriples,
+        materialize_graph,
+        nt_lines,
+        user_package_index,
+    )
+    from npm_extraction_server_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 40, partitions=4)
+    out = str(tmp_path / "graph")
+    summary = materialize_graph(pages, out, do_linking=True)
+    assert summary["n_triples"] > 500
+    assert summary["n_entities"] > 10
+
+    back = spark.read.parquet(f"{out}/triples")
+    assert "bucket" in back.columns
+    ents = spark.read.parquet(f"{out}/entities")
+    assert {"entity_iri", "kind", "canonical_id"} <= set(ents.columns)
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.count() > 0
+
+    # nt export: every line a valid statement; count preserved
+    nt_dir = str(tmp_path / "nt")
+    export_ntriples(back, nt_dir)
+    lines = spark.read.text(nt_dir)
+    assert lines.count() == back.count()
+    bad = lines.filter(~lines.value.rlike(r"^<[^>]+> <[^>]+> .* \.$")).count()
+    assert bad == 0
+
+    # Spark-side nt lines match the kernel serializer for a sample
+    # bundle — compared on the PRE-canonicalization triples (linking
+    # rewrites person IRIs to canonical ids by design)
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    raw_triples = run_pipeline(pages, include_engines=False)["triples"].cache()
+    sample_bundle = raw_triples.select("bundle").first()["bundle"]
+    spark_lines = {
+        r["line"]
+        for r in nt_lines(raw_triples.filter(F.col("bundle") == sample_bundle)).collect()
+    }
+    import json as jsonlib
+
+    from npm_extraction_server_spark.extract.html import extract_blobs
+    from npm_extraction_server_spark.kernel.pipeline import export_bundle as eb
+    from npm_extraction_server_spark.sources.synth import synth_page
+
+    # find the page that produced this bundle and re-derive via kernel
+    kernel_lines = None
+    for i in range(40):
+        p = synth_page(i)
+        for kind, dj in extract_blobs(p["url"], p["html"]):
+            if kind != "npm_manifest":
+                continue
+            doc = jsonlib.loads(dj)
+            if doc.get("name") == sample_bundle:
+                r = eb(doc, "http://example.org/")
+                kernel_lines = set(to_ntriples(r.triples).splitlines())
+    assert kernel_lines is not None
+    assert spark_lines == kernel_lines
+
+    # user inverted index
+    idx = user_package_index(back)
+    assert idx.count() > 0
+    row = idx.first()
+    assert row["maintains"] == sorted(row["maintains"])
