@@ -88,12 +88,16 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3, threshold: float = 0.5
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, sig: array<bigint>) — min over shingles of
-    xxhash64(shingle, seed) per seed. Built-in hash, no UDF."""
-    sh = word_shingles(documents, k, text_col)
+    """(doc_id, sig: array<bigint>) — minhash over derived permutations:
+    ONE string hash per shingle (xxhash64 of the text), then
+    ``num_hashes`` cheap long-input rehashes (xxhash64(h, seed) hashes
+    a fixed 8-byte value — far cheaper than hashing the string per
+    seed). All JVM-side, no UDF, no overflow (ANSI-safe)."""
+    sh = word_shingles(documents, k, text_col).withColumn(
+        "h", F.xxhash64("shingle"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
@@ -103,12 +107,19 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
 
 def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 16,
                       k: int = 3, threshold: float = 0.5,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket_size: int = 64) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature, join on
     (band_id, band_signature) buckets, then estimate Jaccard as the
-    fraction of agreeing min-hashes."""
+    fraction of agreeing min-hashes.
+
+    ``max_bucket_size`` drops oversized LSH buckets before the
+    quadratic within-bucket pairing — the skew guard for boilerplate
+    clusters at scale (a bucket of B docs costs B^2 candidate pairs)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, k, text_col)
+    # both sides of the candidate self-join read the signatures: persist
+    # so the shingle+agg pipeline runs once, not per join side
+    sigs = minhash_signatures(documents, num_hashes, k, text_col).persist()
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(
@@ -125,6 +136,12 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
             ])
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("bucket_n") > max_bucket_size)
+                    .select("band_id", "band_hash")),
+        ["band_id", "band_hash"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -175,7 +192,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
     """Candidate pairs with Hamming distance <= max_hamming via 4-band
     rotation blocking (any pair within distance 3 of a 64-bit hash
     agrees exactly on at least one 16-bit band)."""
-    sigs = simhash_signatures(documents, 64, text_col)
+    sigs = simhash_signatures(documents, 64, text_col).persist()
     banded = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,7 +74,9 @@ def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
 
 
 def lsh_bucket_col(vec_col, dim: int, table: int, bits: int = 12):
-    """Bucket id = sign-bits against ``bits`` deterministic hyperplanes."""
+    """Bucket id = sign-bits against ``bits`` deterministic hyperplanes
+    (expression form — kept for single-table uses; the multi-table path
+    below uses the vectorized numpy variant instead)."""
     acc = F.lit(0).cast("long")
     for b in range(bits):
         plane = _hyperplane(dim, table, b)
@@ -86,21 +89,48 @@ def lsh_bucket_col(vec_col, dim: int, table: int, bits: int = 12):
     return acc
 
 
+def _lsh_buckets_udf(dim: int, tables: int, bits: int):
+    """All table buckets in one Arrow batch: (N x dim) @ (dim x T*B)
+    numpy matmul -> sign bits -> per-table bucket ids. One UDF call
+    replaces tables*bits nested aggregate expressions (which blow up
+    whole-stage codegen and ran ~10x slower)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [_hyperplane(dim, t, b) for t in range(tables) for b in range(bits)],
+        dtype=np.float64,
+    ).T  # dim x (tables*bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        signs = (mat @ planes) > 0  # N x (tables*bits)
+        per_table = signs.reshape(len(mat), tables, bits)
+        ids = (per_table * weights).sum(axis=2)  # N x tables
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              tables: int = 4, bits: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: same-bucket candidates over ``tables``
     hash tables, exact cosine re-rank. The candidate join is an
     equi-join on (table, bucket) — shuffle-friendly and AQE-splittable."""
+    buckets_udf = _lsh_buckets_udf(dim, tables, bits)
+
     def bucketize(df, label):
+        # norms computed ONCE per row here, not per candidate pair
         return df.select(
             F.col(id_col).alias(f"{label}_id"), F.col(vec_col).alias(f"{label}_vec"),
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("table_id"),
-                         lsh_bucket_col(F.col(vec_col), dim, t, bits).alias("bucket"))
-                for t in range(tables)
-            ])).alias("tb"),
-        ).select(f"{label}_id", f"{label}_vec", "tb.table_id", "tb.bucket")
+            _norm(F.col(vec_col)).alias(f"{label}_norm"),
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("table_id", "bucket"),
+        )
 
     base = bucketize(embeddings, "item")
     q = bucketize(queries, "query")
@@ -110,7 +140,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
         .dropDuplicates(["query_id", "item_id"])
     )
     sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
-        _norm(F.col("item_vec")) * _norm(F.col("query_vec")))
+        F.col("item_norm") * F.col("query_norm"))
     scored = cand.select("query_id", "item_id", F.round(sim, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return (
