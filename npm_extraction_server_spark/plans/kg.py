@@ -228,12 +228,9 @@ def engine_triples(spark: SparkSession, root: str = DEFAULT_ROOT,
     """The engine dimension (SC8): tiny, generated driver-side once —
     the analog of the reference's single nodejs.org fetch."""
     from ..kernel.pipeline import export_engines
+    from ..sources.engine_index import ENGINE_INDEX
 
     if index_by_name is None:
-        import sys
-        from pathlib import Path
-        sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tests"))
-        from fixtures import ENGINE_INDEX
         index_by_name = ENGINE_INDEX
     rows = [
         ("engine:", "engines", t.subj, t.pred, t.obj, t.obj_is_literal, t.graph, -1, None)

@@ -17,8 +17,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kg import lineage, run_pipeline, split_errors, write_triples
+from .kg import extract_docs, lineage, run_pipeline, split_errors, write_triples
 from .linking import canonicalize_triples, link_entities
+
+
+def max_satisfying_edges(docs: DataFrame,
+                         root: str = "http://example.org/") -> DataFrame:
+    """J1 over the whole corpus: dependency ranges resolved against the
+    corpus's version sets, materialized as npm:maxSatisfying triples
+    (the 307-redirect triple of /root/reference/bin/index.js:167-171,
+    batch-wide). Returns rows in the triples-table shape."""
+    from ..operators.semver_join import (
+        dependency_edges,
+        dist_tag_rows,
+        max_satisfying_triples,
+        resolve_ranges,
+        version_rows,
+    )
+
+    edges = dependency_edges(docs)
+    versions = version_rows(docs)
+    tags = dist_tag_rows(docs)
+    resolved = resolve_ranges(edges, versions, tags, root)
+    t = max_satisfying_triples(resolved, root)
+    return t.select(
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit(None).cast("string").alias("bundle"),
+        "subj", "pred", "obj",
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(-2).alias("part_id"),
+    )
 
 
 def nt_lines(triples: DataFrame) -> DataFrame:
@@ -64,7 +93,8 @@ def export_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> N
 
 def materialize_graph(pages: DataFrame, out_dir: str,
                       root: str = "http://example.org/",
-                      n_buckets: int = 64, do_linking: bool = True) -> dict:
+                      n_buckets: int = 64, do_linking: bool = True,
+                      resolve_ranges: bool = True) -> dict:
     """pages -> {triples, entities, lineage, errors} tables on disk."""
     spark = pages.sparkSession
     result = run_pipeline(pages, root=root)
@@ -72,6 +102,10 @@ def materialize_graph(pages: DataFrame, out_dir: str,
     triples, errors = split_errors(raw)
     triples = triples.unionByName(
         result["triples"].filter(F.col("bundle") == "engines"))
+    if resolve_ranges:
+        triples = triples.unionByName(
+            max_satisfying_edges(result["docs"], root).withColumn(
+                "part_id", F.col("part_id").cast("int")))
     triples = triples.localCheckpoint(eager=True)  # one pass over pages
 
     if do_linking:

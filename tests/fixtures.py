@@ -6,28 +6,9 @@ the pure-Python oracle consume identical inputs."""
 
 from __future__ import annotations
 
-ROOT = "http://example.org/"
+from npm_extraction_server_spark.sources.engine_index import ENGINE_INDEX  # noqa: F401
 
-ENGINE_INDEX = {
-    "node": [
-        {"version": "v0.10.0", "date": "2013-03-11"},
-        {"version": "v0.12.0", "date": "2015-02-06"},
-        {"version": "v4.0.0", "date": "2015-09-08"},
-        {"version": "v4.2.1", "date": "2015-10-13"},
-        {"version": "v5.0.0", "date": "2015-10-29"},
-        {"version": "v5.12.0", "date": "2016-06-23"},
-        {"version": "v6.0.0", "date": "2016-04-26"},
-        {"version": "v6.9.1", "date": "2016-10-19"},
-        {"version": "v7.0.0", "date": "2016-10-25"},
-        {"version": "v8.0.0", "date": "2017-05-30"},
-    ],
-    "iojs": [
-        {"version": "v1.0.0", "date": "2015-01-14"},
-        {"version": "v2.0.0", "date": "2015-05-04"},
-        {"version": "v3.0.0", "date": "2015-08-04"},
-        {"version": "v3.3.1", "date": "2015-09-15"},
-    ],
-}
+ROOT = "http://example.org/"
 
 
 def pkg_simple() -> dict:

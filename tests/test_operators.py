@@ -172,3 +172,32 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         decode_features(media, dim=8, decode_backend="real").collect()
+
+
+def test_salted_and_split_head_join(spark):
+    from npm_extraction_server_spark.operators.skew import (
+        head_keys,
+        salted_join,
+        split_head_join,
+    )
+
+    # skewed probe: key 'hot' holds 90% of rows
+    probe = spark.createDataFrame(
+        [("hot" if i % 10 < 9 else f"k{i}", i) for i in range(1000)],
+        "key string, v long")
+    build = spark.createDataFrame(
+        [("hot", 1), ("k3", 2), ("k17", 3)], "key string, payload long")
+
+    plain = probe.join(build, "key").select("key", "v", "payload")
+    salted = salted_join(probe, build, "key", salt_buckets=4,
+                         salt_source="v").select("key", "v", "payload")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+    split = split_head_join(probe, build, "key", top_k=1) \
+        .select("key", "v", "payload")
+    assert split.count() == plain.count()
+    assert split.exceptAll(plain).count() == 0
+
+    hk = [r["key"] for r in head_keys(probe, "key", 1).collect()]
+    assert hk == ["hot"]

@@ -127,3 +127,20 @@ def test_materialize_graph(spark, tmp_path):
     assert idx.count() > 0
     row = idx.first()
     assert row["maintains"] == sorted(row["maintains"])
+
+
+def test_max_satisfying_edges_in_graph(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.plans.warehouse import materialize_graph
+    from npm_extraction_server_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 30, partitions=4)
+    out = str(tmp_path / "g2")
+    materialize_graph(pages, out, do_linking=False, resolve_ranges=True)
+    back = spark.read.parquet(f"{out}/triples")
+    ms = back.filter(F.col("pred").endswith("maxSatisfying"))
+    n = ms.count()
+    assert n > 0  # hot packages resolve within the corpus
+    row = ms.first()
+    assert "/bundles/npm/" in row["subj"] and "/bundles/npm/" in row["obj"]
