@@ -261,6 +261,90 @@ def events_sessionize(spark, sf):
     )
 
 
+# --- beyond-reference relational coverage ---------------------------------
+
+def g1_rollup(spark, sf):
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), _dec_sum(F.col("l_quantity")).alias("qty"))
+    )
+
+
+def g2_cube(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def g3_pivot(spark, sf):
+    """Pivot linestatus into columns (manual CASE aggregation shape so
+    the DuckDB oracle matches column-for-column)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_filled")
+        .na.fill({"n_open": 0, "n_filled": 0})
+    )
+
+
+def s1_set_ops(spark, sf):
+    """INTERSECT / EXCEPT: customers in BUILDING vs with open orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_open = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")).distinct()
+    both = building.intersect(with_open).withColumn("which", F.lit("both"))
+    only_building = building.exceptAll(with_open).withColumn("which",
+                                                             F.lit("building_only"))
+    return both.unionByName(only_building)
+
+
+def p1_percentiles(spark, sf):
+    """Exact percentiles per group (Spark `percentile` == DuckDB
+    quantile_cont, both linear interpolation)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def d1_date_parts(spark, sf):
+    """Date/part derivations (S19 analog): year/quarter/month buckets."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"))
+        .agg(F.count("*").alias("n_orders"),
+             _dec_sum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+def str1_funcs(spark, sf):
+    """String-kernel surface: substring/locate/upper/concat/length."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("prefix5"),
+        F.length("p_name").alias("name_len"),
+        (F.instr(F.col("p_type"), "a") > 0).alias("has_a"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
 # --- training-data operators ---------------------------------------------
 
 def dedup_exact(spark, sf):
@@ -358,6 +442,13 @@ SPARK_QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "events_sessionize": events_sessionize,
+    "g1_rollup": g1_rollup,
+    "g2_cube": g2_cube,
+    "g3_pivot": g3_pivot,
+    "s1_set_ops": s1_set_ops,
+    "p1_percentiles": p1_percentiles,
+    "d1_date_parts": d1_date_parts,
+    "str1_funcs": str1_funcs,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
     "dedup_minhash": dedup_minhash,
@@ -519,6 +610,56 @@ ORACLE_SQL = {
         SELECT user_id, cast(max(session_id) AS bigint) AS n_sessions,
                count(*) AS n_events
         FROM numbered GROUP BY user_id
+    """,
+    "g1_rollup": f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               {_dec_sum_sql('l_quantity')} AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "g2_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "g3_pivot": """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "s1_set_ops": """
+        WITH building AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), with_open AS (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus = 'O')
+        SELECT c_custkey, 'both' AS which
+        FROM (SELECT c_custkey FROM building
+              INTERSECT SELECT c_custkey FROM with_open)
+        UNION ALL
+        SELECT c_custkey, 'building_only' AS which
+        FROM (SELECT c_custkey FROM building
+              EXCEPT ALL SELECT c_custkey FROM with_open)
+    """,
+    "p1_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "d1_date_parts": f"""
+        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+               count(*) AS n_orders,
+               {_dec_sum_sql('o_totalprice')} AS total
+        FROM orders GROUP BY 1, 2
+    """,
+    "str1_funcs": """
+        SELECT p_partkey,
+               upper(substring(p_name, 1, 5)) AS prefix5,
+               length(p_name) AS name_len,
+               instr(p_type, 'a') > 0 AS has_a,
+               concat_ws('|', p_brand, p_type) AS brand_type
+        FROM part
     """,
     "dedup_exact": """
         SELECT sha256(text) AS text_sha, min(doc_id) AS survivor_id,
