@@ -19,6 +19,7 @@ operator layer (pandas UDFs apply these per Arrow batch).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # JS encodeURIComponent leaves unescaped: A-Z a-z 0-9 - _ . ! ~ * ' ( )
 _COMPONENT_SAFE = frozenset(
@@ -38,9 +39,11 @@ def _encode(s: str, safe: frozenset) -> str:
     return "".join(out)
 
 
+@lru_cache(maxsize=16384)
 def encode_uri_component(s: str) -> str:
     """JS ``encodeURIComponent``: percent-encode everything outside the
-    unreserved+mark set, UTF-8 bytes, uppercase hex."""
+    unreserved+mark set, UTF-8 bytes, uppercase hex. Cached — package
+    names/versions repeat across every dep edge in a batch."""
     return _encode(s, _COMPONENT_SAFE)
 
 
@@ -61,9 +64,11 @@ _SPLIT = re.compile(
 _SCHEME = re.compile(r"^[a-z][a-z0-9+.-]*$")
 
 
+@lru_cache(maxsize=16384)
 def valid_url_is_uri(value: str | None) -> str | None:
     """Port of valid-url's ``isUri`` — returns the value if it is a
-    syntactically valid RFC-3986 URI, else None."""
+    syntactically valid RFC-3986 URI, else None. Cached: the same
+    subjects/predicates are validated thousands of times per batch."""
     if not value:
         return None
     if _ILLEGAL.search(value):
@@ -90,6 +95,7 @@ def valid_url_is_uri(value: str | None) -> str | None:
 _IRI_FAST = re.compile(r"^\w+:\/\/[a-zA-Z0-9._\-\/]*$")
 
 
+@lru_cache(maxsize=16384)
 def iri_is_valid(uri: str) -> bool:
     """Reference's triple-component validity check: blank label OR the
     fast regex OR the valid-url fallback

@@ -15,7 +15,6 @@ turns that into a failed bundle.
 
 from __future__ import annotations
 
-import copy
 
 from ..functions.authors import parse_author
 from ..functions.jstypes import js_truthy
@@ -158,11 +157,22 @@ def handle_person(person, name_is_id: bool, user_map: dict, root: str):
     return person
 
 
+def _json_deepcopy(value):
+    """Deep copy for plain-JSON values (dict/list/scalars): ~3x faster
+    than copy.deepcopy (no memo or type dispatch) — inputs here always
+    come from json.loads."""
+    if isinstance(value, dict):
+        return {k: _json_deepcopy(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_json_deepcopy(v) for v in value]
+    return value
+
+
 def add_context(json: dict, uri: str, user_map: dict, root: str, output: bool) -> dict:
     """The common enrichment for bundle and module docs
     (/root/reference/lib/npm/NpmContext.js:127-286). ``json`` is deep-
     copied (the reference's cloneDeep); ``user_map`` is NOT."""
-    json = copy.deepcopy(json)
+    json = _json_deepcopy(json)
     json["@id"] = uri
 
     if js_truthy(json.get("readme")):

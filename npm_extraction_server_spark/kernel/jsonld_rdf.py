@@ -42,10 +42,20 @@ class Triple:
     graph: str | None = None
 
 
+_ROOT_ONLY_MERGED: dict | None = None
+
+
 def merge_contexts(contexts) -> dict:
     """NpmContext.mergeContexts (/root/reference/lib/npm/NpmContext.js:14-27):
     array of (IRI | inline dict), root IRI replaced by the vendored
-    context, shallow-assign merged left-to-right."""
+    context, shallow-assign merged left-to-right. The ubiquitous
+    ``[CONTEXT_IRI]`` case returns a shared singleton (hot path: every
+    module/bundle doc merges the same one-element array)."""
+    global _ROOT_ONLY_MERGED
+    if contexts == [CONTEXT_IRI] or contexts == CONTEXT_IRI:
+        if _ROOT_ONLY_MERGED is None:
+            _ROOT_ONLY_MERGED = dict(ROOT_CONTEXT)
+        return _ROOT_ONLY_MERGED
     if not isinstance(contexts, list):
         contexts = [contexts]
     result: dict = {}
@@ -100,9 +110,30 @@ def _expand_iri(value, ctx: dict, vocab: bool = False):
     return None
 
 
+_TERM_CACHES: dict[int, tuple[dict, dict]] = {}
+
+
 def _term_def(key: str, ctx: dict):
     """Resolve (predicate_iri, type_coercion, container, is_reverse) for a
-    document key; predicate None => key dropped."""
+    document key; predicate None => key dropped. Results are memoized
+    per context object (contexts are shared/singleton per doc shape)."""
+    entry = _TERM_CACHES.get(id(ctx))
+    if entry is not None and entry[0] is ctx:
+        cache = entry[1]
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    else:
+        if len(_TERM_CACHES) > 64:
+            _TERM_CACHES.clear()
+        cache = {}
+        _TERM_CACHES[id(ctx)] = (ctx, cache)
+    result = _term_def_uncached(key, ctx)
+    cache[key] = result
+    return result
+
+
+def _term_def_uncached(key: str, ctx: dict):
     defn = ctx.get(key)
     type_c = None
     container = None
