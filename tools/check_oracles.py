@@ -27,7 +27,9 @@ def normalize(df: pd.DataFrame, float_cols: set | None = None) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].astype("float64").round(9)
+            # exact comparison: the suite's aggregates are designed for
+            # bit-equality (decimal-stabilized sums, tie-free rounding)
+            df[c] = df[c].astype("float64")
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype(str)
         else:
