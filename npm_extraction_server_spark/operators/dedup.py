@@ -213,3 +213,30 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine >= threshold. Brute-force O(N^2) form — correctness baseline
+    and oracle-checkable; the scale path reuses the LSH bucketing from
+    operators/similarity.py to restrict candidates."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v))
+    base = base.withColumn("norm", norm)
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import (
+    embedding_near_dup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -373,6 +374,10 @@ def dedup_simhash(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
 
 
+def dedup_embedding(spark, sf):
+    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
 def text_tokens(spark, sf):
     return token_counts(_t(spark, sf, "documents"))
 
@@ -453,6 +458,7 @@ SPARK_QUERIES = {
     "dedup_ngram": dedup_ngram,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -691,6 +697,21 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.05
+    """,
+    "dedup_embedding": """
+        WITH base AS (
+            SELECT vec_id AS id, embedding AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> cast(x AS double) * cast(x AS double)))) AS norm
+            FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> cast(a.vec[i] AS double) * cast(b.vec[i] AS double)))
+                     / (a.norm * b.norm), 6) AS cosine
+        FROM base a JOIN base b ON a.id < b.id
+        WHERE round(list_sum(list_transform(range(1, 65),
+                        i -> cast(a.vec[i] AS double) * cast(b.vec[i] AS double)))
+                    / (a.norm * b.norm), 6) >= 0.4
     """,
     "text_tokens": """
         SELECT doc_id,

@@ -63,3 +63,67 @@ def stream_pipeline(spark: SparkSession, pages_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(spark: SparkSession, events_dir: str, out_dir: str,
+                      checkpoint_dir: str, gap_seconds: int = 1800):
+    """Custom stateful streaming operator (§2.8):
+    ``applyInPandasWithState`` sessionization — per-user state carries
+    (session count, last event ts) across micro-batches; emits one row
+    per user per batch with the running session count. Demonstrates the
+    custom-stateful path the reference has no analog for."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n_sessions, n_events, last_ts = (
+            state.get if state.exists else (0, 0, None))
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            ts_s = int(ts.timestamp())
+            if last_ts is None or ts_s - last_ts > gap_seconds:
+                n_sessions += 1
+            last_ts = ts_s
+            n_events += 1
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+    return (
+        result.writeStream.outputMode("update")
+        .foreachBatch(lambda df, epoch: df.write.mode("append")
+                      .parquet(f"{out_dir}/sessions"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

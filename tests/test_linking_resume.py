@@ -127,3 +127,62 @@ def test_streaming_pipeline(spark, tmp_path):
     got = spark.read.parquet(f"{out_dir}/triples")
     assert got.count() > 100
     assert got.select("src_url").distinct().count() == 30
+
+
+def test_stateful_stream_sessionize(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches; the
+    final per-user session counts match the batch sessionize query."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.streaming.incremental import stream_sessionize
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 10)
+        .select("event_id", "ts", "user_id")
+    )
+    events_dir = str(tmp_path / "events")
+    # many small TIME-RANGED files -> several micro-batches in event-time
+    # order (stateful sessionization assumes ordered arrival, as a real
+    # ingestion feed would provide; out-of-order handling would need
+    # watermark buffering, out of scope for this operator)
+    events.repartitionByRange(12, "ts").sortWithinPartitions("ts") \
+        .write.parquet(events_dir)
+    # FileStreamSource orders files by modification time; stamp the
+    # time-ranged parts with ascending mtimes so micro-batches arrive
+    # in event-time order
+    import os
+    import time as time_mod
+
+    parts = sorted(p for p in os.listdir(events_dir) if p.startswith("part-"))
+    base = time_mod.time() - len(parts)
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(events_dir, p), (base + i, base + i))
+
+    q = stream_sessionize(spark, events_dir, str(tmp_path / "out"),
+                          str(tmp_path / "ckpt"), gap_seconds=1800)
+    q.awaitTermination(180)
+
+    got_df = spark.read.parquet(str(tmp_path / "out" / "sessions"))
+    # update mode emits one row per user per batch; the LAST emission
+    # per user carries the final state
+    from pyspark.sql import Window
+    final = (
+        got_df.withColumn("rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_events"))))
+        .filter(F.col("rn") == 1)
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in final.collect()}
+
+    # batch oracle
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    expect = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events.withColumn("s", sess).groupBy("user_id")
+        .agg(F.max("s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == expect
