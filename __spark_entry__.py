@@ -14,10 +14,29 @@ cross-check at sf=0.01.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+_SHIPPED: set[str] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """The driver may hand us ITS SparkSession (not ours): python
+    workers resolve imports from shipped archives, not the driver's
+    sys.path, so ship the package zip onto whatever session we get."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    from npm_extraction_server_spark.plans.session import _ship_package
+
+    _ship_package(spark)
+    _SHIPPED.add(app_id)
 
 
 def _pages_from_documents(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
@@ -79,6 +98,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extract->triples KG pipeline on sf0.001 pages."""
     from npm_extraction_server_spark.plans.kg import run_pipeline
 
+    _ensure_workers_can_import(spark)
+
     pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
     result = run_pipeline(pages)
     return result["triples"]
@@ -96,7 +117,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": _kg_incremental,
         "mm_media_features": _mm_media_features,
     }
-    return {**SPARK_QUERIES, **extra}
+
+    def _wrap(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", "query")
+        return wrapped
+
+    return {name: _wrap(fn) for name, fn in {**SPARK_QUERIES, **extra}.items()}
 
 
 def oracle_sql() -> dict[str, str]:
