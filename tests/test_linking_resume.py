@@ -186,3 +186,20 @@ def test_stateful_stream_sessionize(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_name_lsh_blocking_planted(spark):
+    """J6 fuzzy path: near-identical names (not linked by email/url)
+    land in the same LSH band and pass the Jaccard verify; a dissimilar
+    name does not."""
+    from npm_extraction_server_spark.plans.linking import candidate_edges
+
+    mentions = spark.createDataFrame(
+        [("iri:a", "user", "Jonathan Q. Smithers", None, None),
+         ("iri:b", "user", "Jonathan Q Smithers", None, None),
+         ("iri:c", "user", "Completely Different", None, None)],
+        "entity_iri string, kind string, name string, email string, url string")
+    edges = {(r["src"], r["dst"])
+             for r in candidate_edges(mentions, None, name_jaccard=0.7).collect()}
+    assert ("iri:a", "iri:b") in edges
+    assert not any("iri:c" in e for pair in edges for e in pair)
