@@ -156,14 +156,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """IVF-style ANN: centroids = deterministic sample of the corpus
     (every Nth vector by id), items assigned to nearest centroid, query
     probes the ``nprobe`` nearest centroid lists. Centroids broadcast."""
-    numbered = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        F.row_number().over(Window.orderBy(id_col)).alias("rn"),
-        F.count("*").over(Window.partitionBy(F.lit(1))).alias("total"),
-    )
-    step = F.greatest(F.lit(1), (F.col("total") / n_centroids).cast("int"))
+    # deterministic hash-sample of ~n_centroids rows — no global-order
+    # window (which would funnel the whole table through one partition)
+    total = embeddings.count()
+    step = max(1, total // n_centroids)
     cents = (
-        numbered.filter(((F.col("rn") - 1) % step) == 0)
+        embeddings.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
