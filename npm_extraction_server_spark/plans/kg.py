@@ -311,3 +311,19 @@ def run_pipeline(pages: DataFrame, root: str = DEFAULT_ROOT,
         "errors": errors,
         "lineage": lineage(raw),
     }
+
+
+def select_bundle_docs(docs: DataFrame, names: list[str]) -> DataFrame:
+    """SC6: the ``-i`` stdin name-list mode
+    (/root/reference/bin/exportTriples.js:73-85) — restrict processing
+    to the given bundle names via a broadcast semi-join on the
+    manifest's name (strictly better than the reference's sequential
+    list: distributed, order-free)."""
+    spark = docs.sparkSession
+    wanted = spark.createDataFrame([(n,) for n in names], "name string")
+    named = docs.withColumn(
+        "name", F.get_json_object("doc_json", "$.name"))
+    return (
+        named.join(F.broadcast(wanted), "name", "left_semi")
+        .drop("name")
+    )

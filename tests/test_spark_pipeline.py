@@ -121,3 +121,20 @@ def test_write_triples_bucketed(pipeline, tmp_path):
     assert back.count() == 500
     assert "bucket" in back.columns
     assert back.select("bucket").distinct().count() > 1
+
+
+def test_select_bundle_docs(pipeline, spark):
+    """SC6 stdin-list mode: only the named bundles are processed."""
+    from npm_extraction_server_spark.plans.kg import (
+        docs_to_triples,
+        select_bundle_docs,
+        split_errors,
+    )
+
+    docs = pipeline["docs"]
+    names = ["hotpkg", "pkg-7"]
+    picked = select_bundle_docs(docs.filter(F.col("doc_kind") == "npm_manifest"),
+                                names)
+    triples, _ = split_errors(docs_to_triples(picked))
+    got = {r["bundle"] for r in triples.select("bundle").distinct().collect()}
+    assert got <= set(names) and "hotpkg" in got
