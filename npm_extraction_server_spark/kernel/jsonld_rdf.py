@@ -337,9 +337,7 @@ def to_triples(doc: dict, root: str) -> list[Triple]:
     out: list[Triple] = []
     blanks: dict[str, str] = {}
     blank_names: dict[str, int] = {}  # per-doc counter (reset per toRDF call)
-
-    def valid(component: str) -> bool:
-        return iri_is_valid(component)
+    valid = iri_is_valid
 
     for subj, pred, obj_term, graph in conv.triples:
         obj_str, is_lit = _encode_object(obj_term)
@@ -350,6 +348,17 @@ def to_triples(doc: dict, root: str) -> list[Triple]:
         if not is_lit and not valid(obj_str):
             continue
         if graph is not None and not valid(graph):
+            continue
+
+        # fast path: no blank components (the common case) skips the
+        # skolemization machinery entirely
+        if not (
+            subj.startswith("_:")
+            or pred.startswith("_:")
+            or (not is_lit and obj_str.startswith("_:"))
+            or (graph is not None and graph.startswith("_:"))
+        ):
+            out.append(Triple(subj, pred, obj_str, is_lit, graph))
             continue
 
         components = {"subject": subj, "predicate": pred, "object": obj_str, "graph": graph}
