@@ -45,6 +45,12 @@ def _run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
 
     queries = entry.queries()
+    from pyspark.sql import functions as F
+
+    # absorb session warmup (JVM codegen, python worker forks, parquet
+    # footer reads) so the first headline query isn't over-charged
+    spark.range(1000).select(F.sum("id")).collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10).count()
     timings = {}
     for name in HEADLINE:
         t0 = time.monotonic()
