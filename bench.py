@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "64000"))
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "48000"))
 
 HEADLINE = [
     "q1_pricing_summary",

@@ -57,8 +57,11 @@ def main() -> None:
     pages = spark.read.schema(PAGES_SCHEMA).parquet(*files)
     n_pages = pages.count()
 
-    # warm: full pass (JIT + worker pool + page cache)
-    run_pipeline(pages, include_engines=False)["triples"].count()
+    # warm: 15% sample (JIT + all worker slots + page cache) — a full
+    # warm pass would double each wave's runtime and the driver's bench
+    # budget is finite
+    run_pipeline(pages.sample(0.15, seed=1), include_engines=False)[
+        "triples"].count()
 
     ready_file.touch()
     while not go_file.exists():
