@@ -67,12 +67,12 @@ def main() -> None:
     while not go_file.exists():
         time.sleep(0.05)
 
-    # three measured passes, report the min (bench.py additionally runs
+    # two measured passes, report the min (bench.py additionally runs
     # each wave twice, interleaved): host capacity wanders on the shared
     # sandbox, and the peak-capacity number is the stable one
     walls = []
     n_triples = 0
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.monotonic()
         n_triples = run_pipeline(pages, include_engines=False)["triples"].count()
         walls.append(time.monotonic() - t0)
