@@ -132,9 +132,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from npm_extraction_server_spark.operators.suite import ORACLE_SQL
 
-    # kg_pipeline_triples / kg_lineage / semver_resolve and the
-    # hash-based dedup/ANN variants are non-SQL-expressible -> rows-only.
-    return dict(ORACLE_SQL)
+    # kg_pipeline_triples / kg_lineage and the custom stateful ops are
+    # non-SQL-expressible -> rows-only. kg_user_index HAS a hard oracle:
+    # the synthetic corpus is a pure function of doc_id (sources/synth.py),
+    # so DuckDB re-derives the expected index from documents.doc_id alone.
+    return {**ORACLE_SQL, "kg_user_index": _KG_USER_INDEX_ORACLE}
+
+
+# DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
+# h = first 8 bytes of sha256("pkg:{i}") big-endian; owner = dev{h%97};
+# one doap:maintainer triple on the bundle IRI + one per version module
+# IRI (kernel/context.py:202 + kernel/usermap.py:51).
+_KG_USER_INDEX_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS i,
+         ('0x' || substr(sha256('pkg:' || doc_id), 1, 16))::UBIGINT AS h
+  FROM documents WHERE doc_id < 100
+),
+pkg AS (
+  SELECT i, h,
+    CASE WHEN i=0 THEN 'hotpkg' WHEN i=1 THEN 'megalib' WHEN i=2 THEN 'ultrautil'
+         WHEN h%11=0 THEN '@org' || (h%7) || '/pkg-' || i
+         ELSE 'pkg-' || i END AS name,
+    'dev' || (h%97) AS owner,
+    (1 + (h%3))::INT AS n_versions
+  FROM base
+),
+vers AS (
+  SELECT i, name, owner,
+    ((1+(h%2)) || '.' || v || '.' || ((h>>4)%10)) AS ver
+  FROM pkg, unnest(generate_series(0, n_versions-1)) AS t(v)
+),
+mentions AS (
+  SELECT owner, 'http://example.org/bundles/npm/' || name AS iri FROM pkg
+  UNION ALL
+  SELECT owner, 'http://example.org/bundles/npm/' ||
+     replace(replace(name,'@','%40'),'/','%2F') || '/' || ver AS iri FROM vers
+)
+SELECT 'http://example.org/users/npm/' || owner AS user_iri,
+       string_agg(DISTINCT iri, ',' ORDER BY iri) AS maintains,
+       count(*)::BIGINT AS n_mentions
+FROM mentions GROUP BY 1
+"""
 
 
 # --- rows-only KG queries -------------------------------------------------

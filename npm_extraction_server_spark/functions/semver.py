@@ -124,12 +124,17 @@ class Comparator:
 Comparator.ANY = Comparator("=", None)
 
 _XCHARS = ("x", "X", "*")
+# strict-mode XRANGEPLAIN (node-semver 5 re[XRANGEPLAIN]): the literal
+# '-' before prerelease identifiers is REQUIRED (loose mode's '-?' would
+# accept '~1.2.3alpha', which strict validRange rejects), and
+# prerelease/build attach only after a full M.m.p (nested optionals).
 _PARTIAL = re.compile(
     r"^([vV=]*)(\d+|x|X|\*)"
-    r"(?:\.(\d+|x|X|\*))?"
-    r"(?:\.(\d+|x|X|\*))?"
-    r"(?:-?((?:[0-9A-Za-z-]+)(?:\.[0-9A-Za-z-]+)*))?"
-    r"(?:\+([0-9A-Za-z-]+(?:\.[0-9A-Za-z-]+)*))?$"
+    r"(?:\.(\d+|x|X|\*)"
+    r"(?:\.(\d+|x|X|\*)"
+    r"(?:-((?:[0-9A-Za-z-]+)(?:\.[0-9A-Za-z-]+)*))?"
+    r"(?:\+([0-9A-Za-z-]+(?:\.[0-9A-Za-z-]+)*))?"
+    r")?)?$"
 )
 _OP_SPLIT = re.compile(r"^(<=|>=|<|>|=|~>?|\^)?\s*(.*)$")
 _HYPHEN = re.compile(r"^\s*(\S+)\s+-\s+(\S+)\s*$")
@@ -204,8 +209,10 @@ def _expand_token(tok: str) -> list[Comparator] | None:
 
     # x-range / plain / primitive operators
     if M is None:
-        # >*, <* etc.
-        if op in ("<",):
+        # node-semver 5 replaceXRange: '>*'/'>x' AND '<*'/'<x' both
+        # desugar to '<0.0.0' (nothing can be greater/less than every
+        # version); only '='/bare x-majors mean match-all
+        if op in ("<", ">"):
             return [Comparator("<", _ver(0, 0, 0))]
         return [Comparator.ANY]
 

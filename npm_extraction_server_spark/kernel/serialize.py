@@ -60,9 +60,9 @@ def _ttl_object(t: Triple, used: set[str]) -> str:
     return term
 
 
-def to_turtle(triples: list[Triple]) -> str:
-    """Subject-grouped, predicate-grouped Turtle with prefix header."""
-    used: set[str] = set()
+def _turtle_body(triples: list[Triple], used: set[str]) -> str:
+    """Subject-grouped, predicate-grouped Turtle body (no header);
+    prefixes consumed while compacting are recorded in ``used``."""
     by_subj: dict[str, dict[str, list[str]]] = {}
     subj_order: list[str] = []
     for t in triples:
@@ -80,32 +80,44 @@ def to_turtle(triples: list[Triple]) -> str:
         for pred, objs in by_subj[subj].items():
             pred_strs.append(f"{pred} " + ", ".join(objs))
         blocks.append(f"{s} " + ";\n    ".join(pred_strs) + " .")
+    return "\n".join(blocks)
 
-    header = "".join(
+
+def _prefix_header(used: set[str]) -> str:
+    return "".join(
         f"@prefix {p}: <{PREFIXES[p]}> .\n" for p in _PREFIX_ORDER if p in used
     )
-    body = "\n".join(blocks)
+
+
+def to_turtle(triples: list[Triple]) -> str:
+    """Subject-grouped, predicate-grouped Turtle with prefix header."""
+    used: set[str] = set()
+    body = _turtle_body(triples, used)
+    header = _prefix_header(used)
     return (header + "\n" if header else "") + body + ("\n" if body else "")
 
 
 def to_trig(triples: list[Triple]) -> str:
-    """Graph-grouped TriG: default graph bare, named graphs in blocks."""
+    """Graph-grouped TriG: default graph bare, named graphs in blocks.
+
+    A SINGLE document-level @prefix header is hoisted over every graph
+    (TriG prefixes are document-scoped), so prefixed names inside named
+    blocks are always declared — per-block headers would be invalid."""
     default = [t for t in triples if not t.graph]
     named: dict[str, list[Triple]] = {}
     for t in triples:
         if t.graph:
             named.setdefault(t.graph, []).append(t)
+    used: set[str] = set()
     parts = []
     if default:
-        parts.append(to_turtle(default))
+        parts.append(_turtle_body(default, used))
     for graph, ts in named.items():
-        used: set[str] = set()
-        inner = to_turtle(ts)
-        # strip the inner prefix header; a single header would need
-        # hoisting — keep prefixes expanded inside named blocks instead
-        inner_lines = [ln for ln in inner.splitlines() if not ln.startswith("@prefix")]
-        parts.append("<%s> {\n%s\n}" % (graph, "\n".join(ln for ln in inner_lines if ln)))
-    return "\n".join(parts) + ("\n" if parts else "")
+        body = _turtle_body(ts, used)
+        parts.append("<%s> {\n%s\n}" % (graph, body))
+    header = _prefix_header(used)
+    out = "\n".join(parts)
+    return (header + "\n" if header else "") + out + ("\n" if out else "")
 
 
 SERIALIZERS = {

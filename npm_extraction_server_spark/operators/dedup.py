@@ -59,10 +59,14 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3, threshold: float = 0.5
     produce quadratic hot buckets (skew control at scale)."""
     sh = word_shingles(documents, k, text_col)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = (
-        sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)
-                            .select("shingle")), "shingle")
-    )
+    # broadcast the SMALL side: the stop-shingles (df > cap) are a
+    # bounded set at any corpus size, while the kept shingles grow with
+    # the corpus — anti-join against the drop set, never broadcast the
+    # keep set (mirrors minhash_lsh_pairs' oversized-bucket anti-join)
+    sh = sh.join(
+        F.broadcast(freq.filter(F.col("df") > max_shingle_freq)
+                    .select("shingle")),
+        "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -117,9 +121,14 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
     quadratic within-bucket pairing — the skew guard for boilerplate
     clusters at scale (a bucket of B docs costs B^2 candidate pairs)."""
     rows_per_band = num_hashes // bands
-    # both sides of the candidate self-join read the signatures: persist
-    # so the shingle+agg pipeline runs once, not per join side
-    sigs = minhash_signatures(documents, num_hashes, k, text_col).persist()
+    # both sides of the candidate self-join read the signatures:
+    # localCheckpoint (eager) runs the shingle+agg pipeline once, and —
+    # unlike persist(), whose CacheManager entry outlives the query —
+    # its blocks are dropped by the ContextCleaner as soon as the
+    # returned DataFrame is unreferenced (no cache leak across a
+    # long-lived session; on a real cluster use reliable checkpoint)
+    sigs = minhash_signatures(documents, num_hashes, k,
+                              text_col).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(
@@ -192,7 +201,9 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
     """Candidate pairs with Hamming distance <= max_hamming via 4-band
     rotation blocking (any pair within distance 3 of a 64-bit hash
     agrees exactly on at least one 16-bit band)."""
-    sigs = simhash_signatures(documents, 64, text_col).persist()
+    # eager localCheckpoint, not persist: computed once for both join
+    # sides, blocks auto-released when the result is unreferenced
+    sigs = simhash_signatures(documents, 64, text_col).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

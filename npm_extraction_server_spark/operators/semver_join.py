@@ -41,6 +41,12 @@ TAGS_SCHEMA = T.StructType([
     T.StructField("pkg", T.StringType(), False),
     T.StructField("tag", T.StringType(), False),
     T.StructField("tag_version", T.StringType(), False),
+    # the tag's FULLY-resolved concrete version: multi-level tag chains
+    # ("next" -> "beta" -> "1.2.3") are followed at extraction time,
+    # where the whole package doc (versions + all tags) is local to the
+    # row — zero extra shuffles, exact kernel recursion semantics
+    # (kernel/pipeline.py resolve_module_version, NpmBundle.js:41-59)
+    T.StructField("tag_resolved", T.StringType(), True),
 ])
 
 _DEP_KEYS = ("dependencies", "devDependencies", "peerDependencies",
@@ -98,6 +104,8 @@ def version_rows(docs: DataFrame) -> DataFrame:
 
 
 def _tags_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernel.pipeline import resolve_module_version
+
     cols = [f.name for f in TAGS_SCHEMA.fields]
     for pdf in batches:
         rows = []
@@ -105,7 +113,9 @@ def _tags_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             doc = jsonlib.loads(doc_json)
             name = doc.get("name") or doc.get("_id")
             for tag, ver in (doc.get("dist-tags") or {}).items():
-                rows.append((name, tag, ver))
+                # follow the chain: the tag's value may itself be a tag
+                # (or a range) — exact kernel recursion, depth-capped
+                rows.append((name, tag, ver, resolve_module_version(doc, ver)))
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -141,15 +151,20 @@ def resolve_ranges(edges: DataFrame, versions: DataFrame,
                    root: str = "http://example.org/") -> DataFrame:
     """Edges x per-package version sets -> resolved versions.
 
-    One shuffle: versions collapse to (pkg, sorted version array), then
-    an equi-join on pkg (AQE skew-split; the array side is tiny so
-    Spark can broadcast it when below the threshold). Optional dist-tag
-    fallback replays unresolved edges through the tag table (one level,
-    like the reference's recursion on fixtures)."""
+    Scale shape: the Python maxSatisfying runs over DISTINCT
+    (dep_pkg, dep_range) pairs only — head ranges ("^1.0.0" against a
+    hot package) repeat across millions of edges but resolve once —
+    then the resolution joins back to the edge set on the pair key
+    (AQE picks broadcast when the pair table is small, which it almost
+    always is relative to the edges). Dist-tag fallback coalesces the
+    tag's pre-resolved version (multi-level chains already followed at
+    extraction, see TAGS_SCHEMA.tag_resolved); exact-before-tag order
+    matches NpmBundle.js:41-59."""
     vsets = versions.groupBy("pkg").agg(
         F.sort_array(F.collect_list("version")).alias("version_set"))
 
-    j = edges.join(vsets, edges.dep_pkg == vsets.pkg, "left").drop("pkg")
+    pairs = edges.select("dep_pkg", "dep_range").dropDuplicates()
+    j = pairs.join(vsets, pairs.dep_pkg == vsets.pkg, "left").drop("pkg")
     resolved = j.withColumn(
         "resolved_version",
         _max_satisfying_udf(F.col("version_set"), F.col("dep_range")))
@@ -157,21 +172,20 @@ def resolve_ranges(edges: DataFrame, versions: DataFrame,
     if dist_tags is not None:
         tags = dist_tags.select(
             F.col("pkg").alias("t_pkg"), F.col("tag").alias("t_tag"),
-            F.col("tag_version").alias("t_version"))
+            F.col("tag_resolved").alias("t_resolved"))
         resolved = (
             resolved.join(
-                F.broadcast(tags),
+                tags,
                 (F.col("dep_pkg") == F.col("t_pkg"))
                 & (F.col("dep_range") == F.col("t_tag")), "left")
             .withColumn(
                 "resolved_version",
-                F.coalesce(
-                    F.col("resolved_version"),
-                    _max_satisfying_udf(F.col("version_set"), F.col("t_version"))))
-            .drop("t_pkg", "t_tag", "t_version")
+                F.coalesce(F.col("resolved_version"), F.col("t_resolved")))
+            .drop("t_pkg", "t_tag", "t_resolved")
         )
 
-    return resolved.select(
+    pair_res = resolved.select("dep_pkg", "dep_range", "resolved_version")
+    return edges.join(pair_res, ["dep_pkg", "dep_range"], "left").select(
         "src_bundle", "src_version", "dep_type", "dep_pkg", "dep_range",
         "resolved_version",
     )

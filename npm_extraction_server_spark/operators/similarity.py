@@ -156,12 +156,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """IVF-style ANN: centroids = deterministic sample of the corpus
     (every Nth vector by id), items assigned to nearest centroid, query
     probes the ``nprobe`` nearest centroid lists. Centroids broadcast."""
-    # deterministic hash-sample of ~n_centroids rows — no global-order
-    # window (which would funnel the whole table through one partition)
-    total = embeddings.count()
-    step = max(1, total // n_centroids)
+    # ORDER-STABLE deterministic sample: hash-order + id tiebreak, then
+    # limit. orderBy+limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-k + driver merge of n_centroids rows — no
+    # single-partition funnel, no partition-order dependence the way a
+    # bare limit() has).
     cents = (
-        embeddings.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        embeddings.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
@@ -172,7 +173,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         embeddings.crossJoin(F.broadcast(cents))
         .withColumn("csim", sim_c)
         .withColumn("crank", F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.desc("csim"))))
+            Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))))
         .filter(F.col("crank") == 1)
         .select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"),
                 "cent_id")
@@ -181,7 +182,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         queries.crossJoin(F.broadcast(cents))
         .withColumn("csim", sim_c)
         .withColumn("crank", F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.desc("csim"))))
+            Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))))
         .filter(F.col("crank") <= nprobe)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
                 "cent_id")

@@ -51,7 +51,11 @@ def split_head_join(probe: DataFrame, build: DataFrame, key: str,
                     top_k: int = 100, how: str = "inner") -> DataFrame:
     """Head/tail split: hot keys take a broadcast join (no shuffle of
     their heavy probe rows), the tail takes the normal shuffle join."""
-    heads = head_keys(probe, key, top_k).persist()
+    # eager localCheckpoint: head-key scan runs once for all four join
+    # uses, and the blocks are auto-released when the result DataFrame
+    # goes out of scope (persist() would pin a CacheManager entry for
+    # the session lifetime)
+    heads = head_keys(probe, key, top_k).localCheckpoint(eager=True)
     probe_head = probe.join(F.broadcast(heads), key, "left_semi")
     probe_tail = probe.join(F.broadcast(heads), key, "left_anti")
     build_head = build.join(F.broadcast(heads), key, "left_semi")

@@ -140,6 +140,9 @@ def user_package_index(triples: DataFrame) -> DataFrame:
                        & ~F.col("obj_is_literal"))
         .select(F.col("obj").alias("user_iri"), F.col("subj").alias("module_iri"))
         .groupBy("user_iri")
-        .agg(F.sort_array(F.collect_set("module_iri")).alias("maintains"),
+        # comma-joined sorted set, not array<string>: hashable by the
+        # driver's canonicalizer AND DuckDB-oracle comparable
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("module_iri")))
+             .alias("maintains"),
              F.count("*").alias("n_mentions"))
     )

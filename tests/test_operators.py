@@ -53,6 +53,18 @@ def test_ngram_jaccard_finds_near(dup_docs):
     assert (3, 4) not in pairs
 
 
+def test_ngram_jaccard_broadcasts_drop_set(dup_docs):
+    """Skew guard shape: the stop-shingle filter must be a broadcast
+    LEFT ANTI join against the small df>cap set — never a broadcast of
+    the unbounded kept-shingle set."""
+    plan = ngram_jaccard_pairs(dup_docs, k=3, threshold=0.3) \
+        ._jdf.queryExecution().sparkPlan().toString()
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, plan
+    assert any("BroadcastHashJoin" in ln and "BuildRight" in ln
+               for ln in anti_lines), plan
+
+
 def test_minhash_lsh_finds_near(dup_docs):
     pairs = {(r["doc_a"], r["doc_b"])
              for r in minhash_lsh_pairs(dup_docs, threshold=0.3).collect()}
@@ -114,6 +126,83 @@ def test_semver_join_matches_kernel(spark):
             assert got == expect, f"{pkg}@{rng}: spark={got} kernel={expect}"
         else:
             assert got is None
+
+
+def test_dist_tag_chain_resolves_through_join(spark):
+    """A 2-hop dist-tag chain ("next" -> "beta" -> concrete version)
+    resolves through the DISTRIBUTED resolve_ranges path, matching the
+    kernel's recursion (kernel/pipeline.py resolve_module_version,
+    NpmBundle.js:53-57)."""
+    import json as jsonlib
+
+    from npm_extraction_server_spark.kernel.pipeline import resolve_module_version
+
+    chained = {
+        "name": "chained",
+        "versions": {"1.0.0": {"name": "chained", "version": "1.0.0"},
+                     "2.0.0-beta.1": {"name": "chained", "version": "2.0.0-beta.1"}},
+        # "next" -> "beta" -> 2.0.0-beta.1 (two hops); "self" -> "self"
+        # must terminate via the depth cap, not loop
+        "dist-tags": {"latest": "1.0.0", "beta": "2.0.0-beta.1",
+                      "next": "beta", "self": "self"},
+    }
+    # the dep range "next" is not a valid semver range, so it reaches
+    # resolution only via the tag table — build the edge directly
+    consumer = {
+        "name": "consumer",
+        "versions": {"1.0.0": {"name": "consumer", "version": "1.0.0",
+                               "dependencies": {"chained": "^1.0.0"}}},
+        "dist-tags": {"latest": "1.0.0"},
+    }
+    docs = spark.createDataFrame(
+        [("npm_manifest", jsonlib.dumps(chained)),
+         ("npm_manifest", jsonlib.dumps(consumer))],
+        "doc_kind string, doc_json string")
+    versions = version_rows(docs)
+    tags = dist_tag_rows(docs)
+
+    edges = spark.createDataFrame(
+        [("consumer", "1.0.0", "dependencies", "chained", "next"),
+         ("consumer", "1.0.0", "dependencies", "chained", "self"),
+         ("consumer", "1.0.0", "dependencies", "chained", "^1.0.0")],
+        "src_bundle string, src_version string, dep_type string, "
+        "dep_pkg string, dep_range string")
+    got = {r["dep_range"]: r["resolved_version"]
+           for r in resolve_ranges(edges, versions, tags).collect()}
+    assert got["next"] == "2.0.0-beta.1"  # two-hop chain followed
+    assert got["next"] == resolve_module_version(chained, "next")
+    assert got["self"] is None  # cyclic tag terminates as unresolved
+    assert got["self"] == resolve_module_version(chained, "self")
+    assert got["^1.0.0"] == "1.0.0"  # plain range path unaffected
+
+
+def test_resolve_ranges_dedupes_pairs(spark):
+    """The maxSatisfying UDF runs over distinct (dep_pkg, dep_range)
+    pairs, not raw edges: the optimized plan aggregates the pair key
+    before the python stage (head-range dedupe at scale)."""
+    import json as jsonlib
+
+    pkg = {"name": "p", "versions": {"1.0.0": {"name": "p", "version": "1.0.0"},
+                                     "1.2.0": {"name": "p", "version": "1.2.0"}},
+           "dist-tags": {"latest": "1.2.0"}}
+    docs = spark.createDataFrame([("npm_manifest", jsonlib.dumps(pkg))],
+                                 "doc_kind string, doc_json string")
+    versions = version_rows(docs)
+    # 40 edges, all the same (p, ^1.0.0) pair
+    edges = spark.createDataFrame(
+        [(f"src{i}", "1.0.0", "dependencies", "p", "^1.0.0") for i in range(40)],
+        "src_bundle string, src_version string, dep_type string, "
+        "dep_pkg string, dep_range string")
+    out = resolve_ranges(edges, versions)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["resolved_version"] == "1.2.0" for r in rows)
+    # the pair-dedupe aggregate sits below the python UDF in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "dep_pkg" in plan
+    udf_pos = plan.find("_max_satisfying_udf")
+    dedup_pos = plan.rfind("Aggregate", udf_pos)
+    assert udf_pos >= 0 and dedup_pos > udf_pos, plan
 
 
 def test_max_satisfying_triples(spark):

@@ -126,7 +126,11 @@ def test_materialize_graph(spark, tmp_path):
     idx = user_package_index(back)
     assert idx.count() > 0
     row = idx.first()
-    assert row["maintains"] == sorted(row["maintains"])
+    # comma-joined sorted-set string (hashable by the driver's
+    # correctness canonicalizer), IRIs in ascending order
+    iris = row["maintains"].split(",")
+    assert iris == sorted(iris) and len(iris) == len(set(iris))
+    assert all(i.startswith("http://") for i in iris)
 
 
 def test_max_satisfying_edges_in_graph(spark, tmp_path):
