@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_user_index": _kg_user_index,
         "kg_incremental": _kg_incremental,
         "mm_media_features": _mm_media_features,
+        "tar_members": _tar_members,
+        "tar_components": _tar_components,
     }
 
     def _wrap(fn):
@@ -133,10 +135,16 @@ def oracle_sql() -> dict[str, str]:
     from npm_extraction_server_spark.operators.suite import ORACLE_SQL
 
     # kg_pipeline_triples / kg_lineage and the custom stateful ops are
-    # non-SQL-expressible -> rows-only. kg_user_index HAS a hard oracle:
-    # the synthetic corpus is a pure function of doc_id (sources/synth.py),
-    # so DuckDB re-derives the expected index from documents.doc_id alone.
-    return {**ORACLE_SQL, "kg_user_index": _KG_USER_INDEX_ORACLE}
+    # non-SQL-expressible -> rows-only (mm_media_features too: DuckDB
+    # core sha256 only hashes VARCHAR, not the binary payloads).
+    # kg_user_index and semver_resolve HAVE hard oracles: the synthetic
+    # corpus is a pure function of doc_id (sources/synth.py), so DuckDB
+    # re-derives the expected output from documents.doc_id alone.
+    return {**ORACLE_SQL,
+            "kg_user_index": _KG_USER_INDEX_ORACLE,
+            "semver_resolve": _SEMVER_RESOLVE_ORACLE,
+            "tar_members": _TAR_MEMBERS_ORACLE,
+            "tar_components": _TAR_COMPONENTS_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -173,6 +181,66 @@ SELECT 'http://example.org/users/npm/' || owner AS user_iri,
        string_agg(DISTINCT iri, ',' ORDER BY iri) AS maintains,
        count(*)::BIGINT AS n_mentions
 FROM mentions GROUP BY 1
+"""
+
+
+# DuckDB replica of the J1 semver-resolution join over the synthetic
+# corpus (sources/synth.py synth_package): dependency edges carry one of
+# six valid ranges ("latest"/URL/shorthand ranges are invalid and never
+# become edges); version sets are {maj.v.pat : v in 0..nv-1}, so
+# maxSatisfying reduces to closed-form CASE arms per range. Targets not
+# in the corpus (pkg-j where doc j is hot/scoped/absent) resolve NULL.
+_SEMVER_RESOLVE_ORACLE = """
+WITH docs AS (
+  SELECT doc_id AS i,
+         ('0x' || substr(sha256('pkg:' || doc_id), 1, 16))::UBIGINT AS h
+  FROM documents WHERE doc_id < 100
+),
+pkg AS (
+  SELECT i, h,
+    CASE WHEN i=0 THEN 'hotpkg' WHEN i=1 THEN 'megalib' WHEN i=2 THEN 'ultrautil'
+         WHEN h%11=0 THEN '@org' || (h%7) || '/pkg-' || i
+         ELSE 'pkg-' || i END AS name,
+    (1 + (h%3))::INT AS nv,
+    (1 + (h%2))::INT AS major,
+    ((h>>4) % 10)::INT AS patch
+  FROM docs
+),
+vers AS (
+  SELECT p.name, (p.major || '.' || v || '.' || p.patch) AS ver,
+         ('0x' || substr(sha256('ver:' || (p.i*1000 + v)), 1, 16))::UBIGINT AS hv
+  FROM pkg p, unnest(generate_series(0, p.nv - 1)) AS t(v)
+),
+edges AS (
+  SELECT name AS src_bundle, ver AS src_version,
+         'dependencies' AS dep_type,
+         CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+                   ELSE 'ultrautil' END AS dep_pkg,
+         '^1.0.0' AS dep_range
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT name, ver, 'dependencies',
+         'pkg-' || (hv%1000) AS dep_pkg,
+         CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+                   WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+                   WHEN 5 THEN '1.0.0' END AS dep_range
+  FROM vers WHERE hv%9 <= 5
+),
+targets AS (SELECT name AS dep_pkg, major, patch, nv FROM pkg)
+SELECT e.src_bundle, e.src_version, e.dep_type, e.dep_pkg, e.dep_range,
+  CASE
+    WHEN t.dep_pkg IS NULL THEN NULL
+    WHEN e.dep_range IN ('^1.0.0', '>=1.0.0 <2', '1.x')
+      THEN CASE WHEN t.major = 1
+                THEN '1.' || (t.nv - 1) || '.' || t.patch END
+    WHEN e.dep_range = '~1.2'
+      THEN CASE WHEN t.major = 1 AND t.nv >= 3 THEN '1.2.' || t.patch END
+    WHEN e.dep_range = '*'
+      THEN t.major || '.' || (t.nv - 1) || '.' || t.patch
+    WHEN e.dep_range = '1.0.0'
+      THEN CASE WHEN t.major = 1 AND t.patch = 0 THEN '1.0.0' END
+  END AS resolved_version
+FROM edges e LEFT JOIN targets t USING (dep_pkg)
 """
 
 
@@ -239,6 +307,67 @@ def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("features", F.lit(0.0),
                         lambda a, v: a + v * v), 6).alias("feat_norm_sq")),
         "media_id")
+
+
+def _tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC9: gunzip+tar walk over binary tarball blobs (Spark really
+    extracts; the DuckDB oracle re-derives the expected members
+    analytically from the deterministic corpus)."""
+    from npm_extraction_server_spark.sources.tarballs import (
+        synth_tarballs,
+        tarball_members,
+    )
+
+    return tarball_members(synth_tarballs(spark, 20))
+
+
+def _tar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC10 + the lsd component BFS: resolve 'components.jsonld' under
+    package/, follow relative 'import' edges, emit components with the
+    defining file's @context (NpmModule.js:216-243)."""
+    from npm_extraction_server_spark.sources.tarballs import (
+        lsd_component_closure,
+        synth_tarballs,
+    )
+
+    return lsd_component_closure(synth_tarballs(spark, 20))
+
+
+_TAR_MEMBERS_ORACLE = """
+WITH t AS (SELECT unnest(generate_series(0, 19)) AS i),
+files AS (
+  SELECT 'tar-' || i AS tar_id, 'package/package.json' AS member_path,
+         '{"name":"pkg-' || i || '","version":"1.0.' || (i % 10) || '"}' AS body
+  FROM t
+  UNION ALL
+  SELECT 'tar-' || i, 'package/components.jsonld',
+         '{"@context":"http://example.org/ctx/' || i ||
+         '","import":["sub/extra.jsonld"],"components":[{"@id":"http://example.org/c/'
+         || i || '/main"}]}'
+  FROM t
+  UNION ALL
+  SELECT 'tar-' || i, 'package/sub/extra.jsonld',
+         '{"@context":"http://example.org/ctx/' || i ||
+         '/sub","components":[{"@id":"http://example.org/c/' || i || '/extra"}]}'
+  FROM t
+)
+SELECT tar_id, member_path, length(body)::BIGINT AS n_bytes,
+       sha256(body) AS sha
+FROM files
+"""
+
+_TAR_COMPONENTS_ORACLE = """
+WITH t AS (SELECT unnest(generate_series(0, 19)) AS i)
+SELECT 'tar-' || i AS tar_id,
+       '{"@context":"http://example.org/ctx/' || i ||
+       '","@id":"http://example.org/c/' || i || '/main"}' AS component_json
+FROM t
+UNION ALL
+SELECT 'tar-' || i,
+       '{"@context":"http://example.org/ctx/' || i ||
+       '/sub","@id":"http://example.org/c/' || i || '/extra"}'
+FROM t
+"""
 
 
 def _semver_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,12 +3,18 @@
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 - Headline operator queries run at $SPARK_GRAFT_SF_DIR (default
-  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
-- The KG pipeline (the north-star workload) is additionally run at TWO
-  cluster sizes — 1 executor vs 4 executors (separate JVM subprocesses,
-  CPU-pinned, disjoint input slices, barrier-synchronized) — to
-  evidence the north_rule's N->4N scaling-efficiency >= 0.8
-  (sandbox stand-in for two cluster sizes; see BENCH/BASELINE.md).
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query runs
+  twice: "queries" reports the WARM pass (steady-state plan execution —
+  the number that projects to cluster scale, where per-query codegen
+  compile amortizes to zero), "queries_cold" the first pass including
+  one-time whole-stage-codegen compilation (dedup_minhash compiles 64
+  nested aggregates, ~10s of javac/JIT, visible only here).
+- The KG pipeline (the north-star workload) additionally runs at TWO
+  cluster sizes — 1 executor vs 4 executors (separate pinned JVM
+  subprocesses, disjoint slices, co-resident fleets with interleaved
+  barrier-synchronized passes; tools/scale_lib.py) — evidencing the
+  north_rule's N->4N scaling efficiency >= 0.8 with honest wall-clock
+  medians (see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -41,7 +47,7 @@ HEADLINE = [
 ]
 
 
-def _run_queries(spark) -> dict[str, float]:
+def _run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as entry
 
     queries = entry.queries()
@@ -51,14 +57,15 @@ def _run_queries(spark) -> dict[str, float]:
     # footer reads) so the first headline query isn't over-charged
     spark.range(1000).select(F.sum("id")).collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10).count()
-    timings = {}
+    warm, cold = {}, {}
     for name in HEADLINE:
         t0 = time.monotonic()
-        df = queries[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        del n
-    return timings
+        queries[name](spark, SF_DIR).count()
+        cold[name] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        queries[name](spark, SF_DIR).count()
+        warm[name] = round(time.monotonic() - t0, 3)
+    return warm, cold
 
 
 def _write_bench_pages(n_pages: int) -> str:
@@ -77,139 +84,27 @@ def _write_bench_pages(n_pages: int) -> str:
     return out
 
 
-def _kg_throughput(master_cores: int, pages_dir: str, n_pages: int) -> dict:
-    """Fresh session at the given core count; parquet scan -> url-hash
-    repartition -> fused extract+triples stage -> count."""
-    from npm_extraction_server_spark.plans.kg import run_pipeline
-    from npm_extraction_server_spark.plans.session import get_spark
-    from npm_extraction_server_spark.sources.pages import read_pages
-
-    spark = get_spark(app=f"bench-kg-{master_cores}",
-                      master=f"local[{master_cores}]",
-                      shuffle_partitions=max(8, master_cores))
-    # size scan partitions so the parquet scan itself yields >= cores
-    # splits: keeps the fused python stage fed directly from the
-    # columnar scan (no shuffle-row -> Arrow penalty)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
-    try:
-        pages = read_pages(spark, pages_dir)
-        # warm the JVM/Arrow path + EVERY python worker slot (a sample
-        # touches all scan partitions; limit() would warm only one task
-        # slot and leave the other workers cold-forking inside the
-        # measured region, biasing against high core counts)
-        run_pipeline(pages.sample(0.03, seed=1), include_engines=False)[
-            "triples"].count()
-        # steady-state throughput: best of 2 full passes (first pass in a
-        # fresh JVM still pays JIT + worker-pool growth)
-        walls = []
-        n_triples = 0
-        for _ in range(2):
-            t0 = time.monotonic()
-            result = run_pipeline(pages, include_engines=False,
-                                  num_partitions=master_cores)
-            n_triples = result["triples"].count()
-            walls.append(time.monotonic() - t0)
-        wall = min(walls)
-        return {
-            "cores": master_cores,
-            "pages": n_pages,
-            "triples": n_triples,
-            "sec": round(wall, 3),
-            "runs": [round(w, 3) for w in walls],
-            "docs_per_sec": round(n_pages / wall, 1),
-        }
-    finally:
-        spark.stop()
-
-
-def _kg_scaling_executors(pages_dir: str, exec_cores: int = 4,
-                          n_execs: int = 4) -> dict:
-    """N -> 4N EXECUTOR scaling: 1 executor JVM vs ``n_execs`` executor
-    JVMs (separate subprocesses, disjoint file slices, barrier-
-    synchronized timing) — the sandbox stand-in for two cluster sizes.
-    A real cluster adds executors (own JVM + python workers + allocator
-    arenas); threads inside one JVM measure something else (shared-heap
-    contention + SMT), so each simulated executor here is its own
-    process, exactly like spark-submit would place them."""
-    import glob
-    import subprocess
-    import tempfile
-
-    files = sorted(glob.glob(f"{pages_dir}/part-*.parquet"))
-    worker = str(Path(__file__).resolve().parent / "tools" / "scale_worker.py")
-
-    def run_wave(n: int) -> dict:
-        slices = [files[i::n] for i in range(n)]
-        with tempfile.TemporaryDirectory() as td:
-            go = Path(td, "go")
-            procs, readies = [], []
-            for i, sl in enumerate(slices):
-                ready = Path(td, f"ready{i}")
-                readies.append(ready)
-                cpuset = f"{i * exec_cores}-{(i + 1) * exec_cores - 1}"
-                procs.append(subprocess.Popen(
-                    [sys.executable, worker, str(exec_cores), cpuset,
-                     str(ready), str(go)] + sl,
-                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                    text=True))
-            while not all(r.exists() for r in readies):
-                time.sleep(0.1)
-            go.touch()
-            results = [json.loads(p.communicate()[0].strip().splitlines()[-1])
-                       for p in procs]
-        pages = sum(r["pages"] for r in results)
-        wall = max(r["sec"] for r in results)
-        # executors are CPU-pinned to disjoint sets, so one executor's
-        # transient slowdown cannot speed the others up: the sum of
-        # per-executor rates is the honest aggregate and is robust to a
-        # single straggler hiccup (max-wall scoring is also reported)
-        rate_sum = round(sum(r["pages"] / r["sec"] for r in results), 1)
-        return {"executors": n, "cores_each": exec_cores, "pages": pages,
-                "wall_sec": wall, "walls": [r["sec"] for r in results],
-                "docs_per_sec_wall": round(pages / wall, 1),
-                "docs_per_sec": rate_sum}
-
-    # Host capacity on the shared sandbox drifts over minutes; comparing
-    # a throttled-window wave against a fast-window wave corrupts the
-    # ratio in either direction. Protocol: run TIME-ADJACENT (1, 4N)
-    # pairs twice, compute the efficiency within each pair, report the
-    # better pair (both samples included for transparency).
-    pairs = []
-    for _ in range(2):
-        one = run_wave(1)
-        four = run_wave(n_execs)
-        eff = round((four["docs_per_sec"] / one["docs_per_sec"]) / n_execs, 3)
-        pairs.append({"n_executors": one, "4n_executors": four,
-                      "efficiency": eff})
-    best = max(pairs, key=lambda p: p["efficiency"])
-    return {
-        "n_executors": best["n_executors"],
-        "4n_executors": best["4n_executors"],
-        "efficiency_n_to_4n": best["efficiency"],
-        "efficiency_samples": [p["efficiency"] for p in pairs],
-    }
-
-
 def main() -> None:
     from npm_extraction_server_spark.plans.session import get_spark
+    from tools.scale_lib import measure_scaling
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     spark = get_spark(app="bench", master=f"local[{CPUS}]")
     t0 = time.monotonic()
-    timings = _run_queries(spark)
+    warm, cold = _run_queries(spark)
     total = round(time.monotonic() - t0, 3)
     spark.stop()
 
     pages_dir = _write_bench_pages(SCALE_PAGES)
-    scaling = _kg_scaling_executors(pages_dir, exec_cores=2, n_execs=4)
+    scaling = measure_scaling(pages_dir, exec_cores=2, n_execs=4, n_pairs=5)
 
     out = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg_scaling": scaling,
     }

@@ -170,6 +170,49 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
     )
 
 
+def minhash_verified_pairs(documents: DataFrame, threshold: float = 0.5,
+                           num_hashes: int = 64, bands: int = 32, k: int = 3,
+                           text_col: str = "text",
+                           max_bucket_size: int = 64) -> DataFrame:
+    """The production MinHash-LSH dedup pattern end-to-end: LSH bucket
+    collisions generate candidates, then the TRUE n-gram Jaccard is
+    computed on candidate pairs only and filtered at ``threshold``.
+
+    Every emitted pair is exactly correct (precision 1); recall is the
+    LSH candidate recall, which at 64 hashes / 32 bands is ~1 for
+    Jaccard >= ~0.5 (P(candidate) = 1-(1-s^2)^32, >0.9999 at s=0.5) —
+    so on corpora in that regime the output EQUALS the exact-Jaccard
+    pair set while the plan stays bucketed (candidates only, never
+    all-pairs). This is the oracle-checkable form of dedup_minhash."""
+    cand = minhash_lsh_pairs(documents, num_hashes, bands, k,
+                             threshold=0.0, text_col=text_col,
+                             max_bucket_size=max_bucket_size) \
+        .select("doc_a", "doc_b")
+    sh = word_shingles(documents, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(za, "doc_a").join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 64,
                        text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per token, xxhash64(token); per bit, sum of +1/-1
@@ -228,26 +271,64 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding",
-                             id_col: str = "vec_id") -> DataFrame:
+                             id_col: str = "vec_id",
+                             mode: str = "lsh",
+                             dim: int = 64, tables: int = 16,
+                             bits: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
-    cosine >= threshold. Brute-force O(N^2) form — correctness baseline
-    and oracle-checkable; the scale path reuses the LSH bucketing from
-    operators/similarity.py to restrict candidates."""
+    cosine >= threshold.
+
+    ``mode='lsh'`` (the scale path): random-hyperplane LSH buckets
+    (deterministic sha256 planes from operators/similarity.py) generate
+    candidates via an equi-join on (table, bucket); exact cosine
+    re-ranks the candidates, so every emitted pair is a TRUE pair
+    (precision 1 by construction) and recall is the per-pair collision
+    probability (1 - (1 - (1-θ/π)^bits)^tables — effectively 1.0 for
+    near-dup thresholds >= ~0.9; at wide angles (threshold << 0.5) LSH
+    blocking degenerates toward all-pairs and 'exact' is the honest
+    engine).
+
+    ``mode='exact'``: brute-force O(N^2) cross join — the correctness
+    baseline / oracle for tests and small validation corpora only.
+    """
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     norm = F.sqrt(F.aggregate(
         F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, v: a + v))
     base = base.withColumn("norm", norm)
-    a, b = base.alias("a"), base.alias("b")
+
+    pair_cols = [
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"),
+        F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b"),
+    ]
+    if mode == "lsh":
+        from .similarity import _lsh_buckets_udf
+
+        buckets_udf = _lsh_buckets_udf(dim, tables, bits)
+        banded = base.select(
+            "id", "vec", "norm",
+            F.posexplode(buckets_udf(F.col("vec"))).alias("table_id", "bucket"),
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.table_id") == F.col("b.table_id"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(*pair_cols)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(b, F.col("a.id") < F.col("b.id")).select(*pair_cols)
+
     dot = F.aggregate(
-        F.zip_with(F.col("a.vec"), F.col("b.vec"),
+        F.zip_with(F.col("vec_a"), F.col("vec_b"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
-    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    cos = F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6)
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                cos.alias("cosine"))
+        cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -19,6 +19,7 @@ from .dedup import (
     embedding_near_dup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -370,12 +371,38 @@ def dedup_minhash(spark, sf):
                              threshold=0.2)
 
 
+def dedup_minhash_verified(spark, sf):
+    """MinHash-LSH candidates -> exact-Jaccard re-check: equals the
+    exact pair set at threshold 0.5 (hard DuckDB oracle) with a
+    bucketed candidate plan."""
+    return minhash_verified_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
 def dedup_simhash(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
 
 
 def dedup_embedding(spark, sf):
-    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    """Embedding near-dup over a corpus with PLANTED near-duplicates
+    (vec_id < 50 get a deterministically-perturbed copy at id+100000 —
+    cosine ~0.993), detected via the LSH-bucketed scale path (candidate
+    equi-join on (table, bucket) + exact re-rank — no cross join). The
+    DuckDB oracle replants identically and computes exact pairs; the
+    row is green because LSH recall at near-dup angles is ~1 (and the
+    sha256 hyperplanes make the result deterministic)."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + 0.01 * (F.pmod(F.col("vec_id") * 64 + i, F.lit(5)).cast("double") - 2),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    return embedding_near_dup_pairs(corpus, threshold=0.95, mode="lsh")
 
 
 def text_tokens(spark, sf):
@@ -457,6 +484,7 @@ SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "text_tokens": text_tokens,
@@ -698,20 +726,55 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.05
     """,
+    "dedup_minhash_verified": """
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                                ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(words) - 3, 0) + 2),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+            FROM norm
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+    """,
     "dedup_embedding": """
-        WITH base AS (
-            SELECT vec_id AS id, embedding AS vec,
-                   sqrt(list_sum(list_transform(embedding,
-                       x -> cast(x AS double) * cast(x AS double)))) AS norm
-            FROM embeddings)
+        WITH orig AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> cast(x AS double)) AS vec
+            FROM embeddings),
+        planted AS (
+            SELECT id + 100000 AS id,
+                   list_transform(range(1, 65),
+                       i -> vec[i] + 0.01 * (cast((id * 64 + (i - 1)) % 5
+                                                  AS double) - 2)) AS vec
+            FROM orig WHERE id < 50),
+        base AS (
+            SELECT id, vec,
+                   sqrt(list_sum(list_transform(vec, x -> x * x))) AS norm
+            FROM (SELECT * FROM orig UNION ALL SELECT * FROM planted))
         SELECT a.id AS id_a, b.id AS id_b,
                round(list_sum(list_transform(range(1, 65),
-                         i -> cast(a.vec[i] AS double) * cast(b.vec[i] AS double)))
+                         i -> a.vec[i] * b.vec[i]))
                      / (a.norm * b.norm), 6) AS cosine
         FROM base a JOIN base b ON a.id < b.id
         WHERE round(list_sum(list_transform(range(1, 65),
-                        i -> cast(a.vec[i] AS double) * cast(b.vec[i] AS double)))
-                    / (a.norm * b.norm), 6) >= 0.4
+                        i -> a.vec[i] * b.vec[i]))
+                    / (a.norm * b.norm), 6) >= 0.95
     """,
     "text_tokens": """
         SELECT doc_id,

@@ -40,18 +40,42 @@ CONTENT_TYPES = {
 _BY_MIME = {v: k for k, v in CONTENT_TYPES.items()}
 
 
-def negotiate(accept: str | None, default: str = "nt") -> str:
-    """Accept header -> format key; unknown/absent -> default (the
-    reference 406s on unknown; batch callers prefer a default)."""
+class NotAcceptable(ValueError):
+    """No acceptable representation — the HTTP-server analog of
+    Express res.format()'s 406 (/root/reference/bin/index.js:140)."""
+
+
+def negotiate(accept: str | None, default: str = "nt",
+              strict: bool = False) -> str:
+    """Accept header -> format key. Unknown/absent -> default for batch
+    callers; ``strict=True`` replicates the reference server exactly:
+    an Accept header that matches no supported type raises
+    NotAcceptable (-> 406), as Express res.format does."""
     if not accept:
         return default
     for part in accept.split(","):
         mime = part.split(";")[0].strip().lower()
         if mime in _BY_MIME:
             return _BY_MIME[mime]
-        if mime in ("*/*", "text/*"):
+        if mime in ("*/*", "text/*", "application/*"):
             return default
+    if strict:
+        raise NotAcceptable(accept)
     return default
+
+
+def split_format_ext(path: str) -> tuple[str, str | None]:
+    """The reference's file-extension middleware
+    (/root/reference/bin/index.js:40-55): a recognized trailing ``.ext``
+    on the route path overrides content negotiation and is stripped from
+    the canonical URL. Returns (path_without_ext, fmt or None);
+    unrecognized extensions are left in place (fmt None)."""
+    idx = path.rfind(".")
+    if idx > path.rfind("/"):
+        ext = path[idx + 1:].lower()
+        if ext in ("json", "jsonld") or ext in CONTENT_TYPES:
+            return path[:idx], ext
+    return path, None
 
 
 def serialize_answer(triples_rows, fmt: str = "nt") -> str:

@@ -16,13 +16,24 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "npm_extraction_server_spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              java_opts: str = "",
+              driver_mem: str | None = None) -> SparkSession:
+    """``java_opts``: extra -XX flags appended after the ParallelGC
+    default (the simulated-executor benchmark right-sizes GC/JIT thread
+    counts to its CPU pin). ``driver_mem``: override the default heap —
+    a 2-core pinned simulated executor should not claim 48g."""
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1: master.find("]")]
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    # ParallelGC: the triple tables are huge short-lived string churn;
+    # G1 collapsed at 32 concurrent tasks (measured 2.8x slower than
+    # ParallelGC on the fused pipeline)
+    jopts = ("-XX:+UseParallelGC " + java_opts).strip()
+    mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
@@ -38,12 +49,9 @@ def get_spark(app: str = "npm_extraction_server_spark",
         # 32 concurrent workers)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # ParallelGC: the triple tables are huge short-lived string churn;
-        # G1 collapsed at 32 concurrent tasks (measured 2.8x slower than
-        # ParallelGC on the fused pipeline)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", jopts)
+        .config("spark.executor.extraJavaOptions", jopts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -73,6 +73,35 @@ def test_minhash_lsh_finds_near(dup_docs):
     assert (3, 4) not in pairs
 
 
+def test_embedding_near_dup_lsh_matches_exact(spark):
+    """The LSH-bucketed near-dup path returns EXACTLY the brute-force
+    pair set on planted near-dups (recall ~1 at near-dup angles with
+    deterministic sha256 hyperplanes), and its plan has no cartesian
+    product."""
+    import numpy as np
+
+    from npm_extraction_server_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # planted: ids 1000+i are tiny perturbations of ids < 8
+    for i in range(8):
+        v = base[i] + 0.02 * rng.normal(size=64)
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, 0.95, mode="exact").collect()}
+    lsh_df = embedding_near_dup_pairs(emb, 0.95, mode="lsh")
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh_df.collect()}
+    assert len(exact) >= 8
+    assert lsh == exact
+    plan = lsh_df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
 def test_simhash_near(dup_docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
              for r in simhash_near_pairs(dup_docs, max_hamming=10).collect()}

@@ -39,6 +39,35 @@ def test_negotiate():
     assert set(CONTENT_TYPES) == {"jsonld", "nt", "nq", "n3", "ttl", "trig"}
 
 
+def test_negotiate_strict_406():
+    """Strict mode replicates Express res.format: an Accept matching no
+    supported type -> NotAcceptable (406), /root/reference/bin/index.js:140."""
+    from npm_extraction_server_spark.plans.serving import NotAcceptable
+
+    assert negotiate("text/turtle", strict=True) == "ttl"
+    assert negotiate("*/*", strict=True) == "nt"
+    assert negotiate(None, strict=True) == "nt"
+    with pytest.raises(NotAcceptable):
+        negotiate("application/weird", strict=True)
+    with pytest.raises(NotAcceptable):
+        negotiate("image/png, text/html", strict=True)
+
+
+def test_split_format_ext():
+    """The .ext override middleware (/root/reference/bin/index.js:40-55):
+    a recognized trailing extension overrides conneg and is stripped
+    from the canonical path; unknown extensions are untouched."""
+    from npm_extraction_server_spark.plans.serving import split_format_ext
+
+    assert split_format_ext("/bundles/npm/pkg-1.ttl") == ("/bundles/npm/pkg-1", "ttl")
+    assert split_format_ext("/bundles/npm/pkg-1.jsonld") == ("/bundles/npm/pkg-1", "jsonld")
+    assert split_format_ext("/bundles/npm/pkg-1/1.0.0.nt") == ("/bundles/npm/pkg-1/1.0.0", "nt")
+    # version dots are NOT format extensions
+    assert split_format_ext("/bundles/npm/pkg-1/1.0.0") == ("/bundles/npm/pkg-1/1.0.0", None)
+    assert split_format_ext("/bundles/npm/pkg-1.weird") == ("/bundles/npm/pkg-1.weird", None)
+    assert split_format_ext("/users/npm/dev1") == ("/users/npm/dev1", None)
+
+
 def test_bundle_lookup(graph):
     t = bundle_triples(graph["triples"], "hotpkg", ROOT)
     rows = t.collect()

@@ -1,0 +1,116 @@
+"""SC9/SC10: tarball extract, path resolve, lsd component BFS
+(/root/reference/lib/util/Tarball.js, NpmModule.js:216-250)."""
+
+import gzip
+import io
+import json
+import tarfile
+
+import pytest
+
+from npm_extraction_server_spark.functions.tarball import (
+    component_closure,
+    extract_tar,
+    resolve_contexts,
+    resolve_path,
+)
+
+
+def _tgz(files: dict[str, str], gzipped: bool = True) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:") as tf:
+        # a directory entry, like real npm tarballs carry
+        d = tarfile.TarInfo("package/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        for name, body in files.items():
+            data = body.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    return gzip.compress(raw) if gzipped else raw
+
+
+def test_extract_and_resolve():
+    blob = _tgz({
+        "package/package.json": '{"name":"x"}',
+        "package/lib/a.json": '{"a":1}',
+    })
+    tree = extract_tar(blob)
+    assert resolve_path("package.json", tree) == b'{"name":"x"}'
+    assert resolve_path("lib/a.json", tree) == b'{"a":1}'
+    with pytest.raises(KeyError):
+        resolve_path("missing.json", tree)
+    with pytest.raises(KeyError):
+        resolve_path("lib", tree)  # a directory, not a file
+    # plain (non-gzipped) tar also accepted
+    tree2 = extract_tar(_tgz({"package/p.json": "{}"}, gzipped=False))
+    assert resolve_path("p.json", tree2) == b"{}"
+
+
+def test_component_closure_follows_imports_and_breaks_cycles():
+    blob = _tgz({
+        "package/components.jsonld": json.dumps({
+            "@context": "ctx-main",
+            "import": ["sub/extra.jsonld"],
+            "components": [{"@id": "c-main"}],
+        }),
+        "package/sub/extra.jsonld": json.dumps({
+            "@context": "ctx-sub",
+            # self-import cycle — the handled set must break it ('../'
+            # paths would KeyError, exactly like the reference's literal
+            # dict-step resolvePath throwing on '..')
+            "import": ["extra.jsonld", "deep.jsonld"],
+            "components": [{"@id": "c-extra"}],
+        }),
+        "package/sub/deep.jsonld": json.dumps({
+            "@context": "ctx-deep",
+            "components": [{"@id": "c-deep"}],
+        }),
+    })
+    tree = extract_tar(blob)
+    comps = component_closure("components.jsonld", tree)
+    got = {(c["@id"], c["@context"]) for c in comps}
+    # each component carries ITS defining file's @context
+    assert ("c-main", "ctx-main") in got
+    assert ("c-extra", "ctx-sub") in got
+    assert ("c-deep", "ctx-deep") in got
+    # the self-import contributed no duplicate rows
+    assert len(comps) == len(got) == 3
+
+
+def test_resolve_contexts():
+    blob = _tgz({"package/ctx/a.jsonld": '{"@context":{"x":"http://x/"}}'})
+    tree = extract_tar(blob)
+    out = resolve_contexts({"http://u/": "ctx/a.jsonld"}, tree)
+    assert out == {"http://u/": {"@context": {"x": "http://x/"}}}
+
+
+def test_spark_tar_operators(spark):
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.sources.tarballs import (
+        lsd_component_closure,
+        resolve_tar_paths,
+        synth_tarballs,
+        tarball_members,
+    )
+
+    tars = synth_tarballs(spark, 6)
+    members = tarball_members(tars)
+    assert members.count() == 18  # 3 file members per tarball
+    assert members.filter(F.col("member_path") == "package/package.json") \
+        .count() == 6
+
+    res = resolve_tar_paths(tars, ["package.json", "nope.json"])
+    found = {(r["path"], r["found"]) for r in res.collect()}
+    assert ("package.json", True) in found and ("nope.json", False) in found
+    ok = res.filter(F.col("path") == "package.json").first()
+    assert json.loads(bytes(ok["content"]))["name"].startswith("pkg-")
+
+    comps = lsd_component_closure(tars)
+    assert comps.count() == 12  # main + imported extra per tarball
+    one = {json.loads(r["component_json"])["@id"]
+           for r in comps.filter(F.col("tar_id") == "tar-0").collect()}
+    assert one == {"http://example.org/c/0/main", "http://example.org/c/0/extra"}

@@ -1,12 +1,19 @@
 #!/usr/bin/env python
 """One simulated executor for the scaling benchmark: a local[cores]
-SparkSession processing a disjoint slice of the pages corpus.
+SparkSession processing a disjoint slice of the pages corpus, exactly
+like a spark-submit-placed executor (own JVM, own python workers, own
+CPU budget via cgroup-style pinning).
 
-Protocol (driven by bench.py): warm up, touch the ready file, spin on
-the go file (barrier so all executors time the same window), run the
-fused pipeline over the assigned files, print one JSON line.
+Protocol (driven by tools/scale_lib.py): build session, FULL warm pass
+(JIT + codegen + every python worker slot + page cache), touch ready,
+then for each measured pass spin on go_<tag>_<p> (a per-pass barrier so
+every executor of a wave times the same wall-clock window) and touch
+done_<tag>_<p>_<idx> when finished. The <tag> lets the orchestrator
+interleave passes of two co-resident waves (the N fleet and the 4N
+fleet live simultaneously on disjoint core pins; only one wave's pass
+runs at a time). Prints one JSON line with the per-pass walls.
 
-Usage: scale_worker.py <cores> <cpuset> <ready_file> <go_file> <file> [...]
+Usage: scale_worker.py <cores> <cpuset> <sync_dir> <tag> <idx> <n_passes> <warm_sec> <file> [...]
 
 ``cpuset`` ("0-3" or "4,5,6,7") pins this executor — JVM, python
 workers and all — to its container's CPU budget, the way a cluster
@@ -40,8 +47,12 @@ def _parse_cpuset(spec: str) -> set[int]:
 def main() -> None:
     cores = int(sys.argv[1])
     cpuset = sys.argv[2]
-    ready_file, go_file = Path(sys.argv[3]), Path(sys.argv[4])
-    files = sys.argv[5:]
+    sync_dir = Path(sys.argv[3])
+    tag = sys.argv[4]
+    idx = int(sys.argv[5])
+    n_passes = int(sys.argv[6])
+    warm_sec = float(sys.argv[7])
+    files = sys.argv[8:]
     if cpuset != "-":
         # inherited by the JVM and every forked python worker
         os.sched_setaffinity(0, _parse_cpuset(cpuset))
@@ -50,35 +61,53 @@ def main() -> None:
     from npm_extraction_server_spark.plans.session import get_spark
     from npm_extraction_server_spark.sources.pages import PAGES_SCHEMA
 
-    spark = get_spark(app=f"scale-exec-{ready_file.name}",
-                      master=f"local[{cores}]", shuffle_partitions=cores)
+    # right-size the JVM to the pin: GC/JIT worker pools default to the
+    # MACHINE's 32 cores, which thrash a 2-core cgroup-style budget; a
+    # real cluster executor gets these from its container's cpu limit
+    jopts = (f"-XX:ParallelGCThreads={max(2, cores)} "
+             f"-XX:CICompilerCount=2 -XX:ActiveProcessorCount={cores}")
+    spark = get_spark(app=f"scale-exec-{tag}-{idx}",
+                      master=f"local[{cores}]", shuffle_partitions=cores,
+                      java_opts=jopts, driver_mem="6g")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
     pages = spark.read.schema(PAGES_SCHEMA).parquet(*files)
     n_pages = pages.count()
 
-    # warm: 15% sample (JIT + all worker slots + page cache) — a full
-    # warm pass would double each wave's runtime and the driver's bench
-    # budget is finite
-    run_pipeline(pages.sample(0.15, seed=1), include_engines=False)[
-        "triples"].count()
+    # Plan ONCE, execute per pass: a production batch job analyzes /
+    # optimizes its plan once and then executes for hours, so per-pass
+    # Catalyst re-analysis (~0.7-1 s of single-threaded driver work on
+    # a 2-core pin) is a sandbox artifact that taxes short (4N) passes
+    # ~12% and long (N) passes ~3%, corrupting the ratio. Reusing the
+    # DataFrame keeps the measured window = job execution only (Spark
+    # re-runs the full job on every count(); nothing is cached).
+    triples = run_pipeline(pages, include_engines=False)["triples"]
 
-    ready_file.touch()
-    while not go_file.exists():
-        time.sleep(0.05)
+    # Warm by WALL-TIME BUDGET, not pass count: C2 JIT compiles by
+    # accumulated execution time, so "one warm pass" gives a 4N-fleet
+    # executor (short passes) far less warmup than the N executor (long
+    # passes) and its first measured pass reads ~25% slow. Every
+    # executor runs FULL passes until ``warm_sec`` of cumulative wall
+    # (at least one), reaching the same steady state before the barrier.
+    t_warm = time.monotonic()
+    while True:
+        triples.count()
+        if time.monotonic() - t_warm >= warm_sec:
+            break
 
-    # two measured passes, report the min (bench.py additionally runs
-    # each wave twice, interleaved): host capacity wanders on the shared
-    # sandbox, and the peak-capacity number is the stable one
-    walls = []
-    n_triples = 0
-    for _ in range(2):
+    (sync_dir / f"ready_{tag}_{idx}").touch()
+    walls, n_triples = [], 0
+    for p in range(n_passes):
+        go = sync_dir / f"go_{tag}_{p}"
+        while not go.exists():
+            time.sleep(0.02)
         t0 = time.monotonic()
-        n_triples = run_pipeline(pages, include_engines=False)["triples"].count()
-        walls.append(time.monotonic() - t0)
-    print(json.dumps({"pages": n_pages, "triples": n_triples,
-                      "sec": round(min(walls), 3),
-                      "runs": [round(w, 3) for w in walls]}))
+        n_triples = triples.count()
+        wall = time.monotonic() - t0
+        walls.append(round(wall, 3))
+        (sync_dir / f"done_{tag}_{p}_{idx}").write_text(str(round(wall, 3)))
+    print(json.dumps({"idx": idx, "tag": tag, "pages": n_pages,
+                      "triples": n_triples, "walls": walls}))
     spark.stop()
 
 
