@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _mm_media_features,
         "tar_members": _tar_members,
         "tar_components": _tar_components,
+        "kg_triples_doap": _kg_triples_doap,
     }
 
     def _wrap(fn):
@@ -144,7 +145,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_user_index": _KG_USER_INDEX_ORACLE,
             "semver_resolve": _SEMVER_RESOLVE_ORACLE,
             "tar_members": _TAR_MEMBERS_ORACLE,
-            "tar_components": _TAR_COMPONENTS_ORACLE}
+            "tar_components": _TAR_COMPONENTS_ORACLE,
+            "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -307,6 +309,89 @@ def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("features", F.lit(0.0),
                         lambda a, v: a + v * v), 6).alias("feat_norm_sq")),
         "media_id")
+
+
+def _kg_triples_doap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A driver-verifiable SLICE of the full KG pipeline output: the
+    doap:name / doap:revision triples of every module version (skolem
+    genid subjects excluded). End-to-end coverage — page synthesis ->
+    html blob extraction -> kernel doc->RDF -> triples table — checked
+    bit-exact against a DuckDB re-derivation from doc_id alone."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return (
+        t.filter(F.col("pred").isin(DOAP + "name", DOAP + "revision")
+                 & F.col("subj").startswith("http://example.org/bundles/npm/")
+                 & ~F.col("subj").contains("/.well-known/"))
+        .select("subj", "pred", "obj")
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+# Three triple families in the slice: each module version's
+# name+revision, each bundle's name, and each (valid-range) dependency
+# reference's range-module revision (NpmModule dependency handling
+# emits a module IRI at the RAW range, doap:revision = the range
+# literal). The CASE arm is JS encodeURIComponent over the 6 valid
+# synth ranges.
+_KG_TRIPLES_DOAP_ORACLE = """
+WITH docs AS (
+  SELECT doc_id AS i,
+         ('0x' || substr(sha256('pkg:' || doc_id), 1, 16))::UBIGINT AS h
+  FROM documents WHERE doc_id < 100
+),
+pkg AS (
+  SELECT i, h,
+    CASE WHEN i=0 THEN 'hotpkg' WHEN i=1 THEN 'megalib' WHEN i=2 THEN 'ultrautil'
+         WHEN h%11=0 THEN '@org' || (h%7) || '/pkg-' || i
+         ELSE 'pkg-' || i END AS name,
+    (1 + (h%3))::INT AS nv
+  FROM docs
+),
+vers AS (
+  SELECT i, name,
+    'http://example.org/bundles/npm/' ||
+      replace(replace(name,'@','%40'),'/','%2F') || '/' ||
+      ((1+(h%2)) || '.' || v || '.' || ((h>>4)%10)) AS module_iri,
+    ((1+(h%2)) || '.' || v || '.' || ((h>>4)%10)) AS ver,
+    ('0x' || substr(sha256('ver:' || (i*1000 + v)), 1, 16))::UBIGINT AS hv
+  FROM pkg, unnest(generate_series(0, nv-1)) AS t(v)
+),
+deps AS (
+  SELECT DISTINCT
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng FROM vers WHERE hv%10 < 8
+  UNION
+  SELECT DISTINCT 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT module_iri AS subj, 'http://usefulinc.com/ns/doap#name' AS pred,
+         '"' || name || '"' AS obj
+  FROM vers
+  UNION ALL
+  SELECT module_iri, 'http://usefulinc.com/ns/doap#revision', '"' || ver || '"'
+  FROM vers
+  UNION ALL
+  SELECT 'http://example.org/bundles/npm/' || name,
+         'http://usefulinc.com/ns/doap#name', '"' || name || '"'
+  FROM pkg
+  UNION ALL
+  SELECT 'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+           CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+                    WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+                    ELSE rng END,
+         'http://usefulinc.com/ns/doap#revision', '"' || rng || '"'
+  FROM deps
+)
+"""
 
 
 def _tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
