@@ -150,12 +150,53 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     )
 
 
+def _lloyd_refine(embeddings: DataFrame, cents: DataFrame, iters: int,
+                  vec_col: str, id_col: str) -> DataFrame:
+    """Deterministic Lloyd iterations: assign every vector to its
+    nearest centroid (broadcast centroids, cent_id tiebreak), recompute
+    each centroid as the elementwise mean (posexplode -> (cent_id, pos)
+    avg -> re-assemble). Empty clusters keep their previous centroid.
+    All steps deterministic -> same centroids every run."""
+    sim_c = _dot(F.col(vec_col), F.col("cent_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cent_vec")))
+    for _ in range(iters):
+        assigned = (
+            embeddings.crossJoin(F.broadcast(cents))
+            .withColumn("csim", sim_c)
+            .withColumn("crank", F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("csim"),
+                                                   F.asc("cent_id"))))
+            .filter(F.col("crank") == 1)
+            .select("cent_id", F.col(vec_col).alias("v"))
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cent_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("new_vec"))
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select("cent_id",
+                    F.coalesce(F.col("new_vec"),
+                               F.transform("cent_vec",
+                                           lambda x: x.cast("double")))
+                    .alias("cent_vec"))
+        )
+    return cents
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample of the corpus
-    (every Nth vector by id), items assigned to nearest centroid, query
-    probes the ``nprobe`` nearest centroid lists. Centroids broadcast."""
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             kmeans_iters: int = 2) -> DataFrame:
+    """IVF-style ANN: deterministic seed sample -> ``kmeans_iters``
+    Lloyd refinements (broadcast centroids; elementwise-mean update),
+    items assigned to nearest centroid, query probes the ``nprobe``
+    nearest centroid lists. Centroids broadcast throughout."""
     # ORDER-STABLE deterministic sample: hash-order + id tiebreak, then
     # limit. orderBy+limit compiles to TakeOrderedAndProject (distributed
     # per-partition top-k + driver merge of n_centroids rows — no
@@ -166,6 +207,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
+    if kmeans_iters > 0:
+        # localCheckpoint: the refined centroid table is tiny and reused
+        # by both the assign and probe branches below
+        cents = _lloyd_refine(embeddings, cents, kmeans_iters,
+                              vec_col, id_col).localCheckpoint(eager=True)
     sim_c = _dot(F.col(vec_col), F.col("cent_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cent_vec")))
 
