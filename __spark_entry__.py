@@ -146,7 +146,8 @@ def oracle_sql() -> dict[str, str]:
             "semver_resolve": _SEMVER_RESOLVE_ORACLE,
             "tar_members": _TAR_MEMBERS_ORACLE,
             "tar_components": _TAR_COMPONENTS_ORACLE,
-            "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE}
+            "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
+            "kg_incremental": _KG_INCREMENTAL_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -285,12 +286,29 @@ def _kg_user_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_package_index(triples)
 
 
+def _doap_slice(t: DataFrame) -> DataFrame:
+    """The oracle-comparable doap:name/doap:revision projection of a
+    triples table (skolem genids excluded) — see _kg_triples_doap."""
+    DOAP = "http://usefulinc.com/ns/doap#"
+    return (
+        t.filter(F.col("pred").isin(DOAP + "name", DOAP + "revision")
+                 & F.col("subj").startswith("http://example.org/bundles/npm/")
+                 & ~F.col("subj").contains("/.well-known/"))
+        .select("subj", "pred", "obj")
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
 def _kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SC5: changed-since window -> triples of only those pages."""
+    """SC5: changed-since window -> pipeline over only those pages,
+    projected to the doap slice so the driver can hard-verify it (the
+    synthetic warc_ts is 2017-06-01 + doc_id seconds, so the window
+    [00:00:30, 00:01:40) selects exactly doc_id in [30, 100))."""
     from npm_extraction_server_spark.streaming.incremental import incremental_triples
 
     pages = _pages_from_documents(spark, sf_dir, limit=200)
-    return incremental_triples(pages, "2017-06-01 00:00:30", "2017-06-01 00:01:40")
+    return _doap_slice(
+        incremental_triples(pages, "2017-06-01 00:00:30", "2017-06-01 00:01:40"))
 
 
 def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,16 +337,8 @@ def _kg_triples_doap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact against a DuckDB re-derivation from doc_id alone."""
     from npm_extraction_server_spark.plans.kg import run_pipeline
 
-    DOAP = "http://usefulinc.com/ns/doap#"
     pages = _pages_from_documents(spark, sf_dir, limit=100)
-    t = run_pipeline(pages)["triples"]
-    return (
-        t.filter(F.col("pred").isin(DOAP + "name", DOAP + "revision")
-                 & F.col("subj").startswith("http://example.org/bundles/npm/")
-                 & ~F.col("subj").contains("/.well-known/"))
-        .select("subj", "pred", "obj")
-        .dropDuplicates(["subj", "pred", "obj"])
-    )
+    return _doap_slice(run_pipeline(pages)["triples"])
 
 
 # Three triple families in the slice: each module version's
@@ -336,12 +346,14 @@ def _kg_triples_doap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's range-module revision (NpmModule dependency handling
 # emits a module IRI at the RAW range, doap:revision = the range
 # literal). The CASE arm is JS encodeURIComponent over the 6 valid
-# synth ranges.
-_KG_TRIPLES_DOAP_ORACLE = """
+# synth ranges. The {lo}/{hi} doc window parameterizes the slice: the
+# full-pipeline query uses [0, 100), the changed-since incremental
+# query [30, 100) (warc_ts = 2017-06-01 + doc_id seconds).
+_DOAP_ORACLE_TMPL = """
 WITH docs AS (
   SELECT doc_id AS i,
          ('0x' || substr(sha256('pkg:' || doc_id), 1, 16))::UBIGINT AS h
-  FROM documents WHERE doc_id < 100
+  FROM documents WHERE doc_id >= {lo} AND doc_id < {hi}
 ),
 pkg AS (
   SELECT i, h,
@@ -392,6 +404,9 @@ SELECT DISTINCT subj, pred, obj FROM (
   FROM deps
 )
 """
+
+_KG_TRIPLES_DOAP_ORACLE = _DOAP_ORACLE_TMPL.format(lo=0, hi=100)
+_KG_INCREMENTAL_ORACLE = _DOAP_ORACLE_TMPL.format(lo=30, hi=100)
 
 
 def _tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -256,7 +256,9 @@ def lineage(triples_raw: DataFrame, stage: str = "doc_to_triples") -> DataFrame:
             F.countDistinct("src_url").alias("n_in"),
             F.count("subj").alias("n_out"),
             F.count("error").alias("n_failed"),
-            F.first("error", ignorenulls=True).alias("error_sample"),
+            # min, not first: deterministic sample (first() is
+            # partition-arrival-order dependent)
+            F.min("error").alias("error_sample"),
         )
     )
 
