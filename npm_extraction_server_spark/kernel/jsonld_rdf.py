@@ -25,16 +25,19 @@ from __future__ import annotations
 
 import hashlib
 import math
-from dataclasses import dataclass
+from typing import NamedTuple
 
 from ..functions.jsuri import iri_is_valid, url_join
 from .vocab import CONTEXT_IRI, RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, ROOT_CONTEXT, XSD
 
 KEYWORDS = {"@id", "@type", "@context", "@graph", "@list", "@value", "@language", "@reverse"}
+_XSD_STRING = XSD + "string"
 
 
-@dataclass(frozen=True)
-class Triple:
+class Triple(NamedTuple):
+    # NamedTuple, not a frozen dataclass: construction is ~4x faster
+    # (the frozen-dataclass __init__ goes through object.__setattr__),
+    # and the kernel builds hundreds of millions of these at corpus scale
     subj: str
     pred: str
     obj: str  # IRI, or N3-encoded literal ("v", "v"@lang, "v"^^dt)
@@ -189,6 +192,13 @@ class _ToRdf:
 
     def literal(self, value, type_coercion):
         """Return an object term tuple ('lit', lexical, lang, datatype)."""
+        if type(value) is str:  # the overwhelmingly common case
+            if type_coercion is None:
+                return ("lit", value, None, _XSD_STRING)
+            if type_coercion == "@id":
+                iri = _expand_iri(value, self.ctx)
+                return ("iri", iri if iri is not None else value)
+            return ("lit", value, None, type_coercion)
         if isinstance(value, bool):
             return ("lit", "true" if value else "false", None, XSD + "boolean")
         if isinstance(value, int):
