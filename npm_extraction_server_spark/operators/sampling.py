@@ -1,0 +1,91 @@
+"""Training-data sampling operators: deterministic corpus splits and
+token-budget sequence packing.
+
+At 10^12 documents, train/val/test membership must be a PURE FUNCTION
+of a stable key (re-runs, resumes and late-arriving shards must land
+in the same split — no rand(), no row order). Packing for LLM
+pretraining groups consecutive documents into fixed token budgets; the
+streaming form (cumulative token count over a deterministic order,
+bin = cumsum div budget) is a window expression, fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _split_hash(key_col, salt: str = "split"):
+    """60-bit deterministic hash from sha256 — chosen over xxhash64 so
+    external engines (the DuckDB oracle, a downstream pipeline in
+    another stack) can reproduce split membership exactly."""
+    hx = F.sha2(F.concat(F.lit(salt + ":"), key_col.cast("string")), 256)
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint")
+
+
+def stratified_split(documents: DataFrame, weights: dict[str, int],
+                     key_col: str = "doc_id",
+                     salt: str = "split") -> DataFrame:
+    """Assign each row to a named split with the given integer percent
+    weights (must sum to 100): bucket = sha-hash(key) % 100, split =
+    the bucket's weight interval. Deterministic, order-independent,
+    resume-safe; adding rows never moves existing rows between splits."""
+    if sum(weights.values()) != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = F.pmod(_split_hash(F.col(key_col), salt), F.lit(100))
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+        lo += w
+    return documents.withColumn("split", expr).withColumn("bucket",
+                                                          bucket.cast("int"))
+
+
+def pack_sequences(documents: DataFrame, budget: int = 2048,
+                   key_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Streaming sequence packing: order by ``key_col`` (the stable
+    corpus order), accumulate whitespace token counts, and cut a new
+    bin every ``budget`` tokens (bin = floor((cumsum - tokens) /
+    budget) over the running sum — a document straddling a boundary
+    starts the next bin, the standard concat-and-chunk pretraining
+    layout). Pure window expressions.
+
+    Scale note: a single global ordering window is a one-partition
+    funnel; at corpus scale, partition first (e.g. by url-hash shard)
+    and pack per shard — ``partition_col`` does exactly that."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.orderBy(F.col(key_col))
+    running = F.sum("n_tokens").over(w)
+    return (
+        documents.select(key_col, toks.alias("n_tokens"))
+        .withColumn("cum_tokens", running)
+        .withColumn("bin_id",
+                    F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                            / F.lit(budget)).cast("bigint"))
+        .select(key_col, "n_tokens", "cum_tokens", "bin_id")
+    )
+
+
+def pack_sequences_sharded(documents: DataFrame, budget: int = 2048,
+                           key_col: str = "doc_id", text_col: str = "text",
+                           n_shards: int = 64) -> DataFrame:
+    """The scale form of pack_sequences: deterministic hash-sharding
+    first, then an ordered window PER SHARD (partitionBy kills the
+    single-partition funnel; each shard packs independently, which is
+    how multi-file pretraining shards are actually laid out)."""
+    shard = F.pmod(_split_hash(F.col(key_col), "shard"), F.lit(n_shards))
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy("shard").orderBy(F.col(key_col))
+    return (
+        documents.select(key_col, shard.cast("int").alias("shard"),
+                         toks.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("bin_id",
+                    F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                            / F.lit(budget)).cast("bigint"))
+        .select(key_col, "shard", "n_tokens", "cum_tokens", "bin_id")
+    )

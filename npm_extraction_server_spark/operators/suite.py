@@ -438,6 +438,26 @@ def sim_ivf_topk(spark, sf):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def sample_split(spark, sf):
+    """Deterministic train/val/test split: membership is a pure
+    function of doc_id (sha256-based so the oracle can replicate) —
+    order-independent, resume-safe, stable under corpus growth."""
+    from .sampling import stratified_split
+
+    return stratified_split(
+        _t(spark, sf, "documents").select("doc_id"),
+        {"train": 80, "val": 10, "test": 10})
+
+
+def pack_tokens(spark, sf):
+    """Token-budget sequence packing, sharded form: hash-shard then an
+    ordered running-sum window per shard (no single-partition funnel)."""
+    from .sampling import pack_sequences_sharded
+
+    return pack_sequences_sharded(_t(spark, sf, "documents"),
+                                  budget=2048, n_shards=8)
+
+
 def emb_stats(spark, sf):
     emb = _t(spark, sf, "embeddings")
     sq = F.aggregate(
@@ -495,6 +515,8 @@ SPARK_QUERIES = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "emb_stats": emb_stats,
+    "sample_split": sample_split,
+    "pack_tokens": pack_tokens,
 }
 
 
@@ -855,6 +877,36 @@ ORACLE_SQL = {
                    range(1, greatest(len(words) - 5, 0) + 2),
                    i -> md5(array_to_string(words[i:i+4], ' ')))) AS min_shingle_md5
         FROM sh
+    """,
+    "sample_split": """
+        WITH b AS (
+            SELECT doc_id,
+                   (('0x' || substr(sha256('split:' || doc_id), 1, 15))
+                        ::UBIGINT % 100)::INT AS bucket
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               bucket
+        FROM b
+    """,
+    "pack_tokens": """
+        WITH t AS (
+            SELECT doc_id,
+                   (('0x' || substr(sha256('shard:' || doc_id), 1, 15))
+                        ::UBIGINT % 8)::INT AS shard,
+                   len(string_split_regex(trim(text), '\\s+'))::BIGINT
+                       AS n_tokens
+            FROM documents)
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_tokens,
+               ((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 - n_tokens) // 2048)::BIGINT AS bin_id
+        FROM t
     """,
     "sim_cosine_topk": """
         WITH q AS (

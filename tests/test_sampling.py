@@ -1,0 +1,64 @@
+"""Training-data sampling: deterministic splits + sequence packing."""
+
+from pyspark.sql import functions as F
+
+from npm_extraction_server_spark.operators.sampling import (
+    pack_sequences,
+    pack_sequences_sharded,
+    stratified_split,
+)
+
+
+def test_stratified_split_deterministic_and_stable(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"]
+          for r in stratified_split(docs, {"train": 80, "val": 10, "test": 10}).collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in stratified_split(docs, {"train": 80, "val": 10, "test": 10}).collect()}
+    assert s1 == s2  # pure function of the key
+    # ratios roughly honored
+    from collections import Counter
+    c = Counter(s1.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.05 < c["val"] / 2000 < 0.15
+    # growth stability: adding rows never moves existing rows
+    bigger = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"]: r["split"]
+          for r in stratified_split(bigger, {"train": 80, "val": 10, "test": 10}).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+
+
+def test_pack_sequences_budget_property(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 + i % 37)) for i in range(300)], "doc_id long, text string")
+    packed = pack_sequences(docs, budget=100).collect()
+    by_bin: dict[int, int] = {}
+    for r in packed:
+        by_bin[r["bin_id"]] = by_bin.get(r["bin_id"], 0) + r["n_tokens"]
+    # every bin starts before the budget boundary: a document begins in
+    # bin floor(prev_cum/budget), so bins exceed the budget by at most
+    # one document (concat-and-chunk semantics), never start past it
+    for r in packed:
+        assert (r["cum_tokens"] - r["n_tokens"]) // 100 == r["bin_id"]
+    assert len(by_bin) > 1
+    # bins are contiguous 0..max
+    assert sorted(by_bin) == list(range(len(by_bin)))
+
+
+def test_pack_sharded_matches_single_within_shard(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 11)) for i in range(400)], "doc_id long, text string")
+    sharded = pack_sequences_sharded(docs, budget=64, n_shards=4)
+    rows = sharded.collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    # within each shard the running sum is consistent and ordered
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        per[r["shard"]].append(r)
+    for shard_rows in per.values():
+        cum = 0
+        for r in shard_rows:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+            assert (r["cum_tokens"] - r["n_tokens"]) // 64 == r["bin_id"]
