@@ -458,6 +458,14 @@ def pack_tokens(spark, sf):
                                   budget=2048, n_shards=8)
 
 
+def corpus_curation(spark, sf):
+    """The full curation composition: lang filter + quality floor +
+    exact-dedup survivors + deterministic split, one Catalyst plan."""
+    from .curation import curate_corpus
+
+    return curate_corpus(_t(spark, sf, "documents"))
+
+
 def emb_stats(spark, sf):
     emb = _t(spark, sf, "embeddings")
     sq = F.aggregate(
@@ -517,6 +525,7 @@ SPARK_QUERIES = {
     "emb_stats": emb_stats,
     "sample_split": sample_split,
     "pack_tokens": pack_tokens,
+    "corpus_curation": corpus_curation,
 }
 
 
@@ -877,6 +886,52 @@ ORACLE_SQL = {
                    range(1, greatest(len(words) - 5, 0) + 2),
                    i -> md5(array_to_string(words[i:i+4], ' ')))) AS min_shingle_md5
         FROM sh
+    """,
+    "corpus_curation": """
+        WITH base AS (
+            SELECT doc_id, lang, text,
+                   length(text) AS n_chars,
+                   regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, lang, text, n_chars, len(words) AS n_words,
+                   CASE WHEN n_chars > 0
+                        THEN cast(n_punct AS double) / n_chars ELSE 0.0 END
+                       AS punct_ratio_raw,
+                   CASE WHEN len(words) > 0
+                        THEN cast(len(list_distinct(list_filter(words,
+                             w -> list_contains(['the','and','of','to','in','is',
+                                                 'that','for','with','on'], w))))
+                             AS double) / len(words)
+                        ELSE 0.0 END AS stop_ratio_raw
+            FROM base
+        ), scored AS (
+            SELECT doc_id, lang, text,
+                   round(least(n_words / 100.0, 1.0) * 0.5
+                         + (1.0 - punct_ratio_raw) * 0.3
+                         + least(stop_ratio_raw * 5, 1.0) * 0.2, 6)
+                       AS quality_score
+            FROM feat
+        ), surv AS (
+            SELECT sha256(text) AS text_sha, min(doc_id) AS survivor_id
+            FROM documents GROUP BY 1
+        ), kept AS (
+            SELECT s.doc_id, s.lang, s.quality_score
+            FROM scored s
+            JOIN surv ON sha256(s.text) = surv.text_sha
+                     AND s.doc_id = surv.survivor_id
+            WHERE s.lang IN ('en', 'es') AND s.quality_score >= 0.5
+        )
+        SELECT doc_id, lang, quality_score,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *,
+                     (('0x' || substr(sha256('split:' || doc_id), 1, 15))
+                          ::UBIGINT % 100)::INT AS b
+              FROM kept)
     """,
     "sample_split": """
         WITH b AS (

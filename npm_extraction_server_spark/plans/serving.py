@@ -172,3 +172,50 @@ def module_request(triples: DataFrame, docs: DataFrame, pkg: str, requested: str
         "triples": entity_triples(triples, module_uri(root, pkg, resolved),
                                   n_buckets),
     }
+
+
+def route(triples: DataFrame, docs: DataFrame, path: str,
+          accept: str | None = None, root: str = "http://example.org/",
+          n_buckets: int | None = None) -> dict:
+    """The full server-mode dispatcher — one call per reference route
+    (/root/reference/bin/index.js:144-274), composing the middleware
+    chain: .ext override (bin/index.js:40-55) -> strict conneg (406,
+    :140) -> path dispatch -> entity lookup / 307 redirect / 404.
+
+    Returns {status, fmt, triples: DataFrame|None, resolved_version?}.
+    Scoped packages arrive URL-style ("@org%2Fname" or "@org/name" as
+    two segments) exactly like the reference's @org middleware
+    re-joins them (bin/index.js:57-67)."""
+    stripped, ext_fmt = split_format_ext(path)
+    if ext_fmt in ("json", "jsonld"):
+        ext_fmt = "jsonld"
+    try:
+        fmt = ext_fmt or negotiate(accept, strict=True)
+    except NotAcceptable:
+        return {"status": 406, "fmt": None, "triples": None}
+
+    parts = [p for p in stripped.strip("/").split("/") if p]
+    # re-join scoped "@org"/"name" into one pkg segment, like the
+    # reference's @org middleware
+    if len(parts) >= 4 and parts[:2] == ["bundles", "npm"] \
+            and parts[2].startswith("@"):
+        parts = parts[:2] + [parts[2] + "/" + parts[3]] + parts[4:]
+
+    def ok(df: DataFrame) -> dict:
+        return {"status": 200, "fmt": fmt, "triples": df}
+
+    if len(parts) >= 3 and parts[0] == "bundles" and parts[1] == "npm":
+        pkg = parts[2].replace("%2F", "/").replace("%40", "@")
+        if len(parts) == 3:
+            df = bundle_triples(triples, pkg, root, n_buckets)
+            return ok(df)
+        if len(parts) == 4:
+            res = module_request(triples, docs, pkg, parts[3], root, n_buckets)
+            res["fmt"] = fmt if res["status"] != 406 else None
+            return res
+    if len(parts) == 3 and parts[0] == "users" and parts[1] == "npm":
+        return ok(user_triples(triples, parts[2], root, n_buckets))
+    if len(parts) in (2, 3) and parts[0] == "engines":
+        version = parts[2] if len(parts) == 3 else None
+        return ok(engine_triples_for(triples, parts[1], version, root, n_buckets))
+    return {"status": 404, "fmt": fmt, "triples": None}

@@ -149,3 +149,59 @@ def test_bucket_pruned_lookup(graph, spark, tmp_path):
     # the physical plan carries the bucket partition filter
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan
+
+
+def test_route_dispatcher(graph):
+    """The unified server-mode dispatcher: path parsing + .ext override
+    + strict conneg + status codes, end-to-end."""
+    import json as jsonlib
+
+    from npm_extraction_server_spark.plans.serving import route
+
+    t, d = graph["triples"], graph["docs"]
+
+    # bundle route, Accept conneg
+    r = route(t, d, "/bundles/npm/hotpkg", accept="text/turtle", root=ROOT)
+    assert r["status"] == 200 and r["fmt"] == "ttl"
+    assert r["triples"].count() > 0
+
+    # .ext override beats Accept
+    r = route(t, d, "/bundles/npm/hotpkg.nt", accept="text/turtle", root=ROOT)
+    assert r["status"] == 200 and r["fmt"] == "nt"
+
+    # unknown Accept -> 406
+    r = route(t, d, "/bundles/npm/hotpkg", accept="image/png", root=ROOT)
+    assert r["status"] == 406 and r["triples"] is None
+
+    # module route: exact version 200, range 307-redirect
+    doc = jsonlib.loads(
+        d.filter(F.col("doc_kind") == "npm_manifest")
+        .filter(F.get_json_object("doc_json", "$.name") == "hotpkg")
+        .first()["doc_json"])
+    exact = list(doc["versions"])[0]
+    r = route(t, d, f"/bundles/npm/hotpkg/{exact}", root=ROOT)
+    assert r["status"] == 200 and r["resolved_version"] == exact
+    r = route(t, d, f"/bundles/npm/hotpkg/^{exact}", root=ROOT)
+    assert r["status"] == 307
+    assert r["triples"].first()["pred"].endswith("maxSatisfying")
+
+    # user + engine routes
+    user = t.filter(F.col("subj").contains("/users/npm/")).first()["subj"]
+    uname = user.rsplit("/", 1)[1]
+    r = route(t, d, f"/users/npm/{uname}", root=ROOT)
+    assert r["status"] == 200 and r["triples"].count() > 0
+    r = route(t, d, "/engines/node", root=ROOT)
+    assert r["status"] == 200
+
+    # scoped package: two path segments re-joined (the @org middleware)
+    scoped = (d.filter(F.col("doc_kind") == "npm_manifest")
+              .filter(F.get_json_object("doc_json", "$.name").startswith("@"))
+              .select(F.get_json_object("doc_json", "$.name").alias("n"))
+              .first())
+    if scoped:
+        r = route(t, d, f"/bundles/npm/{scoped['n']}", root=ROOT)
+        assert r["status"] == 200 and r["triples"].count() > 0
+
+    # unknown path -> 404
+    r = route(t, d, "/nope/xyz", root=ROOT)
+    assert r["status"] == 404
