@@ -234,21 +234,22 @@ class _ToRdf:
 
     def process_value(self, value, type_coercion, graph):
         """Process one object-position value -> object term or None."""
-        if isinstance(value, dict):
-            if "@list" in value:
-                return ("iri", self.process_list(value["@list"], type_coercion, graph))
-            if "@value" in value:
-                lang = value.get("@language")
-                dt = value.get("@type")
-                dt_iri = _expand_iri(dt, self.ctx, vocab=True) if dt else None
-                base = self.literal(value["@value"], dt_iri)
-                if base and lang and base[0] == "lit":
-                    return ("lit", base[1], lang, None)
-                return base
-            return ("iri", self.process_node(value, graph))
-        if isinstance(value, list):
-            raise ValueError("nested arrays not supported in JSON-LD 1.0")
-        return self.literal(value, type_coercion)
+        tv = type(value)
+        if tv is not dict:  # scalar fast path (the overwhelming case)
+            if tv is list:
+                raise ValueError("nested arrays not supported in JSON-LD 1.0")
+            return self.literal(value, type_coercion)
+        if "@list" in value:
+            return ("iri", self.process_list(value["@list"], type_coercion, graph))
+        if "@value" in value:
+            lang = value.get("@language")
+            dt = value.get("@type")
+            dt_iri = _expand_iri(dt, self.ctx, vocab=True) if dt else None
+            base = self.literal(value["@value"], dt_iri)
+            if base and lang and base[0] == "lit":
+                return ("lit", base[1], lang, None)
+            return base
+        return ("iri", self.process_node(value, graph))
 
     def process_list(self, items, type_coercion, graph) -> str:
         if not items:
@@ -266,50 +267,62 @@ class _ToRdf:
 
     def process_node(self, obj: dict, graph=None) -> str:
         node = self.node_id(obj)
+        ctx = self.ctx
+        append = self.triples.append
+        process_value = self.process_value
         for key, value in obj.items():
             if key in ("@id", "@context"):
                 continue
             if key == "@type":
                 types = value if isinstance(value, list) else [value]
                 for t in types:
-                    t_iri = _expand_iri(t, self.ctx, vocab=True)
+                    t_iri = _expand_iri(t, ctx, vocab=True)
                     if t_iri:
-                        self.emit(node, RDF_TYPE, ("iri", t_iri), graph)
+                        append((node, RDF_TYPE, ("iri", t_iri), graph))
                 continue
             if key == "@graph":
                 entries = value if isinstance(value, list) else [value]
                 for entry in entries:
                     self.process_node(entry, graph=node)
                 continue
-            pred, type_c, container, reverse = _term_def(key, self.ctx)
+            pred, type_c, container, reverse = _term_def(key, ctx)
             if pred is None or pred.startswith("@"):
                 continue
             if container == "@index" and isinstance(value, dict):
                 values = list(value.values())
             elif container == "@list":
                 lst = value if isinstance(value, list) else [value]
-                self.emit(node, pred, ("iri", self.process_list(lst, type_c, graph)), graph)
+                append((node, pred, ("iri", self.process_list(lst, type_c, graph)),
+                        graph))
                 continue
             elif isinstance(value, list):
                 values = value
             else:
-                values = [value]
+                # single-value fast path (most keys): no list wrapping
+                obj_term = process_value(value, type_c, graph)
+                if obj_term is not None:
+                    if reverse:
+                        if obj_term[0] == "iri":
+                            append((obj_term[1], pred, ("iri", node), graph))
+                    else:
+                        append((node, pred, obj_term, graph))
+                continue
             for v in values:
                 if isinstance(v, list):  # one level of nesting from @index maps
                     inner = v
                 else:
                     inner = [v]
                 for item in inner:
-                    obj_term = self.process_value(item, type_c, graph)
+                    obj_term = process_value(item, type_c, graph)
                     if obj_term is None:
                         continue
                     if reverse:
                         # reverse edges require a node/IRI object
                         if obj_term[0] != "iri":
                             continue
-                        self.emit(obj_term[1], pred, ("iri", node), graph)
+                        append((obj_term[1], pred, ("iri", node), graph))
                     else:
-                        self.emit(node, pred, obj_term, graph)
+                        append((node, pred, obj_term, graph))
         return node
 
 

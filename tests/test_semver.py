@@ -100,3 +100,27 @@ def test_operator_comparators():
     assert satisfies("2.0.0", ">1.x")  # >1.x -> >=2.0.0
     assert not satisfies("1.9.0", ">1.x")
     assert satisfies("0.5.0", "<1.x")  # <1.x -> <1.0.0
+
+
+def test_strict_mode_prerelease_hyphen_required():
+    """node-semver 5 STRICT grammar (the reference uses default strict
+    validRange): hyphen-less prereleases are invalid ranges, and
+    pre/build attach only after a full M.m.p."""
+    assert not valid_range("~1.2.3alpha")
+    assert valid_range("~1.2.3-alpha")
+    assert not valid_range("1.2-alpha")   # pre without patch
+    assert not valid_range("1-alpha")
+    assert valid_range("1.2.3-alpha.1+build.5")
+    # sanity: plain partials still fine
+    assert valid_range("~1.2") and valid_range("1.x") and valid_range("1")
+
+
+def test_xrange_with_gt_lt_matches_nothing():
+    """replaceXRange: '>*', '>x', '<*', '<x' all desugar to <0.0.0."""
+    versions = ["0.0.1", "1.0.0", "2.0.0"]
+    for rng in (">*", ">x", "<*", "<x", ">X"):
+        assert valid_range(rng)
+        assert max_satisfying(versions, rng) is None
+        assert not satisfies("1.0.0", rng)
+    # but '=*' / bare '*' still match everything
+    assert max_satisfying(versions, "*") == "2.0.0"
