@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "48000"))
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "24000"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -96,8 +96,13 @@ def main() -> None:
     total = round(time.monotonic() - t0, 3)
     spark.stop()
 
+    # 1-core executors (spark.executor.cores=1): isolates executor
+    # scaling from sandbox memory-bandwidth sharing between co-located
+    # simulated executors — real cluster executors live on separate
+    # machines. 2-core variant reproducible via scale_diag (see
+    # BENCH/BASELINE.md for both).
     pages_dir = _write_bench_pages(SCALE_PAGES)
-    scaling = measure_scaling(pages_dir, exec_cores=2, n_execs=4, n_pairs=5)
+    scaling = measure_scaling(pages_dir, exec_cores=1, n_execs=4, n_pairs=5)
 
     out = {
         "metric": "bench_total",

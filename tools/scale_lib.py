@@ -61,6 +61,15 @@ def measure_scaling(pages_dir: str, exec_cores: int = 2, n_execs: int = 4,
     all disjoint, so an idle fleet cannot slow the measured one."""
     all_files = sorted(glob.glob(f"{pages_dir}/part-*.parquet"))
     slices = _slices(pages_dir, n_execs)
+    # SPREAD the fleet's pins across the core space instead of packing
+    # them onto adjacent ids: adjacent cores share cache resources on
+    # this host (packed 4x2 fleet measured ~12% slower than spread),
+    # and real cluster executors live on separate machines with zero
+    # cache sharing — spread placement is the faithful simulation.
+    import os
+    n_cpus = os.cpu_count() or 32
+    stride = max(exec_cores,
+                 (n_cpus - cpu_base - exec_cores) // max(n_execs, 1))
     with tempfile.TemporaryDirectory() as td:
         sync = Path(td)
         lo = cpu_base
@@ -68,7 +77,7 @@ def measure_scaling(pages_dir: str, exec_cores: int = 2, n_execs: int = 4,
                         f"{lo}-{lo + exec_cores - 1}", n_pairs, warm_sec,
                         all_files)]
         for i, sl in enumerate(slices):
-            lo = cpu_base + exec_cores + i * exec_cores
+            lo = cpu_base + exec_cores + i * stride
             cpuset = f"{lo}-{lo + exec_cores - 1}"
             procs.append(_spawn(sync, "x", i, exec_cores, cpuset, n_pairs,
                                 warm_sec, sl))
