@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_user_index": _kg_user_index,
         "kg_incremental": _kg_incremental,
         "mm_media_features": _mm_media_features,
+        "mm_audio_features": _mm_audio_features,
         "tar_members": _tar_members,
         "tar_components": _tar_components,
         "kg_triples_doap": _kg_triples_doap,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
             "semver_resolve": _SEMVER_RESOLVE_ORACLE,
             "tar_members": _TAR_MEMBERS_ORACLE,
             "tar_components": _TAR_COMPONENTS_ORACLE,
+            "mm_audio_features": _MM_AUDIO_ORACLE,
             "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE}
 
@@ -467,6 +469,44 @@ SELECT 'tar-' || i,
        '{"@context":"http://example.org/ctx/' || i ||
        '/sub","@id":"http://example.org/c/' || i || '/extra"}'
 FROM t
+"""
+
+
+def _mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: Spark parses actual PCM WAV blobs (stdlib
+    wave) and computes sample statistics; the DuckDB oracle re-derives
+    every field ANALYTICALLY from the synthesis formula — a hard check
+    on the whole container round-trip."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        audio_features,
+        synth_media_df,
+    )
+
+    return audio_features(synth_media_df(spark, 64))
+
+
+# samples[j] = ((i*37 + j*13) % 2048) - 1024 over n = 200 + (i%7)*100
+# frames at 8 kHz mono 16-bit; rms/peak/duration re-derived in SQL.
+_MM_AUDIO_ORACLE = """
+WITH audio AS (
+  SELECT unnest(generate_series(0, 63)) AS i
+),
+aud AS (SELECT i, (200 + (i % 7) * 100) AS n FROM audio WHERE i % 5 = 2),
+samples AS (
+  SELECT a.i, a.n, (((a.i * 37 + j * 13) % 2048) - 1024) AS s
+  FROM aud a, unnest(generate_series(0, a.n - 1)) AS t(j)
+),
+stats AS (
+  SELECT i, any_value(n) AS n,
+         floor(sqrt(sum(s * s) / count(*)))::INT AS rms,
+         max(abs(s))::INT AS peak
+  FROM samples GROUP BY i
+)
+SELECT i::BIGINT AS media_id, true AS ok,
+       8000 AS sample_rate, 1 AS n_channels, 2 AS sample_width,
+       n::BIGINT AS n_frames, (n * 1000 // 8000)::BIGINT AS duration_ms,
+       rms, peak
+FROM stats
 """
 
 

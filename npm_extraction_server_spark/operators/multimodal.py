@@ -2,16 +2,22 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested; the actual codec
-work is STUBBED (``decode_backend='fake'`` is a deterministic
+Arrow batch shape, UDF signatures) is real and tested. IMAGE/VIDEO
+codec work is STUBBED (``decode_backend='fake'`` is a deterministic
 byte-derived fake; ``'real'`` raises NotImplementedError because
-image/audio libraries are not in this container).
+PIL/av/cv2 are not in this container). AUDIO decode is REAL: WAV
+container parsing + sample statistics via the stdlib ``wave`` module
+(``audio_features``) — the synthetic corpus's audio blobs are valid
+PCM WAV files.
 
 Operators:
 - ``attach_media_metadata``: sniff container type + size from magic
   bytes (pure column ops on the binary prefix).
 - ``decode_features``: mapInPandas batch "decode" -> fixed-size feature
   vector per blob (the plumbing for an embedding/extract stage).
+- ``audio_features``: REAL WAV decode -> (sample_rate, channels,
+  frames, duration, rms, peak) per audio blob; undecodable blobs get
+  ok=false rows, never task failures.
 - ``resize_images`` / ``sample_frames``: same shape, different typed
   output (stub transforms), demonstrating batch-in/batch-out contracts.
 """
@@ -107,6 +113,64 @@ def decode_features(media: DataFrame, dim: int = 32,
         fn, schema=FEATURES_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_width", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("rms", T.IntegerType(), True),
+    T.StructField("peak", T.IntegerType(), True),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode for WAV blobs (stdlib ``wave``): container
+    header (rate/channels/width/frames) + PCM sample statistics
+    (RMS + peak absolute amplitude, computed over the raw frames).
+    Non-audio rows are filtered upstream by media_kind; undecodable
+    blobs yield ok=false rows (pipeline-safe, no task failure)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        cols = [f.name for f in AUDIO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(p or b"")
+                try:
+                    with wave.open(io.BytesIO(blob), "rb") as wf:
+                        rate = wf.getframerate()
+                        nch = wf.getnchannels()
+                        width = wf.getsampwidth()
+                        nframes = wf.getnframes()
+                        frames = wf.readframes(nframes)
+                    if width == 2:
+                        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+                    elif width == 1:
+                        samples = tuple(b - 128 for b in frames)
+                    else:
+                        raise ValueError(f"unsupported sample width {width}")
+                    n = len(samples)
+                    rms = int((sum(s * s for s in samples) / n) ** 0.5) if n else 0
+                    peak = max((abs(s) for s in samples), default=0)
+                    rows.append((int(mid), True, rate, nch, width,
+                                 nframes, int(nframes * 1000 / rate) if rate else 0,
+                                 rms, peak))
+                except Exception:  # noqa: BLE001 — malformed blob -> ok=false
+                    rows.append((int(mid), False, None, None, None,
+                                 None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    aud = media.filter(F.col("media_kind") == "audio")
+    return aud.select("media_id", "payload").mapInPandas(fn, schema=AUDIO_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),
@@ -167,10 +231,30 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     return vid.select("media_id", "payload").mapInPandas(fn, schema=FRAMES_SCHEMA)
 
 
+def synth_wav(i: int, rate: int = 8000) -> bytes:
+    """A VALID deterministic PCM WAV blob (mono, 16-bit): triangle-ish
+    samples, frame count varying with the id — parsed for real by
+    ``audio_features``."""
+    import io
+    import struct
+    import wave
+
+    n_frames = 200 + (i % 7) * 100
+    samples = [((i * 37 + j * 13) % 2048) - 1024 for j in range(n_frames)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{n_frames}h", *samples))
+    return buf.getvalue()
+
+
 def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic media corpus: cycles through PNG/JPEG/WAV/MP4-style
-    magic prefixes with sha-derived bodies."""
-    prefixes = [b"\x89PNG\r\n", b"\xff\xd8\xff\xe0", b"RIFF1234WAVE",
+    """Deterministic media corpus: cycles through PNG/JPEG-style magic
+    prefixes with sha-derived bodies, VALID WAV audio blobs (real
+    decode path), MP4-style prefixes and junk."""
+    prefixes = [b"\x89PNG\r\n", b"\xff\xd8\xff\xe0", None,  # None -> real WAV
                 b"\x00\x00\x00\x18ftypmp42", b"junk"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,8 +262,12 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                body = hashlib.sha256(f"media:{i}".encode()).digest() * (1 + i % 4)
-                rows.append((i, prefixes[i % len(prefixes)] + body))
+                if i % len(prefixes) == 2:
+                    payload = synth_wav(i)
+                else:
+                    body = hashlib.sha256(f"media:{i}".encode()).digest() * (1 + i % 4)
+                    payload = prefixes[i % len(prefixes)] + body
+                rows.append((i, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     base = spark.range(n)

@@ -127,3 +127,41 @@ def stream_sessionize(spark: SparkSession, events_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_windowed_counts(spark: SparkSession, events_dir: str, out_dir: str,
+                           checkpoint_dir: str,
+                           window_duration: str = "10 minutes",
+                           watermark_delay: str = "30 minutes"):
+    """Watermarked event-time tumbling-window aggregation (§2.8 late
+    data): events later than ``watermark_delay`` behind the max seen
+    event time are DROPPED; closed windows are emitted exactly once
+    (append mode requires the watermark). The batch-equivalent query is
+    the same groupBy(window(ts)) — the test compares against it."""
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch so
+        .parquet(events_dir)              # the watermark advances between files
+    )
+    agg = (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("win_start"),
+                F.col("window.end").alias("win_end"), "n_events")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/windows")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -203,3 +203,67 @@ def test_name_lsh_blocking_planted(spark):
              for r in candidate_edges(mentions, None, name_jaccard=0.7).collect()}
     assert ("iri:a", "iri:b") in edges
     assert not any("iri:c" in e for pair in edges for e in pair)
+
+
+def test_stream_windowed_watermark(spark, tmp_path):
+    """Watermarked tumbling windows over event time: on-time events are
+    aggregated exactly once in append mode; an event arriving in a
+    later micro-batch but >watermark behind the advanced event-time
+    frontier is DROPPED (the late-data contract of §2.8)."""
+    import pandas as pd
+
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_windowed_counts,
+    )
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mtime = [1_700_000_000]
+
+    def write_file(name, rows):
+        # explicit filenames + strictly increasing mtimes: the file
+        # source orders micro-batches by modification time, and three
+        # sub-second appends would race the intended batch order
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        path = str(events_dir / f"{name}.parquet")
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("ts", pa.timestamp("us")),
+                            ("user_id", pa.int64())])
+        pq.write_table(pa.Table.from_pandas(pdf).cast(schema), path)
+        mtime[0] += 60
+        os.utime(path, (mtime[0], mtime[0]))
+
+    # file 1: events across windows [00:00,00:10) and [00:10,00:20)
+    write_file("f1", [(1, base + pd.Timedelta(minutes=1), 1),
+                      (2, base + pd.Timedelta(minutes=2), 1),
+                      (3, base + pd.Timedelta(minutes=12), 2)])
+    # file 2: advances the frontier to 02:00 (watermark -> 01:30)
+    write_file("f2", [(4, base + pd.Timedelta(hours=2), 3)])
+    # file 3: one more on-time batch — at ITS end the early windows are
+    # emitted and EVICTED (watermark 01:30 > their window ends)
+    write_file("f3", [(6, base + pd.Timedelta(hours=2, minutes=5), 3)])
+    # file 4: a VERY late event for the already-evicted first window
+    # (01:27 behind the watermark) -> dropped, no duplicate emission
+    # (the watermark's input filter applies the PREVIOUS batch's
+    # frontier, so eviction must precede the late arrival — measured)
+    write_file("f4", [(5, base + pd.Timedelta(minutes=3), 9),
+                      (7, base + pd.Timedelta(hours=2, minutes=6), 3)])
+
+    q = stream_windowed_counts(spark, str(events_dir), str(tmp_path / "out"),
+                               str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out") + "/windows")
+    got = {(str(r["win_start"]), r["n_events"]) for r in out.collect()}
+    # the first window closed with ONLY the on-time events (late #5
+    # dropped); the 00:10 window closed with one event
+    assert ("2024-01-01 00:00:00", 2) in got
+    assert ("2024-01-01 00:10:00", 1) in got
+    # no duplicate emissions for the same window
+    starts = [str(r["win_start"]) for r in out.collect()]
+    assert len(starts) == len(set(starts))

@@ -292,6 +292,43 @@ def test_multimodal_plumbing(spark):
         decode_features(media, dim=8, decode_backend="real").collect()
 
 
+def test_audio_features_real_wav_decode(spark):
+    """audio_features REALLY parses WAV containers (stdlib wave): header
+    fields and PCM sample stats match the synthesis formula; malformed
+    blobs yield ok=false rows, never task failures."""
+    import struct
+    import wave as wave_mod
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        audio_features,
+        synth_wav,
+    )
+
+    media = synth_media_df(spark, 30)
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(rows) == media.filter(F.col("media_kind") == "audio").count() > 0
+    for mid, r in rows.items():
+        assert r["ok"] and r["sample_rate"] == 8000 and r["n_channels"] == 1
+        expect_frames = 200 + (mid % 7) * 100
+        assert r["n_frames"] == expect_frames
+        assert r["duration_ms"] == expect_frames * 1000 // 8000
+        samples = [((mid * 37 + j * 13) % 2048) - 1024 for j in range(expect_frames)]
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert r["rms"] == int((sum(s * s for s in samples) / len(samples)) ** 0.5)
+
+    # corrupted audio blob -> ok=false row
+    bad = spark.createDataFrame(
+        [(999, b"RIFFgarbage-not-a-wav", "audio")],
+        "media_id long, payload binary, media_kind string")
+    out = audio_features(bad).collect()
+    assert len(out) == 1 and out[0]["ok"] is False
+
+    # the synthesized blob is a real WAV by independent parse
+    import io
+    with wave_mod.open(io.BytesIO(synth_wav(7)), "rb") as wf:
+        assert wf.getframerate() == 8000 and wf.getnframes() == 200 + (7 % 7) * 100
+
+
 def test_ivf_topk_properties(spark):
     """IVF with Lloyd refinement: deterministic across runs, and with
     nprobe == n_centroids (probe everything) it EQUALS exact top-k —
