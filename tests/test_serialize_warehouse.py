@@ -52,6 +52,41 @@ def test_trig(triples):
     assert "doap:name" in trig
 
 
+def test_trig_named_graph_prefixes_declared():
+    """Every prefixed name used INSIDE a named-graph block must be
+    declared by the single document-level @prefix header (per-block
+    compaction with stripped headers — the round-1 bug — emitted
+    undeclared names that TriG parsers reject)."""
+    import re
+
+    from npm_extraction_server_spark.kernel.jsonld_rdf import Triple
+
+    ts = [
+        Triple("http://example.org/bundles/npm/a", "http://usefulinc.com/ns/doap#name",
+               '"a"', True, None),
+        Triple("http://example.org/bundles/npm/a",
+               "http://usefulinc.com/ns/doap#maintainer",
+               "http://example.org/users/npm/u", False,
+               "http://example.org/graphs/tags"),
+        Triple("http://example.org/bundles/npm/a",
+               "http://purl.org/dc/terms/modified",
+               '"2020-01-01"^^http://www.w3.org/2001/XMLSchema#date', True,
+               "http://example.org/graphs/tags"),
+    ]
+    trig = to_trig(ts)
+    assert "{" in trig  # a named-graph block exists
+    # no @prefix declarations inside blocks
+    inside = trig[trig.index("{"):]
+    assert "@prefix" not in inside
+    # every used prefix is declared in the document header
+    used = set(re.findall(r"(?m)(?:^|[ ,;(])([A-Za-z][\w-]*):(?!/)", trig))
+    declared = set(re.findall(r"@prefix (\S+):", trig))
+    assert used, trig
+    assert used <= declared, (used - declared, trig)
+    # doap/xsd used inside the named block are covered
+    assert "doap:maintainer" in inside and "xsd:date" in inside
+
+
 def test_serialize_dispatch(triples):
     for fmt in ("nt", "nq", "ttl", "n3", "trig"):
         assert serialize(triples, fmt)
