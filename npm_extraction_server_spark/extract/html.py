@@ -21,6 +21,11 @@ import hashlib
 import json as jsonlib
 import re
 
+try:  # orjson: 3-6x faster parse of big manifest blobs; optional
+    import orjson as _fastjson
+except ImportError:  # pragma: no cover - depends on image contents
+    _fastjson = jsonlib
+
 _MANIFEST_RE = re.compile(
     r'<script\s+type="application/json"\s+data-kind="npm-manifest"\s*>(.*?)</script>',
     re.S,
@@ -51,27 +56,35 @@ def microdata_to_jsonld(url: str, idx: int, itemtype: str, body: str) -> dict:
     return node
 
 
-def extract_blobs(url: str, html: bytes) -> list[tuple[str, str]]:
-    """One page -> [(doc_kind, doc_json)]. Broken JSON blobs are skipped
-    (a malformed blob must not fail the page)."""
+def extract_parsed(url: str, html: bytes) -> list[tuple[str, dict]]:
+    """One page -> [(doc_kind, parsed_doc)]. Broken JSON blobs are
+    skipped (a malformed blob must not fail the page). The fused
+    pages->triples stage consumes this form directly — no canonical
+    re-dump + re-parse on the hot path."""
     try:
         text = html.decode("utf-8", errors="replace")
     except Exception:
         return []
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, dict]] = []
     for m in _MANIFEST_RE.finditer(text):
         try:
-            doc = jsonlib.loads(m.group(1))
+            out.append(("npm_manifest", _fastjson.loads(m.group(1))))
         except Exception:
             continue
-        out.append(("npm_manifest", jsonlib.dumps(doc, separators=(",", ":"))))
     for m in _JSONLD_RE.finditer(text):
         try:
-            doc = jsonlib.loads(m.group(1))
+            out.append(("jsonld", _fastjson.loads(m.group(1))))
         except Exception:
             continue
-        out.append(("jsonld", jsonlib.dumps(doc, separators=(",", ":"))))
     for i, m in enumerate(_ITEMSCOPE_RE.finditer(text)):
-        node = microdata_to_jsonld(url, i, m.group(2), m.group(3))
-        out.append(("microdata", jsonlib.dumps(node, separators=(",", ":"))))
+        out.append(("microdata", microdata_to_jsonld(url, i, m.group(2), m.group(3))))
     return out
+
+
+def extract_blobs(url: str, html: bytes) -> list[tuple[str, str]]:
+    """One page -> [(doc_kind, doc_json)] with the canonical compact
+    re-dump (the docs-table form: stable doc_sha, engine-agnostic)."""
+    return [
+        (kind, jsonlib.dumps(doc, separators=(",", ":")))
+        for kind, doc in extract_parsed(url, html)
+    ]

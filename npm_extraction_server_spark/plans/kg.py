@@ -20,6 +20,11 @@ Scale notes (the 100 TB design):
 from __future__ import annotations
 
 import json as jsonlib
+
+try:  # orjson: 3-6x faster loads on the manifest hot path; optional
+    import orjson as _fastjson
+except ImportError:  # pragma: no cover - depends on image contents
+    _fastjson = jsonlib
 from typing import Iterator
 
 import pandas as pd
@@ -109,7 +114,7 @@ def _triples_partition(root: str):
             rows = []
             for url, kind, doc_json in zip(pdf["url"], pdf["doc_kind"], pdf["doc_json"]):
                 try:
-                    doc = jsonlib.loads(doc_json)
+                    doc = _fastjson.loads(doc_json)
                 except Exception as e:
                     rows.append((url, None, None, None, None, None, None, part_id, str(e)))
                     continue
@@ -155,7 +160,7 @@ def _fused_partition(root: str):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        from ..extract.html import extract_blobs
+        from ..extract.html import extract_parsed
         from ..kernel.jsonld_rdf import to_triples
         from ..kernel.pipeline import export_bundle
 
@@ -184,12 +189,7 @@ def _fused_partition(root: str):
 
             for url, html in zip(pdf["url"], pdf["html"]):
                 blob = bytes(html) if html is not None else b""
-                for kind, doc_json in extract_blobs(url, blob):
-                    try:
-                        doc = jsonlib.loads(doc_json)
-                    except Exception as e:
-                        emit_error(url, None, str(e))
-                        continue
+                for kind, doc in extract_parsed(url, blob):
                     if kind == "npm_manifest":
                         result = export_bundle(doc, root)
                         if result.error is not None:
