@@ -84,6 +84,13 @@ def measure_scaling(pages_dir: str, exec_cores: int = 2, n_execs: int = 4,
 
         def wait(names: list[str]) -> None:
             while not all((sync / nm).exists() for nm in names):
+                # liveness: a dead executor must fail the measurement,
+                # not hang the bench until the driver's timeout
+                for pr in procs:
+                    if pr.poll() is not None and pr.returncode != 0:
+                        raise RuntimeError(
+                            f"scale executor died rc={pr.returncode} "
+                            f"while waiting for {names}")
                 time.sleep(0.02)
 
         wait([f"ready_n_0"] + [f"ready_x_{i}" for i in range(n_execs)])
