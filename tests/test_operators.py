@@ -296,7 +296,6 @@ def test_audio_features_real_wav_decode(spark):
     """audio_features REALLY parses WAV containers (stdlib wave): header
     fields and PCM sample stats match the synthesis formula; malformed
     blobs yield ok=false rows, never task failures."""
-    import struct
     import wave as wave_mod
 
     from npm_extraction_server_spark.operators.multimodal import (
