@@ -114,3 +114,44 @@ def test_spark_tar_operators(spark):
     one = {json.loads(r["component_json"])["@id"]
            for r in comps.filter(F.col("tar_id") == "tar-0").collect()}
     assert one == {"http://example.org/c/0/main", "http://example.org/c/0/extra"}
+
+
+def test_tar_roundtrip_property():
+    """Property: for ANY file tree (names, nesting, contents), extract
+    recovers exactly the files written, and resolve_path returns each
+    file's bytes under the package/ root."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name_seg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-.", min_size=1, max_size=8
+    ).filter(lambda s: s not in (".", "..") and not s.endswith("."))
+    rel_path = st.lists(name_seg, min_size=1, max_size=3).map("/".join)
+    content = st.binary(min_size=0, max_size=64)
+
+    @settings(max_examples=25, deadline=None)
+    @given(files=st.dictionaries(rel_path, content, min_size=1, max_size=6))
+    def check(files):
+        # drop paths where one file's path is a prefix-dir of another
+        # (a file and a directory can't share a name in the dict tree)
+        paths = sorted(files)
+        pruned = {}
+        for p in paths:
+            if any(q != p and p.startswith(q + "/") for q in paths):
+                continue
+            if any(q != p and q.startswith(p + "/") for q in paths):
+                continue
+            pruned[p] = files[p]
+        if not pruned:
+            return
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:") as t:
+            for p, body in pruned.items():
+                info = tarfile.TarInfo(f"package/{p}")
+                info.size = len(body)
+                t.addfile(info, io.BytesIO(body))
+        tree = extract_tar(gzip.compress(buf.getvalue()))
+        for p, body in pruned.items():
+            assert resolve_path(p, tree) == body
+
+    check()
