@@ -138,7 +138,13 @@ def oracle_sql() -> dict[str, str]:
 
     # kg_pipeline_triples / kg_lineage and the custom stateful ops are
     # non-SQL-expressible -> rows-only (mm_media_features too: DuckDB
-    # core sha256 only hashes VARCHAR, not the binary payloads).
+    # core sha256 only hashes VARCHAR, not the binary payloads). Every
+    # rows-only query has a hard-oracle SIBLING exercising the same
+    # code path: kg_pipeline_triples/kg_lineage -> kg_triples_doap,
+    # dedup_minhash -> dedup_minhash_verified, dedup_simhash ->
+    # dedup_simhash_verified, sim_lsh_topk -> sim_lsh_verified,
+    # sim_ivf_topk -> sim_ivf_verified, kg_entity_linking (J7 CC) ->
+    # graph_components, mm_media_features -> mm_audio_features.
     # kg_user_index and semver_resolve HAVE hard oracles: the synthetic
     # corpus is a pure function of doc_id (sources/synth.py), so DuckDB
     # re-derives the expected output from documents.doc_id alone.

@@ -251,6 +251,15 @@ def minhash_verified_pairs(documents: DataFrame, threshold: float = 0.5,
                              threshold=0.0, text_col=text_col,
                              max_bucket_size=max_bucket_size) \
         .select("doc_a", "doc_b")
+    return _exact_jaccard_recheck(cand, documents, threshold, k, text_col)
+
+
+def _exact_jaccard_recheck(cand: DataFrame, documents: DataFrame,
+                           threshold: float, k: int,
+                           text_col: str) -> DataFrame:
+    """TRUE word-k-shingle Jaccard over candidate (doc_a, doc_b) pairs
+    only, filtered at ``threshold`` — the re-rank stage shared by the
+    verified MinHash and SimHash forms. Joins stay candidate-sized."""
     sh = word_shingles(documents, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -303,10 +312,14 @@ def simhash_signatures(documents: DataFrame, bits: int = 64,
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text") -> DataFrame:
-    """Candidate pairs with Hamming distance <= max_hamming via 4-band
-    rotation blocking (any pair within distance 3 of a 64-bit hash
-    agrees exactly on at least one 16-bit band)."""
+                       text_col: str = "text", bands: int = 4) -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming via band
+    rotation blocking: ``bands`` equal slices of the 64-bit signature
+    (pigeonhole: any pair within distance ``bands - 1`` agrees exactly
+    on at least one slice, so recall is GUARANTEED for
+    max_hamming <= bands - 1 and probabilistic above)."""
+    band_bits = 64 // bands
+    band_mask = (1 << band_bits) - 1
     # eager localCheckpoint, not persist: computed once for both join
     # sides, blocks auto-released when the result is unreferenced
     sigs = simhash_signatures(documents, 64, text_col).localCheckpoint(eager=True)
@@ -314,9 +327,9 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
-                     F.shiftrightunsigned("simhash", b * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
-            for b in range(4)
+                     F.shiftrightunsigned("simhash", b * band_bits)
+                     .bitwiseAND(F.lit(band_mask)).alias("band_val"))
+            for b in range(bands)
         ])).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
@@ -330,6 +343,30 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_verified_pairs(documents: DataFrame, threshold: float = 0.9,
+                           k: int = 3, text_col: str = "text",
+                           bands: int = 8) -> DataFrame:
+    """SimHash blocking -> exact n-gram-Jaccard re-check: the
+    oracle-checkable form of SimHash dedup (mirrors
+    minhash_verified_pairs).
+
+    Candidates come from 8-band blocking over the 64-bit signature
+    (8-bit slices): pigeonhole guarantees every pair within Hamming
+    distance 7 collides on some band. Near-duplicates at
+    Jaccard >= 0.9 sit at Hamming <= ~5 on this corpus family (measured
+    max 5 at sf0.001/sf0.01 — the 4x16 banding used by the approximate
+    ``simhash_near_pairs`` missed 2 true pairs at h=4-5 whose flipped
+    bits straddled all four bands, which is why the verified form
+    widens to 8 bands). Each candidate is re-checked with the TRUE
+    word-k-shingle Jaccard, so precision is 1 by construction and the
+    output EQUALS the exact all-pairs result in the near-dup regime
+    while the plan stays band-bucketed (never all-pairs)."""
+    cand = simhash_near_pairs(documents, max_hamming=bands - 1,
+                              text_col=text_col, bands=bands) \
+        .select("doc_a", "doc_b")
+    return _exact_jaccard_recheck(cand, documents, threshold, k, text_col)
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,

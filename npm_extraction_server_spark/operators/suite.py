@@ -22,6 +22,7 @@ from .dedup import (
     minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    simhash_verified_pairs,
 )
 from .similarity import cosine_topk, ivf_topk, lsh_topk
 from .text import fingerprints, lang_id, quality_scores, token_counts
@@ -382,6 +383,14 @@ def dedup_simhash(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
 
 
+def dedup_simhash_verified(spark, sf):
+    """SimHash 8-band blocking -> exact-Jaccard re-check: equals the
+    exact pair set at threshold 0.9 (hard DuckDB oracle; pigeonhole
+    guarantees band recall through Hamming 7, measured true-pair max
+    is 5) with a band-bucketed candidate plan."""
+    return simhash_verified_pairs(_t(spark, sf, "documents"), threshold=0.9)
+
+
 def dedup_embedding(spark, sf):
     """Embedding near-dup over a corpus with PLANTED near-duplicates
     (vec_id < 50 get a deterministically-perturbed copy at id+100000 —
@@ -436,6 +445,72 @@ def sim_lsh_topk(spark, sf):
 def sim_ivf_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _planted_ann_queries(emb, n: int = 20, offset: int = 200000):
+    """Perturbed copies of the first ``n`` vectors (cosine ~0.993 to
+    their source, same formula as dedup_embedding's plants) — queries
+    whose TRUE nearest neighbor is known to sit in the near-dup angle
+    regime where LSH/IVF recall is ~1, making ANN top-1 exactly
+    oracle-checkable."""
+    return emb.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + 0.01 * (F.pmod(F.col("vec_id") * 64 + i, F.lit(5)).cast("double") - 2),
+        ).alias("embedding"),
+    )
+
+
+def sim_lsh_verified(spark, sf):
+    """ANN-LSH retrieves the exact nearest neighbor of every planted
+    query (hard DuckDB oracle: exact argmax cosine). 16 tables x 8 bits:
+    per-table collision for the ~0.993-cosine source is ~0.74, miss
+    probability over 16 tables ~5e-10 — and the sha256 hyperplanes make
+    the result fully deterministic."""
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, _planted_ann_queries(emb), k=1, dim=64,
+                    tables=16, bits=8)
+
+
+def sim_ivf_verified(spark, sf):
+    """IVF ANN retrieves the exact nearest neighbor of every planted
+    query (hard DuckDB oracle): the query is a tiny perturbation of its
+    source vector, so the source's centroid cell is always within the
+    nprobe=4 probed cells."""
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, _planted_ann_queries(emb), k=1,
+                    n_centroids=16, nprobe=4)
+
+
+def graph_components(spark, sf):
+    """J7 connected components under a HARD oracle: a deterministic
+    graph over doc_ids (chain edges i -> i-1 within runs of 10, cross
+    edges i -> i+100 at i % 37 == 0) whose components DuckDB re-derives
+    via a recursive-CTE transitive closure. Exercises min-label
+    propagation + pointer doubling over multi-hop chains. Node ids are
+    zero-padded so string min == numeric min on both engines."""
+    from ..plans.linking import connected_components
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def nid(col):
+        return F.lpad(col.cast("string"), 8, "0")
+
+    vertices = docs.select(nid(F.col("doc_id")).alias("entity_iri"))
+    chain = docs.filter((F.col("doc_id") % 10) != 0).select(
+        nid(F.col("doc_id")).alias("src"),
+        nid(F.col("doc_id") - 1).alias("dst"))
+    cross = (
+        docs.filter((F.col("doc_id") % 37) == 0)
+        .select(nid(F.col("doc_id")).alias("src"),
+                nid(F.col("doc_id") + 100).alias("dst"))
+        .join(docs.select(nid(F.col("doc_id")).alias("dst")), "dst", "left_semi")
+    )
+    cc = connected_components(vertices, chain.unionByName(cross))
+    return cc.select(F.col("entity_iri").alias("node_id"),
+                     F.col("canonical_id").alias("component_id"))
 
 
 def sample_split(spark, sf):
@@ -514,6 +589,7 @@ SPARK_QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_verified": dedup_simhash_verified,
     "dedup_embedding": dedup_embedding,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -522,6 +598,9 @@ SPARK_QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_lsh_verified": sim_lsh_verified,
+    "sim_ivf_verified": sim_ivf_verified,
+    "graph_components": graph_components,
     "emb_stats": emb_stats,
     "sample_split": sample_split,
     "pack_tokens": pack_tokens,
@@ -533,6 +612,94 @@ def _dec_sum_sql(expr, scale=2, out_scale=2):
     return (f"round(cast(sum(cast(round({expr}, {scale}) as decimal(28,{scale}))) "
             f"as double), {out_scale})")
 
+
+# Exact all-pairs word-3-shingle Jaccard at a threshold — the shared
+# DuckDB oracle for the *verified* MinHash (0.5) and SimHash (0.9)
+# dedup forms, whose LSH/band candidate recall is complete in those
+# regimes so their output EQUALS this exact set.
+_EXACT_JACCARD_SQL_TMPL = """
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                            ' ') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(words) - 3, 0) + 2),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+        FROM norm
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+          >= {threshold}
+"""
+
+# Exact nearest neighbor of every planted ANN query (perturbed copies
+# of vec_id < 20 at +200000; same plant formula as dedup_embedding) —
+# the shared oracle for sim_lsh_verified and sim_ivf_verified: both ANN
+# engines must retrieve the true top-1.
+_ANN_VERIFIED_SQL = """
+    WITH orig AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> cast(x AS double)) AS vec
+        FROM embeddings),
+    q AS (
+        SELECT id + 200000 AS query_id,
+               list_transform(range(1, 65),
+                   i -> vec[i] + 0.01 * (cast((id * 64 + (i - 1)) % 5
+                                              AS double) - 2)) AS qv
+        FROM orig WHERE id < 20),
+    scored AS (
+        SELECT q.query_id, o.id AS item_id,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> o.vec[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(o.vec, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+                     6) AS cosine
+        FROM orig o CROSS JOIN q)
+    SELECT query_id, item_id, cosine, rank FROM (
+        SELECT query_id, item_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, item_id) AS rank
+        FROM scored)
+    WHERE rank = 1
+"""
+
+# Transitive closure of the deterministic doc_id graph (chains within
+# runs of 10 + cross edges at multiples of 37): component id = min
+# reachable node. Recursive CTE = the oracle for the distributed
+# min-label/pointer-doubling connected components.
+_GRAPH_COMPONENTS_SQL = """
+    WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+        WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT d.doc_id, d.doc_id + 100 FROM documents d
+        WHERE d.doc_id % 37 = 0
+          AND EXISTS (SELECT 1 FROM documents x
+                      WHERE x.doc_id = d.doc_id + 100)
+    ), sym AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), r(id, t) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.id, sym.b FROM r JOIN sym ON r.t = sym.a
+    )
+    SELECT lpad(id::VARCHAR, 8, '0') AS node_id,
+           lpad(min(t)::VARCHAR, 8, '0') AS component_id
+    FROM r GROUP BY id
+"""
 
 ORACLE_SQL = {
     "sc1_scan_filter": """
@@ -757,32 +924,11 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.05
     """,
-    "dedup_minhash_verified": """
-        WITH norm AS (
-            SELECT doc_id,
-                   string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
-                                ' ') AS words
-            FROM documents
-        ), sh AS (
-            SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(1, greatest(len(words) - 3, 0) + 2),
-                       i -> array_to_string(words[i:i+2], ' ')))) AS shingle
-            FROM norm
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
-        ), pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
-                   AS jaccard
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
-    """,
+    "dedup_minhash_verified": _EXACT_JACCARD_SQL_TMPL.format(threshold=0.5),
+    "dedup_simhash_verified": _EXACT_JACCARD_SQL_TMPL.format(threshold=0.9),
+    "sim_lsh_verified": _ANN_VERIFIED_SQL,
+    "sim_ivf_verified": _ANN_VERIFIED_SQL,
+    "graph_components": _GRAPH_COMPONENTS_SQL,
     "dedup_embedding": """
         WITH orig AS (
             SELECT vec_id AS id,

@@ -109,6 +109,55 @@ def test_simhash_near(dup_docs):
     assert (0, 2) in pairs
 
 
+def test_simhash_verified_equals_exact(spark):
+    """simhash_verified_pairs (8-band candidates + exact re-check) must
+    EQUAL the exact all-pairs Jaccard set at 0.9 — the hard-oracle
+    contract of the dedup_simhash_verified driver row."""
+    from npm_extraction_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_verified_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.9,
+                                          max_shingle_freq=10**9).collect()}
+    verified = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in simhash_verified_pairs(docs, threshold=0.9).collect()}
+    assert verified == exact and len(exact) > 0
+
+
+def test_ann_verified_top1_hits_planted_source(spark):
+    """sim_lsh_verified / sim_ivf_verified contract: each planted query
+    (perturbed copy of vector v) retrieves exactly v as its top-1."""
+    from npm_extraction_server_spark.operators.similarity import ivf_topk
+    from npm_extraction_server_spark.operators.suite import _planted_ann_queries
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _planted_ann_queries(emb, n=10)
+    for result in (lsh_topk(emb, q, k=1, dim=64, tables=16, bits=8),
+                   ivf_topk(emb, q, k=1, n_centroids=16, nprobe=4)):
+        rows = result.collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["item_id"] == r["query_id"] - 200000
+            assert r["cosine"] > 0.98
+
+
+def test_graph_components_chains_and_bridges(spark):
+    """graph_components: runs of 10 chained, bridged at multiples of
+    37 — canonical label must be the min node over the merged runs."""
+    from npm_extraction_server_spark.operators.suite import graph_components
+
+    labels = {r["node_id"]: r["component_id"]
+              for r in graph_components(spark, "/root/testdata/sf0.001").collect()}
+    # doc 0..9 chained; doc 0 bridges to 100's run (0 % 37 == 0)
+    assert labels["00000005"] == "00000000"
+    assert labels["00000105"] == "00000000"  # via the 0 -> 100 bridge
+    # run 10..19 has no inbound bridge from 0's component
+    assert labels["00000015"] == "00000010"
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3)
