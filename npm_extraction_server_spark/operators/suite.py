@@ -513,6 +513,24 @@ def graph_components(spark, sf):
                      F.col("canonical_id").alias("component_id"))
 
 
+def snap_incremental(spark, sf):
+    """SC5, snapshot-table form (hard oracle): the documents table is
+    committed in three snapshots to a snapshot-log table
+    (sources/snapshots.py); the incremental read of (snap1, snap3]
+    must return exactly the rows the last two commits added — the scan
+    is planned from the manifests and opens ONLY those commits' files."""
+    import tempfile
+
+    from ..sources.snapshots import commit, read_incremental
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snaptab_")
+    s1 = commit(docs.filter(F.col("doc_id") < 200), table)
+    commit(docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)), table)
+    commit(docs.filter(F.col("doc_id") >= 400), table)
+    return read_incremental(spark, table, from_snapshot=s1)
+
+
 def sample_split(spark, sf):
     """Deterministic train/val/test split: membership is a pure
     function of doc_id (sha256-based so the oracle can replicate) —
@@ -601,6 +619,7 @@ SPARK_QUERIES = {
     "sim_lsh_verified": sim_lsh_verified,
     "sim_ivf_verified": sim_ivf_verified,
     "graph_components": graph_components,
+    "snap_incremental": snap_incremental,
     "emb_stats": emb_stats,
     "sample_split": sample_split,
     "pack_tokens": pack_tokens,
@@ -929,6 +948,9 @@ ORACLE_SQL = {
     "sim_lsh_verified": _ANN_VERIFIED_SQL,
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
     "graph_components": _GRAPH_COMPONENTS_SQL,
+    "snap_incremental": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
     "dedup_embedding": """
         WITH orig AS (
             SELECT vec_id AS id,

@@ -1,0 +1,155 @@
+"""Snapshot-log table format over parquet (Iceberg-shaped, from public
+designs only: a table = immutable data files + an append-only JSON
+snapshot log; readers plan scans from manifests, never by listing data
+directories).
+
+Layout::
+
+    <table>/data/snap-<n>/part-*.parquet   immutable data files
+    <table>/meta/snap-<n>.json             {"snapshot_id", "parent",
+                                            "added_files", "added_rows",
+                                            "schema"}
+    <table>/meta/CURRENT                   pointer file -> snapshot id
+
+Commit protocol (single writer, crash-safe): (1) write the data files
+into the new snapshot's own directory, (2) write ``snap-<n>.json``,
+(3) atomically flip ``CURRENT`` via ``os.replace``. A reader sees the
+old or the new table state, never a partial one — data files and
+manifests that exist without a CURRENT pointing at them are invisible
+garbage, exactly the Iceberg/Delta commit story.
+
+Reads follow the PARENT CHAIN from a snapshot to the root, so
+``rollback`` is a pure metadata operation (move CURRENT to an older
+snapshot) and commits after a rollback fork the chain — orphaned
+snapshots simply stop being reachable.
+
+Why this matters at 100 TB: SC5's changed-since scan
+(streaming/incremental.py, reference README "only process entries
+changed since T") as a *filter* still reads every file's footer; as a
+*snapshot diff* (``read_incremental``) the planned scan is
+proportional to the CHANGE — the manifest names exactly the files
+added in (from, to], and nothing else is opened. Metadata stays
+driver-side and tiny (one small JSON per commit); the data plane is
+ordinary parquet that Catalyst scans with full pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta(table: str) -> Path:
+    return Path(table) / "meta"
+
+
+def _read_json(p: Path) -> dict:
+    return json.loads(p.read_text())
+
+
+def current_snapshot_id(table: str) -> int | None:
+    """Snapshot id CURRENT points at, or None for an empty table."""
+    cur = _meta(table) / "CURRENT"
+    if not cur.exists():
+        return None
+    return int(cur.read_text().strip())
+
+
+def snapshot_log(table: str) -> list[dict]:
+    """The reachable snapshot chain, root first (parent-chain walk from
+    CURRENT — snapshots orphaned by a rollback are not listed)."""
+    sid = current_snapshot_id(table)
+    chain: list[dict] = []
+    while sid is not None:
+        man = _read_json(_meta(table) / f"snap-{sid}.json")
+        chain.append(man)
+        sid = man["parent"]
+    return list(reversed(chain))
+
+
+def commit(df: DataFrame, table: str, partitions: int | None = None) -> int:
+    """Append ``df`` as a new snapshot; returns the new snapshot id.
+
+    The data files land in the snapshot's own directory (never touched
+    again); the manifest records them with row counts; CURRENT flips
+    last, atomically. If the writer dies before the flip, the table is
+    unchanged."""
+    parent = current_snapshot_id(table)
+    sid = 1 if parent is None else max(
+        int(p.stem.split("-")[1]) for p in _meta(table).glob("snap-*.json")) + 1
+    data_dir = Path(table) / "data" / f"snap-{sid}"
+    if partitions:
+        df = df.repartition(partitions)
+    df.write.mode("errorifexists").parquet(str(data_dir))
+    files = sorted(str(p) for p in data_dir.glob("part-*.parquet"))
+    # row counts from the parquet FOOTERS (no data read, no Spark job —
+    # manifest stats the way Iceberg collects them at write time)
+    import pyarrow.parquet as pq
+
+    added_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    meta = _meta(table)
+    meta.mkdir(parents=True, exist_ok=True)
+    manifest = {
+        "snapshot_id": sid,
+        "parent": parent,
+        "added_files": files,
+        "added_rows": added_rows,
+        "schema": df.schema.json(),
+    }
+    (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
+    tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
+    tmp.write_text(str(sid))
+    os.replace(tmp, meta / "CURRENT")  # the atomic commit point
+    return sid
+
+
+def _chain_files(table: str, from_excl: int | None, to_incl: int) -> list[str]:
+    """Data files added along the parent chain in (from_excl, to_incl]."""
+    files: list[str] = []
+    sid: int | None = to_incl
+    while sid is not None and sid != from_excl:
+        man = _read_json(_meta(table) / f"snap-{sid}.json")
+        files[:0] = man["added_files"]
+        sid = man["parent"]
+    if from_excl is not None and sid != from_excl:
+        raise ValueError(
+            f"snapshot {from_excl} is not an ancestor of {to_incl}")
+    return files
+
+
+def read_snapshot(spark: SparkSession, table: str,
+                  snapshot_id: int | None = None) -> DataFrame:
+    """Full table state at ``snapshot_id`` (default: CURRENT) — time
+    travel is just planning the scan from an older manifest chain."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
+    if sid is None:
+        raise ValueError(f"{table}: empty table (no CURRENT)")
+    return spark.read.parquet(*_chain_files(table, None, sid))
+
+
+def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
+                     to_snapshot: int | None = None) -> DataFrame:
+    """Rows appended in (from_snapshot, to_snapshot] — the scan opens
+    ONLY the files those commits added (no full-table footer reads, no
+    timestamp filter; cost follows the change, not the table size)."""
+    to_sid = to_snapshot if to_snapshot is not None else current_snapshot_id(table)
+    if to_sid is None:
+        raise ValueError(f"{table}: empty table (no CURRENT)")
+    if to_sid == from_snapshot:
+        return read_snapshot(spark, table, to_sid).limit(0)
+    return spark.read.parquet(*_chain_files(table, from_snapshot, to_sid))
+
+
+def rollback(table: str, snapshot_id: int) -> None:
+    """Point CURRENT at an earlier reachable snapshot (metadata-only,
+    atomic). Later snapshots become unreachable; a subsequent commit
+    forks the chain from here with a fresh id."""
+    _chain_files(table, None, snapshot_id)  # validates reachability
+    meta = _meta(table)
+    tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
+    tmp.write_text(str(snapshot_id))
+    os.replace(tmp, meta / "CURRENT")

@@ -40,6 +40,22 @@ def incremental_triples(pages: DataFrame, start: str, end: str | None = None,
     return triples
 
 
+def snapshot_incremental_triples(spark: SparkSession, table: str,
+                                 from_snapshot: int,
+                                 to_snapshot: int | None = None,
+                                 root: str = "http://example.org/") -> DataFrame:
+    """SC5 in its BEST form: the changed-page set comes from the
+    snapshot log (sources/snapshots.py), so the scan opens only the
+    files the new commits added — no full-corpus timestamp filter, no
+    footer reads over unchanged data. This is the 100 TB shape:
+    incremental cost follows the day's change, not the table."""
+    from ..sources.snapshots import read_incremental
+
+    pages = read_incremental(spark, table, from_snapshot, to_snapshot)
+    triples, _ = split_errors(docs_to_triples(extract_docs(pages), root))
+    return triples
+
+
 def stream_pipeline(spark: SparkSession, pages_dir: str, out_dir: str,
                     checkpoint_dir: str, root: str = "http://example.org/"):
     """Streaming variant: returns the StreamingQuery. Caller drives it
