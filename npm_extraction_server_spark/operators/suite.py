@@ -430,6 +430,38 @@ def text_fingerprint(spark, sf):
     return fingerprints(_t(spark, sf, "documents"))
 
 
+def text_pii_scrub(spark, sf):
+    """PII redaction under a hard oracle: a deterministic PII footer
+    (email + phone + IPv4 keyed off doc_id) is planted into every doc
+    in BOTH engines; the scrubbed text and per-kind counts must match
+    bit-exactly — a cross-engine check on the regex semantics."""
+    from .text import scrub_pii
+
+    docs = _t(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or +1-800-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit("."), (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(planted)
+
+
+def text_span_dedup(spark, sf):
+    """C4-style global span dedup (10-word chunks, drop chunks present
+    in >1 distinct docs, reassemble) — DuckDB re-derives the full
+    rebuilt corpus."""
+    from .text import span_dedup
+
+    return span_dedup(_t(spark, sf, "documents"), chunk_words=10,
+                      max_doc_freq=1)
+
+
 def sim_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -613,6 +645,8 @@ SPARK_QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
+    "text_span_dedup": text_span_dedup,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -950,6 +984,66 @@ ORACLE_SQL = {
     "graph_components": _GRAPH_COMPONENTS_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
+    "text_pii_scrub": r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id ||
+                   '@mail.example.org or +1-800-' ||
+                   lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                   ' from 10.0.' || (doc_id % 200) || '.' ||
+                   (doc_id % 250) AS text
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       ::BIGINT AS n_emails,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+            FROM planted
+        ), s2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
+                   regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                  '<IP>', 'g') AS t
+            FROM s1
+        )
+        SELECT doc_id, n_emails, n_ips,
+               len(regexp_extract_all(t, '\+?\d[\d-]{7,}\d\b'))::BIGINT
+                   AS n_phones,
+               regexp_replace(t, '\+?\d[\d-]{7,}\d\b', '<PHONE>', 'g')
+                   AS scrubbed_text
+        FROM s2
+    """,
+    "text_span_dedup": r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                     'g')), ' ') AS words
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk
+            FROM norm,
+                 unnest(range(0, greatest(cast(ceil(len(words) / 10.0)
+                                               AS BIGINT), 1))) AS t(i)
+        ), hot AS (
+            SELECT chunk FROM chunks
+            GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+        ), kept AS (
+            SELECT c.* FROM chunks c ANTI JOIN hot USING (chunk)
+        ), rebuilt AS (
+            SELECT doc_id, count(*)::BIGINT AS n_kept_chunks,
+                   string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(r.n_kept_chunks, 0) AS n_kept_chunks,
+               coalesce(r.kept_text, '') AS kept_text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """,
     "dedup_embedding": """
         WITH orig AS (

@@ -92,6 +92,87 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns — identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, \b, non-capturing
+# groups only. Applied email -> ip -> phone (no pattern overlaps).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d-]{7,}\d\b"
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: emails, IPv4 addresses, phone-shaped numbers
+    replaced with typed placeholders; per-doc counts emitted. Pure
+    column expressions — the scrub is a single narrow projection, no
+    shuffle, trivially parallel at any corpus size."""
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long")
+    t1 = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0)).cast("long")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0)).cast("long")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        t3.alias("scrubbed_text"),
+    )
+
+
+def span_dedup(documents: DataFrame, chunk_words: int = 10,
+               max_doc_freq: int = 1, text_col: str = "text") -> DataFrame:
+    """C4-style global span dedup: the text is cut into fixed
+    ``chunk_words``-word chunks; any chunk occurring in more than
+    ``max_doc_freq`` DISTINCT documents is boilerplate and removed from
+    every document; documents are reassembled in chunk order.
+
+    Scale shape: chunk-explode -> distinct-doc count per chunk -> the
+    hot-chunk set is SMALL and bounded (boilerplate repeats, that's
+    what makes it boilerplate), so it broadcasts and the removal is a
+    broadcast LEFT ANTI join — the same inversion as
+    ngram_jaccard_pairs' stop-shingle cap. Reassembly is one groupBy
+    per doc over its surviving chunks."""
+    text = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    words = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(
+        idx, lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "))
+    ex = documents.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    hot = (
+        ex.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("chunk")
+    )
+    kept = ex.join(F.broadcast(hot), "chunk", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"]),
+                " ").alias("kept_text"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text plus a
     winnowing-style min-k-gram fingerprint (min md5 over word

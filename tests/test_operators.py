@@ -158,6 +158,38 @@ def test_graph_components_chains_and_bridges(spark):
     assert labels["00000015"] == "00000010"
 
 
+def test_scrub_pii_redacts_all_kinds(spark):
+    from npm_extraction_server_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@x-y.co now, ping 10.255.0.1 or call +1-555-123-4567"),
+         (1, "clean text, version 1.2 and year 2024 stay untouched")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert rows[0]["scrubbed_text"] == "mail <EMAIL> now, ping <IP> or call <PHONE>"
+    assert (rows[0]["n_emails"], rows[0]["n_ips"], rows[0]["n_phones"]) == (1, 1, 1)
+    assert rows[1]["scrubbed_text"] == \
+        "clean text, version 1.2 and year 2024 stay untouched"
+    assert rows[1]["n_emails"] + rows[1]["n_ips"] + rows[1]["n_phones"] == 0
+
+
+def test_span_dedup_removes_shared_chunks(spark):
+    """A 10-word chunk shared by two docs disappears from both; unique
+    chunks survive in order; a fully-boilerplate doc keeps 0 chunks."""
+    from npm_extraction_server_spark.operators.text import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    u1 = " ".join(f"u{i}" for i in range(10))
+    u2 = " ".join(f"v{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, f"{boiler} {u1}"), (1, f"{boiler} {u2}"), (2, boiler)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert out[0]["kept_text"] == u1 and out[0]["n_kept_chunks"] == 1
+    assert out[1]["kept_text"] == u2
+    assert out[2]["kept_text"] == "" and out[2]["n_kept_chunks"] == 0
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3)
