@@ -71,13 +71,21 @@ def snapshot_log(table: str) -> list[dict]:
     return list(reversed(chain))
 
 
-def commit(df: DataFrame, table: str, partitions: int | None = None) -> int:
-    """Append ``df`` as a new snapshot; returns the new snapshot id.
+def commit(df: DataFrame, table: str, partitions: int | None = None,
+           operation: str = "append") -> int:
+    """Write ``df`` as a new snapshot; returns the new snapshot id.
+
+    ``operation='append'`` adds rows on top of the parent chain;
+    ``operation='replace'`` declares the snapshot's own files to BE the
+    full table state (compaction — readers stop the chain walk here,
+    and incremental readers skip it: it adds no new rows).
 
     The data files land in the snapshot's own directory (never touched
     again); the manifest records them with row counts; CURRENT flips
     last, atomically. If the writer dies before the flip, the table is
     unchanged."""
+    if operation not in ("append", "replace"):
+        raise ValueError(f"unknown operation {operation!r}")
     parent = current_snapshot_id(table)
     sid = 1 if parent is None else max(
         int(p.stem.split("-")[1]) for p in _meta(table).glob("snap-*.json")) + 1
@@ -96,6 +104,7 @@ def commit(df: DataFrame, table: str, partitions: int | None = None) -> int:
     manifest = {
         "snapshot_id": sid,
         "parent": parent,
+        "operation": operation,
         "added_files": files,
         "added_rows": added_rows,
         "schema": df.schema.json(),
@@ -107,13 +116,38 @@ def commit(df: DataFrame, table: str, partitions: int | None = None) -> int:
     return sid
 
 
-def _chain_files(table: str, from_excl: int | None, to_incl: int) -> list[str]:
-    """Data files added along the parent chain in (from_excl, to_incl]."""
+def compact(spark: SparkSession, table: str,
+            partitions: int | None = None) -> int:
+    """Rewrite the CURRENT table state as one 'replace' snapshot —
+    the small-files maintenance op. Readers planning from the new
+    snapshot open the compacted files only; older snapshots stay
+    readable (time travel) until their manifests are removed. At scale
+    this is what keeps a high-frequency-commit table's file count (and
+    scan-planning cost) bounded."""
+    df = read_snapshot(spark, table)
+    return commit(df, table, partitions=partitions, operation="replace")
+
+
+def _chain_files(table: str, from_excl: int | None, to_incl: int,
+                 incremental: bool = False) -> list[str]:
+    """Data files along the parent chain in (from_excl, to_incl].
+
+    Full reads (``incremental=False``) stop at the newest 'replace'
+    (compaction) snapshot — its files ARE the table state below it.
+    Incremental reads collect 'append' files only ('replace' snapshots
+    add no rows) but still walk to ``from_excl`` to validate ancestry."""
     files: list[str] = []
     sid: int | None = to_incl
     while sid is not None and sid != from_excl:
         man = _read_json(_meta(table) / f"snap-{sid}.json")
-        files[:0] = man["added_files"]
+        op = man.get("operation", "append")
+        if incremental:
+            if op == "append":
+                files[:0] = man["added_files"]
+        else:
+            files[:0] = man["added_files"]
+            if op == "replace":
+                return files  # full state; nothing older is needed
         sid = man["parent"]
     if from_excl is not None and sid != from_excl:
         raise ValueError(
@@ -141,7 +175,10 @@ def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
         raise ValueError(f"{table}: empty table (no CURRENT)")
     if to_sid == from_snapshot:
         return read_snapshot(spark, table, to_sid).limit(0)
-    return spark.read.parquet(*_chain_files(table, from_snapshot, to_sid))
+    files = _chain_files(table, from_snapshot, to_sid, incremental=True)
+    if not files:
+        return read_snapshot(spark, table, to_sid).limit(0)
+    return spark.read.parquet(*files)
 
 
 def rollback(table: str, snapshot_id: int) -> None:

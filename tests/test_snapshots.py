@@ -77,6 +77,29 @@ def test_rollback_forks_the_chain(spark, table):
         read_incremental(spark, table, from_snapshot=3)
 
 
+def test_compaction_replace_snapshot(spark, table):
+    """compact() rewrites the table as one 'replace' snapshot: full
+    reads plan from the compacted files only; incremental readers skip
+    it (no new rows); appends continue on top; time travel below the
+    compaction still works."""
+    from npm_extraction_server_spark.sources.snapshots import compact
+
+    c = compact(spark, table, partitions=1)
+    assert _ids(read_snapshot(spark, table)) == list(range(35))
+    # the planned scan is exactly the compaction's own files
+    log = snapshot_log(table)
+    assert log[-1]["operation"] == "replace" and len(log[-1]["added_files"]) == 1
+    # compaction added no rows -> incremental over it is empty
+    assert read_incremental(spark, table, from_snapshot=3).count() == 0
+    # appends continue; incremental (3, new] sees only the append
+    ids = spark.range(200, 203).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    commit(ids, table)
+    assert _ids(read_incremental(spark, table, from_snapshot=3)) == [200, 201, 202]
+    assert _ids(read_incremental(spark, table, from_snapshot=c)) == [200, 201, 202]
+    # time travel below the compaction is untouched
+    assert _ids(read_snapshot(spark, table, snapshot_id=2)) == list(range(30))
+
+
 def test_snapshot_incremental_pipeline(spark, tmp_path):
     """SC5 snapshot form end-to-end: triples come only from the pages
     the new snapshot added."""
