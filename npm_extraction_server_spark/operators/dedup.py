@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_partitions(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition to full parallelism ONLY when the source scan
+    is under-parallel (e.g. one small parquet file -> one partition,
+    which would serialize the shingle/signature stages onto one core).
+    At production layouts (files >= cores) this is a no-op — same
+    policy as plans/kg.maybe_repartition_pages."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via sha2 groupBy: survivor = min doc_id per digest."""
     digest = F.sha2(F.col(text_col), 256).alias("text_sha")
@@ -44,7 +56,7 @@ def word_shingles(documents: DataFrame, k: int = 3, text_col: str = "text") -> D
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return documents.select(
+    return spread_partitions(documents.select("doc_id", text_col)).select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
@@ -169,7 +181,8 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
                     sigs.append(mixed.min(axis=0).astype(np.int64))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return documents.select("doc_id", text_col).mapInPandas(fn, schema=out_schema)
+    return spread_partitions(
+        documents.select("doc_id", text_col)).mapInPandas(fn, schema=out_schema)
 
 
 def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 16,
@@ -290,7 +303,7 @@ def simhash_signatures(documents: DataFrame, bits: int = 64,
     """64-bit SimHash: per token, xxhash64(token); per bit, sum of +1/-1
     weighted by token frequency; sign -> bit. Pure column ops: tokens ->
     explode -> per-bit contributions -> groupBy doc."""
-    toks = documents.select(
+    toks = spread_partitions(documents.select("doc_id", text_col)).select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
                                        F.lit(r"[a-z0-9]+"), 0)).alias("token"),
