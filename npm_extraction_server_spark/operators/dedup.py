@@ -411,8 +411,9 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     ``mode='exact'``: brute-force O(N^2) cross join — the correctness
     baseline / oracle for tests and small validation corpora only.
     """
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    base = spread_partitions(
+        embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec")), "id")
     norm = F.sqrt(F.aggregate(
         F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, v: a + v))

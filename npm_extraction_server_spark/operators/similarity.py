@@ -122,10 +122,14 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     """Approximate top-k: same-bucket candidates over ``tables``
     hash tables, exact cosine re-rank. The candidate join is an
     equi-join on (table, bucket) — shuffle-friendly and AQE-splittable."""
+    from .dedup import spread_partitions
+
     buckets_udf = _lsh_buckets_udf(dim, tables, bits)
 
     def bucketize(df, label):
-        # norms computed ONCE per row here, not per candidate pair
+        # norms computed ONCE per row here, not per candidate pair;
+        # spread an under-parallel scan so the bucket UDF isn't serial
+        df = spread_partitions(df, id_col)
         return df.select(
             F.col(id_col).alias(f"{label}_id"), F.col(vec_col).alias(f"{label}_vec"),
             _norm(F.col(vec_col)).alias(f"{label}_norm"),
