@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash",
     "text_quality",
     "text_fingerprint",
+    "text_span_dedup",
     "sim_cosine_topk",
     "sim_lsh_topk",
 ]
