@@ -130,6 +130,31 @@ def materialize_graph(pages: DataFrame, out_dir: str,
     }
 
 
+def write_bucketed_tables(triples: DataFrame, entities: DataFrame,
+                          db: str, location: str,
+                          n_buckets: int = 16) -> None:
+    """Materialize triples + entities as REAL Spark bucketed tables
+    (``bucketBy`` + ``sortBy`` + ``saveAsTable``), both bucketed on
+    their join key (subj / entity_iri) with the same bucket count.
+
+    This is the co-located-join layout for the big-big joins of the
+    warehouse: canonicalization (triples.subj = entities.entity_iri)
+    and any subj-keyed self-join read bucket i against bucket i
+    directly — ZERO Exchange in the plan (asserted by
+    tests/test_snapshots.py::test_bucketed_join_has_no_exchange).
+    At 10^12 triples that shuffle is the single largest cost in the
+    naive plan; bucketing pays it once at write time and amortizes it
+    over every subsequent join."""
+    spark = triples.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
+    (triples.write.mode("overwrite")
+     .bucketBy(n_buckets, "subj").sortBy("subj")
+     .format("parquet").saveAsTable(f"{db}.triples"))
+    (entities.write.mode("overwrite")
+     .bucketBy(n_buckets, "entity_iri").sortBy("entity_iri")
+     .format("parquet").saveAsTable(f"{db}.entities"))
+
+
 def user_package_index(triples: DataFrame) -> DataFrame:
     """SC4/A1: the byUser inverted index
     (/root/reference/lib/npm/NpmCouchDb.js:67-70 + NpmUser.js:36-53):

@@ -100,6 +100,34 @@ def test_compaction_replace_snapshot(spark, table):
     assert _ids(read_snapshot(spark, table, snapshot_id=2)) == list(range(30))
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed_tables: a subj=entity_iri join between the two
+    bucketed tables must plan with ZERO Exchange (co-located buckets),
+    even with broadcast disabled — the big-big join shape at 10^12
+    rows."""
+    from npm_extraction_server_spark.plans.warehouse import write_bucketed_tables
+
+    triples = spark.range(200).selectExpr(
+        "concat('http://e/', id % 50) AS subj", "'p' AS pred",
+        "concat('o', id) AS obj")
+    entities = spark.range(50).selectExpr(
+        "concat('http://e/', id) AS entity_iri", "'person' AS kind")
+    db = "kgwh_test"
+    write_bucketed_tables(triples, entities, db, str(tmp_path / "wh"),
+                          n_buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table(f"{db}.triples")
+        e = spark.table(f"{db}.entities")
+        joined = t.join(e, t.subj == e.entity_iri)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_snapshot_incremental_pipeline(spark, tmp_path):
     """SC5 snapshot form end-to-end: triples come only from the pages
     the new snapshot added."""
