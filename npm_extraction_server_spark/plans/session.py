@@ -61,11 +61,10 @@ def get_spark(app: str = "npm_extraction_server_spark",
     return spark
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Ship this package to executors (the spark-submit --py-files
-    equivalent): python workers resolve imports from PYTHONPATH + shipped
-    archives, not the driver's sys.path, so a driver launched outside
-    the repo root would otherwise hit ModuleNotFoundError."""
+def build_package_zip() -> str:
+    """Build (or reuse) the content-addressed package zip — the archive
+    handed to ``spark-submit --py-files`` (tools/submit_pipeline.py and
+    the smoke test use it directly)."""
     import hashlib
     import tempfile
     import zipfile
@@ -83,4 +82,12 @@ def _ship_package(spark: SparkSession) -> None:
             for py in files:
                 zf.write(py, py.relative_to(pkg_root.parent))
         tmp.rename(zip_path)
-    spark.sparkContext.addPyFile(str(zip_path))
+    return str(zip_path)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the spark-submit --py-files
+    equivalent): python workers resolve imports from PYTHONPATH + shipped
+    archives, not the driver's sys.path, so a driver launched outside
+    the repo root would otherwise hit ModuleNotFoundError."""
+    spark.sparkContext.addPyFile(build_package_zip())
