@@ -28,6 +28,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="input pages parquet directory")
+    ap.add_argument("--pages-table",
+                    help="input pages SNAPSHOT table (sources/snapshots.py "
+                         "layout); reads the CURRENT snapshot")
+    ap.add_argument("--since-snapshot", type=int,
+                    help="with --pages-table: incremental run over only "
+                         "the pages committed after this snapshot id")
     ap.add_argument("--synthetic", type=int,
                     help="generate N synthetic pages instead of --pages")
     ap.add_argument("--out", required=True, help="output directory")
@@ -38,8 +44,8 @@ def main() -> None:
     ap.add_argument("--since", help="incremental: warc_ts >= SINCE")
     ap.add_argument("--until", help="incremental: warc_ts < UNTIL")
     args = ap.parse_args()
-    if not args.pages and not args.synthetic:
-        ap.error("one of --pages / --synthetic is required")
+    if not args.pages and not args.synthetic and not args.pages_table:
+        ap.error("one of --pages / --pages-table / --synthetic is required")
 
     from npm_extraction_server_spark.plans.session import get_spark
     from npm_extraction_server_spark.sources.pages import pages_df, read_pages
@@ -48,6 +54,17 @@ def main() -> None:
     t0 = time.monotonic()
     if args.synthetic:
         pages = pages_df(spark, args.synthetic)
+    elif args.pages_table:
+        from npm_extraction_server_spark.sources.snapshots import (
+            read_incremental,
+            read_snapshot,
+        )
+
+        if args.since_snapshot is not None:
+            pages = read_incremental(spark, args.pages_table,
+                                     args.since_snapshot)
+        else:
+            pages = read_snapshot(spark, args.pages_table)
     else:
         pages = read_pages(spark, args.pages)
 
