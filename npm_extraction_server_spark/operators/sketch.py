@@ -1,0 +1,78 @@
+"""Deterministic distributed sketches.
+
+``kmv_distinct`` is a K-Minimum-Values distinct-count sketch (the
+classic mergeable estimator: keep the k smallest hash values of a set;
+E[distinct] = (k-1) / u_k where u_k is the k-th smallest hash mapped to
+(0,1]). Three properties make it the right sketch for this engine:
+
+- **Deterministic**: the hash is md5 (first 48 bits), so the same data
+  yields the same sketch and the same estimate on every run, on any
+  partitioning — and DuckDB computes the identical value (md5 is
+  portable; xxhash64/HLL are not), so the driver hard-oracles it.
+- **Mergeable**: the k-min set of a union is the k-min of the merged
+  k-min sets — shard sketches combine losslessly (pytest asserts
+  shard-merge == global).
+- **Distributed shape**: distinct + per-group top-k window — partial
+  aggregation and a single group-key shuffle; the sketch state per
+  group is k longs regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 48-bit hash space: first 12 hex chars of md5. Fits exactly in a
+# double (2^48 < 2^53), so the estimate arithmetic is bit-identical
+# across engines.
+_HASH_SPACE = float(1 << 48)
+
+
+def kmv_hash(col) -> "F.Column":
+    """Deterministic 48-bit hash both Spark and DuckDB can compute:
+    conv(substr(md5(x), 1, 12), 16, 10)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 64) -> DataFrame:
+    """Per-group KMV distinct-count estimate of ``value_col``.
+
+    Returns (group, n_kept, kth_hash, distinct_est): when a group has
+    fewer than k distinct values the estimate IS the exact count
+    (kth_hash null); otherwise (k-1) * 2^48 / kth_hash rounded to 4.
+    """
+    hashes = (
+        df.select(F.col(group_col).alias("grp"),
+                  kmv_hash(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    kmin = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = kmin.groupBy("grp").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("max_h"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+                        / F.col("max_h"), 4))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        F.when(F.col("n_kept") == k, F.col("max_h")).alias("kth_hash"),
+        est.alias("distinct_est"),
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_col: str = "grp",
+              hash_col: str = "h", k: int = 64) -> DataFrame:
+    """Merge per-shard k-min hash sets into the global sketch: union ->
+    distinct -> k-min again (the KMV merge is just re-sketching the
+    concatenated sketch rows — lossless for the top-k property)."""
+    w = Window.partitionBy(group_col).orderBy(hash_col)
+    return (
+        sketches.select(group_col, hash_col).distinct()
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -545,6 +545,15 @@ def graph_components(spark, sf):
                      F.col("canonical_id").alias("component_id"))
 
 
+def sketch_distinct(spark, sf):
+    """KMV distinct-count sketch per lang (hard oracle: the md5-based
+    k-min hash set — and therefore the estimate — is bit-identical in
+    DuckDB; HLL sketches can't be cross-engine-verified, KMV can)."""
+    from .sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf, "documents"), "lang", "text", k=64)
+
+
 def snap_incremental(spark, sf):
     """SC5, snapshot-table form (hard oracle): the documents table is
     committed in three snapshots to a snapshot-log table
@@ -654,6 +663,7 @@ SPARK_QUERIES = {
     "sim_ivf_verified": sim_ivf_verified,
     "graph_components": graph_components,
     "snap_incremental": snap_incremental,
+    "sketch_distinct": sketch_distinct,
     "emb_stats": emb_stats,
     "sample_split": sample_split,
     "pack_tokens": pack_tokens,
@@ -984,6 +994,27 @@ ORACLE_SQL = {
     "graph_components": _GRAPH_COMPONENTS_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
+    "sketch_distinct": """
+        WITH hashes AS (
+            SELECT DISTINCT lang AS grp,
+                   ('0x' || substr(md5(text), 1, 12))::UBIGINT::BIGINT AS h
+            FROM documents
+        ), kmin AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM hashes QUALIFY rn <= 64
+        ), agg AS (
+            SELECT grp, count(*)::BIGINT AS n_kept, max(h) AS max_h
+            FROM kmin GROUP BY grp
+        )
+        SELECT grp AS lang, n_kept,
+               CASE WHEN n_kept = 64 THEN max_h END AS kth_hash,
+               CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                    ELSE round(63.0::DOUBLE * 281474976710656.0::DOUBLE
+                               / max_h::DOUBLE, 4)
+               END AS distinct_est
+        FROM agg
     """,
     "text_pii_scrub": r"""
         WITH planted AS (

@@ -2,6 +2,7 @@
 semver join vs kernel oracle, engine resolution, multimodal plumbing."""
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from npm_extraction_server_spark.operators.dedup import (
@@ -156,6 +157,45 @@ def test_graph_components_chains_and_bridges(spark):
     assert labels["00000105"] == "00000000"  # via the 0 -> 100 bridge
     # run 10..19 has no inbound bridge from 0's component
     assert labels["00000015"] == "00000010"
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    """KMV distinct sketch: estimate within ~3 standard errors of the
+    true distinct count, and shard-wise sketch merge reproduces the
+    global sketch exactly (mergeability — the property that lets 1000
+    executors sketch independently and combine k longs per group)."""
+    from npm_extraction_server_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_hash,
+        kmv_merge,
+    )
+
+    n, k = 5000, 64
+    df = spark.range(n).selectExpr("'g' AS grp", "concat('v', id) AS v")
+    out = kmv_distinct(df, "grp", "v", k=k).collect()[0]
+    # relative standard error of KMV ~ 1/sqrt(k-2); allow 3 sigma
+    assert abs(out["distinct_est"] - n) / n < 3 / (k - 2) ** 0.5
+    # mergeability: k-min of shard k-mins == global k-min set
+    shards = [
+        df.filter((F.col("v").substr(2, 10).cast("long") % 4) == i)
+        .select("grp", kmv_hash(F.col("v")).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("grp").orderBy("h")))
+        .filter(F.col("rn") <= k).drop("rn")
+        for i in range(4)
+    ]
+    merged = kmv_merge(shards[0].unionByName(shards[1])
+                       .unionByName(shards[2]).unionByName(shards[3]),
+                       group_col="grp", k=k)
+    global_sketch = (
+        df.select("grp", kmv_hash(F.col("v")).alias("h")).distinct()
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("grp").orderBy("h")))
+        .filter(F.col("rn") <= k).drop("rn")
+    )
+    assert {r["h"] for r in merged.collect()} == \
+        {r["h"] for r in global_sketch.collect()}
 
 
 def test_scrub_pii_redacts_all_kinds(spark):
