@@ -30,8 +30,9 @@ _HASH_SPACE = float(1 << 48)
 
 def kmv_hash(col) -> "F.Column":
     """Deterministic 48-bit hash both Spark and DuckDB can compute:
-    conv(substr(md5(x), 1, 12), 16, 10)."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+    conv(substr(md5(cast(x as string)), 1, 12), 16, 10)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12),
+                  16, 10).cast("long")
 
 
 def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
@@ -62,6 +63,37 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
         "n_kept",
         F.when(F.col("n_kept") == k, F.col("max_h")).alias("kth_hash"),
         est.alias("distinct_est"),
+    )
+
+
+def hash_sample_quantiles(df: DataFrame, group_col: str, value_col: str,
+                          key_col: str, rate_bits: int = 3,
+                          probs: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Quantile estimates from a DETERMINISTIC hash sample: keep rows
+    whose 48-bit md5(key) falls in the lowest 2^-rate_bits fraction of
+    the hash space (a fixed, reproducible ~1/2^rate_bits sample — no
+    RNG, no partition dependence), then take EXACT type-1 quantiles of
+    the sample per group.
+
+    Same engineering trade as kmv_distinct: approximate in accuracy,
+    exact in reproducibility — Spark and DuckDB produce bit-identical
+    results, so the driver hard-oracles the estimator itself
+    (percentile_approx/KLL cannot be cross-engine-verified). Sample
+    membership is a scan-level predicate (pushdown-friendly); state per
+    group is the sample, ~n/2^rate_bits rows."""
+    threshold = 1 << (48 - rate_bits)
+    sample = df.filter(kmv_hash(F.col(key_col)) < threshold)
+    # probs restricted to power-of-two fractions (.25/.5/.75) keep the
+    # linear interpolation exact in binary floating point -> the same
+    # bits from any engine's quantile_cont formula
+    qcols = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 4)
+        .alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    return (
+        sample.groupBy(F.col(group_col))
+        .agg(F.count("*").alias("n_sampled"), *qcols)
     )
 
 

@@ -554,6 +554,17 @@ def sketch_distinct(spark, sf):
     return kmv_distinct(_t(spark, sf, "documents"), "lang", "text", k=64)
 
 
+def sketch_quantiles(spark, sf):
+    """Deterministic hash-sample quantile estimator per lang (hard
+    oracle: sample membership is md5-based so DuckDB draws the same
+    sample and the same exact quantiles of it)."""
+    from .sketch import hash_sample_quantiles
+
+    return hash_sample_quantiles(_t(spark, sf, "documents"),
+                                 "lang", "n_chars", key_col="doc_id",
+                                 rate_bits=2)
+
+
 def snap_incremental(spark, sf):
     """SC5, snapshot-table form (hard oracle): the documents table is
     committed in three snapshots to a snapshot-log table
@@ -664,6 +675,7 @@ SPARK_QUERIES = {
     "graph_components": graph_components,
     "snap_incremental": snap_incremental,
     "sketch_distinct": sketch_distinct,
+    "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
     "sample_split": sample_split,
     "pack_tokens": pack_tokens,
@@ -994,6 +1006,18 @@ ORACLE_SQL = {
     "graph_components": _GRAPH_COMPONENTS_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
+    "sketch_quantiles": """
+        WITH sample AS (
+            SELECT lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))
+                  ::UBIGINT::BIGINT < 70368744177664
+        )
+        SELECT lang, count(*)::BIGINT AS n_sampled,
+               round(quantile_cont(n_chars, 0.25), 4) AS q25,
+               round(quantile_cont(n_chars, 0.50), 4) AS q50,
+               round(quantile_cont(n_chars, 0.75), 4) AS q75
+        FROM sample GROUP BY lang
     """,
     "sketch_distinct": """
         WITH hashes AS (
