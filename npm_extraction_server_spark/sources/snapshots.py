@@ -72,7 +72,7 @@ def snapshot_log(table: str) -> list[dict]:
 
 
 def commit(df: DataFrame, table: str, partitions: int | None = None,
-           operation: str = "append") -> int:
+           operation: str = "append", props: dict | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -108,6 +108,7 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
         "added_files": files,
         "added_rows": added_rows,
         "schema": df.schema.json(),
+        "props": props or {},
     }
     (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
     tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"

@@ -81,6 +81,44 @@ def stream_pipeline(spark: SparkSession, pages_dir: str, out_dir: str,
     )
 
 
+def stream_triples_to_snapshots(spark: SparkSession, pages_dir: str,
+                                table: str, checkpoint_dir: str,
+                                root: str = "http://example.org/"):
+    """Streaming triple sink as a SNAPSHOT TABLE with exactly-once
+    semantics end to end: each micro-batch commits one snapshot whose
+    manifest records the epoch id. If the stream crashes between the
+    snapshot commit and the checkpoint advance, the replayed epoch is
+    detected in the snapshot log and SKIPPED (idempotent commits keyed
+    by epoch — the Iceberg streaming-sink pattern). Downstream
+    consumers get manifest-planned incremental reads of exactly the
+    new triples per epoch."""
+    from ..sources.snapshots import commit, snapshot_log
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if os.path.exists(os.path.join(table, "meta", "CURRENT")):
+            done = {m["props"].get("epoch") for m in snapshot_log(table)}
+            if epoch_id in done:
+                return  # replayed epoch: snapshot already committed
+        triples, _ = split_errors(docs_to_triples(extract_docs(batch_df), root))
+        commit(triples, table, props={"epoch": epoch_id})
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(spark: SparkSession, events_dir: str, out_dir: str,
                       checkpoint_dir: str, gap_seconds: int = 1800):
     """Custom stateful streaming operator (§2.8):

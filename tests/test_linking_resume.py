@@ -1,5 +1,7 @@
 """Entity linking, connected components, resume, incremental tests."""
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -127,6 +129,52 @@ def test_streaming_pipeline(spark, tmp_path):
     got = spark.read.parquet(f"{out_dir}/triples")
     assert got.count() > 100
     assert got.select("src_url").distinct().count() == 30
+
+
+def test_stream_to_snapshot_table_exactly_once(spark, tmp_path):
+    """Streaming sink -> snapshot table: per-epoch commits with epoch
+    ids in the manifest; restarting the stream over new files appends
+    only the new epochs; a REPLAYED epoch (crash between snapshot
+    commit and checkpoint advance) is detected and skipped."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_log,
+    )
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_triples_to_snapshots,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    table = str(tmp_path / "triples_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_pages(pages_df(spark, 24, partitions=3), pages_dir)
+
+    q = stream_triples_to_snapshots(spark, pages_dir, table, ckpt)
+    q.awaitTermination(120)
+    n1 = read_snapshot(spark, table).count()
+    epochs1 = [m["props"]["epoch"] for m in snapshot_log(table)]
+    assert n1 > 50 and len(epochs1) == len(set(epochs1))
+
+    # replayed epoch: a second run with the SAME checkpoint and no new
+    # files must not commit anything
+    q = stream_triples_to_snapshots(spark, pages_dir, table, ckpt)
+    q.awaitTermination(120)
+    assert read_snapshot(spark, table).count() == n1
+    assert [m["props"]["epoch"] for m in snapshot_log(table)] == epochs1
+
+    # new files -> only the new epochs append
+    write_pages(pages_df(spark, 36, partitions=3).filter(
+        "url like '%-3_'"), str(tmp_path / "more"))
+    import shutil
+
+    for f in Path(str(tmp_path / "more")).glob("part-*.parquet"):
+        shutil.copy(f, Path(pages_dir) / f.name)
+    q = stream_triples_to_snapshots(spark, pages_dir, table, ckpt)
+    q.awaitTermination(120)
+    n2 = read_snapshot(spark, table).count()
+    assert n2 > n1
+    new_epochs = [m["props"]["epoch"] for m in snapshot_log(table)]
+    assert new_epochs[:len(epochs1)] == epochs1
 
 
 def test_stateful_stream_sessionize(spark, tmp_path):
