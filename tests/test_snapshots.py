@@ -128,6 +128,72 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_snapshot_ops_match_model(spark, tmp_path):
+    """Model-based check: a random-ish sequence of append / rollback /
+    compact operations against an in-memory reference model — full
+    reads, time travel, and incremental reads must agree with the
+    model after every step. (Deterministic op sequence chosen to cover
+    rollback-then-append forks and post-compaction increments.)"""
+    from npm_extraction_server_spark.sources.snapshots import compact
+
+    t = str(tmp_path / "model_tbl")
+    base = spark.range(1000)
+
+    def batch(lo, hi):
+        return base.filter(f"id >= {lo} and id < {hi}").select(
+            F.col("id"), (F.col("id") * 3).alias("v"))
+
+    # model: snapshot_id -> (parent, set_of_ids_added, operation)
+    model: dict[int, tuple] = {}
+
+    def model_state(sid):
+        ids, cur = set(), sid
+        while cur is not None:
+            parent, added, op = model[cur]
+            ids |= added
+            if op == "replace":
+                break
+            cur = parent
+        return ids
+
+    ops = [("append", 0, 100), ("append", 100, 250), ("rollback", 1),
+           ("append", 250, 300), ("compact",), ("append", 300, 420),
+           ("append", 420, 431), ("rollback", 4), ("append", 431, 500)]
+    current = None
+    for op in ops:
+        if op[0] == "append":
+            sid = commit(batch(op[1], op[2]), t)
+            model[sid] = (current, set(range(op[1], op[2])), "append")
+            current = sid
+        elif op[0] == "rollback":
+            rollback(t, op[1])
+            current = op[1]
+        else:
+            sid = compact(spark, t)
+            model[sid] = (current, model_state(current), "replace")
+            current = sid
+        # full read == model, at every step
+        assert _ids(read_snapshot(spark, t)) == sorted(model_state(current))
+    # time travel to every recorded snapshot still matches
+    for sid in model:
+        try:
+            got = _ids(read_snapshot(spark, t, snapshot_id=sid))
+        except ValueError:
+            continue
+        assert got == sorted(model_state(sid))
+    # incremental (ancestor, CURRENT] == model difference of appends
+    anc = 4  # the post-rollback fork point
+    inc = set(_ids(read_incremental(spark, t, from_snapshot=anc)))
+    expect = set()
+    cur = current
+    while cur is not None and cur != anc:
+        parent, added, op = model[cur]
+        if op == "append":
+            expect |= added
+        cur = parent
+    assert inc == expect
+
+
 def test_snapshot_incremental_pipeline(spark, tmp_path):
     """SC5 snapshot form end-to-end: triples come only from the pages
     the new snapshot added."""
