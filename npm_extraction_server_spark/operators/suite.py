@@ -583,6 +583,35 @@ def snap_incremental(spark, sf):
     return read_incremental(spark, table, from_snapshot=s1)
 
 
+def graph_components_incr(spark, sf):
+    """Incremental CC under the SAME full-graph oracle as
+    graph_components: the base labels come from the chain edges alone;
+    the bridge edges arrive as a delta via incremental_components
+    (proxy-collapsed old components + one relabel join) — the result
+    must equal the from-scratch components of the union graph."""
+    from ..plans.linking import connected_components, incremental_components
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def nid(col):
+        return F.lpad(col.cast("string"), 8, "0")
+
+    vertices = docs.select(nid(F.col("doc_id")).alias("entity_iri"))
+    chain = docs.filter((F.col("doc_id") % 10) != 0).select(
+        nid(F.col("doc_id")).alias("src"),
+        nid(F.col("doc_id") - 1).alias("dst"))
+    bridges = (
+        docs.filter((F.col("doc_id") % 37) == 0)
+        .select(nid(F.col("doc_id")).alias("src"),
+                nid(F.col("doc_id") + 100).alias("dst"))
+        .join(docs.select(nid(F.col("doc_id")).alias("dst")), "dst", "left_semi")
+    )
+    base = connected_components(vertices, chain).localCheckpoint(eager=True)
+    cc = incremental_components(base, bridges)
+    return cc.select(F.col("entity_iri").alias("node_id"),
+                     F.col("canonical_id").alias("component_id"))
+
+
 def sample_split(spark, sf):
     """Deterministic train/val/test split: membership is a pure
     function of doc_id (sha256-based so the oracle can replicate) —
@@ -673,6 +702,7 @@ SPARK_QUERIES = {
     "sim_lsh_verified": sim_lsh_verified,
     "sim_ivf_verified": sim_ivf_verified,
     "graph_components": graph_components,
+    "graph_components_incr": graph_components_incr,
     "snap_incremental": snap_incremental,
     "sketch_distinct": sketch_distinct,
     "sketch_quantiles": sketch_quantiles,
@@ -1004,6 +1034,7 @@ ORACLE_SQL = {
     "sim_lsh_verified": _ANN_VERIFIED_SQL,
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
     "graph_components": _GRAPH_COMPONENTS_SQL,
+    "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,

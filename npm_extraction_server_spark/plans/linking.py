@@ -193,6 +193,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         F.col("entity_iri"), F.col("entity_iri").alias("canonical_id"))
     labels = labels.localCheckpoint(eager=True)
 
+    return _cc_iterate(labels, sym, max_rounds)
+
+
+def _cc_iterate(labels: DataFrame, sym: DataFrame,
+                max_rounds: int) -> DataFrame:
     for _ in range(max_rounds):
         # (1) neighbor min
         neighbor_min = (
@@ -235,6 +240,53 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         if n_changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+
+
+def incremental_components(old_labels: DataFrame, new_edges: DataFrame,
+                           max_rounds: int = 25) -> DataFrame:
+    """Connected components under an EDGE DELTA without recomputing the
+    base graph: cost follows the day's change, not the corpus.
+
+    Old components are collapsed to their canonical label (one proxy
+    node per component — valid because every member already shares that
+    label), so the iterative CC runs only over the delta graph: new
+    edges plus (delta-node -> its old label) attachment edges. The
+    resulting relabeling of the proxies is then applied to the full
+    old table with ONE broadcastable join (label -> new label) — no
+    iteration ever touches unchanged rows. Since each old canonical id
+    is the min of its component, the merged minimum is preserved and
+    the output equals ``connected_components`` over the union graph
+    (hard-oracled by the ``graph_components_incr`` driver query)."""
+    touched = (
+        new_edges.select(F.col("src").alias("entity_iri"))
+        .unionByName(new_edges.select(F.col("dst").alias("entity_iri")))
+        .distinct()
+    )
+    old_touched = touched.join(old_labels, "entity_iri")  # delta ∩ old
+    attach = old_touched.select(F.col("entity_iri").alias("src"),
+                                F.col("canonical_id").alias("dst"))
+    delta_edges = new_edges.select("src", "dst").unionByName(attach)
+    delta_nodes = (
+        delta_edges.select(F.col("src").alias("entity_iri"))
+        .unionByName(delta_edges.select(F.col("dst").alias("entity_iri")))
+        .distinct()
+    )
+    delta_labels = connected_components(delta_nodes, delta_edges, max_rounds)
+
+    # remap whole old components via their proxy's new label
+    remap = delta_labels.select(F.col("entity_iri").alias("old_label"),
+                                F.col("canonical_id").alias("new_label"))
+    relabeled_old = (
+        old_labels.join(F.broadcast(remap),
+                        old_labels.canonical_id == remap.old_label, "left")
+        .select("entity_iri",
+                F.coalesce("new_label", "canonical_id").alias("canonical_id"))
+    )
+    # brand-new nodes (no old label) take their delta label directly;
+    # proxies are old entities themselves, so the anti-join drops them
+    new_only = delta_labels.join(old_labels.select("entity_iri"),
+                                 "entity_iri", "left_anti")
+    return relabeled_old.unionByName(new_only)
 
 
 def link_entities(triples: DataFrame, name_jaccard: float = 0.8) -> DataFrame:

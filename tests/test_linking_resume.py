@@ -131,6 +131,37 @@ def test_streaming_pipeline(spark, tmp_path):
     assert got.select("src_url").distinct().count() == 30
 
 
+def test_incremental_components_matches_full(spark):
+    """incremental_components: merging two old components through a
+    brand-new node, an untouched component, and an all-new component
+    must all equal the from-scratch CC of the union graph."""
+    from npm_extraction_server_spark.plans.linking import (
+        connected_components,
+        incremental_components,
+    )
+
+    def df_edges(pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    base_nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(1, 7)], "entity_iri string")
+    base = connected_components(
+        base_nodes, df_edges([("n1", "n2"), ("n3", "n4"), ("n5", "n6")]))
+    delta = df_edges([("n2", "n7"), ("n7", "n3"),  # n7 merges comps 1+2
+                      ("n8", "n9")])               # all-new component
+    got = {r["entity_iri"]: r["canonical_id"]
+           for r in incremental_components(base, delta).collect()}
+    all_nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(1, 10)], "entity_iri string")
+    full = {r["entity_iri"]: r["canonical_id"]
+            for r in connected_components(
+                all_nodes,
+                df_edges([("n1", "n2"), ("n3", "n4"), ("n5", "n6"),
+                          ("n2", "n7"), ("n7", "n3"), ("n8", "n9")])).collect()}
+    assert got == full
+    assert got["n4"] == "n1" and got["n5"] == "n5" and got["n9"] == "n8"
+
+
 def test_stream_to_snapshot_table_exactly_once(spark, tmp_path):
     """Streaming sink -> snapshot table: per-epoch commits with epoch
     ids in the manifest; restarting the stream over new files appends
