@@ -157,13 +157,20 @@ def _chain_files(table: str, from_excl: int | None, to_incl: int,
 
 
 def read_snapshot(spark: SparkSession, table: str,
-                  snapshot_id: int | None = None) -> DataFrame:
+                  snapshot_id: int | None = None,
+                  merge_schema: bool = False) -> DataFrame:
     """Full table state at ``snapshot_id`` (default: CURRENT) — time
-    travel is just planning the scan from an older manifest chain."""
+    travel is just planning the scan from an older manifest chain.
+    ``merge_schema=True`` unions the schemas across commits (schema
+    evolution: columns added in later commits read as null in earlier
+    files, parquet's native widening)."""
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
     if sid is None:
         raise ValueError(f"{table}: empty table (no CURRENT)")
-    return spark.read.parquet(*_chain_files(table, None, sid))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*_chain_files(table, None, sid))
 
 
 def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
@@ -180,6 +187,61 @@ def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
     if not files:
         return read_snapshot(spark, table, to_sid).limit(0)
     return spark.read.parquet(*files)
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> dict:
+    """Vacuum: keep the newest ``keep_last`` snapshots of the CURRENT
+    chain (their full read-closure stays intact — a kept snapshot's
+    chain walk may reach below the cutoff, so every manifest and data
+    file REACHABLE from a kept snapshot survives); everything else —
+    orphaned forks, pre-compaction history — is deleted, manifests and
+    data files both. Returns counts. Time travel below the horizon is
+    gone after this, which is the point: bounded metadata + storage."""
+    import shutil
+
+    cur = current_snapshot_id(table)
+    if cur is None:
+        return {"kept": 0, "deleted_manifests": 0, "deleted_data_dirs": 0}
+    # newest keep_last chain snapshots; each kept snapshot's read
+    # closure = its chain walk down to (and including) the first
+    # 'replace' snapshot — a compaction's own files ARE the state
+    # below it, so older history is expendable (as in Iceberg, an
+    # expired snapshot can no longer anchor incremental reads).
+    chain = [m["snapshot_id"] for m in snapshot_log(table)]
+    kept_ids = set(chain[-max(keep_last, 1):])
+    keep_files: set[str] = set()
+    reachable: set[int] = set()
+    for sid in list(kept_ids):
+        walk: int | None = sid
+        while walk is not None and walk not in reachable:
+            man = _read_json(_meta(table) / f"snap-{walk}.json")
+            reachable.add(walk)
+            keep_files.update(man["added_files"])
+            if man.get("operation", "append") == "replace":
+                break  # the compaction carries the full state below it
+            walk = man["parent"]
+    deleted_manifests = 0
+    for p in list(_meta(table).glob("snap-*.json")):
+        sid = int(p.stem.split("-")[1])
+        if sid not in reachable:
+            p.unlink()
+            deleted_manifests += 1
+    # detach kept manifests whose parent was expired (walkers must see
+    # them as roots now)
+    for sid in reachable:
+        mp = _meta(table) / f"snap-{sid}.json"
+        man = _read_json(mp)
+        if man["parent"] is not None and man["parent"] not in reachable:
+            man["parent"] = None
+            mp.write_text(json.dumps(man, indent=1))
+    deleted_dirs = 0
+    for d in (Path(table) / "data").glob("snap-*"):
+        files = {str(f) for f in d.glob("part-*.parquet")}
+        if files and not (files & keep_files):
+            shutil.rmtree(d)
+            deleted_dirs += 1
+    return {"kept": len(reachable), "deleted_manifests": deleted_manifests,
+            "deleted_data_dirs": deleted_dirs}
 
 
 def rollback(table: str, snapshot_id: int) -> None:

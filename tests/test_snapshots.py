@@ -128,6 +128,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_expire_snapshots_bounds_storage(spark, table):
+    """compact + expire: history below the compaction is deleted
+    (manifests AND data dirs), the current chain still reads fully,
+    incremental reads above the compaction still work, and expired
+    snapshots can no longer anchor reads."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        compact,
+        expire_snapshots,
+    )
+
+    c = compact(spark, table, partitions=1)  # snapshot 4 (replace)
+    ids = spark.range(300, 305).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    commit(ids, table)  # snapshot 5
+    stats = expire_snapshots(table, keep_last=2)
+    assert stats["deleted_manifests"] == 3 and stats["deleted_data_dirs"] == 3
+    assert _ids(read_snapshot(spark, table)) == list(range(35)) + [300, 301,
+                                                                   302, 303, 304]
+    assert _ids(read_incremental(spark, table, from_snapshot=c)) == [300, 301,
+                                                                     302, 303,
+                                                                     304]
+    assert [m["snapshot_id"] for m in snapshot_log(table)] == [4, 5]
+    with pytest.raises((ValueError, FileNotFoundError)):
+        read_snapshot(spark, table, snapshot_id=2)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A later commit may add columns; merge_schema reads the union
+    with nulls for earlier files."""
+    t = str(tmp_path / "evo")
+    commit(spark.range(3).select("id"), t)
+    commit(spark.range(3, 5).select("id", (F.col("id") * 10).alias("extra")), t)
+    df = read_snapshot(spark, t, merge_schema=True)
+    assert set(df.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in df.collect()}
+    assert rows[0] is None and rows[4] == 40
+
+
 def test_snapshot_ops_match_model(spark, tmp_path):
     """Model-based check: a random-ish sequence of append / rollback /
     compact operations against an in-memory reference model — full
