@@ -332,27 +332,46 @@ def simhash_signatures(documents: DataFrame, bits: int = 64,
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", bands: int = 4) -> DataFrame:
+                       text_col: str = "text", bands: int = 4,
+                       probe_bits: int = 0) -> DataFrame:
     """Candidate pairs with Hamming distance <= max_hamming via band
-    rotation blocking: ``bands`` equal slices of the 64-bit signature
-    (pigeonhole: any pair within distance ``bands - 1`` agrees exactly
-    on at least one slice, so recall is GUARANTEED for
-    max_hamming <= bands - 1 and probabilistic above)."""
+    rotation blocking: ``bands`` equal slices of the 64-bit signature.
+
+    Recall guarantee (pigeonhole): a pair within Hamming distance
+    ``bands * (probe_bits + 1) - 1`` has some band with <= probe_bits
+    flipped bits, and the probe side emits every <=probe_bits-flip
+    variant of each band value — so with 4 bands and probe_bits=1 any
+    pair at h <= 7 is guaranteed caught while the bucket keyspace stays
+    2^16 per band. (The naive alternative — 8 bands of 8 bits — has the
+    same h<=7 guarantee but only 256 bucket values: at 50k docs the
+    average bucket held ~195 docs and within-bucket pairing went
+    quadratic. Multi-probe trades a 17x row fan-out on ONE side for a
+    256x larger keyspace — the scalable shape.)"""
     band_bits = 64 // bands
     band_mask = (1 << band_bits) - 1
     # eager localCheckpoint, not persist: computed once for both join
     # sides, blocks auto-released when the result is unreferenced
     sigs = simhash_signatures(documents, 64, text_col).localCheckpoint(eager=True)
-    banded = sigs.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"),
-                     F.shiftrightunsigned("simhash", b * band_bits)
-                     .bitwiseAND(F.lit(band_mask)).alias("band_val"))
-            for b in range(bands)
-        ])).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+
+    def banded(emit_probes: bool):
+        out = []
+        for b in range(bands):
+            val = F.shiftrightunsigned("simhash", b * band_bits) \
+                .bitwiseAND(F.lit(band_mask))
+            out.append(F.struct(F.lit(b).alias("band_id"),
+                                val.alias("band_val")))
+            if emit_probes and probe_bits >= 1:
+                for i in range(band_bits):
+                    out.append(F.struct(
+                        F.lit(b).alias("band_id"),
+                        val.bitwiseXOR(F.lit(1 << i)).alias("band_val")))
+        return sigs.select(
+            "doc_id", "simhash",
+            F.explode(F.array(*out)).alias("band"),
+        ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+
+    a = banded(emit_probes=True).alias("a")
+    b = banded(emit_probes=False).alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -366,25 +385,24 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
 
 
 def simhash_verified_pairs(documents: DataFrame, threshold: float = 0.9,
-                           k: int = 3, text_col: str = "text",
-                           bands: int = 8) -> DataFrame:
+                           k: int = 3, text_col: str = "text") -> DataFrame:
     """SimHash blocking -> exact n-gram-Jaccard re-check: the
     oracle-checkable form of SimHash dedup (mirrors
     minhash_verified_pairs).
 
-    Candidates come from 8-band blocking over the 64-bit signature
-    (8-bit slices): pigeonhole guarantees every pair within Hamming
-    distance 7 collides on some band. Near-duplicates at
-    Jaccard >= 0.9 sit at Hamming <= ~5 on this corpus family (measured
-    max 5 at sf0.001/sf0.01 — the 4x16 banding used by the approximate
-    ``simhash_near_pairs`` missed 2 true pairs at h=4-5 whose flipped
-    bits straddled all four bands, which is why the verified form
-    widens to 8 bands). Each candidate is re-checked with the TRUE
-    word-k-shingle Jaccard, so precision is 1 by construction and the
-    output EQUALS the exact all-pairs result in the near-dup regime
-    while the plan stays band-bucketed (never all-pairs)."""
-    cand = simhash_near_pairs(documents, max_hamming=bands - 1,
-                              text_col=text_col, bands=bands) \
+    Candidates come from 4x16-bit banding with 1-bit multi-probe:
+    pigeonhole guarantees every pair within Hamming distance 7
+    collides on some probed band (7 flips over 4 bands -> some band
+    has <= 1). Near-duplicates at Jaccard >= 0.9 sit at Hamming <= ~5
+    on this corpus family (measured max 5 at sf0.001/sf0.01 — plain
+    4x16 exact-band blocking missed 2 true pairs at h=4-5 whose
+    flipped bits straddled all four bands). Each candidate is
+    re-checked with the TRUE word-k-shingle Jaccard, so precision is 1
+    by construction and the output EQUALS the exact all-pairs result
+    in the near-dup regime while the plan stays band-bucketed over a
+    2^16 keyspace (never all-pairs, no 256-value bucket degeneracy)."""
+    cand = simhash_near_pairs(documents, max_hamming=7,
+                              text_col=text_col, bands=4, probe_bits=1) \
         .select("doc_a", "doc_b")
     return _exact_jaccard_recheck(cand, documents, threshold, k, text_col)
 
