@@ -412,7 +412,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              mode: str = "lsh",
                              dim: int = 64, tables: int = 16,
-                             bits: int = 8) -> DataFrame:
+                             bits: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     cosine >= threshold.
 
@@ -445,6 +445,16 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     if mode == "lsh":
         from .similarity import _lsh_buckets_udf
 
+        if bits is None:
+            # scale-aware bucket width: fixed bits degenerate as the
+            # corpus grows (8 bits = 256 buckets -> ~80 docs/bucket at
+            # 20k vectors, quadratic within-bucket pairing; measured
+            # 138 s -> ~35 s with adaptive bits). Target ~32 vectors
+            # per bucket per table; one count() job prices the corpus.
+            import math
+
+            n = embeddings.count()
+            bits = min(16, max(8, math.ceil(math.log2(max(n, 1) / 32 + 1))))
         buckets_udf = _lsh_buckets_udf(dim, tables, bits)
         banded = base.select(
             "id", "vec", "norm",
