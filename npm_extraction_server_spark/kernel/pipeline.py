@@ -49,7 +49,15 @@ class BundleResult:
 
 
 def export_bundle(package_doc: dict, root: str) -> BundleResult:
-    """One bundle -> all its triples, atomically."""
+    """One bundle -> all its triples, atomically. NEVER raises: any
+    malformed input (including a non-dict — a manifest blob can parse
+    to a JSON array or scalar) becomes an error-row result, so one bad
+    page can't fail a whole task."""
+    if not isinstance(package_doc, dict):
+        result = BundleResult(bundle=None)
+        result.error = (f"Error: package document is "
+                        f"{type(package_doc).__name__}, not an object")
+        return result
     name = package_doc.get("name") or package_doc.get("_id")
     result = BundleResult(bundle=str(name))
     try:

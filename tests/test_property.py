@@ -96,6 +96,20 @@ def test_deterministic(doc):
     assert r1.error == r2.error
 
 
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_json_value)
+def test_arbitrary_json_never_crashes(doc):
+    """Crash-safety contract: export_bundle over ANY JSON value — a
+    manifest <script> can parse to arrays, scalars, or junk objects —
+    returns an error row or triples, never raises (one bad page must
+    not fail a Spark task)."""
+    r = export_bundle(doc, ROOT)
+    assert (r.error is None) or (r.triples == [])
+    if not isinstance(doc, dict):
+        assert r.error is not None
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(_version, min_size=0, max_size=10),
        st.sampled_from(["^1.0.0", "~2.1", "1.x", "*", ">=1 <3", "2.0.0",
