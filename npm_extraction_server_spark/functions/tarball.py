@@ -46,6 +46,17 @@ def extract_tar(blob: bytes) -> dict:
     return result
 
 
+def try_extract_tar(blob: bytes) -> dict | None:
+    """``extract_tar`` that answers None for corrupt blobs (bad gzip,
+    truncated tar, non-archive bytes) instead of raising — the form the
+    Spark UDF stages use so one broken tarball can't fail its task
+    (the reference's stream .on('error') path, Tarball.js:24-26)."""
+    try:
+        return extract_tar(blob)
+    except Exception:
+        return None
+
+
 def resolve_path(path: str, data: dict) -> bytes:
     """Tarball.resolvePath: root folder is always 'package'; raises
     KeyError when any step is missing (callers fall back, matching the

@@ -52,13 +52,15 @@ def read_tarballs(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..functions.tarball import extract_tar
+    from ..functions.tarball import try_extract_tar
 
     cols = [f.name for f in MEMBER_SCHEMA.fields]
     for pdf in batches:
         rows = []
         for tid, blob in zip(pdf["tar_id"], pdf["payload"]):
-            tree = extract_tar(bytes(blob))
+            tree = try_extract_tar(bytes(blob))
+            if tree is None:  # corrupt archive: zero members, task lives
+                continue
             stack = [("", tree)]
             while stack:
                 prefix, node = stack.pop()
@@ -84,13 +86,16 @@ def resolve_tar_paths(tarballs: DataFrame, paths: list[str]) -> DataFrame:
     tarball; missing paths -> found=false (the reference's catch)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.tarball import extract_tar, resolve_path
+        from ..functions.tarball import resolve_path, try_extract_tar
 
         cols = [f.name for f in RESOLVE_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for tid, blob in zip(pdf["tar_id"], pdf["payload"]):
-                tree = extract_tar(bytes(blob))
+                tree = try_extract_tar(bytes(blob))
+                if tree is None:  # corrupt archive -> found=false rows
+                    rows.extend((str(tid), p, False, None) for p in paths)
+                    continue
                 for p in paths:
                     try:
                         content = resolve_path(p, tree)
@@ -111,13 +116,15 @@ def lsd_component_closure(tarballs: DataFrame,
     serialized with sorted keys for deterministic comparison)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.tarball import component_closure, extract_tar
+        from ..functions.tarball import component_closure, try_extract_tar
 
         cols = [f.name for f in COMPONENT_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for tid, blob in zip(pdf["tar_id"], pdf["payload"]):
-                tree = extract_tar(bytes(blob))
+                tree = try_extract_tar(bytes(blob))
+                if tree is None:
+                    continue
                 try:
                     comps = component_closure(entry_path, tree)
                 except KeyError:

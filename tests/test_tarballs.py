@@ -8,6 +8,33 @@ import tarfile
 
 import pytest
 
+
+def test_corrupt_blobs_do_not_fail_tasks(spark):
+    """One corrupt archive among good ones: members/components skip it,
+    resolve emits found=false rows — the task never dies."""
+    import pandas as pd
+
+    from npm_extraction_server_spark.sources.tarballs import (
+        lsd_component_closure,
+        resolve_tar_paths,
+        synth_tarballs,
+        tarball_members,
+    )
+
+    good = synth_tarballs(spark, 3)
+    bad = spark.createDataFrame(
+        pd.DataFrame({"tar_id": ["bad-gzip", "bad-tar"],
+                      "payload": [b"\x1f\x8b\x08junkjunk", b"not an archive"]}))
+    tars = good.unionByName(bad)
+    members = tarball_members(tars)
+    assert members.filter("tar_id like 'bad-%'").count() == 0
+    assert members.filter("tar_id like 'tar-%'").count() == 9
+    res = resolve_tar_paths(tars, ["package.json"])
+    bad_rows = {(r["tar_id"], r["found"]) for r in
+                res.filter("tar_id like 'bad-%'").collect()}
+    assert bad_rows == {("bad-gzip", False), ("bad-tar", False)}
+    assert lsd_component_closure(tars).filter("tar_id like 'bad-%'").count() == 0
+
 from npm_extraction_server_spark.functions.tarball import (
     component_closure,
     extract_tar,
