@@ -33,6 +33,31 @@ def pipeline(spark):
     return {"pages": pages, **result}
 
 
+def test_sql_frontend_views(spark, tmp_path):
+    """register_views/register_warehouse: the whole engine is reachable
+    from plain spark.sql — a DuckDB-oracle query body runs verbatim-ish
+    on Spark SQL, and a materialized warehouse queries by SQL too."""
+    from npm_extraction_server_spark.plans.warehouse import materialize_graph
+    from npm_extraction_server_spark.sources.views import (
+        register_views,
+        register_warehouse,
+    )
+
+    assert len(register_views(spark, "/root/testdata/sf0.001")) == 10
+    row = spark.sql("""
+        SELECT lang, count(*) AS n FROM documents
+        WHERE n_chars > 200 GROUP BY lang ORDER BY n DESC, lang LIMIT 1
+    """).collect()[0]
+    assert row["n"] > 0
+    pages = pages_df(spark, 12, partitions=2)
+    materialize_graph(pages, str(tmp_path / "wh"), do_linking=False,
+                      resolve_ranges=False)
+    assert "triples" in register_warehouse(spark, str(tmp_path / "wh"))
+    n = spark.sql("SELECT count(*) AS n FROM triples WHERE subj IS NOT NULL") \
+        .collect()[0]["n"]
+    assert n > 100
+
+
 def test_extract_counts(pipeline):
     docs = pipeline["docs"]
     kinds = {r["doc_kind"]: r["n"] for r in
