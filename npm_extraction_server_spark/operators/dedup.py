@@ -354,21 +354,29 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
     sigs = simhash_signatures(documents, 64, text_col).localCheckpoint(eager=True)
 
     def banded(emit_probes: bool):
-        out = []
-        for b in range(bands):
-            val = F.shiftrightunsigned("simhash", b * band_bits) \
-                .bitwiseAND(F.lit(band_mask))
-            out.append(F.struct(F.lit(b).alias("band_id"),
-                                val.alias("band_val")))
-            if emit_probes and probe_bits >= 1:
-                for i in range(band_bits):
-                    out.append(F.struct(
-                        F.lit(b).alias("band_id"),
-                        val.bitwiseXOR(F.lit(1 << i)).alias("band_val")))
-        return sigs.select(
-            "doc_id", "simhash",
-            F.explode(F.array(*out)).alias("band"),
-        ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+        # two small explodes (band ids x probe masks) instead of one
+        # bands*(masks) struct array — keeps the Catalyst expression
+        # tiny even at probe_bits=2 (137 masks)
+        import itertools
+
+        masks = [0]
+        if emit_probes:
+            for r in range(1, probe_bits + 1):
+                for combo in itertools.combinations(range(band_bits), r):
+                    masks.append(sum(1 << i for i in combo))
+        base = F.expr(f"shiftrightunsigned(simhash, band_id * {band_bits})") \
+            .bitwiseAND(F.lit(band_mask))
+        return (
+            sigs.select(
+                "doc_id", "simhash",
+                F.explode(F.array(*[F.lit(b) for b in range(bands)]))
+                .alias("band_id"))
+            .select("doc_id", "simhash", "band_id", base.alias("base_val"))
+            .select("doc_id", "simhash", "band_id", "base_val",
+                    F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"))
+            .select("doc_id", "simhash", "band_id",
+                    F.col("base_val").bitwiseXOR(F.col("m")).alias("band_val"))
+        )
 
     a = banded(emit_probes=True).alias("a")
     b = banded(emit_probes=False).alias("b")
@@ -390,19 +398,26 @@ def simhash_verified_pairs(documents: DataFrame, threshold: float = 0.9,
     oracle-checkable form of SimHash dedup (mirrors
     minhash_verified_pairs).
 
-    Candidates come from 4x16-bit banding with 1-bit multi-probe:
-    pigeonhole guarantees every pair within Hamming distance 7
-    collides on some probed band (7 flips over 4 bands -> some band
-    has <= 1). Near-duplicates at Jaccard >= 0.9 sit at Hamming <= ~5
-    on this corpus family (measured max 5 at sf0.001/sf0.01 — plain
-    4x16 exact-band blocking missed 2 true pairs at h=4-5 whose
-    flipped bits straddled all four bands). Each candidate is
-    re-checked with the TRUE word-k-shingle Jaccard, so precision is 1
-    by construction and the output EQUALS the exact all-pairs result
-    in the near-dup regime while the plan stays band-bucketed over a
-    2^16 keyspace (never all-pairs, no 256-value bucket degeneracy)."""
-    cand = simhash_near_pairs(documents, max_hamming=7,
-                              text_col=text_col, bands=4, probe_bits=1) \
+    Candidates come from 4x16-bit banding with 2-bit multi-probe:
+    pigeonhole guarantees every pair within Hamming distance
+    4*(2+1)-1 = 11 collides on some probed band. Near-duplicates at
+    Jaccard >= 0.9 sit within that radius on this corpus family
+    (measured max Hamming: 5 at sf0.01 / 11 at sf0.1 — plain exact-band
+    blocking missed tail pairs whose flips straddled all four bands).
+    Each candidate is re-checked with the TRUE word-k-shingle Jaccard,
+    so precision is 1 by construction and the output EQUALS the exact
+    all-pairs result in the near-dup regime while the plan stays
+    band-bucketed over a 2^16 keyspace (never all-pairs, no 256-value
+    bucket degeneracy; the probe fan-out is 137 masks x 4 bands on one
+    join side only).
+
+    Cost note: the radius-11 guarantee multiplies candidate volume
+    ~8x vs radius 7 — this is the SimHash-specific correctness
+    instrument; for corpus-scale verified dedup use
+    minhash_verified_pairs (14 s vs >10 min on a 50k dup-dense
+    probe), and for approximate SimHash dedup use simhash_near_pairs."""
+    cand = simhash_near_pairs(documents, max_hamming=11,
+                              text_col=text_col, bands=4, probe_bits=2) \
         .select("doc_a", "doc_b")
     return _exact_jaccard_recheck(cand, documents, threshold, k, text_col)
 
