@@ -32,9 +32,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _dec_sum(col, scale=2, out_scale=2):
+def _dec_sum(col, scale=2, out_scale=None):
     """Deterministic money-sum: round each term, sum exactly as decimal,
-    emit double."""
+    emit double AT THE SAME SCALE. Re-rounding the exact decimal sum to
+    a coarser scale can land exactly on a .xx5 tie, where Spark
+    (HALF_UP) and DuckDB (half-even on decimals) disagree — one real
+    group at sf0.1 summed to 289679.3450 and split .35 vs .34. Emitting
+    at the term scale has no ties by construction (the sum IS exact at
+    that scale) and decimal->double conversion is correctly rounded in
+    both engines."""
+    out_scale = scale if out_scale is None else out_scale
     return F.round(
         F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast("double"), out_scale
     )
@@ -207,7 +214,11 @@ def q1_pricing_summary(spark, sf):
             _dec_sum(F.col("l_quantity")).alias("sum_qty"),
             _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             _dec_sum(disc_price, 4).alias("sum_disc_price"),
-            _dec_sum(charge, 4).alias("sum_charge"),
+            # charge = price*(1-disc)*(1+tax) is EXACTLY 6-decimal:
+            # rounding terms at 4 lands on .xxxx50 ties where the
+            # engines' rounding modes differ; at the true scale there
+            # are no ties
+            _dec_sum(charge, 6).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -713,7 +724,8 @@ SPARK_QUERIES = {
 }
 
 
-def _dec_sum_sql(expr, scale=2, out_scale=2):
+def _dec_sum_sql(expr, scale=2, out_scale=None):
+    out_scale = scale if out_scale is None else out_scale
     return (f"round(cast(sum(cast(round({expr}, {scale}) as decimal(28,{scale}))) "
             f"as double), {out_scale})")
 
@@ -899,7 +911,7 @@ ORACLE_SQL = {
                {_dec_sum_sql('l_extendedprice')} AS sum_base_price,
                {_dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)}
                    AS sum_disc_price,
-               {_dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)}
+               {_dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
                    AS sum_charge,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
