@@ -473,6 +473,18 @@ def text_span_dedup(spark, sf):
                       max_doc_freq=1)
 
 
+def text_decontaminate(spark, sf):
+    """Eval-set decontamination under a hard oracle: eval = every 50th
+    doc; training docs sharing any word-8-gram with it are flagged
+    (DuckDB re-derives membership on the raw shingle strings — the
+    Spark side joins on xxhash64 of the shingle, which is equivalent
+    up to 64-bit collisions)."""
+    from .text import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), k=8)
+
+
 def sim_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -707,6 +719,7 @@ SPARK_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "text_span_dedup": text_span_dedup,
+    "text_decontaminate": text_decontaminate,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1082,6 +1095,27 @@ ORACLE_SQL = {
                                / max_h::DOUBLE, 4)
                END AS distinct_est
         FROM agg
+    """,
+    "text_decontaminate": r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                     'g')), ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(words) - 8, 0) + 2),
+                       i -> array_to_string(words[i:i+7], ' ')))) AS shingle
+            FROM norm
+        ), eval_sh AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+        ), hits AS (
+            SELECT s.doc_id, count(*)::BIGINT AS n_hits
+            FROM sh s JOIN eval_sh USING (shingle) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
     """,
     "text_pii_scrub": r"""
         WITH planted AS (

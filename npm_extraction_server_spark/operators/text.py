@@ -173,6 +173,43 @@ def span_dedup(documents: DataFrame, chunk_words: int = 10,
     )
 
 
+def decontaminate(documents: DataFrame, eval_docs: DataFrame,
+                  k: int = 8, text_col: str = "text") -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    word-``k``-gram with the eval set (the GPT-3-style 13-gram rule,
+    scaled to this corpus's short docs). Returns
+    (doc_id, n_hits, contaminated).
+
+    Scale shape: the EVAL side is small by nature, so its distinct
+    shingle set broadcasts and the corpus side is a broadcast
+    left-semi-style join — the 100 TB training corpus is never
+    shuffled; each doc's shingles check membership map-side."""
+    def shingles(df, id_alias):
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        words = F.split(norm, " ")
+        n = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.xxhash64(
+            F.array_join(F.slice(words, i + 1, k), " ")))
+        return df.select(F.col("doc_id").alias(id_alias),
+                         F.explode(F.array_distinct(sh)).alias("sh"))
+
+    eval_sh = shingles(eval_docs, "eval_id").select("sh").distinct()
+    corpus_sh = shingles(documents, "doc_id")
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"))
+    )
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text plus a
     winnowing-style min-k-gram fingerprint (min md5 over word
