@@ -473,6 +473,13 @@ def text_span_dedup(spark, sf):
                       max_doc_freq=1)
 
 
+def text_repetition(spark, sf):
+    """Intra-doc repetition quality signals (hard oracle)."""
+    from .text import repetition_scores
+
+    return repetition_scores(_t(spark, sf, "documents"), k=3)
+
+
 def text_decontaminate(spark, sf):
     """Eval-set decontamination under a hard oracle: eval = every 50th
     doc; training docs sharing any word-8-gram with it are flagged
@@ -720,6 +727,7 @@ SPARK_QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_span_dedup": text_span_dedup,
     "text_decontaminate": text_decontaminate,
+    "text_repetition": text_repetition,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1095,6 +1103,29 @@ ORACLE_SQL = {
                                / max_h::DOUBLE, 4)
                END AS distinct_est
         FROM agg
+    """,
+    "text_repetition": r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                     'g')), ' ') AS words
+            FROM documents
+        ), base AS (
+            SELECT doc_id, words, greatest(len(words), 1) AS n,
+                   list_transform(range(1, greatest(len(words) - 3, 0) + 2),
+                                  i -> array_to_string(words[i:i+2], ' '))
+                       AS grams
+            FROM norm
+        )
+        SELECT doc_id,
+               round((len(words) - len(list_distinct(words))) / n, 6)
+                   AS dup_word_frac,
+               round((len(grams) - len(list_distinct(grams)))
+                     / greatest(len(grams), 1), 6) AS dup_gram_frac,
+               round(list_max(list_transform(list_distinct(words),
+                         w -> len(list_filter(words, x -> x = w)))) / n, 6)
+                   AS top_word_frac
+        FROM base
     """,
     "text_decontaminate": r"""
         WITH norm AS (

@@ -173,6 +173,35 @@ def span_dedup(documents: DataFrame, chunk_words: int = 10,
     )
 
 
+def repetition_scores(documents: DataFrame, k: int = 3,
+                      text_col: str = "text") -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/RefinedWeb-style
+    quality signals): duplicate word fraction, duplicate k-gram
+    fraction, and top-word dominance — all pure column expressions
+    over per-row arrays, zero shuffle."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    words = F.split(norm, " ")
+    n = F.greatest(F.size(words), F.lit(1))
+    dup_word_frac = F.round(
+        (F.size(words) - F.size(F.array_distinct(words))) / n, 6)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    ng = F.greatest(F.size(grams), F.lit(1))
+    dup_gram_frac = F.round(
+        (F.size(grams) - F.size(F.array_distinct(grams))) / ng, 6)
+    # top-word dominance: max occurrences of any single word / n
+    top_count = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w))))
+    top_word_frac = F.round(top_count / n, 6)
+    return documents.select(
+        "doc_id",
+        dup_word_frac.alias("dup_word_frac"),
+        dup_gram_frac.alias("dup_gram_frac"),
+        top_word_frac.alias("top_word_frac"),
+    )
+
+
 def decontaminate(documents: DataFrame, eval_docs: DataFrame,
                   k: int = 8, text_col: str = "text") -> DataFrame:
     """Eval-set decontamination: flag training documents sharing any
