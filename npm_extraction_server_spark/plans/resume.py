@@ -21,7 +21,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kg import docs_to_triples, extract_docs, lineage, split_errors
+from .kg import lineage, pages_to_triples, split_errors
 
 
 def _chunk_col(n_chunks: int):
@@ -52,8 +52,10 @@ def run_resumable(pages: DataFrame, out_dir: str, n_chunks: int = 8,
         if fail_after is not None and i >= fail_after:
             raise RuntimeError(f"injected failure before chunk {chunk}")
         chunk_pages = pages.filter(_chunk_col(n_chunks) == chunk)
-        docs = extract_docs(chunk_pages)
-        raw = docs_to_triples(docs, root)
+        # fused single python stage (BENCH lesson 1: chained
+        # extract->triples mapInPandas stages pin 2 workers per task
+        # slot — measured CPU oversubscription)
+        raw = pages_to_triples(chunk_pages, root)
         triples, _ = split_errors(raw)
         (triples.withColumn("chunk", F.lit(chunk))
          .write.mode("overwrite").parquet(f"{out_dir}/triples/chunk={chunk}"))
