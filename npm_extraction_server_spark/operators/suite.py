@@ -546,6 +546,26 @@ def sim_ivf_verified(spark, sf):
                     n_centroids=16, nprobe=4)
 
 
+def j8_salted_join(spark, sf):
+    """Skew-safe salted join under a hard oracle: the salt must be
+    side-effect-free — the salted lineitem⋈orders aggregate equals the
+    plain SQL join (the salt spreads one hot key's rows across
+    ``salt_buckets`` shuffle partitions; correctness is unchanged)."""
+    from .skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity", "l_linenumber")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    joined = salted_join(li, o, "okey", salt_buckets=8,
+                         salt_source="l_linenumber")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"),
+             _dec_sum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
 def graph_components(spark, sf):
     """J7 connected components under a HARD oracle: a deterministic
     graph over doc_ids (chain edges i -> i-1 within runs of 10, cross
@@ -700,6 +720,7 @@ SPARK_QUERIES = {
     "j2_broadcast_dim": j2_broadcast_dim,
     "j6_semi_join": j6_semi_join,
     "j7_anti_join": j7_anti_join,
+    "j8_salted_join": j8_salted_join,
     "w1_topk_per_group": w1_topk_per_group,
     "w4_running_sum": w4_running_sum,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1070,6 +1091,12 @@ ORACLE_SQL = {
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
+    "j8_salted_join": f"""
+        SELECT o_orderpriority, count(*) AS n_rows,
+               {_dec_sum_sql('l_quantity')} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "sketch_quantiles": """
         WITH sample AS (
