@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the optimizations PLANS.md documents
+must survive refactors — pushdown reaching the scan, zero-shuffle hot
+path, broadcast sides on the bounded sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_pushdown(spark):
+    from npm_extraction_server_spark.operators.suite import sc1_scan_filter
+
+    plan = _plan(sc1_scan_filter(spark, SF))
+    assert "PushedFilters" in plan and "GreaterThan(n_chars,200)" in plan
+    # column pruning: text (the widest column) must not be read
+    assert "text" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_fused_pipeline_has_no_exchange(spark):
+    """The north-star hot path: scan -> one python stage -> filter.
+    No shuffle anywhere when the scan is already parallel."""
+    from npm_extraction_server_spark.plans.kg import pages_to_triples
+    from npm_extraction_server_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 50, partitions=64)  # >= cores: no repartition
+    plan = _plan(pages_to_triples(pages))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+
+
+def test_span_dedup_hot_chunks_broadcast_anti(spark):
+    from npm_extraction_server_spark.operators.text import span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(span_dedup(docs))
+    assert "LeftAnti, BuildRight" in plan or \
+        ("LeftAnti" in plan and "BroadcastExchange" in plan)
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from npm_extraction_server_spark.operators.text import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0)))
+    assert "BroadcastExchange" in plan  # eval shingles, never the corpus
+
+
+def test_minhash_band_rows_do_not_carry_signatures(spark):
+    """The band self-join's shuffled rows must not include the sig
+    array (the ~60x-bytes regression fixed in round 2): no SortMergeJoin
+    / ShuffledHashJoin input on (band_id, band_hash) projects `sig`."""
+    from npm_extraction_server_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs, 64, 32, threshold=0.2))
+    joins = [seg for seg in plan.split("\n")
+             if "band_hash" in seg and "Join" in seg]
+    assert joins, "expected an equi-join keyed on band_hash"
+    assert all("sig" not in seg for seg in joins)
