@@ -7,8 +7,7 @@
   twice: "queries" reports the WARM pass (steady-state plan execution —
   the number that projects to cluster scale, where per-query codegen
   compile amortizes to zero), "queries_cold" the first pass including
-  one-time whole-stage-codegen compilation (dedup_minhash compiles 64
-  nested aggregates, ~10s of javac/JIT, visible only here).
+  one-time whole-stage-codegen compilation and python-worker forks.
 - The KG pipeline (the north-star workload) additionally runs at TWO
   cluster sizes — 1 executor vs 4 executors (separate pinned JVM
   subprocesses, disjoint slices, co-resident fleets with interleaved
