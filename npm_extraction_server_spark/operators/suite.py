@@ -546,6 +546,27 @@ def sim_ivf_verified(spark, sf):
                     n_centroids=16, nprobe=4)
 
 
+def j9_asof_join(spark, sf):
+    """As-of (point-in-time) join under DuckDB's NATIVE ASOF JOIN as
+    the oracle: every event gets the latest order of the same customer
+    at or before the event time. The right side is first reduced to
+    one row per (customer, date) with a deterministic arg-max so the
+    as-of target is unambiguous in both engines."""
+    from .asof import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id")
+    r = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("asof_orderkey"),
+             F.round(F.max_by("o_totalprice", "o_orderkey"), 2)
+             .alias("asof_total"))
+    )
+    return asof_join(ev, r, by="user_id", left_time="ts",
+                     right_time="o_orderdate",
+                     value_cols=["asof_orderkey", "asof_total"])
+
+
 def j8_salted_join(spark, sf):
     """Skew-safe salted join under a hard oracle: the salt must be
     side-effect-free — the salted lineitem⋈orders aggregate equals the
@@ -721,6 +742,7 @@ SPARK_QUERIES = {
     "j6_semi_join": j6_semi_join,
     "j7_anti_join": j7_anti_join,
     "j8_salted_join": j8_salted_join,
+    "j9_asof_join": j9_asof_join,
     "w1_topk_per_group": w1_topk_per_group,
     "w4_running_sum": w4_running_sum,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1091,6 +1113,18 @@ ORACLE_SQL = {
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
+    "j9_asof_join": """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS asof_orderkey,
+                   round(max_by(o_totalprice, o_orderkey), 2) AS asof_total
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.user_id, e.event_id, e.ts,
+               r.asof_orderkey, r.asof_total
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
     """,
     "j8_salted_join": f"""
         SELECT o_orderpriority, count(*) AS n_rows,

@@ -159,6 +159,27 @@ def test_graph_components_chains_and_bridges(spark):
     assert labels["00000015"] == "00000010"
 
 
+def test_asof_join_semantics(spark):
+    """As-of: latest right row at-or-before the left time per key;
+    exact-time rows match; earlier-than-all rows get nulls; keys are
+    isolated."""
+    from npm_extraction_server_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "e1"), ("a", 20, "e2"), ("a", 5, "e0"), ("b", 15, "e3")],
+        "k string, t long, ev string")
+    right = spark.createDataFrame(
+        [("a", 10, 100), ("a", 18, 180), ("b", 99, 990)],
+        "k string, rt long, val long")
+    out = {r["ev"]: r["val"] for r in asof_join(
+        left, right, by="k", left_time="t", right_time="rt",
+        value_cols=["val"]).collect()}
+    assert out == {"e0": None,   # before any right row
+                   "e1": 100,    # exact-time match
+                   "e2": 180,    # latest <= 20
+                   "e3": None}   # b's only right row is later
+
+
 def test_kmv_sketch_accuracy_and_merge(spark):
     """KMV distinct sketch: estimate within ~3 standard errors of the
     true distinct count, and shard-wise sketch merge reproduces the
