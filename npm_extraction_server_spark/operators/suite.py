@@ -259,6 +259,40 @@ def q5_region_revenue(spark, sf):
     )
 
 
+def events_funnel(spark, sf):
+    """Sequential-pattern funnel per user: earliest view -> first click
+    after it -> first purchase after that, within 24h per step (the
+    classic conversion-funnel window query; one shuffle on user_id)."""
+    ev = _t(spark, sf, "events").select("user_id", "event_type", "ts",
+                                        "event_id")
+    t_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    first_after = ev.alias("e")
+
+    def next_step(base, prev_col, etype, alias):
+        cand = (
+            base.join(first_after.filter(F.col("event_type") == etype)
+                      .select(F.col("user_id"), F.col("ts").alias("_t")),
+                      "user_id")
+            .filter((F.col("_t") > F.col(prev_col))
+                    & (F.col("_t") <= F.col(prev_col)
+                       + F.expr("INTERVAL 24 HOURS")))
+            .groupBy(*base.columns)
+            .agg(F.min("_t").alias(alias))
+        )
+        return base.join(cand.select("user_id", alias), "user_id", "left")
+
+    funnel = next_step(t_view, "t_view", "click", "t_click")
+    funnel = next_step(funnel, "t_click", "purchase", "t_purchase")
+    return funnel.select(
+        "user_id", "t_view", "t_click", "t_purchase",
+        (F.col("t_click").isNotNull()).alias("reached_click"),
+        (F.col("t_purchase").isNotNull()).alias("converted"),
+    )
+
+
 def events_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -749,6 +783,7 @@ SPARK_QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "events_sessionize": events_sessionize,
+    "events_funnel": events_funnel,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
     "g3_pivot": g3_pivot,
@@ -1004,6 +1039,30 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+            SELECT v.user_id, min(e.ts) AS t_click
+            FROM v JOIN events e ON e.user_id = v.user_id
+                 AND e.event_type = 'click'
+                 AND e.ts > v.t_view
+                 AND e.ts <= v.t_view + INTERVAL 24 HOUR
+            GROUP BY 1
+        ), p AS (
+            SELECT c.user_id, min(e.ts) AS t_purchase
+            FROM c JOIN events e ON e.user_id = c.user_id
+                 AND e.event_type = 'purchase'
+                 AND e.ts > c.t_click
+                 AND e.ts <= c.t_click + INTERVAL 24 HOUR
+            GROUP BY 1
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               c.t_click IS NOT NULL AS reached_click,
+               p.t_purchase IS NOT NULL AS converted
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     """,
     "events_sessionize": """
         WITH flagged AS (
