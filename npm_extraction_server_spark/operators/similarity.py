@@ -154,42 +154,117 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     )
 
 
+def _nearest_centroids_udf(cent_rows: list, nprobe: int):
+    """Map-side nearest-centroid assignment: the centroid table (tiny —
+    it is broadcast-sized by definition) is captured in the UDF closure,
+    and each Arrow batch computes ONE (N x dim) @ (dim x C) numpy matmul
+    -> cosine -> top-``nprobe`` centroid ids (desc similarity, asc
+    cent_id tiebreak — same order the old window rank used). ZERO
+    exchange: this replaces the crossJoin(N x C) + row_number window
+    (an N*C-row shuffle) that was the plan's 100x-scale killer."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cent_ids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    cmat = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    k = min(nprobe, len(cent_rows))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (mat @ cmat.T) / vn[:, None] / cnorm[None, :]  # N x C
+        # per-row sort by (-sim, cent_id): lexsort keys are applied
+        # last-key-primary along the last axis
+        order = np.lexsort(
+            (np.broadcast_to(cent_ids, sims.shape), -sims), axis=-1)
+        top = cent_ids[order[:, :k]]
+        return pd.Series(list(top))
+
+    return nearest
+
+
 def _lloyd_refine(embeddings: DataFrame, cents: DataFrame, iters: int,
                   vec_col: str, id_col: str) -> DataFrame:
-    """Deterministic Lloyd iterations: assign every vector to its
-    nearest centroid (broadcast centroids, cent_id tiebreak), recompute
-    each centroid as the elementwise mean (posexplode -> (cent_id, pos)
-    avg -> re-assemble). Empty clusters keep their previous centroid.
-    All steps deterministic -> same centroids every run."""
-    sim_c = _dot(F.col(vec_col), F.col("cent_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("cent_vec")))
+    """Deterministic Lloyd iterations, all map-side: per Arrow batch,
+    assign each vector to its nearest centroid with one numpy matmul
+    (broadcast centroids in the UDF closure) AND accumulate per-centroid
+    partial sums — each partition emits at most C partial rows
+    (cent_id, psum, n). The only shuffle per iteration is the
+    (partitions x C)-row partial reduce; the N x dim vectors never move
+    (the old form crossJoined N x C rows through a row_number window —
+    an N*C exchange per iteration). Empty clusters keep their previous
+    centroid. All steps deterministic -> same centroids every run."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    partial_schema = T.StructType([
+        T.StructField("cent_id", T.LongType(), False),
+        T.StructField("psum", T.ArrayType(T.DoubleType()), False),
+        T.StructField("n", T.LongType(), False),
+    ])
+    src = embeddings.select(F.col(vec_col).alias("v"))
+
     for _ in range(iters):
-        assigned = (
-            embeddings.crossJoin(F.broadcast(cents))
-            .withColumn("csim", sim_c)
-            .withColumn("crank", F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("csim"),
-                                                   F.asc("cent_id"))))
-            .filter(F.col("crank") == 1)
-            .select("cent_id", F.col(vec_col).alias("v"))
+        cent_rows = [(r["cent_id"], r["cent_vec"]) for r in cents.collect()]
+        cent_ids = np.array([int(c) for c, _ in cent_rows], dtype=np.int64)
+        cmat = np.array([np.asarray(v, dtype=np.float64)
+                         for _, v in cent_rows])
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0] = 1.0
+
+        def assign_partial(batches, _cids=cent_ids, _cmat=cmat, _cn=cnorm):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.asarray([np.asarray(v, dtype=np.float64)
+                                  for v in pdf["v"]])
+                vn = np.linalg.norm(mat, axis=1)
+                vn[vn == 0] = 1.0
+                sims = (mat @ _cmat.T) / vn[:, None] / _cn[None, :]
+                order = np.lexsort(
+                    (np.broadcast_to(_cids, sims.shape), -sims), axis=-1)
+                assign = order[:, 0]  # positional index of the winner
+                out = []
+                for ci in np.unique(assign):
+                    sel = mat[assign == ci]
+                    out.append((int(_cids[ci]), sel.sum(axis=0),
+                                int(len(sel))))
+                yield pd.DataFrame(out, columns=["cent_id", "psum", "n"])
+
+        partials = src.mapInPandas(assign_partial, schema=partial_schema)
+        sums = (
+            partials.select("cent_id", F.posexplode("psum").alias("pos", "x"))
+            .groupBy("cent_id", "pos").agg(F.sum("x").alias("s"))
         )
-        means = (
-            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cent_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        counts = partials.groupBy("cent_id").agg(F.sum("n").alias("cn"))
+        means = {
+            r["cent_id"]: r["new_vec"]
+            for r in sums.join(counts, "cent_id")
             .groupBy("cent_id")
             .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                F.array_sort(F.collect_list(
+                    F.struct("pos", (F.col("s") / F.col("cn")).alias("m")))),
                 lambda s: s["m"]).alias("new_vec"))
-        )
-        cents = (
-            cents.join(means, "cent_id", "left")
-            .select("cent_id",
-                    F.coalesce(F.col("new_vec"),
-                               F.transform("cent_vec",
-                                           lambda x: x.cast("double")))
-                    .alias("cent_vec"))
-        )
+            .collect()
+        }
+        new_rows = [
+            (int(c), [float(x) for x in means[int(c)]] if int(c) in means
+             else [float(x) for x in v])
+            for c, v in cent_rows
+        ]
+        cents = embeddings.sparkSession.createDataFrame(
+            new_rows, "cent_id long, cent_vec array<double>")
     return cents
 
 
@@ -198,9 +273,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              kmeans_iters: int = 2) -> DataFrame:
     """IVF-style ANN: deterministic seed sample -> ``kmeans_iters``
-    Lloyd refinements (broadcast centroids; elementwise-mean update),
-    items assigned to nearest centroid, query probes the ``nprobe``
-    nearest centroid lists. Centroids broadcast throughout."""
+    Lloyd refinements (map-side matmul assignment + per-partition
+    partial sums; see _lloyd_refine), items assigned to their nearest
+    centroid MAP-SIDE (closure-broadcast centroid matrix, one numpy
+    matmul per Arrow batch — no crossJoin, no per-vector window),
+    query probes the ``nprobe`` nearest centroid lists."""
     # ORDER-STABLE deterministic sample: hash-order + id tiebreak, then
     # limit. orderBy+limit compiles to TakeOrderedAndProject (distributed
     # per-partition top-k + driver merge of n_centroids rows — no
@@ -212,32 +289,25 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     if kmeans_iters > 0:
-        # localCheckpoint: the refined centroid table is tiny and reused
-        # by both the assign and probe branches below
-        cents = _lloyd_refine(embeddings, cents, kmeans_iters,
-                              vec_col, id_col).localCheckpoint(eager=True)
-    sim_c = _dot(F.col(vec_col), F.col("cent_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("cent_vec")))
+        cents = _lloyd_refine(embeddings, cents, kmeans_iters, vec_col, id_col)
+    # centroids are driver-known (tiny by construction) -> captured in
+    # the assignment UDF closure: both assignment and probing are pure
+    # map-side matmuls, no crossJoin, no per-vector window, no exchange
+    # over the crossed set (the round-2 100x-scale killer).
+    cent_rows = [(r["cent_id"], r["cent_vec"]) for r in cents.collect()]
+    assign_udf = _nearest_centroids_udf(cent_rows, 1)
+    probe_udf = _nearest_centroids_udf(cent_rows, nprobe)
 
-    assigned = (
-        embeddings.crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim_c)
-        .withColumn("crank", F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))))
-        .filter(F.col("crank") == 1)
-        .select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"),
-                "cent_id")
+    assigned = embeddings.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"),
+        assign_udf(F.col(vec_col)).getItem(0).alias("cent_id"),
     )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim_c)
-        .withColumn("crank", F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))))
-        .filter(F.col("crank") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
-                "cent_id")
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cent_id"),
     )
-    cand = assigned.join(probes, "cent_id").filter(F.col("item_id") != F.col("query_id"))
+    cand = assigned.join(F.broadcast(probes), "cent_id") \
+        .filter(F.col("item_id") != F.col("query_id"))
     sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
         _norm(F.col("item_vec")) * _norm(F.col("query_vec")))
     scored = cand.select("query_id", "item_id", F.round(sim, 6).alias("cosine")) \

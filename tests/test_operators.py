@@ -180,6 +180,23 @@ def test_asof_join_semantics(spark):
                    "e3": None}   # b's only right row is later
 
 
+def test_asof_join_null_right_values_do_not_mix_rows(spark):
+    """All attached values must come from the SAME matched right row: a
+    null field in the latest right row stays null — it must NOT
+    back-fill from an older right row while other fields come from the
+    newer one (the per-column-fill bug)."""
+    from npm_extraction_server_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 30, "e1")], "k string, t long, ev string")
+    right = spark.createDataFrame(
+        [("a", 10, 100, 1000), ("a", 20, None, 2000)],
+        "k string, rt long, x long, y long")
+    row = asof_join(left, right, by="k", left_time="t", right_time="rt",
+                    value_cols=["x", "y"]).collect()[0]
+    # matched row is rt=20: x is null THERE, y=2000 — x must stay null
+    assert row["x"] is None and row["y"] == 2000
+
+
 def test_kmv_sketch_accuracy_and_merge(spark):
     """KMV distinct sketch: estimate within ~3 standard errors of the
     true distinct count, and shard-wise sketch merge reproduces the

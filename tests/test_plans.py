@@ -50,6 +50,26 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert "BroadcastExchange" in plan  # eval shingles, never the corpus
 
 
+def test_ivf_assignment_is_map_side(spark):
+    """ivf_topk's centroid assignment must be the closure-broadcast
+    matmul UDF, not crossJoin(N x C) + row_number: the returned plan
+    may contain exactly ONE Window (the final per-query top-k rank) and
+    no cartesian/nested-loop join over the crossed vector set."""
+    from npm_extraction_server_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3,
+                          n_centroids=4, nprobe=2, kmeans_iters=1))
+    # exactly one Window exec (WindowGroupLimit helper nodes aside),
+    # and it is keyed on query_id — never a per-vector crank window
+    assert plan.count("Window [") == 1, plan
+    assert "windowspecdefinition(vec_id" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the map-side assignment UDF is an ArrowEvalPython stage
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
 def test_minhash_band_rows_do_not_carry_signatures(spark):
     """The band self-join's shuffled rows must not include the sig
     array (the ~60x-bytes regression fixed in round 2): no SortMergeJoin
