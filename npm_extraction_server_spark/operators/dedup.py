@@ -427,7 +427,8 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              mode: str = "lsh",
                              dim: int = 64, tables: int = 16,
-                             bits: int | None = None) -> DataFrame:
+                             bits: int | None = None,
+                             approx_n: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     cosine >= threshold.
 
@@ -465,10 +466,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             # corpus grows (8 bits = 256 buckets -> ~80 docs/bucket at
             # 20k vectors, quadratic within-bucket pairing; measured
             # 138 s -> ~35 s with adaptive bits). Target ~32 vectors
-            # per bucket per table; one count() job prices the corpus.
+            # per bucket per table. ``approx_n`` (an estimate is fine —
+            # bits only moves at powers of two) skips the count() job
+            # when the caller already knows the corpus size.
             import math
 
-            n = embeddings.count()
+            n = approx_n if approx_n is not None else embeddings.count()
             bits = min(16, max(8, math.ceil(math.log2(max(n, 1) / 32 + 1))))
         buckets_udf = _lsh_buckets_udf(dim, tables, bits)
         banded = base.select(

@@ -262,34 +262,39 @@ def q5_region_revenue(spark, sf):
 def events_funnel(spark, sf):
     """Sequential-pattern funnel per user: earliest view -> first click
     after it -> first purchase after that, within 24h per step (the
-    classic conversion-funnel window query; one shuffle on user_id)."""
-    ev = _t(spark, sf, "events").select("user_id", "event_type", "ts",
-                                        "event_id")
-    t_view = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    classic conversion-funnel query) — computed in ONE pass: a cascade
+    of conditional mins over the same user_id window (each step's
+    predicate references the previous step's window column), then a
+    same-key groupBy that reuses the window's hash partitioning. The
+    whole plan has a SINGLE Exchange on user_id (plan-asserted); the
+    previous form ran 3 join+groupBy rounds over the events table."""
+    ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 24 HOURS")
+
+    def step_min(etype, prev):
+        cond = F.col("event_type") == etype
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev)) \
+                & (F.col("ts") <= F.col(prev) + day)
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    staged = (
+        ev.withColumn("t_view", step_min("view", None))
+        .withColumn("t_click", step_min("click", "t_view"))
+        .withColumn("t_purchase", step_min("purchase", "t_click"))
     )
-    first_after = ev.alias("e")
-
-    def next_step(base, prev_col, etype, alias):
-        cand = (
-            base.join(first_after.filter(F.col("event_type") == etype)
-                      .select(F.col("user_id"), F.col("ts").alias("_t")),
-                      "user_id")
-            .filter((F.col("_t") > F.col(prev_col))
-                    & (F.col("_t") <= F.col(prev_col)
-                       + F.expr("INTERVAL 24 HOURS")))
-            .groupBy(*base.columns)
-            .agg(F.min("_t").alias(alias))
+    return (
+        staged.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("t_view").alias("t_view"),
+             F.min("t_click").alias("t_click"),
+             F.min("t_purchase").alias("t_purchase"))
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            (F.col("t_click").isNotNull()).alias("reached_click"),
+            (F.col("t_purchase").isNotNull()).alias("converted"),
         )
-        return base.join(cand.select("user_id", alias), "user_id", "left")
-
-    funnel = next_step(t_view, "t_view", "click", "t_click")
-    funnel = next_step(funnel, "t_click", "purchase", "t_purchase")
-    return funnel.select(
-        "user_id", "t_view", "t_click", "t_purchase",
-        (F.col("t_click").isNotNull()).alias("reached_click"),
-        (F.col("t_purchase").isNotNull()).alias("converted"),
     )
 
 

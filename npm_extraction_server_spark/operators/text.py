@@ -203,7 +203,9 @@ def repetition_scores(documents: DataFrame, k: int = 3,
 
 
 def decontaminate(documents: DataFrame, eval_docs: DataFrame,
-                  k: int = 8, text_col: str = "text") -> DataFrame:
+                  k: int = 8, text_col: str = "text",
+                  broadcast_max_shingles: int = 2_000_000,
+                  approx_eval_shingles: int | None = None) -> DataFrame:
     """Eval-set decontamination: flag training documents sharing any
     word-``k``-gram with the eval set (the GPT-3-style 13-gram rule,
     scaled to this corpus's short docs). Returns
@@ -212,7 +214,15 @@ def decontaminate(documents: DataFrame, eval_docs: DataFrame,
     Scale shape: the EVAL side is small by nature, so its distinct
     shingle set broadcasts and the corpus side is a broadcast
     left-semi-style join — the 100 TB training corpus is never
-    shuffled; each doc's shingles check membership map-side."""
+    shuffled; each doc's shingles check membership map-side.
+
+    Fallback: a broadcast only works while the eval shingle set fits in
+    executor memory. When the distinct eval shingle count exceeds
+    ``broadcast_max_shingles`` (one count() job on the SMALL side —
+    pass ``approx_eval_shingles`` to skip even that when the caller
+    knows the size), the join degrades gracefully to an explicit
+    shuffle-hash join on the shingle hash instead of OOMing every
+    executor."""
     def shingles(df, id_alias):
         norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
         words = F.split(norm, " ")
@@ -225,11 +235,15 @@ def decontaminate(documents: DataFrame, eval_docs: DataFrame,
 
     eval_sh = shingles(eval_docs, "eval_id").select("sh").distinct()
     corpus_sh = shingles(documents, "doc_id")
-    hits = (
-        corpus_sh.join(F.broadcast(eval_sh), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
+    n_eval = (approx_eval_shingles if approx_eval_shingles is not None
+              else eval_sh.count())
+    if n_eval <= broadcast_max_shingles:
+        joined = corpus_sh.join(F.broadcast(eval_sh), "sh")
+    else:
+        # oversized eval set: explicit shuffle-hash join (hint pins the
+        # strategy so the planner cannot pick a broadcast that would OOM)
+        joined = corpus_sh.join(eval_sh.hint("shuffle_hash"), "sh")
+    hits = joined.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
     return (
         documents.select("doc_id")
         .join(hits, "doc_id", "left")

@@ -50,6 +50,58 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert "BroadcastExchange" in plan  # eval shingles, never the corpus
 
 
+def test_decontaminate_falls_back_to_shuffle_join(spark):
+    """Past the broadcast threshold the eval-shingle join must degrade
+    to an explicit shuffle-hash join (no broadcast that would OOM) and
+    still produce the same answer."""
+    from npm_extraction_server_spark.operators.text import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    fb = decontaminate(docs, ev, broadcast_max_shingles=1)
+    plan = _plan(fb)
+    # the SHINGLE join (keys sh#N) must be shuffle-hash, not broadcast
+    # (the tiny per-doc hits join may still broadcast — that's fine)
+    sh_joins = [ln for ln in plan.split("\n")
+                if "Join [sh#" in ln or ("Join" in ln and "[sh#" in ln)]
+    assert sh_joins, plan
+    assert all("ShuffledHashJoin" in ln for ln in sh_joins), sh_joins
+    normal = decontaminate(docs, ev)
+    assert sorted(map(tuple, fb.collect())) == \
+        sorted(map(tuple, normal.collect()))
+
+
+def test_embedding_near_dup_approx_n_runs_no_job(spark):
+    """With ``approx_n`` provided, building the near-dup plan must not
+    launch the bucket-sizing count() job (jobs asserted via job group)."""
+    from npm_extraction_server_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("no-job-probe", "plan construction only")
+    try:
+        df = embedding_near_dup_pairs(emb, approx_n=1000)
+        df.explain  # plan exists; no action taken
+        jobs = sc.statusTracker().getJobIdsForGroup("no-job-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs or []) == []
+    # and the adaptive-bits math still ran: 1000/32 -> 8..16 bits plan builds
+    assert df.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_events_funnel_single_exchange(spark):
+    """The funnel is one pass: a conditional-min window cascade plus a
+    same-key groupBy — exactly ONE Exchange (on user_id) in the plan."""
+    from npm_extraction_server_spark.operators.suite import events_funnel
+
+    plan = _plan(events_funnel(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan
+
+
 def test_ivf_assignment_is_map_side(spark):
     """ivf_topk's centroid assignment must be the closure-broadcast
     matmul UDF, not crossJoin(N x C) + row_number: the returned plan
