@@ -22,6 +22,7 @@ from .dedup import (
     minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    simhash_recall_report,
     simhash_verified_pairs,
 )
 from .similarity import cosine_topk, ivf_topk, lsh_topk
@@ -434,11 +435,23 @@ def dedup_simhash(spark, sf):
 
 
 def dedup_simhash_verified(spark, sf):
-    """SimHash 8-band blocking -> exact-Jaccard re-check: equals the
-    exact pair set at threshold 0.9 (hard DuckDB oracle; pigeonhole
-    guarantees band recall through Hamming 7, measured true-pair max
-    is 5) with a band-bucketed candidate plan."""
+    """Bounded verified SimHash row: MinHash-LSH blocks (miss prob
+    ~1e-23 at Jaccard 0.9), exact-Jaccard re-check -> equals the exact
+    pair set at threshold 0.9 (hard DuckDB oracle). SimHash's own
+    recall contract is measured adaptively per corpus by
+    simhash_recall_report (pytest-verified) rather than betting the
+    blocking on a fixed Hamming radius."""
     return simhash_verified_pairs(_t(spark, sf, "documents"), threshold=0.9)
+
+
+def dedup_simhash_report(spark, sf):
+    """Adaptive SimHash recall instrument (rows-only; its pair set is
+    exactly the hard-oracled dedup_simhash_verified set): per TRUE
+    near-dup pair, the measured 64-bit Hamming distance and the exact
+    band-catch flag at the production (bands=4, probe_bits=1) blocking
+    config — the per-corpus answer to 'what radius does this corpus
+    need', replacing a fixed-radius bet."""
+    return simhash_recall_report(_t(spark, sf, "documents"), threshold=0.9)
 
 
 def dedup_embedding(spark, sf):
@@ -802,6 +815,7 @@ SPARK_QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_verified": dedup_simhash_verified,
+    "dedup_simhash_report": dedup_simhash_report,
     "dedup_embedding": dedup_embedding,
     "text_tokens": text_tokens,
     "text_quality": text_quality,

@@ -111,8 +111,8 @@ def test_simhash_near(dup_docs):
 
 
 def test_simhash_verified_equals_exact(spark):
-    """simhash_verified_pairs (8-band candidates + exact re-check) must
-    EQUAL the exact all-pairs Jaccard set at 0.9 — the hard-oracle
+    """simhash_verified_pairs (bounded minhash blocks + exact re-check)
+    must EQUAL the exact all-pairs Jaccard set at 0.9 — the hard-oracle
     contract of the dedup_simhash_verified driver row."""
     from npm_extraction_server_spark.operators.dedup import (
         ngram_jaccard_pairs,
@@ -126,6 +126,33 @@ def test_simhash_verified_equals_exact(spark):
     verified = {(r["doc_a"], r["doc_b"]): r["jaccard"]
                 for r in simhash_verified_pairs(docs, threshold=0.9).collect()}
     assert verified == exact and len(exact) > 0
+
+
+def test_simhash_recall_report(spark):
+    """The adaptive SimHash instrument: per TRUE pair, the measured
+    Hamming distance and the exact band-catch flag. Pigeonhole theorem
+    checked empirically (hamming <= bands*(probe_bits+1)-1 => caught),
+    and the caught flags must agree with what simhash_near_pairs
+    actually emits at the same (bands, probe_bits)."""
+    from npm_extraction_server_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_recall_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = simhash_recall_report(docs, threshold=0.9,
+                                bands=4, probe_bits=1).collect()
+    assert len(rep) > 0
+    # pigeonhole: within radius 4*(1+1)-1 = 7 every pair MUST be caught
+    for r in rep:
+        if r["hamming"] <= 7:
+            assert r["caught"], r
+    # the flags are the ground truth of the production blocking path:
+    # every caught true pair appears in simhash_near_pairs' output
+    emitted = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(
+        docs, max_hamming=64, bands=4, probe_bits=1).collect()}
+    for r in rep:
+        assert ((r["doc_a"], r["doc_b"]) in emitted) == r["caught"], r
 
 
 def test_ann_verified_top1_hits_planted_source(spark):
