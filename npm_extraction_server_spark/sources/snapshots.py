@@ -11,12 +11,24 @@ Layout::
                                             "schema"}
     <table>/meta/CURRENT                   pointer file -> snapshot id
 
-Commit protocol (single writer, crash-safe): (1) write the data files
-into the new snapshot's own directory, (2) write ``snap-<n>.json``,
-(3) atomically flip ``CURRENT`` via ``os.replace``. A reader sees the
-old or the new table state, never a partial one — data files and
-manifests that exist without a CURRENT pointing at them are invisible
-garbage, exactly the Iceberg/Delta commit story.
+Commit protocol (multi-writer, crash-safe): (1) write the data files
+into a hidden uuid-named STAGING directory (the expensive part — no
+lock held), (2) take the ``meta/COMMIT.lock`` (O_EXCL create;
+stale-broken by age after a writer crash), (3) under the lock: read
+CURRENT (CAS check against ``expected_parent`` if the caller demands
+a parent — optimistic concurrency, the file-system analog of the
+reference registry's ``_rev`` MVCC at
+/root/reference/lib/npm/NpmCouchDb.js:42-51), claim the next id over
+BOTH manifests and data directories (a crash between data-rename and
+manifest-write can orphan a dir — it must never wedge future ids),
+rename staging -> ``data/snap-<n>``, write ``snap-<n>.json``,
+atomically flip ``CURRENT`` via ``os.replace``, release the lock.
+A reader sees the old or the new table state, never a partial one —
+data files and manifests that exist without a CURRENT pointing at
+them are invisible garbage, exactly the Iceberg/Delta commit story;
+concurrent committers serialize on the lock so no snapshot is ever
+silently dropped. (Single-host POSIX lock semantics; on an object
+store the lock step becomes the catalog's atomic CAS swap.)
 
 Reads follow the PARENT CHAIN from a snapshot to the root, so
 ``rollback`` is a pure metadata operation (move CURRENT to an older
@@ -71,8 +83,54 @@ def snapshot_log(table: str) -> list[dict]:
     return list(reversed(chain))
 
 
+_UNSET = object()
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: CURRENT moved past the caller's
+    ``expected_parent`` between its read and its commit. The caller
+    must re-read the table state, recompute, and retry — exactly the
+    Iceberg commit-conflict contract (and the reference registry's
+    CouchDB ``_rev`` mismatch)."""
+
+
+def _acquire_commit_lock(meta: Path, timeout: float,
+                         stale_after: float) -> Path:
+    """Take ``meta/COMMIT.lock`` via O_EXCL create. A lock older than
+    ``stale_after`` (a crashed writer) is broken by atomically renaming
+    it aside — only one breaker can win the rename, so two waiters
+    never free a freshly re-taken lock."""
+    import time
+
+    lock = meta / "COMMIT.lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}\n".encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except FileNotFoundError:
+                continue  # released between create and stat — retry now
+            if age > stale_after:
+                try:  # atomic claim of the stale lock: one winner only
+                    os.rename(lock, meta / f".stale-{uuid.uuid4().hex}")
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock {lock} held longer than {timeout}s")
+            time.sleep(0.02)
+
+
 def commit(df: DataFrame, table: str, partitions: int | None = None,
-           operation: str = "append", props: dict | None = None) -> int:
+           operation: str = "append", props: dict | None = None,
+           expected_parent=_UNSET, lock_timeout: float = 120.0,
+           lock_stale_after: float = 300.0) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -80,41 +138,65 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     full table state (compaction — readers stop the chain walk here,
     and incremental readers skip it: it adds no new rows).
 
-    The data files land in the snapshot's own directory (never touched
-    again); the manifest records them with row counts; CURRENT flips
-    last, atomically. If the writer dies before the flip, the table is
-    unchanged."""
+    Multi-writer safe: the data files are written to a hidden staging
+    directory WITHOUT the lock (the expensive Spark job doesn't block
+    other committers), then the metadata transaction — parent read,
+    optional CAS against ``expected_parent`` (raises
+    :class:`CommitConflict` on mismatch; pass the snapshot id your
+    computation was based on whenever the new snapshot's CONTENT
+    depends on the old state, e.g. compaction), id claim, staging
+    rename, manifest write, atomic CURRENT flip — happens under
+    ``meta/COMMIT.lock``. If the writer dies before the flip, the
+    table is unchanged; an orphaned data dir can never wedge future
+    commits because ids are claimed over manifests AND data dirs."""
     if operation not in ("append", "replace"):
         raise ValueError(f"unknown operation {operation!r}")
-    parent = current_snapshot_id(table)
-    sid = 1 if parent is None else max(
-        int(p.stem.split("-")[1]) for p in _meta(table).glob("snap-*.json")) + 1
-    data_dir = Path(table) / "data" / f"snap-{sid}"
-    if partitions:
-        df = df.repartition(partitions)
-    df.write.mode("errorifexists").parquet(str(data_dir))
-    files = sorted(str(p) for p in data_dir.glob("part-*.parquet"))
-    # row counts from the parquet FOOTERS (no data read, no Spark job —
-    # manifest stats the way Iceberg collects them at write time)
-    import pyarrow.parquet as pq
+    import shutil
 
-    added_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    table_p = Path(table)
     meta = _meta(table)
     meta.mkdir(parents=True, exist_ok=True)
-    manifest = {
-        "snapshot_id": sid,
-        "parent": parent,
-        "operation": operation,
-        "added_files": files,
-        "added_rows": added_rows,
-        "schema": df.schema.json(),
-        "props": props or {},
-    }
-    (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
-    tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
-    tmp.write_text(str(sid))
-    os.replace(tmp, meta / "CURRENT")  # the atomic commit point
-    return sid
+    (table_p / "data").mkdir(parents=True, exist_ok=True)
+    staging = table_p / "data" / f".staging-{uuid.uuid4().hex}"
+    if partitions:
+        df = df.repartition(partitions)
+    df.write.mode("errorifexists").parquet(str(staging))
+    lock = _acquire_commit_lock(meta, lock_timeout, lock_stale_after)
+    try:
+        parent = current_snapshot_id(table)
+        if expected_parent is not _UNSET and parent != expected_parent:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise CommitConflict(
+                f"{table}: CURRENT is {parent}, expected {expected_parent}")
+        claimed = [int(p.stem.split("-")[1])
+                   for p in meta.glob("snap-*.json")]
+        claimed += [int(d.name.split("-")[1])
+                    for d in (table_p / "data").glob("snap-*") if d.is_dir()]
+        sid = max(claimed, default=0) + 1
+        data_dir = table_p / "data" / f"snap-{sid}"
+        os.replace(staging, data_dir)
+        files = sorted(str(p) for p in data_dir.glob("part-*.parquet"))
+        # row counts from the parquet FOOTERS (no data read, no Spark
+        # job — manifest stats the way Iceberg collects them at write)
+        import pyarrow.parquet as pq
+
+        added_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "operation": operation,
+            "added_files": files,
+            "added_rows": added_rows,
+            "schema": df.schema.json(),
+            "props": props or {},
+        }
+        (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
+        tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(str(sid))
+        os.replace(tmp, meta / "CURRENT")  # the atomic commit point
+        return sid
+    finally:
+        lock.unlink(missing_ok=True)
 
 
 def compact(spark: SparkSession, table: str,
@@ -124,9 +206,16 @@ def compact(spark: SparkSession, table: str,
     snapshot open the compacted files only; older snapshots stay
     readable (time travel) until their manifests are removed. At scale
     this is what keeps a high-frequency-commit table's file count (and
-    scan-planning cost) bounded."""
-    df = read_snapshot(spark, table)
-    return commit(df, table, partitions=partitions, operation="replace")
+    scan-planning cost) bounded.
+
+    Compaction's content IS a function of the parent it read, so it
+    commits with ``expected_parent`` (CAS): if a concurrent append
+    lands in between, the replace would silently drop it — instead
+    :class:`CommitConflict` is raised and the caller re-compacts."""
+    base = current_snapshot_id(table)
+    df = read_snapshot(spark, table, snapshot_id=base)
+    return commit(df, table, partitions=partitions, operation="replace",
+                  expected_parent=base)
 
 
 def _chain_files(table: str, from_excl: int | None, to_incl: int,
@@ -240,6 +329,15 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
         if files and not (files & keep_files):
             shutil.rmtree(d)
             deleted_dirs += 1
+    # commit-protocol debris: broken-lock tombstones (always safe) and
+    # staging dirs old enough that no live writer can still own them
+    import time
+
+    for p in _meta(table).glob(".stale-*"):
+        p.unlink(missing_ok=True)
+    for d in (Path(table) / "data").glob(".staging-*"):
+        if time.time() - d.stat().st_mtime > 3600:
+            shutil.rmtree(d, ignore_errors=True)
     return {"kept": len(reachable), "deleted_manifests": deleted_manifests,
             "deleted_data_dirs": deleted_dirs}
 

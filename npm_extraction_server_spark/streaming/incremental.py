@@ -86,14 +86,22 @@ def stream_triples_to_snapshots(spark: SparkSession, pages_dir: str,
                                 root: str = "http://example.org/"):
     """Streaming triple sink as a SNAPSHOT TABLE with exactly-once
     semantics end to end: each micro-batch commits one snapshot whose
-    manifest records the epoch id. If the stream crashes between the
-    snapshot commit and the checkpoint advance, the replayed epoch is
-    detected in the snapshot log and SKIPPED (idempotent commits keyed
-    by epoch — the Iceberg streaming-sink pattern). Downstream
-    consumers get manifest-planned incremental reads of exactly the
-    new triples per epoch."""
+    manifest records the (checkpoint, epoch) pair. If the stream
+    crashes between the snapshot commit and the checkpoint advance,
+    the replayed epoch is detected in the snapshot log and SKIPPED
+    (idempotent commits — the Iceberg streaming-sink pattern, which
+    likewise keys replay detection on the query id + epoch). Keying on
+    the PAIR, not the bare epoch, matters: epoch ids restart from 0
+    with every fresh checkpoint, so a new stream writing into an
+    existing table would otherwise silently skip its first batches as
+    'replays' of the old stream's epochs. Downstream consumers get
+    manifest-planned incremental reads of exactly the new triples per
+    epoch."""
+    import os as _os
+
     from ..sources.snapshots import commit, snapshot_log
 
+    ckpt_key = _os.path.abspath(checkpoint_dir)
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -104,11 +112,12 @@ def stream_triples_to_snapshots(spark: SparkSession, pages_dir: str,
         import os
 
         if os.path.exists(os.path.join(table, "meta", "CURRENT")):
-            done = {m["props"].get("epoch") for m in snapshot_log(table)}
-            if epoch_id in done:
-                return  # replayed epoch: snapshot already committed
+            done = {(m["props"].get("ckpt"), m["props"].get("epoch"))
+                    for m in snapshot_log(table)}
+            if (ckpt_key, epoch_id) in done:
+                return  # replayed epoch of THIS stream: already committed
         triples, _ = split_errors(docs_to_triples(extract_docs(batch_df), root))
-        commit(triples, table, props={"epoch": epoch_id})
+        commit(triples, table, props={"epoch": epoch_id, "ckpt": ckpt_key})
 
     return (
         stream.writeStream

@@ -208,6 +208,34 @@ def test_stream_to_snapshot_table_exactly_once(spark, tmp_path):
     assert new_epochs[:len(epochs1)] == epochs1
 
 
+def test_stream_fresh_checkpoint_commits_are_not_skipped(spark, tmp_path):
+    """Replay detection is keyed on (checkpoint, epoch), NOT the bare
+    epoch id: a NEW stream (fresh checkpoint) writing into an existing
+    table starts its epochs at 0 again — its batches must COMMIT, not
+    be silently dropped as 'replays' of the old stream's epochs."""
+    from npm_extraction_server_spark.sources.snapshots import read_snapshot
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_triples_to_snapshots,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    table = str(tmp_path / "tbl")
+    write_pages(pages_df(spark, 12, partitions=2), pages_dir)
+
+    q = stream_triples_to_snapshots(spark, pages_dir, table,
+                                    str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    n1 = read_snapshot(spark, table).count()
+    assert n1 > 0
+
+    # fresh checkpoint -> the source replays all files as epoch 0...;
+    # with bare-epoch keying these collided and were silently dropped
+    q = stream_triples_to_snapshots(spark, pages_dir, table,
+                                    str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    assert read_snapshot(spark, table).count() == 2 * n1
+
+
 def test_stateful_stream_sessionize(spark, tmp_path):
     """applyInPandasWithState: state carries across micro-batches; the
     final per-user session counts match the batch sessionize query."""

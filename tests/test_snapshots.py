@@ -153,6 +153,93 @@ def test_expire_snapshots_bounds_storage(spark, table):
         read_snapshot(spark, table, snapshot_id=2)
 
 
+def test_concurrent_commits_all_land(spark, tmp_path):
+    """Optimistic-concurrency commits: N committers racing on one table
+    must ALL land (serialized on the commit lock) — no snapshot is ever
+    silently dropped by a lost CURRENT flip."""
+    import threading
+
+    t = str(tmp_path / "race_tbl")
+    n_writers, errs = 8, []
+    frames = [spark.range(i * 10, i * 10 + 10).select(F.col("id"))
+              .localCheckpoint(eager=True) for i in range(n_writers)]
+
+    def work(i):
+        try:
+            commit(frames[i], t)
+        except Exception as e:  # noqa: BLE001 — recorded and asserted
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,))
+               for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    log = snapshot_log(t)
+    assert len(log) == n_writers
+    assert sorted(m["snapshot_id"] for m in log) == list(
+        range(1, n_writers + 1))
+    # parent chain is a straight line: every commit built on the last
+    assert [m["parent"] for m in log] == [None] + [
+        m["snapshot_id"] for m in log[:-1]]
+    assert _ids(read_snapshot(spark, t)) == list(range(n_writers * 10))
+
+
+def test_commit_conflict_on_stale_expected_parent(spark, tmp_path):
+    """CAS check: a commit whose content was computed against a parent
+    that is no longer CURRENT must raise CommitConflict, not silently
+    clobber — and compact() uses it so a concurrent append can never be
+    dropped by a replace."""
+    from npm_extraction_server_spark.sources.snapshots import CommitConflict
+
+    t = str(tmp_path / "cas_tbl")
+    s1 = commit(spark.range(5).select("id"), t)
+    commit(spark.range(5, 8).select("id"), t)  # someone else appends
+    with pytest.raises(CommitConflict):
+        commit(spark.range(99, 100).select("id"), t, operation="replace",
+               expected_parent=s1)
+    # table unchanged by the failed commit; a correct retry lands
+    assert _ids(read_snapshot(spark, t)) == list(range(8))
+    sid = commit(spark.range(8, 9).select("id"), t,
+                 expected_parent=current_snapshot_id(t))
+    assert current_snapshot_id(t) == sid
+
+
+def test_orphan_data_dir_does_not_wedge_commits(spark, tmp_path):
+    """A writer crash between the staging rename and the manifest write
+    leaves data/snap-N with no manifest. Later commits must skip that
+    id (ids are claimed over manifests AND data dirs) instead of dying
+    on an existing directory forever."""
+    t = str(tmp_path / "orphan_tbl")
+    commit(spark.range(3).select("id"), t)
+    orphan = Path(t) / "data" / "snap-2"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000-junk.parquet").write_bytes(b"not a real file")
+    sid = commit(spark.range(3, 6).select("id"), t)
+    assert sid == 3  # snap-2 skipped, not reused
+    assert _ids(read_snapshot(spark, t)) == list(range(6))
+    assert [m["snapshot_id"] for m in snapshot_log(t)] == [1, 3]
+
+
+def test_stale_commit_lock_is_broken(spark, tmp_path):
+    """A crashed writer's lock (old mtime) must not block the table
+    forever: the next committer breaks it after lock_stale_after."""
+    import os
+    import time
+
+    t = str(tmp_path / "stale_tbl")
+    commit(spark.range(2).select("id"), t)
+    lock = Path(t) / "meta" / "COMMIT.lock"
+    lock.write_text("424242\n")
+    old = time.time() - 1000
+    os.utime(lock, (old, old))
+    sid = commit(spark.range(2, 4).select("id"), t,
+                 lock_timeout=5.0, lock_stale_after=60.0)
+    assert sid == 2 and _ids(read_snapshot(spark, t)) == [0, 1, 2, 3]
+
+
 def test_schema_evolution_merge_read(spark, tmp_path):
     """A later commit may add columns; merge_schema reads the union
     with nulls for earlier files."""
