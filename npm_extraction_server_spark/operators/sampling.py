@@ -72,17 +72,35 @@ def pack_sequences(documents: DataFrame, budget: int = 2048,
 
 def pack_sequences_sharded(documents: DataFrame, budget: int = 2048,
                            key_col: str = "doc_id", text_col: str = "text",
-                           n_shards: int = 64) -> DataFrame:
+                           n_shards: int = 64,
+                           token_mode: str = "ws") -> DataFrame:
     """The scale form of pack_sequences: deterministic hash-sharding
     first, then an ordered window PER SHARD (partitionBy kills the
     single-partition funnel; each shard packs independently, which is
-    how multi-file pretraining shards are actually laid out)."""
+    how multi-file pretraining shards are actually laid out).
+
+    ``token_mode``: 'ws' counts whitespace tokens (a JVM column
+    expression); 'bpe' counts deterministic toy-BPE subwords
+    (operators/text.bpe_token_counts — whitespace under-states real
+    token budgets, so subword counts make the per-bin budget match
+    what a trainer actually packs). Both stay one map stage + one
+    shard window; 'bpe' requires ``key_col='doc_id'``."""
+    if token_mode == "bpe":
+        if key_col != "doc_id":
+            raise ValueError("token_mode='bpe' requires key_col='doc_id'")
+        from .text import bpe_token_counts
+
+        toks_df = bpe_token_counts(documents, text_col).select(
+            "doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+    elif token_mode == "ws":
+        toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        toks_df = documents.select(key_col, toks.alias("n_tokens"))
+    else:
+        raise ValueError(f"unknown token_mode {token_mode!r}")
     shard = F.pmod(_split_hash(F.col(key_col), "shard"), F.lit(n_shards))
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     w = Window.partitionBy("shard").orderBy(F.col(key_col))
     return (
-        documents.select(key_col, shard.cast("int").alias("shard"),
-                         toks.alias("n_tokens"))
+        toks_df.withColumn("shard", shard.cast("int"))
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .withColumn("bin_id",
                     F.floor((F.col("cum_tokens") - F.col("n_tokens"))

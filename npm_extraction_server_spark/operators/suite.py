@@ -481,6 +481,16 @@ def text_tokens(spark, sf):
     return token_counts(_t(spark, sf, "documents"))
 
 
+def text_bpe_tokens(spark, sf):
+    """Deterministic toy-BPE subword counts (greedy longest-match over
+    the frozen BPE_PIECES vocab); the DuckDB oracle replays the same
+    greedy segmentation with a recursive CTE over distinct words —
+    a hard cross-engine check of a genuinely iterative tokenizer."""
+    from .text import bpe_token_counts
+
+    return bpe_token_counts(_t(spark, sf, "documents"))
+
+
 def text_quality(spark, sf):
     return quality_scores(_t(spark, sf, "documents"))
 
@@ -755,6 +765,18 @@ def pack_tokens(spark, sf):
                                   budget=2048, n_shards=8)
 
 
+def pack_tokens_bpe(spark, sf):
+    """Sequence packing under the deterministic toy-BPE budget (subword
+    counts instead of whitespace — the budget a trainer actually
+    packs); hard oracle = the BPE recursive-CTE replay feeding the same
+    shard running-sum window."""
+    from .sampling import pack_sequences_sharded
+
+    return pack_sequences_sharded(_t(spark, sf, "documents"),
+                                  budget=2048, n_shards=8,
+                                  token_mode="bpe")
+
+
 def corpus_curation(spark, sf):
     """The full curation composition: lang filter + quality floor +
     exact-dedup survivors + deterministic split, one Catalyst plan."""
@@ -818,6 +840,7 @@ SPARK_QUERIES = {
     "dedup_simhash_report": dedup_simhash_report,
     "dedup_embedding": dedup_embedding,
     "text_tokens": text_tokens,
+    "text_bpe_tokens": text_bpe_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -838,8 +861,71 @@ SPARK_QUERIES = {
     "emb_stats": emb_stats,
     "sample_split": sample_split,
     "pack_tokens": pack_tokens,
+    "pack_tokens_bpe": pack_tokens_bpe,
     "corpus_curation": corpus_curation,
 }
+
+
+# DuckDB replay of the toy-BPE greedy longest-match segmentation: the
+# recursive CTE walks each DISTINCT word with a cursor that advances by
+# the longest vocab piece matching at the cursor (single char when none
+# matches; correlated subquery picks the piece), counting one token per
+# step; per-doc totals come from re-joining the word multiset. The
+# vocab VALUES list is generated from the same frozen BPE_PIECES the
+# Spark operator uses — one source of truth.
+def _bpe_ctes() -> str:
+    from .text import BPE_PIECES
+
+    vocab_values = ", ".join(f"('{p}')" for p in BPE_PIECES)
+    return f"""
+    WITH RECURSIVE
+    vocab(piece) AS (VALUES {vocab_values}),
+    words AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+    dw AS (SELECT DISTINCT w FROM words),
+    seg AS (
+        SELECT w, 1 AS pos, 0 AS n FROM dw
+        UNION ALL
+        SELECT w,
+               pos + length(coalesce(
+                   (SELECT v.piece FROM vocab v
+                     WHERE substr(seg.w, seg.pos, length(v.piece)) = v.piece
+                     ORDER BY length(v.piece) DESC LIMIT 1),
+                   substr(seg.w, seg.pos, 1))),
+               n + 1
+        FROM seg WHERE pos <= length(w)),
+    counts AS (SELECT w, max(n) AS n_pieces FROM seg GROUP BY w),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_words, sum(n_pieces) AS n_bpe
+        FROM words JOIN counts USING (w) GROUP BY doc_id)
+    """
+
+
+_TEXT_BPE_SQL = _bpe_ctes() + """
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0)::BIGINT AS n_words,
+           coalesce(p.n_bpe, 0)::BIGINT AS n_bpe_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+_PACK_BPE_SQL = _bpe_ctes() + """
+    , t AS (
+        SELECT d.doc_id,
+               (('0x' || substr(sha256('shard:' || d.doc_id), 1, 15))
+                    ::UBIGINT % 8)::INT AS shard,
+               coalesce(p.n_bpe, 0)::BIGINT AS n_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id))
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_tokens,
+           ((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // 2048)::BIGINT AS bin_id
+    FROM t
+    """
 
 
 def _dec_sum_sql(expr, scale=2, out_scale=None):
@@ -1371,6 +1457,8 @@ ORACLE_SQL = {
                         i -> a.vec[i] * b.vec[i]))
                     / (a.norm * b.norm), 6) >= 0.95
     """,
+    "text_bpe_tokens": _TEXT_BPE_SQL,
+    "pack_tokens_bpe": _PACK_BPE_SQL,
     "text_tokens": """
         SELECT doc_id,
                len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,

@@ -253,6 +253,84 @@ def decontaminate(documents: DataFrame, eval_docs: DataFrame,
     )
 
 
+# Fixed toy-BPE vocabulary: the deterministic RESULT of a merge
+# training run, frozen so both engines replay identically (real BPE
+# inference works the same way — the merges file is a build artifact).
+# Greedy longest-match wordpiece segmentation; single-char fallback.
+BPE_PIECES = [
+    "stream", "window", "filter", "column", "custom", "order", "value",
+    "table", "batch", "query", "spark", "scan", "hash", "data", "line",
+    "part", "slow", "fast", "small", "group", "merge", "vector", "join",
+    "key", "row", "agg", "big", "sort", "the", "er", "ow", "an", "in",
+    "ta", "le",
+]
+
+
+def bpe_token_counts(documents: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic subword token counts (doc_id, n_words,
+    n_bpe_tokens): words = lowercase ``[a-z0-9]+`` runs; each word is
+    segmented by greedy longest-match against the fixed ``BPE_PIECES``
+    vocabulary (cursor always advances by the longest matching piece,
+    one char when nothing matches — each fallback char is one token).
+    Whitespace counting under-states real token budgets; this gives
+    ``pack_tokens`` / curation a subword-realistic budget while staying
+    exactly replayable cross-engine (the DuckDB oracle replays the same
+    greedy segmentation with a recursive CTE).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage, zero shuffle;
+    segmentation is memoized per distinct word within a batch (Zipf
+    makes the memo hit rate ~1)."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pieces = sorted(BPE_PIECES, key=len, reverse=True)
+    word_re = re.compile(r"[a-z0-9]+")
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_words", T.LongType(), False),
+        T.StructField("n_bpe_tokens", T.LongType(), False),
+    ])
+
+    def seg_len(word: str) -> int:
+        pos, n, L = 0, 0, len(word)
+        while pos < L:
+            for p in pieces:
+                if word.startswith(p, pos):
+                    pos += len(p)
+                    break
+            else:
+                pos += 1
+            n += 1
+        return n
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, nw, nb = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                words = word_re.findall((text or "").lower())
+                total = 0
+                for w in words:
+                    c = memo.get(w)
+                    if c is None:
+                        c = memo[w] = seg_len(w)
+                    total += c
+                ids.append(int(doc_id))
+                nw.append(len(words))
+                nb.append(total)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_words": nw, "n_bpe_tokens": nb})
+
+    from .dedup import spread_partitions
+
+    return spread_partitions(
+        documents.select("doc_id", text_col)).mapInPandas(fn, out_schema)
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text plus a
     winnowing-style min-k-gram fingerprint (min md5 over word

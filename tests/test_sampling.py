@@ -62,3 +62,55 @@ def test_pack_sharded_matches_single_within_shard(spark):
             cum += r["n_tokens"]
             assert r["cum_tokens"] == cum
             assert (r["cum_tokens"] - r["n_tokens"]) // 64 == r["bin_id"]
+
+
+def test_bpe_token_counts_greedy_segmentation(spark):
+    """Hand-checked greedy longest-match examples over the frozen
+    vocab ('customer' -> custom+er, 'streaming' -> stream+in+g, full
+    fallback 'xyz' -> x+y+z), plus empty/null text edge cases."""
+    from npm_extraction_server_spark.operators.text import (
+        BPE_PIECES,
+        bpe_token_counts,
+    )
+
+    def ref_seg(word):
+        pieces = sorted(BPE_PIECES, key=len, reverse=True)
+        pos, out = 0, []
+        while pos < len(word):
+            for p in pieces:
+                if word.startswith(p, pos):
+                    out.append(p)
+                    pos += len(p)
+                    break
+            else:
+                out.append(word[pos])
+                pos += 1
+        return out
+
+    assert ref_seg("customer") == ["custom", "er"]
+    assert ref_seg("streaming") == ["stream", "in", "g"]
+    assert ref_seg("xyz") == ["x", "y", "z"]
+    docs = spark.createDataFrame(
+        [(0, "Customer STREAMING xyz"), (1, ""), (2, None), (3, "table")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_token_counts(docs).collect()}
+    assert got == {0: (3, 2 + 3 + 3), 1: (0, 0), 2: (0, 0), 3: (1, 1)}
+
+
+def test_pack_sequences_bpe_mode(spark):
+    """token_mode='bpe': n_tokens is the subword count and the window
+    math is unchanged."""
+    from npm_extraction_server_spark.operators.text import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(i, "customer streaming value " * (1 + i % 3))
+         for i in range(60)], "doc_id long, text string")
+    packed = {r["doc_id"]: r for r in pack_sequences_sharded(
+        docs, budget=32, n_shards=2, token_mode="bpe").collect()}
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_counts(docs).collect()}
+    assert len(packed) == 60
+    for did, r in packed.items():
+        assert r["n_tokens"] == counts[did]
+        assert (r["cum_tokens"] - r["n_tokens"]) // 32 == r["bin_id"]
