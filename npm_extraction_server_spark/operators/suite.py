@@ -745,6 +745,62 @@ def graph_components_incr(spark, sf):
                      F.col("canonical_id").alias("component_id"))
 
 
+def _kg_graph_edges(spark, sf):
+    """Deterministic KG-shaped directed multigraph over doc_ids < 500
+    (fixed vertex set at every sf so the oracle SQL is scale-free):
+    two hash-derived long-range edges per node, a ring edge, and a
+    chord every third node (the chords close triangles). Re-derivable
+    in DuckDB from doc_id arithmetic alone."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 500)
+
+    def e(cond, dst):
+        return docs.filter(cond).select(d.alias("src"), dst.alias("dst"))
+
+    true = F.lit(True)
+    return (
+        e(true, (d * 7 + 3) % 500)
+        .unionByName(e(true, (d * 13 + 5) % 500))
+        .unionByName(e(true, (d + 1) % 500))
+        .unionByName(e(d % 3 == 0, (d + 2) % 500))
+    )
+
+
+def graph_bfs(spark, sf):
+    """Hop distance from a 10-seed set over the deterministic KG graph
+    (hard oracle: recursive-CTE min-distance in DuckDB). The Spark side
+    is level-synchronous frontier BFS with checkpointed frontiers —
+    per-round work follows the wavefront, not |V|."""
+    from ..plans.graph import bfs_distances
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    return bfs_distances(seeds, _kg_graph_edges(spark, sf))
+
+
+def graph_pagerank(spark, sf):
+    """5-iteration PageRank over the deterministic KG multigraph (hard
+    oracle: the identical power iteration unrolled as 5 chained CTEs in
+    DuckDB). Cross-engine bit-equality comes from the decimal-sum
+    protocol in plans/graph.pagerank — per-edge contributions rounded
+    to a 12-decimal grid and summed exactly as decimal(28,12)."""
+    from ..plans.graph import pagerank
+
+    return pagerank(_kg_graph_edges(spark, sf), iterations=5)
+
+
+def graph_triangles(spark, sf):
+    """Per-node triangle counts over the undirected simple graph
+    induced by the KG multigraph (hard oracle: the same two-join
+    oriented enumeration in DuckDB). Each triangle counted once via
+    a<b<c orientation."""
+    from ..plans.graph import triangle_counts
+
+    return triangle_counts(_kg_graph_edges(spark, sf))
+
+
 def sample_split(spark, sf):
     """Deterministic train/val/test split: membership is a pure
     function of doc_id (sha256-based so the oracle can replicate) —
@@ -855,6 +911,9 @@ SPARK_QUERIES = {
     "sim_ivf_verified": sim_ivf_verified,
     "graph_components": graph_components,
     "graph_components_incr": graph_components_incr,
+    "graph_bfs": graph_bfs,
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
     "sketch_distinct": sketch_distinct,
     "sketch_quantiles": sketch_quantiles,
@@ -1001,6 +1060,84 @@ _ANN_VERIFIED_SQL = """
 # runs of 10 + cross edges at multiples of 37): component id = min
 # reachable node. Recursive CTE = the oracle for the distributed
 # min-label/pointer-doubling connected components.
+# The deterministic KG graph shared by graph_bfs / graph_pagerank /
+# graph_triangles — the SQL twin of _kg_graph_edges.
+_KG_GRAPH_EDGES_CTE = """
+    e0 AS (
+        SELECT doc_id AS src, (7*doc_id+3) % 500 AS dst
+        FROM documents WHERE doc_id < 500
+        UNION ALL
+        SELECT doc_id, (13*doc_id+5) % 500 FROM documents WHERE doc_id < 500
+        UNION ALL
+        SELECT doc_id, (doc_id+1) % 500 FROM documents WHERE doc_id < 500
+        UNION ALL
+        SELECT doc_id, (doc_id+2) % 500 FROM documents
+        WHERE doc_id < 500 AND doc_id % 3 = 0
+    )
+"""
+
+_GRAPH_BFS_SQL = f"""
+    WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+    reach(node_id, dist) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0
+        UNION
+        SELECT e0.dst, r.dist + 1
+        FROM reach r JOIN e0 ON e0.src = r.node_id
+        WHERE r.dist < 30
+    )
+    SELECT node_id, min(dist)::INT AS dist FROM reach GROUP BY node_id
+"""
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """The power iteration of plans/graph.pagerank unrolled as chained
+    CTEs: same init (round(1/500,12)=0.002), same teleport
+    (round(0.15/500,12)=0.0003), same 12-decimal contribution grid and
+    exact decimal(28,12) inflow sum — the rank vector matches Spark's
+    bit-for-bit at every step."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src),
+    adj AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src)),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    r0 AS (SELECT node_id, 0.002::DOUBLE AS rank FROM nodes)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT n.node_id,
+               round(0.0003 + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT a.dst,
+                   cast(sum(cast(round(r.rank / a.out_deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+            FROM adj a JOIN r{k - 1} r ON r.node_id = a.src
+            GROUP BY a.dst) s ON s.dst = n.node_id)"""
+    sql += f"""
+    SELECT node_id, round(rank, 8) AS rank FROM r{iterations}"""
+    return sql
+
+
+_GRAPH_TRIANGLES_SQL = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_nodes AS (
+        SELECT a AS node_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node_id, count(*)::BIGINT AS n_triangles
+    FROM tri_nodes GROUP BY node_id
+"""
+
 _GRAPH_COMPONENTS_SQL = """
     WITH RECURSIVE e0 AS (
         SELECT doc_id AS a, doc_id - 1 AS b FROM documents
@@ -1275,6 +1412,9 @@ ORACLE_SQL = {
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
     "graph_components": _GRAPH_COMPONENTS_SQL,
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
+    "graph_bfs": _GRAPH_BFS_SQL,
+    "graph_pagerank": _pagerank_sql(5),
+    "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,

@@ -1,0 +1,182 @@
+"""Iterative graph analytics over the constructed KG (BFS distances,
+PageRank, triangle counts).
+
+The north-star pipeline materializes an entity graph (triples ->
+linked entities -> canonical ids); these operators answer the
+questions a KG consumer asks of that graph — reachability/hop
+distance from a seed set, link-structure importance, and local
+clustering — with the same execution discipline as
+``plans/linking.connected_components``: iterative DataFrame
+self-joins with eagerly ``localCheckpoint``-ed frontiers (truncating
+lineage so Catalyst never re-derives round N-1 inside round N), every
+per-round shuffle keyed on the node id.
+
+Scale notes (100 TB / 10^9-node graphs):
+
+- ``bfs_distances`` shuffles only the FRONTIER each round (nodes first
+  reached that round), not the full vertex set: cost follows the BFS
+  wavefront. The visited set is carried as a checkpointed DataFrame
+  and the frontier anti-joins against it — both sides hash-partitioned
+  on node id, so each round is one shuffle of the frontier plus one of
+  the newly-reached set.
+- ``pagerank`` is the classic power iteration: one join (edges x
+  ranks, co-partitioned on src) + one groupBy(dst) per round — two
+  shuffles per iteration, both on node id; AQE coalesces the tail.
+  Rank mass of dangling nodes is redistributed implicitly by the
+  (1-d)/N teleport term only, matching the "no dangling nodes"
+  contract the caller establishes (assert_no_dangling=True validates).
+- ``triangle_counts`` orients edges low->high degree-ordered id
+  (a < b < c) so each triangle is counted exactly once and the heavy
+  hub side of the join is bounded; this is the standard MR triangle
+  enumeration (Suri & Vassilvitskii) expressed as two joins.
+
+Cross-engine determinism (the DuckDB hard oracles in
+operators/suite.py): BFS and triangles are integer-exact. PageRank
+uses the repo's decimal-sum protocol (operators/suite.py:37-47) —
+per-edge contributions are double-divided then rounded to a 12-decimal
+grid, summed EXACTLY as decimal(28,12), and the new rank is re-rounded
+to the same grid, so Spark's partition-order-dependent double
+summation can never leak a ULP: both engines walk identical rank
+vectors through every iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bfs_distances", "pagerank", "triangle_counts"]
+
+
+def bfs_distances(seeds: DataFrame, edges: DataFrame,
+                  max_rounds: int = 30) -> DataFrame:
+    """Directed BFS hop distance from a seed set.
+
+    ``seeds``: one column ``node_id`` (distance 0).
+    ``edges``: columns ``src, dst`` (directed; duplicates tolerated).
+    Returns (node_id, dist) for every node reachable within
+    ``max_rounds`` hops; dist is the MINIMUM hop count (level-
+    synchronous BFS visits each node first at its true distance).
+
+    Each round: frontier ⋈ edges -> candidate next level, anti-join
+    the visited set, distinct, checkpoint. Stops early on an empty
+    frontier, so total work is O(sum of frontier sizes), not
+    O(rounds * |V|).
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    frontier = seeds.select("node_id").distinct() \
+        .withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    visited = frontier
+
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .withColumn("dist", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+# 12-decimal grid: fine enough that 5 damped iterations lose no
+# meaningful precision, coarse enough that both engines' double
+# round() agree (the proven suite.py money-sum scale).
+_GRID = 12
+
+
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping: float = 0.85, out_scale: int = 8) -> DataFrame:
+    """Fixed-iteration PageRank over a directed multigraph.
+
+    ``edges``: (src, dst); parallel edges each carry their own share
+    of the source's rank (out_degree counts multiplicity). Every node
+    must have at least one out-edge (no dangling-mass term; the
+    synthetic KG graphs used by the driver queries guarantee it).
+
+    Deterministic across engines: contributions are
+    ``round(rank / out_deg, 12)`` (IEEE double division is correctly
+    rounded in both engines), summed exactly as decimal(28,12), and
+    the damped update is re-rounded to the same grid — the rank
+    vector is identical bit-for-bit in Spark and DuckDB at every
+    iteration. Output rank is rounded to ``out_scale``.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # (src, dst, out_deg) is loop-invariant: materialize once
+    adj = edges.join(out_deg, "src").localCheckpoint(eager=True)
+
+    init = round(1.0 / n, _GRID)
+    teleport = round((1.0 - damping) / n, _GRID)
+    ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks, adj.src == ranks.node_id)
+            .select(
+                F.col("dst"),
+                F.round(F.col("rank") / F.col("out_deg"), _GRID)
+                .cast(f"decimal(28,{_GRID})").alias("contrib"),
+            )
+        )
+        inflow = contrib.groupBy("dst").agg(
+            F.sum("contrib").cast("double").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, nodes.node_id == inflow.dst, "left")
+            .select(
+                "node_id",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                    _GRID,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node_id", F.round("rank", out_scale).alias("rank"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation count over the undirected simple
+    graph induced by ``edges`` (direction and duplicates dropped,
+    self-loops ignored).
+
+    Canonical orientation a < b (one row per undirected edge), then
+    wedges (a<b<c) close against the oriented edge set — each triangle
+    enumerated exactly once, two shuffle joins total. Returns
+    (node_id, n_triangles) for nodes in >=1 triangle.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        und.join(e2, "b")                       # wedge a-b-c with a<b<c
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node_id"))
+        .unionByName(tri.select(F.col("b").alias("node_id")))
+        .unionByName(tri.select(F.col("c").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

@@ -1,0 +1,80 @@
+"""Unit tests for plans/graph.py (BFS, PageRank, triangles) on tiny
+hand-checkable graphs. The cross-engine hard oracles live in the
+driver suite (graph_bfs / graph_pagerank / graph_triangles)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from npm_extraction_server_spark.plans.graph import (
+    bfs_distances,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_chain_and_unreachable(spark):
+    # 0 -> 1 -> 2 -> 3 ; 10 -> 11 disconnected from the seed
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (10, 11)])
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    got = {r.node_id: r.dist for r in bfs_distances(seeds, e).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_takes_min_distance_and_respects_direction(spark):
+    # two paths to 4: 0->4 (1 hop) and 0->1->2->4 (3 hops); 5->0 is a
+    # back edge that must NOT make 5 reachable
+    e = _edges(spark, [(0, 4), (0, 1), (1, 2), (2, 4), (5, 0)])
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    got = {r.node_id: r.dist for r in bfs_distances(seeds, e).collect()}
+    assert got[4] == 1
+    assert 5 not in got
+
+
+def test_bfs_multi_seed_frontier_stops_early(spark):
+    e = _edges(spark, [(0, 1), (2, 3)])
+    seeds = spark.createDataFrame([(0,), (2,)], "node_id long")
+    got = {r.node_id: r.dist for r in bfs_distances(seeds, e, max_rounds=30).collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_pagerank_mass_conserved_and_symmetry(spark):
+    # 4-cycle: perfect symmetry -> all ranks equal 1/4; total mass 1
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ranks = {r.node_id: r.rank for r in pagerank(e, iterations=5).collect()}
+    assert all(math.isclose(v, 0.25, abs_tol=1e-8) for v in ranks.values())
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-6)
+
+
+def test_pagerank_sink_with_return_edge_ranks_highest(spark):
+    # star into 0 with a return edge each: 0 aggregates rank
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0), (0, 1), (0, 2), (0, 3)])
+    ranks = {r.node_id: r.rank for r in pagerank(e, iterations=10).collect()}
+    assert ranks[0] > ranks[1] == ranks[2] == ranks[3]
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-6)
+
+
+def test_pagerank_parallel_edges_split_rank(spark):
+    # node 0 has two parallel edges to 1 and one to 2: out_deg 3, so 1
+    # receives 2/3 of 0's outflow and 2 receives 1/3
+    e = _edges(spark, [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)])
+    ranks = {r.node_id: r.rank for r in pagerank(e, iterations=8).collect()}
+    assert ranks[1] > ranks[2]
+
+
+def test_triangles_counts_each_once(spark):
+    # K4 on {0,1,2,3}: 4 triangles, each node in exactly 3; edge
+    # direction/duplication must not matter
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+    e = _edges(spark, pairs + [(0, 1), (9, 9)])  # dup + self-loop
+    got = {r.node_id: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_none_on_a_tree(spark):
+    e = _edges(spark, [(0, 1), (0, 2), (1, 3), (1, 4)])
+    assert triangle_counts(e).count() == 0
