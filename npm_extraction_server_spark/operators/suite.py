@@ -716,6 +716,26 @@ def snap_incremental(spark, sf):
     return read_incremental(spark, table, from_snapshot=s1)
 
 
+def snap_stats_prune(spark, sf):
+    """Manifest-stats file pruning (hard oracle): documents are
+    committed range-clustered on doc_id, then a doc_id window is read
+    via read_where — scan planning keeps only files whose footer
+    min/max overlap the predicate (the Iceberg stats-pruning story;
+    pruned-vs-total is asserted in tests/test_snapshots.py). Results
+    must equal a plain filtered scan, which is what DuckDB runs."""
+    import tempfile
+
+    from ..sources.snapshots import commit, plan_scan, read_where
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapstats_")
+    commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    preds = [("doc_id", ">=", 150), ("doc_id", "<", 340)]
+    kept, total = plan_scan(table, preds)
+    assert len(kept) < len(total), "stats pruning had no effect"
+    return read_where(spark, table, preds).select("doc_id", "lang", "n_chars")
+
+
 def graph_components_incr(spark, sf):
     """Incremental CC under the SAME full-graph oracle as
     graph_components: the base labels come from the chain edges alone;
@@ -915,6 +935,7 @@ SPARK_QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
+    "snap_stats_prune": snap_stats_prune,
     "sketch_distinct": sketch_distinct,
     "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
@@ -1417,6 +1438,10 @@ ORACLE_SQL = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
+    "snap_stats_prune": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id >= 150 AND doc_id < 340
     """,
     "j9_asof_join": """
         WITH r AS (

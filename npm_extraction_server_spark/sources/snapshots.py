@@ -127,10 +127,173 @@ def _acquire_commit_lock(meta: Path, timeout: float,
             time.sleep(0.02)
 
 
+# ---------------------------------------------------------------------------
+# Per-file column statistics (Iceberg manifest stats): min/max per
+# top-level primitive column, harvested from the parquet FOOTERS at
+# commit time (no data read). Readers prune files whose stats prove a
+# predicate can never match — scan planning cost is metadata-only and
+# the planned scan shrinks with predicate selectivity, which is the
+# other half (besides snapshot diffs) of how an Iceberg scan of a
+# 100 TB table avoids opening 100 TB of files.
+
+_STATS_MAX_STR = 64  # don't trust long string stats (writers may truncate)
+
+
+def _stat_value(v):
+    """JSON-able, totally-ordered encoding of a footer stat value.
+    Returns (tag, encoded) or None when the value can't be used."""
+    import datetime
+
+    if isinstance(v, bool):  # bool before int (bool is an int subclass)
+        return None
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, str):
+        return ("s", v) if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, bytes):
+        try:
+            s = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        return ("s", s) if len(s) <= _STATS_MAX_STR else None
+    if isinstance(v, datetime.datetime):
+        # naive-UTC micros (the session TZ is pinned UTC)
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        epoch = datetime.datetime(1970, 1, 1)
+        return ("t", int((v - epoch).total_seconds() * 1_000_000))
+    if isinstance(v, datetime.date):
+        return ("d", v.toordinal())
+    return None
+
+
+def _collect_file_stats(files: list[str]) -> dict:
+    """{file: {"rows": n, "cols": {col: {"t": tag, "min": v,
+    "max": v}}}} from footers. A column with any untrusted/missing
+    row-group stat in a file is omitted for that file (absence ==
+    cannot prune, always safe); zero-row files are prunable outright."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        per_col: dict = {}
+        bad: set = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:  # nested: skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    per_col.pop(name, None)
+                    continue
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None or lo[0] != hi[0]:
+                    bad.add(name)
+                    per_col.pop(name, None)
+                    continue
+                cur = per_col.get(name)
+                if cur is None:
+                    per_col[name] = {"t": lo[0], "min": lo[1], "max": hi[1]}
+                elif cur["t"] != lo[0]:
+                    bad.add(name)
+                    per_col.pop(name, None)
+                else:
+                    cur["min"] = min(cur["min"], lo[1])
+                    cur["max"] = max(cur["max"], hi[1])
+        out[f] = {"rows": md.num_rows, "cols": per_col}
+    return out
+
+
+def _encode_pred_value(v, tag: str):
+    """Encode a user predicate value into the stats ordering domain of
+    ``tag``; None when incomparable (then the file is kept)."""
+    enc = _stat_value(v)
+    if enc is not None and enc[0] == tag:
+        return enc[1]
+    # int predicate against float stats and vice versa: floats order
+    # consistently with ints, so allow the cross-compare
+    if enc is not None and {enc[0], tag} == {"i", "f"}:
+        return float(enc[1]) if tag == "f" else enc[1]
+    return None
+
+
+def _file_may_match(stats: dict, predicates) -> bool:
+    """Conservative overlap test: False ONLY when some predicate is
+    provably false for every row of the file (or the file is empty)."""
+    if stats.get("rows") == 0:
+        return False
+    cols = stats.get("cols", {})
+    for col, op, val in predicates:
+        cs = cols.get(col)
+        if cs is None:
+            continue
+        v = _encode_pred_value(val, cs["t"])
+        if v is None:
+            continue
+        lo, hi = cs["min"], cs["max"]
+        if ((op == "=" and not (lo <= v <= hi))
+                or (op == "<" and not (lo < v))
+                or (op == "<=" and not (lo <= v))
+                or (op == ">" and not (hi > v))
+                or (op == ">=" and not (hi >= v))):
+            return False
+    return True
+
+
+def plan_scan(table: str, predicates, snapshot_id: int | None = None):
+    """Metadata-only scan planning: returns (kept_files, total_files)
+    for the snapshot's file set under ``predicates`` — a list of
+    (column, op, value) with op in {'=', '<', '<=', '>', '>='},
+    conjunctive. Files lacking stats for a column are always kept."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
+    if sid is None:
+        raise ValueError(f"{table}: empty table (no CURRENT)")
+    files = _chain_files(table, None, sid)
+    stats: dict = {}
+    walk: int | None = sid
+    while walk is not None:
+        man = _read_json(_meta(table) / f"snap-{walk}.json")
+        stats.update(man.get("file_stats", {}))
+        if man.get("operation", "append") == "replace":
+            break
+        walk = man["parent"]
+    kept = [f for f in files
+            if _file_may_match(stats.get(f, {}), predicates)]
+    return kept, files
+
+
+def read_where(spark: SparkSession, table: str, predicates,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Predicate scan with manifest-stats file pruning: plans the file
+    list from column min/max in the manifests (files that provably
+    contain no matching row are never opened), then applies the full
+    predicate as a residual Catalyst filter (so pruning is a pure
+    optimization — results equal read_snapshot().filter(...))."""
+    from pyspark.sql import functions as F
+
+    kept, files = plan_scan(table, predicates, snapshot_id)
+    if not kept:
+        return read_snapshot(spark, table, snapshot_id).limit(0).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
+           ">": "__gt__", ">=": "__ge__"}
+    for col, op, val in predicates:
+        df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
+    return df
+
+
 def commit(df: DataFrame, table: str, partitions: int | None = None,
            operation: str = "append", props: dict | None = None,
            expected_parent=_UNSET, lock_timeout: float = 120.0,
-           lock_stale_after: float = 300.0) -> int:
+           lock_stale_after: float = 300.0,
+           cluster_by: list[str] | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -158,7 +321,15 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     meta.mkdir(parents=True, exist_ok=True)
     (table_p / "data").mkdir(parents=True, exist_ok=True)
     staging = table_p / "data" / f".staging-{uuid.uuid4().hex}"
-    if partitions:
+    if cluster_by:
+        # range-cluster the commit on the given keys: each output file
+        # covers a narrow, near-disjoint key range, so the manifest
+        # stats make predicate file-pruning sharp (Iceberg's
+        # sort-order/cluster story; the cheap cousin of Z-ordering)
+        df = (df.repartitionByRange(partitions or df.rdd.getNumPartitions(),
+                                    *cluster_by)
+              .sortWithinPartitions(*cluster_by))
+    elif partitions:
         df = df.repartition(partitions)
     df.write.mode("errorifexists").parquet(str(staging))
     lock = _acquire_commit_lock(meta, lock_timeout, lock_stale_after)
@@ -189,6 +360,9 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
             "added_rows": added_rows,
             "schema": df.schema.json(),
             "props": props or {},
+            # per-file column min/max from the footers — powers
+            # plan_scan/read_where predicate file-pruning
+            "file_stats": _collect_file_stats(files),
         }
         (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
         tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"

@@ -51,6 +51,74 @@ def test_manifest_stats_and_log(table):
     assert all(Path(f).exists() for m in log for f in m["added_files"])
 
 
+def test_stats_pruning_plans_only_matching_commits(spark, table):
+    from npm_extraction_server_spark.sources.snapshots import (
+        plan_scan,
+        read_where,
+    )
+
+    # id in [10,30) lives entirely in commit 2: commits 1 and 3 must be
+    # pruned by manifest min/max alone
+    preds = [("id", ">=", 10), ("id", "<", 30)]
+    kept, total = plan_scan(table, preds)
+    assert kept and len(kept) < len(total)
+    assert all("/snap-2/" in f for f in kept)
+    # pruning is a pure optimization: same rows as a full-scan filter
+    assert _ids(read_where(spark, table, preds)) == list(range(10, 30))
+
+
+def test_stats_pruning_empty_and_residual(spark, table):
+    from npm_extraction_server_spark.sources.snapshots import (
+        plan_scan,
+        read_where,
+    )
+
+    kept, _ = plan_scan(table, [("id", ">", 1000)])
+    assert kept == []
+    df = read_where(spark, table, [("id", ">", 1000)])
+    assert df.count() == 0 and "id" in df.columns
+    # predicate INSIDE one file's range: residual filter still applies
+    assert _ids(read_where(spark, table, [("id", "=", 7)])) == [7]
+
+
+def test_cluster_by_sharpens_file_pruning(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        plan_scan,
+        read_where,
+    )
+
+    t = str(tmp_path / "clustered")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    commit(df, t, partitions=8, cluster_by=["id"])
+    kept, total = plan_scan(t, [("id", "=", 5)])
+    # range-clustered commit: a point predicate opens exactly one file
+    assert len(total) == 8 and len(kept) == 1
+    assert _ids(read_where(spark, t, [("id", "=", 5)])) == [5]
+
+
+def test_string_stats_prune_and_untrusted_stats_keep(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        _STATS_MAX_STR,
+        plan_scan,
+    )
+
+    t = str(tmp_path / "strtab")
+    a = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, s string")
+    z = spark.createDataFrame([(3, "zeta"), (4, "zulu")], "id long, s string")
+    commit(a, t, partitions=1)
+    commit(z, t, partitions=1)
+    kept, total = plan_scan(t, [("s", ">=", "z")])
+    assert len(total) == 2 and len(kept) == 1 and "/snap-2/" in kept[0]
+    # long strings: stats untrusted -> file kept (never wrongly pruned)
+    big = spark.createDataFrame([(9, "x" * (_STATS_MAX_STR + 10))],
+                                "id long, s string")
+    commit(big, t, partitions=1)
+    kept2, total2 = plan_scan(t, [("s", "=", "zzz-not-there")])
+    assert len(total2) == 3
+    assert any("/snap-3/" in f for f in kept2)  # untrusted stats kept
+    assert not any("/snap-1/" in f for f in kept2)  # trusted stats pruned
+
+
 def test_crash_before_current_flip_is_invisible(spark, table):
     """Data files + manifest without the CURRENT flip = no commit: a
     writer that dies mid-commit leaves the table state unchanged."""
