@@ -736,6 +736,41 @@ def snap_stats_prune(spark, sf):
     return read_where(spark, table, preds).select("doc_id", "lang", "n_chars")
 
 
+def snap_merge_upsert(spark, sf):
+    """Copy-on-write MERGE/upsert (hard oracle): documents land
+    range-clustered, then a merge updates n_chars for doc_id in
+    [100,200) and inserts shadow rows at doc_id+100000 for doc_id<50.
+    Only files whose manifest key range overlaps the update keys are
+    rewritten (asserted); DuckDB re-derives the merged table with
+    plain CASE/UNION set logic."""
+    import tempfile
+
+    from ..sources.snapshots import (
+        commit,
+        merge_upsert,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapmerge_")
+    commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    updates = (
+        docs.filter((d >= 100) & (d < 200))
+        .select("doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            docs.filter(d < 50)
+            .select((d + 100000).alias("doc_id"), "lang",
+                    F.lit(-1).alias("n_chars")))
+    )
+    merge_upsert(spark, table, updates, key="doc_id")
+    man = snapshot_log(table)[-1]
+    assert man["operation"] == "overwrite"
+    assert len(man["removed_files"]) < 8, "merge rewrote every file"
+    return read_snapshot(spark, table)
+
+
 def graph_components_incr(spark, sf):
     """Incremental CC under the SAME full-graph oracle as
     graph_components: the base labels come from the chain edges alone;
@@ -936,6 +971,7 @@ SPARK_QUERIES = {
     "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
+    "snap_merge_upsert": snap_merge_upsert,
     "sketch_distinct": sketch_distinct,
     "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
@@ -1442,6 +1478,15 @@ ORACLE_SQL = {
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id >= 150 AND doc_id < 340
+    """,
+    "snap_merge_upsert": """
+        SELECT doc_id,
+               lang,
+               CASE WHEN doc_id >= 100 AND doc_id < 200
+                    THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, lang, -1 FROM documents WHERE doc_id < 50
     """,
     "j9_asof_join": """
         WITH r AS (

@@ -293,7 +293,8 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
            operation: str = "append", props: dict | None = None,
            expected_parent=_UNSET, lock_timeout: float = 120.0,
            lock_stale_after: float = 300.0,
-           cluster_by: list[str] | None = None) -> int:
+           cluster_by: list[str] | None = None,
+           removed_files: list[str] | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -312,8 +313,14 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     ``meta/COMMIT.lock``. If the writer dies before the flip, the
     table is unchanged; an orphaned data dir can never wedge future
     commits because ids are claimed over manifests AND data dirs."""
-    if operation not in ("append", "replace"):
+    if operation not in ("append", "replace", "overwrite"):
         raise ValueError(f"unknown operation {operation!r}")
+    if removed_files and operation != "overwrite":
+        raise ValueError("removed_files requires operation='overwrite'")
+    if operation == "overwrite" and expected_parent is _UNSET:
+        raise ValueError("overwrite commits rewrite state derived from "
+                         "their parent: expected_parent is mandatory "
+                         "(CAS against concurrent writers)")
     import shutil
 
     table_p = Path(table)
@@ -363,6 +370,7 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
             # per-file column min/max from the footers — powers
             # plan_scan/read_where predicate file-pruning
             "file_stats": _collect_file_stats(files),
+            "removed_files": sorted(removed_files or []),
         }
         (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
         tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
@@ -397,19 +405,33 @@ def _chain_files(table: str, from_excl: int | None, to_incl: int,
     """Data files along the parent chain in (from_excl, to_incl].
 
     Full reads (``incremental=False``) stop at the newest 'replace'
-    (compaction) snapshot — its files ARE the table state below it.
-    Incremental reads collect 'append' files only ('replace' snapshots
-    add no rows) but still walk to ``from_excl`` to validate ancestry."""
+    (compaction) snapshot — its files ARE the table state below it —
+    and honor 'overwrite' snapshots' ``removed_files``: a file removed
+    by a copy-on-write rewrite above is invisible below. Incremental
+    reads collect added files of 'append'/'overwrite' snapshots only
+    ('replace' adds no rows; an overwrite's added files carry its
+    upserted rows) and still walk to ``from_excl`` to validate
+    ancestry."""
     files: list[str] = []
+    removed: set[str] = set()
     sid: int | None = to_incl
     while sid is not None and sid != from_excl:
         man = _read_json(_meta(table) / f"snap-{sid}.json")
         op = man.get("operation", "append")
         if incremental:
+            if op == "overwrite":
+                raise ValueError(
+                    f"snapshot {sid} is a row-level overwrite: its added "
+                    "files mix upserted rows with copied-over rows, so an "
+                    "append-only incremental scan over it would duplicate "
+                    "data (Iceberg's incremental append scan refuses "
+                    "overwrites the same way) — read the full snapshot or "
+                    "diff at the row level instead")
             if op == "append":
                 files[:0] = man["added_files"]
         else:
-            files[:0] = man["added_files"]
+            files[:0] = [f for f in man["added_files"] if f not in removed]
+            removed.update(man.get("removed_files", []))
             if op == "replace":
                 return files  # full state; nothing older is needed
         sid = man["parent"]
@@ -525,3 +547,85 @@ def rollback(table: str, snapshot_id: int) -> None:
     tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
     tmp.write_text(str(snapshot_id))
     os.replace(tmp, meta / "CURRENT")
+
+
+def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
+                 key: str, max_retries: int = 3,
+                 cluster_by: list[str] | None = None) -> int:
+    """Copy-on-write row-level MERGE (upsert by ``key``): rows of
+    ``updates`` replace same-key rows in the table; new keys are
+    inserted. Returns the new snapshot id.
+
+    Scan-planning does the heavy lifting: only data files whose
+    manifest key-range stats can contain an update key are read and
+    rewritten — on a range-clustered table a merge touching 0.1% of
+    the key space rewrites ~0.1% of the files (plus the one new file
+    set), never the whole table. Untouched files are carried by
+    reference. This is Iceberg/Delta copy-on-write MERGE INTO:
+    the commit is an 'overwrite' (removed_files = the rewritten
+    files, added_files = rewritten survivors + upserts) under
+    expected_parent CAS, retried on :class:`CommitConflict` so a
+    concurrent append never has its rows silently dropped.
+
+    ``updates`` must carry the full table schema; duplicate keys
+    within ``updates`` are invalid (enforced distributedly).
+    """
+    from pyspark.sql import functions as F
+
+    dup = (updates.groupBy(key).agg(F.count("*").alias("n"))
+           .filter(F.col("n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"updates carry duplicate key {dup[0][key]!r}: one row per "
+            "key is required (MERGE would be ambiguous)")
+    updates = updates.localCheckpoint(eager=True)
+
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        base = current_snapshot_id(table)
+        if base is None:
+            raise ValueError(f"{table}: empty table (no CURRENT)")
+        files = _chain_files(table, None, base)
+        stats: dict = {}
+        walk: int | None = base
+        while walk is not None:
+            man = _read_json(_meta(table) / f"snap-{walk}.json")
+            stats.update(man.get("file_stats", {}))
+            if man.get("operation", "append") == "replace":
+                break
+            walk = man["parent"]
+        # files whose key-range may contain an update key: broadcast
+        # the (tiny, manifest-derived) range list against the update
+        # keys — one distributed semi-join, no driver-side key set
+        ranged, unranged = [], []
+        for f in files:
+            cs = stats.get(f, {}).get("cols", {}).get(key)
+            if cs and cs.get("t") not in ("i", "s"):
+                cs = None  # only int/string key ranges join cleanly
+            if stats.get(f, {}).get("rows") == 0:
+                continue  # empty file: nothing to rewrite
+            (ranged if cs else unranged).append(
+                (f, cs["min"], cs["max"]) if cs else (f, None, None))
+        touched = [f for f, *_ in unranged]  # no stats -> must rewrite
+        if ranged:
+            rdf = spark.createDataFrame(
+                [(f, lo, hi) for f, lo, hi in ranged], ["_f", "_lo", "_hi"])
+            hit = (updates.select(F.col(key).alias("_k"))
+                   .join(F.broadcast(rdf),
+                         (F.col("_k") >= F.col("_lo"))
+                         & (F.col("_k") <= F.col("_hi")))
+                   .select("_f").distinct().collect())
+            touched += [r["_f"] for r in hit]
+        if touched:
+            survivors = (spark.read.parquet(*sorted(touched))
+                         .join(updates.select(key), key, "left_anti"))
+            new_data = survivors.unionByName(updates)
+        else:
+            new_data = updates
+        try:
+            return commit(new_data, table, operation="overwrite",
+                          removed_files=sorted(touched),
+                          expected_parent=base, cluster_by=cluster_by)
+        except CommitConflict as e:
+            last_err = e  # concurrent commit moved CURRENT: re-plan
+    raise last_err if last_err else RuntimeError("merge_upsert failed")

@@ -413,3 +413,108 @@ def test_snapshot_incremental_pipeline(spark, tmp_path):
     direct, _ = split_errors(docs_to_triples(extract_docs(batch2)))
     assert len(inc) > 0
     assert inc == {tuple(r) for r in direct.select(cols).collect()}
+
+
+def test_merge_upsert_updates_inserts_and_carries_untouched(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        merge_upsert,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    t = str(tmp_path / "merge")
+    base = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    commit(base, t, partitions=4, cluster_by=["id"])
+    # update ids 10..14 (v -> 999), insert ids 1000..1002
+    ups = spark.createDataFrame(
+        [(i, 999) for i in range(10, 15)] + [(i, -1) for i in (1000, 1001, 1002)],
+        "id long, v long")
+    merge_upsert(spark, t, ups, key="id")
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 103
+    assert all(got[i] == 999 for i in range(10, 15))
+    assert all(got[i] == -1 for i in (1000, 1001, 1002))
+    assert got[50] == 100  # untouched row carried by reference
+    # only the stats-matching files were rewritten (4 clustered files;
+    # ids 10..14 live in one; inserts beyond max touch none)
+    man = snapshot_log(t)[-1]
+    assert man["operation"] == "overwrite"
+    assert len(man["removed_files"]) == 1
+
+
+def test_merge_upsert_time_travel_sees_pre_merge_state(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        merge_upsert,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "mtt")
+    s1 = commit(spark.range(10).select(F.col("id"), F.lit(0).alias("v")), t)
+    ups = spark.createDataFrame([(3, 7)], "id long, v int")
+    merge_upsert(spark, t, ups, key="id")
+    old = {r["id"]: r["v"] for r in read_snapshot(spark, t, snapshot_id=s1).collect()}
+    assert old[3] == 0 and len(old) == 10
+    new = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert new[3] == 7 and len(new) == 10
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        merge_upsert,
+    )
+
+    t = str(tmp_path / "mdup")
+    commit(spark.range(5).select(F.col("id"), F.lit(0).alias("v")), t)
+    ups = spark.createDataFrame([(1, 1), (1, 2)], "id long, v int")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(spark, t, ups, key="id")
+
+
+def test_merge_upsert_retries_past_concurrent_append(spark, tmp_path):
+    """A commit landing between merge planning and merge commit must
+    not lose rows: the CAS fails, the merge re-plans over the new
+    CURRENT and both writers' rows survive."""
+    from npm_extraction_server_spark.sources import snapshots as S
+
+    t = str(tmp_path / "mrace")
+    S.commit(spark.range(10).select(F.col("id"), F.lit(0).alias("v")), t)
+
+    real_commit = S.commit
+    interfered = {"done": False}
+
+    def racing_commit(df, table, **kw):
+        if not interfered["done"] and kw.get("operation") == "overwrite":
+            interfered["done"] = True
+            # sneak an append in first: ids 100..104
+            real_commit(
+                spark.range(100, 105).select(F.col("id"), F.lit(5).alias("v")),
+                table)
+        return real_commit(df, table, **kw)
+
+    S.commit = racing_commit
+    try:
+        ups = spark.createDataFrame([(3, 7)], "id long, v int")
+        S.merge_upsert(spark, t, ups, key="id")
+    finally:
+        S.commit = real_commit
+    got = {r["id"]: r["v"] for r in S.read_snapshot(spark, t).collect()}
+    assert len(got) == 15  # 10 base + 5 raced-in appends
+    assert got[3] == 7 and got[100] == 5
+
+
+def test_incremental_read_refuses_overwrite_range(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        merge_upsert,
+        read_incremental,
+    )
+
+    t = str(tmp_path / "minc")
+    s1 = commit(spark.range(10).select(F.col("id"), F.lit(0).alias("v")), t)
+    merge_upsert(spark, t,
+                 spark.createDataFrame([(3, 7)], "id long, v int"), key="id")
+    with pytest.raises(ValueError, match="overwrite"):
+        read_incremental(spark, t, from_snapshot=s1)
