@@ -44,6 +44,7 @@ HEADLINE = [
     "text_span_dedup",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "graph_pagerank",
 ]
 
 

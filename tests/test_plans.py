@@ -134,3 +134,65 @@ def test_minhash_band_rows_do_not_carry_signatures(spark):
              if "band_hash" in seg and "Join" in seg]
     assert joins, "expected an equi-join keyed on band_hash"
     assert all("sig" not in seg for seg in joins)
+
+
+def test_read_where_pushes_residual_to_scan(spark, tmp_path):
+    """Stats-pruned snapshot reads still push the residual predicate
+    into the parquet scan of the files they do open."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        read_where,
+    )
+
+    t = str(tmp_path / "rw")
+    commit(spark.range(1000).select(F.col("id"), (F.col("id") % 9).alias("k")),
+           t, partitions=4, cluster_by=["id"])
+    plan = _plan(read_where(spark, t, [("id", ">=", 500)]))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(id,500)" in plan
+
+
+def test_merge_upsert_broadcasts_file_ranges_not_updates(spark, tmp_path):
+    """The merge's touched-file planning joins the (tiny) manifest
+    range list BROADCAST against the update keys — the update side is
+    never collected or shuffled for planning."""
+    from npm_extraction_server_spark.sources import snapshots as S
+
+    t = str(tmp_path / "mplan")
+    S.commit(spark.range(1000).select(F.col("id"), F.lit(0).alias("v")),
+             t, partitions=4, cluster_by=["id"])
+    seen = []
+    orig = S.commit
+
+    def spy_commit(df, table, **kw):
+        if kw.get("operation") == "overwrite":
+            seen.append(_plan(df))
+        return orig(df, table, **kw)
+
+    S.commit = spy_commit
+    try:
+        ups = spark.range(100, 120).select(F.col("id"), F.lit(7).alias("v"))
+        S.merge_upsert(spark, t, ups, key="id")
+    finally:
+        S.commit = orig
+    # the rewritten-data plan: survivors (anti-join on key) + updates;
+    # the anti-join build side is the update keys (bounded) — broadcast
+    assert seen and "LeftAnti" in seen[0]
+    assert "BroadcastExchange" in seen[0]
+
+
+def test_pagerank_adjacency_materialized_once(spark):
+    """The loop-invariant (src, dst, out_deg) adjacency is checkpointed:
+    each iteration's plan scans the checkpoint, not a re-derived
+    groupBy — no repeated degree aggregation inside the loop."""
+    from npm_extraction_server_spark.plans.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(50)]
+        + [(i, (i + 1) % 50) for i in range(50)], "src long, dst long")
+    ranks = pagerank(e, iterations=2)
+    plan = _plan(ranks)
+    # final plan is rooted at checkpointed scans (the per-iteration
+    # localCheckpoint), so no full lineage re-derivation appears
+    assert "Scan ExistingRDD" in plan
+    total = sum(r["rank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-6
