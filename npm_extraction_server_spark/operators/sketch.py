@@ -108,3 +108,67 @@ def kmv_merge(sketches: DataFrame, group_col: str = "grp",
         .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def cms_counters(df: DataFrame, value_col: str, depth: int = 4,
+                 width: int = 256) -> DataFrame:
+    """Count-min sketch counter table for ``value_col``: (j, bucket,
+    cnt) with depth x width cells total, independent of cardinality.
+
+    Row j's hash is md5(f"{j}:{value}") truncated to 48 bits mod width
+    — deterministic and portable, so DuckDB builds the identical
+    counters and the driver can hard-oracle the ESTIMATES (the same
+    reasoning as kmv_distinct: a sketch you can cross-engine-verify
+    beats a marginally tighter one you can't).
+
+    Mergeable by cell-wise addition (``cms_merge``): shard sketches
+    sum losslessly, the map-side combine shape — the shuffle carries
+    at most depth*width rows per shard whatever the input size."""
+    rows = df.select(
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"),
+        F.col(value_col).cast("string").alias("v"))
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("j"), F.col("v"))), 1, 12), 16, 10)
+        .cast("long") % width)
+    return (rows.withColumn("bucket", bucket)
+            .groupBy("j", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(counters: DataFrame) -> DataFrame:
+    """Merge shard counter tables (their union) cell-wise."""
+    return counters.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(df: DataFrame, counters: DataFrame, value_col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point estimates for every distinct key: min over the depth rows
+    of the key's counter cells — the classic one-sided CMS bound
+    (estimate >= true count, overshoot bounded by collisions ~ n/width
+    per row, min over depth rows). Returns (value_col, est_count)."""
+    keys = (df.select(F.col(value_col).cast("string").alias("v")).distinct()
+            .select("v", F.explode(
+                F.array([F.lit(j) for j in range(depth)])).alias("j")))
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("j"), F.col("v"))), 1, 12), 16, 10)
+        .cast("long") % width)
+    return (
+        keys.withColumn("bucket", bucket)
+        .join(counters, ["j", "bucket"], "left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(F.col("v").alias(value_col), "est_count")
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str, min_count: int,
+                      depth: int = 4, width: int = 256) -> DataFrame:
+    """Keys whose CMS-estimated frequency is >= min_count. One-sided:
+    every true heavy hitter is returned (no false negatives); a few
+    collision-inflated keys may ride along — the standard CMS
+    contract, resolved by an exact re-count over the (small) candidate
+    set when exactness matters."""
+    counters = cms_counters(df, value_col, depth, width)
+    est = cms_estimate(df, counters, value_col, depth, width)
+    return est.filter(F.col("est_count") >= min_count)

@@ -716,6 +716,18 @@ def snap_incremental(spark, sf):
     return read_incremental(spark, table, from_snapshot=s1)
 
 
+def sketch_heavy_hitters(spark, sf):
+    """Count-min-sketch heavy hitters over events.user_id (hard
+    oracle: md5-bucketed counters are deterministic, so DuckDB builds
+    the identical depth x width table and the identical min-over-rows
+    estimates — the estimator ITSELF is cross-engine-verified, same
+    philosophy as sketch_distinct)."""
+    from .sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf, "events"), "user_id",
+                             min_count=80)
+
+
 def snap_stats_prune(spark, sf):
     """Manifest-stats file pruning (hard oracle): documents are
     committed range-clustered on doc_id, then a doc_id window is read
@@ -973,6 +985,7 @@ SPARK_QUERIES = {
     "snap_stats_prune": snap_stats_prune,
     "snap_merge_upsert": snap_merge_upsert,
     "sketch_distinct": sketch_distinct,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
     "sample_split": sample_split,
@@ -1474,6 +1487,30 @@ ORACLE_SQL = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
+    """,
+    "sketch_heavy_hitters": """
+        WITH cells AS (
+            SELECT j,
+                   ('0x' || substr(md5(j || ':' || user_id), 1, 12))::UBIGINT
+                       % 256 AS bucket,
+                   count(*) AS cnt
+            FROM events, unnest([0, 1, 2, 3]) AS t(j)
+            GROUP BY 1, 2
+        ),
+        kj AS (
+            SELECT DISTINCT user_id::VARCHAR AS v, t.j
+            FROM events, unnest([0, 1, 2, 3]) AS t(j)
+        ),
+        est AS (
+            SELECT kj.v, min(coalesce(c.cnt, 0)) AS est_count
+            FROM kj LEFT JOIN cells c
+              ON c.j = kj.j
+             AND c.bucket = ('0x' || substr(md5(kj.j || ':' || kj.v), 1, 12))
+                                ::UBIGINT % 256
+            GROUP BY kj.v
+        )
+        SELECT v AS user_id, est_count::BIGINT AS est_count
+        FROM est WHERE est_count >= 80
     """,
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents

@@ -564,3 +564,41 @@ def test_salted_and_split_head_join(spark):
 
     hk = [r["key"] for r in head_keys(probe, "key", 1).collect()]
     assert hk == ["hot"]
+
+
+def test_cms_one_sided_bound_and_merge(spark):
+    """Count-min sketch: estimate >= true count for every key (one-
+    sided error), near-exact at low load factor, and shard counter
+    merge == global counters (the map-side-combine mergeability that
+    caps the shuffle at depth*width rows per shard)."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+        cms_heavy_hitters,
+        cms_merge,
+    )
+
+    # 5000 rows, zipf-ish: key k appears 1000//(k+1) times
+    rows = [(k,) for k in range(60) for _ in range(1000 // (k + 1))]
+    df = spark.createDataFrame(rows, "item long").repartition(8)
+    true = {str(k): 1000 // (k + 1) for k in range(60)}
+
+    counters = cms_counters(df, "item")
+    est = {r["item"]: r["est_count"]
+           for r in cms_estimate(df, counters, "item").collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)          # one-sided
+    assert sum(est[k] - true[k] for k in true) <= 60 * 40  # low load
+
+    hh = {r["item"] for r in cms_heavy_hitters(df, "item", 250).collect()}
+    assert {k for k, n in true.items() if n >= 250} <= hh  # no false negatives
+
+    # shard-wise merge equals global
+    shard1 = cms_counters(df.filter(F.col("item") < 30), "item")
+    shard2 = cms_counters(df.filter(F.col("item") >= 30), "item")
+    merged = {(r["j"], r["bucket"]): r["cnt"]
+              for r in cms_merge(shard1.unionByName(shard2)).collect()}
+    glob = {(r["j"], r["bucket"]): r["cnt"] for r in counters.collect()}
+    assert merged == glob
