@@ -62,25 +62,38 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame,
     the visited set, distinct, checkpoint. Stops early on an empty
     frontier, so total work is O(sum of frontier sizes), not
     O(rounds * |V|).
-    """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+
+    The edge set is persisted HASH-PARTITIONED on ``src``: an
+    ``InMemoryTableScan`` preserves its outputPartitioning (an eager
+    localCheckpoint does not), so each round's join shuffles only the
+    FRONTIER to meet the edges — the edge set is shuffled once for the
+    whole traversal, not once per level. Unpersisted before return
+    (every frontier is independently checkpointed)."""
+    edges = (edges.select("src", "dst")
+             .repartition(F.col("src")).persist())
     frontier = seeds.select("node_id").distinct() \
         .withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     visited = frontier
 
-    for r in range(1, max_rounds + 1):
-        nxt = (
-            frontier.join(edges, frontier.node_id == edges.src)
-            .select(F.col("dst").alias("node_id"))
-            .distinct()
-            .join(visited.select("node_id"), "node_id", "left_anti")
-            .withColumn("dist", F.lit(r))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.rdd.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    try:
+        for r in range(1, max_rounds + 1):
+            nxt = (
+                frontier.join(edges, frontier.node_id == edges.src)
+                .select(F.col("dst").alias("node_id"))
+                .distinct()
+                .join(visited.select("node_id"), "node_id", "left_anti")
+                .withColumn("dist", F.lit(r))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.rdd.isEmpty():
+                break
+            # every input of the union is already an eager checkpoint,
+            # so the union is pure metadata — re-checkpointing it would
+            # rewrite O(rounds * |V|) rows for nothing
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    finally:
+        edges.unpersist()
     return visited
 
 
@@ -115,36 +128,45 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     )
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # (src, dst, out_deg) is loop-invariant: materialize once
-    adj = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    # (src, dst, out_deg) is loop-invariant: persist it HASH-PARTITIONED
+    # on src — InMemoryTableScan keeps its outputPartitioning, so each
+    # iteration's rank join shuffles only the (|V|-sized) rank vector,
+    # never the (|E|-sized) adjacency. Unpersisted before return (the
+    # final ranks are checkpointed).
+    adj = (edges.join(out_deg, "src")
+           .repartition(F.col("src")).persist())
+    adj.count()
 
     init = round(1.0 / n, _GRID)
     teleport = round((1.0 - damping) / n, _GRID)
     ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
 
-    for _ in range(iterations):
-        contrib = (
-            adj.join(ranks, adj.src == ranks.node_id)
-            .select(
-                F.col("dst"),
-                F.round(F.col("rank") / F.col("out_deg"), _GRID)
-                .cast(f"decimal(28,{_GRID})").alias("contrib"),
+    try:
+        for _ in range(iterations):
+            contrib = (
+                adj.join(ranks, adj.src == ranks.node_id)
+                .select(
+                    F.col("dst"),
+                    F.round(F.col("rank") / F.col("out_deg"), _GRID)
+                    .cast(f"decimal(28,{_GRID})").alias("contrib"),
+                )
             )
-        )
-        inflow = contrib.groupBy("dst").agg(
-            F.sum("contrib").cast("double").alias("inflow"))
-        ranks = (
-            nodes.join(inflow, nodes.node_id == inflow.dst, "left")
-            .select(
-                "node_id",
-                F.round(
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
-                    _GRID,
-                ).alias("rank"),
+            inflow = contrib.groupBy("dst").agg(
+                F.sum("contrib").cast("double").alias("inflow"))
+            ranks = (
+                nodes.join(inflow, nodes.node_id == inflow.dst, "left")
+                .select(
+                    "node_id",
+                    F.round(
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                        _GRID,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        adj.unpersist()
     return ranks.select("node_id", F.round("rank", out_scale).alias("rank"))
 
 
