@@ -783,6 +783,33 @@ def snap_merge_upsert(spark, sf):
     return read_snapshot(spark, table)
 
 
+def snap_changelog(spark, sf):
+    """Row-level change-data feed over a copy-on-write merge (hard
+    oracle): after the same merge as snap_merge_upsert, read_changes
+    must emit exactly the delete+insert pairs of the updated keys plus
+    the pure inserts — survivor rows copied between rewritten files
+    cancel out of the diff. DuckDB re-derives the change set with
+    plain set logic."""
+    import tempfile
+
+    from ..sources.snapshots import commit, merge_upsert, read_changes
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapcdf_")
+    s1 = commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    updates = (
+        docs.filter((d >= 100) & (d < 200))
+        .select("doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            docs.filter(d < 50)
+            .select((d + 100000).alias("doc_id"), "lang",
+                    F.lit(-1).alias("n_chars")))
+    )
+    merge_upsert(spark, table, updates, key="doc_id")
+    return read_changes(spark, table, from_snapshot=s1)
+
+
 def graph_components_incr(spark, sf):
     """Incremental CC under the SAME full-graph oracle as
     graph_components: the base labels come from the chain edges alone;
@@ -984,6 +1011,7 @@ SPARK_QUERIES = {
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
     "snap_merge_upsert": snap_merge_upsert,
+    "snap_changelog": snap_changelog,
     "sketch_distinct": sketch_distinct,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_quantiles": sketch_quantiles,
@@ -1515,6 +1543,17 @@ ORACLE_SQL = {
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id >= 150 AND doc_id < 340
+    """,
+    "snap_changelog": """
+        SELECT doc_id, lang, (n_chars + 1000)::BIGINT AS n_chars,
+               'insert' AS _change_type, 2 AS _snapshot_id
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        UNION ALL
+        SELECT doc_id + 100000, lang, -1, 'insert', 2
+        FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id, lang, n_chars::BIGINT, 'delete', 2
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200
     """,
     "snap_merge_upsert": """
         SELECT doc_id,

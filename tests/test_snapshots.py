@@ -518,3 +518,47 @@ def test_incremental_read_refuses_overwrite_range(spark, tmp_path):
                  spark.createDataFrame([(3, 7)], "id long, v int"), key="id")
     with pytest.raises(ValueError, match="overwrite"):
         read_incremental(spark, t, from_snapshot=s1)
+
+
+def test_changelog_scan_append_and_merge(spark, tmp_path):
+    """read_changes: appends arrive as inserts; a copy-on-write merge
+    arrives as delete+insert pairs for updated keys plus pure inserts
+    for new keys — survivor rows copied between files cancel out."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        merge_upsert,
+        read_changes,
+    )
+
+    t = str(tmp_path / "cdf")
+    s1 = commit(spark.range(10).select(F.col("id"), F.lit(0).alias("v")), t)
+    commit(spark.range(10, 15).select(F.col("id"), F.lit(1).alias("v")), t)
+    ups = spark.createDataFrame([(3, 7), (99, 9)], "id long, v int")
+    merge_upsert(spark, t, ups, key="id")
+
+    ch = read_changes(spark, t, from_snapshot=s1).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r["_snapshot_id"], r["_change_type"]), set()).add(
+            (r["id"], r["v"]))
+    assert by[(2, "insert")] == {(i, 1) for i in range(10, 15)}
+    assert by[(3, "insert")] == {(3, 7), (99, 9)}
+    assert by[(3, "delete")] == {(3, 0)}
+    assert set(by) == {(2, "insert"), (3, "insert"), (3, "delete")}
+
+
+def test_changelog_scan_skips_compaction(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        compact,
+        read_changes,
+    )
+
+    t = str(tmp_path / "cdfc")
+    s1 = commit(spark.range(5).select(F.col("id"), F.lit(0).alias("v")), t)
+    compact(spark, t, partitions=1)
+    assert read_changes(spark, t, from_snapshot=s1).count() == 0
+    commit(spark.range(5, 8).select(F.col("id"), F.lit(2).alias("v")), t)
+    ch = read_changes(spark, t, from_snapshot=s1)
+    assert sorted(r["id"] for r in ch.collect()) == [5, 6, 7]
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
