@@ -289,12 +289,47 @@ def read_where(spark: SparkSession, table: str, predicates,
     return df
 
 
+_Z_BITS = 12  # per-dimension resolution of the z-curve (4096 buckets)
+
+
+def _with_z_value(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Append the interleaved-bit z-curve value of ``cols``.
+
+    Each column is min/max-normalized to a ``_Z_BITS``-bit integer
+    (two tiny driver-side agg scalars per column — layout only, so
+    float rounding is irrelevant to correctness), then the bit planes
+    are interleaved JVM-side with shift/mask column arithmetic: no
+    UDF, one codegen projection."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
+                      for c in cols for f in (F.min, F.max)]).collect()[0]
+    scaled = []
+    top = (1 << _Z_BITS) - 1
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = (float(hi) - float(lo)) or 1.0
+        scaled.append(
+            F.least(F.lit(top), F.greatest(F.lit(0), F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                / F.lit(span) * F.lit(float(top + 1))).cast("long"))))
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        for ci, s in enumerate(scaled):
+            plane = bit * len(scaled) + ci
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftrightunsigned(s, bit).bitwiseAND(F.lit(1)),
+                            plane))
+    return df.withColumn(out, z)
+
+
 def commit(df: DataFrame, table: str, partitions: int | None = None,
            operation: str = "append", props: dict | None = None,
            expected_parent=_UNSET, lock_timeout: float = 120.0,
            lock_stale_after: float = 300.0,
            cluster_by: list[str] | None = None,
-           removed_files: list[str] | None = None) -> int:
+           removed_files: list[str] | None = None,
+           cluster_mode: str = "range") -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -328,7 +363,20 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     meta.mkdir(parents=True, exist_ok=True)
     (table_p / "data").mkdir(parents=True, exist_ok=True)
     staging = table_p / "data" / f".staging-{uuid.uuid4().hex}"
-    if cluster_by:
+    if cluster_by and cluster_mode == "zorder" and len(cluster_by) > 1:
+        # Z-ORDER clustering: range-cluster on the interleaved-bit
+        # z-value of the keys, so EVERY clustered dimension gets
+        # usable (if coarser) per-file ranges — a predicate on any one
+        # of k dimensions prunes ~n^((k-1)/k) of n files, where linear
+        # clustering serves only its first key. This is Iceberg/Delta
+        # OPTIMIZE ZORDER BY, built from public designs.
+        zcol = "__z_order"
+        df = (_with_z_value(df, cluster_by, zcol)
+              .repartitionByRange(partitions or df.rdd.getNumPartitions(),
+                                  zcol)
+              .sortWithinPartitions(zcol)
+              .drop(zcol))
+    elif cluster_by:
         # range-cluster the commit on the given keys: each output file
         # covers a narrow, near-disjoint key range, so the manifest
         # stats make predicate file-pruning sharp (Iceberg's

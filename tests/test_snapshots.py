@@ -562,3 +562,36 @@ def test_changelog_scan_skips_compaction(spark, tmp_path):
     ch = read_changes(spark, t, from_snapshot=s1)
     assert sorted(r["id"] for r in ch.collect()) == [5, 6, 7]
     assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+
+
+def test_zorder_clustering_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order vs linear clustering on a 2-D grid: linear cluster_by=[x]
+    makes x-predicates open ~1 file but y-predicates open ALL files;
+    z-order gives BOTH dimensions sub-linear file counts."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        plan_scan,
+        read_where,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"))
+
+    lin = str(tmp_path / "lin")
+    commit(grid, lin, partitions=16, cluster_by=["x"])
+    zt = str(tmp_path / "zt")
+    commit(grid, zt, partitions=16, cluster_by=["x", "y"],
+           cluster_mode="zorder")
+
+    def kept(t, col):
+        k, total = plan_scan(t, [(col, ">=", 100), (col, "<", 116)])
+        assert len(total) == 16
+        return len(k)
+
+    assert kept(lin, "x") <= 2          # linear: first key razor-sharp
+    assert kept(lin, "y") == 16         # ...second key not at all
+    assert kept(zt, "x") <= 10          # z-order: both keys sub-linear
+    assert kept(zt, "y") <= 10
+    # correctness unaffected by layout
+    rows = read_where(spark, zt, [("x", ">=", 100), ("x", "<", 116)]).count()
+    assert rows == 16 * 256
