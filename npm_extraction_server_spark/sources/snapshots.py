@@ -599,7 +599,8 @@ def rollback(table: str, snapshot_id: int) -> None:
 
 def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
                  key: str, max_retries: int = 3,
-                 cluster_by: list[str] | None = None) -> int:
+                 cluster_by: list[str] | None = None,
+                 props: dict | None = None) -> int:
     """Copy-on-write row-level MERGE (upsert by ``key``): rows of
     ``updates`` replace same-key rows in the table; new keys are
     inserted. Returns the new snapshot id.
@@ -673,7 +674,8 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         try:
             return commit(new_data, table, operation="overwrite",
                           removed_files=sorted(touched),
-                          expected_parent=base, cluster_by=cluster_by)
+                          expected_parent=base, cluster_by=cluster_by,
+                          props=props)
         except CommitConflict as e:
             last_err = e  # concurrent commit moved CURRENT: re-plan
     raise last_err if last_err else RuntimeError("merge_upsert failed")

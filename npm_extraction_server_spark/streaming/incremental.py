@@ -17,6 +17,8 @@ bin/exportTriples.js:96-97). Two Spark equivalents:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -224,6 +226,71 @@ def stream_windowed_counts(spark: SparkSession, events_dir: str, out_dir: str,
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", f"{out_dir}/windows")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_upsert_to_snapshots(spark: SparkSession, updates_dir: str,
+                               table: str, checkpoint_dir: str,
+                               key: str, schema, order_col: str | None = None,
+                               cluster: bool = True):
+    """CDC ingestion: a stream of row-level updates MERGEs into the
+    snapshot table — each micro-batch becomes one copy-on-write
+    'overwrite' snapshot (sources/snapshots.merge_upsert), with the
+    same exactly-once contract as stream_triples_to_snapshots: the
+    commit's manifest records the (checkpoint, epoch) pair and a
+    replayed epoch of the same stream is skipped, so a crash between
+    the merge commit and the checkpoint advance cannot double-apply a
+    batch (which for an upsert would be harmless for updates but
+    DUPLICATE-commit snapshots and replay deletes of re-inserted
+    keys — idempotence is still the right contract).
+
+    Within a batch, ``order_col`` resolves multiple updates to the
+    same key last-write-wins (highest order value; ties break on the
+    key for determinism); without it, duplicate keys in one batch are
+    an error (merge_upsert enforces). The first batch into an empty
+    table is a plain clustered commit."""
+    from pyspark.sql import Window
+
+    from ..sources.snapshots import (
+        commit,
+        current_snapshot_id,
+        merge_upsert,
+        snapshot_log,
+    )
+
+    ckpt_key = os.path.abspath(checkpoint_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    cluster_by = [key] if cluster else None
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if current_snapshot_id(table) is not None:
+            done = {(m["props"].get("ckpt"), m["props"].get("epoch"))
+                    for m in snapshot_log(table)}
+            if (ckpt_key, epoch_id) in done:
+                return  # replayed epoch of THIS stream
+        batch = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(
+                F.col(order_col).desc(), F.col(key))
+            batch = (batch.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
+        props = {"epoch": epoch_id, "ckpt": ckpt_key}
+        if current_snapshot_id(table) is None:
+            commit(batch, table, cluster_by=cluster_by, props=props)
+        else:
+            merge_upsert(spark, table, batch, key=key,
+                         cluster_by=cluster_by, props=props)
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

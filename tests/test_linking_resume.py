@@ -374,3 +374,61 @@ def test_stream_windowed_watermark(spark, tmp_path):
     # no duplicate emissions for the same window
     starts = [str(r["win_start"]) for r in out.collect()]
     assert len(starts) == len(set(starts))
+
+
+def test_stream_upsert_cdc_merges_batches(spark, tmp_path):
+    """CDC streaming upsert sink: per-batch copy-on-write merges with
+    last-write-wins within a batch, exactly-once across restarts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_log,
+    )
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_upsert_to_snapshots,
+    )
+
+    ups_dir = tmp_path / "ups"
+    table = str(tmp_path / "cdc_tbl")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    ups_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    # batch file 1: base rows 0..9 (v = 0)
+    spark.range(10).select(F.col("id"), F.lit(0).alias("v"),
+                           F.lit(0).alias("seq")) \
+        .coalesce(1).write.parquet(str(ups_dir / "b1"))
+    # batch file 2: update 3 twice (seq 1 then 2 -> LWW keeps v=22),
+    # insert 100
+    spark.createDataFrame([(3, 11, 1), (3, 22, 2), (100, 5, 1)], schema) \
+        .coalesce(1).write.parquet(str(ups_dir / "b2"))
+    # flatten into one stream dir (one file per micro-batch)
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, sub in enumerate(sorted(ups_dir.iterdir())):
+        for f in sub.glob("part-*.parquet"):
+            shutil.copy(f, flat / f"{i:02d}-{f.name}")
+
+    q = stream_upsert_to_snapshots(spark, str(flat), table, ckpt,
+                                   key="id", schema=schema, order_col="seq")
+    q.awaitTermination(120)
+
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
+    assert len(got) == 11 and got[3] == 22 and got[100] == 5 and got[0] == 0
+    ops = [m["operation"] for m in snapshot_log(table)]
+    assert ops[0] == "append" and "overwrite" in ops[1:]
+
+    # restart with same checkpoint, no new files: nothing re-applied
+    n_snaps = len(snapshot_log(table))
+    q = stream_upsert_to_snapshots(spark, str(flat), table, ckpt,
+                                   key="id", schema=schema, order_col="seq")
+    q.awaitTermination(120)
+    assert len(snapshot_log(table)) == n_snaps
