@@ -728,6 +728,17 @@ def sketch_heavy_hitters(spark, sf):
                              min_count=80)
 
 
+def text_tfidf_topk(spark, sf):
+    """Lexical retrieval: top-20 documents by TF-IDF for a fixed query
+    (hard oracle: identical idf grid + decimal tf*idf sums in DuckDB;
+    1-ulp ln() divergence between engines is absorbed by the 8-dp
+    rounding)."""
+    from .text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf, "documents"),
+                      ["spark", "merge", "vector"], k=20)
+
+
 def snap_stats_prune(spark, sf):
     """Manifest-stats file pruning (hard oracle): documents are
     committed range-clustered on doc_id, then a doc_id window is read
@@ -997,6 +1008,7 @@ SPARK_QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_span_dedup": text_span_dedup,
     "text_decontaminate": text_decontaminate,
+    "text_tfidf_topk": text_tfidf_topk,
     "text_repetition": text_repetition,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
@@ -1543,6 +1555,35 @@ ORACLE_SQL = {
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id >= 150 AND doc_id < 340
+    """,
+    "text_tfidf_topk": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, term, count(*) AS tf FROM words
+            WHERE term IN ('spark', 'merge', 'vector')
+            GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT term,
+                   round(ln(((SELECT count(*) + 1 FROM documents))::DOUBLE
+                            / (count(DISTINCT doc_id) + 1)), 8) AS idf
+            FROM dt GROUP BY term
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(cast(sum(cast(tf * idf AS DECIMAL(28,8)))
+                              AS DOUBLE), 6) AS score
+            FROM dt JOIN idf USING (term) GROUP BY doc_id
+        )
+        SELECT doc_id, score, rank::INT AS rank FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+        WHERE rank <= 20
     """,
     "snap_changelog": """
         SELECT doc_id, lang, (n_chars + 1000)::BIGINT AS n_chars,

@@ -13,7 +13,7 @@ min-shingle winnowing fingerprint).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny marker-word lists for the lang-id heuristic (en vs es markers)
@@ -347,3 +347,53 @@ def fingerprints(documents: DataFrame, text_col: str = "text", k: int = 5) -> Da
         F.md5(norm).alias("doc_md5"),
         min_shingle_md5.alias("min_shingle_md5"),
     )
+
+
+def tfidf_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keyword-search scoring: top-k documents by TF-IDF against a
+    fixed query-term set (the lexical retrieval half of a corpus
+    search/labeling pipeline; BM25's simpler ancestor).
+
+    Shape at scale: one pass computes per-(doc, term) counts for the
+    QUERY TERMS ONLY (the term filter runs inside the same projection
+    as the tokenize — non-query tokens never leave the scan stage);
+    document frequencies are a tiny aggregate BROADCAST back; scoring
+    is tf * idf summed per doc, one groupBy(doc) shuffle of rows
+    bounded by |terms| x |matching docs|. Global top-k via a single
+    ordered window over the (small) scored set.
+
+    Cross-engine determinism: idf = round(ln((N+1)/(df+1)), 8) — the
+    1-ulp ln() divergence between libm implementations is absorbed by
+    the 8-dp grid; tf is an exact integer, so tf*idf is exact at 8 dp
+    and the per-doc sum uses the decimal protocol. Ties in the final
+    ordering break on doc id."""
+    N = documents.count()
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    words = (
+        documents.select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"filter(regexp_extract_all(lower({text_col}),"
+                f" '[a-z0-9]+', 0), w -> array_contains("
+                + "array(" + ",".join(f"'{t}'" for t in query_terms)
+                + "), w))")).alias("term"))
+    )
+    dt = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = dt.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_t.select(
+        "term",
+        F.round(F.log((F.lit(float(N + 1)))
+                      / (F.col("df").cast("double") + F.lit(1.0))), 8)
+        .alias("idf"))
+    scored = (
+        dt.join(F.broadcast(idf), "term")
+        .groupBy(id_col)
+        .agg(F.round(
+            F.sum((F.col("tf") * F.col("idf")).cast("decimal(28,8)"))
+            .cast("double"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "score", "rank"))

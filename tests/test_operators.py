@@ -602,3 +602,19 @@ def test_cms_one_sided_bound_and_merge(spark):
               for r in cms_merge(shard1.unionByName(shard2)).collect()}
     glob = {(r["j"], r["bucket"]): r["cnt"] for r in counters.collect()}
     assert merged == glob
+
+
+def test_tfidf_topk_ranking_semantics(spark):
+    """TF-IDF: a doc stuffed with a rare query term outranks docs with
+    common terms; ties break on doc_id; k bounds the output."""
+    from npm_extraction_server_spark.operators.text import tfidf_topk
+
+    rows = [(0, "rare rare rare common"),
+            (1, "common common"),
+            (2, "common common"),
+            (3, "nothing relevant here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, ["rare", "common"], k=3).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2]
+    assert out[0]["score"] > out[1]["score"] == out[2]["score"]
+    assert [r["rank"] for r in out] == [1, 2, 3]
