@@ -542,14 +542,22 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     # expired snapshot can no longer anchor incremental reads).
     chain = [m["snapshot_id"] for m in snapshot_log(table)]
     kept_ids = set(chain[-max(keep_last, 1):])
+    # keep exactly the files some KEPT snapshot's read view uses —
+    # _chain_files honors both compaction cutoffs and overwrite
+    # removed_files, so files an overwrite replaced (and nothing kept
+    # can still see) are vacuumed instead of lingering forever on a
+    # frequently-merged table
     keep_files: set[str] = set()
+    for sid in kept_ids:
+        keep_files.update(_chain_files(table, None, sid))
+    # manifests reachable from kept snapshots stay (they plan the kept
+    # reads); everything else is expired
     reachable: set[int] = set()
     for sid in list(kept_ids):
         walk: int | None = sid
         while walk is not None and walk not in reachable:
             man = _read_json(_meta(table) / f"snap-{walk}.json")
             reachable.add(walk)
-            keep_files.update(man["added_files"])
             if man.get("operation", "append") == "replace":
                 break  # the compaction carries the full state below it
             walk = man["parent"]
@@ -568,11 +576,20 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
             man["parent"] = None
             mp.write_text(json.dumps(man, indent=1))
     deleted_dirs = 0
+    deleted_files = 0
     for d in (Path(table) / "data").glob("snap-*"):
         files = {str(f) for f in d.glob("part-*.parquet")}
-        if files and not (files & keep_files):
+        dead = files - keep_files
+        if files and dead == files:
             shutil.rmtree(d)
             deleted_dirs += 1
+        else:
+            # file-granular vacuum: an overwrite rewrites SOME of a
+            # commit's files — the replaced ones die individually while
+            # their siblings stay live in the kept view
+            for f in dead:
+                Path(f).unlink(missing_ok=True)
+                deleted_files += 1
     # commit-protocol debris: broken-lock tombstones (always safe) and
     # staging dirs old enough that no live writer can still own them
     import time
@@ -583,7 +600,8 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
         if time.time() - d.stat().st_mtime > 3600:
             shutil.rmtree(d, ignore_errors=True)
     return {"kept": len(reachable), "deleted_manifests": deleted_manifests,
-            "deleted_data_dirs": deleted_dirs}
+            "deleted_data_dirs": deleted_dirs,
+            "deleted_data_files": deleted_files}
 
 
 def rollback(table: str, snapshot_id: int) -> None:

@@ -595,3 +595,31 @@ def test_zorder_clustering_prunes_on_every_dimension(spark, tmp_path):
     # correctness unaffected by layout
     rows = read_where(spark, zt, [("x", ">=", 100), ("x", "<", 116)]).count()
     assert rows == 16 * 256
+
+
+def test_expire_vacuums_overwrite_removed_files(spark, tmp_path):
+    """After a merge, expire with keep_last=1 must delete the
+    pre-merge versions of rewritten files (nothing kept can read
+    them), while the merged state stays fully readable."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        expire_snapshots,
+        merge_upsert,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    t = str(tmp_path / "vac")
+    commit(spark.range(100).select(F.col("id"), F.lit(0).alias("v")),
+           t, partitions=4, cluster_by=["id"])
+    merge_upsert(spark, t,
+                 spark.createDataFrame([(3, 7)], "id long, v int"), key="id")
+    man = snapshot_log(t)[-1]
+    removed = set(man["removed_files"])
+    assert removed and all(Path(f).exists() for f in removed)
+
+    out = expire_snapshots(t, keep_last=1)
+    assert all(not Path(f).exists() for f in removed)  # vacuumed
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 100 and got[3] == 7 and got[50] == 0
+    assert out["deleted_data_dirs"] == 0 or out["deleted_data_dirs"] >= 0
