@@ -739,6 +739,17 @@ def text_tfidf_topk(spark, sf):
                       ["spark", "merge", "vector"], k=20)
 
 
+def text_bm25_topk(spark, sf):
+    """Okapi BM25 top-20 for the same fixed query (hard oracle: the
+    mirrored SQL injects the IDENTICAL float constants via repr —
+    k1+1 computed once in Python, never re-derived engine-side — and
+    uses the same 8-dp score grid + decimal sums)."""
+    from .text import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"),
+                     ["spark", "merge", "vector"], k=20)
+
+
 def snap_stats_prune(spark, sf):
     """Manifest-stats file pruning (hard oracle): documents are
     committed range-clustered on doc_id, then a doc_id window is read
@@ -1009,6 +1020,7 @@ SPARK_QUERIES = {
     "text_span_dedup": text_span_dedup,
     "text_decontaminate": text_decontaminate,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_bm25_topk": text_bm25_topk,
     "text_repetition": text_repetition,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
@@ -1225,6 +1237,55 @@ def _pagerank_sql(iterations: int = 5) -> str:
     sql += f"""
     SELECT node_id, round(rank, 8) AS rank FROM r{iterations}"""
     return sql
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 oracle with float constants injected via repr() from the
+    SAME Python values operators/text.py:bm25_topk uses — an engine
+    re-deriving k1+1 could differ by an ulp; a repr round-trip cannot."""
+    k1p1, one_m_b = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(k1), repr(b)
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents
+        ),
+        lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        avgl AS (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                 FROM lens),
+        dt AS (
+            SELECT toks.doc_id, lens.dl, w.term, count(*) AS tf
+            FROM toks JOIN lens USING (doc_id),
+                 unnest(toks.t) AS w(term)
+            WHERE w.term IN ('spark', 'merge', 'vector')
+            GROUP BY 1, 2, 3
+        ),
+        idf AS (
+            SELECT term,
+                   round(ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE
+                                   - count(DISTINCT doc_id)::DOUBLE + 0.5)
+                            / (count(DISTINCT doc_id)::DOUBLE + 0.5)), 8)
+                       AS idf
+            FROM dt GROUP BY term
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(cast(sum(cast(round(
+                       idf * ((tf::DOUBLE * {{k1p1}})
+                              / (tf::DOUBLE + {{k1r}} * ({{one_m_b}}
+                                 + {{br}} * dl::DOUBLE
+                                   / (SELECT avgdl FROM avgl)))), 8)
+                       AS DECIMAL(28,8))) AS DOUBLE), 6) AS score
+            FROM dt JOIN idf USING (term) GROUP BY doc_id
+        )
+        SELECT doc_id, score, rank::INT AS rank FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+        WHERE rank <= 20
+    """.replace("{{k1p1}}", k1p1).replace("{{k1r}}", k1r) \
+       .replace("{{one_m_b}}", one_m_b).replace("{{br}}", br)  # noqa: E501
 
 
 _GRAPH_TRIANGLES_SQL = f"""
@@ -1585,6 +1646,7 @@ ORACLE_SQL = {
             FROM scored)
         WHERE rank <= 20
     """,
+    "text_bm25_topk": _bm25_oracle(),
     "snap_changelog": """
         SELECT doc_id, lang, (n_chars + 1000)::BIGINT AS n_chars,
                'insert' AS _change_type, 2 AS _snapshot_id

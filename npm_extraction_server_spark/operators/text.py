@@ -397,3 +397,59 @@ def tfidf_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "score", "rank"))
+
+
+def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 top-k — TF saturation (k1) + document-length
+    normalization (b) on top of :func:`tfidf_topk`'s plan shape: the
+    only extra corpus-wide work is the per-doc token count (a size()
+    over the same tokenize projection) and one scalar avgdl aggregate.
+
+    Cross-engine determinism: every float constant (k1+1, b, 1-b,
+    avgdl) is computed once driver-side and injected VERBATIM into
+    both engines' expressions (repr round-trips doubles exactly, so
+    e.g. k1+1 can't differ by an ulp between a Python sum and a SQL
+    literal); per-(doc,term) scores are rounded to the 8-dp grid and
+    decimal-summed. See `suite._BM25_ORACLE` for the mirrored SQL."""
+    N = documents.count()
+    term_list = ",".join(f"'{t}'" for t in query_terms)
+    toks = documents.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        .alias("_toks"))
+    docs = toks.select(
+        id_col, F.size("_toks").alias("dl"),
+        F.explode(F.expr(
+            f"filter(_toks, w -> array_contains(array({term_list}), w))"))
+        .alias("term"))
+    lens = toks.select(id_col, F.size("_toks").alias("dl"))
+    sums = lens.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
+    avgdl = float(sums["s"]) / float(sums["c"])
+
+    dt = docs.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    df_t = dt.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = df_t.select(
+        "term",
+        F.round(F.log(
+            F.lit(1.0) + (F.lit(float(N)) - F.col("df").cast("double")
+                          + F.lit(0.5)) / (F.col("df").cast("double")
+                                           + F.lit(0.5))), 8).alias("idf"))
+    k1p1, one_m_b = k1 + 1.0, 1.0 - b
+    num = F.col("tf").cast("double") * F.lit(k1p1)
+    den = (F.col("tf").cast("double")
+           + F.lit(k1) * (F.lit(one_m_b)
+                          + F.lit(b) * F.col("dl").cast("double")
+                          / F.lit(avgdl)))
+    scored = (
+        dt.join(F.broadcast(idf), "term")
+        .select(id_col, F.round(F.col("idf") * (num / den), 8)
+                .cast("decimal(28,8)").alias("sc"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("sc").cast("double"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "score", "rank"))

@@ -618,3 +618,21 @@ def test_tfidf_topk_ranking_semantics(spark):
     assert [r["doc_id"] for r in out] == [0, 1, 2]
     assert out[0]["score"] > out[1]["score"] == out[2]["score"]
     assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_bm25_length_normalization_beats_stuffing(spark):
+    """BM25 vs raw TF-IDF semantics: TF saturation (k1) caps the win
+    from repeating a term, and length normalization (b) rewards the
+    shorter of two docs with equal term counts."""
+    from npm_extraction_server_spark.operators.text import bm25_topk
+
+    filler = " filler" * 60
+    rows = [(0, "query query query query query query query query" + filler),
+            (1, "query answer"),
+            (2, "query answer" + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["query"], k=3).collect()}
+    # same tf -> shorter doc scores higher
+    assert out[1] > out[2]
+    # 8x the tf on a longer doc buys < 8x the score (saturation)
+    assert out[0] < out[1] * 8
