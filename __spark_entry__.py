@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": _kg_incremental,
         "mm_media_features": _mm_media_features,
         "mm_audio_features": _mm_audio_features,
+        "mm_image_features": _mm_image_features,
         "tar_members": _tar_members,
         "tar_components": _tar_components,
         "kg_triples_doap": _kg_triples_doap,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
             "tar_members": _TAR_MEMBERS_ORACLE,
             "tar_components": _TAR_COMPONENTS_ORACLE,
             "mm_audio_features": _MM_AUDIO_ORACLE,
+            "mm_image_features": _MM_IMAGE_ORACLE,
             "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE}
 
@@ -512,6 +514,66 @@ SELECT i::BIGINT AS media_id, true AS ok,
        8000 AS sample_rate, 1 AS n_channels, 2 AS sample_width,
        n::BIGINT AS n_frames, (n * 1000 // 8000)::BIGINT AS duration_ms,
        rms, peak
+FROM stats
+"""
+
+
+def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: Spark sniffs ("BM" magic) and parses actual
+    24-bit BMP blobs (stdlib codec, npm_extraction_server_spark/
+    operators/multimodal.py:decode_bmp) and computes per-channel pixel
+    means; the DuckDB oracle re-derives dimensions and means
+    ANALYTICALLY from the pixel formula — a hard check on the whole
+    encode -> sniff -> decode round-trip."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_features,
+        synth_bmp,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synth_bmp(int(i)) for i in pdf["id"]],
+            })
+
+    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    return image_features(attach_media_metadata(blobs))
+
+
+# pixels: r=(i*5+x*23+y*31)%256, g=(i*11+x*3+y*17)%256,
+# b=(i*7+x*13+y*29)%256 over w=4+(i%5), h=3+(i%4); means are
+# floor(sum/n) — integer-exact in both engines.
+_MM_IMAGE_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+px AS (
+  SELECT ids.i, tx.x, ty.y
+  FROM ids,
+       unnest(generate_series(0, 4 + (ids.i % 5) - 1)) AS tx(x),
+       unnest(generate_series(0, 3 + (ids.i % 4) - 1)) AS ty(y)
+),
+stats AS (
+  SELECT i, count(*) AS n,
+         sum((i*5 + x*23 + y*31) % 256) AS sr,
+         sum((i*11 + x*3 + y*17) % 256) AS sg,
+         sum((i*7 + x*13 + y*29) % 256) AS sb
+  FROM px GROUP BY i
+)
+SELECT i::BIGINT AS media_id, true AS ok,
+       (4 + (i % 5))::INT AS width, (3 + (i % 4))::INT AS height,
+       (sr // n)::INT AS mean_r, (sg // n)::INT AS mean_g,
+       (sb // n)::INT AS mean_b
 FROM stats
 """
 

@@ -636,3 +636,64 @@ def test_bm25_length_normalization_beats_stuffing(spark):
     assert out[1] > out[2]
     # 8x the tf on a longer doc buys < 8x the score (saturation)
     assert out[0] < out[1] * 8
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    """Pure-python BMP codec: encode->decode round-trips pixels
+    exactly (incl. rows needing 4-byte padding); nearest-neighbor
+    resize picks real source pixels; malformed blobs raise."""
+    import pytest as _pytest
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+        synth_bmp,
+    )
+
+    px = [[(x * 10, y * 20, (x + y) % 256) for x in range(3)]
+          for y in range(2)]  # width 3 -> row padding exercised
+    w, h, out = decode_bmp(encode_bmp(3, 2, px))
+    assert (w, h) == (3, 2) and out == px
+
+    big = synth_bmp(11)
+    w0, h0, rows0 = decode_bmp(big)
+    w1, h1, rows1 = decode_bmp(resize_bmp(big, 2, 2))
+    assert (w1, h1) == (2, 2)
+    assert rows1[0][0] == rows0[0][0]  # nearest-neighbor anchors at origin
+
+    for blob in (b"", b"BMshort", b"\x89PNG....", synth_bmp(3)[:-4]):
+        with _pytest.raises(ValueError):
+            decode_bmp(blob)
+
+
+def test_image_features_real_bmp_and_stub_split(spark):
+    """image_features decodes BMP rows for real and marks compressed
+    formats (PNG magic, no codec in container) ok=false; the real
+    resize backend yields actual BMP thumbnails for BMPs and null for
+    others."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_bmp,
+        image_features,
+        resize_images,
+        synth_bmp,
+    )
+
+    rows = [(0, bytearray(synth_bmp(0))), (1, bytearray(synth_bmp(1))),
+            (2, bytearray(b"\x89PNG\r\n" + b"x" * 40))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = attach_media_metadata(df)
+    assert {r["media_kind"] for r in media.collect()} == {"image"}
+
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert feats[0]["ok"] and feats[1]["ok"] and not feats[2]["ok"]
+    assert feats[0]["width"] == 4 and feats[0]["height"] == 3
+    # mean_r of blob 0: pixels (x*23+y*31)%256 over 4x3
+    exp = sum((x * 23 + y * 31) % 256 for x in range(4) for y in range(3)) // 12
+    assert feats[0]["mean_r"] == exp
+
+    thumbs = {r["media_id"]: r for r in
+              resize_images(media, 2, 2, decode_backend="real").collect()}
+    assert decode_bmp(bytes(thumbs[0]["payload"]))[:2] == (2, 2)
+    assert thumbs[2]["payload"] is None
