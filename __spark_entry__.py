@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _mm_media_features,
         "mm_audio_features": _mm_audio_features,
         "mm_image_features": _mm_image_features,
+        "mm_video_features": _mm_video_features,
         "tar_members": _tar_members,
         "tar_components": _tar_components,
         "kg_triples_doap": _kg_triples_doap,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
             "tar_components": _TAR_COMPONENTS_ORACLE,
             "mm_audio_features": _MM_AUDIO_ORACLE,
             "mm_image_features": _MM_IMAGE_ORACLE,
+            "mm_video_features": _MM_VIDEO_ORACLE,
             "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE}
 
@@ -574,6 +576,62 @@ SELECT i::BIGINT AS media_id, true AS ok,
        (4 + (i % 5))::INT AS width, (3 + (i % 4))::INT AS height,
        (sr // n)::INT AS mean_r, (sg // n)::INT AS mean_g,
        (sb // n)::INT AS mean_b
+FROM stats
+"""
+
+
+def _mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: Spark sniffs and parses actual Y4M
+    (YUV4MPEG2) blobs — the standard uncompressed video container —
+    and emits per-frame mean luma; the DuckDB oracle re-derives every
+    frame mean ANALYTICALLY from the luma formula (the video leg of
+    the WAV/BMP real-decode trifecta)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        synth_y4m,
+        video_features,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synth_y4m(int(i)) for i in pdf["id"]],
+            })
+
+    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    return video_features(attach_media_metadata(blobs))
+
+
+# luma[f][y][x] = (i*7 + f*31 + y*13 + x*5) % 256 over w=4+(i%3)*2,
+# h=4+(i%2)*2, frames 2+(i%3); per-frame mean = floor(sum / (w*h)).
+_MM_VIDEO_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+px AS (
+  SELECT ids.i, tf.f, ty.y, tx.x
+  FROM ids,
+       unnest(generate_series(0, 2 + (ids.i % 3) - 1)) AS tf(f),
+       unnest(generate_series(0, 4 + (ids.i % 2) * 2 - 1)) AS ty(y),
+       unnest(generate_series(0, 4 + (ids.i % 3) * 2 - 1)) AS tx(x)
+),
+stats AS (
+  SELECT i, f, count(*) AS n,
+         sum((i*7 + f*31 + y*13 + x*5) % 256) AS sy
+  FROM px GROUP BY i, f
+)
+SELECT i::BIGINT AS media_id, true AS ok,
+       (4 + (i % 3) * 2)::INT AS width, (4 + (i % 2) * 2)::INT AS height,
+       f::INT AS frame_idx, (sy // n)::INT AS mean_y
 FROM stats
 """
 

@@ -697,3 +697,38 @@ def test_image_features_real_bmp_and_stub_split(spark):
               resize_images(media, 2, 2, decode_backend="real").collect()}
     assert decode_bmp(bytes(thumbs[0]["payload"]))[:2] == (2, 2)
     assert thumbs[2]["payload"] is None
+
+
+def test_y4m_codec_and_video_features(spark):
+    """Real Y4M video decode: round-trip, per-frame luma means, the
+    1->N frame expansion, and ok=false for compressed video."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_y4m,
+        encode_y4m,
+        synth_y4m,
+        video_features,
+    )
+
+    frames = [[10] * 16, [200] * 16]
+    w, h, out = decode_y4m(encode_y4m(4, 4, frames))
+    assert (w, h) == (4, 4) and [list(f) for f in out] == frames
+
+    rows = [(0, bytearray(synth_y4m(0))),
+            (1, bytearray(b"\x00\x00\x00\x18ftypmp42" + b"x" * 40))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = attach_media_metadata(df)
+    assert {r["media_kind"] for r in media.collect()} == {"video"}
+    got = video_features(media).collect()
+    vid0 = sorted((r for r in got if r["media_id"] == 0),
+                  key=lambda r: r["frame_idx"])
+    assert len(vid0) == 2 and all(r["ok"] for r in vid0)  # i=0 -> 2 frames
+    exp0 = sum((y * 13 + x * 5) % 256 for y in range(4) for x in range(4)) // 16
+    assert vid0[0]["mean_y"] == exp0
+    bad = [r for r in got if r["media_id"] == 1]
+    assert len(bad) == 1 and not bad[0]["ok"]
+
+    import pytest as _pytest
+    for blob in (b"", b"YUV4MPEG2 W4\n", encode_y4m(4, 4, frames)[:-3]):
+        with _pytest.raises(ValueError):
+            decode_y4m(blob)
