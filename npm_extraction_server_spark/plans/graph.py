@@ -175,10 +175,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     graph induced by ``edges`` (direction and duplicates dropped,
     self-loops ignored).
 
-    Canonical orientation a < b (one row per undirected edge), then
-    wedges (a<b<c) close against the oriented edge set — each triangle
-    enumerated exactly once, two shuffle joins total. Returns
-    (node_id, n_triangles) for nodes in >=1 triangle.
+    Edges are oriented LOW-DEGREE -> HIGH-DEGREE endpoint (ties break
+    on id) — the MR triangle-enumeration trick (Suri &
+    Vassilvitskii): wedges form only at each edge's lower-degree end,
+    so a degree-d hub contributes O(d) wedge rows instead of O(d^2)
+    and the enumeration survives power-law graphs. Each triangle has
+    exactly one degree-minimal corner, so it is counted once; the
+    OUTPUT is identical to naive a<b<c orientation (which is what the
+    DuckDB oracle runs — same triangle set, skew-safe plan here).
+    Returns (node_id, n_triangles) for nodes in >=1 triangle.
     """
     und = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -187,17 +192,32 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ori = (
+        und.join(da, "a").join(db, "b")
+        .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    e2 = ori.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = ori.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
     tri = (
-        und.join(e2, "b")                       # wedge a-b-c with a<b<c
-        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
-        .select("a", "b", "c")
+        ori.join(e2, "v")                 # wedge u->v->w at u (low deg)
+        .join(e3, (F.col("u") == F.col("tu")) & (F.col("w") == F.col("tw")))
+        .select("u", "v", "w")
     )
     per_node = (
-        tri.select(F.col("a").alias("node_id"))
-        .unionByName(tri.select(F.col("b").alias("node_id")))
-        .unionByName(tri.select(F.col("c").alias("node_id")))
+        tri.select(F.col("u").alias("node_id"))
+        .unionByName(tri.select(F.col("v").alias("node_id")))
+        .unionByName(tri.select(F.col("w").alias("node_id")))
         .groupBy("node_id")
         .agg(F.count("*").alias("n_triangles"))
     )
