@@ -393,9 +393,13 @@ def tfidf_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
             F.sum((F.col("tf") * F.col("idf")).cast("decimal(28,8)"))
             .cast("double"), 6).alias("score"))
     )
+    # top-k via orderBy+limit = TakeOrderedAndProject (each partition
+    # keeps its local k, the driver merges k*p rows) — NOT a global
+    # row_number window, which would funnel the whole scored set
+    # through one partition. The rank window then runs over <= k rows.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", "rank"))
 
 
@@ -449,7 +453,11 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
         .groupBy(id_col)
         .agg(F.round(F.sum("sc").cast("double"), 6).alias("score"))
     )
+    # top-k via orderBy+limit = TakeOrderedAndProject (each partition
+    # keeps its local k, the driver merges k*p rows) — NOT a global
+    # row_number window, which would funnel the whole scored set
+    # through one partition. The rank window then runs over <= k rows.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", "rank"))

@@ -196,3 +196,18 @@ def test_pagerank_adjacency_materialized_once(spark):
     assert "Scan ExistingRDD" in plan
     total = sum(r["rank"] for r in ranks.collect())
     assert abs(total - 1.0) < 1e-6
+
+
+def test_retrieval_topk_uses_take_ordered_not_global_window(spark):
+    """tfidf/bm25 top-k must plan as TakeOrderedAndProject (per-
+    partition local k, driver merge) — a global row_number window
+    would funnel the whole scored corpus through one partition."""
+    from npm_extraction_server_spark.operators.text import (
+        bm25_topk,
+        tfidf_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (tfidf_topk, bm25_topk):
+        plan = _plan(fn(docs, ["spark", "merge"], k=10))
+        assert "TakeOrderedAndProject" in plan
