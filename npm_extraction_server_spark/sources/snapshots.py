@@ -173,7 +173,13 @@ def _collect_file_stats(files: list[str]) -> dict:
     """{file: {"rows": n, "cols": {col: {"t": tag, "min": v,
     "max": v}}}} from footers. A column with any untrusted/missing
     row-group stat in a file is omitted for that file (absence ==
-    cannot prune, always safe); zero-row files are prunable outright."""
+    cannot prune, always safe); zero-row files are prunable outright.
+
+    Cost note: footer reads are driver-side, O(files-per-commit) tiny
+    metadata fetches (a parquet footer is ~KBs). A production writer
+    at 10^5 files/commit would collect these in the WRITE TASKS and
+    ship them back with the task results, as Iceberg's writers do —
+    the manifest format here wouldn't change."""
     import pyarrow.parquet as pq
 
     out: dict = {}
