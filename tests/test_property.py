@@ -126,3 +126,65 @@ def test_max_satisfying_consistent(versions, rng):
                 assert parse(v) <= best
     else:
         assert not valid_range(rng) or not any(satisfies(v, rng) for v in versions)
+
+
+# --- multimodal codecs: round-trip properties --------------------------------
+
+_pixel = st.tuples(st.integers(0, 255), st.integers(0, 255),
+                   st.integers(0, 255))
+
+
+@given(w=st.integers(1, 9), h=st.integers(1, 7), data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, data):
+    """encode_bmp -> decode_bmp is the identity on arbitrary pixel
+    grids (any width, so every padding case)."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = data.draw(st.lists(
+        st.lists(_pixel, min_size=w, max_size=w), min_size=h, max_size=h))
+    got_w, got_h, got = decode_bmp(encode_bmp(w, h, px))
+    assert (got_w, got_h) == (w, h) and got == px
+
+
+@given(w=st.integers(1, 6), h=st.integers(1, 5),
+       tw=st.integers(1, 8), th=st.integers(1, 8), data=st.data())
+@settings(max_examples=30, deadline=None)
+def test_bmp_resize_pixels_come_from_source(w, h, tw, th, data):
+    """Every pixel of a nearest-neighbor resize is some source pixel,
+    and output dims are exactly the target."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp,
+    )
+
+    px = data.draw(st.lists(
+        st.lists(_pixel, min_size=w, max_size=w), min_size=h, max_size=h))
+    rw, rh, out = decode_bmp(resize_bmp(encode_bmp(w, h, px), tw, th))
+    src = {p for row in px for p in row}
+    assert (rw, rh) == (tw, th)
+    assert all(p in src for row in out for p in row)
+
+
+@given(w=st.integers(1, 5), h=st.integers(1, 4),
+       n_frames=st.integers(1, 4), data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_y4m_roundtrip_property(w, h, n_frames, data):
+    """encode_y4m -> decode_y4m recovers every luma plane exactly
+    (even dimensions per the 4:2:0 contract)."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    w, h = w * 2, h * 2  # 4:2:0 requires even dims
+    frames = [data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                                 max_size=w * h))
+              for _ in range(n_frames)]
+    gw, gh, got = decode_y4m(encode_y4m(w, h, frames))
+    assert (gw, gh) == (w, h)
+    assert [list(f) for f in got] == frames

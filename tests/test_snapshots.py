@@ -623,3 +623,66 @@ def test_expire_vacuums_overwrite_removed_files(spark, tmp_path):
     got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
     assert len(got) == 100 and got[3] == 7 and got[50] == 0
     assert out["deleted_data_dirs"] == 0 or out["deleted_data_dirs"] >= 0
+
+
+def test_snapshot_merge_model(spark, tmp_path):
+    """Model-based check with row-level MERGE in the op mix: appends,
+    merges (update+insert), compaction, rollback forks — full reads,
+    time travel, and the changelog must agree with a dict model after
+    every step."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        compact,
+        merge_upsert,
+        read_changes,
+        read_snapshot,
+        rollback,
+    )
+
+    t = str(tmp_path / "merge_model")
+    states: dict[int, dict] = {}  # sid -> {id: v} table state AT sid
+
+    def kv(df):
+        return {r["id"]: r["v"] for r in df.collect()}
+
+    def mk(pairs):
+        return spark.createDataFrame(list(pairs.items()), "id long, v long")
+
+    cur: dict = {}
+    ops = [
+        ("append", {i: 0 for i in range(50)}),
+        ("merge", {3: 7, 100: 1}),                  # update + insert
+        ("merge", {3: 8, 101: 2}),                  # re-update + insert
+        ("compact",),
+        ("merge", {49: 9, 102: 3}),                 # merge after compact
+        ("append", {i: 5 for i in range(200, 210)}),
+        ("rollback", 4),                            # back to the compaction
+        ("merge", {0: 11, 300: 12}),                # merge on the fork
+    ]
+    sid = None
+    for op in ops:
+        if op[0] == "append":
+            sid = commit(mk(op[1]), t)
+            cur = {**cur, **op[1]}
+        elif op[0] == "merge":
+            sid = merge_upsert(spark, t, mk(op[1]), key="id")
+            cur = {**cur, **op[1]}
+        elif op[0] == "compact":
+            sid = compact(spark, t)
+        else:
+            rollback(t, op[1])
+            sid = op[1]
+            cur = dict(states[sid])
+        states[sid] = dict(cur)
+        assert kv(read_snapshot(spark, t)) == cur, f"state diverged at {op}"
+    # time travel to every recorded snapshot still matches its model
+    for s, st in states.items():
+        try:
+            got = kv(read_snapshot(spark, t, snapshot_id=s))
+        except ValueError:
+            continue  # orphaned by the rollback fork
+        assert got == st
+    # changelog over the fork's merge: one delete (old 0) + two inserts
+    ch = read_changes(spark, t, from_snapshot=4)
+    rows = {(r["id"], r["v"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(0, 0, "delete"), (0, 11, "insert"), (300, 12, "insert")}
