@@ -907,6 +907,20 @@ def graph_pagerank(spark, sf):
     return pagerank(_kg_graph_edges(spark, sf), iterations=5)
 
 
+def graph_ppr(spark, sf):
+    """Personalized PageRank from the BFS seed set over the same KG
+    multigraph (hard oracle: the seeded power iteration unrolled in
+    DuckDB; same decimal-grid bit-exactness as graph_pagerank)."""
+    from ..plans.graph import personalized_pagerank
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    return personalized_pagerank(_kg_graph_edges(spark, sf), seeds,
+                                 iterations=5)
+
+
 def graph_triangles(spark, sf):
     """Per-node triangle counts over the undirected simple graph
     induced by the KG multigraph (hard oracle: the same two-join
@@ -1031,6 +1045,7 @@ SPARK_QUERIES = {
     "graph_components_incr": graph_components_incr,
     "graph_bfs": graph_bfs,
     "graph_pagerank": graph_pagerank,
+    "graph_ppr": graph_ppr,
     "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
@@ -1287,6 +1302,41 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
     """.replace("{{k1p1}}", k1p1).replace("{{k1r}}", k1r) \
        .replace("{{one_m_b}}", one_m_b).replace("{{br}}", br)  # noqa: E501
 
+
+
+
+def _ppr_sql(iterations: int = 5) -> str:
+    """personalized_pagerank unrolled: teleport vector t(v) = 0.1 on
+    the 10 seeds (round(1/10,12)), 0 elsewhere; init rank = t; update
+    rank = round((1-d)*t + 0.85*inflow, 12) with the same decimal-grid
+    inflow sum as _pagerank_sql. (1-d) is repr-injected from the SAME
+    Python subtraction the Spark side performs — it differs from the
+    literal 0.15 by one ulp."""
+    omd = repr(1.0 - 0.85)
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src),
+    adj AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src)),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    base AS (SELECT node_id,
+                    CASE WHEN node_id % 50 = 0 THEN 0.1::DOUBLE
+                         ELSE 0.0::DOUBLE END AS t
+             FROM nodes),
+    r0 AS (SELECT node_id, t AS rank FROM base)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT b.node_id,
+               round({omd} * b.t + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
+        FROM base b LEFT JOIN (
+            SELECT a.dst,
+                   cast(sum(cast(round(r.rank / a.out_deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+            FROM adj a JOIN r{k - 1} r ON r.node_id = a.src
+            GROUP BY a.dst) s ON s.dst = b.node_id)"""
+    sql += f"""
+    SELECT node_id, round(rank, 8) AS rank FROM r{iterations}"""
+    return sql
 
 _GRAPH_TRIANGLES_SQL = f"""
     WITH {_KG_GRAPH_EDGES_CTE},
@@ -1585,6 +1635,7 @@ ORACLE_SQL = {
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "graph_bfs": _GRAPH_BFS_SQL,
     "graph_pagerank": _pagerank_sql(5),
+    "graph_ppr": _ppr_sql(5),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200

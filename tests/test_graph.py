@@ -78,3 +78,21 @@ def test_triangles_counts_each_once(spark):
 def test_triangles_none_on_a_tree(spark):
     e = _edges(spark, [(0, 1), (0, 2), (1, 3), (1, 4)])
     assert triangle_counts(e).count() == 0
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """PPR: rank mass concentrates around the seed; far nodes get
+    (near) zero; mass is conserved at 1."""
+    import math
+
+    from npm_extraction_server_spark.plans.graph import personalized_pagerank
+
+    # two disjoint 4-cycles; seed in the first
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0),
+                       (10, 11), (11, 12), (12, 13), (13, 10)])
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    ranks = {r.node_id: r.rank
+             for r in personalized_pagerank(e, seeds, iterations=8).collect()}
+    assert ranks[0] > ranks[1] > 0
+    assert all(ranks[n] == 0.0 for n in (10, 11, 12, 13))  # unreachable
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-6)
