@@ -686,3 +686,28 @@ def test_snapshot_merge_model(spark, tmp_path):
     ch = read_changes(spark, t, from_snapshot=4)
     rows = {(r["id"], r["v"], r["_change_type"]) for r in ch.collect()}
     assert rows == {(0, 0, "delete"), (0, 11, "insert"), (300, 12, "insert")}
+
+
+def test_compact_with_clustering_restores_pruning(spark, tmp_path):
+    """Interleaved commits scatter key ranges (every file overlaps a
+    point predicate); compact(cluster_by=...) restores one-file
+    point-predicate pruning."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        compact,
+        plan_scan,
+        read_where,
+    )
+
+    t = str(tmp_path / "recluster")
+    # 4 commits of interleaved ids: every commit spans the whole range
+    for r in range(4):
+        commit(spark.range(1000).filter(F.col("id") % 4 == r)
+               .select(F.col("id"), (F.col("id") * 2).alias("v")), t,
+               partitions=2)
+    kept0, total0 = plan_scan(t, [("id", "=", 500)])
+    assert len(kept0) > 4  # scattered: most files overlap
+    compact(spark, t, partitions=8, cluster_by=["id"])
+    kept1, total1 = plan_scan(t, [("id", "=", 500)])
+    assert len(total1) == 8 and len(kept1) == 1
+    assert _ids(read_where(spark, t, [("id", "=", 500)])) == [500]
