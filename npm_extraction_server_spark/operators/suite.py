@@ -921,6 +921,22 @@ def graph_ppr(spark, sf):
                                  iterations=5)
 
 
+def graph_labelprop(spark, sf):
+    """Nearest-seed label propagation over the KG multigraph (hard
+    oracle: recursive-CTE reachability + min-(dist, label) in DuckDB).
+    Ten seeds labeled L0..L9; every node takes the min label among its
+    minimum-distance seeds — deterministic by construction."""
+    from ..plans.graph import propagate_labels
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id"),
+                     F.concat(F.lit("L"), (d / 50).cast("int").cast("string"))
+                     .alias("label")))
+    return propagate_labels(seeds, _kg_graph_edges(spark, sf))
+
+
 def graph_triangles(spark, sf):
     """Per-node triangle counts over the undirected simple graph
     induced by the KG multigraph (hard oracle: the same two-join
@@ -1046,6 +1062,7 @@ SPARK_QUERIES = {
     "graph_bfs": graph_bfs,
     "graph_pagerank": graph_pagerank,
     "graph_ppr": graph_ppr,
+    "graph_labelprop": graph_labelprop,
     "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
@@ -1359,6 +1376,23 @@ _GRAPH_TRIANGLES_SQL = f"""
     FROM tri_nodes GROUP BY node_id
 """
 
+_GRAPH_LABELPROP_SQL = f"""
+    WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+    reach(node_id, label, dist) AS (
+        SELECT doc_id, 'L' || (doc_id // 50)::VARCHAR, 0
+        FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0
+        UNION
+        SELECT e0.dst, r.label, r.dist + 1
+        FROM reach r JOIN e0 ON e0.src = r.node_id
+        WHERE r.dist < 30
+    ),
+    best AS (SELECT node_id, min(dist) AS d FROM reach GROUP BY node_id)
+    SELECT r.node_id, min(r.label) AS label, b.d::INT AS dist
+    FROM reach r JOIN best b
+      ON b.node_id = r.node_id AND r.dist = b.d
+    GROUP BY r.node_id, b.d
+"""
+
 _GRAPH_COMPONENTS_SQL = """
     WITH RECURSIVE e0 AS (
         SELECT doc_id AS a, doc_id - 1 AS b FROM documents
@@ -1636,6 +1670,7 @@ ORACLE_SQL = {
     "graph_bfs": _GRAPH_BFS_SQL,
     "graph_pagerank": _pagerank_sql(5),
     "graph_ppr": _ppr_sql(5),
+    "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200

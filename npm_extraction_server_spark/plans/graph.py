@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "pagerank", "personalized_pagerank",
-           "triangle_counts"]
+           "propagate_labels", "triangle_counts"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -282,3 +282,46 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     finally:
         adj.unpersist()
     return ranks.select("node_id", F.round("rank", out_scale).alias("rank"))
+
+
+def propagate_labels(seeds: DataFrame, edges: DataFrame,
+                     max_rounds: int = 30) -> DataFrame:
+    """Multi-source label propagation: every reachable node takes the
+    label of its NEAREST seed (directed hops); equal-distance ties
+    break on the smaller label — fully deterministic, so the driver
+    oracle re-derives it with a recursive CTE. The KG use case: seed a
+    few entities with types/communities and flood the neighborhood.
+
+    Execution = :func:`bfs_distances` with a label payload: per round
+    one frontier-sized join against the (persisted, src-partitioned)
+    edge set, a min-label aggregate over the round's offers, and an
+    anti-join against the already-labeled set. Work follows the
+    wavefront; the edge set is shuffled once."""
+    edges = (edges.select("src", "dst")
+             .repartition(F.col("src")).persist())
+    labeled = (seeds.select("node_id", "label")
+               .groupBy("node_id").agg(F.min("label").alias("label"))
+               .withColumn("dist", F.lit(0))
+               .localCheckpoint(eager=True))
+    frontier = labeled
+
+    try:
+        for r in range(1, max_rounds + 1):
+            offers = (
+                frontier.join(edges, frontier.node_id == edges.src)
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.min("label").alias("label"))
+            )
+            nxt = (
+                offers.join(labeled.select("node_id"), "node_id",
+                            "left_anti")
+                .withColumn("dist", F.lit(r))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.rdd.isEmpty():
+                break
+            labeled = labeled.unionByName(nxt)
+            frontier = nxt
+    finally:
+        edges.unpersist()
+    return labeled

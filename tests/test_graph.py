@@ -96,3 +96,19 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert ranks[0] > ranks[1] > 0
     assert all(ranks[n] == 0.0 for n in (10, 11, 12, 13))  # unreachable
     assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-6)
+
+
+def test_label_propagation_nearest_seed_and_ties(spark):
+    """Labels flow from the nearest seed; equal-distance ties take the
+    smaller label; unreachable nodes stay unlabeled."""
+    from npm_extraction_server_spark.plans.graph import propagate_labels
+
+    #  A(0)-1-2   B(5)-4-2 : node 2 is dist 2 from both seeds -> tie
+    e = _edges(spark, [(0, 1), (1, 2), (5, 4), (4, 2), (8, 9)])
+    seeds = spark.createDataFrame([(0, "zz"), (5, "aa")],
+                                  "node_id long, label string")
+    got = {r.node_id: (r.label, r.dist)
+           for r in propagate_labels(seeds, e).collect()}
+    assert got[1] == ("zz", 1) and got[4] == ("aa", 1)
+    assert got[2] == ("aa", 2)        # tie -> min label
+    assert 8 not in got and 9 not in got  # unreachable from seeds
