@@ -937,6 +937,16 @@ def graph_labelprop(spark, sf):
     return propagate_labels(seeds, _kg_graph_edges(spark, sf))
 
 
+def graph_kcore(spark, sf):
+    """5-core of the KG multigraph via iterative peeling (hard oracle:
+    the peeling unrolled in DuckDB — the driver graph converges in 2
+    rounds, the oracle unrolls 4; extra rounds past the fixpoint are
+    no-ops so the results agree exactly)."""
+    from ..plans.graph import kcore
+
+    return kcore(_kg_graph_edges(spark, sf), k=5)
+
+
 def graph_triangles(spark, sf):
     """Per-node triangle counts over the undirected simple graph
     induced by the KG multigraph (hard oracle: the same two-join
@@ -1063,6 +1073,7 @@ SPARK_QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_ppr": graph_ppr,
     "graph_labelprop": graph_labelprop,
+    "graph_kcore": graph_kcore,
     "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
@@ -1376,6 +1387,36 @@ _GRAPH_TRIANGLES_SQL = f"""
     FROM tri_nodes GROUP BY node_id
 """
 
+
+
+def _kcore_sql(k: int, rounds: int = 4) -> str:
+    """kcore's peeling unrolled: s0 = the undirected simple edge set;
+    each round keeps edges whose BOTH endpoints have degree >= k in
+    the previous survivor set. Rounds past the fixpoint are no-ops,
+    so unrolling more rounds than the graph needs is safe."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    s0 AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM s{r - 1}
+            UNION ALL SELECT b FROM s{r - 1}) GROUP BY n),
+    k{r} AS (SELECT n FROM d{r} WHERE d >= {k}),
+    s{r} AS (
+        SELECT s.a, s.b FROM s{r - 1} s
+        JOIN k{r} ka ON ka.n = s.a
+        JOIN k{r} kb ON kb.n = s.b)"""
+    sql += f"""
+    SELECT n AS node_id, count(*)::BIGINT AS core_degree FROM (
+        SELECT a AS n FROM s{rounds}
+        UNION ALL SELECT b FROM s{rounds}) GROUP BY n"""
+    return sql
+
 _GRAPH_LABELPROP_SQL = f"""
     WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
     reach(node_id, label, dist) AS (
@@ -1671,6 +1712,7 @@ ORACLE_SQL = {
     "graph_pagerank": _pagerank_sql(5),
     "graph_ppr": _ppr_sql(5),
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
+    "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200

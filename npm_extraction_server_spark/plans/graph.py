@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "pagerank", "personalized_pagerank",
+__all__ = ["bfs_distances", "kcore", "pagerank", "personalized_pagerank",
            "propagate_labels", "triangle_counts"]
 
 
@@ -325,3 +325,48 @@ def propagate_labels(seeds: DataFrame, edges: DataFrame,
     finally:
         edges.unpersist()
     return labeled
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """The k-core of the undirected simple graph induced by ``edges``:
+    the maximal subgraph where every node has degree >= k, computed by
+    iterative peeling (drop nodes with degree < k, recompute, repeat
+    to fixpoint). Returns (node_id, core_degree) — the node's degree
+    WITHIN the k-core.
+
+    Each round is one degree aggregation over the surviving edge set +
+    a semi-join filter; the surviving edge set shrinks monotonically
+    and is checkpointed per round (peeling converges in <= |V| rounds,
+    in practice a handful). Raises if not converged by ``max_rounds``
+    (the driver-oracle contract needs the true fixpoint, not a
+    truncation)."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live = und
+    for _ in range(max_rounds):
+        deg = (
+            live.select(F.col("a").alias("n"))
+            .unionByName(live.select(F.col("b").alias("n")))
+            .groupBy("n").agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        nxt = (
+            live.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == live.count():
+            core_deg = (
+                nxt.select(F.col("a").alias("node_id"))
+                .unionByName(nxt.select(F.col("b").alias("node_id")))
+                .groupBy("node_id").agg(F.count("*").alias("core_degree"))
+            )
+            return core_deg
+        live = nxt
+    raise RuntimeError(f"kcore: no convergence in {max_rounds} rounds")

@@ -112,3 +112,16 @@ def test_label_propagation_nearest_seed_and_ties(spark):
     assert got[1] == ("zz", 1) and got[4] == ("aa", 1)
     assert got[2] == ("aa", 2)        # tie -> min label
     assert 8 not in got and 9 not in got  # unreachable from seeds
+
+
+def test_kcore_peels_tendrils(spark):
+    """2-core of a triangle with a pendant chain: chain peels away
+    round by round, triangle survives with degree 2 each."""
+    from npm_extraction_server_spark.plans.graph import kcore
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0),      # triangle
+                       (2, 3), (3, 4), (4, 5)])     # pendant chain
+    got = {r.node_id: r.core_degree for r in kcore(e, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    # k above the max degree: empty core
+    assert kcore(e, k=4).count() == 0
