@@ -67,6 +67,21 @@ def main() -> None:
           f"bfs {t_bfs:.1f}s (reached {n_reached}, max_dist {max_dist})",
           flush=True)
 
+    from npm_extraction_server_spark.plans.graph import kcore, propagate_labels
+
+    lseeds = seeds.select(
+        "node_id",
+        F.concat(F.lit("L"), F.floor(F.col("node_id") / 200_000)
+                 .cast("string")).alias("label"))
+    t0 = time.monotonic()
+    n_labeled = propagate_labels(lseeds, edges, max_rounds=40).count()
+    t_lp = time.monotonic() - t0
+    t0 = time.monotonic()
+    n_core = kcore(edges, k=6).count()
+    t_kc = time.monotonic() - t0
+    print(f"graph2: labelprop {t_lp:.1f}s ({n_labeled} labeled) | "
+          f"6-core {t_kc:.1f}s ({n_core} nodes)", flush=True)
+
     # -- lakehouse probe --------------------------------------------
     table = tempfile.mkdtemp(prefix="probe_merge_")
     base = spark.range(rows).select(
