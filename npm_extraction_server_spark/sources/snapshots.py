@@ -651,6 +651,15 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
     """
     from pyspark.sql import functions as F
 
+    expected = read_snapshot(spark, table).schema
+    got = updates.schema
+    if [(f.name, f.dataType) for f in expected.fields] != \
+            [(f.name, f.dataType) for f in got.fields]:
+        raise ValueError(
+            f"merge_upsert: updates schema {got.simpleString()} does not "
+            f"match table schema {expected.simpleString()} — a silent "
+            "cast here would fork the column types across data files "
+            "(readers fail on INT32-vs-INT64 parquet mismatches)")
     dup = (updates.groupBy(key).agg(F.count("*").alias("n"))
            .filter(F.col("n") > 1).limit(1).collect())
     if dup:

@@ -711,3 +711,59 @@ def test_compact_with_clustering_restores_pruning(spark, tmp_path):
     kept1, total1 = plan_scan(t, [("id", "=", 500)])
     assert len(total1) == 8 and len(kept1) == 1
     assert _ids(read_where(spark, t, [("id", "=", 500)])) == [500]
+
+
+def test_concurrent_merges_both_land(spark, tmp_path):
+    """Two merges racing: the second (planned against the same parent)
+    must hit the CAS, re-plan over the first merge's result, and both
+    update sets survive — no lost update in either direction."""
+    from npm_extraction_server_spark.sources import snapshots as S
+
+    t = str(tmp_path / "mm_race")
+    S.commit(spark.range(20).select(
+        F.col("id"), F.lit(0).cast("long").alias("v")), t,
+        partitions=2, cluster_by=["id"])
+
+    real_commit = S.commit
+    raced = {"done": False}
+
+    def racing_commit(df, table, **kw):
+        if not raced["done"] and kw.get("operation") == "overwrite":
+            raced["done"] = True
+            # a full merge_upsert (not just an append) sneaks in first
+            S.commit = real_commit
+            try:
+                S.merge_upsert(
+                    spark, table,
+                    spark.createDataFrame([(5, 55), (100, 1)],
+                                          "id long, v long"), key="id")
+            finally:
+                S.commit = racing_commit
+        return real_commit(df, table, **kw)
+
+    S.commit = racing_commit
+    try:
+        S.merge_upsert(spark, t,
+                       spark.createDataFrame([(7, 77), (200, 2)],
+                                             "id long, v long"), key="id")
+    finally:
+        S.commit = real_commit
+
+    got = {r["id"]: r["v"] for r in S.read_snapshot(spark, t).collect()}
+    assert len(got) == 22
+    assert got[5] == 55 and got[100] == 1   # first merge survived
+    assert got[7] == 77 and got[200] == 2   # second merge re-planned
+    assert got[0] == 0                       # untouched rows intact
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        merge_upsert,
+    )
+
+    t = str(tmp_path / "mschema")
+    commit(spark.range(5).select(F.col("id"), F.lit(0).alias("v")), t)
+    ups = spark.createDataFrame([(1, 1)], "id long, v long")  # int vs long
+    with pytest.raises(ValueError, match="schema"):
+        merge_upsert(spark, t, ups, key="id")
