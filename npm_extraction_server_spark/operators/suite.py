@@ -907,6 +907,22 @@ def graph_pagerank(spark, sf):
     return pagerank(_kg_graph_edges(spark, sf), iterations=5)
 
 
+def graph_pagerank_dangling(spark, sf):
+    """5-iteration PageRank over the KG multigraph with every
+    ``src % 7 == 0`` node's out-edges REMOVED — 72 of the 500 nodes
+    become dangling sinks (the realistic KG shape: leaf entities that
+    are referenced but never described). Exercises the explicit
+    dangling-mass redistribution in plans/graph.pagerank: each
+    iteration's sink mass is decimal-summed and handed back uniformly,
+    so ranks still sum to 1. Hard oracle: the same dangling-aware
+    power iteration unrolled as chained CTEs in DuckDB, bit-exact via
+    the shared 12-decimal grid."""
+    from ..plans.graph import pagerank
+
+    edges = _kg_graph_edges(spark, sf).filter(F.col("src") % 7 != 0)
+    return pagerank(edges, iterations=5, dangling="redistribute")
+
+
 def graph_ppr(spark, sf):
     """Personalized PageRank from the BFS seed set over the same KG
     multigraph (hard oracle: the seeded power iteration unrolled in
@@ -1071,6 +1087,7 @@ SPARK_QUERIES = {
     "graph_components_incr": graph_components_incr,
     "graph_bfs": graph_bfs,
     "graph_pagerank": graph_pagerank,
+    "graph_pagerank_dangling": graph_pagerank_dangling,
     "graph_ppr": graph_ppr,
     "graph_labelprop": graph_labelprop,
     "graph_kcore": graph_kcore,
@@ -1271,6 +1288,45 @@ def _pagerank_sql(iterations: int = 5) -> str:
     r{k} AS (
         SELECT n.node_id,
                round(0.0003 + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT a.dst,
+                   cast(sum(cast(round(r.rank / a.out_deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+            FROM adj a JOIN r{k - 1} r ON r.node_id = a.src
+            GROUP BY a.dst) s ON s.dst = n.node_id)"""
+    sql += f"""
+    SELECT node_id, round(rank, 8) AS rank FROM r{iterations}"""
+    return sql
+
+
+def _pagerank_dangling_sql(iterations: int = 5) -> str:
+    """plans/graph.pagerank with dangling="redistribute" unrolled: the
+    edge set drops every src % 7 == 0 out-edge (72 sinks appear; the
+    node set stays all 500, so init/teleport constants are unchanged),
+    and each iteration adds round(dangling_mass / 500.0, 12) inside
+    the damped term — dangling mass itself summed on the exact
+    decimal(28,12) grid from the previous rank vector, mirroring
+    graph._dangling_mass expression-for-expression."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    e1 AS (SELECT src, dst FROM e0 WHERE src % 7 <> 0),
+    deg AS (SELECT src, count(*) AS out_deg FROM e1 GROUP BY src),
+    adj AS (SELECT e1.src, e1.dst, deg.out_deg FROM e1 JOIN deg USING (src)),
+    nodes AS (SELECT src AS node_id FROM e1 UNION SELECT dst FROM e1),
+    dangnodes AS (SELECT node_id FROM nodes
+                  WHERE node_id NOT IN (SELECT src FROM e1)),
+    r0 AS (SELECT node_id, 0.002::DOUBLE AS rank FROM nodes)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    d{k} AS (SELECT coalesce(cast(sum(cast(round(rank, 12)
+                                           AS DECIMAL(28,12))) AS DOUBLE),
+                             0.0) AS dm
+             FROM r{k - 1}
+             WHERE node_id IN (SELECT node_id FROM dangnodes)),
+    r{k} AS (
+        SELECT n.node_id,
+               round(0.0003 + 0.85 * (coalesce(s.inflow, 0.0)
+                     + round((SELECT dm FROM d{k}) / 500.0, 12)), 12) AS rank
         FROM nodes n LEFT JOIN (
             SELECT a.dst,
                    cast(sum(cast(round(r.rank / a.out_deg, 12)
@@ -1710,6 +1766,7 @@ ORACLE_SQL = {
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "graph_bfs": _GRAPH_BFS_SQL,
     "graph_pagerank": _pagerank_sql(5),
+    "graph_pagerank_dangling": _pagerank_dangling_sql(5),
     "graph_ppr": _ppr_sql(5),
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),

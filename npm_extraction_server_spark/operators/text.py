@@ -367,25 +367,32 @@ def tfidf_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     1-ulp ln() divergence between libm implementations is absorbed by
     the 8-dp grid; tf is an exact integer, so tf*idf is exact at 8 dp
     and the per-doc sum uses the decimal protocol. Ties in the final
-    ordering break on doc id."""
-    N = documents.count()
+    ordering break on doc id.
+
+    The whole query is ONE Catalyst plan: the corpus size N is a 1-row
+    aggregate broadcast-cross-joined into the idf projection (no
+    driver-side count action), and query terms enter via the column
+    API (F.array of literals + F.filter) — a term containing a quote
+    or backslash is data, never SQL."""
     terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), F.lit(0))
     words = (
         documents.select(
             F.col(id_col),
-            F.explode(F.expr(
-                f"filter(regexp_extract_all(lower({text_col}),"
-                f" '[a-z0-9]+', 0), w -> array_contains("
-                + "array(" + ",".join(f"'{t}'" for t in query_terms)
-                + "), w))")).alias("term"))
+            F.explode(F.filter(toks, lambda w: F.array_contains(terms, w)))
+            .alias("term"))
     )
     dt = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    stats = documents.agg(F.count("*").cast("double").alias("n_docs"))
     df_t = dt.groupBy("term").agg(F.count("*").alias("df"))
-    idf = df_t.select(
-        "term",
-        F.round(F.log((F.lit(float(N + 1)))
-                      / (F.col("df").cast("double") + F.lit(1.0))), 8)
-        .alias("idf"))
+    idf = (
+        df_t.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(F.log((F.col("n_docs") + F.lit(1.0))
+                          / (F.col("df").cast("double") + F.lit(1.0))), 8)
+            .alias("idf")))
     scored = (
         dt.join(F.broadcast(idf), "term")
         .groupBy(id_col)
@@ -411,41 +418,52 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     only extra corpus-wide work is the per-doc token count (a size()
     over the same tokenize projection) and one scalar avgdl aggregate.
 
-    Cross-engine determinism: every float constant (k1+1, b, 1-b,
-    avgdl) is computed once driver-side and injected VERBATIM into
-    both engines' expressions (repr round-trips doubles exactly, so
-    e.g. k1+1 can't differ by an ulp between a Python sum and a SQL
-    literal); per-(doc,term) scores are rounded to the 8-dp grid and
-    decimal-summed. See `suite._BM25_ORACLE` for the mirrored SQL."""
-    N = documents.count()
-    term_list = ",".join(f"'{t}'" for t in query_terms)
+    Cross-engine determinism: every float CONSTANT (k1+1, b, 1-b) is
+    computed once driver-side and injected verbatim into both engines'
+    expressions (repr round-trips doubles exactly, so e.g. k1+1 can't
+    differ by an ulp between a Python sum and a SQL literal). The
+    corpus stats (N, avgdl) are NOT driver constants: both engines
+    compute avgdl = sum(dl)::double / count(*)::double in-plan — an
+    exact integer sum followed by one correctly-rounded IEEE division,
+    identical in Spark and DuckDB — so the whole query is ONE Catalyst
+    plan with the 1-row stats aggregate broadcast-cross-joined in (no
+    driver .collect() action). Per-(doc,term) scores are rounded to
+    the 8-dp grid and decimal-summed. Query terms enter via the column
+    API (never interpolated into SQL text). See the mirrored SQL in
+    `suite._bm25_oracle`."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
     toks = documents.select(
         F.col(id_col),
-        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
-        .alias("_toks"))
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit("[a-z0-9]+"), F.lit(0)).alias("_toks"))
     docs = toks.select(
         id_col, F.size("_toks").alias("dl"),
-        F.explode(F.expr(
-            f"filter(_toks, w -> array_contains(array({term_list}), w))"))
+        F.explode(F.filter(F.col("_toks"),
+                           lambda w: F.array_contains(terms, w)))
         .alias("term"))
     lens = toks.select(id_col, F.size("_toks").alias("dl"))
-    sums = lens.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
-    avgdl = float(sums["s"]) / float(sums["c"])
+    stats = lens.agg(
+        (F.sum("dl").cast("double") / F.count("*").cast("double"))
+        .alias("avgdl"),
+        F.count("*").cast("double").alias("n_docs"))
 
     dt = docs.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     df_t = dt.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    idf = df_t.select(
-        "term",
-        F.round(F.log(
-            F.lit(1.0) + (F.lit(float(N)) - F.col("df").cast("double")
-                          + F.lit(0.5)) / (F.col("df").cast("double")
-                                           + F.lit(0.5))), 8).alias("idf"))
+    idf = (
+        df_t.crossJoin(F.broadcast(stats))
+        .select(
+            "term", "avgdl",
+            F.round(F.log(
+                F.lit(1.0) + (F.col("n_docs") - F.col("df").cast("double")
+                              + F.lit(0.5)) / (F.col("df").cast("double")
+                                               + F.lit(0.5))), 8)
+            .alias("idf")))
     k1p1, one_m_b = k1 + 1.0, 1.0 - b
     num = F.col("tf").cast("double") * F.lit(k1p1)
     den = (F.col("tf").cast("double")
            + F.lit(k1) * (F.lit(one_m_b)
                           + F.lit(b) * F.col("dl").cast("double")
-                          / F.lit(avgdl)))
+                          / F.col("avgdl")))
     scored = (
         dt.join(F.broadcast(idf), "term")
         .select(id_col, F.round(F.col("idf") * (num / den), 8)

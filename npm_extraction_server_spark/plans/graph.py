@@ -22,9 +22,16 @@ Scale notes (100 TB / 10^9-node graphs):
 - ``pagerank`` is the classic power iteration: one join (edges x
   ranks, co-partitioned on src) + one groupBy(dst) per round — two
   shuffles per iteration, both on node id; AQE coalesces the tail.
-  Rank mass of dangling nodes is redistributed implicitly by the
-  (1-d)/N teleport term only, matching the "no dangling nodes"
-  contract the caller establishes (assert_no_dangling=True validates).
+  Dangling nodes (no out-edges — the COMMON case in a real KG: sink
+  entities referenced but never described) are handled explicitly:
+  their rank mass is summed each iteration (a 1-row aggregate,
+  broadcast-cross-joined into the update so the round stays one job)
+  and redistributed uniformly (``dangling="redistribute"``, default)
+  or to the teleport vector for personalized_pagerank; callers who
+  KNOW the graph has no sinks can pass ``dangling="assert_none"``
+  (one upfront anti-join check) or ``dangling="ignore"`` to skip the
+  per-round aggregate. When the dangling set is empty the
+  redistribute path detects it once and skips the term entirely.
 - ``triangle_counts`` orients edges from their low-degree to their
   high-degree endpoint, so wedges form only at each edge's cheap end
   (O(d) rows per degree-d hub, not O(d^2)) and each triangle is
@@ -107,22 +114,65 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame,
 _GRID = 12
 
 
+def _dangling_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Nodes with no out-edge (sink entities). One anti-join, computed
+    once per pagerank call and checkpointed — loop-invariant."""
+    return (nodes.join(edges.select(F.col("src").alias("node_id"))
+                       .distinct(), "node_id", "left_anti")
+            .localCheckpoint(eager=True))
+
+
+def _dangling_mass(ranks: DataFrame, dang: DataFrame) -> DataFrame:
+    """1-row DataFrame with the total rank mass sitting on dangling
+    nodes, summed on the cross-engine decimal grid (round to 12 dp —
+    a no-op re-round of already-grid values, kept so the Spark and
+    DuckDB expression trees are identical — then EXACT decimal sum,
+    then one deterministic cast back to double)."""
+    return (ranks.join(dang, "node_id", "left_semi")
+            .agg(F.coalesce(
+                F.sum(F.round(F.col("rank"), _GRID)
+                      .cast(f"decimal(28,{_GRID})")),
+                F.lit(0).cast(f"decimal(28,{_GRID})"))
+                .cast("double").alias("_dmass")))
+
+
 def pagerank(edges: DataFrame, iterations: int = 5,
-             damping: float = 0.85, out_scale: int = 8) -> DataFrame:
+             damping: float = 0.85, out_scale: int = 8,
+             dangling: str = "redistribute") -> DataFrame:
     """Fixed-iteration PageRank over a directed multigraph.
 
     ``edges``: (src, dst); parallel edges each carry their own share
-    of the source's rank (out_degree counts multiplicity). Every node
-    must have at least one out-edge (no dangling-mass term; the
-    synthetic KG graphs used by the driver queries guarantee it).
+    of the source's rank (out_degree counts multiplicity).
+
+    ``dangling`` controls sink-node (no out-edge) rank mass — the
+    common real-KG shape, where leaf entities are referenced but never
+    described:
+
+    - ``"redistribute"`` (default): each iteration sums the rank on
+      dangling nodes (1-row aggregate, broadcast-cross-joined into the
+      update — the round stays a single job) and hands every node an
+      equal share, so ranks keep summing to 1 and the result equals
+      true PageRank. If the upfront dangling-set check finds no sinks,
+      the term is skipped entirely and the plan is identical to the
+      sink-free fast path.
+    - ``"assert_none"``: raise ``ValueError`` if any node lacks an
+      out-edge (the round-3 docstring promise, now real).
+    - ``"ignore"``: legacy behavior — dangling mass leaks each
+      iteration (ranks no longer sum to 1); only for callers that
+      pre-augmented the graph themselves.
 
     Deterministic across engines: contributions are
     ``round(rank / out_deg, 12)`` (IEEE double division is correctly
     rounded in both engines), summed exactly as decimal(28,12), and
     the damped update is re-rounded to the same grid — the rank
     vector is identical bit-for-bit in Spark and DuckDB at every
-    iteration. Output rank is rounded to ``out_scale``.
+    iteration. The dangling share uses the same protocol:
+    ``round(decimal_sum(rank)::double / n, 12)`` added INSIDE the
+    damped term, so the dangling oracle unrolls to the same doubles.
+    Output rank is rounded to ``out_scale``.
     """
+    if dangling not in ("redistribute", "assert_none", "ignore"):
+        raise ValueError(f"pagerank: unknown dangling mode {dangling!r}")
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node_id"))
@@ -131,6 +181,15 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    dang = None
+    if dangling != "ignore":
+        dang = _dangling_nodes(nodes, edges)
+        if dang.rdd.isEmpty():
+            dang = None          # sink-free: redistribute is a no-op
+        elif dangling == "assert_none":
+            raise ValueError(
+                "pagerank(dangling='assert_none'): graph has nodes with "
+                "no out-edges; pass dangling='redistribute' or augment")
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # (src, dst, out_deg) is loop-invariant: persist it HASH-PARTITIONED
     # on src — InMemoryTableScan keeps its outputPartitioning, so each
@@ -157,15 +216,21 @@ def pagerank(edges: DataFrame, iterations: int = 5,
             )
             inflow = contrib.groupBy("dst").agg(
                 F.sum("contrib").cast("double").alias("inflow"))
+            base = nodes.join(inflow, nodes.node_id == inflow.dst, "left")
+            if dang is not None:
+                # per-node share of this round's dangling mass; the
+                # 1-row aggregate broadcasts, so the whole update is
+                # still one job
+                base = base.crossJoin(F.broadcast(_dangling_mass(ranks, dang)))
+                gain = (F.coalesce("inflow", F.lit(0.0))
+                        + F.round(F.col("_dmass") / F.lit(float(n)), _GRID))
+            else:
+                gain = F.coalesce("inflow", F.lit(0.0))
             ranks = (
-                nodes.join(inflow, nodes.node_id == inflow.dst, "left")
-                .select(
+                base.select(
                     "node_id",
-                    F.round(
-                        F.lit(teleport)
-                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
-                        _GRID,
-                    ).alias("rank"),
+                    F.round(F.lit(teleport) + F.lit(damping) * gain,
+                            _GRID).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -230,13 +295,23 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                           iterations: int = 5, damping: float = 0.85,
-                          out_scale: int = 8) -> DataFrame:
+                          out_scale: int = 8,
+                          dangling: str = "redistribute") -> DataFrame:
     """Personalized PageRank: teleport mass goes to ``seeds`` (one
     column ``node_id``) instead of uniformly — importance RELATIVE TO
     a seed set, the query a KG consumer asks to rank entities around
     a topic. Same execution and determinism contract as
     :func:`pagerank` (persisted src-partitioned adjacency, decimal-
-    grid updates, bit-exact vs the unrolled DuckDB oracle)."""
+    grid updates, bit-exact vs the unrolled DuckDB oracle).
+
+    ``dangling`` follows :func:`pagerank`, except redistributed mass
+    lands on the TELEPORT vector (the personalized analog of the
+    uniform share): gain = inflow + round(dmass * t(v), 12) — mass
+    flows back to the seed neighborhood instead of diluting the whole
+    graph. Sink-free graphs skip the term after one upfront check."""
+    if dangling not in ("redistribute", "assert_none", "ignore"):
+        raise ValueError(
+            f"personalized_pagerank: unknown dangling mode {dangling!r}")
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node_id"))
@@ -244,6 +319,15 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         .distinct()
         .localCheckpoint(eager=True)
     )
+    dang = None
+    if dangling != "ignore":
+        dang = _dangling_nodes(nodes, edges)
+        if dang.rdd.isEmpty():
+            dang = None
+        elif dangling == "assert_none":
+            raise ValueError(
+                "personalized_pagerank(dangling='assert_none'): graph has "
+                "nodes with no out-edges")
     n_seeds = seeds.select("node_id").distinct().count()
     tv = round(1.0 / n_seeds, _GRID)
     one_m_d = 1.0 - damping
@@ -270,13 +354,18 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
             )
             inflow = contrib.groupBy("dst").agg(
                 F.sum("contrib").cast("double").alias("inflow"))
+            upd = base.join(inflow, base.node_id == inflow.dst, "left")
+            if dang is not None:
+                upd = upd.crossJoin(F.broadcast(_dangling_mass(ranks, dang)))
+                gain = (F.coalesce("inflow", F.lit(0.0))
+                        + F.round(F.col("_dmass") * F.col("t"), _GRID))
+            else:
+                gain = F.coalesce("inflow", F.lit(0.0))
             ranks = (
-                base.join(inflow, base.node_id == inflow.dst, "left")
-                .select("node_id",
-                        F.round(F.lit(one_m_d) * F.col("t")
-                                + F.lit(damping)
-                                * F.coalesce("inflow", F.lit(0.0)),
-                                _GRID).alias("rank"))
+                upd.select("node_id",
+                           F.round(F.lit(one_m_d) * F.col("t")
+                                   + F.lit(damping) * gain,
+                                   _GRID).alias("rank"))
                 .localCheckpoint(eager=True)
             )
     finally:
@@ -348,6 +437,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     live = und
+    # one count action per round: carry the previous round's edge count
+    # in a driver variable instead of re-counting the (already
+    # materialized) previous checkpoint — halves the scheduler round
+    # trips, which dominate when rounds are many at 10^9 edges
+    n_live = und.count()
     for _ in range(max_rounds):
         deg = (
             live.select(F.col("a").alias("n"))
@@ -361,12 +455,13 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == live.count():
+        n_nxt = nxt.count()
+        if n_nxt == n_live:
             core_deg = (
                 nxt.select(F.col("a").alias("node_id"))
                 .unionByName(nxt.select(F.col("b").alias("node_id")))
                 .groupBy("node_id").agg(F.count("*").alias("core_degree"))
             )
             return core_deg
-        live = nxt
+        live, n_live = nxt, n_nxt
     raise RuntimeError(f"kcore: no convergence in {max_rounds} rounds")

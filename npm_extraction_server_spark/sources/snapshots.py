@@ -477,6 +477,16 @@ def _chain_files(table: str, from_excl: int | None, to_incl: int,
     sid: int | None = to_incl
     while sid is not None and sid != from_excl:
         man = _read_json(_meta(table) / f"snap-{sid}.json")
+        # expired manifests (below an expire_snapshots horizon) are
+        # planning FRAGMENTS: a kept snapshot's walk may pass through
+        # them (its view's files all survived the vacuum), but they
+        # cannot ANCHOR a read, and an incremental range may not
+        # cross them — their own added files may be vacuumed
+        if man.get("expired") and (sid == to_incl or incremental):
+            raise ValueError(
+                f"snapshot {sid} was expired by expire_snapshots: its "
+                "read view may reference vacuumed files; anchor at a "
+                "kept snapshot instead")
         op = man.get("operation", "append")
         if incremental:
             if op == "overwrite":
@@ -541,7 +551,14 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     file REACHABLE from a kept snapshot survives); everything else —
     orphaned forks, pre-compaction history — is deleted, manifests and
     data files both. Returns counts. Time travel below the horizon is
-    gone after this, which is the point: bounded metadata + storage."""
+    gone after this, which is the point: bounded metadata + storage.
+
+    Manifests below the horizon that the kept walks still plan
+    through survive but are stamped ``"expired": true``: they can no
+    longer anchor read_snapshot / read_changes / read_incremental /
+    rollback (those raise up front — the expired view may reference
+    vacuumed files), restoring the invariant "anchorable manifest =>
+    readable"; ``snapshot_log`` still lists them, carrying the flag."""
     import shutil
 
     cur = current_snapshot_id(table)
@@ -554,14 +571,6 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     # expired snapshot can no longer anchor incremental reads).
     chain = [m["snapshot_id"] for m in snapshot_log(table)]
     kept_ids = set(chain[-max(keep_last, 1):])
-    # keep exactly the files some KEPT snapshot's read view uses —
-    # _chain_files honors both compaction cutoffs and overwrite
-    # removed_files, so files an overwrite replaced (and nothing kept
-    # can still see) are vacuumed instead of lingering forever on a
-    # frequently-merged table
-    keep_files: set[str] = set()
-    for sid in kept_ids:
-        keep_files.update(_chain_files(table, None, sid))
     # manifests reachable from kept snapshots stay (they plan the kept
     # reads); everything else is expired
     reachable: set[int] = set()
@@ -573,6 +582,19 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
             if man.get("operation", "append") == "replace":
                 break  # the compaction carries the full state below it
             walk = man["parent"]
+    # keep exactly the files some KEPT snapshot's read view uses —
+    # _chain_files honors both compaction cutoffs and overwrite
+    # removed_files, so files an overwrite replaced (and nothing kept
+    # can still see) are vacuumed instead of lingering forever on a
+    # frequently-merged table. Manifests BELOW the kept horizon that
+    # survive (the kept walks plan through them) are no longer
+    # anchorable views — a pre-overwrite file their view references
+    # is gone after this vacuum — so they are stamped "expired" below
+    # and every anchoring read path refuses them up front with a
+    # clear error instead of failing mid-scan on a missing file.
+    keep_files: set[str] = set()
+    for sid in kept_ids:
+        keep_files.update(_chain_files(table, None, sid))
     deleted_manifests = 0
     for p in list(_meta(table).glob("snap-*.json")):
         sid = int(p.stem.split("-")[1])
@@ -580,12 +602,21 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
             p.unlink()
             deleted_manifests += 1
     # detach kept manifests whose parent was expired (walkers must see
-    # them as roots now)
+    # them as roots now), and stamp surviving below-horizon manifests
+    # as planning-only fragments: they stay to serve the kept chain
+    # walks, but can no longer anchor a read (their own view may
+    # reference files this vacuum deletes)
     for sid in reachable:
         mp = _meta(table) / f"snap-{sid}.json"
         man = _read_json(mp)
+        dirty = False
         if man["parent"] is not None and man["parent"] not in reachable:
             man["parent"] = None
+            dirty = True
+        if sid not in kept_ids and not man.get("expired"):
+            man["expired"] = True
+            dirty = True
+        if dirty:
             mp.write_text(json.dumps(man, indent=1))
     deleted_dirs = 0
     deleted_files = 0
@@ -660,11 +691,17 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
             f"match table schema {expected.simpleString()} — a silent "
             "cast here would fork the column types across data files "
             "(readers fail on INT32-vs-INT64 parquet mismatches)")
-    dup = (updates.groupBy(key).agg(F.count("*").alias("n"))
-           .filter(F.col("n") > 1).limit(1).collect())
-    if dup:
+    bad = (updates.groupBy(key).agg(F.count("*").alias("n"))
+           .filter((F.col("n") > 1) | F.col(key).isNull())
+           .limit(1).collect())
+    if bad:
+        if bad[0][key] is None:
+            raise ValueError(
+                "updates carry a NULL merge key: null never equi-matches, "
+                "so the 'replaced' old row would survive alongside the "
+                "insert — reject up front instead of silently duplicating")
         raise ValueError(
-            f"updates carry duplicate key {dup[0][key]!r}: one row per "
+            f"updates carry duplicate key {bad[0][key]!r}: one row per "
             "key is required (MERGE would be ambiguous)")
     updates = updates.localCheckpoint(eager=True)
 
@@ -698,10 +735,21 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         if ranged:
             rdf = spark.createDataFrame(
                 [(f, lo, hi) for f, lo, hi in ranged], ["_f", "_lo", "_hi"])
+            # string keys: compare as UTF-8 BYTES, not strings — parquet
+            # footer min/max order by UTF-8 byte sequence while Spark
+            # orders strings by UTF-16 code units, and the two disagree
+            # on supplementary-plane characters (a file holding the key
+            # could be wrongly skipped, leaving the stale row in place
+            # next to the insert). Spark's BinaryType comparison is
+            # unsigned bytewise == the stats order.
+            if dict(updates.dtypes)[key] == "string":
+                k = F.encode(F.col("_k"), "UTF-8")
+                lo, hi = (F.encode(F.col("_lo"), "UTF-8"),
+                          F.encode(F.col("_hi"), "UTF-8"))
+            else:
+                k, lo, hi = F.col("_k"), F.col("_lo"), F.col("_hi")
             hit = (updates.select(F.col(key).alias("_k"))
-                   .join(F.broadcast(rdf),
-                         (F.col("_k") >= F.col("_lo"))
-                         & (F.col("_k") <= F.col("_hi")))
+                   .join(F.broadcast(rdf), (k >= lo) & (k <= hi))
                    .select("_f").distinct().collect())
             touched += [r["_f"] for r in hit]
         if touched:
@@ -747,13 +795,30 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
     to_sid = to_snapshot if to_snapshot is not None else current_snapshot_id(table)
     if to_sid is None:
         raise ValueError(f"{table}: empty table (no CURRENT)")
-    # validate ancestry (and fail fast on forked/orphaned ranges)
-    _chain_files(table, from_snapshot, to_sid, incremental=False)
+    # validate ancestry with an EXPLICIT parent walk: the full-read
+    # file walk (_chain_files incremental=False) returns early at the
+    # first 'replace' snapshot, so with a compaction in the chain it
+    # would bless a from_snapshot that is not an ancestor at all
+    # (orphaned by rollback, or a typo) and the change walk below
+    # would silently run past it to the root, emitting the whole
+    # table history as changes
+    if from_snapshot is not None:
+        walk: int | None = to_sid
+        while walk is not None and walk != from_snapshot:
+            walk = _read_json(_meta(table) / f"snap-{walk}.json")["parent"]
+        if walk != from_snapshot:
+            raise ValueError(
+                f"snapshot {from_snapshot} is not an ancestor of {to_sid}")
 
     chunks: list[DataFrame] = []
     sid: int | None = to_sid
     while sid is not None and sid != from_snapshot:
         man = _read_json(_meta(table) / f"snap-{sid}.json")
+        if man.get("expired"):
+            raise ValueError(
+                f"changelog range ({from_snapshot}, {to_sid}] crosses "
+                f"expired snapshot {sid}: its change files may be "
+                "vacuumed; start from a kept snapshot")
         op = man.get("operation", "append")
         tag = (F.lit("insert").alias("_change_type"),
                F.lit(sid).alias("_snapshot_id"))

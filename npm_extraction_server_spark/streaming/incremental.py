@@ -248,10 +248,12 @@ def stream_upsert_to_snapshots(spark: SparkSession, updates_dir: str,
     keys — idempotence is still the right contract).
 
     Within a batch, ``order_col`` resolves multiple updates to the
-    same key last-write-wins (highest order value; ties break on the
-    key for determinism); without it, duplicate keys in one batch are
-    an error (merge_upsert enforces). The first batch into an empty
-    table is a plain clustered commit."""
+    same key last-write-wins (highest order value; ties on order_col
+    break on the remaining PAYLOAD columns ascending — the window is
+    partitioned by key, so the key itself can never discriminate —
+    making the pick a pure function of the row set); without it,
+    duplicate keys in one batch are an error (merge_upsert enforces).
+    The first batch into an empty table is a plain clustered commit."""
     from pyspark.sql import Window
 
     from ..sources.snapshots import (
@@ -277,8 +279,12 @@ def stream_upsert_to_snapshots(spark: SparkSession, updates_dir: str,
                 return  # replayed epoch of THIS stream
         batch = batch_df
         if order_col is not None:
+            # deterministic LWW: order_col desc, then every remaining
+            # payload column ascending (the partition key would be a
+            # constant within the window — useless as a tie-break)
+            payload = [c for c in batch.columns if c not in (key, order_col)]
             w = Window.partitionBy(key).orderBy(
-                F.col(order_col).desc(), F.col(key))
+                F.col(order_col).desc(), *[F.col(c) for c in payload])
             batch = (batch.withColumn("_rn", F.row_number().over(w))
                      .filter(F.col("_rn") == 1).drop("_rn"))
         props = {"epoch": epoch_id, "ckpt": ckpt_key}

@@ -125,3 +125,52 @@ def test_kcore_peels_tendrils(spark):
     assert got == {0: 2, 1: 2, 2: 2}
     # k above the max degree: empty core
     assert kcore(e, k=4).count() == 0
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """A graph with a true sink (no out-edges): default
+    dangling='redistribute' hands the sink's mass back uniformly each
+    iteration, so total rank mass stays 1 and the result equals true
+    PageRank; dangling='ignore' leaks the mass (sum < 1);
+    dangling='assert_none' raises."""
+    import pytest
+
+    # 0 -> 1 -> 2 (sink); 0 <- 1 back edge keeps 0 fed
+    e = _edges(spark, [(0, 1), (1, 2), (1, 0)])
+    ranks = {r.node_id: r.rank
+             for r in pagerank(e, iterations=20).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-6)
+    # 0 and 2 each receive half of 1's outflow plus the same uniform
+    # redistribution share: exactly symmetric; 1 (fed 0's whole
+    # outflow) out-ranks both
+    assert ranks[2] == ranks[0] and ranks[1] > ranks[0]
+
+    leaked = {r.node_id: r.rank
+              for r in pagerank(e, iterations=20,
+                                dangling="ignore").collect()}
+    assert sum(leaked.values()) < 0.9  # mass visibly lost
+
+    with pytest.raises(ValueError, match="no out-edges"):
+        pagerank(e, iterations=2, dangling="assert_none")
+    # sink-free graph: assert_none passes and equals redistribute
+    ring = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    a = {r.node_id: r.rank
+         for r in pagerank(ring, iterations=5,
+                           dangling="assert_none").collect()}
+    b = {r.node_id: r.rank for r in pagerank(ring, iterations=5).collect()}
+    assert a == b
+
+
+def test_ppr_dangling_mass_returns_to_seeds(spark):
+    """Personalized PageRank with a sink: redistributed mass follows
+    the TELEPORT vector, so total mass stays 1 and stays concentrated
+    near the seeds rather than diluting uniformly."""
+    from npm_extraction_server_spark.plans.graph import personalized_pagerank
+
+    e = _edges(spark, [(0, 1), (1, 2), (1, 0)])  # 2 is a sink
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    ranks = {r.node_id: r.rank
+             for r in personalized_pagerank(e, seeds,
+                                            iterations=20).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-6)
+    assert ranks[0] > ranks[2]  # mass cycles back to the seed side

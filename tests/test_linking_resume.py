@@ -432,3 +432,45 @@ def test_stream_upsert_cdc_merges_batches(spark, tmp_path):
                                    key="id", schema=schema, order_col="seq")
     q.awaitTermination(120)
     assert len(snapshot_log(table)) == n_snaps
+
+
+def test_stream_upsert_lww_tie_breaks_deterministically(spark, tmp_path):
+    """Equal order_col values for the same key within one batch: the
+    winner is a pure function of the row set (order_col desc, then the
+    remaining payload columns ascending — the partition key itself can
+    never discriminate inside its own window), not partition order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.sources.snapshots import read_snapshot
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_upsert_to_snapshots,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ])
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    # one batch: key 1 has THREE rows tied at seq=5 with payloads
+    # shuffled across partitions; deterministic winner = min payload
+    rows = [(1, 30, 5), (1, 10, 5), (1, 20, 5), (2, 7, 1)]
+    spark.createDataFrame(rows, schema).repartition(4) \
+        .coalesce(1).write.parquet(str(flat / "b1"))
+    import shutil
+
+    for f in (flat / "b1").glob("part-*.parquet"):
+        shutil.move(str(f), flat / f"00-{f.name}")
+    shutil.rmtree(flat / "b1")
+
+    for attempt in range(2):  # run twice from scratch: same pick
+        table = str(tmp_path / f"t{attempt}")
+        ckpt = str(tmp_path / f"c{attempt}")
+        q = stream_upsert_to_snapshots(spark, str(flat), table, ckpt,
+                                       key="id", schema=schema,
+                                       order_col="seq")
+        q.awaitTermination(120)
+        got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
+        assert got == {1: 10, 2: 7}

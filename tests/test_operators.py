@@ -732,3 +732,22 @@ def test_y4m_codec_and_video_features(spark):
     for blob in (b"", b"YUV4MPEG2 W4\n", encode_y4m(4, 4, frames)[:-3]):
         with _pytest.raises(ValueError):
             decode_y4m(blob)
+
+
+def test_retrieval_terms_are_data_not_sql(spark):
+    """Query terms containing quotes/backslashes must be treated as
+    data (column-API literals), never interpolated into SQL text —
+    a term like "o'brien" or a lone backslash must neither crash the
+    plan nor inject expressions."""
+    from npm_extraction_server_spark.operators.text import bm25_topk, tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "o'brien wrote code"), (2, "plain text here")],
+        "doc_id long, text string")
+    hostile = ["o'brien", "a\\b", "x) or (1=1"]
+    out = tfidf_topk(df, hostile, k=5).collect()
+    # tokenizer is [a-z0-9]+ so "o'brien" never matches a token; the
+    # point is the plan builds and runs, returning only true matches
+    assert all(r["doc_id"] in (1, 2) for r in out)
+    out2 = bm25_topk(df, hostile, k=5).collect()
+    assert all(r["doc_id"] in (1, 2) for r in out2)

@@ -767,3 +767,107 @@ def test_merge_upsert_rejects_schema_mismatch(spark, tmp_path):
     ups = spark.createDataFrame([(1, 1)], "id long, v long")  # int vs long
     with pytest.raises(ValueError, match="schema"):
         merge_upsert(spark, t, ups, key="id")
+
+
+def test_expired_snapshots_refuse_to_anchor_reads(spark, tmp_path):
+    """After expire_snapshots, below-horizon manifests that survive as
+    chain-planning fragments are stamped expired and refuse to anchor
+    read_snapshot / read_changes / read_incremental / rollback with a
+    CLEAR error — never a mid-scan missing-parquet crash (their views
+    may reference vacuumed files). The kept head stays fully readable."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        expire_snapshots,
+        merge_upsert,
+        read_changes,
+    )
+
+    t = str(tmp_path / "exp_anchor")
+    commit(spark.range(50).select(F.col("id"), F.lit(0).alias("v")),
+           t, partitions=2, cluster_by=["id"])
+    s1 = current_snapshot_id(t)
+    merge_upsert(spark, t,
+                 spark.createDataFrame([(7, 1)], "id long, v int"), key="id")
+    s2 = current_snapshot_id(t)
+    expire_snapshots(t, keep_last=1)
+
+    # s1 survives as a planning fragment (s2's walk needs it) but is
+    # expired: every anchor path refuses it up front
+    assert any(m["snapshot_id"] == s1 and m.get("expired")
+               for m in snapshot_log(t))
+    with pytest.raises(ValueError, match="expired"):
+        read_snapshot(spark, t, snapshot_id=s1)
+    with pytest.raises(ValueError, match="expired"):
+        read_changes(spark, t, from_snapshot=None, to_snapshot=s1)
+    with pytest.raises(ValueError, match="expired"):
+        read_incremental(spark, t, from_snapshot=0, to_snapshot=s1)
+    with pytest.raises(ValueError, match="expired"):
+        rollback(t, s1)
+    # the kept head is intact
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 50 and got[7] == 1 and got[0] == 0
+    assert current_snapshot_id(t) == s2
+
+
+def test_read_changes_rejects_non_ancestor_past_compaction(spark, tmp_path):
+    """Ancestry for the changelog is validated with an explicit parent
+    walk: with a compaction in the chain, a from_snapshot orphaned by a
+    rollback fork (or a typo id) must raise — not silently emit the
+    whole table history."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        compact,
+        read_changes,
+    )
+
+    t = str(tmp_path / "cdf_anc")
+    commit(spark.range(5).select(F.col("id"), F.lit(0).alias("v")), t)
+    s1 = current_snapshot_id(t)
+    commit(spark.range(5, 8).select(F.col("id"), F.lit(1).alias("v")), t)
+    s2 = current_snapshot_id(t)
+    rollback(t, s1)
+    commit(spark.range(8, 9).select(F.col("id"), F.lit(2).alias("v")), t)
+    compact(spark, t)  # 'replace' sits between CURRENT and the root
+
+    # s2 was orphaned by the rollback: not an ancestor of CURRENT
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_changes(spark, t, from_snapshot=s2)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_changes(spark, t, from_snapshot=999)
+    # a real ancestor below the compaction still works
+    n = read_changes(spark, t, from_snapshot=s1).count()
+    assert n == 1  # the fork commit; the compaction itself is no change
+
+
+def test_merge_upsert_rejects_null_key(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import merge_upsert
+
+    t = str(tmp_path / "mnull")
+    commit(spark.range(5).select(F.col("id"), F.lit(0).alias("v")), t)
+    ups = spark.createDataFrame([(None, 3)], "id long, v int")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert(spark, t, ups, key="id")
+
+
+def test_merge_string_key_byte_order_fast_path(spark, tmp_path):
+    """The string-key file-pruning fast path must compare in the SAME
+    order the parquet footer stats were computed in — unsigned UTF-8
+    bytes — independent of the session's string collation (under
+    UTF8_LCASE/ICU collations a plain string `>=` would diverge from
+    the stats order and could skip the file holding the key, leaving
+    the stale row alongside the insert). merge_upsert therefore
+    encodes both sides to BinaryType, which Spark always compares
+    bytewise. Exercised with a supplementary-plane key (4-byte UTF-8,
+    surrogate pair in UTF-16 — the classic cross-order troublemaker)
+    plus an ASCII neighbor."""
+    from npm_extraction_server_spark.sources.snapshots import merge_upsert
+
+    t = str(tmp_path / "msupp")
+    k_bmp, k_supp = "x", "\U00010000x"
+    commit(spark.createDataFrame([(k_bmp, 0), (k_supp, 0)], "k string, v int"),
+           t, partitions=1, cluster_by=["k"])
+    merge_upsert(spark, t,
+                 spark.createDataFrame([(k_supp, 9)], "k string, v int"),
+                 key="k")
+    rows = read_snapshot(spark, t).collect()
+    assert len(rows) == 2  # no stale duplicate of the supplementary key
+    got = {r["k"]: r["v"] for r in rows}
+    assert got == {k_bmp: 0, k_supp: 9}
