@@ -110,6 +110,83 @@ def kmv_merge(sketches: DataFrame, group_col: str = "grp",
     )
 
 
+def hll_registers(df: DataFrame, group_col: str, value_col: str,
+                  p: int = 8) -> DataFrame:
+    """Per-group HyperLogLog register table: (grp, reg, mj) where
+    ``reg`` is the top ``p`` bits of the 48-bit md5 hash and ``mj``
+    the max rank (position of the leftmost 1-bit, 1-based) seen in
+    the remaining 48-p bits. 2^p registers per group max — fixed-size
+    mergeable state (``hll_merge`` is max per cell), the map-combine
+    shape. Deterministic + portable (md5, like kmv/cms: a sketch you
+    can cross-engine-verify beats a marginally tighter one you
+    can't — Spark's own approx_count_distinct HLL++ hashes with
+    xxhash64, which DuckDB can't replicate)."""
+    suffix_bits = 48 - p
+    h = kmv_hash(F.col(value_col))
+    reg = F.shiftrightunsigned(h, suffix_bits)
+    rest = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    # leftmost-1 position via bin(): length(bin(x)) = floor(log2 x)+1,
+    # so rank = suffix_bits - length + 1; all-zero suffix -> max+1
+    rank = (F.when(rest == 0, F.lit(suffix_bits + 1))
+            .otherwise(F.lit(suffix_bits + 1) - F.length(F.bin(rest))))
+    return (df.select(F.col(group_col).alias("grp"), reg.alias("reg"),
+                      rank.alias("rank"))
+            .groupBy("grp", "reg").agg(F.max("rank").alias("mj")))
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge shard register tables (their union) cell-wise: HLL merge
+    is max per (group, register)."""
+    return registers.groupBy("grp", "reg").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(registers: DataFrame, group_col: str,
+                 p: int = 8) -> DataFrame:
+    """Distinct-count estimate from an HLL register table — the
+    Flajolet et al. estimator with linear-counting small-range
+    correction, arranged so BOTH engines compute identical bits:
+
+    the harmonic sum Σ 2^-M_j is scaled by 2^(maxrank) into an EXACT
+    integer sum (every term 2^(maxrank-M_j) is a long; the total is
+    < 2^53, so the cast to double is exact), the one division happens
+    once, and the result lands on a 4-dp grid. The correction branch
+    compares the GRID-ROUNDED raw estimate against 2.5m, so the
+    branch choice itself is deterministic cross-engine. ln() in the
+    linear-counting arm is 8-dp-grid-rounded before scaling (the
+    suite's standard libm-ulp absorber). No 64-bit-space correction:
+    at 2^48 hash space it only matters past ~10^13 distincts
+    (document-scale, not group-scale).
+
+    Returns (group_col, n_registers_set, distinct_est)."""
+    m = 1 << p
+    maxrank = 48 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * float(m) * float(m) * float(1 << maxrank)
+    agg = registers.groupBy("grp").agg(
+        F.count("*").alias("nset"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {maxrank} - mj)"))
+        .alias("s_present"))
+    v = (F.lit(m) - F.col("nset")).cast("long")
+    s_all = (F.col("s_present") + v * F.lit(1 << maxrank)).cast("double")
+    raw = F.round(F.lit(num) / s_all, 4)
+    lin = F.round(
+        F.lit(float(m))
+        * F.round(F.log(F.lit(float(m)) / v.cast("double")), 8), 4)
+    est = F.when((v > 0) & (raw <= F.lit(2.5 * m)), lin).otherwise(raw)
+    return agg.select(F.col("grp").alias(group_col),
+                      F.col("nset").alias("n_registers_set"),
+                      est.alias("distinct_est"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (registers +
+    estimator in one Catalyst plan: two groupBy stages, the first
+    map-combined to <= 2^p rows per group per partition)."""
+    return hll_estimate(hll_registers(df, group_col, value_col, p),
+                        group_col, p)
+
+
 def cms_counters(df: DataFrame, value_col: str, depth: int = 4,
                  width: int = 256) -> DataFrame:
     """Count-min sketch counter table for ``value_col``: (j, bucket,

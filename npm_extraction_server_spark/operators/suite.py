@@ -687,6 +687,19 @@ def sketch_distinct(spark, sf):
     return kmv_distinct(_t(spark, sf, "documents"), "lang", "text", k=64)
 
 
+def sketch_hll(spark, sf):
+    """HyperLogLog distinct-count per event_type over event_id (hard
+    oracle: md5-derived registers + an integer-scaled harmonic sum
+    make the ESTIMATE itself bit-identical in DuckDB — the same
+    cross-engine-verifiable-sketch philosophy as sketch_distinct,
+    for the industry-standard register sketch; fixed 2^8-register
+    mergeable state per group)."""
+    from .sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf, "events"), "event_type", "event_id",
+                        p=8)
+
+
 def sketch_quantiles(spark, sf):
     """Deterministic hash-sample quantile estimator per lang (hard
     oracle: sample membership is md5-based so DuckDB draws the same
@@ -937,6 +950,26 @@ def graph_ppr(spark, sf):
                                  iterations=5)
 
 
+def graph_sssp(spark, sf):
+    """Weighted single-source shortest paths from the 10-seed set over
+    the KG multigraph with deterministic integer weights
+    w = 1 + (3*src + 5*dst) % 7 (hard oracle: capped recursive-CTE
+    path enumeration + min per node in DuckDB — integer distances are
+    exact in both engines). Spark side is frontier Bellman-Ford:
+    per-round work follows the improvement wavefront, the edge set is
+    shuffled once (persisted hash-partitioned on src)."""
+    from ..plans.graph import sssp
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    edges = _kg_graph_edges(spark, sf).withColumn(
+        "w", (F.lit(1) + (F.col("src") * 3 + F.col("dst") * 5) % 7)
+        .cast("long"))
+    return sssp(seeds, edges)
+
+
 def graph_labelprop(spark, sf):
     """Nearest-seed label propagation over the KG multigraph (hard
     oracle: recursive-CTE reachability + min-(dist, label) in DuckDB).
@@ -1089,6 +1122,7 @@ SPARK_QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_dangling": graph_pagerank_dangling,
     "graph_ppr": graph_ppr,
+    "graph_sssp": graph_sssp,
     "graph_labelprop": graph_labelprop,
     "graph_kcore": graph_kcore,
     "graph_triangles": graph_triangles,
@@ -1097,6 +1131,7 @@ SPARK_QUERIES = {
     "snap_merge_upsert": snap_merge_upsert,
     "snap_changelog": snap_changelog,
     "sketch_distinct": sketch_distinct,
+    "sketch_hll": sketch_hll,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
@@ -1271,6 +1306,21 @@ _GRAPH_BFS_SQL = f"""
 """
 
 
+_GRAPH_SSSP_SQL = f"""
+    WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+    ew AS (SELECT src, dst, 1 + (3*src + 5*dst) % 7 AS w FROM e0),
+    walk(node_id, dist) AS (
+        SELECT doc_id, 0::BIGINT
+        FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0
+        UNION
+        SELECT ew.dst, wk.dist + ew.w
+        FROM walk wk JOIN ew ON ew.src = wk.node_id
+        WHERE wk.dist + ew.w < 100
+    )
+    SELECT node_id, min(dist)::BIGINT AS dist FROM walk GROUP BY node_id
+"""
+
+
 def _pagerank_sql(iterations: int = 5) -> str:
     """The power iteration of plans/graph.pagerank unrolled as chained
     CTEs: same init (round(1/500,12)=0.002), same teleport
@@ -1387,6 +1437,47 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
        .replace("{{one_m_b}}", one_m_b).replace("{{br}}", br)  # noqa: E501
 
 
+
+
+def _hll_oracle(p: int = 8) -> str:
+    """operators/sketch.hll_distinct mirrored in DuckDB: identical
+    md5-derived registers, identical integer-scaled harmonic sum
+    (exact in BIGINT, exact as double below 2^53), identical 4-dp
+    estimate grid; alpha-derived constants repr-injected from the
+    SAME Python floats the Spark side uses."""
+    m = 1 << p
+    sb = 48 - p
+    mr = sb + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * float(m) * float(m) * float(1 << mr))
+    mf = repr(float(m))
+    return f"""
+    WITH h AS (
+        SELECT event_type AS grp,
+               ('0x' || substr(md5(event_id::VARCHAR), 1, 12))
+                   ::UBIGINT::BIGINT AS hv
+        FROM events),
+    r AS (SELECT grp, hv >> {sb} AS reg,
+                 hv & ((1::BIGINT << {sb}) - 1) AS rest FROM h),
+    regs AS (SELECT grp, reg,
+                    max(CASE WHEN rest = 0 THEN {mr}
+                        ELSE {mr} - length(bin(rest)) END) AS mj
+             FROM r GROUP BY grp, reg),
+    agg AS (SELECT grp, count(*) AS nset,
+                   sum(1::BIGINT << ({mr} - mj)) AS s_present
+            FROM regs GROUP BY grp),
+    est AS (SELECT grp, nset,
+                   round({num} / (s_present
+                         + ({m} - nset)::BIGINT * (1::BIGINT << {mr}))
+                         ::DOUBLE, 4) AS raw
+            FROM agg)
+    SELECT grp AS event_type, nset::BIGINT AS n_registers_set,
+           CASE WHEN ({m} - nset) > 0 AND raw <= {repr(2.5 * m)}
+                THEN round({mf} * round(ln({mf}
+                           / ({m} - nset)::DOUBLE), 8), 4)
+                ELSE raw END AS distinct_est
+    FROM est
+    """
 
 
 def _ppr_sql(iterations: int = 5) -> str:
@@ -1768,12 +1859,14 @@ ORACLE_SQL = {
     "graph_pagerank": _pagerank_sql(5),
     "graph_pagerank_dangling": _pagerank_dangling_sql(5),
     "graph_ppr": _ppr_sql(5),
+    "graph_sssp": _GRAPH_SSSP_SQL,
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,
+    "sketch_hll": _hll_oracle(8),
     "sketch_heavy_hitters": """
         WITH cells AS (
             SELECT j,

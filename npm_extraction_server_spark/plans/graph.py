@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "kcore", "pagerank", "personalized_pagerank",
-           "propagate_labels", "triangle_counts"]
+           "propagate_labels", "sssp", "triangle_counts"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -371,6 +371,70 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     finally:
         adj.unpersist()
     return ranks.select("node_id", F.round("rank", out_scale).alias("rank"))
+
+
+def sssp(seeds: DataFrame, edges: DataFrame,
+         max_rounds: int = 50) -> DataFrame:
+    """Single-source (multi-seed) shortest paths over a weighted
+    directed graph — the KG consumer's "cheapest derivation chain"
+    query (edge weights = link costs / hop penalties).
+
+    ``seeds``: column ``node_id`` (distance 0). ``edges``: columns
+    ``src, dst, w`` with NON-NEGATIVE weights (parallel edges fine —
+    relaxation takes the min). Returns (node_id, dist) with the exact
+    minimum path weight for every reachable node.
+
+    Execution is frontier Bellman-Ford (delta-free): each round
+    relaxes ONLY the frontier — nodes whose distance improved last
+    round — against the (persisted, src-hash-partitioned) edge set,
+    takes the per-dst min offer, and keeps offers that beat the
+    current label (a join against the current distance table, both
+    sides keyed on node id). Work per round follows the improvement
+    wavefront exactly as ``bfs_distances``; with non-negative weights
+    the frontier empties after at most |V| rounds (in practice ~the
+    weighted diameter). Raises if ``max_rounds`` is hit with a
+    non-empty frontier rather than returning wrong distances.
+
+    Determinism: integer (or decimal) weights make every distance an
+    exact value — both engines agree bit-for-bit; the DuckDB oracle
+    unrolls the same relaxation (suite._sssp_sql)."""
+    edges = (edges.select("src", "dst", "w")
+             .repartition(F.col("src")).persist())
+    dists = (seeds.select("node_id").distinct()
+             .withColumn("dist", F.lit(0).cast("long"))
+             .localCheckpoint(eager=True))
+    frontier = dists
+
+    try:
+        for _ in range(max_rounds):
+            offers = (
+                frontier.join(edges, frontier.node_id == edges.src)
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("offer"))
+            )
+            improved = (
+                offers.join(dists, "node_id", "left")
+                .filter(F.col("dist").isNull()
+                        | (F.col("offer") < F.col("dist")))
+                .select("node_id", F.col("offer").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.rdd.isEmpty():
+                return dists
+            # merge: improved labels replace old ones (anti-join keeps
+            # the untouched labels; both sides are checkpointed so the
+            # union is metadata + one shuffle)
+            dists = (
+                dists.join(improved.select("node_id"), "node_id",
+                           "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+    finally:
+        edges.unpersist()
+    raise RuntimeError(f"sssp: frontier still active after {max_rounds} "
+                       "rounds (negative weights or pathological graph?)")
 
 
 def propagate_labels(seeds: DataFrame, edges: DataFrame,

@@ -174,3 +174,29 @@ def test_ppr_dangling_mass_returns_to_seeds(spark):
                                             iterations=20).collect()}
     assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-6)
     assert ranks[0] > ranks[2]  # mass cycles back to the seed side
+
+
+def test_sssp_weighted_min_paths(spark):
+    """Weighted shortest paths: cheaper long path beats expensive
+    direct edge; parallel edges take the min; unreachable nodes
+    absent; seed distance 0."""
+    from npm_extraction_server_spark.plans.graph import sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2),      # 0->1 direct 10, via 2: 3
+         (1, 3, 1), (1, 3, 5),                  # parallel: min 1
+         (4, 5, 1)],                            # disconnected from seed
+        "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    got = {r.node_id: r.dist for r in sssp(seeds, e).collect()}
+    assert got == {0: 0, 2: 1, 1: 3, 3: 4}
+
+
+def test_sssp_multi_seed_and_zero_weight(spark):
+    from npm_extraction_server_spark.plans.graph import sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 4), (9, 1, 1), (1, 2, 0)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (9,)], "node_id long")
+    got = {r.node_id: r.dist for r in sssp(seeds, e).collect()}
+    assert got == {0: 0, 9: 0, 1: 1, 2: 1}

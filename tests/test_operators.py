@@ -751,3 +751,47 @@ def test_retrieval_terms_are_data_not_sql(spark):
     assert all(r["doc_id"] in (1, 2) for r in out)
     out2 = bm25_topk(df, hostile, k=5).collect()
     assert all(r["doc_id"] in (1, 2) for r in out2)
+
+
+def test_hll_accuracy_merge_and_small_range(spark):
+    """HyperLogLog sketch: (a) estimate within the ~1.04/sqrt(m)
+    standard error of truth in the raw regime, (b) shard-merge ==
+    global sketch (mergeability is cell-wise max), (c) small
+    cardinalities hit the linear-counting branch and stay near-exact,
+    (d) the whole estimate is deterministic (re-run equal)."""
+    from npm_extraction_server_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), (F.col("id") * 7919).alias("v"))
+    est = hll_distinct(df, "grp", "v", p=8).collect()[0]
+    # m=256 -> stderr ~6.5%; allow 4 sigma
+    assert abs(est["distinct_est"] - n) / n < 0.26
+    assert est["n_registers_set"] == 256
+
+    # mergeability: two shards' registers merged == global registers
+    s1 = hll_registers(df.filter("id % 2 = 0"), "grp", "v", p=8)
+    s2 = hll_registers(df.filter("id % 2 = 1"), "grp", "v", p=8)
+    merged = hll_merge(s1.unionByName(s2))
+    g = {(r["reg"]): r["mj"]
+         for r in hll_registers(df, "grp", "v", p=8).collect()}
+    m = {(r["reg"]): r["mj"] for r in merged.collect()}
+    assert g == m
+    e_merged = hll_estimate(merged, "grp", p=8).collect()[0]
+    assert e_merged["distinct_est"] == est["distinct_est"]
+
+    # small range: 40 distinct -> linear counting, near exact
+    small = spark.range(40).select(F.lit("s").alias("grp"),
+                                   F.col("id").alias("v"))
+    es = hll_distinct(small, "grp", "v", p=8).collect()[0]
+    assert es["n_registers_set"] < 256
+    assert abs(es["distinct_est"] - 40) < 3
+
+    # determinism
+    again = hll_distinct(df, "grp", "v", p=8).collect()[0]
+    assert again["distinct_est"] == est["distinct_est"]

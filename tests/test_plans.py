@@ -211,3 +211,40 @@ def test_retrieval_topk_uses_take_ordered_not_global_window(spark):
     for fn in (tfidf_topk, bm25_topk):
         plan = _plan(fn(docs, ["spark", "merge"], k=10))
         assert "TakeOrderedAndProject" in plan
+
+
+def test_bgp_join_semantics(spark):
+    """BGP matching: constants filter, shared variables join,
+    repeated variables inside one pattern mean equality, disconnected
+    groups cross-join, duplicate triples collapse (set semantics)."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+
+    t = spark.createDataFrame(
+        [("a", "type", "Person"), ("b", "type", "Person"),
+         ("a", "knows", "b"), ("b", "knows", "a"),
+         ("a", "knows", "b"),              # duplicate triple
+         ("c", "type", "Robot"), ("c", "knows", "c"),
+         ("b", "age", "30")],
+        "subj string, pred string, obj string")
+
+    # star: persons with an age
+    out = bgp_join(t, [("?x", "type", "Person"), ("?x", "age", "?a")])
+    assert [(r.x, r.a) for r in out.collect()] == [("b", "30")]
+
+    # chain with shared var + dedup of the duplicate triple
+    out = bgp_join(t, [("?x", "knows", "?y"), ("?y", "type", "Person")],
+                   select=["x", "y"])
+    assert sorted((r.x, r.y) for r in out.collect()) == [("a", "b"), ("b", "a")]
+
+    # repeated variable in one pattern: self-loops only
+    out = bgp_join(t, [("?x", "knows", "?x")])
+    assert [r.x for r in out.collect()] == ["c"]
+
+    # disconnected groups: explicit product
+    out = bgp_join(t, [("?x", "type", "Robot"), ("?y", "age", "?v")])
+    assert [(r.x, r.y, r.v) for r in out.collect()] == [("c", "b", "30")]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty pattern"):
+        bgp_join(t, [])
