@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_doap": _kg_triples_doap,
         "kg_bgp_version_meta": _kg_bgp_version_meta,
         "kg_bgp_dep_chain": _kg_bgp_dep_chain,
+        "kg_transitive_deps": _kg_transitive_deps,
     }
 
     def _wrap(fn):
@@ -175,9 +176,9 @@ _PRIORITY: list[str] = [
     "sketch_quantiles",
     # sampling / packing / curation
     "sample_split", "pack_tokens_bpe", "corpus_curation",
-    # KG pipeline + sources + BGP query layer
+    # KG pipeline + sources + BGP/closure query layer
     "kg_triples_doap", "kg_bgp_version_meta", "kg_bgp_dep_chain",
-    "semver_resolve", "kg_user_index", "kg_incremental", "tar_members",
+    "kg_transitive_deps", "semver_resolve", "kg_user_index", "tar_members",
     # multimodal
     "mm_image_features", "mm_video_features",
 ]
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
             "kg_bgp_version_meta": _KG_BGP_VERSION_META_ORACLE,
             "kg_bgp_dep_chain": _KG_BGP_DEP_CHAIN_ORACLE,
+            "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE}
 
 
@@ -255,6 +257,33 @@ FROM mentions GROUP BY 1
 # become edges); version sets are {maj.v.pat : v in 0..nv-1}, so
 # maxSatisfying reduces to closed-form CASE arms per range. Targets not
 # in the corpus (pkg-j where doc j is hot/scoped/absent) resolve NULL.
+# Shared synthetic-corpus CTE prefix (docs -> pkg -> vers) replicating
+# sources/synth.py in DuckDB — used by the doap-slice and BGP oracles.
+_SYNTH_VERS_CTE = """
+docs AS (
+  SELECT doc_id AS i,
+         ('0x' || substr(sha256('pkg:' || doc_id), 1, 16))::UBIGINT AS h
+  FROM documents WHERE doc_id >= {lo} AND doc_id < {hi}
+),
+pkg AS (
+  SELECT i, h,
+    CASE WHEN i=0 THEN 'hotpkg' WHEN i=1 THEN 'megalib' WHEN i=2 THEN 'ultrautil'
+         WHEN h%11=0 THEN '@org' || (h%7) || '/pkg-' || i
+         ELSE 'pkg-' || i END AS name,
+    (1 + (h%3))::INT AS nv
+  FROM docs
+),
+vers AS (
+  SELECT i, name,
+    'http://example.org/bundles/npm/' ||
+      replace(replace(name,'@','%40'),'/','%2F') || '/' ||
+      ((1+(h%2)) || '.' || v || '.' || ((h>>4)%10)) AS module_iri,
+    ((1+(h%2)) || '.' || v || '.' || ((h>>4)%10)) AS ver,
+    ('0x' || substr(sha256('ver:' || (i*1000 + v)), 1, 16))::UBIGINT AS hv
+  FROM pkg, unnest(generate_series(0, nv-1)) AS t(v)
+)
+"""
+
 _SEMVER_RESOLVE_ORACLE = """
 WITH docs AS (
   SELECT doc_id AS i,
@@ -307,6 +336,60 @@ SELECT e.src_bundle, e.src_version, e.dep_type, e.dep_pkg, e.dep_range,
   END AS resolved_version
 FROM edges e LEFT JOIN targets t USING (dep_pkg)
 """
+
+
+# Transitive dependency closure from hotpkg's versions over the
+# RESOLVED dependency graph: the semver-resolution oracle (verbatim, as
+# a CTE) gives the concrete version->version edges; a recursive CTE
+# walks them. Mirrors _kg_transitive_deps (BFS over resolve_ranges
+# output). hotpkg is doc 0, so its version list re-derives standalone.
+_KG_TRANSITIVE_DEPS_ORACLE = (
+    "WITH RECURSIVE resolved AS (" + _SEMVER_RESOLVE_ORACLE + """),
+re AS (SELECT src_bundle || '@' || src_version AS src,
+              dep_pkg || '@' || resolved_version AS dst
+       FROM resolved WHERE resolved_version IS NOT NULL),
+""" + _SYNTH_VERS_CTE.format(lo=0, hi=10).strip().rstrip() + """,
+reach(node_id, dist) AS (
+    SELECT DISTINCT name || '@' || ver, 0 FROM vers
+    UNION
+    SELECT re.dst, r.dist + 1
+    FROM reach r JOIN re ON re.src = r.node_id
+    WHERE r.dist < 30
+)
+SELECT node_id, min(dist)::INT AS dist FROM reach GROUP BY node_id
+""")
+
+
+def _kg_transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question a dependency KG exists to answer: everything
+    REACHABLE from a package through resolved dependency edges.
+    Composition of three engine pieces — extraction (docs), the semver
+    range-resolution join (concrete version->version edges), and the
+    frontier BFS from plans/graph — one operator feeding the next as
+    DataFrames. Seeds: every version of the first 10 packages. Hard
+    oracle: the resolution SQL replica wrapped in a recursive CTE."""
+    from npm_extraction_server_spark.operators.semver_join import (
+        dependency_edges,
+        resolve_ranges,
+        version_rows,
+    )
+    from npm_extraction_server_spark.plans.graph import bfs_distances
+    from npm_extraction_server_spark.plans.kg import extract_docs, repartition_pages
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    docs = extract_docs(repartition_pages(pages))
+    resolved = resolve_ranges(dependency_edges(docs), version_rows(docs))
+    dep_edges = (
+        resolved.filter(F.col("resolved_version").isNotNull())
+        .select(F.concat_ws("@", "src_bundle", "src_version").alias("src"),
+                F.concat_ws("@", "dep_pkg", "resolved_version").alias("dst")))
+    from npm_extraction_server_spark.sources.synth import synth_package
+
+    seed_pkgs = [synth_package(i)["name"] for i in range(10)]
+    versions = version_rows(docs)
+    seeds = (versions.filter(F.col("pkg").isin(seed_pkgs))
+             .select(F.concat_ws("@", "pkg", "version").alias("node_id")))
+    return bfs_distances(seeds, dep_edges)
 
 
 # --- rows-only KG queries -------------------------------------------------
@@ -447,33 +530,6 @@ def _kg_triples_doap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synth ranges. The {lo}/{hi} doc window parameterizes the slice: the
 # full-pipeline query uses [0, 100), the changed-since incremental
 # query [30, 100) (warc_ts = 2017-06-01 + doc_id seconds).
-# Shared synthetic-corpus CTE prefix (docs -> pkg -> vers) replicating
-# sources/synth.py in DuckDB — used by the doap-slice and BGP oracles.
-_SYNTH_VERS_CTE = """
-docs AS (
-  SELECT doc_id AS i,
-         ('0x' || substr(sha256('pkg:' || doc_id), 1, 16))::UBIGINT AS h
-  FROM documents WHERE doc_id >= {lo} AND doc_id < {hi}
-),
-pkg AS (
-  SELECT i, h,
-    CASE WHEN i=0 THEN 'hotpkg' WHEN i=1 THEN 'megalib' WHEN i=2 THEN 'ultrautil'
-         WHEN h%11=0 THEN '@org' || (h%7) || '/pkg-' || i
-         ELSE 'pkg-' || i END AS name,
-    (1 + (h%3))::INT AS nv
-  FROM docs
-),
-vers AS (
-  SELECT i, name,
-    'http://example.org/bundles/npm/' ||
-      replace(replace(name,'@','%40'),'/','%2F') || '/' ||
-      ((1+(h%2)) || '.' || v || '.' || ((h>>4)%10)) AS module_iri,
-    ((1+(h%2)) || '.' || v || '.' || ((h>>4)%10)) AS ver,
-    ('0x' || substr(sha256('ver:' || (i*1000 + v)), 1, 16))::UBIGINT AS hv
-  FROM pkg, unnest(generate_series(0, nv-1)) AS t(v)
-)
-"""
-
 # BGP star join (?m doap:name ?name)(?m doap:revision ?rev): exactly
 # the version modules — bundles carry name only, dependency range
 # modules revision only, so the conjunction discriminates.

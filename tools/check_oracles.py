@@ -42,6 +42,11 @@ def normalize(df: pd.DataFrame, float_cols: set | None = None) -> pd.DataFrame:
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = "/root/testdata/sf0.01"
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
@@ -59,17 +64,35 @@ def main() -> int:
     oracles = entry.oracle_sql()
     names = args or list(queries)
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, **kw):
+        # same row shape the driver's CORRECTNESS_r*.json uses
+        results[name] = {"rows_match": kw.get("rows_match", False),
+                         "schema_match": kw.get("schema_match", False),
+                         "hash_match": kw.get("hash_match", False),
+                         "spark_rows": kw.get("spark_rows"),
+                         "oracle_rows": kw.get("oracle_rows"),
+                         "err": kw.get("err")}
+
+    import time
     for name in names:
         if name not in queries:
             print(f"?? {name}: no such query")
             continue
+        t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record(name, err=f"spark error: {e}")
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            record(name, rows_match=len(sdf) > 0, spark_rows=len(sdf),
+                   err=None)
+            results[name]["rows_only"] = True
+            results[name]["sec"] = round(time.time() - t0, 2)
             print(f"ok~  {name}: rows-only ({len(sdf)} rows)")
             if len(sdf) == 0:
                 print(f"     WARNING: zero rows — weak evidence")
@@ -78,6 +101,7 @@ def main() -> int:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            record(name, spark_rows=len(sdf), err=f"duckdb error: {e}")
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         floaty = {
@@ -85,6 +109,10 @@ def main() -> int:
             if str(d).startswith("float")
         }
         a, b = normalize(sdf, floaty), normalize(odf, floaty)
+        record(name, rows_match=len(a) == len(b),
+               schema_match=list(a.columns) == list(b.columns),
+               spark_rows=len(a), oracle_rows=len(b))
+        results[name]["sec"] = round(time.time() - t0, 2)
         if len(a) != len(b):
             failures.append(name)
             print(f"FAIL {name}: rowcount spark={len(a)} duckdb={len(b)}")
@@ -102,7 +130,13 @@ def main() -> int:
                 idx = neq[c].idxmax()
                 print(f"     {c}[{idx}]: spark={a[c][idx]!r} duckdb={b[c][idx]!r}")
             continue
+        results[name]["hash_match"] = True
         print(f"ok   {name}: {len(a)} rows match")
+    if json_out:
+        import json as jsonlib
+        with open(json_out, "w") as fh:
+            jsonlib.dump(results, fh, indent=1)
+        print(f"wrote {json_out}")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     return 1 if failures else 0
 
