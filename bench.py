@@ -93,12 +93,70 @@ def _write_bench_pages(n_pages: int) -> str:
     return out
 
 
+class _StealSampler:
+    """Background /proc/stat sampler: per-second CPU steal%% for the
+    whole bench run, reported in the output JSON so the timings carry
+    their own host-conditions context (round 3's regressions were
+    traced to co-tenant steal bursts after the fact — now the evidence
+    ships with every run)."""
+
+    def __init__(self, interval: float = 1.0):
+        import threading
+
+        self.interval = interval
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _read():
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
+    def _run(self):
+        try:
+            s0, t0 = self._read()
+        except OSError:
+            return
+        while not self._stop.wait(self.interval):
+            s1, t1 = self._read()
+            dt = t1 - t0
+            if dt > 0:
+                self.samples.append(100.0 * (s1 - s0) / dt)
+            s0, t0 = s1, t1
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {"samples": 0}
+        s = sorted(self.samples)
+        n = len(s)
+        return {"samples": n,
+                "mean_pct": round(sum(s) / n, 2),
+                "p95_pct": round(s[int(0.95 * (n - 1))], 2),
+                "max_pct": round(s[-1], 2),
+                "sec_over_1pct": sum(1 for x in s if x > 1.0),
+                "sec_over_5pct": sum(1 for x in s if x > 5.0)}
+
+
 def main() -> None:
     from npm_extraction_server_spark.plans.session import get_spark
     from tools.scale_lib import measure_scaling
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
+    sampler = _StealSampler()
+    sampler.__enter__()
     spark = get_spark(app="bench", master=f"local[{CPUS}]")
     t0 = time.monotonic()
     warm, cold = _run_queries(spark)
@@ -115,6 +173,7 @@ def main() -> None:
     # can corrupt individual samples in either direction — a 7-sample
     # median stays honest with up to 3 burst-hit pairs (5 was marginal)
     scaling = measure_scaling(pages_dir, exec_cores=1, n_execs=4, n_pairs=7)
+    sampler.__exit__()
 
     out = {
         "metric": "bench_total",
@@ -124,6 +183,7 @@ def main() -> None:
         "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg_scaling": scaling,
+        "host_steal": sampler.summary(),
     }
     print(json.dumps(out))
 

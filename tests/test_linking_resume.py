@@ -419,7 +419,7 @@ def test_stream_upsert_cdc_merges_batches(spark, tmp_path):
 
     q = stream_upsert_to_snapshots(spark, str(flat), table, ckpt,
                                    key="id", schema=schema, order_col="seq")
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
 
     got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
     assert len(got) == 11 and got[3] == 22 and got[100] == 5 and got[0] == 0
@@ -430,7 +430,7 @@ def test_stream_upsert_cdc_merges_batches(spark, tmp_path):
     n_snaps = len(snapshot_log(table))
     q = stream_upsert_to_snapshots(spark, str(flat), table, ckpt,
                                    key="id", schema=schema, order_col="seq")
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "restart did not drain in 300s"
     assert len(snapshot_log(table)) == n_snaps
 
 
@@ -471,6 +471,6 @@ def test_stream_upsert_lww_tie_breaks_deterministically(spark, tmp_path):
         q = stream_upsert_to_snapshots(spark, str(flat), table, ckpt,
                                        key="id", schema=schema,
                                        order_col="seq")
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not drain in 300s"
         got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
         assert got == {1: 10, 2: 7}

@@ -248,3 +248,34 @@ def test_bgp_join_semantics(spark):
 
     with pytest.raises(ValueError, match="empty pattern"):
         bgp_join(t, [])
+
+
+def test_hll_partial_aggregation_and_single_final_shuffle(spark):
+    """hll_distinct must plan map-side partial aggregation for the
+    register stage (HashAggregate below the Exchange), so the shuffle
+    carries <= 2^p rows per group per partition, never the raw rows —
+    the property that makes the sketch fixed-state at 100 TB."""
+    from npm_extraction_server_spark.operators.sketch import hll_distinct
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(hll_distinct(ev, "event_type", "event_id", p=8))
+    # partial_max before the first exchange (map-side register combine)
+    pre_exchange = plan.split("Exchange")[0]
+    assert "partial_max" in plan
+    assert "HashAggregate" in pre_exchange
+
+
+def test_bgp_constant_pred_pushed_to_scan(spark, tmp_path):
+    """A BGP pattern's constant predicate must reach the parquet scan
+    as a pushed filter (EqualTo on pred) — the property that lets a
+    pred-partitioned triple store read one predicate's rows only."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+
+    t = spark.createDataFrame(
+        [("s1", "name", "a"), ("s1", "rev", "1"), ("s2", "name", "b")],
+        "subj string, pred string, obj string")
+    path = str(tmp_path / "triples")
+    t.write.parquet(path)
+    tt = spark.read.parquet(path)
+    plan = _plan(bgp_join(tt, [("?m", "name", "?n"), ("?m", "rev", "?r")]))
+    assert "EqualTo(pred,name)" in plan and "EqualTo(pred,rev)" in plan
