@@ -187,6 +187,87 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
                         group_col, p)
 
 
+_BLOOM_SLOT_BITS = 48  # bits per long slot: max shift 47, so the mask
+#                        stays positive in every engine (DuckDB raises
+#                        on 1::BIGINT << 63; 48 also matches the md5
+#                        hash-space convention used everywhere here)
+
+
+def bloom_bits(df: DataFrame, group_col: str, value_col: str,
+               n_slots: int = 6, k: int = 4) -> DataFrame:
+    """Per-group Bloom filter as a (grp, slot, bits) long table —
+    n_slots x 48 usable bits, k md5-derived hash positions per value.
+
+    The 100 TB use case: a decontamination / blocklist prefilter — the
+    (tiny, fixed-size) bits table broadcasts and `bloom_might_contain`
+    drops the guaranteed-absent rows before any expensive join; no
+    false negatives, false positives bounded by (1-e^{-kn/m})^k.
+
+    Same portability contract as kmv/cms/hll: positions come from md5,
+    the OR-fold is exact integer bit_or — DuckDB builds the IDENTICAL
+    bits, so the driver hard-oracles the filter itself. Mergeable by
+    cell-wise bit_or (``bloom_merge``); the groupBy is map-combined,
+    so the shuffle carries <= n_slots rows per group per partition."""
+    m_bits = n_slots * _BLOOM_SLOT_BITS
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("string").alias("v"),
+        F.explode(F.array([F.lit(i) for i in range(k)])).alias("i"))
+    pos = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("i"), F.col("v"))), 1, 12), 16, 10)
+        .cast("long") % m_bits)
+    rows = rows.select(
+        "grp",
+        (pos / _BLOOM_SLOT_BITS).cast("long").alias("slot"),
+        (pos % _BLOOM_SLOT_BITS).cast("int").alias("bitpos"))
+    # SQL shiftleft accepts a column shift amount (the functions API
+    # binding is int-only); max shift 47 keeps the mask positive
+    rows = rows.withColumn(
+        "mask", F.expr("shiftleft(cast(1 as bigint), bitpos)"))
+    return (rows.groupBy("grp", "slot")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_merge(bits: DataFrame) -> DataFrame:
+    """Merge shard filters (their union) cell-wise."""
+    return bits.groupBy("grp", "slot").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(bits: DataFrame, df: DataFrame, group_col: str,
+                        value_col: str, n_slots: int = 6,
+                        k: int = 4) -> DataFrame:
+    """Membership probe: keeps rows of ``df`` whose value has ALL k
+    bloom bits set in its group's filter (possibly-present; definite
+    absences are dropped — the prefilter contract). The bits table
+    broadcasts; the probe is k bit-tests folded into one join +
+    count aggregate."""
+    m_bits = n_slots * _BLOOM_SLOT_BITS
+    probes = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("string").alias("v"),
+        F.explode(F.array([F.lit(i) for i in range(k)])).alias("i"))
+    pos = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("i"), F.col("v"))), 1, 12), 16, 10)
+        .cast("long") % m_bits)
+    probes = probes.select(
+        "grp", "v",
+        (pos / _BLOOM_SLOT_BITS).cast("long").alias("slot"),
+        (pos % _BLOOM_SLOT_BITS).cast("int").alias("bitpos"))
+    probes = probes.withColumn(
+        "mask", F.expr("shiftleft(cast(1 as bigint), bitpos)"))
+    hit = (probes.join(F.broadcast(bits), ["grp", "slot"], "left")
+           .withColumn("_ok", (F.coalesce(F.col("bits"), F.lit(0))
+                               .bitwiseAND(F.col("mask"))
+                               == F.col("mask")).cast("int"))
+           .groupBy("grp", "v").agg(F.min("_ok").alias("_all")))
+    keep = hit.filter(F.col("_all") == 1).select(
+        F.col("grp").alias("_g"), F.col("v").alias("_v"))
+    return (df.join(F.broadcast(keep),
+                    (df[group_col] == keep["_g"])
+                    & (df[value_col].cast("string") == keep["_v"]))
+            .drop("_g", "_v"))
+
+
 def cms_counters(df: DataFrame, value_col: str, depth: int = 4,
                  width: int = 256) -> DataFrame:
     """Count-min sketch counter table for ``value_col``: (j, bucket,

@@ -700,6 +700,18 @@ def sketch_hll(spark, sf):
                         p=8)
 
 
+def sketch_bloom(spark, sf):
+    """Per-event-type Bloom filter over user_id as a (grp, slot, bits)
+    long table (hard oracle: md5 hash positions + exact integer bit_or
+    make the FILTER ITSELF bit-identical in DuckDB). The 100 TB use:
+    broadcast decontamination/blocklist prefilter — definite absences
+    drop before any expensive join; mergeable cell-wise."""
+    from .sketch import bloom_bits
+
+    return bloom_bits(_t(spark, sf, "events"), "event_type", "user_id",
+                      n_slots=6, k=4).withColumnRenamed("grp", "event_type")
+
+
 def sketch_quantiles(spark, sf):
     """Deterministic hash-sample quantile estimator per lang (hard
     oracle: sample membership is md5-based so DuckDB draws the same
@@ -1132,6 +1144,7 @@ SPARK_QUERIES = {
     "snap_changelog": snap_changelog,
     "sketch_distinct": sketch_distinct,
     "sketch_hll": sketch_hll,
+    "sketch_bloom": sketch_bloom,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
@@ -1867,6 +1880,21 @@ ORACLE_SQL = {
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,
     "sketch_hll": _hll_oracle(8),
+    "sketch_bloom": """
+        WITH rows AS (
+            SELECT event_type AS grp, user_id::VARCHAR AS v, i
+            FROM events, unnest([0, 1, 2, 3]) AS t(i)
+        ),
+        pm AS (
+            SELECT grp,
+                   (('0x' || substr(md5(i::VARCHAR || ':' || v), 1, 12))
+                       ::UBIGINT % 288)::BIGINT AS pos
+            FROM rows
+        )
+        SELECT grp AS event_type, (pos // 48)::BIGINT AS slot,
+               bit_or(1::BIGINT << ((pos % 48)::INT)) AS bits
+        FROM pm GROUP BY 1, 2
+    """,
     "sketch_heavy_hitters": """
         WITH cells AS (
             SELECT j,

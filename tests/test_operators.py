@@ -795,3 +795,37 @@ def test_hll_accuracy_merge_and_small_range(spark):
     # determinism
     again = hll_distinct(df, "grp", "v", p=8).collect()[0]
     assert again["distinct_est"] == est["distinct_est"]
+
+
+def test_bloom_no_false_negatives_merge_and_prefilter(spark):
+    """Bloom prefilter: every true member survives the probe (no false
+    negatives — the prefilter contract), shard-merge == global filter,
+    and a roomy filter actually drops most absent probes."""
+    from npm_extraction_server_spark.operators.sketch import (
+        bloom_bits,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    members = spark.range(100).select(
+        F.lit("g").alias("grp"), (F.col("id") * 31 + 7).alias("v"))
+    bits = bloom_bits(members, "grp", "v", n_slots=24, k=4)  # roomy
+
+    # (a) no false negatives
+    kept = bloom_might_contain(bits, members, "grp", "v", n_slots=24, k=4)
+    assert kept.count() == 100
+
+    # (b) merge: two shards OR'd == global
+    b1 = bloom_bits(members.filter("id < 50"), "grp", "v", n_slots=24, k=4)
+    b2 = bloom_bits(members.filter("id >= 50"), "grp", "v", n_slots=24, k=4)
+    merged = {(r["slot"]): r["bits"]
+              for r in bloom_merge(b1.unionByName(b2)).collect()}
+    glob = {(r["slot"]): r["bits"] for r in bits.collect()}
+    assert merged == glob
+
+    # (c) absent probes mostly drop (m=1152 bits, n=100, k=4 -> FP ~1e-3)
+    absent = spark.range(1000).select(
+        F.lit("g").alias("grp"), (F.col("id") + 1_000_000).alias("v"))
+    fp = bloom_might_contain(bits, absent, "grp", "v",
+                             n_slots=24, k=4).count()
+    assert fp < 50
