@@ -8,13 +8,23 @@ E[distinct] = (k-1) / u_k where u_k is the k-th smallest hash mapped to
 - **Deterministic**: the hash is md5 (first 48 bits), so the same data
   yields the same sketch and the same estimate on every run, on any
   partitioning — and DuckDB computes the identical value (md5 is
-  portable; xxhash64/HLL are not), so the driver hard-oracles it.
+  portable; xxhash64 and Spark's built-in HLL++ are not), so the
+  driver hard-oracles it.
 - **Mergeable**: the k-min set of a union is the k-min of the merged
   k-min sets — shard sketches combine losslessly (pytest asserts
   shard-merge == global).
 - **Distributed shape**: distinct + per-group top-k window — partial
   aggregation and a single group-key shuffle; the sketch state per
   group is k longs regardless of corpus size.
+
+The same determinism/mergeability/fixed-state contract extends across
+the whole family here: ``hll_*`` (HyperLogLog with md5 registers and
+an integer-exact harmonic sum — the estimate itself cross-engine
+bit-identical), ``cms_*`` (count-min heavy hitters),
+``bloom_*`` (broadcastable membership prefilter), and
+``hash_sample_quantiles`` (deterministic-sample quantiles). Every
+sketch's STATE is a small table of longs, built by one map-combined
+aggregation — the shape that stays fixed-size per group at 100 TB.
 """
 
 from __future__ import annotations
