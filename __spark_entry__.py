@@ -156,6 +156,7 @@ _PRIORITY: list[str] = [
     "sc1_scan_filter", "sc5_changed_window",
     # joins / windows / aggs
     "j1_range_pick", "j2_broadcast_dim", "j8_salted_join", "j9_asof_join",
+    "j10_fuzzy_block_join",
     "a2_last_write_wins", "w4_running_sum", "q1_pricing_summary",
     # dedup family
     "dedup_minhash_verified", "dedup_simhash_verified", "dedup_embedding",
@@ -173,7 +174,6 @@ _PRIORITY: list[str] = [
     "snap_changelog",
     # sketches
     "sketch_distinct", "sketch_hll", "sketch_heavy_hitters",
-    "sketch_quantiles",
     # sampling / packing / curation
     "sample_split", "pack_tokens_bpe", "corpus_curation",
     # KG pipeline + sources + BGP/closure query layer

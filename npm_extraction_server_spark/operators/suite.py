@@ -649,6 +649,19 @@ def j8_salted_join(spark, sf):
     )
 
 
+def j10_fuzzy_block_join(spark, sf):
+    """Blocked fuzzy self-join (the precision stage of entity
+    resolution): customers blocked by nation, pairs scored with the
+    built-in JVM levenshtein, kept within 2 edits. Hard oracle: the
+    identical blocked join + DuckDB's levenshtein — both implement
+    the standard DP edit distance, so the pair set and distances are
+    integer-exact."""
+    from .fuzzy import fuzzy_block_join
+
+    return fuzzy_block_join(_t(spark, sf, "customer"), "c_custkey",
+                            "c_nationkey", "c_name", max_dist=2)
+
+
 def graph_components(spark, sf):
     """J7 connected components under a HARD oracle: a deterministic
     graph over doc_ids (chain edges i -> i-1 within runs of 10, cross
@@ -1090,6 +1103,7 @@ SPARK_QUERIES = {
     "j7_anti_join": j7_anti_join,
     "j8_salted_join": j8_salted_join,
     "j9_asof_join": j9_asof_join,
+    "j10_fuzzy_block_join": j10_fuzzy_block_join,
     "w1_topk_per_group": w1_topk_per_group,
     "w4_running_sum": w4_running_sum,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1972,6 +1986,14 @@ ORACLE_SQL = {
         FROM documents
         UNION ALL
         SELECT doc_id + 100000, lang, -1 FROM documents WHERE doc_id < 50
+    """,
+    "j10_fuzzy_block_join": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_nationkey AS blk,
+               levenshtein(a.c_name, b.c_name)::INT AS dist
+        FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        WHERE a.c_custkey < b.c_custkey
+          AND levenshtein(a.c_name, b.c_name) <= 2
     """,
     "j9_asof_join": """
         WITH r AS (
