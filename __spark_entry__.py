@@ -158,11 +158,12 @@ _PRIORITY: list[str] = [
     "j1_range_pick", "j2_broadcast_dim", "j8_salted_join", "j9_asof_join",
     "j10_fuzzy_block_join",
     "a2_last_write_wins", "w4_running_sum", "q1_pricing_summary",
+    "events_session_window",
     # dedup family
     "dedup_minhash_verified", "dedup_simhash_verified", "dedup_embedding",
     # text / retrieval
     "text_bpe_tokens", "text_tfidf_topk", "text_bm25_topk",
-    "text_decontaminate", "text_span_dedup",
+    "text_decontaminate",
     # similarity
     "sim_cosine_topk", "sim_lsh_verified", "sim_ivf_verified",
     # graph

@@ -299,6 +299,24 @@ def events_funnel(spark, sf):
     )
 
 
+def events_session_window(spark, sf):
+    """Gap-based sessionization via Spark's BUILT-IN session_window
+    (the dedicated aggregation operator — complements the custom
+    window-lag/cumsum form in events_sessionize and shares its exact
+    semantics: a session is maximal events per user with < 30 min
+    between neighbors; end = last event + gap, half-open). Hard
+    oracle: gaps-and-islands lag/cumsum in DuckDB — timestamps are
+    exact, so sessions match bit-for-bit."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.col("session_window.start").alias("sess_start"),
+                F.col("session_window.end").alias("sess_end"),
+                "n_events"))
+
+
 def events_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1110,6 +1128,7 @@ SPARK_QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "events_funnel": events_funnel,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -1775,6 +1794,26 @@ ORACLE_SQL = {
                c.t_click IS NOT NULL AS reached_click,
                p.t_purchase IS NOT NULL AS converted
         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    "events_session_window": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id, min(ts) AS sess_start,
+               max(ts) + INTERVAL 30 MINUTE AS sess_end,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "events_sessionize": """
         WITH flagged AS (
