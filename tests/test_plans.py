@@ -279,3 +279,24 @@ def test_bgp_constant_pred_pushed_to_scan(spark, tmp_path):
     tt = spark.read.parquet(path)
     plan = _plan(bgp_join(tt, [("?m", "name", "?n"), ("?m", "rev", "?r")]))
     assert "EqualTo(pred,name)" in plan and "EqualTo(pred,rev)" in plan
+
+
+def test_bgp_over_pred_partitioned_prunes(spark, tmp_path):
+    """Over the pred-PARTITIONED triple layout (warehouse.
+    write_triples_by_pred), a BGP pattern's bound predicate becomes a
+    partition filter — the scan plans only that predicate's directory,
+    the vertical-partitioning triple-store property."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+    from npm_extraction_server_spark.plans.warehouse import write_triples_by_pred
+
+    t = spark.createDataFrame(
+        [("s1", "name", "a"), ("s1", "rev", "1"),
+         ("s2", "name", "b"), ("s2", "other", "x")],
+        "subj string, pred string, obj string")
+    path = str(tmp_path / "tp")
+    write_triples_by_pred(t, path, buckets_per_pred=1)
+    tt = spark.read.parquet(path)
+    out = bgp_join(tt, [("?m", "name", "?n"), ("?m", "rev", "?r")])
+    plan = _plan(out)
+    assert "PartitionFilters" in plan and "isnotnull(pred" in plan
+    assert [(r.m, r.n, r.r) for r in out.collect()] == [("s1", "a", "1")]
