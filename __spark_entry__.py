@@ -153,12 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and keep every family represented when adding queries.
 _PRIORITY: list[str] = [
     # scans / predicates
-    "sc1_scan_filter", "sc5_changed_window",
+    "sc1_scan_filter", "q6_forecast_revenue",
     # joins / windows / aggs
-    "j1_range_pick", "j2_broadcast_dim", "j8_salted_join", "j9_asof_join",
+    "j1_range_pick", "j2_broadcast_dim", "j9_asof_join",
     "j10_fuzzy_block_join",
     "a2_last_write_wins", "w4_running_sum", "q1_pricing_summary",
-    "events_session_window",
+    "q18_large_orders", "events_session_window",
     # dedup family
     "dedup_minhash_verified", "dedup_simhash_verified", "dedup_embedding",
     # text / retrieval

@@ -260,6 +260,44 @@ def q5_region_revenue(spark, sf):
     )
 
 
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: highly selective conjunctive filter + one
+    global money sum — the pushdown showcase (every predicate reaches
+    the parquet scan; the agg is a single partial+final pair over the
+    surviving rows). Decimal-sum protocol for cross-engine equality."""
+    li = _t(spark, sf, "lineitem")
+    d = F.col("l_shipdate")
+    return (
+        li.filter((d >= F.lit("1994-01-01")) & (d < F.lit("1995-01-01"))
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING over a grouped child (orders whose
+    line-quantity sum exceeds a threshold) joined back to customer +
+    order headers — aggregate-then-join with the small filtered
+    aggregate on the build side."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(_dec_sum(F.col("l_quantity")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_date"),
+                "o_totalprice", "sum_qty")
+    )
+
+
 def events_funnel(spark, sf):
     """Sequential-pattern funnel per user: earliest view -> first click
     after it -> first purchase after that, within 24h per step (the
@@ -1127,6 +1165,8 @@ SPARK_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q18_large_orders": q18_large_orders,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "events_funnel": events_funnel,
@@ -1770,6 +1810,28 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {_dec_sum_sql('l_extendedprice * l_discount', 4)} AS revenue,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01'
+          AND l_shipdate < DATE '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q18_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   {_dec_sum_sql('l_quantity')} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {_dec_sum_sql('l_quantity')} > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               o_orderdate::VARCHAR AS o_date, o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """,
     "events_funnel": """
         WITH v AS (
