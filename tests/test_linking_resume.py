@@ -408,14 +408,25 @@ def test_stream_upsert_cdc_merges_batches(spark, tmp_path):
     # insert 100
     spark.createDataFrame([(3, 11, 1), (3, 22, 2), (100, 5, 1)], schema) \
         .coalesce(1).write.parquet(str(ups_dir / "b2"))
-    # flatten into one stream dir (one file per micro-batch)
+    # flatten into one stream dir (one file per micro-batch). The file
+    # source orders micro-batches by MODIFICATION TIME, not name —
+    # back-to-back copies can collide within the fs timestamp
+    # granularity and flip the batch order under load (the b2 updates
+    # would then be "overwritten" by the b1 base rows: across batches
+    # the LATER batch wins by design). Pin distinct mtimes so the
+    # intended order is deterministic.
+    import os
     import shutil
+    import time as _time
 
     flat = tmp_path / "flat"
     flat.mkdir()
+    now = _time.time()
     for i, sub in enumerate(sorted(ups_dir.iterdir())):
         for f in sub.glob("part-*.parquet"):
-            shutil.copy(f, flat / f"{i:02d}-{f.name}")
+            dst = flat / f"{i:02d}-{f.name}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
 
     q = stream_upsert_to_snapshots(spark, str(flat), table, ckpt,
                                    key="id", schema=schema, order_col="seq")
