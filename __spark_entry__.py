@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": _mm_audio_features,
         "mm_image_features": _mm_image_features,
         "mm_video_features": _mm_video_features,
+        "mm_video_sample": _mm_video_sample,
         "tar_members": _tar_members,
         "tar_components": _tar_components,
         "kg_triples_doap": _kg_triples_doap,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
             "mm_audio_features": _MM_AUDIO_ORACLE,
             "mm_image_features": _MM_IMAGE_ORACLE,
             "mm_video_features": _MM_VIDEO_ORACLE,
+            "mm_video_sample": _MM_VIDEO_SAMPLE_ORACLE,
             "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
             "kg_bgp_version_meta": _KG_BGP_VERSION_META_ORACLE,
             "kg_bgp_dep_chain": _KG_BGP_DEP_CHAIN_ORACLE,
@@ -820,6 +822,43 @@ def _mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_features(attach_media_metadata(blobs))
 
 
+def _mm_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling composed with REAL decode: Y4M blobs ->
+    sample_video_frames(every_n=2) keeps frames 0,2,... and RE-ENCODES
+    a valid Y4M stream -> video_features decodes THAT and emits the
+    sampled frames' means. The oracle re-derives analytically: frame
+    means of the original luma formula at even f, reindexed — so the
+    round-trip (decode -> sample -> encode -> decode) is verified
+    end-to-end, not just the arithmetic."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        sample_video_frames,
+        synth_y4m,
+        video_features,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synth_y4m(int(i)) for i in pdf["id"]],
+            })
+
+    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    sampled = sample_video_frames(attach_media_metadata(blobs), every_n=2)
+    return video_features(sampled.filter(F.col("ok")))
+
+
 # luma[f][y][x] = (i*7 + f*31 + y*13 + x*5) % 256 over w=4+(i%3)*2,
 # h=4+(i%2)*2, frames 2+(i%3); per-frame mean = floor(sum / (w*h)).
 _MM_VIDEO_ORACLE = """
@@ -839,6 +878,28 @@ stats AS (
 SELECT i::BIGINT AS media_id, true AS ok,
        (4 + (i % 3) * 2)::INT AS width, (4 + (i % 2) * 2)::INT AS height,
        f::INT AS frame_idx, (sy // n)::INT AS mean_y
+FROM stats
+"""
+
+
+# Sampled variant (every_n=2): even source frames only, reindexed.
+_MM_VIDEO_SAMPLE_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+px AS (
+  SELECT ids.i, tf.f, ty.y, tx.x
+  FROM ids,
+       unnest(generate_series(0, 2 + (ids.i % 3) - 1)) AS tf(f),
+       unnest(generate_series(0, 4 + (ids.i % 2) * 2 - 1)) AS ty(y),
+       unnest(generate_series(0, 4 + (ids.i % 3) * 2 - 1)) AS tx(x)
+),
+stats AS (
+  SELECT i, f, count(*) AS n,
+         sum((i*7 + f*31 + y*13 + x*5) % 256) AS sy
+  FROM px WHERE f % 2 = 0 GROUP BY i, f
+)
+SELECT i::BIGINT AS media_id, true AS ok,
+       (4 + (i % 3) * 2)::INT AS width, (4 + (i % 2) * 2)::INT AS height,
+       (f // 2)::INT AS frame_idx, (sy // n)::INT AS mean_y
 FROM stats
 """
 

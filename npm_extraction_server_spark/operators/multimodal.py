@@ -503,6 +503,49 @@ def video_features(media: DataFrame) -> DataFrame:
     return vid.select("media_id", "payload").mapInPandas(fn, schema=VIDEO_SCHEMA)
 
 
+SAMPLED_VIDEO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("n_frames_in", T.IntegerType(), True),
+    T.StructField("n_frames_kept", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("media_kind", T.StringType(), False),
+])
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling for Y4M blobs: decode, keep every
+    ``every_n``-th frame (0, n, 2n, ...), RE-ENCODE as a valid Y4M
+    stream — the output payload is itself decodable, so samplers
+    compose with every downstream video op (``video_features`` over
+    the sampled payload is the driver-verified path). The training-
+    data use: frame-sample a video corpus before expensive per-frame
+    feature extraction, cutting decode+compute by ~every_n while
+    keeping temporal coverage.
+
+    Non-Y4M blobs (mp4/mkv — no codecs in this container) yield
+    ok=false with a null payload, same contract as video_features."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SAMPLED_VIDEO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = decode_y4m(bytes(p or b""))
+                    kept = frames[::every_n]
+                    blob = encode_y4m(w, h, [list(f) for f in kept])
+                    rows.append((int(mid), True, len(frames), len(kept),
+                                 blob, "video"))
+                except Exception:  # noqa: BLE001 — non-Y4M -> ok=false
+                    rows.append((int(mid), False, None, None, None, "video"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    vid = media.filter(F.col("media_kind") == "video")
+    return vid.select("media_id", "payload").mapInPandas(
+        fn, schema=SAMPLED_VIDEO_SCHEMA)
+
+
 def synth_y4m(i: int) -> bytes:
     """A VALID deterministic Y4M blob: luma[f][y][x] =
     (i*7 + f*31 + y*13 + x*5) % 256 over w=4+(i%3)*2, h=4+(i%2)*2,

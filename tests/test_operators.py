@@ -829,3 +829,31 @@ def test_bloom_no_false_negatives_merge_and_prefilter(spark):
     fp = bloom_might_contain(bits, absent, "grp", "v",
                              n_slots=24, k=4).count()
     assert fp < 50
+
+
+def test_sample_video_frames_roundtrip(spark):
+    """Frame sampling re-encodes a VALID Y4M stream: decode -> keep
+    every 2nd frame -> encode -> decode again yields exactly the even
+    source frames; non-Y4M blobs degrade to ok=false."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_y4m,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    frames = [[(f * 10 + j) % 256 for j in range(4 * 4)] for f in range(5)]
+    blob = encode_y4m(4, 4, frames)
+    # blob 2 sniffs as video (mp4 ftyp magic) but has no decodable codec
+    mp4ish = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16
+    media = attach_media_metadata(spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(mp4ish))],
+        "media_id long, payload binary"))
+    out = {r["media_id"]: r for r in
+           sample_video_frames(media, every_n=2).collect()}
+    assert out[1]["ok"] and out[1]["n_frames_in"] == 5 \
+        and out[1]["n_frames_kept"] == 3
+    w, h, kept = decode_y4m(bytes(out[1]["payload"]))
+    assert (w, h) == (4, 4)
+    assert [list(f) for f in kept] == [frames[0], frames[2], frames[4]]
+    assert out[2]["ok"] is False and out[2]["payload"] is None
