@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _mm_media_features,
         "mm_audio_features": _mm_audio_features,
         "mm_image_features": _mm_image_features,
+        "mm_image_resize": _mm_image_resize,
         "mm_video_features": _mm_video_features,
         "mm_video_sample": _mm_video_sample,
         "tar_members": _tar_members,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
             "tar_components": _TAR_COMPONENTS_ORACLE,
             "mm_audio_features": _MM_AUDIO_ORACLE,
             "mm_image_features": _MM_IMAGE_ORACLE,
+            "mm_image_resize": _MM_IMAGE_RESIZE_ORACLE,
             "mm_video_features": _MM_VIDEO_ORACLE,
             "mm_video_sample": _MM_VIDEO_SAMPLE_ORACLE,
             "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
@@ -763,6 +765,42 @@ def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(attach_media_metadata(blobs))
 
 
+def _mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize composed with REAL decode: BMP blobs ->
+    resize_bmp_images(3x2, nearest neighbor, re-encoded as valid BMP)
+    -> image_features decodes THAT. The oracle re-derives the 3x2
+    sampled pixels analytically (src = (x*w//3, y*h//2) into the luma
+    formulas), so decode -> resample -> encode -> decode is verified
+    end-to-end."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        image_features,
+        resize_bmp_images,
+        synth_bmp,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synth_bmp(int(i)) for i in pdf["id"]],
+            })
+
+    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    resized = resize_bmp_images(attach_media_metadata(blobs), 3, 2)
+    return image_features(resized.filter(F.col("ok")))
+
+
 # pixels: r=(i*5+x*23+y*31)%256, g=(i*11+x*3+y*17)%256,
 # b=(i*7+x*13+y*29)%256 over w=4+(i%5), h=3+(i%4); means are
 # floor(sum/n) — integer-exact in both engines.
@@ -783,6 +821,36 @@ stats AS (
 )
 SELECT i::BIGINT AS media_id, true AS ok,
        (4 + (i % 5))::INT AS width, (3 + (i % 4))::INT AS height,
+       (sr // n)::INT AS mean_r, (sg // n)::INT AS mean_g,
+       (sb // n)::INT AS mean_b
+FROM stats
+"""
+
+
+# 3x2 nearest-neighbor resample of the synth BMPs: target (x,y) maps
+# to source (x*w//3, y*h//2); channel means over the 6 sampled pixels.
+_MM_IMAGE_RESIZE_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+tgt AS (
+  SELECT ids.i, tx.x, ty.y
+  FROM ids,
+       unnest(generate_series(0, 2)) AS tx(x),
+       unnest(generate_series(0, 1)) AS ty(y)
+),
+src AS (
+  SELECT i, (x * (4 + (i % 5))) // 3 AS sx,
+            (y * (3 + (i % 4))) // 2 AS sy
+  FROM tgt
+),
+stats AS (
+  SELECT i, count(*) AS n,
+         sum((i*5 + sx*23 + sy*31) % 256) AS sr,
+         sum((i*11 + sx*3 + sy*17) % 256) AS sg,
+         sum((i*7 + sx*13 + sy*29) % 256) AS sb
+  FROM src GROUP BY i
+)
+SELECT i::BIGINT AS media_id, true AS ok,
+       3::INT AS width, 2::INT AS height,
        (sr // n)::INT AS mean_r, (sg // n)::INT AS mean_g,
        (sb // n)::INT AS mean_b
 FROM stats

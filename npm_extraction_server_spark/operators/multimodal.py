@@ -402,6 +402,41 @@ def image_features(media: DataFrame) -> DataFrame:
     return img.select("media_id", "payload").mapInPandas(fn, schema=IMAGE_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("media_kind", T.StringType(), False),
+])
+
+
+def resize_bmp_images(media: DataFrame, width: int,
+                      height: int) -> DataFrame:
+    """REAL distributed image resize for BMP blobs: decode ->
+    nearest-neighbor resample -> RE-ENCODE a valid BMP, so the output
+    payload feeds any downstream image op (image_features over it is
+    the driver-verified path — the image analog of
+    sample_video_frames). The training-data use: normalize a crawled
+    image corpus to a fixed input geometry before feature extraction.
+    Non-BMP blobs (JPEG/PNG — no codecs here) yield ok=false."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZED_IMAGE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    blob = resize_bmp(bytes(p or b""), width, height)
+                    rows.append((int(mid), True, blob, "image"))
+                except Exception:  # noqa: BLE001 — non-BMP -> ok=false
+                    rows.append((int(mid), False, None, "image"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    img = media.filter(F.col("media_kind") == "image")
+    return img.select("media_id", "payload").mapInPandas(
+        fn, schema=RESIZED_IMAGE_SCHEMA)
+
+
 def synth_bmp(i: int) -> bytes:
     """A VALID deterministic 24-bit BMP whose pixels are a pure
     function of (i, x, y) — decoded for real by image_features and the

@@ -260,6 +260,24 @@ def q5_region_revenue(spark, sf):
     )
 
 
+def sql_lang_stats(spark, sf):
+    """The SQL half of the dual API: the exact same engine consumed
+    through ``spark.sql`` over registered corpus views (plans/catalog)
+    — Catalyst compiles it to the identical plan a DataFrame chain
+    gets, with full pushdown. Integer-exact aggregates (count/sum/
+    min/max) so the oracle is the very same SQL text run by DuckDB."""
+    from ..plans.catalog import sql
+
+    return sql(spark, sf, """
+        SELECT lang, count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE source <> 'src0'
+        GROUP BY lang
+    """)
+
+
 def q6_forecast_revenue(spark, sf):
     """TPC-H Q6 shape: highly selective conjunctive filter + one
     global money sum — the pushdown showcase (every predicate reaches
@@ -1167,6 +1185,7 @@ SPARK_QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_orders": q18_large_orders,
+    "sql_lang_stats": sql_lang_stats,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "events_funnel": events_funnel,
@@ -1810,6 +1829,14 @@ ORACLE_SQL = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "sql_lang_stats": """
+        SELECT lang, count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents
+        WHERE source <> 'src0'
+        GROUP BY lang
     """,
     "q6_forecast_revenue": f"""
         SELECT {_dec_sum_sql('l_extendedprice * l_discount', 4)} AS revenue,

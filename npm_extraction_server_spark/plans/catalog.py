@@ -1,0 +1,32 @@
+"""SQL-surface facade: register the corpus as temp views so every
+engine capability is reachable through plain ``spark.sql`` — the
+second half of the DataFrame/SQL dual API (`input_hint` mandates the
+pyspark.sql DataFrame API; Catalyst compiles both to the same plans,
+and some consumers only speak SQL).
+
+At 100 TB the views would be catalog tables (Iceberg/HMS) instead of
+path-registered temp views; nothing else changes — Catalyst resolves
+either through the same analyzer, with full pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+__all__ = ["TABLES", "register_corpus", "sql"]
+
+
+def register_corpus(spark: SparkSession, sf_dir: str) -> None:
+    """Create/replace a temp view per corpus table over its parquet."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run ``query`` against the registered corpus views."""
+    register_corpus(spark, sf_dir)
+    return spark.sql(query)
