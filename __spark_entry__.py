@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": _kg_incremental,
         "mm_media_features": _mm_media_features,
         "mm_audio_features": _mm_audio_features,
+        "mm_audio_decimate": _mm_audio_decimate,
         "mm_image_features": _mm_image_features,
         "mm_image_resize": _mm_image_resize,
         "mm_video_features": _mm_video_features,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
             "tar_members": _TAR_MEMBERS_ORACLE,
             "tar_components": _TAR_COMPONENTS_ORACLE,
             "mm_audio_features": _MM_AUDIO_ORACLE,
+            "mm_audio_decimate": _MM_AUDIO_DECIMATE_ORACLE,
             "mm_image_features": _MM_IMAGE_ORACLE,
             "mm_image_resize": _MM_IMAGE_RESIZE_ORACLE,
             "mm_video_features": _MM_VIDEO_ORACLE,
@@ -823,6 +825,67 @@ SELECT i::BIGINT AS media_id, true AS ok,
        (4 + (i % 5))::INT AS width, (3 + (i % 4))::INT AS height,
        (sr // n)::INT AS mean_r, (sg // n)::INT AS mean_g,
        (sb // n)::INT AS mean_b
+FROM stats
+"""
+
+
+def _mm_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsampling composed with REAL decode: WAV blobs ->
+    decimate_wav(factor=2: every 2nd sample, rate 8000->4000,
+    re-encoded as valid WAV) -> audio_features decodes THAT. Oracle:
+    stats over the even-index samples of the synth formula at the
+    halved rate — decode -> decimate -> encode -> decode verified
+    end-to-end (the audio leg of the transform round-trip family)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        attach_media_metadata,
+        audio_features,
+        decimate_wav,
+        synth_wav,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synth_wav(int(i)) for i in pdf["id"]],
+            })
+
+    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    dec = decimate_wav(attach_media_metadata(blobs), factor=2)
+    return audio_features(dec.filter(F.col("ok")))
+
+
+# even-index samples of the synth triangle wave at the halved rate;
+# n' = ceil(n/2) (n = 200 + (i%7)*100 is always even -> n' = n/2)
+_MM_AUDIO_DECIMATE_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 63)) AS i),
+aud AS (SELECT i, (200 + (i % 7) * 100) AS n FROM ids),
+samples AS (
+  SELECT a.i, a.n // 2 AS n2,
+         (((a.i * 37 + j * 13) % 2048) - 1024) AS s
+  FROM aud a, unnest(generate_series(0, a.n - 1)) AS t(j)
+  WHERE j % 2 = 0
+),
+stats AS (
+  SELECT i, any_value(n2) AS n2,
+         floor(sqrt(sum(s * s) / count(*)))::INT AS rms,
+         max(abs(s))::INT AS peak
+  FROM samples GROUP BY i
+)
+SELECT i::BIGINT AS media_id, true AS ok,
+       4000 AS sample_rate, 1 AS n_channels, 2 AS sample_width,
+       n2::BIGINT AS n_frames, (n2 * 1000 // 4000)::BIGINT AS duration_ms,
+       rms, peak
 FROM stats
 """
 

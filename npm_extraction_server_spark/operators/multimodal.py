@@ -250,6 +250,62 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     return vid.select("media_id", "payload").mapInPandas(fn, schema=FRAMES_SCHEMA)
 
 
+DECIMATED_AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("media_kind", T.StringType(), False),
+])
+
+
+def decimate_wav(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsampling for PCM WAV blobs: keep every
+    ``factor``-th sample AND divide the sample rate by ``factor``
+    (duration preserved), RE-ENCODING a valid WAV — the audio leg of
+    the decode->transform->encode round-trip family
+    (sample_video_frames / resize_bmp_images). The training-data use:
+    normalize a crawled audio corpus to one sample rate before
+    feature extraction. Plain decimation (no anti-alias filter) is
+    the deterministic, oracle-able baseline; a real pipeline would
+    low-pass first — that coefficient choice doesn't change the
+    Spark-side shape. Compressed audio (mp3 etc.) yields ok=false."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        cols = [f.name for f in DECIMATED_AUDIO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(p or b"")), "rb") as wf:
+                        rate = wf.getframerate()
+                        nch = wf.getnchannels()
+                        width = wf.getsampwidth()
+                        frames = wf.readframes(wf.getnframes())
+                    if width != 2 or nch != 1:
+                        raise ValueError("decimate: 16-bit mono only")
+                    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+                    kept = samples[::factor]
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as out:
+                        out.setnchannels(1)
+                        out.setsampwidth(2)
+                        out.setframerate(max(rate // factor, 1))
+                        out.writeframes(
+                            struct.pack(f"<{len(kept)}h", *kept))
+                    rows.append((int(mid), True, buf.getvalue(), "audio"))
+                except Exception:  # noqa: BLE001 — undecodable -> ok=false
+                    rows.append((int(mid), False, None, "audio"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    aud = media.filter(F.col("media_kind") == "audio")
+    return aud.select("media_id", "payload").mapInPandas(
+        fn, schema=DECIMATED_AUDIO_SCHEMA)
+
+
 def synth_wav(i: int, rate: int = 8000) -> bytes:
     """A VALID deterministic PCM WAV blob (mono, 16-bit): triangle-ish
     samples, frame count varying with the id — parsed for real by
