@@ -203,23 +203,16 @@ _BLOOM_SLOT_BITS = 48  # bits per long slot: max shift 47, so the mask
 #                        hash-space convention used everywhere here)
 
 
-def bloom_bits(df: DataFrame, group_col: str, value_col: str,
-               n_slots: int = 6, k: int = 4) -> DataFrame:
-    """Per-group Bloom filter as a (grp, slot, bits) long table —
-    n_slots x 48 usable bits, k md5-derived hash positions per value.
-
-    The 100 TB use case: a decontamination / blocklist prefilter — the
-    (tiny, fixed-size) bits table broadcasts and `bloom_might_contain`
-    drops the guaranteed-absent rows before any expensive join; no
-    false negatives, false positives bounded by (1-e^{-kn/m})^k.
-
-    Same portability contract as kmv/cms/hll: positions come from md5,
-    the OR-fold is exact integer bit_or — DuckDB builds the IDENTICAL
-    bits, so the driver hard-oracles the filter itself. Mergeable by
-    cell-wise bit_or (``bloom_merge``); the groupBy is map-combined,
-    so the shuffle carries <= n_slots rows per group per partition."""
+def _bloom_positions(df: DataFrame, group_col: str, value_col: str,
+                     n_slots: int, k: int) -> DataFrame:
+    """Shared hash-position derivation for the Bloom build and probe
+    (one definition, so the probe can never drift from its own bits):
+    per (row, hash index i in 0..k-1) emit (grp, v, slot, mask) where
+    the md5(i:value) 48-bit prefix mod m picks the bit. NULL values
+    are dropped — NULL is not a set member (SQL set semantics;
+    hashing it would also diverge between engines)."""
     m_bits = n_slots * _BLOOM_SLOT_BITS
-    rows = df.select(
+    rows = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("string").alias("v"),
         F.explode(F.array([F.lit(i) for i in range(k)])).alias("i"))
@@ -227,14 +220,35 @@ def bloom_bits(df: DataFrame, group_col: str, value_col: str,
         F.md5(F.concat_ws(":", F.col("i"), F.col("v"))), 1, 12), 16, 10)
         .cast("long") % m_bits)
     rows = rows.select(
-        "grp",
+        "grp", "v",
         (pos / _BLOOM_SLOT_BITS).cast("long").alias("slot"),
         (pos % _BLOOM_SLOT_BITS).cast("int").alias("bitpos"))
     # SQL shiftleft accepts a column shift amount (the functions API
     # binding is int-only); max shift 47 keeps the mask positive
-    rows = rows.withColumn(
+    return rows.withColumn(
         "mask", F.expr("shiftleft(cast(1 as bigint), bitpos)"))
-    return (rows.groupBy("grp", "slot")
+
+
+def bloom_bits(df: DataFrame, group_col: str, value_col: str,
+               n_slots: int = 6, k: int = 4) -> DataFrame:
+    """Per-group Bloom filter as a (grp, slot, bits) long table —
+    n_slots x 48 usable bits, k md5-derived hash positions per value.
+    NULL values are not members (dropped at build AND probe — see
+    :func:`_bloom_positions`).
+
+    The 100 TB use case: a decontamination / blocklist prefilter — the
+    (tiny, fixed-size) bits table broadcasts and `bloom_might_contain`
+    drops the guaranteed-absent rows before any expensive join; no
+    false negatives for non-null members, false positives bounded by
+    (1-e^{-kn/m})^k.
+
+    Same portability contract as kmv/cms/hll: positions come from md5,
+    the OR-fold is exact integer bit_or — DuckDB builds the IDENTICAL
+    bits, so the driver hard-oracles the filter itself. Mergeable by
+    cell-wise bit_or (``bloom_merge``); the groupBy is map-combined,
+    so the shuffle carries <= n_slots rows per group per partition."""
+    return (_bloom_positions(df, group_col, value_col, n_slots, k)
+            .groupBy("grp", "slot")
             .agg(F.bit_or("mask").alias("bits")))
 
 
@@ -248,23 +262,13 @@ def bloom_might_contain(bits: DataFrame, df: DataFrame, group_col: str,
                         k: int = 4) -> DataFrame:
     """Membership probe: keeps rows of ``df`` whose value has ALL k
     bloom bits set in its group's filter (possibly-present; definite
-    absences are dropped — the prefilter contract). The bits table
-    broadcasts; the probe is k bit-tests folded into one join +
-    count aggregate."""
-    m_bits = n_slots * _BLOOM_SLOT_BITS
-    probes = df.select(
-        F.col(group_col).alias("grp"),
-        F.col(value_col).cast("string").alias("v"),
-        F.explode(F.array([F.lit(i) for i in range(k)])).alias("i"))
-    pos = (F.conv(F.substring(
-        F.md5(F.concat_ws(":", F.col("i"), F.col("v"))), 1, 12), 16, 10)
-        .cast("long") % m_bits)
-    probes = probes.select(
-        "grp", "v",
-        (pos / _BLOOM_SLOT_BITS).cast("long").alias("slot"),
-        (pos % _BLOOM_SLOT_BITS).cast("int").alias("bitpos"))
-    probes = probes.withColumn(
-        "mask", F.expr("shiftleft(cast(1 as bigint), bitpos)"))
+    absences are dropped — the prefilter contract, no false negatives
+    for any value the build saw). NULL-valued rows are dropped —
+    NULLs are never members (same rule as the build, via the SHARED
+    :func:`_bloom_positions` derivation, so probe and bits can't
+    drift). The bits table broadcasts; the probe is k bit-tests
+    folded into one join + min aggregate."""
+    probes = _bloom_positions(df, group_col, value_col, n_slots, k)
     hit = (probes.join(F.broadcast(bits), ["grp", "slot"], "left")
            .withColumn("_ok", (F.coalesce(F.col("bits"), F.lit(0))
                                .bitwiseAND(F.col("mask"))

@@ -2026,6 +2026,7 @@ ORACLE_SQL = {
         WITH rows AS (
             SELECT event_type AS grp, user_id::VARCHAR AS v, i
             FROM events, unnest([0, 1, 2, 3]) AS t(i)
+            WHERE user_id IS NOT NULL
         ),
         pm AS (
             SELECT grp,

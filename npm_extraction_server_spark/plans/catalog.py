@@ -18,12 +18,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 __all__ = ["TABLES", "register_corpus", "sql"]
 
+_REGISTERED: dict[str, str] = {}  # applicationId -> sf_dir of current views
+
 
 def register_corpus(spark: SparkSession, sf_dir: str) -> None:
-    """Create/replace a temp view per corpus table over its parquet."""
+    """Create/replace a temp view per corpus table over its parquet.
+    Skipped when this application's views already point at ``sf_dir``
+    (re-running 10 driver-side parquet schema reads per sql() call
+    would be pure waste); switching sf_dir re-registers, since the
+    view NAMES are shared and must not go stale."""
+    app = spark.sparkContext.applicationId
+    if _REGISTERED.get(app) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet") \
             .createOrReplaceTempView(t)
+    _REGISTERED[app] = sf_dir
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -569,7 +569,13 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     # 'replace' snapshot — a compaction's own files ARE the state
     # below it, so older history is expendable (as in Iceberg, an
     # expired snapshot can no longer anchor incremental reads).
-    chain = [m["snapshot_id"] for m in snapshot_log(table)]
+    # expiration is PERMANENT: a manifest stamped expired by an
+    # earlier vacuum may reference already-deleted files, so a later
+    # call with a deeper keep_last must not re-adopt it as an anchor
+    # (it could neither be read nor safely re-activated) — the keep
+    # window is taken over the still-anchorable suffix of the chain
+    chain = [m["snapshot_id"] for m in snapshot_log(table)
+             if not m.get("expired")]
     kept_ids = set(chain[-max(keep_last, 1):])
     # manifests reachable from kept snapshots stay (they plan the kept
     # reads); everything else is expired
@@ -735,13 +741,16 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         if ranged:
             rdf = spark.createDataFrame(
                 [(f, lo, hi) for f, lo, hi in ranged], ["_f", "_lo", "_hi"])
-            # string keys: compare as UTF-8 BYTES, not strings — parquet
-            # footer min/max order by UTF-8 byte sequence while Spark
-            # orders strings by UTF-16 code units, and the two disagree
-            # on supplementary-plane characters (a file holding the key
-            # could be wrongly skipped, leaving the stale row in place
-            # next to the insert). Spark's BinaryType comparison is
-            # unsigned bytewise == the stats order.
+            # string keys: compare as UTF-8 BYTES so the comparison is
+            # PINNED to the order the parquet footer stats were
+            # computed in (unsigned UTF-8 bytes), independent of the
+            # session's string collation. Spark's default UTF8_BINARY
+            # collation already compares that way, but a session
+            # running UTF8_LCASE or an ICU collation would reorder
+            # plain string `>=` (e.g. case-folding) and could skip the
+            # very file holding the key, leaving the stale row next to
+            # the insert. BinaryType comparison is always unsigned
+            # bytewise — collation-proof.
             if dict(updates.dtypes)[key] == "string":
                 k = F.encode(F.col("_k"), "UTF-8")
                 lo, hi = (F.encode(F.col("_lo"), "UTF-8"),

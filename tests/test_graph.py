@@ -200,3 +200,35 @@ def test_sssp_multi_seed_and_zero_weight(spark):
     seeds = spark.createDataFrame([(0,), (9,)], "node_id long")
     got = {r.node_id: r.dist for r in sssp(seeds, e).collect()}
     assert got == {0: 0, 9: 0, 1: 1, 2: 1}
+
+
+def test_sssp_oracle_cap_exceeds_true_diameter():
+    """The graph_sssp DuckDB oracle prunes path enumeration at cost
+    100; that is only sound if every true shortest distance in the
+    driver graph is strictly below the cap. Pin it with an
+    independent pure-Python Dijkstra over the same synthetic graph
+    (no Spark, no DuckDB) — if the graph or weight formula ever
+    changes, this fails before the oracle silently under-counts."""
+    import heapq
+
+    edges: dict[int, list] = {}
+    for i in range(500):
+        dsts = [(7 * i + 3) % 500, (13 * i + 5) % 500, (i + 1) % 500]
+        if i % 3 == 0:
+            dsts.append((i + 2) % 500)
+        for d in dsts:
+            edges.setdefault(i, []).append((d, 1 + (3 * i + 5 * d) % 7))
+    dist = {s: 0 for s in range(0, 500, 50)}
+    pq = [(0, s) for s in dist]
+    heapq.heapify(pq)
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, 1 << 60):
+            continue
+        for v, w in edges.get(u, []):
+            nd = dd + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert len(dist) == 500          # everything reachable
+    assert max(dist.values()) < 100  # the oracle's enumeration cap

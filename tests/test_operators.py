@@ -857,3 +857,20 @@ def test_sample_video_frames_roundtrip(spark):
     assert (w, h) == (4, 4)
     assert [list(f) for f in kept] == [frames[0], frames[2], frames[4]]
     assert out[2]["ok"] is False and out[2]["payload"] is None
+
+
+def test_bloom_null_values_are_not_members(spark):
+    """NULL values are dropped at BOTH build and probe (shared
+    position derivation): the filter neither crashes on nulls nor
+    silently drops non-null members, and null probe rows never pass."""
+    from npm_extraction_server_spark.operators.sketch import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    members = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2)], "grp string, v long")
+    bits = bloom_bits(members, "grp", "v", n_slots=24, k=4)
+    kept = bloom_might_contain(bits, members, "grp", "v",
+                               n_slots=24, k=4).collect()
+    assert sorted(r["v"] for r in kept) == [1, 2]  # nulls out, members in

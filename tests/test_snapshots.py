@@ -871,3 +871,32 @@ def test_merge_string_key_byte_order_fast_path(spark, tmp_path):
     assert len(rows) == 2  # no stale duplicate of the supplementary key
     got = {r["k"]: r["v"] for r in rows}
     assert got == {k_bmp: 0, k_supp: 9}
+
+
+def test_expire_deeper_keep_after_expire_stays_sane(spark, tmp_path):
+    """A later expire with a DEEPER keep_last than an earlier one must
+    not re-adopt an already-expired manifest as an anchor (its files
+    may be vacuumed — expiration is permanent): the keep window is
+    taken over the still-anchorable chain suffix, the maintenance op
+    completes, and the head stays readable."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        expire_snapshots,
+        merge_upsert,
+    )
+
+    t = str(tmp_path / "exp_deep")
+    commit(spark.range(20).select(F.col("id"), F.lit(0).alias("v")),
+           t, partitions=2, cluster_by=["id"])
+    s1 = current_snapshot_id(t)
+    merge_upsert(spark, t,
+                 spark.createDataFrame([(3, 7)], "id long, v int"), key="id")
+    expire_snapshots(t, keep_last=1)          # stamps s1 expired
+    # deeper window: would previously crash planning s1's view
+    out = expire_snapshots(t, keep_last=2)
+    assert out["kept"] >= 1
+    assert any(m["snapshot_id"] == s1 and m.get("expired")
+               for m in snapshot_log(t))      # stays expired, not re-adopted
+    with pytest.raises(ValueError, match="expired"):
+        read_snapshot(spark, t, snapshot_id=s1)
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 20 and got[3] == 7

@@ -45,6 +45,9 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracles.py [sf_dir] [--json FILE] [query ...]")
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = "/root/testdata/sf0.01"
