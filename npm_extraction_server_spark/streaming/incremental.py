@@ -301,3 +301,66 @@ def stream_upsert_to_snapshots(spark: SparkSession, updates_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_join(spark: SparkSession, views_dir: str,
+                         purchases_dir: str, out_dir: str,
+                         checkpoint_dir: str,
+                         within: str = "1 hour",
+                         watermark_delay: str = "30 minutes"):
+    """Watermarked STREAM-STREAM interval join — the attribution query
+    (which view led to this purchase?) as two unbounded inputs: each
+    purchase joins every view by the same user in the preceding
+    ``within`` window.
+
+    The state story is the whole point at scale: BOTH sides carry an
+    event-time watermark and the join condition bounds purchase time
+    to [view_ts, view_ts + within], so Spark derives a state watermark
+    and EVICTS buffered rows once they can no longer match — state is
+    bounded by (watermark_delay + within) of traffic, not the stream
+    history. Without the time bound (or the watermarks) the state
+    grows forever and the query is rightly rejected/unbounded; this is
+    the canonical shape from the Structured Streaming docs, applied to
+    the events table. Batch-equivalence is the test contract: the same
+    join over the same files as plain DataFrames gives the identical
+    row set."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(views_dir)
+        .withWatermark("ts", watermark_delay)
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("view_id")))
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(purchases_dir)
+        .withWatermark("ts", watermark_delay)
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id")))
+    joined = views.join(
+        purchases,
+        F.expr(f"""v_user = p_user
+                   AND p_ts >= v_ts
+                   AND p_ts <= v_ts + interval {within}"""))
+    return (
+        joined.select("v_user", "view_id", "purchase_id", "v_ts", "p_ts")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/attributed")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

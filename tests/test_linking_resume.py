@@ -485,3 +485,61 @@ def test_stream_upsert_lww_tie_breaks_deterministically(spark, tmp_path):
         assert q.awaitTermination(300), "stream did not drain in 300s"
         got = {r["id"]: r["v"] for r in read_snapshot(spark, table).collect()}
         assert got == {1: 10, 2: 7}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (view->purchase
+    attribution within 1h): the streamed result must EQUAL the same
+    interval join run as plain batch DataFrames over the same files —
+    and late rows beyond the watermark are the only permissible
+    difference (none are planted here)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+
+    def ts(minute):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 0, minute)
+
+    views = [(1, ts(0), 7), (2, ts(5), 7), (3, ts(0), 8), (4, ts(30), 9)]
+    # purchase 100 at 00:40: within 1h of views 1 and 2 (user 7);
+    # purchase 101 at 02:00: too late for view 3 (user 8);
+    # purchase 102 at 00:31: within 1h of view 4 (user 9)
+    purchases = [(100, ts(40), 7), (101, ts(0).replace(hour=2), 8),
+                 (102, ts(31), 9)]
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    for rows, d in ((views, vdir), (purchases, pdir)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(d))
+
+    q = stream_interval_join(spark, str(vdir), str(pdir),
+                             str(tmp_path / "out"), str(tmp_path / "ck"))
+    assert q.awaitTermination(300), "stream did not drain"
+
+    got = {(r["view_id"], r["purchase_id"])
+           for r in spark.read.parquet(
+               str(tmp_path / "out" / "attributed")).collect()}
+
+    batch_v = spark.createDataFrame(views, schema).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"))
+    batch_p = spark.createDataFrame(purchases, schema).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    expect = {(r["view_id"], r["purchase_id"])
+              for r in batch_v.join(
+                  batch_p,
+                  F.expr("v_user = p_user AND p_ts >= v_ts "
+                         "AND p_ts <= v_ts + interval 1 hour")).collect()}
+    assert got == expect == {(1, 100), (2, 100), (4, 102)}
