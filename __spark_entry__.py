@@ -499,6 +499,32 @@ def _kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_triples(pages, "2017-06-01 00:00:30", "2017-06-01 00:01:40"))
 
 
+
+def _synth_blobs(spark: SparkSession, synth_fn, n: int = 64) -> DataFrame:
+    """Shared scaffold for the multimodal driver queries: n media
+    blobs generated distributedly from a deterministic per-id synth
+    function (one definition instead of six copy-pasted schema+gen
+    blocks)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "payload": [synth_fn(int(i)) for i in pdf["id"]],
+            })
+
+    return spark.range(n).mapInPandas(gen, schema=schema)
+
+
 def _mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media -> typed metadata + features."""
     from pyspark.sql import functions as F
@@ -740,30 +766,13 @@ def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     means; the DuckDB oracle re-derives dimensions and means
     ANALYTICALLY from the pixel formula — a hard check on the whole
     encode -> sniff -> decode round-trip."""
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from npm_extraction_server_spark.operators.multimodal import (
         attach_media_metadata,
         image_features,
         synth_bmp,
     )
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), True),
-    ])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["id"],
-                "payload": [synth_bmp(int(i)) for i in pdf["id"]],
-            })
-
-    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    blobs = _synth_blobs(spark, synth_bmp)
     return image_features(attach_media_metadata(blobs))
 
 
@@ -774,11 +783,6 @@ def _mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled pixels analytically (src = (x*w//3, y*h//2) into the luma
     formulas), so decode -> resample -> encode -> decode is verified
     end-to-end."""
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from npm_extraction_server_spark.operators.multimodal import (
         attach_media_metadata,
         image_features,
@@ -786,19 +790,7 @@ def _mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_bmp,
     )
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), True),
-    ])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["id"],
-                "payload": [synth_bmp(int(i)) for i in pdf["id"]],
-            })
-
-    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    blobs = _synth_blobs(spark, synth_bmp)
     resized = resize_bmp_images(attach_media_metadata(blobs), 3, 2)
     return image_features(resized.filter(F.col("ok")))
 
@@ -836,11 +828,6 @@ def _mm_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats over the even-index samples of the synth formula at the
     halved rate — decode -> decimate -> encode -> decode verified
     end-to-end (the audio leg of the transform round-trip family)."""
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from npm_extraction_server_spark.operators.multimodal import (
         attach_media_metadata,
         audio_features,
@@ -848,19 +835,7 @@ def _mm_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav,
     )
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), True),
-    ])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["id"],
-                "payload": [synth_wav(int(i)) for i in pdf["id"]],
-            })
-
-    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    blobs = _synth_blobs(spark, synth_wav)
     dec = decimate_wav(attach_media_metadata(blobs), factor=2)
     return audio_features(dec.filter(F.col("ok")))
 
@@ -926,30 +901,13 @@ def _mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emits per-frame mean luma; the DuckDB oracle re-derives every
     frame mean ANALYTICALLY from the luma formula (the video leg of
     the WAV/BMP real-decode trifecta)."""
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from npm_extraction_server_spark.operators.multimodal import (
         attach_media_metadata,
         synth_y4m,
         video_features,
     )
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), True),
-    ])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["id"],
-                "payload": [synth_y4m(int(i)) for i in pdf["id"]],
-            })
-
-    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    blobs = _synth_blobs(spark, synth_y4m)
     return video_features(attach_media_metadata(blobs))
 
 
@@ -961,11 +919,6 @@ def _mm_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     means of the original luma formula at even f, reindexed — so the
     round-trip (decode -> sample -> encode -> decode) is verified
     end-to-end, not just the arithmetic."""
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from npm_extraction_server_spark.operators.multimodal import (
         attach_media_metadata,
         sample_video_frames,
@@ -973,19 +926,7 @@ def _mm_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_features,
     )
 
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), True),
-    ])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["id"],
-                "payload": [synth_y4m(int(i)) for i in pdf["id"]],
-            })
-
-    blobs = spark.range(64).mapInPandas(gen, schema=schema)
+    blobs = _synth_blobs(spark, synth_y4m)
     sampled = sample_video_frames(attach_media_metadata(blobs), every_n=2)
     return video_features(sampled.filter(F.col("ok")))
 

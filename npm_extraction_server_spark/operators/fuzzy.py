@@ -38,7 +38,14 @@ def fuzzy_block_join(df: DataFrame, id_col: str, block_col: str,
     deterministic orientation). ``dist`` is plain Levenshtein edit
     distance — computed by the JVM built-in, bit-portable to any
     engine with the standard DP definition (the DuckDB oracle uses
-    its own ``levenshtein``)."""
+    its own ``levenshtein``).
+
+    NULL semantics (deliberate — dirty ER inputs are full of them):
+    rows with a NULL block key never join (SQL equi-join), and pairs
+    touching a NULL name score NULL dist and fail the threshold —
+    both are EXCLUDED from the output. Callers who need to resolve
+    null-blocked entities assign a fallback block (e.g. a name
+    prefix) upstream; an operator cannot guess one."""
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(block_col).alias("blk"),
                   F.col(name_col).alias("name_a"))

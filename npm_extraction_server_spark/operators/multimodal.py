@@ -268,7 +268,17 @@ def decimate_wav(media: DataFrame, factor: int = 2) -> DataFrame:
     feature extraction. Plain decimation (no anti-alias filter) is
     the deterministic, oracle-able baseline; a real pipeline would
     low-pass first — that coefficient choice doesn't change the
-    Spark-side shape. Compressed audio (mp3 etc.) yields ok=false."""
+    Spark-side shape. Compressed audio (mp3 etc.) yields ok=false.
+
+    ``factor`` must divide the blob's sample rate (out rate =
+    rate // factor; a non-dividing rate would silently drift the
+    duration since kept-frame count rounds UP while the rate rounds
+    DOWN) — non-dividing blobs come back ok=false. The factor itself
+    is validated eagerly driver-side: a bad parameter must raise at
+    call time, never be swallowed row-by-row into all-ok=false."""
+    if not isinstance(factor, int) or factor < 1:
+        raise ValueError(f"decimate_wav: factor must be an int >= 1, "
+                         f"got {factor!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -287,13 +297,15 @@ def decimate_wav(media: DataFrame, factor: int = 2) -> DataFrame:
                         frames = wf.readframes(wf.getnframes())
                     if width != 2 or nch != 1:
                         raise ValueError("decimate: 16-bit mono only")
+                    if rate % factor != 0:
+                        raise ValueError("decimate: factor must divide rate")
                     samples = struct.unpack(f"<{len(frames) // 2}h", frames)
                     kept = samples[::factor]
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as out:
                         out.setnchannels(1)
                         out.setsampwidth(2)
-                        out.setframerate(max(rate // factor, 1))
+                        out.setframerate(rate // factor)
                         out.writeframes(
                             struct.pack(f"<{len(kept)}h", *kept))
                     rows.append((int(mid), True, buf.getvalue(), "audio"))
@@ -474,7 +486,13 @@ def resize_bmp_images(media: DataFrame, width: int,
     the driver-verified path — the image analog of
     sample_video_frames). The training-data use: normalize a crawled
     image corpus to a fixed input geometry before feature extraction.
-    Non-BMP blobs (JPEG/PNG — no codecs here) yield ok=false."""
+    Non-BMP blobs (JPEG/PNG — no codecs here) yield ok=false. Target
+    geometry is validated eagerly driver-side (a bad parameter must
+    raise at call time, not be swallowed per-row into ok=false)."""
+    if not (isinstance(width, int) and isinstance(height, int)
+            and width >= 1 and height >= 1):
+        raise ValueError(f"resize_bmp_images: width/height must be ints "
+                         f">= 1, got {width!r}x{height!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in RESIZED_IMAGE_SCHEMA.fields]
@@ -615,7 +633,12 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     keeping temporal coverage.
 
     Non-Y4M blobs (mp4/mkv — no codecs in this container) yield
-    ok=false with a null payload, same contract as video_features."""
+    ok=false with a null payload, same contract as video_features.
+    ``every_n`` is validated eagerly driver-side (a bad parameter must
+    raise at call time, not be swallowed per-row into ok=false)."""
+    if not isinstance(every_n, int) or every_n < 1:
+        raise ValueError(f"sample_video_frames: every_n must be an int "
+                         f">= 1, got {every_n!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in SAMPLED_VIDEO_SCHEMA.fields]

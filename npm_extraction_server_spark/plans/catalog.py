@@ -11,6 +11,8 @@ either through the same analyzer, with full pushdown/pruning.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -18,22 +20,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 __all__ = ["TABLES", "register_corpus", "sql"]
 
-_REGISTERED: dict[str, str] = {}  # applicationId -> sf_dir of current views
+# temp views are SESSION-scoped (not application-scoped), so the
+# registration cache must be keyed by the live session object — a
+# WeakKeyDictionary, so dropped sessions don't pin memory and an id()
+# reused by a new session can't alias a stale entry
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = \
+    weakref.WeakKeyDictionary()
 
 
 def register_corpus(spark: SparkSession, sf_dir: str) -> None:
     """Create/replace a temp view per corpus table over its parquet.
-    Skipped when this application's views already point at ``sf_dir``
-    (re-running 10 driver-side parquet schema reads per sql() call
-    would be pure waste); switching sf_dir re-registers, since the
+    Skipped when THIS SESSION's views already point at ``sf_dir`` AND
+    a probe view still exists (another caller may have dropped them) —
+    re-running 10 driver-side parquet schema reads per sql() call
+    would be pure waste. Switching sf_dir re-registers, since the
     view NAMES are shared and must not go stale."""
-    app = spark.sparkContext.applicationId
-    if _REGISTERED.get(app) == sf_dir:
+    if (_REGISTERED.get(spark) == sf_dir
+            and spark.catalog.tableExists(TABLES[0])):
         return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet") \
             .createOrReplaceTempView(t)
-    _REGISTERED[app] = sf_dir
+    _REGISTERED[spark] = sf_dir
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

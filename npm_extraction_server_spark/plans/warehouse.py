@@ -156,7 +156,7 @@ def write_bucketed_tables(triples: DataFrame, entities: DataFrame,
 
 
 def write_triples_by_pred(triples: DataFrame, path: str,
-                          buckets_per_pred: int | None = None) -> None:
+                          n_write_tasks: int | None = None) -> None:
     """Materialize the triple table PARTITIONED BY PREDICATE — the
     classic vertical-partitioning triple-store layout, and the layout
     the BGP query layer (plans/bgp.py) wants: a pattern with a bound
@@ -166,11 +166,21 @@ def write_triples_by_pred(triples: DataFrame, path: str,
     star query over a 10^12-triple table reads only its k predicates'
     data. Predicate cardinality is vocabulary-sized (~40 here, a few
     hundred in any real KG) — far below the small-partitions danger
-    zone. Within each predicate the data repartitions by subj hash so
-    downstream subject joins start co-distributed."""
+    zone.
+
+    ``n_write_tasks`` is the TOTAL repartition width (hash on
+    (pred, subj)); each predicate directory receives at most that many
+    files, written subj-hash-spread WITHIN the task set. Note this is
+    a directory layout, not Spark bucketing metadata — readers still
+    shuffle for subj joins; use ``write_bucketed_tables`` when
+    zero-Exchange subject joins are the goal."""
     out = triples.select("subj", "pred", "obj")
-    n = buckets_per_pred or max(out.sparkSession.sparkContext.defaultParallelism // 4, 1)
-    (out.repartition(n, F.col("pred"), F.col("subj"))
+    if n_write_tasks is None:
+        n_write_tasks = max(
+            out.sparkSession.sparkContext.defaultParallelism // 4, 1)
+    if n_write_tasks < 1:
+        raise ValueError(f"n_write_tasks must be >= 1, got {n_write_tasks}")
+    (out.repartition(n_write_tasks, F.col("pred"), F.col("subj"))
      .write.mode("overwrite").partitionBy("pred").parquet(path))
 
 

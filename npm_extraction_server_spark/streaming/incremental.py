@@ -307,7 +307,8 @@ def stream_interval_join(spark: SparkSession, views_dir: str,
                          purchases_dir: str, out_dir: str,
                          checkpoint_dir: str,
                          within: str = "1 hour",
-                         watermark_delay: str = "30 minutes"):
+                         watermark_delay: str = "30 minutes",
+                         max_files_per_trigger: int = 64):
     """Watermarked STREAM-STREAM interval join — the attribution query
     (which view led to this purchase?) as two unbounded inputs: each
     purchase joins every view by the same user in the preceding
@@ -336,16 +337,21 @@ def stream_interval_join(spark: SparkSession, views_dir: str,
         StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
     ])
+    # max_files_per_trigger trades per-micro-batch fixed cost (state
+    # checkpoint + commit) against watermark granularity; tests pass 1
+    # to force multi-batch behavior, production wants a big batch
     views = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(views_dir)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(views_dir)
         .withWatermark("ts", watermark_delay)
         .select(F.col("user_id").alias("v_user"),
                 F.col("ts").alias("v_ts"),
                 F.col("event_id").alias("view_id")))
     purchases = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(purchases_dir)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(purchases_dir)
         .withWatermark("ts", watermark_delay)
         .select(F.col("user_id").alias("p_user"),
                 F.col("ts").alias("p_ts"),

@@ -524,7 +524,8 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
             .write.parquet(str(d))
 
     q = stream_interval_join(spark, str(vdir), str(pdir),
-                             str(tmp_path / "out"), str(tmp_path / "ck"))
+                             str(tmp_path / "out"), str(tmp_path / "ck"),
+                             max_files_per_trigger=1)
     assert q.awaitTermination(300), "stream did not drain"
 
     got = {(r["view_id"], r["purchase_id"])

@@ -294,7 +294,7 @@ def test_bgp_over_pred_partitioned_prunes(spark, tmp_path):
          ("s2", "name", "b"), ("s2", "other", "x")],
         "subj string, pred string, obj string")
     path = str(tmp_path / "tp")
-    write_triples_by_pred(t, path, buckets_per_pred=1)
+    write_triples_by_pred(t, path, n_write_tasks=1)
     tt = spark.read.parquet(path)
     out = bgp_join(tt, [("?m", "name", "?n"), ("?m", "rev", "?r")])
     plan = _plan(out)
