@@ -166,7 +166,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_verified", "dedup_simhash_verified", "dedup_embedding",
     # text / retrieval
     "text_bpe_tokens", "text_tfidf_topk", "text_bm25_topk",
-    "text_decontaminate",
+    "text_decontaminate", "text_unigram_ppl",
     # similarity
     "sim_cosine_topk", "sim_lsh_verified", "sim_ivf_verified",
     # graph
@@ -179,7 +179,7 @@ _PRIORITY: list[str] = [
     # sketches
     "sketch_distinct", "sketch_hll", "sketch_heavy_hitters",
     # sampling / packing / curation
-    "sample_split", "pack_tokens_bpe", "corpus_curation",
+    "pack_tokens_bpe", "corpus_curation",
     # KG pipeline + sources + BGP/closure query layer
     "kg_triples_doap", "kg_bgp_version_meta", "kg_bgp_dep_chain",
     "kg_transitive_deps", "semver_resolve", "kg_user_index", "tar_members",

@@ -840,6 +840,17 @@ def sketch_heavy_hitters(spark, sf):
                              min_count=80)
 
 
+def text_unigram_ppl(spark, sf):
+    """CCNet-style LM quality scoring (hard oracle): Laplace-smoothed
+    unigram model fit on the corpus, every document scored by mean
+    token log-prob, corpus split into 3 quality tiers (head/middle/
+    tail). Deterministic via the 8-dp ln grid + decimal sums; tier
+    ties break on doc_id."""
+    from .text import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf, "documents"), n_buckets=3)
+
+
 def text_tfidf_topk(spark, sf):
     """Lexical retrieval: top-20 documents by TF-IDF for a fixed query
     (hard oracle: identical idf grid + decimal tf*idf sums in DuckDB;
@@ -1212,6 +1223,7 @@ SPARK_QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_span_dedup": text_span_dedup,
     "text_decontaminate": text_decontaminate,
+    "text_unigram_ppl": text_unigram_ppl,
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_topk": text_bm25_topk,
     "text_repetition": text_repetition,
@@ -2065,6 +2077,34 @@ ORACLE_SQL = {
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id >= 150 AND doc_id < 340
+    """,
+    "text_unigram_ppl": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        tot AS (SELECT sum(c)::DOUBLE AS n_total,
+                       count(*)::DOUBLE AS v_size
+                FROM counts),
+        logp AS (
+            SELECT w,
+                   round(ln((c::DOUBLE + 1.0)
+                         / ((SELECT n_total FROM tot)
+                            + (SELECT v_size FROM tot))), 8) AS lp
+            FROM counts
+        ),
+        scored AS (
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(cast(sum(cast(lp AS DECIMAL(28,8))) AS DOUBLE)
+                         / count(*)::DOUBLE, 6) AS avg_logprob
+            FROM toks JOIN logp USING (w) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, avg_logprob,
+               ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)::INT
+                   AS bucket
+        FROM scored
     """,
     "text_tfidf_topk": """
         WITH words AS (

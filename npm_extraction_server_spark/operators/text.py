@@ -479,3 +479,56 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return (top.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", "rank"))
+
+
+def unigram_logprob_scores(documents: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_buckets: int = 3) -> DataFrame:
+    """CCNet-style language-model quality scoring: a unigram LM is fit
+    on the corpus itself (Laplace-smoothed word frequencies) and every
+    document is scored by its mean token log-probability —
+    low-probability-token documents (gibberish, boilerplate soup,
+    wrong-language residue) sink to the tail. ``bucket`` splits the
+    corpus into ``n_buckets`` quality tiers by score (CCNet's
+    head/middle/tail), tie-broken on the id for determinism.
+
+    Returns (id_col, n_tokens, avg_logprob, bucket) for documents with
+    >= 1 token; bucket 1 = highest mean log-prob (the "head").
+
+    Shape at 100 TB: tokenize+explode -> one word-count aggregation
+    (the LM — vocabulary-sized, partial-aggregated map-side) -> join
+    scores back on the word key (vocab skew is Zipfian, exactly what
+    AQE skew-join handles; the head of the vocabulary dominates rows
+    but each word row carries one float) -> one per-doc aggregation.
+    No driver actions: corpus totals fold in as a broadcast 1-row
+    aggregate, the same trick as bm25_topk.
+
+    Cross-engine determinism: counts are exact integers; ln of the
+    smoothed probability is 8-dp-grid-rounded; per-doc sums use the
+    decimal protocol; the final mean is one correctly-rounded double
+    division re-rounded to 6 dp. The DuckDB oracle replays the exact
+    computation (suite 'text_unigram_ppl')."""
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("v_size"))
+    logp = (counts.crossJoin(F.broadcast(totals))
+            .select("w", F.round(F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (F.col("n_total") + F.col("v_size"))), 8)
+                .alias("lp")))
+    scored = (
+        toks.join(logp, "w")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(
+                 F.sum(F.col("lp").cast("decimal(28,8)")).cast("double")
+                 / F.count("*").cast("double"), 6).alias("avg_logprob")))
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))

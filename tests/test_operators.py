@@ -874,3 +874,26 @@ def test_bloom_null_values_are_not_members(spark):
     kept = bloom_might_contain(bits, members, "grp", "v",
                                n_slots=24, k=4).collect()
     assert sorted(r["v"] for r in kept) == [1, 2]  # nulls out, members in
+
+
+def test_unigram_logprob_ranks_gibberish_to_tail(spark):
+    """LM quality scoring semantics: documents made of corpus-common
+    words score higher mean log-prob than a gibberish document of
+    hapax tokens; buckets follow the score order (1 = head)."""
+    from npm_extraction_server_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, common) for i in range(8)]
+    docs.append((100, "zqxv jkwp mblr ggyh qqzz wvnp"))  # hapax soup
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_logprob_scores(df, n_buckets=3).collect()}
+    assert all(out[i]["avg_logprob"] > out[100]["avg_logprob"]
+               for i in range(8))
+    assert out[100]["bucket"] == 3 and out[0]["bucket"] == 1
+    # deterministic across runs
+    again = {r["doc_id"]: r["avg_logprob"] for r in
+             unigram_logprob_scores(df, n_buckets=3).collect()}
+    assert again == {k: v["avg_logprob"] for k, v in out.items()}
