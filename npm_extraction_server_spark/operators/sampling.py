@@ -107,3 +107,46 @@ def pack_sequences_sharded(documents: DataFrame, budget: int = 2048,
                             / F.lit(budget)).cast("bigint"))
         .select(key_col, "shard", "n_tokens", "cum_tokens", "bin_id")
     )
+
+
+def resample_to_mix(documents: DataFrame, targets: dict[str, float],
+                    domain_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic DOMAIN-MIX resampling — the data-mixing op every
+    LLM corpus recipe needs (web 60% / code 30% / papers 10%, ...):
+    sample each domain at the rate that realizes the target
+    proportions with MAXIMUM retention. T = min_s(n_s / t_s) is the
+    largest achievable output size; the limiting domain keeps 100%
+    and every other domain keeps rate t_s*T/n_s. Domains absent from
+    ``targets`` are dropped (weight 0).
+
+    Membership is a pure function of the row key (md5 threshold, the
+    repo's standard no-RNG sampling): reproducible on any
+    partitioning, stable under reruns, and cross-engine verifiable —
+    the DuckDB oracle selects the IDENTICAL row set, not just the
+    same counts. The per-domain rates come from one tiny aggregate
+    broadcast back; the filter itself is a scan-level projection.
+
+    Returns the kept (id_col, domain_col) rows."""
+    spark = documents.sparkSession
+    if not targets or any(t <= 0 for t in targets.values()):
+        raise ValueError("targets must be a non-empty {domain: frac>0} map")
+    tgt = spark.createDataFrame(
+        [(d, float(t)) for d, t in targets.items()],
+        f"{domain_col} string, t double")
+    cnt = documents.groupBy(domain_col).agg(F.count("*").alias("n"))
+    rates0 = (cnt.join(F.broadcast(tgt), domain_col)
+              .withColumn("cap", F.col("n").cast("double") / F.col("t")))
+    tmin = rates0.agg(F.min("cap").alias("tcap"))
+    rates = (rates0.crossJoin(F.broadcast(tmin))
+             .select(domain_col,
+                     F.floor(F.col("t") * F.col("tcap")
+                             / F.col("n").cast("double")
+                             * F.lit(float(1 << 48)))
+                     .cast("long").alias("thr")))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+        1, 12), 16, 10).cast("long")
+    return (documents.join(F.broadcast(rates), domain_col)
+            .filter(h < F.col("thr"))
+            .select(id_col, domain_col))

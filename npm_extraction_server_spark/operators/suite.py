@@ -787,6 +787,17 @@ def sketch_hll(spark, sf):
                         p=8)
 
 
+def sample_domain_mix(spark, sf):
+    """Deterministic domain-mix resampling (hard oracle: the md5
+    threshold selects the IDENTICAL row set in DuckDB): target mix
+    src1:60% / src2:30% / src3:10% realized at maximum retention —
+    the limiting domain keeps everything, the rest downsample."""
+    from .sampling import resample_to_mix
+
+    return resample_to_mix(_t(spark, sf, "documents"),
+                           {"src1": 0.6, "src2": 0.3, "src3": 0.1})
+
+
 def sketch_bloom(spark, sf):
     """Per-event-type Bloom filter over user_id as a (grp, slot, bits)
     long table (hard oracle: md5 hash positions + exact integer bit_or
@@ -1249,6 +1260,7 @@ SPARK_QUERIES = {
     "sketch_distinct": sketch_distinct,
     "sketch_hll": sketch_hll,
     "sketch_bloom": sketch_bloom,
+    "sample_domain_mix": sample_domain_mix,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
@@ -2034,6 +2046,25 @@ ORACLE_SQL = {
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,
     "sketch_hll": _hll_oracle(8),
+    "sample_domain_mix": """
+        WITH tgt(source, t) AS (
+            VALUES ('src1', 0.6), ('src2', 0.3), ('src3', 0.1)),
+        cnt AS (SELECT source, count(*) AS n FROM documents
+                GROUP BY source),
+        rates0 AS (SELECT c.source, c.n, g.t, c.n::DOUBLE / g.t AS cap
+                   FROM cnt c JOIN tgt g USING (source)),
+        tm AS (SELECT min(cap) AS tcap FROM rates0),
+        rates AS (SELECT source,
+                         cast(floor(t * (SELECT tcap FROM tm) / n::DOUBLE
+                                    * 281474976710656.0) AS BIGINT) AS thr
+                  FROM rates0),
+        h AS (SELECT doc_id, source,
+                     ('0x' || substr(md5('mix:' || doc_id), 1, 12))
+                         ::UBIGINT::BIGINT AS hv
+              FROM documents)
+        SELECT h.doc_id, h.source
+        FROM h JOIN rates USING (source) WHERE hv < thr
+    """,
     "sketch_bloom": """
         WITH rows AS (
             SELECT event_type AS grp, user_id::VARCHAR AS v, i

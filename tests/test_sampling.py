@@ -114,3 +114,35 @@ def test_pack_sequences_bpe_mode(spark):
     for did, r in packed.items():
         assert r["n_tokens"] == counts[did]
         assert (r["cum_tokens"] - r["n_tokens"]) // 32 == r["bin_id"]
+
+
+def test_resample_to_mix_proportions_and_determinism(spark):
+    """Domain-mix resampling: realized proportions approach the target
+    (hash-exact, not RNG), the limiting domain keeps ~everything,
+    unlisted domains drop entirely, and membership is stable across
+    reruns/partitionings."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.operators.sampling import resample_to_mix
+
+    rows = [(i, f"d{i % 4}") for i in range(4000)]  # 1000 per domain
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"d0": 0.5, "d1": 0.3, "d2": 0.2}
+    out = resample_to_mix(df, targets)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "d3" not in got                      # unlisted -> dropped
+    # T = min(1000/.5, 1000/.3, 1000/.2) = 2000; expected 1000/600/400
+    assert got["d0"] > 950                      # limiting domain ~100%
+    total = sum(got.values())
+    for d, t in targets.items():
+        assert abs(got[d] / total - t) < 0.05   # realized mix near target
+
+    again = set(r["doc_id"] for r in
+                resample_to_mix(df.repartition(13), targets).collect())
+    assert again == set(r["doc_id"] for r in out.collect())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="frac"):
+        resample_to_mix(df, {"d0": 0.0})
