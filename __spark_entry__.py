@@ -163,7 +163,7 @@ _PRIORITY: list[str] = [
     "a2_last_write_wins", "w4_running_sum", "q1_pricing_summary",
     "q18_large_orders", "events_session_window",
     # dedup family
-    "dedup_minhash_verified", "dedup_simhash_verified", "dedup_embedding",
+    "dedup_minhash_verified", "dedup_simhash_verified", "dedup_clusters",
     # text / retrieval
     "text_bpe_tokens", "text_tfidf_topk", "text_bm25_topk",
     "text_decontaminate", "text_unigram_ppl",

@@ -504,6 +504,30 @@ def dedup_minhash_verified(spark, sf):
     return minhash_verified_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def dedup_clusters(spark, sf):
+    """Near-dup CLUSTERS, not just pairs — the form a curation
+    pipeline actually consumes: verified MinHash pairs (== the exact
+    Jaccard>=0.5 set) closed into connected components, cluster id =
+    min member, survivor = the canonical doc to keep. Composes the
+    dedup family with the CC engine; hard oracle closes the exact
+    pair set with a recursive CTE."""
+    from ..plans.linking import connected_components
+    from .dedup import minhash_verified_pairs
+
+    pairs = minhash_verified_pairs(_t(spark, sf, "documents"),
+                                   threshold=0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    verts = (edges.select(F.col("src").alias("entity_iri"))
+             .unionByName(edges.select(F.col("dst").alias("entity_iri")))
+             .distinct())
+    cc = connected_components(verts, edges)
+    return cc.select(
+        F.col("entity_iri").alias("doc_id"),
+        F.col("canonical_id").alias("cluster_id"),
+        (F.col("entity_iri") == F.col("canonical_id")).alias("is_survivor"))
+
+
 def dedup_simhash(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
 
@@ -1222,6 +1246,7 @@ SPARK_QUERIES = {
     "dedup_ngram": dedup_ngram,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verified": dedup_minhash_verified,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_verified": dedup_simhash_verified,
     "dedup_simhash_report": dedup_simhash_report,
@@ -2029,6 +2054,20 @@ ORACLE_SQL = {
         WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.05
     """,
     "dedup_minhash_verified": _EXACT_JACCARD_SQL_TMPL.format(threshold=0.5),
+    "dedup_clusters": (
+        "WITH RECURSIVE ep AS (" + _EXACT_JACCARD_SQL_TMPL.format(threshold=0.5)
+        + """),
+    e0 AS (SELECT doc_a AS src, doc_b AS dst FROM ep
+           UNION ALL SELECT doc_b, doc_a FROM ep),
+    reach(node, lbl) AS (
+        SELECT src, src FROM e0
+        UNION
+        SELECT e0.dst, r.lbl FROM reach r JOIN e0 ON e0.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_survivor
+    FROM reach GROUP BY node
+    """),
     "dedup_simhash_verified": _EXACT_JACCARD_SQL_TMPL.format(threshold=0.9),
     "sim_lsh_verified": _ANN_VERIFIED_SQL,
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
