@@ -186,27 +186,21 @@ RESIZE_SCHEMA = T.StructType([
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   decode_backend: str = "fake") -> DataFrame:
-    """Image resize. ``decode_backend='real'`` does a REAL
-    nearest-neighbor resample for BMP blobs (stdlib codec below) and
-    yields a null payload for formats whose codecs aren't in this
-    container (JPEG/PNG); ``'fake'`` emits the deterministic
-    sha-derived stub payload for every image row."""
+    """Image resize. ``decode_backend='real'`` DELEGATES to
+    :func:`resize_bmp_images` (one real BMP-resample implementation in
+    this module — including its eager geometry validation) and adapts
+    to this function's legacy schema: null payload for formats whose
+    codecs aren't in the container (JPEG/PNG). ``'fake'`` emits the
+    deterministic sha-derived stub payload for every image row."""
+    if decode_backend == "real":
+        out = resize_bmp_images(media, width, height)
+        return out.select(
+            "media_id",
+            F.lit(width).alias("width"), F.lit(height).alias("height"),
+            F.when(F.col("ok"), F.col("payload")).alias("payload"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_backend == "real":
-                outs = []
-                for p in pdf["payload"]:
-                    try:
-                        outs.append(resize_bmp(bytes(p or b""), width, height))
-                    except Exception:  # noqa: BLE001 — non-BMP image
-                        outs.append(None)
-                yield pd.DataFrame({
-                    "media_id": pdf["media_id"],
-                    "width": width, "height": height,
-                    "payload": outs,
-                })
-                continue
             thumbs = [
                 hashlib.sha256(bytes(p or b"") + b"resize").digest()[: width * height // 128]
                 for p in pdf["payload"]

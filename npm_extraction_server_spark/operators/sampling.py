@@ -137,6 +137,17 @@ def resample_to_mix(documents: DataFrame, targets: dict[str, float],
     cnt = documents.groupBy(domain_col).agg(F.count("*").alias("n"))
     rates0 = (cnt.join(F.broadcast(tgt), domain_col)
               .withColumn("cap", F.col("n").cast("double") / F.col("t")))
+    # every requested domain must exist in the corpus: the inner join
+    # would otherwise silently DROP a missing domain from the rate
+    # computation and return a mix with a whole domain absent and the
+    # remaining proportions wrong. One tiny action (bounded by the
+    # number of domains), worth the corruption it prevents.
+    present = {r[domain_col] for r in rates0.select(domain_col).collect()}
+    missing = set(targets) - present
+    if missing:
+        raise ValueError(
+            f"resample_to_mix: target domains {sorted(missing)} have no "
+            "rows in the corpus — the requested mix is unrealizable")
     tmin = rates0.agg(F.min("cap").alias("tcap"))
     rates = (rates0.crossJoin(F.broadcast(tmin))
              .select(domain_col,

@@ -274,9 +274,15 @@ def bloom_might_contain(bits: DataFrame, df: DataFrame, group_col: str,
                                .bitwiseAND(F.col("mask"))
                                == F.col("mask")).cast("int"))
            .groupBy("grp", "v").agg(F.min("_ok").alias("_all")))
+    # NOTE: `keep` is probe-sized (it shrinks with the filter's TRUE
+    # REJECTION rate, not with the sketch) — on a saturated filter it
+    # approaches the probe's full distinct-value set, so it must NOT
+    # carry a broadcast hint; only the bits table above is guaranteed
+    # sketch-sized. AQE will still broadcast `keep` at runtime when it
+    # actually is small.
     keep = hit.filter(F.col("_all") == 1).select(
         F.col("grp").alias("_g"), F.col("v").alias("_v"))
-    return (df.join(F.broadcast(keep),
+    return (df.join(keep,
                     (df[group_col] == keep["_g"])
                     & (df[value_col].cast("string") == keep["_v"]))
             .drop("_g", "_v"))

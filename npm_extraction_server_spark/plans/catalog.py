@@ -36,8 +36,8 @@ def register_corpus(spark: SparkSession, sf_dir: str) -> None:
     would be pure waste. Switching sf_dir re-registers, since the
     view NAMES are shared and must not go stale."""
     if (_REGISTERED.get(spark) == sf_dir
-            and spark.catalog.tableExists(TABLES[0])):
-        return
+            and all(spark.catalog.tableExists(t) for t in TABLES)):
+        return  # all views present and pointing at this sf_dir
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet") \
             .createOrReplaceTempView(t)

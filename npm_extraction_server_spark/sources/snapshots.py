@@ -751,7 +751,14 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
             # very file holding the key, leaving the stale row next to
             # the insert. BinaryType comparison is always unsigned
             # bytewise — collation-proof.
-            if dict(updates.dtypes)[key] == "string":
+            from pyspark.sql.types import StringType
+
+            # type check via the schema object, NOT the dtype string:
+            # under a non-default session collation the dtype renders
+            # as "string collate UTF8_LCASE" and an exact-string match
+            # would silently fall through to the collated compare —
+            # the very divergence this branch exists to prevent
+            if isinstance(updates.schema[key].dataType, StringType):
                 k = F.encode(F.col("_k"), "UTF-8")
                 lo, hi = (F.encode(F.col("_lo"), "UTF-8"),
                           F.encode(F.col("_hi"), "UTF-8"))

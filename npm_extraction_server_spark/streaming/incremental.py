@@ -279,10 +279,27 @@ def stream_upsert_to_snapshots(spark: SparkSession, updates_dir: str,
                 return  # replayed epoch of THIS stream
         batch = batch_df
         if order_col is not None:
-            # deterministic LWW: order_col desc, then every remaining
-            # payload column ascending (the partition key would be a
-            # constant within the window — useless as a tie-break)
-            payload = [c for c in batch.columns if c not in (key, order_col)]
+            # deterministic LWW: order_col desc, then every ORDERABLE
+            # remaining payload column ascending (the partition key
+            # would be a constant within the window — useless as a
+            # tie-break; map columns are unorderable in Spark and
+            # would fail analysis, so they are excluded — ties that
+            # differ ONLY in unorderable columns remain best-effort)
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            def _orderable(dt) -> bool:
+                if isinstance(dt, MapType):
+                    return False
+                if isinstance(dt, ArrayType):
+                    return _orderable(dt.elementType)
+                if isinstance(dt, StructType):
+                    return all(_orderable(f.dataType) for f in dt.fields)
+                return True
+
+            payload = [
+                c for c in batch.columns
+                if c not in (key, order_col)
+                and _orderable(batch.schema[c].dataType)]
             w = Window.partitionBy(key).orderBy(
                 F.col(order_col).desc(), *[F.col(c) for c in payload])
             batch = (batch.withColumn("_rn", F.row_number().over(w))
