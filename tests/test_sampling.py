@@ -146,3 +146,16 @@ def test_resample_to_mix_proportions_and_determinism(spark):
 
     with pytest.raises(ValueError, match="frac"):
         resample_to_mix(df, {"d0": 0.0})
+
+
+def test_resample_to_mix_rejects_missing_domain(spark):
+    """A target domain absent from the corpus must raise — the inner
+    join would otherwise silently drop it and skew the whole mix."""
+    import pytest
+
+    from npm_extraction_server_spark.operators.sampling import resample_to_mix
+
+    df = spark.createDataFrame([(1, "web"), (2, "code")],
+                               "doc_id long, source string")
+    with pytest.raises(ValueError, match="papers"):
+        resample_to_mix(df, {"web": 0.5, "code": 0.3, "papers": 0.2})
