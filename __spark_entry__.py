@@ -63,6 +63,7 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str, limit: int | None = 
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from npm_extraction_server_spark.sources.synth import (
+            outlinks_footer,
             synth_jsonld_blob,
             synth_microdata,
             synth_package,
@@ -82,7 +83,9 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str, limit: int | None = 
                        + jsonlib.dumps(synth_jsonld_blob(i), separators=(",", ":"))
                        + "</script>" if i % 3 == 0 else "")
                     + (synth_microdata(i) if i % 4 == 0 else "")
-                    + f"<article>{text}</article></body></html>"
+                    + f"<article>{text}</article>"
+                    + outlinks_footer(i)
+                    + "</body></html>"
                 ).encode("utf-8")
                 rows.append((
                     f"http://crawl.example.org/{i % 100}/doc-{i}",
@@ -128,6 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_version_meta": _kg_bgp_version_meta,
         "kg_bgp_dep_chain": _kg_bgp_dep_chain,
         "kg_transitive_deps": _kg_transitive_deps,
+        "web_outlinks": _web_outlinks,
+        "web_host_degree": _web_host_degree,
+        "web_cocitation": _web_cocitation,
+        "web_host_pagerank": _web_host_pagerank,
     }
 
     def _wrap(fn):
@@ -171,8 +178,11 @@ _PRIORITY: list[str] = [
     "sim_cosine_topk", "sim_lsh_verified", "sim_ivf_verified",
     # graph
     "graph_components", "graph_components_incr", "graph_bfs",
-    "graph_pagerank", "graph_pagerank_dangling", "graph_ppr",
-    "graph_sssp", "graph_labelprop", "graph_kcore", "graph_triangles",
+    "graph_pagerank", "graph_pagerank_dangling",
+    "graph_sssp", "graph_labelprop", "graph_kcore",
+    # web link graph (graph_ppr / graph_triangles moved to the tail —
+    # long-green siblings — to keep the head at 50 with the new family)
+    "web_outlinks", "web_host_pagerank",
     # lakehouse snapshots
     "snap_incremental", "snap_stats_prune", "snap_merge_upsert",
     "snap_changelog",
@@ -218,7 +228,11 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_version_meta": _KG_BGP_VERSION_META_ORACLE,
             "kg_bgp_dep_chain": _KG_BGP_DEP_CHAIN_ORACLE,
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
-            "kg_incremental": _KG_INCREMENTAL_ORACLE}
+            "kg_incremental": _KG_INCREMENTAL_ORACLE,
+            "web_outlinks": _WEB_OUTLINKS_ORACLE,
+            "web_host_degree": _WEB_HOST_DEGREE_ORACLE,
+            "web_cocitation": _WEB_COCITATION_ORACLE,
+            "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -397,6 +411,157 @@ def _kg_transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (versions.filter(F.col("pkg").isin(seed_pkgs))
              .select(F.concat_ws("@", "pkg", "version").alias("node_id")))
     return bfs_distances(seeds, dep_edges)
+
+
+# --- web link-graph family (extract/links.py) -----------------------------
+# The html footer carries 2-5 deterministic outlinks per page with a
+# hub-host skew (sources/synth.synth_outlinks); pages with i % 4 == 0
+# additionally carry the microdata anchor (synth_microdata). Both are
+# pure functions of doc_id, so DuckDB re-derives the exact link set:
+
+_WEB_LINKS_CTE = """
+lh AS (
+    SELECT doc_id AS i,
+           ('0x' || substr(sha256('links:' || doc_id), 1, 16))::UBIGINT AS hl
+    FROM documents WHERE doc_id < {hi}
+),
+slots AS (
+    SELECT i, v AS j FROM lh,
+    unnest(generate_series(0, (2 + hl % 4)::INT - 1)) AS t(v)
+),
+nav AS (
+    SELECT i,
+           (CASE WHEN t % 10 < 6 THEN 'hub' || (t % 3)
+                 ELSE 'site' || ((t >> 4) % 40) END) || '.example.org' AS dst_host,
+           (t % 1000) AS pid
+    FROM (SELECT i,
+                 ('0x' || substr(sha256('lnk:' || (i*100 + j)), 1, 16))::UBIGINT AS t
+          FROM slots)
+),
+links AS (
+    SELECT 'http://crawl.example.org/' || (i % 100) || '/doc-' || i AS url,
+           'http://' || dst_host || '/p/' || pid AS dst_url,
+           dst_host
+    FROM nav
+    UNION ALL
+    SELECT 'http://crawl.example.org/' || (i % 100) || '/doc-' || i,
+           'http://people.example.org/' || pid,
+           'people.example.org'
+    FROM (SELECT doc_id AS i,
+                 ('0x' || substr(sha256('md:' || doc_id), 1, 16))::UBIGINT
+                 % 1000 AS pid
+          FROM documents WHERE doc_id < {hi} AND doc_id % 4 = 0)
+)
+"""
+
+_WEB_HI = 300  # pages 0..299 exist at every sf (documents has >= 500 rows)
+
+_WEB_OUTLINKS_ORACLE = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI)
+                        + "SELECT url, dst_url, dst_host FROM links")
+
+_WEB_HOST_DEGREE_ORACLE = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI) + """
+SELECT dst_host, count(*)::BIGINT AS n_links,
+       count(DISTINCT url)::BIGINT AS n_pages
+FROM links GROUP BY dst_host""")
+
+_WEB_COCITATION_CTE = _WEB_LINKS_CTE.format(hi=_WEB_HI) + """,
+hosts AS (SELECT DISTINCT url, dst_host FROM links),
+co AS (
+    SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+           count(*)::BIGINT AS weight
+    FROM hosts a JOIN hosts b
+      ON a.url = b.url AND a.dst_host < b.dst_host
+    GROUP BY 1, 2
+)
+"""
+
+_WEB_COCITATION_ORACLE = ("WITH " + _WEB_COCITATION_CTE
+                          + "SELECT host_a, host_b, weight FROM co")
+
+
+def _web_pagerank_oracle(iterations: int = 5) -> str:
+    """plans/graph.pagerank(normalized=False) unrolled over the
+    symmetrized host co-citation graph: init rank 1.0, teleport
+    round(1-0.85, 12) = 0.15 — no |V| literal needed, so the oracle
+    holds for any data-dependent host count. Same 12-decimal
+    contribution grid + exact decimal(28,12) inflow sum as
+    operators/suite._pagerank_sql; the symmetric graph has no
+    dangling nodes by construction."""
+    sql = ("WITH " + _WEB_COCITATION_CTE + """,
+    e0 AS (SELECT host_a AS src, host_b AS dst FROM co
+           UNION ALL SELECT host_b, host_a FROM co),
+    deg AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src),
+    adj AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src)),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    r0 AS (SELECT node_id, 1.0::DOUBLE AS rank FROM nodes)""")
+    for k in range(1, iterations + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT n.node_id,
+               round(0.15 + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT a.dst,
+                   cast(sum(cast(round(r.rank / a.out_deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+            FROM adj a JOIN r{k - 1} r ON r.node_id = a.src
+            GROUP BY a.dst) s ON s.dst = n.node_id)"""
+    sql += f"""
+    SELECT node_id AS host, round(rank, 8) AS rank FROM r{iterations}"""
+    return sql
+
+
+_WEB_HOST_PAGERANK_ORACLE = _web_pagerank_oracle(5)
+
+
+def _web_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from npm_extraction_server_spark.extract.links import outlinks
+
+    return outlinks(_pages_from_documents(spark, sf_dir, limit=_WEB_HI))
+
+
+def _web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor outlink extraction from raw html — pure JVM regex
+    (regexp_extract_all + explode; the html column never reaches a
+    Python worker). Hard oracle: the sha256-replica link derivation
+    (_WEB_LINKS_CTE)."""
+    return _web_links_df(spark, sf_dir).select("url", "dst_url", "dst_host")
+
+
+def _web_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level in-degree over extracted links: anchor count +
+    distinct citing pages per destination host. The hub hosts absorb
+    ~60% of all links (deliberate power-law head) — map-side partial
+    aggregation collapses the skew before the shuffle."""
+    from npm_extraction_server_spark.extract.links import host_degree
+
+    return host_degree(_web_links_df(spark, sf_dir))
+
+
+def _web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation projection: hosts a < b weighted by the number
+    of pages citing both. Implemented with a per-page collect_set +
+    JVM array pair-expansion (no self-join, no Python): the k*(k-1)/2
+    blowup happens AFTER the per-page aggregate, bounded by
+    links-per-page."""
+    from npm_extraction_server_spark.extract.links import cocitation
+
+    return cocitation(_web_links_df(spark, sf_dir))
+
+
+def _web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized host co-citation graph
+    (normalized=False: init 1, teleport 0.15 — constants free of |V|,
+    which is data-dependent here). Hard oracle: the unrolled power
+    iteration on the same decimal grid, bit-exact."""
+    from npm_extraction_server_spark.extract.links import cocitation
+    from npm_extraction_server_spark.plans.graph import pagerank
+
+    co = cocitation(_web_links_df(spark, sf_dir))
+    edges = (co.select(F.col("host_a").alias("src"), F.col("host_b").alias("dst"))
+             .unionByName(co.select(F.col("host_b").alias("src"),
+                                    F.col("host_a").alias("dst"))))
+    ranks = pagerank(edges, iterations=5, normalized=False)
+    return ranks.select(F.col("node_id").alias("host"), "rank")
 
 
 # --- rows-only KG queries -------------------------------------------------

@@ -80,12 +80,18 @@ def _run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
 def _write_bench_pages(n_pages: int) -> str:
     """Materialize the synthetic pages corpus once (the measured runs
     then start from a parquet scan — the north-star input shape)."""
+    import hashlib
     import tempfile
 
     from npm_extraction_server_spark.plans.session import get_spark
     from npm_extraction_server_spark.sources.pages import pages_df, write_pages
+    from npm_extraction_server_spark.sources.synth import synth_page
 
-    out = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_pages}")
+    # cache key includes a generator fingerprint: a change to the
+    # synthetic html (e.g. the round-4 outlink footer) must invalidate
+    # the cached corpus, not silently reuse the old bytes
+    tag = hashlib.sha256(synth_page(0)["html"]).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"bench_pages_{n_pages}_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         spark = get_spark(app="bench-gen", master=f"local[{CPUS}]")
         write_pages(pages_df(spark, n_pages, partitions=CPUS * 2), out)
@@ -157,10 +163,28 @@ def main() -> None:
 
     sampler = _StealSampler()
     sampler.__enter__()
+    pages_dir = _write_bench_pages(SCALE_PAGES)
     spark = get_spark(app="bench", master=f"local[{CPUS}]")
     t0 = time.monotonic()
     warm, cold = _run_queries(spark)
     total = round(time.monotonic() - t0, 3)
+
+    # link-graph extraction throughput: the Common-Crawl map job
+    # (html -> anchors -> host degrees) over the full bench corpus —
+    # JVM-only regex path, so this measures codegen scan throughput,
+    # not Python
+    from npm_extraction_server_spark.extract.links import host_degree, outlinks
+
+    def _links_job() -> float:
+        t = time.monotonic()
+        host_degree(outlinks(spark.read.parquet(pages_dir))).count()
+        return time.monotonic() - t
+
+    lg_cold = _links_job()
+    lg_warm = min(_links_job() for _ in range(2))
+    linkgraph = {"pages": SCALE_PAGES, "cold_s": round(lg_cold, 3),
+                 "warm_s": round(lg_warm, 3),
+                 "pages_per_sec": round(SCALE_PAGES / lg_warm, 1)}
     spark.stop()
 
     # 1-core executors (spark.executor.cores=1): isolates executor
@@ -168,7 +192,6 @@ def main() -> None:
     # simulated executors — real cluster executors live on separate
     # machines. 2-core variant reproducible via scale_diag (see
     # BENCH/BASELINE.md for both).
-    pages_dir = _write_bench_pages(SCALE_PAGES)
     # 7 pass pairs: the round-3 host's intermittent CPU-steal bursts
     # can corrupt individual samples in either direction — a 7-sample
     # median stays honest with up to 3 burst-hit pairs (5 was marginal)
@@ -183,6 +206,7 @@ def main() -> None:
         "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg_scaling": scaling,
+        "web_linkgraph": linkgraph,
         "host_steal": sampler.summary(),
     }
     print(json.dumps(out))

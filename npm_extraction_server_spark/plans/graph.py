@@ -138,7 +138,8 @@ def _dangling_mass(ranks: DataFrame, dang: DataFrame) -> DataFrame:
 
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping: float = 0.85, out_scale: int = 8,
-             dangling: str = "redistribute") -> DataFrame:
+             dangling: str = "redistribute",
+             normalized: bool = True) -> DataFrame:
     """Fixed-iteration PageRank over a directed multigraph.
 
     ``edges``: (src, dst); parallel edges each carry their own share
@@ -200,8 +201,17 @@ def pagerank(edges: DataFrame, iterations: int = 5,
            .repartition(F.col("src")).persist())
     adj.count()
 
-    init = round(1.0 / n, _GRID)
-    teleport = round((1.0 - damping) / n, _GRID)
+    # normalized=False: the classic unnormalized formulation (init 1,
+    # teleport 1-d; ranks sum to |V|, the ordering is identical). Its
+    # constants don't involve |V|, so a cross-engine oracle needs no
+    # node-count literal — used by graphs whose size is data-dependent
+    # (e.g. the web host graph).
+    if normalized:
+        init = round(1.0 / n, _GRID)
+        teleport = round((1.0 - damping) / n, _GRID)
+    else:
+        init = 1.0
+        teleport = round(1.0 - damping, _GRID)
     ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
 
     try:

@@ -132,6 +132,30 @@ def synth_microdata(i: int) -> str:
     )
 
 
+def synth_outlinks(i: int) -> list:
+    """Deterministic outbound links for page #i: 2-5 anchors with a
+    deliberate hub-host skew (60% of links land on one of 3 hub hosts
+    — the Common-Crawl power-law head). Pure function of i so a DuckDB
+    oracle can re-derive the exact link set from doc_id alone
+    (sha256-replica pattern, see __spark_entry__._WEB_LINKS_CTE)."""
+    hl = _h(i, "links")
+    out = []
+    for j in range(2 + hl % 4):
+        t = _h(i * 100 + j, "lnk")
+        # site id from high bits: t%40 would be correlated with the
+        # t%10>=6 branch condition (only 16 residues reachable)
+        host = (f"hub{t % 3}.example.org" if t % 10 < 6
+                else f"site{(t >> 4) % 40}.example.org")
+        out.append(f"http://{host}/p/{t % 1000}")
+    return out
+
+
+def outlinks_footer(i: int) -> str:
+    return ("<nav>"
+            + "".join(f'<a href="{u}">out</a>' for u in synth_outlinks(i))
+            + "</nav>")
+
+
 def synth_page(i: int) -> dict:
     """Page #i: url, warc_ts, html (bytes), text, lang. The html embeds
     the package doc (and sometimes JSON-LD / microdata); the text column
@@ -156,7 +180,7 @@ def synth_page(i: int) -> dict:
         ]
     if h % 4 == 0:
         parts.append(synth_microdata(i))
-    parts += [f"<article>{text}</article>", "</body></html>"]
+    parts += [f"<article>{text}</article>", outlinks_footer(i), "</body></html>"]
     html = "".join(parts)
     ts_sec = 1500000000 + (h % 63072000)  # 2017..2019
     return {

@@ -1,0 +1,106 @@
+"""Web link-graph family (extract/links.py): extraction parity against
+an independent pure-Python recompute, co-citation pair math against
+brute force, unnormalized-PageRank mass conservation, and the
+JVM-only-plan guarantee for the extraction hot path."""
+
+import itertools
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_extraction_server_spark.extract.links import (
+    cocitation,
+    host_degree,
+    outlinks,
+)
+from npm_extraction_server_spark.sources.pages import pages_df, write_pages
+from npm_extraction_server_spark.sources.synth import _h, synth_outlinks
+
+N = 60
+
+
+def _expected_links(i: int) -> list[str]:
+    """Independent recompute: nav footer links + the microdata anchor
+    (pages_df gates it on _h(i,"page") % 4 — the driver-pages builder
+    in __spark_entry__ uses doc_id % 4 instead), which the generic
+    href regex also captures."""
+    out = []
+    if _h(i, "page") % 4 == 0:
+        out.append(f"http://people.example.org/{_h(i, 'md') % 1000}")
+    out.extend(synth_outlinks(i))
+    return out
+
+
+def _page_no(url: str) -> int:
+    return int(re.search(r"page-(\d+)$", url).group(1))
+
+
+def test_outlink_extraction_matches_recompute(spark):
+    got = outlinks(pages_df(spark, N, partitions=4)).collect()
+    by_page: dict[int, Counter] = {}
+    for r in got:
+        by_page.setdefault(_page_no(r.url), Counter())[r.dst_url] += 1
+        host = r.dst_url.split("/")[2]
+        assert r.dst_host == host
+    for i in range(N):
+        assert by_page.get(i, Counter()) == Counter(_expected_links(i)), i
+
+
+def test_host_degree_matches_brute_force(spark):
+    links = outlinks(pages_df(spark, N, partitions=4))
+    got = {r.dst_host: (r.n_links, r.n_pages)
+           for r in host_degree(links).collect()}
+    n_links: Counter = Counter()
+    pages_per_host: dict[str, set] = {}
+    for i in range(N):
+        for u in _expected_links(i):
+            h = u.split("/")[2]
+            n_links[h] += 1
+            pages_per_host.setdefault(h, set()).add(i)
+    expected = {h: (n_links[h], len(pages_per_host[h])) for h in n_links}
+    assert got == expected
+
+
+def test_cocitation_matches_brute_force(spark):
+    links = outlinks(pages_df(spark, N, partitions=4))
+    got = {(r.host_a, r.host_b): r.weight for r in cocitation(links).collect()}
+    expected: Counter = Counter()
+    for i in range(N):
+        hosts = sorted({u.split("/")[2] for u in _expected_links(i)})
+        for a, b in itertools.combinations(hosts, 2):
+            expected[(a, b)] += 1
+    assert got == dict(expected)
+
+
+def test_unnormalized_pagerank_conserves_mass(spark):
+    """normalized=False on a symmetric (sink-free) graph: ranks sum to
+    |V| within grid rounding, and the host ordering is sensible (hubs
+    on top — they absorb ~60% of links)."""
+    from npm_extraction_server_spark.plans.graph import pagerank
+
+    co = cocitation(outlinks(pages_df(spark, N, partitions=4)))
+    edges = (co.select(F.col("host_a").alias("src"), F.col("host_b").alias("dst"))
+             .unionByName(co.select(F.col("host_b").alias("src"),
+                                    F.col("host_a").alias("dst"))))
+    ranks = pagerank(edges, iterations=5, normalized=False).collect()
+    n = len(ranks)
+    total = sum(r.rank for r in ranks)
+    assert total == pytest.approx(n, abs=1e-4 * n)
+    top = max(ranks, key=lambda r: r.rank).node_id
+    assert top.startswith("hub")
+
+
+def test_outlink_plan_is_jvm_only_and_prunes_text(spark, tmp_path):
+    """The extraction hot path: no Python eval node anywhere (the html
+    bytes stay JVM-side), and the parquet scan reads only (url, html)
+    — text, the widest column, is pruned."""
+    pages_dir = str(tmp_path / "pages")
+    write_pages(pages_df(spark, 20, partitions=2), pages_dir)
+    df = outlinks(spark.read.parquet(pages_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "html" in read_schema and "text" not in read_schema
