@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_dep_chain": _kg_bgp_dep_chain,
         "kg_transitive_deps": _kg_transitive_deps,
         "web_outlinks": _web_outlinks,
+        "web_url_normalize": _web_url_normalize,
         "web_host_degree": _web_host_degree,
         "web_cocitation": _web_cocitation,
         "web_host_pagerank": _web_host_pagerank,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
             "web_outlinks": _WEB_OUTLINKS_ORACLE,
+            "web_url_normalize": _WEB_URL_NORMALIZE_ORACLE,
             "web_host_degree": _WEB_HOST_DEGREE_ORACLE,
             "web_cocitation": _WEB_COCITATION_ORACLE,
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE}
@@ -433,14 +435,19 @@ nav AS (
     SELECT i,
            (CASE WHEN t % 10 < 6 THEN 'hub' || (t % 3)
                  ELSE 'site' || ((t >> 4) % 40) END) || '.example.org' AS dst_host,
-           (t % 1000) AS pid
+           (t % 1000) AS pid,
+           (t % 7 = 0) AS messy,
+           (t % 10) AS frag
     FROM (SELECT i,
                  ('0x' || substr(sha256('lnk:' || (i*100 + j)), 1, 16))::UBIGINT AS t
           FROM slots)
 ),
 links AS (
     SELECT 'http://crawl.example.org/' || (i % 100) || '/doc-' || i AS url,
-           'http://' || dst_host || '/p/' || pid AS dst_url,
+           CASE WHEN messy
+                THEN 'HTTP://' || upper(dst_host) || ':80/p/' || pid
+                     || '#f' || frag
+                ELSE 'http://' || dst_host || '/p/' || pid END AS dst_url,
            dst_host
     FROM nav
     UNION ALL
@@ -477,6 +484,27 @@ co AS (
 
 _WEB_COCITATION_ORACLE = ("WITH " + _WEB_COCITATION_CTE
                           + "SELECT host_a, host_b, weight FROM co")
+
+# An INDEPENDENT DuckDB implementation of the normalization spec (not a
+# generator re-derivation): lowercase scheme+host, strip the scheme's
+# default port, drop the fragment, keep path+query bytes.
+_WEB_URL_NORMALIZE_ORACLE = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI) + """
+, raw AS (SELECT DISTINCT dst_url FROM links),
+parts AS (
+    SELECT dst_url,
+           lower(regexp_extract(dst_url, '(?i)^(https?)://', 1)) AS scheme,
+           lower(regexp_extract(dst_url, '(?i)^https?://([^/#?]+)', 1)) AS host,
+           regexp_extract(dst_url, '(?i)^https?://[^/#?]+([^#]*)', 1) AS rest
+    FROM raw
+)
+SELECT dst_url,
+       scheme || '://' ||
+       CASE WHEN scheme = 'http' AND host LIKE '%:80'
+                 THEN substr(host, 1, length(host) - 3)
+            WHEN scheme = 'https' AND host LIKE '%:443'
+                 THEN substr(host, 1, length(host) - 4)
+            ELSE host END || rest AS canonical_url
+FROM parts""")
 
 
 def _web_pagerank_oracle(iterations: int = 5) -> str:
@@ -525,6 +553,19 @@ def _web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python worker). Hard oracle: the sha256-replica link derivation
     (_WEB_LINKS_CTE)."""
     return _web_links_df(spark, sf_dir).select("url", "dst_url", "dst_host")
+
+
+def _web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over the distinct extracted hrefs — the
+    messy forms (uppercase scheme/host, explicit :80, fragments) fold
+    onto their canonical twins in one codegen projection. Hard oracle:
+    an independent DuckDB implementation of the same normalization
+    spec (not a generator re-derivation)."""
+    from npm_extraction_server_spark.extract.links import normalize_url
+
+    return (_web_links_df(spark, sf_dir)
+            .select("dst_url").distinct()
+            .withColumn("canonical_url", normalize_url("dst_url")))
 
 
 def _web_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:

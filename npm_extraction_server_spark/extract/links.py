@@ -25,14 +25,46 @@ from pyspark.sql import functions as F
 
 # any anchor, however many attributes precede href (double-quoted)
 _HREF_RE = r'<a[^>]*href="([^"]+)"'
-_HOST_RE = r"^https?://([^/]+)"
+# scheme is matched case-insensitively: crawled hrefs carry HTTP:// too
+_HOST_RE = r"(?i)^https?://([^/#?]+)"
+_SCHEME_RE = r"(?i)^(https?)://"
+_REST_RE = r"(?i)^https?://[^/#?]+([^#]*)"
+
+
+def _strip_default_port(scheme, host):
+    return (
+        F.when((scheme == F.lit("http")) & host.endswith(":80"),
+               F.substring(host, F.lit(1), F.length(host) - 3))
+        .when((scheme == F.lit("https")) & host.endswith(":443"),
+              F.substring(host, F.lit(1), F.length(host) - 4))
+        .otherwise(host)
+    )
+
+
+def normalize_url(col) -> "F.Column":
+    """Canonical form of a crawled http(s) URL, as one codegen
+    projection: lowercase scheme + host, strip an explicit default
+    port (:80 for http, :443 for https), drop the fragment. Path and
+    query are preserved byte-for-byte (case is significant there).
+    Non-http(s) inputs pass through unchanged."""
+    col = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+    host = _strip_default_port(scheme, F.lower(F.regexp_extract(col, _HOST_RE, 1)))
+    rest = F.regexp_extract(col, _REST_RE, 1)
+    return F.when(scheme != "", F.concat(scheme, F.lit("://"), host, rest)) \
+            .otherwise(col)
 
 
 def outlinks(pages: DataFrame) -> DataFrame:
     """(url, warc_ts, html, ...) -> one row per anchor: (url, dst_url,
-    dst_host). Duplicate links on a page are kept (they carry weight
-    in the host graph); use ``distinct()`` downstream if not."""
+    dst_host). ``dst_url`` is the raw href; ``dst_host`` is already
+    canonical (lowercased, default port stripped) so every downstream
+    host aggregate keys on the normalized entity. Duplicate links on a
+    page are kept (they carry weight in the host graph); use
+    ``distinct()`` downstream if not."""
     html_str = F.decode(F.col("html"), "UTF-8")
+    raw_host = F.lower(F.regexp_extract("dst_url", _HOST_RE, 1))
+    scheme = F.lower(F.regexp_extract("dst_url", _SCHEME_RE, 1))
     return (
         pages
         .select(
@@ -40,7 +72,7 @@ def outlinks(pages: DataFrame) -> DataFrame:
             F.explode(F.regexp_extract_all(html_str, F.lit(_HREF_RE), F.lit(1)))
             .alias("dst_url"),
         )
-        .withColumn("dst_host", F.regexp_extract("dst_url", _HOST_RE, 1))
+        .withColumn("dst_host", _strip_default_port(scheme, raw_host))
     )
 
 

@@ -146,7 +146,13 @@ def synth_outlinks(i: int) -> list:
         # t%10>=6 branch condition (only 16 residues reachable)
         host = (f"hub{t % 3}.example.org" if t % 10 < 6
                 else f"site{(t >> 4) % 40}.example.org")
-        out.append(f"http://{host}/p/{t % 1000}")
+        if t % 7 == 0:
+            # messy-but-equivalent form real crawls are full of:
+            # uppercase scheme+host, explicit default port, fragment —
+            # all erased by extract/links.normalize_url
+            out.append(f"HTTP://{host.upper()}:80/p/{t % 1000}#f{t % 10}")
+        else:
+            out.append(f"http://{host}/p/{t % 1000}")
     return out
 
 

@@ -37,13 +37,19 @@ def _page_no(url: str) -> int:
     return int(re.search(r"page-(\d+)$", url).group(1))
 
 
+def _canon_host(dst_url: str) -> str:
+    """Independent recompute of the canonical host: lowercase, strip
+    the http default port."""
+    host = dst_url.split("/")[2].lower()
+    return host[:-3] if host.endswith(":80") else host
+
+
 def test_outlink_extraction_matches_recompute(spark):
     got = outlinks(pages_df(spark, N, partitions=4)).collect()
     by_page: dict[int, Counter] = {}
     for r in got:
         by_page.setdefault(_page_no(r.url), Counter())[r.dst_url] += 1
-        host = r.dst_url.split("/")[2]
-        assert r.dst_host == host
+        assert r.dst_host == _canon_host(r.dst_url)
     for i in range(N):
         assert by_page.get(i, Counter()) == Counter(_expected_links(i)), i
 
@@ -56,7 +62,7 @@ def test_host_degree_matches_brute_force(spark):
     pages_per_host: dict[str, set] = {}
     for i in range(N):
         for u in _expected_links(i):
-            h = u.split("/")[2]
+            h = _canon_host(u)
             n_links[h] += 1
             pages_per_host.setdefault(h, set()).add(i)
     expected = {h: (n_links[h], len(pages_per_host[h])) for h in n_links}
@@ -68,7 +74,7 @@ def test_cocitation_matches_brute_force(spark):
     got = {(r.host_a, r.host_b): r.weight for r in cocitation(links).collect()}
     expected: Counter = Counter()
     for i in range(N):
-        hosts = sorted({u.split("/")[2] for u in _expected_links(i)})
+        hosts = sorted({_canon_host(u) for u in _expected_links(i)})
         for a, b in itertools.combinations(hosts, 2):
             expected[(a, b)] += 1
     assert got == dict(expected)
@@ -90,6 +96,34 @@ def test_unnormalized_pagerank_conserves_mass(spark):
     assert total == pytest.approx(n, abs=1e-4 * n)
     top = max(ranks, key=lambda r: r.rank).node_id
     assert top.startswith("hub")
+
+
+def test_normalize_url_folds_messy_forms(spark):
+    """Every messy href (uppercase scheme/host, :80, fragment) must
+    canonicalize to exactly its clean twin; clean URLs are fixed
+    points; non-http strings pass through."""
+    from npm_extraction_server_spark.extract.links import normalize_url
+
+    cases = [
+        ("HTTP://HUB1.EXAMPLE.ORG:80/p/7#f3", "http://hub1.example.org/p/7"),
+        ("http://hub1.example.org/p/7", "http://hub1.example.org/p/7"),
+        ("HTTPS://A.Example.org:443/X?q=UP#frag", "https://a.example.org/X?q=UP"),
+        ("https://a.example.org:8443/x", "https://a.example.org:8443/x"),
+        ("mailto:dev@example.org", "mailto:dev@example.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = {r.u: r.c for r in
+           df.withColumn("c", normalize_url("u")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, raw
+    # and over the real corpus: normalization is idempotent and every
+    # canonical URL is lowercase-host with no fragment
+    links = outlinks(pages_df(spark, N, partitions=4))
+    norm = links.select(normalize_url("dst_url").alias("c")).collect()
+    for r in norm:
+        host = r.c.split("/")[2]
+        assert host == host.lower() and not host.endswith(":80")
+        assert "#" not in r.c
 
 
 def test_outlink_plan_is_jvm_only_and_prunes_text(spark, tmp_path):
