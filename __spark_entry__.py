@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_degree": _web_host_degree,
         "web_cocitation": _web_cocitation,
         "web_host_pagerank": _web_host_pagerank,
+        "web_hits": _web_hits,
     }
 
     def _wrap(fn):
@@ -234,7 +235,8 @@ def oracle_sql() -> dict[str, str]:
             "web_url_normalize": _WEB_URL_NORMALIZE_ORACLE,
             "web_host_degree": _WEB_HOST_DEGREE_ORACLE,
             "web_cocitation": _WEB_COCITATION_ORACLE,
-            "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE}
+            "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
+            "web_hits": _WEB_HITS_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -448,10 +450,12 @@ links AS (
                 THEN 'HTTP://' || upper(dst_host) || ':80/p/' || pid
                      || '#f' || frag
                 ELSE 'http://' || dst_host || '/p/' || pid END AS dst_url,
+           'http://' || dst_host || '/p/' || pid AS canon_url,
            dst_host
     FROM nav
     UNION ALL
     SELECT 'http://crawl.example.org/' || (i % 100) || '/doc-' || i,
+           'http://people.example.org/' || pid,
            'http://people.example.org/' || pid,
            'people.example.org'
     FROM (SELECT doc_id AS i,
@@ -541,6 +545,36 @@ def _web_pagerank_oracle(iterations: int = 5) -> str:
 _WEB_HOST_PAGERANK_ORACLE = _web_pagerank_oracle(5)
 
 
+def _web_hits_oracle(iterations: int = 2) -> str:
+    """plans/graph.hits unrolled: unnormalized HITS is pure integer
+    arithmetic (auth_k = in-sum of hub_{k-1}, hub_k = out-sum of
+    auth_k, hub_0 = 1), so every score is an exact BIGINT path count —
+    bit-equality needs no float protocol at all."""
+    sql = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI) + """,
+    e0 AS (SELECT url AS src, canon_url AS dst FROM links),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    h0 AS (SELECT node_id, 1::BIGINT AS hub FROM nodes)""")
+    for k in range(1, iterations + 1):
+        sql += f""",
+    a{k} AS (SELECT e0.dst AS node_id, sum(h.hub)::BIGINT AS auth
+             FROM e0 JOIN h{k - 1} h ON h.node_id = e0.src
+             GROUP BY e0.dst),
+    h{k} AS (SELECT e0.src AS node_id, sum(a.auth)::BIGINT AS hub
+             FROM e0 JOIN a{k} a ON a.node_id = e0.dst
+             GROUP BY e0.src)"""
+    sql += f"""
+    SELECT n.node_id,
+           coalesce(h.hub, 0)::BIGINT AS hub,
+           coalesce(a.auth, 0)::BIGINT AS auth
+    FROM nodes n
+    LEFT JOIN h{iterations} h ON h.node_id = n.node_id
+    LEFT JOIN a{iterations} a ON a.node_id = n.node_id"""
+    return sql
+
+
+_WEB_HITS_ORACLE = _web_hits_oracle(2)
+
+
 def _web_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from npm_extraction_server_spark.extract.links import outlinks
 
@@ -587,6 +621,22 @@ def _web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from npm_extraction_server_spark.extract.links import cocitation
 
     return cocitation(_web_links_df(spark, sf_dir))
+
+
+def _web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the bipartite page -> canonical-URL link graph: pages
+    are hubs, linked URLs authorities. Unnormalized (plans/graph.hits),
+    so after 2 rounds every score is an exact BIGINT path count — the
+    hard oracle needs no float protocol. Messy href twins fold onto
+    one authority via normalize_url before the iteration."""
+    from npm_extraction_server_spark.extract.links import normalize_url
+    from npm_extraction_server_spark.plans.graph import hits
+
+    links = _web_links_df(spark, sf_dir)
+    edges = links.select(
+        F.col("url").alias("src"),
+        normalize_url("dst_url").alias("dst"))
+    return hits(edges, iterations=2)
 
 
 def _web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

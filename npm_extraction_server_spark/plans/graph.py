@@ -55,8 +55,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "kcore", "pagerank", "personalized_pagerank",
-           "propagate_labels", "sssp", "triangle_counts"]
+__all__ = ["bfs_distances", "hits", "kcore", "pagerank",
+           "personalized_pagerank", "propagate_labels", "sssp",
+           "triangle_counts"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -539,3 +540,49 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
             return core_deg
         live, n_live = nxt, n_nxt
     raise RuntimeError(f"kcore: no convergence in {max_rounds} rounds")
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Unnormalized HITS (Kleinberg 1999): hub/authority scores over a
+    directed graph. ``edges``: (src, dst); parallel edges count with
+    multiplicity.
+
+    Without per-round normalization the update is pure integer
+    arithmetic — ``auth_k(v) = sum of hub_{k-1} over in-edges``,
+    ``hub_k(u) = sum of auth_k over out-edges``, init hub_0 = 1 — so
+    after k rounds each score is an exact BIGINT path count, identical
+    in any engine (the cross-engine-verifiable philosophy applied to
+    HITS: the score RATIOS equal normalized HITS', since
+    normalization is one global scalar per round).
+
+    The edge set is the loop invariant: persisted hash-partitioned on
+    src once; each half-round shuffles only the |V|-sized score
+    vector. Returns (node_id, hub, auth) with 0 for absent roles —
+    on a bipartite page->url graph, pages get auth=0 and leaf urls
+    hub=0.
+    """
+    edges = edges.select("src", "dst").repartition(F.col("src")).persist()
+    edges.count()
+    nodes = (edges.select(F.col("src").alias("node_id"))
+             .unionByName(edges.select(F.col("dst").alias("node_id")))
+             .distinct())
+    hub = nodes.withColumn("hub", F.lit(1).cast("bigint")) \
+               .localCheckpoint(eager=True)
+    try:
+        for _ in range(iterations):
+            auth = (edges.join(hub, edges.src == hub.node_id)
+                    .groupBy("dst").agg(F.sum("hub").alias("auth"))
+                    .withColumnRenamed("dst", "node_id"))
+            hub = (edges.join(auth, edges.dst == auth.node_id)
+                   .groupBy("src").agg(F.sum("auth").alias("hub"))
+                   .withColumnRenamed("src", "node_id")
+                   .localCheckpoint(eager=True))
+        auth = auth.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return (nodes
+            .join(hub, "node_id", "left")
+            .join(auth, "node_id", "left")
+            .select("node_id",
+                    F.coalesce("hub", F.lit(0)).alias("hub"),
+                    F.coalesce("auth", F.lit(0)).alias("auth")))

@@ -126,6 +126,48 @@ def test_normalize_url_folds_messy_forms(spark):
         assert "#" not in r.c
 
 
+def test_hits_matches_integer_brute_force(spark):
+    """Unnormalized HITS = exact integer path counts; verify 2 rounds
+    against a pure-Python recompute over the page->canonical-url
+    bipartite graph."""
+    from npm_extraction_server_spark.extract.links import normalize_url
+    from npm_extraction_server_spark.plans.graph import hits
+
+    links = outlinks(pages_df(spark, N, partitions=4))
+    edges_df = links.select(
+        F.col("url").alias("src"), normalize_url("dst_url").alias("dst"))
+    got = {r.node_id: (r.hub, r.auth) for r in
+           hits(edges_df, iterations=2).collect()}
+
+    def _canon(u):
+        if "#" in u:
+            u = u.split("#")[0]
+        scheme, rest = u.split("://", 1)
+        host, path = rest.split("/", 1)
+        host = host.lower()
+        if host.endswith(":80"):
+            host = host[:-3]
+        return f"{scheme.lower()}://{host}/{path}"
+
+    url_of = {_page_no(r.url): r.url
+              for r in links.select("url").distinct().collect()}
+    edges = []  # multigraph, multiplicity kept
+    for i in range(N):
+        for u in _expected_links(i):
+            edges.append((url_of[i], _canon(u)))
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    hub = {v: 1 for v in nodes}
+    for _ in range(2):
+        auth = Counter()
+        for a, b in edges:
+            auth[b] += hub.get(a, 0)
+        hub = Counter()
+        for a, b in edges:
+            hub[a] += auth[b]
+    expected = {v: (hub.get(v, 0), auth.get(v, 0)) for v in nodes}
+    assert got == expected
+
+
 def test_outlink_plan_is_jvm_only_and_prunes_text(spark, tmp_path):
     """The extraction hot path: no Python eval node anywhere (the html
     bytes stay JVM-side), and the parquet scan reads only (url, html)
