@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cocitation": _web_cocitation,
         "web_host_pagerank": _web_host_pagerank,
         "web_hits": _web_hits,
+        "web_anchor_text": _web_anchor_text,
     }
 
     def _wrap(fn):
@@ -236,7 +237,8 @@ def oracle_sql() -> dict[str, str]:
             "web_host_degree": _WEB_HOST_DEGREE_ORACLE,
             "web_cocitation": _WEB_COCITATION_ORACLE,
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
-            "web_hits": _WEB_HITS_ORACLE}
+            "web_hits": _WEB_HITS_ORACLE,
+            "web_anchor_text": _WEB_ANCHOR_TEXT_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -439,7 +441,8 @@ nav AS (
                  ELSE 'site' || ((t >> 4) % 40) END) || '.example.org' AS dst_host,
            (t % 1000) AS pid,
            (t % 7 = 0) AS messy,
-           (t % 10) AS frag
+           (t % 10) AS frag,
+           t AS w
     FROM (SELECT i,
                  ('0x' || substr(sha256('lnk:' || (i*100 + j)), 1, 16))::UBIGINT AS t
           FROM slots)
@@ -451,13 +454,15 @@ links AS (
                      || '#f' || frag
                 ELSE 'http://' || dst_host || '/p/' || pid END AS dst_url,
            'http://' || dst_host || '/p/' || pid AS canon_url,
-           dst_host
+           dst_host,
+           {words}[((w >> 8) % {nwords})::INT + 1] AS anchor
     FROM nav
     UNION ALL
     SELECT 'http://crawl.example.org/' || (i % 100) || '/doc-' || i,
            'http://people.example.org/' || pid,
            'http://people.example.org/' || pid,
-           'people.example.org'
+           'people.example.org',
+           'home'
     FROM (SELECT doc_id AS i,
                  ('0x' || substr(sha256('md:' || doc_id), 1, 16))::UBIGINT
                  % 1000 AS pid
@@ -467,15 +472,28 @@ links AS (
 
 _WEB_HI = 300  # pages 0..299 exist at every sf (documents has >= 500 rows)
 
-_WEB_OUTLINKS_ORACLE = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI)
+
+def _web_links_sql() -> str:
+    """The links CTE with its literals bound: page bound, and the
+    anchor-word vocabulary embedded as a DuckDB list literal (same
+    order as sources/synth._WORDS)."""
+    from npm_extraction_server_spark.sources.synth import _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    return _WEB_LINKS_CTE.format(hi=_WEB_HI, words=words, nwords=len(_WORDS))
+
+
+_WEB_LINKS_SQL = _web_links_sql()
+
+_WEB_OUTLINKS_ORACLE = ("WITH " + _WEB_LINKS_SQL
                         + "SELECT url, dst_url, dst_host FROM links")
 
-_WEB_HOST_DEGREE_ORACLE = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI) + """
+_WEB_HOST_DEGREE_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
 SELECT dst_host, count(*)::BIGINT AS n_links,
        count(DISTINCT url)::BIGINT AS n_pages
 FROM links GROUP BY dst_host""")
 
-_WEB_COCITATION_CTE = _WEB_LINKS_CTE.format(hi=_WEB_HI) + """,
+_WEB_COCITATION_CTE = _WEB_LINKS_SQL + """,
 hosts AS (SELECT DISTINCT url, dst_host FROM links),
 co AS (
     SELECT a.dst_host AS host_a, b.dst_host AS host_b,
@@ -492,7 +510,7 @@ _WEB_COCITATION_ORACLE = ("WITH " + _WEB_COCITATION_CTE
 # An INDEPENDENT DuckDB implementation of the normalization spec (not a
 # generator re-derivation): lowercase scheme+host, strip the scheme's
 # default port, drop the fragment, keep path+query bytes.
-_WEB_URL_NORMALIZE_ORACLE = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI) + """
+_WEB_URL_NORMALIZE_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
 , raw AS (SELECT DISTINCT dst_url FROM links),
 parts AS (
     SELECT dst_url,
@@ -545,12 +563,19 @@ def _web_pagerank_oracle(iterations: int = 5) -> str:
 _WEB_HOST_PAGERANK_ORACLE = _web_pagerank_oracle(5)
 
 
+_WEB_ANCHOR_TEXT_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
+SELECT canon_url AS target,
+       string_agg(DISTINCT anchor, ',' ORDER BY anchor) AS anchor_terms,
+       count(*)::BIGINT AS n_anchors
+FROM links GROUP BY canon_url""")
+
+
 def _web_hits_oracle(iterations: int = 2) -> str:
     """plans/graph.hits unrolled: unnormalized HITS is pure integer
     arithmetic (auth_k = in-sum of hub_{k-1}, hub_k = out-sum of
     auth_k, hub_0 = 1), so every score is an exact BIGINT path count —
     bit-equality needs no float protocol at all."""
-    sql = ("WITH " + _WEB_LINKS_CTE.format(hi=_WEB_HI) + """,
+    sql = ("WITH " + _WEB_LINKS_SQL + """,
     e0 AS (SELECT url AS src, canon_url AS dst FROM links),
     nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
     h0 AS (SELECT node_id, 1::BIGINT AS hub FROM nodes)""")
@@ -621,6 +646,25 @@ def _web_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from npm_extraction_server_spark.extract.links import cocitation
 
     return cocitation(_web_links_df(spark, sf_dir))
+
+
+def _web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: for every canonical target URL, the
+    distinct link texts the web uses to refer to it (classic web
+    search's strongest relevance signal) plus the raw anchor count.
+    (href, text) pairs come out of the html via the two-stage JVM
+    regex in extract/links.anchor_texts."""
+    from npm_extraction_server_spark.extract.links import (
+        anchor_texts,
+        normalize_url,
+    )
+
+    at = anchor_texts(_pages_from_documents(spark, sf_dir, limit=_WEB_HI))
+    return (at.select(normalize_url("dst_url").alias("target"), "anchor")
+            .groupBy("target")
+            .agg(F.array_join(F.array_sort(F.collect_set("anchor")), ",")
+                 .alias("anchor_terms"),
+                 F.count("*").alias("n_anchors")))
 
 
 def _web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:

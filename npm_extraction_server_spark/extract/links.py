@@ -76,6 +76,34 @@ def outlinks(pages: DataFrame) -> DataFrame:
     )
 
 
+# full anchor element (attrs + simple text body), for (href, text) pairs
+_ANCHOR_RE = r'<a[^>]*href="[^"]+"[^>]*>[^<]*</a>'
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """(url, html, ...) -> one row per anchor: (url, dst_url, anchor)
+    — the link text under which the web refers to the target. The
+    input to anchor-text retrieval (the strongest relevance signal in
+    classic web search). Two-stage JVM regex: extract whole <a>
+    elements first, then pull href/text out of each element — Spark's
+    ``regexp_extract_all`` returns a single group, so pairs need the
+    element as the intermediate row."""
+    html_str = F.decode(F.col("html"), "UTF-8")
+    return (
+        pages
+        .select(
+            "url",
+            F.explode(F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), F.lit(0)))
+            .alias("tag"),
+        )
+        .select(
+            "url",
+            F.regexp_extract("tag", r'href="([^"]+)"', 1).alias("dst_url"),
+            F.regexp_extract("tag", r">([^<]*)</a>$", 1).alias("anchor"),
+        )
+    )
+
+
 def host_degree(links: DataFrame) -> DataFrame:
     """Host-level in-degree: for every destination host, the total
     anchor count and the number of distinct citing pages. One hash

@@ -133,11 +133,12 @@ def synth_microdata(i: int) -> str:
 
 
 def synth_outlinks(i: int) -> list:
-    """Deterministic outbound links for page #i: 2-5 anchors with a
-    deliberate hub-host skew (60% of links land on one of 3 hub hosts
-    — the Common-Crawl power-law head). Pure function of i so a DuckDB
-    oracle can re-derive the exact link set from doc_id alone
-    (sha256-replica pattern, see __spark_entry__._WEB_LINKS_CTE)."""
+    """Deterministic outbound links for page #i: 2-5 (href, anchor
+    text) pairs with a deliberate hub-host skew (60% of links land on
+    one of 3 hub hosts — the Common-Crawl power-law head). Pure
+    function of i so a DuckDB oracle can re-derive the exact link set
+    from doc_id alone (sha256-replica pattern, see
+    __spark_entry__._WEB_LINKS_CTE)."""
     hl = _h(i, "links")
     out = []
     for j in range(2 + hl % 4):
@@ -150,15 +151,16 @@ def synth_outlinks(i: int) -> list:
             # messy-but-equivalent form real crawls are full of:
             # uppercase scheme+host, explicit default port, fragment —
             # all erased by extract/links.normalize_url
-            out.append(f"HTTP://{host.upper()}:80/p/{t % 1000}#f{t % 10}")
+            url = f"HTTP://{host.upper()}:80/p/{t % 1000}#f{t % 10}"
         else:
-            out.append(f"http://{host}/p/{t % 1000}")
+            url = f"http://{host}/p/{t % 1000}"
+        out.append((url, _WORDS[(t >> 8) % len(_WORDS)]))
     return out
 
 
 def outlinks_footer(i: int) -> str:
     return ("<nav>"
-            + "".join(f'<a href="{u}">out</a>' for u in synth_outlinks(i))
+            + "".join(f'<a href="{u}">{w}</a>' for u, w in synth_outlinks(i))
             + "</nav>")
 
 

@@ -22,15 +22,20 @@ N = 60
 
 
 def _expected_links(i: int) -> list[str]:
-    """Independent recompute: nav footer links + the microdata anchor
-    (pages_df gates it on _h(i,"page") % 4 — the driver-pages builder
-    in __spark_entry__ uses doc_id % 4 instead), which the generic
-    href regex also captures."""
+    """Independent recompute of (href, anchor_text) pairs: nav footer
+    links + the microdata anchor (pages_df gates it on
+    _h(i,"page") % 4 — the driver-pages builder in __spark_entry__
+    uses doc_id % 4 instead), which the generic href regex also
+    captures."""
     out = []
     if _h(i, "page") % 4 == 0:
-        out.append(f"http://people.example.org/{_h(i, 'md') % 1000}")
+        out.append((f"http://people.example.org/{_h(i, 'md') % 1000}", "home"))
     out.extend(synth_outlinks(i))
     return out
+
+
+def _expected_urls(i: int) -> list:
+    return [u for u, _ in _expected_links(i)]
 
 
 def _page_no(url: str) -> int:
@@ -51,7 +56,7 @@ def test_outlink_extraction_matches_recompute(spark):
         by_page.setdefault(_page_no(r.url), Counter())[r.dst_url] += 1
         assert r.dst_host == _canon_host(r.dst_url)
     for i in range(N):
-        assert by_page.get(i, Counter()) == Counter(_expected_links(i)), i
+        assert by_page.get(i, Counter()) == Counter(_expected_urls(i)), i
 
 
 def test_host_degree_matches_brute_force(spark):
@@ -61,7 +66,7 @@ def test_host_degree_matches_brute_force(spark):
     n_links: Counter = Counter()
     pages_per_host: dict[str, set] = {}
     for i in range(N):
-        for u in _expected_links(i):
+        for u in _expected_urls(i):
             h = _canon_host(u)
             n_links[h] += 1
             pages_per_host.setdefault(h, set()).add(i)
@@ -74,7 +79,7 @@ def test_cocitation_matches_brute_force(spark):
     got = {(r.host_a, r.host_b): r.weight for r in cocitation(links).collect()}
     expected: Counter = Counter()
     for i in range(N):
-        hosts = sorted({_canon_host(u) for u in _expected_links(i)})
+        hosts = sorted({_canon_host(u) for u in _expected_urls(i)})
         for a, b in itertools.combinations(hosts, 2):
             expected[(a, b)] += 1
     assert got == dict(expected)
@@ -153,7 +158,7 @@ def test_hits_matches_integer_brute_force(spark):
               for r in links.select("url").distinct().collect()}
     edges = []  # multigraph, multiplicity kept
     for i in range(N):
-        for u in _expected_links(i):
+        for u in _expected_urls(i):
             edges.append((url_of[i], _canon(u)))
     nodes = {a for a, _ in edges} | {b for _, b in edges}
     hub = {v: 1 for v in nodes}
@@ -166,6 +171,20 @@ def test_hits_matches_integer_brute_force(spark):
             hub[a] += auth[b]
     expected = {v: (hub.get(v, 0), auth.get(v, 0)) for v in nodes}
     assert got == expected
+
+
+def test_anchor_texts_match_recompute(spark):
+    """(href, text) pairs out of the html must equal the generator's
+    pairs — including the microdata anchor ('home') and the varied nav
+    words."""
+    from npm_extraction_server_spark.extract.links import anchor_texts
+
+    got = anchor_texts(pages_df(spark, N, partitions=4)).collect()
+    by_page: dict[int, Counter] = {}
+    for r in got:
+        by_page.setdefault(_page_no(r.url), Counter())[(r.dst_url, r.anchor)] += 1
+    for i in range(N):
+        assert by_page.get(i, Counter()) == Counter(_expected_links(i)), i
 
 
 def test_outlink_plan_is_jvm_only_and_prunes_text(spark, tmp_path):
