@@ -387,3 +387,55 @@ def stream_interval_join(spark: SparkSession, views_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_link_degrees(spark: SparkSession, pages_dir: str, out_dir: str,
+                        checkpoint_dir: str):
+    """Incremental host-degree maintenance over a growing crawl: new
+    page files stream in, each micro-batch extracts its outlinks
+    (extract/links.outlinks — JVM-only regex) and appends a PARTIAL
+    per-host aggregate (dst_host, n_links, n_pages, epoch).
+
+    The partials form a commutative monoid under column-wise sum
+    because the file source assigns every page to exactly one
+    micro-batch: per-batch ``countDistinct(url)`` sums to the global
+    distinct-page count (page url sets across batches are disjoint),
+    and link counts are plain sums. ``read_link_degrees`` folds the
+    partials — incremental cost per day follows the day's crawl, not
+    the accumulated table, and the merge is a tiny aggregate over
+    (hosts x epochs) rows, never a rescan of the pages.
+
+    Exactly-once: foreachBatch + checkpointLocation replays an epoch
+    only if the append did not commit; the epoch column makes replay
+    cleanup possible (delete-by-epoch) and keeps the audit trail."""
+    from ..extract.links import host_degree, outlinks
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (host_degree(outlinks(batch_df))
+         .withColumn("epoch", F.lit(epoch_id))
+         .write.mode("append").parquet(f"{out_dir}/degree_partials"))
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_link_degrees(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the streamed per-epoch partials into current host degrees
+    (see stream_link_degrees for why the column-wise sum is exact)."""
+    return (
+        spark.read.parquet(f"{out_dir}/degree_partials")
+        .groupBy("dst_host")
+        .agg(F.sum("n_links").alias("n_links"),
+             F.sum("n_pages").alias("n_pages"))
+    )

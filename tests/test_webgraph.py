@@ -187,6 +187,40 @@ def test_anchor_texts_match_recompute(spark):
         assert by_page.get(i, Counter()) == Counter(_expected_links(i)), i
 
 
+def test_stream_link_degrees_fold_to_batch_answer(spark, tmp_path):
+    """Two crawl waves stream in (availableNow each time); folding the
+    per-epoch degree partials must equal the one-shot batch aggregate
+    over all pages — the disjoint-pages-per-batch invariant makes the
+    per-batch countDistinct sums exact."""
+    from npm_extraction_server_spark.streaming.incremental import (
+        read_link_degrees,
+        stream_link_degrees,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    all_pages = pages_df(spark, 30, partitions=3)
+    all_pages.filter(F.col("url").rlike("page-[0-9]$")) \
+        .write.mode("append").parquet(pages_dir)
+    q = stream_link_degrees(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+    all_pages.filter(~F.col("url").rlike("page-[0-9]$")) \
+        .write.mode("append").parquet(pages_dir)
+    q = stream_link_degrees(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+
+    got = {r.dst_host: (r.n_links, r.n_pages)
+           for r in read_link_degrees(spark, out_dir).collect()}
+    want = {r.dst_host: (r.n_links, r.n_pages)
+            for r in host_degree(outlinks(
+                spark.read.parquet(pages_dir))).collect()}
+    assert got == want
+    # second wave produced additional epochs (incremental, not rescan)
+    partials = spark.read.parquet(f"{out_dir}/degree_partials")
+    assert partials.select("epoch").distinct().count() >= 2
+
+
 def test_outlink_plan_is_jvm_only_and_prunes_text(spark, tmp_path):
     """The extraction hot path: no Python eval node anywhere (the html
     bytes stay JVM-side), and the parquet scan reads only (url, html)
