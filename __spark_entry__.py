@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_pagerank": _web_host_pagerank,
         "web_hits": _web_hits,
         "web_anchor_text": _web_anchor_text,
+        "warc_roundtrip": _warc_roundtrip,
+        "warc_wet_text": _warc_wet_text,
+        "warc_wat_outlinks": _warc_wat_outlinks,
     }
 
     def _wrap(fn):
@@ -189,8 +192,12 @@ _PRIORITY: list[str] = [
     # lakehouse snapshots
     "snap_incremental", "snap_stats_prune", "snap_merge_upsert",
     "snap_changelog",
-    # sketches
-    "sketch_distinct", "sketch_hll", "sketch_heavy_hitters",
+    # sketches (heavy_hitters moved to the tail — long-green sibling —
+    # to make room for the WARC container family)
+    "sketch_distinct", "sketch_hll",
+    # WARC/WET containers (wet_text = the byte-identical-text north
+    # invariant through a file-format round trip)
+    "warc_wet_text",
     # sampling / packing / curation
     "pack_tokens_bpe", "corpus_curation",
     # KG pipeline + sources + BGP/closure query layer
@@ -238,7 +245,10 @@ def oracle_sql() -> dict[str, str]:
             "web_cocitation": _WEB_COCITATION_ORACLE,
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
             "web_hits": _WEB_HITS_ORACLE,
-            "web_anchor_text": _WEB_ANCHOR_TEXT_ORACLE}
+            "web_anchor_text": _WEB_ANCHOR_TEXT_ORACLE,
+            "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
+            "warc_wet_text": _WARC_WET_TEXT_ORACLE,
+            "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -697,6 +707,90 @@ def _web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.col("host_a").alias("dst"))))
     ranks = pagerank(edges, iterations=5, normalized=False)
     return ranks.select(F.col("node_id").alias("host"), "rank")
+
+
+# --- WARC / WET / WAT container formats (sources/warc.py) -----------------
+# The Common-Crawl distribution formats over the pages table. Each
+# query is a WRITE -> READ round trip through real record framing
+# (CRLF headers, Content-Length payloads, per-record gzip members), so
+# the oracle checks the container codec end-to-end: any corrupted
+# byte, header, or timestamp breaks the hash.
+
+def _warc_scratch(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages -> WARC response records (per-record gzip members, HTTP
+    payload wrapping) -> read back. payload_ok proves the html bytes
+    survived both framings; url/warc_ts come from the parsed WARC
+    headers (not the source table), so the oracle checks header
+    serialization too."""
+    from npm_extraction_server_spark.sources import warc as W
+
+    pages = _pages_from_documents(spark, sf_dir, limit=_WEB_HI)
+    d = _warc_scratch("warcq_")
+    W.write_warc(pages.select("url", "warc_ts", "html"), d,
+                 kind="response", compress=True)
+    back = W.read_warc(spark, d)
+    j = back.join(pages.select("url", F.col("html").alias("want")), on="url")
+    return j.select(
+        "url",
+        F.col("warc_date").alias("warc_ts"),
+        (F.col("payload") == F.col("want")).alias("payload_ok"),
+        "http_status")
+
+
+def _warc_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages -> WET conversion records -> read back. The returned text
+    is decoded from the WET payload bytes and oracle-compared against
+    documents.text directly — the north rule's byte-identical-text
+    invariant proven through a file-format round trip."""
+    from npm_extraction_server_spark.sources import warc as W
+
+    pages = _pages_from_documents(spark, sf_dir, limit=_WEB_HI)
+    d = _warc_scratch("wetq_")
+    W.write_warc(W.wet_from_pages(pages), d, kind="conversion")
+    wet = W.read_warc(spark, d, record_types=("conversion",))
+    return wet.select(
+        "url",
+        F.col("warc_date").alias("warc_ts"),
+        F.decode("payload", "UTF-8").alias("text"))
+
+
+def _warc_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages -> WAT metadata records (JSON envelope with the outlink
+    list, built in-plan via to_json) -> read back -> from_json +
+    explode. Ends at the same (url, dst_url) rows as direct html
+    extraction, so the link CTE oracle covers the whole WAT codec."""
+    from npm_extraction_server_spark.sources import warc as W
+
+    pages = _pages_from_documents(spark, sf_dir, limit=_WEB_HI)
+    d = _warc_scratch("watq_")
+    W.write_warc(W.wat_from_pages(pages), d, kind="metadata")
+    return W.wat_outlinks(W.read_warc(spark, d, record_types=("metadata",)))
+
+
+_WARC_PAGES_CTE = f"""
+p AS (
+    SELECT 'http://crawl.example.org/' || (doc_id % 100) || '/doc-' || doc_id
+               AS url,
+           TIMESTAMP '2017-06-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+           text
+    FROM documents WHERE doc_id < {_WEB_HI}
+)
+"""
+
+_WARC_ROUNDTRIP_ORACLE = ("WITH " + _WARC_PAGES_CTE + """
+SELECT url, warc_ts, true AS payload_ok, 200::INT AS http_status FROM p""")
+
+_WARC_WET_TEXT_ORACLE = ("WITH " + _WARC_PAGES_CTE + """
+SELECT url, warc_ts, text FROM p""")
+
+_WARC_WAT_OUTLINKS_ORACLE = ("WITH " + _WEB_LINKS_SQL
+                             + "SELECT url, dst_url FROM links")
 
 
 # --- rows-only KG queries -------------------------------------------------
