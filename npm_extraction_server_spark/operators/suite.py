@@ -990,6 +990,73 @@ def snap_changelog(spark, sf):
     return read_changes(spark, table, from_snapshot=s1)
 
 
+def snap_mor_merge(spark, sf):
+    """MERGE-ON-READ upsert (hard oracle — same merged state as
+    snap_merge_upsert, produced the Iceberg v2 way): the same updates
+    commit as one 'rowdelta' snapshot (new rows + an equality-delete
+    key file), rewriting ZERO existing data files (asserted), with
+    readers applying the delete as a broadcast anti-join against
+    strictly-older files. DuckDB re-derives the state with CASE/UNION
+    set logic, so the two write strategies are pinned equivalent."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.snapshots import (
+        commit,
+        mor_upsert,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapmor_")
+    commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    before = {str(p) for p in Path(table).rglob("*.parquet")}
+    updates = (
+        docs.filter((d >= 100) & (d < 200))
+        .select("doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            docs.filter(d < 50)
+            .select((d + 100000).alias("doc_id"), "lang",
+                    F.lit(-1).alias("n_chars")))
+    )
+    mor_upsert(spark, table, updates, key="doc_id")
+    man = snapshot_log(table)[-1]
+    assert man["operation"] == "rowdelta" and man["delete_files"]
+    assert not man.get("removed_files"), "MOR merge rewrote data files"
+    after = {str(p) for p in Path(table).rglob("*.parquet")}
+    assert before <= after, "MOR merge deleted pre-existing files"
+    return read_snapshot(spark, table)
+
+
+def snap_mor_changelog(spark, sf):
+    """Change-data feed over a merge-on-read upsert (hard oracle —
+    identical change set to the copy-on-write snap_changelog): the
+    rowdelta diff reads the delete-key rows from the PARENT state
+    (pruned to the manifest's delete-key range) as deletes and the
+    commit's own files as inserts — no file-set diff needed, because
+    no files were rewritten."""
+    import tempfile
+
+    from ..sources.snapshots import commit, mor_upsert, read_changes
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapmorcdf_")
+    s1 = commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    updates = (
+        docs.filter((d >= 100) & (d < 200))
+        .select("doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            docs.filter(d < 50)
+            .select((d + 100000).alias("doc_id"), "lang",
+                    F.lit(-1).alias("n_chars")))
+    )
+    mor_upsert(spark, table, updates, key="doc_id")
+    return read_changes(spark, table, from_snapshot=s1)
+
+
 def graph_components_incr(spark, sf):
     """Incremental CC under the SAME full-graph oracle as
     graph_components: the base labels come from the chain edges alone;
@@ -1282,6 +1349,8 @@ SPARK_QUERIES = {
     "snap_stats_prune": snap_stats_prune,
     "snap_merge_upsert": snap_merge_upsert,
     "snap_changelog": snap_changelog,
+    "snap_mor_merge": snap_mor_merge,
+    "snap_mor_changelog": snap_mor_changelog,
     "sketch_distinct": sketch_distinct,
     "sketch_hll": sketch_hll,
     "sketch_bloom": sketch_bloom,
@@ -2225,6 +2294,28 @@ ORACLE_SQL = {
         FROM documents
         UNION ALL
         SELECT doc_id + 100000, lang, -1 FROM documents WHERE doc_id < 50
+    """,
+    # MOR produces the SAME logical state/changes as CoW — that
+    # equivalence is exactly what these oracles pin
+    "snap_mor_merge": """
+        SELECT doc_id,
+               lang,
+               CASE WHEN doc_id >= 100 AND doc_id < 200
+                    THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, lang, -1 FROM documents WHERE doc_id < 50
+    """,
+    "snap_mor_changelog": """
+        SELECT doc_id, lang, (n_chars + 1000)::BIGINT AS n_chars,
+               'insert' AS _change_type, 2 AS _snapshot_id
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        UNION ALL
+        SELECT doc_id + 100000, lang, -1, 'insert', 2
+        FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id, lang, n_chars::BIGINT, 'delete', 2
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200
     """,
     "j10_fuzzy_block_join": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

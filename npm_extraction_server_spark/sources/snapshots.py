@@ -287,7 +287,17 @@ def read_where(spark: SparkSession, table: str, predicates,
     kept, files = plan_scan(table, predicates, snapshot_id)
     if not kept:
         return read_snapshot(spark, table, snapshot_id).limit(0).filter(F.lit(False))
-    df = spark.read.parquet(*kept)
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
+    groups, deletes = _plan_full(table, sid)
+    if not deletes:
+        df = spark.read.parquet(*kept)
+    else:
+        # merge-on-read: apply the equality-delete anti-joins to the
+        # stats-kept files only (pruning never changes which rows a
+        # delete key removes — it only skips files with no matching row)
+        df = _apply_deletes(spark, groups, deletes, keep_only=set(kept))
+        if df is None:
+            return read_snapshot(spark, table, sid).limit(0).filter(F.lit(False))
     ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
            ">": "__gt__", ">=": "__ge__"}
     for col, op, val in predicates:
@@ -335,7 +345,9 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
            lock_stale_after: float = 300.0,
            cluster_by: list[str] | None = None,
            removed_files: list[str] | None = None,
-           cluster_mode: str = "range") -> int:
+           cluster_mode: str = "range",
+           delete_keys: DataFrame | None = None,
+           delete_key: str | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -354,10 +366,15 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     ``meta/COMMIT.lock``. If the writer dies before the flip, the
     table is unchanged; an orphaned data dir can never wedge future
     commits because ids are claimed over manifests AND data dirs."""
-    if operation not in ("append", "replace", "overwrite"):
+    if operation not in ("append", "replace", "overwrite", "rowdelta"):
         raise ValueError(f"unknown operation {operation!r}")
     if removed_files and operation != "overwrite":
         raise ValueError("removed_files requires operation='overwrite'")
+    if (delete_keys is not None) != (operation == "rowdelta"):
+        raise ValueError("delete_keys and operation='rowdelta' go together")
+    if delete_keys is not None and not delete_key:
+        raise ValueError("rowdelta commits need delete_key (the equality-"
+                         "delete column name)")
     if operation == "overwrite" and expected_parent is _UNSET:
         raise ValueError("overwrite commits rewrite state derived from "
                          "their parent: expected_parent is mandatory "
@@ -393,6 +410,17 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     elif partitions:
         df = df.repartition(partitions)
     df.write.mode("errorifexists").parquet(str(staging))
+    if delete_keys is not None:
+        # equality-delete files ride in the same snapshot directory as
+        # the data files, under a distinct name prefix — one small
+        # parquet of deleted keys, written before the metadata
+        # transaction (a crash here leaves only invisible staging)
+        dstage = table_p / "data" / f".staging-del-{uuid.uuid4().hex}"
+        (delete_keys.select(delete_key).distinct().coalesce(1)
+         .write.mode("errorifexists").parquet(str(dstage)))
+        for i, p in enumerate(sorted(dstage.glob("part-*.parquet"))):
+            os.replace(p, staging / f"delete-{i:05d}.parquet")
+        shutil.rmtree(dstage, ignore_errors=True)
     lock = _acquire_commit_lock(meta, lock_timeout, lock_stale_after)
     try:
         parent = current_snapshot_id(table)
@@ -413,6 +441,19 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
         import pyarrow.parquet as pq
 
         added_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        dfiles = sorted(str(p) for p in data_dir.glob("delete-*.parquet"))
+        drange = None
+        if dfiles:
+            dstats = _collect_file_stats(dfiles)
+            ranges = [s["cols"][delete_key] for s in dstats.values()
+                      if delete_key in s.get("cols", {})]
+            # int keys only: the range later becomes read_where
+            # predicates, and integer compares are collation-proof in
+            # both the stats domain and the residual Spark filter
+            if (ranges and len(ranges) == len(dfiles)
+                    and all(r["t"] == "i" for r in ranges)):
+                drange = [min(r["min"] for r in ranges),
+                          max(r["max"] for r in ranges)]
         manifest = {
             "snapshot_id": sid,
             "parent": parent,
@@ -426,6 +467,10 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
             "file_stats": _collect_file_stats(files),
             "removed_files": sorted(removed_files or []),
         }
+        if dfiles:
+            manifest["delete_files"] = dfiles
+            manifest["delete_key"] = delete_key
+            manifest["delete_key_range"] = drange
         (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
         tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
         tmp.write_text(str(sid))
@@ -460,6 +505,85 @@ def compact(spark: SparkSession, table: str,
                   cluster_mode=cluster_mode)
 
 
+def _plan_full(table: str, to_incl: int):
+    """Full-read plan at ``to_incl``: walk the parent chain honoring
+    'replace' cutoffs and 'overwrite' removed_files, and return
+    ``(groups, deletes)`` where ``groups`` is a list of
+    ``(origin_sid, [data_files])`` (newest first) and ``deletes`` is a
+    list of ``(delete_sid, key_column, [delete_files], key_range)``
+    for every merge-on-read 'rowdelta' snapshot in the view. An
+    equality-delete file at snapshot ``s`` applies to data files whose
+    origin snapshot is STRICTLY OLDER than ``s`` (Iceberg v2 sequence
+    numbers) — a MOR upsert's own inserted rows are never shadowed by
+    its own delete keys."""
+    groups: list[tuple[int, list[str]]] = []
+    deletes: list[tuple[int, str, list[str], tuple | None]] = []
+    removed: set[str] = set()
+    sid: int | None = to_incl
+    while sid is not None:
+        man = _read_json(_meta(table) / f"snap-{sid}.json")
+        if man.get("expired") and sid == to_incl:
+            raise ValueError(
+                f"snapshot {sid} was expired by expire_snapshots: its "
+                "read view may reference vacuumed files; anchor at a "
+                "kept snapshot instead")
+        op = man.get("operation", "append")
+        live = [f for f in man["added_files"] if f not in removed]
+        if live:
+            groups.append((sid, live))
+        removed.update(man.get("removed_files", []))
+        if op == "rowdelta" and man.get("delete_files"):
+            deletes.append((sid, man["delete_key"], man["delete_files"],
+                            tuple(man["delete_key_range"])
+                            if man.get("delete_key_range") else None))
+        if op == "replace":
+            break  # full state; nothing older is needed
+        sid = man["parent"]
+    return groups, deletes
+
+
+def _apply_deletes(spark: SparkSession, groups, deletes,
+                   keep_only: set[str] | None = None,
+                   merge_schema: bool = False) -> DataFrame | None:
+    """Assemble the delete-aware scan: per origin group, anti-join the
+    union of delete-key files COMMITTED AFTER the group's origin.
+
+    Cost shape at scale: delete files are small by the MOR premise
+    (that's why the write chose not to rewrite data files), so every
+    anti-join is a broadcast hash anti-join — the data files stream
+    through one stage untouched, and the number of distinct plans is
+    bounded by the number of rowdelta snapshots since the last
+    compaction (which ``compact`` folds away). ``keep_only``
+    restricts the data files (stats pruning); returns None when
+    nothing survives the restriction."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    def reader():
+        r = spark.read
+        return r.option("mergeSchema", "true") if merge_schema else r
+
+    parts: list[DataFrame] = []
+    for origin, files in groups:
+        if keep_only is not None:
+            files = [f for f in files if f in keep_only]
+        if not files:
+            continue
+        seg = reader().parquet(*files)
+        applicable = [(k, fs) for dsid, k, fs, _ in deletes if dsid > origin]
+        by_key: dict[str, list[str]] = {}
+        for k, fs in applicable:
+            by_key.setdefault(k, []).extend(fs)
+        for k, fs in by_key.items():
+            keys = spark.read.parquet(*fs).select(k).distinct()
+            seg = seg.join(F.broadcast(keys), k, "left_anti")
+        parts.append(seg)
+    if not parts:
+        return None
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def _chain_files(table: str, from_excl: int | None, to_incl: int,
                  incremental: bool = False) -> list[str]:
     """Data files along the parent chain in (from_excl, to_incl].
@@ -489,14 +613,15 @@ def _chain_files(table: str, from_excl: int | None, to_incl: int,
                 "kept snapshot instead")
         op = man.get("operation", "append")
         if incremental:
-            if op == "overwrite":
+            if op == "overwrite" or (op == "rowdelta"
+                                     and man.get("delete_files")):
                 raise ValueError(
-                    f"snapshot {sid} is a row-level overwrite: its added "
-                    "files mix upserted rows with copied-over rows, so an "
-                    "append-only incremental scan over it would duplicate "
-                    "data (Iceberg's incremental append scan refuses "
-                    "overwrites the same way) — read the full snapshot or "
-                    "diff at the row level instead")
+                    f"snapshot {sid} is a row-level {op}: an append-only "
+                    "incremental scan over it would surface updated rows "
+                    "without retracting the rows they replace (Iceberg's "
+                    "incremental append scan refuses overwrites the same "
+                    "way) — read the full snapshot or use read_changes "
+                    "for the row-level diff instead")
             if op == "append":
                 files[:0] = man["added_files"]
         else:
@@ -522,10 +647,19 @@ def read_snapshot(spark: SparkSession, table: str,
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
     if sid is None:
         raise ValueError(f"{table}: empty table (no CURRENT)")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*_chain_files(table, None, sid))
+    groups, deletes = _plan_full(table, sid)
+    if not deletes:
+        files = [f for _, fs in groups for f in fs]
+        if not files:
+            raise ValueError(f"{table}: snapshot {sid} has no data files")
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
+    df = _apply_deletes(spark, groups, deletes, merge_schema=merge_schema)
+    if df is None:
+        raise ValueError(f"{table}: snapshot {sid} has no data files")
+    return df
 
 
 def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
@@ -600,7 +734,11 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     # clear error instead of failing mid-scan on a missing file.
     keep_files: set[str] = set()
     for sid in kept_ids:
-        keep_files.update(_chain_files(table, None, sid))
+        groups, dels = _plan_full(table, sid)
+        keep_files.update(f for _, fs in groups for f in fs)
+        # merge-on-read equality-delete files a kept view still applies
+        # must survive the vacuum with the data files they mask
+        keep_files.update(f for _, _, fs, _ in dels for f in fs)
     deleted_manifests = 0
     for p in list(_meta(table).glob("snap-*.json")):
         sid = int(p.stem.split("-")[1])
@@ -627,7 +765,7 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     deleted_dirs = 0
     deleted_files = 0
     for d in (Path(table) / "data").glob("snap-*"):
-        files = {str(f) for f in d.glob("part-*.parquet")}
+        files = {str(f) for f in d.glob("*.parquet")}
         dead = files - keep_files
         if files and dead == files:
             shutil.rmtree(d)
@@ -721,6 +859,13 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         walk: int | None = base
         while walk is not None:
             man = _read_json(_meta(table) / f"snap-{walk}.json")
+            if man.get("operation") == "rowdelta" and man.get("delete_files"):
+                raise ValueError(
+                    f"{table}: snapshot {man['snapshot_id']} carries "
+                    "merge-on-read delete files; a copy-on-write merge "
+                    "planned from raw data files would resurrect deleted "
+                    "rows — compact() first (folds the deletes in) or "
+                    "keep merging with mor_upsert/mor_delete")
             stats.update(man.get("file_stats", {}))
             if man.get("operation", "append") == "replace":
                 break
@@ -782,6 +927,80 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         except CommitConflict as e:
             last_err = e  # concurrent commit moved CURRENT: re-plan
     raise last_err if last_err else RuntimeError("merge_upsert failed")
+
+
+def _check_mor_updates(spark: SparkSession, table: str,
+                       updates: DataFrame, key: str) -> None:
+    """Shared validation for the merge-on-read writers: schema must
+    match the table exactly (same reasoning as merge_upsert — a silent
+    cast forks parquet physical types across files), and keys must be
+    unique and non-null (a NULL equality-delete key never matches, so
+    the 'replaced' row would survive beside the insert)."""
+    from pyspark.sql import functions as F
+
+    expected = read_snapshot(spark, table).schema
+    if [(f.name, f.dataType) for f in expected.fields] != \
+            [(f.name, f.dataType) for f in updates.schema.fields]:
+        raise ValueError(
+            f"mor_upsert: updates schema {updates.schema.simpleString()} "
+            f"does not match table schema {expected.simpleString()}")
+    bad = (updates.groupBy(key).agg(F.count("*").alias("n"))
+           .filter((F.col("n") > 1) | F.col(key).isNull())
+           .limit(1).collect())
+    if bad:
+        if bad[0][key] is None:
+            raise ValueError("updates carry a NULL merge key")
+        raise ValueError(
+            f"updates carry duplicate key {bad[0][key]!r}: one row per "
+            "key is required (MERGE would be ambiguous)")
+
+
+def mor_upsert(spark: SparkSession, table: str, updates: DataFrame,
+               key: str, props: dict | None = None) -> int:
+    """MERGE-ON-READ row-level upsert (Iceberg v2 equality deletes,
+    from the public design): instead of rewriting every data file whose
+    key range overlaps an update (copy-on-write, :func:`merge_upsert`),
+    the commit writes ONLY the new rows plus one small equality-delete
+    file naming the replaced keys. Zero existing data files are
+    touched — a merge of 100 rows into a 100 TB table writes ~100 rows.
+    Readers apply the delete file as a broadcast anti-join against data
+    files whose origin snapshot is older than this commit (a v2
+    sequence-number check), so the upsert's own rows are never shadowed
+    by its own delete keys. The read-side debt is bounded by the number
+    of rowdelta commits since the last :func:`compact`, which folds all
+    pending deletes into plain data files.
+
+    Write-vs-read trade (the Iceberg v2 story verbatim): choose
+    merge_upsert when merges are rare and reads are hot; choose
+    mor_upsert when merges are frequent/small and a periodic compaction
+    amortizes the read-side anti-joins.
+
+    No CAS/retry loop is needed: the delete applies to *whatever* older
+    files the chain holds, so the commit content does not depend on the
+    parent snapshot — concurrent mor_upserts serialize on the commit
+    lock and compose as last-writer-wins per key."""
+    _check_mor_updates(spark, table, updates, key)
+    updates = updates.localCheckpoint(eager=True)
+    return commit(updates, table, operation="rowdelta",
+                  delete_keys=updates.select(key), delete_key=key,
+                  props=props)
+
+
+def mor_delete(spark: SparkSession, table: str, keys: DataFrame,
+               key: str, props: dict | None = None) -> int:
+    """Merge-on-read row-level DELETE: commits one small equality-
+    delete file (the distinct non-null values of ``keys``'s ``key``
+    column) and no data rows. ``read_snapshot`` hides the rows
+    immediately; :func:`compact` makes it physical."""
+    from pyspark.sql import functions as F
+
+    if keys.filter(F.col(key).isNull()).limit(1).count():
+        raise ValueError("delete keys contain NULL: an equality delete "
+                         "on NULL never matches any row")
+    empty = read_snapshot(spark, table).limit(0).localCheckpoint(eager=True)
+    keys = keys.select(key).distinct().localCheckpoint(eager=True)
+    return commit(empty, table, operation="rowdelta",
+                  delete_keys=keys, delete_key=key, props=props)
 
 
 def read_changes(spark: SparkSession, table: str, from_snapshot: int,
@@ -857,6 +1076,32 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
                 chunks.append(removed.select(
                     "*", F.lit("delete").alias("_change_type"),
                     F.lit(sid).alias("_snapshot_id")))
+        elif op == "rowdelta":
+            # merge-on-read delta: inserts are the commit's own added
+            # rows; deletes are the PARENT-state rows bearing a deleted
+            # key (an update therefore appears as the standard
+            # delete+insert pair). The parent read is pruned to the
+            # delete-key range recorded in the manifest, so changelog
+            # cost follows the delta size on a key-clustered table.
+            if man["added_files"]:
+                chunks.append(
+                    spark.read.parquet(*man["added_files"]).select("*", *tag))
+            if man.get("delete_files"):
+                k = man["delete_key"]
+                rng = man.get("delete_key_range")
+                if rng is not None:
+                    prior = read_where(
+                        spark, table,
+                        [(k, ">=", rng[0]), (k, "<=", rng[1])],
+                        snapshot_id=man["parent"])
+                else:
+                    prior = read_snapshot(spark, table, man["parent"])
+                dk = (spark.read.parquet(*man["delete_files"])
+                      .select(k).distinct())
+                chunks.append(
+                    prior.join(F.broadcast(dk), k, "left_semi").select(
+                        "*", F.lit("delete").alias("_change_type"),
+                        F.lit(sid).alias("_snapshot_id")))
         sid = man["parent"]
     if not chunks:
         empty = read_snapshot(spark, table, to_sid).limit(0)

@@ -900,3 +900,209 @@ def test_expire_deeper_keep_after_expire_stays_sane(spark, tmp_path):
         read_snapshot(spark, t, snapshot_id=s1)
     got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
     assert len(got) == 20 and got[3] == 7
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read (rowdelta) snapshots — Iceberg v2-style equality deletes
+
+
+def test_mor_upsert_rewrites_zero_data_files(spark, tmp_path):
+    """The MOR contract itself: an upsert touching a handful of keys
+    commits ONLY its own rows + one small delete file — every
+    pre-existing data file survives untouched on disk, yet readers see
+    the merged state immediately."""
+    from npm_extraction_server_spark.sources.snapshots import mor_upsert
+
+    t = str(tmp_path / "mor0")
+    commit(spark.range(200).select(F.col("id"), (F.col("id") * 2).alias("v")),
+           t, partitions=4, cluster_by=["id"])
+    before = {str(p) for p in (tmp_path / "mor0" / "data").rglob("*.parquet")}
+    ups = spark.createDataFrame([(3, -1), (150, -2), (500, 9)], "id long, v long")
+    mor_upsert(spark, t, ups, key="id")
+    man = snapshot_log(t)[-1]
+    assert man["operation"] == "rowdelta"
+    assert man["delete_key"] == "id" and man["delete_files"]
+    assert not man.get("removed_files")
+    after = {str(p) for p in (tmp_path / "mor0" / "data").rglob("*.parquet")}
+    assert before <= after  # nothing rewritten or removed
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 201
+    assert got[3] == -1 and got[150] == -2 and got[500] == 9 and got[4] == 8
+
+
+def test_mor_own_inserts_not_shadowed_by_own_deletes(spark, tmp_path):
+    """Sequence-number semantics: the delete file applies to STRICTLY
+    OLDER data files only — the upsert's replacement rows (same keys,
+    same snapshot) survive, and a LATER delete does remove them."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        mor_delete,
+        mor_upsert,
+    )
+
+    t = str(tmp_path / "mor1")
+    commit(spark.range(10).select(F.col("id"), F.lit(0).alias("v")), t)
+    mor_upsert(spark, t,
+               spark.createDataFrame([(5, 1)], "id long, v int"), key="id")
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert got[5] == 1  # replacement row visible, not self-deleted
+    mor_delete(spark, t, spark.createDataFrame([(5,)], "id long"), key="id")
+    ids = {r["id"] for r in read_snapshot(spark, t).collect()}
+    assert 5 not in ids and len(ids) == 9
+
+
+def test_mor_compact_folds_deletes_physical(spark, tmp_path):
+    """compact() on a table with pending delete files materializes the
+    logical state: the replace snapshot has no delete files, reads stay
+    identical, and copy-on-write merge_upsert (which refuses pending
+    MOR deletes) works again afterwards."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        compact,
+        merge_upsert,
+        mor_upsert,
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "mor2")
+    commit(spark.range(50).select(F.col("id"), F.lit(0).alias("v")),
+           t, partitions=2, cluster_by=["id"])
+    mor_upsert(spark, t,
+               spark.createDataFrame([(7, 1), (99, 2)], "id long, v int"),
+               key="id")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        merge_upsert(spark, t,
+                     spark.createDataFrame([(8, 3)], "id long, v int"),
+                     key="id")
+    compact(spark, t, partitions=2, cluster_by=["id"])
+    assert not snapshot_log(t)[-1].get("delete_files")
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 51 and got[7] == 1 and got[99] == 2
+    merge_upsert(spark, t,
+                 spark.createDataFrame([(8, 3)], "id long, v int"), key="id")
+    got = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert got[8] == 3 and got[7] == 1
+    # vacuum: the pre-compaction delete files die with their history
+    expire_snapshots(t, keep_last=1)
+    left = [p.name for p in (tmp_path / "mor2" / "data").rglob("delete-*.parquet")]
+    assert left == []
+
+
+def test_mor_changelog_emits_delete_insert_pairs(spark, tmp_path):
+    """read_changes over a rowdelta snapshot: updated keys arrive as
+    (delete old row, insert new row); pure inserts arrive alone; a pure
+    mor_delete emits deletes only. Delete keys absent from the parent
+    state emit nothing."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        mor_delete,
+        mor_upsert,
+        read_changes,
+    )
+
+    t = str(tmp_path / "mor3")
+    s1 = commit(spark.range(20).select(F.col("id"), F.lit(0).alias("v")),
+                t, partitions=2, cluster_by=["id"])
+    mor_upsert(spark, t,
+               spark.createDataFrame([(3, 7), (100, 8)], "id long, v int"),
+               key="id")
+    s3 = mor_delete(spark, t, spark.createDataFrame([(4,), (555,)], "id long"),
+                    key="id")
+    ch = {(r["id"], r["v"], r["_change_type"], r["_snapshot_id"])
+          for r in read_changes(spark, t, from_snapshot=s1).collect()}
+    assert ch == {
+        (3, 0, "delete", 2), (3, 7, "insert", 2), (100, 8, "insert", 2),
+        (4, 0, "delete", s3),  # 555 never existed -> no delete row
+    }
+
+
+def test_mor_incremental_refuses_and_validations(spark, tmp_path):
+    """read_incremental refuses a rowdelta range (row-level change, not
+    an append); NULL/duplicate update keys and NULL delete keys are
+    rejected up front."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        mor_delete,
+        mor_upsert,
+    )
+
+    t = str(tmp_path / "mor4")
+    s1 = commit(spark.range(10).select(F.col("id"), F.lit(0).alias("v")), t)
+    with pytest.raises(ValueError, match="duplicate"):
+        mor_upsert(spark, t,
+                   spark.createDataFrame([(1, 1), (1, 2)], "id long, v int"),
+                   key="id")
+    with pytest.raises(ValueError, match="NULL"):
+        mor_upsert(spark, t,
+                   spark.createDataFrame([(None, 1)], "id long, v int"),
+                   key="id")
+    with pytest.raises(ValueError, match="NULL"):
+        mor_delete(spark, t, spark.createDataFrame([(None,)], "id long"),
+                   key="id")
+    mor_upsert(spark, t,
+               spark.createDataFrame([(1, 1)], "id long, v int"), key="id")
+    with pytest.raises(ValueError, match="rowdelta"):
+        read_incremental(spark, t, s1).count()
+
+
+def test_snapshot_mor_model(spark, tmp_path):
+    """Model-based check with merge-on-read ops in the mix: appends,
+    mor upserts/deletes, CoW merges (after compaction), compaction,
+    rollback forks — full reads and time travel must agree with a dict
+    model after every step."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        compact,
+        merge_upsert,
+        mor_delete,
+        mor_upsert,
+        rollback,
+    )
+
+    t = str(tmp_path / "mor_model")
+    states: dict[int, dict] = {}
+
+    def kv(df):
+        return {r["id"]: r["v"] for r in df.collect()}
+
+    def mk(pairs):
+        return spark.createDataFrame(list(pairs.items()), "id long, v long")
+
+    cur: dict = {}
+    ops = [
+        ("append", {i: 0 for i in range(40)}),
+        ("mor_upsert", {3: 7, 100: 1}),
+        ("mor_upsert", {3: 8, 101: 2}),       # re-update over a pending delete
+        ("mor_delete", [10, 11, 999]),        # 999 never existed
+        ("compact",),
+        ("merge", {49: 9, 102: 3}),           # CoW works after the fold
+        ("mor_upsert", {102: 4, 200: 5}),     # MOR over a CoW overwrite
+        ("rollback", 5),                      # back to the compaction
+        ("mor_delete", [0, 1]),               # delete on the fork
+    ]
+    sid = None
+    for op in ops:
+        if op[0] == "append":
+            sid = commit(mk(op[1]), t)
+            cur = {**cur, **op[1]}
+        elif op[0] == "mor_upsert":
+            sid = mor_upsert(spark, t, mk(op[1]), key="id")
+            cur = {**cur, **op[1]}
+        elif op[0] == "mor_delete":
+            sid = mor_delete(
+                spark, t,
+                spark.createDataFrame([(k,) for k in op[1]], "id long"),
+                key="id")
+            cur = {k: v for k, v in cur.items() if k not in set(op[1])}
+        elif op[0] == "merge":
+            sid = merge_upsert(spark, t, mk(op[1]), key="id")
+            cur = {**cur, **op[1]}
+        elif op[0] == "compact":
+            sid = compact(spark, t)
+        else:
+            rollback(t, op[1])
+            sid = op[1]
+            cur = dict(states[sid])
+        states[sid] = dict(cur)
+        assert kv(read_snapshot(spark, t)) == cur, f"state diverged at {op}"
+    for s, st in states.items():
+        try:
+            got = kv(read_snapshot(spark, t, snapshot_id=s))
+        except ValueError:
+            continue  # orphaned by the rollback fork
+        assert got == st
