@@ -268,6 +268,202 @@ def _lloyd_refine(embeddings: DataFrame, cents: DataFrame, iters: int,
     return cents
 
 
+def _train_pq_codebooks(resid, m_sub: int, ksub: int, iters: int = 5):
+    """Deterministic per-subspace Lloyd on the residual sample (numpy,
+    driver-side — the sample is a fixed few hundred rows). Init = the
+    first ``ksub`` rows of the hash-ordered sample; empty clusters keep
+    their previous codeword. Returns (m_sub, ksub, dsub) float64."""
+    import numpy as np
+
+    S, dim = resid.shape
+    dsub = dim // m_sub
+    books = np.empty((m_sub, ksub, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        block = resid[:, m * dsub:(m + 1) * dsub]
+        cb = block[:ksub].copy()
+        for _ in range(iters):
+            # squared-L2 to each codeword; argmin -> first (lowest) index
+            d2 = ((block[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ksub):
+                sel = block[assign == j]
+                if len(sel):
+                    cb[j] = sel.mean(axis=0)
+        books[m] = cb
+    return books
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 16, nprobe: int = 4,
+               m_sub: int = 8, ksub: int = 16, rerank: int = 64,
+               sample_n: int = 512, kmeans_iters: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF+PQ ANN (Jégou et al.'s product-quantization design, built
+    from the public papers): the IVF coarse quantizer routes each
+    vector to a centroid cell, and the RESIDUAL (vector - centroid) is
+    compressed to ``m_sub`` sub-codes (one byte each at ksub<=256) via
+    per-subspace codebooks. Search scores candidates ASYMMETRICALLY
+    (ADC): per (query, probed cell) a tiny (m_sub x ksub) lookup table
+    of query-subvector . codeword dot products is precomputed
+    driver-side, so scoring a candidate is m_sub table lookups — no
+    float vector is touched until the exact re-rank of the top
+    ``rerank`` survivors per query.
+
+    Scale shape: the encoded table is (id, cent_id, m_sub bytes) —
+    64x smaller than float32 vectors at dim=64/m_sub=8 — and the full
+    vectors are read for only Q x rerank rows (a broadcast semi-join
+    against the embedding table). Everything data-sized is map-side:
+    encoding is one numpy matmul + per-subspace argmins per Arrow
+    batch (codebooks closure-broadcast); the candidate join hashes on
+    cent_id against broadcast probes. Driver-side cost is the fixed
+    ``sample_n``-row training sample and the centroid/codebook
+    literals — independent of N.
+
+    Deterministic end-to-end: hash-ordered seed sample + fixed Lloyd
+    iterations (coarse and PQ), first-index argmin ties, integer
+    codes. The exact re-rank makes the top-k exact whenever the true
+    neighbors survive ADC preselection (the `_verified` contract)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if ksub > 256:
+        raise ValueError("ksub > 256 breaks the one-byte-per-subspace code")
+    dsub = dim // m_sub
+
+    # --- coarse quantizer: identical recipe to ivf_topk ---------------
+    cents = (
+        embeddings.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    if kmeans_iters > 0:
+        cents = _lloyd_refine(embeddings, cents, kmeans_iters, vec_col, id_col)
+    cent_rows = [(r["cent_id"], r["cent_vec"]) for r in cents.collect()]
+    cent_ids = np.array([int(c) for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([np.asarray(v, dtype=np.float64) for _, v in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cent_pos = {int(c): i for i, (c, _) in enumerate(cent_rows)}
+
+    # --- PQ codebooks from a fixed-size hash-ordered residual sample --
+    sample = (
+        embeddings.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_n).select(vec_col).collect()
+    )
+    smat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    sn = np.linalg.norm(smat, axis=1)
+    sn[sn == 0] = 1.0
+    ssims = (smat @ cmat.T) / sn[:, None] / cnorm[None, :]
+    sassign = np.lexsort(
+        (np.broadcast_to(cent_ids, ssims.shape), -ssims), axis=-1)[:, 0]
+    books = _train_pq_codebooks(smat - cmat[sassign], m_sub, ksub)
+
+    # --- encode: map-side (cent assignment + per-subspace argmin) -----
+    enc_schema = T.StructType([
+        T.StructField("item_id", embeddings.schema[id_col].dataType, False),
+        T.StructField("cent_id", T.LongType(), False),
+        T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def encode(batches, _cids=cent_ids, _cmat=cmat, _cn=cnorm, _books=books):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+            vn = np.linalg.norm(mat, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (mat @ _cmat.T) / vn[:, None] / _cn[None, :]
+            order = np.lexsort(
+                (np.broadcast_to(_cids, sims.shape), -sims), axis=-1)
+            pos = order[:, 0]
+            resid = mat - _cmat[pos]
+            codes = np.empty((len(mat), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                block = resid[:, m * dsub:(m + 1) * dsub]
+                d2 = ((block[:, None, :] - _books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                "item_id": pdf[id_col],
+                "cent_id": _cids[pos],
+                "codes": list(codes),
+            })
+
+    encoded = embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema=enc_schema)
+
+    # --- query side: probes + per-(query, cell) ADC lookup tables -----
+    def _key(v):
+        return v.item() if hasattr(v, "item") else v
+
+    q_rows = queries.select(id_col, vec_col).collect()  # queries are tiny
+    luts: dict = {}
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qn = np.linalg.norm(qv) or 1.0
+        qsims = (cmat @ qv) / qn / cnorm
+        order = np.lexsort((cent_ids, -qsims))
+        for ci in order[:min(nprobe, len(cent_ids))]:
+            cid = int(cent_ids[ci])
+            bias = float(qv @ cmat[ci])
+            lut = np.array([qv[m * dsub:(m + 1) * dsub] @ books[m].T
+                            for m in range(m_sub)])  # m_sub x ksub
+            luts[(_key(r[id_col]), cid)] = (bias, lut)
+    probes = [(qid, cid) for (qid, cid) in luts]
+    probes_df = embeddings.sparkSession.createDataFrame(
+        probes, schema=T.StructType([
+            T.StructField("query_id", embeddings.schema[id_col].dataType, False),
+            T.StructField("cent_id", T.LongType(), False)]))
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(query_ids: pd.Series, cent_ids_s: pd.Series,
+            codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(query_ids), dtype=np.float64)
+        ms = np.arange(m_sub)
+        for i, (qid, cid, cd) in enumerate(
+                zip(query_ids, cent_ids_s, codes)):
+            bias, lut = luts[(_key(qid), int(cid))]
+            out[i] = bias + lut[ms, np.asarray(cd, dtype=np.int64)].sum()
+        return pd.Series(out)
+
+    cand = (
+        encoded.join(F.broadcast(probes_df), "cent_id")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("adc_ip", adc("query_id", "cent_id", "codes"))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("item_id"))
+    survivors = (cand.withColumn("prerank", F.row_number().over(w_pre))
+                 .filter(F.col("prerank") <= rerank)
+                 .select("query_id", "item_id"))
+
+    # --- exact re-rank on the Q x rerank survivors --------------------
+    base = embeddings.select(F.col(id_col).alias("item_id"),
+                             F.col(vec_col).alias("item_vec"))
+    qdf = queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("query_vec"))
+    exact = (base.join(F.broadcast(survivors), "item_id")
+             .join(F.broadcast(qdf), "query_id"))
+    sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
+        _norm(F.col("item_vec")) * _norm(F.col("query_vec")))
+    scored = exact.select("query_id", "item_id", F.round(sim, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",

@@ -706,6 +706,23 @@ def sim_ivf_verified(spark, sf):
                     n_centroids=16, nprobe=4)
 
 
+def sim_ivfpq_verified(spark, sf):
+    """IVF+PQ ANN retrieves the exact nearest neighbor of every
+    planted query (hard DuckDB oracle: exact argmax cosine — same
+    contract as sim_ivf_verified). Candidates are scored from 8-byte
+    PQ residual codes via per-query ADC lookup tables; the exact
+    re-rank touches only the 64 ADC survivors per query, and the
+    ~0.993-cosine source vector always survives preselection (its ADC
+    inner product is essentially maximal; quantization noise is shared
+    across candidates)."""
+    from .similarity import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivfpq_topk(emb, _planted_ann_queries(emb), k=1,
+                      n_centroids=16, nprobe=4, m_sub=8, ksub=16,
+                      rerank=64)
+
+
 def j9_asof_join(spark, sf):
     """As-of (point-in-time) join under DuckDB's NATIVE ASOF JOIN as
     the oracle: every event gets the latest order of the same customer
@@ -1335,6 +1352,7 @@ SPARK_QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_verified": sim_lsh_verified,
     "sim_ivf_verified": sim_ivf_verified,
+    "sim_ivfpq_verified": sim_ivfpq_verified,
     "graph_components": graph_components,
     "graph_components_incr": graph_components_incr,
     "graph_bfs": graph_bfs,
@@ -2140,6 +2158,7 @@ ORACLE_SQL = {
     "dedup_simhash_verified": _EXACT_JACCARD_SQL_TMPL.format(threshold=0.9),
     "sim_lsh_verified": _ANN_VERIFIED_SQL,
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
+    "sim_ivfpq_verified": _ANN_VERIFIED_SQL,
     "graph_components": _GRAPH_COMPONENTS_SQL,
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "graph_bfs": _GRAPH_BFS_SQL,

@@ -172,6 +172,39 @@ def test_ann_verified_top1_hits_planted_source(spark):
             assert r["cosine"] > 0.98
 
 
+def test_ivfpq_verified_and_deterministic(spark):
+    """IVF+PQ: planted queries retrieve their exact source as top-1
+    through the 8-byte-code ADC preselection + exact re-rank; the whole
+    pipeline (hash-ordered samples, fixed Lloyd rounds, first-index
+    argmin ties) is deterministic — two runs produce identical rows."""
+    from npm_extraction_server_spark.operators.similarity import ivfpq_topk
+    from npm_extraction_server_spark.operators.suite import _planted_ann_queries
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _planted_ann_queries(emb, n=10)
+    a = ivfpq_topk(emb, q, k=1, n_centroids=16, nprobe=4,
+                   m_sub=8, ksub=16, rerank=64).collect()
+    assert len(a) == 10
+    for r in a:
+        assert r["item_id"] == r["query_id"] - 200000
+        assert r["cosine"] > 0.98
+    b = ivfpq_topk(emb, q, k=1, n_centroids=16, nprobe=4,
+                   m_sub=8, ksub=16, rerank=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_validates_params(spark):
+    from npm_extraction_server_spark.operators.similarity import ivfpq_topk
+    from npm_extraction_server_spark.operators.suite import _planted_ann_queries
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _planted_ann_queries(emb, n=2)
+    with pytest.raises(ValueError, match="divisible"):
+        ivfpq_topk(emb, q, m_sub=7)
+    with pytest.raises(ValueError, match="one-byte"):
+        ivfpq_topk(emb, q, ksub=512)
+
+
 def test_graph_components_chains_and_bridges(spark):
     """graph_components: runs of 10 chained, bridged at multiples of
     37 — canonical label must be the min node over the merged runs."""
