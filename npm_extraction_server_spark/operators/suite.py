@@ -1007,6 +1007,28 @@ def snap_changelog(spark, sf):
     return read_changes(spark, table, from_snapshot=s1)
 
 
+def snap_hidden_partition(spark, sf):
+    """Hidden partitioning (hard oracle): events commit day(ts)-
+    partitioned — the derived day column is invisible to readers, and
+    a ts-window predicate on the RAW column prunes the scan to the
+    window's files via the transform-aware predicate rewrite
+    (asserted). DuckDB runs the plain filter; results must match
+    exactly, proving the layout is a pure optimization."""
+    import datetime
+    import tempfile
+
+    from ..sources.snapshots import commit, plan_scan, read_where
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id")
+    table = tempfile.mkdtemp(prefix="snaphp_")
+    commit(ev, table, partitions=8, partition_spec=[("day", "ts")])
+    preds = [("ts", ">=", datetime.datetime(2024, 1, 10)),
+             ("ts", "<", datetime.datetime(2024, 1, 12))]
+    kept, total = plan_scan(table, preds)
+    assert len(kept) < len(total), "hidden-partition pruning had no effect"
+    return read_where(spark, table, preds)
+
+
 def snap_mor_merge(spark, sf):
     """MERGE-ON-READ upsert (hard oracle — same merged state as
     snap_merge_upsert, produced the Iceberg v2 way): the same updates
@@ -1369,6 +1391,7 @@ SPARK_QUERIES = {
     "snap_changelog": snap_changelog,
     "snap_mor_merge": snap_mor_merge,
     "snap_mor_changelog": snap_mor_changelog,
+    "snap_hidden_partition": snap_hidden_partition,
     "sketch_distinct": sketch_distinct,
     "sketch_hll": sketch_hll,
     "sketch_bloom": sketch_bloom,
@@ -2313,6 +2336,10 @@ ORACLE_SQL = {
         FROM documents
         UNION ALL
         SELECT doc_id + 100000, lang, -1 FROM documents WHERE doc_id < 50
+    """,
+    "snap_hidden_partition": """
+        SELECT event_id, ts, user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
     """,
     # MOR produces the SAME logical state/changes as CoW — that
     # equivalence is exactly what these oracles pin

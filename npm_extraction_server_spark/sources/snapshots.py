@@ -253,6 +253,127 @@ def _file_may_match(stats: dict, predicates) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition transforms, from the public
+# design): the table SPEC maps source columns through transforms —
+# identity / bucket(n) / truncate(w) / day — to derived partition
+# columns (name-prefixed ``__p_``) that the writer materializes and
+# clusters files by, and that every reader hides. Scan planning
+# rewrites USER predicates on the source columns into predicates on
+# the derived columns (the "hidden" part: queries never mention the
+# layout), and the existing per-file min/max stats pruning does the
+# rest — a day-partitioned write puts one day per file, so a ts-window
+# query opens only that window's files. Spec entries (JSON form):
+#   ["identity", col] | ["bucket", col, n] | ["truncate", col, w]
+#   | ["day", col]
+# The bucket hash is sha256-based so the DRIVER can compute the same
+# bucket for predicate rewrite that EXECUTORS computed at write.
+
+_P_PREFIX = "__p_"
+
+
+def _pcol_name(entry) -> str:
+    kind, col = entry[0], entry[1]
+    if kind in ("bucket", "truncate"):
+        return f"{_P_PREFIX}{kind}_{entry[2]}_{col}"
+    return f"{_P_PREFIX}{kind}_{col}"
+
+
+def _transform_expr(entry):
+    """Spark column expression of a spec entry (JVM-side, codegen)."""
+    from pyspark.sql import functions as F
+
+    kind, col = entry[0], entry[1]
+    if kind == "identity":
+        return F.col(col)
+    if kind == "bucket":
+        n = int(entry[2])
+        # 60-bit prefix of sha256(string(v)) mod n — reproducible
+        # driver-side with hashlib for predicate rewrite
+        return F.pmod(
+            F.conv(F.substring(F.sha2(F.col(col).cast("string"), 256), 1, 15),
+                   16, 10).cast("long"), F.lit(n))
+    if kind == "truncate":
+        w = int(entry[2])
+        return (F.col(col) - F.pmod(F.col(col), F.lit(w))).cast("long")
+    if kind == "day":
+        return F.datediff(F.col(col).cast("date"), F.lit("1970-01-01"))
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def _transform_value(entry, v):
+    """Driver-side replica of _transform_expr for predicate rewrite;
+    None when the value can't be transformed (no rewrite, still safe)."""
+    import datetime
+    import hashlib
+
+    kind = entry[0]
+    if kind == "identity":
+        return v
+    if kind == "bucket":
+        if not isinstance(v, (int, str)) or isinstance(v, bool):
+            return None
+        return int(hashlib.sha256(str(v).encode()).hexdigest()[:15], 16) \
+            % int(entry[2])
+    if kind == "truncate":
+        if not isinstance(v, int) or isinstance(v, bool):
+            return None
+        w = int(entry[2])
+        return v - (v % w)
+    if kind == "day":
+        if isinstance(v, str):
+            try:
+                v = datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if not isinstance(v, datetime.date):
+            return None
+        return (v - datetime.date(1970, 1, 1)).days
+    return None
+
+
+def _rewrite_preds(spec, predicates) -> list:
+    """User predicates -> derived-column predicates the file stats can
+    prune on. Conservative by construction: bucket supports equality
+    only; day/truncate are monotone non-decreasing, so range bounds
+    map to closed bounds on the transformed value."""
+    extra = []
+    for entry in spec or []:
+        name = _pcol_name(entry)
+        kind = entry[0]
+        for col, op, val in predicates:
+            if col != entry[1]:
+                continue
+            t = _transform_value(entry, val)
+            if t is None:
+                continue
+            if op == "=":
+                extra.append((name, "=", t))
+            elif kind == "bucket":
+                continue  # hash destroys order: only equality rewrites
+            elif op in (">", ">="):
+                extra.append((name, ">=", t))
+            elif op in ("<", "<="):
+                extra.append((name, "<=", t))
+    return extra
+
+
+def _current_spec(table: str) -> list | None:
+    """The active partition spec: recorded in every spec-era manifest,
+    so CURRENT's own manifest carries it (None on a spec-less table)."""
+    sid = current_snapshot_id(table)
+    if sid is None:
+        return None
+    return _read_json(_meta(table) / f"snap-{sid}.json").get("partition_spec")
+
+
+def _drop_hidden(df: DataFrame) -> DataFrame:
+    hidden = [c for c in df.columns if c.startswith(_P_PREFIX)]
+    return df.drop(*hidden) if hidden else df
+
+
 def plan_scan(table: str, predicates, snapshot_id: int | None = None):
     """Metadata-only scan planning: returns (kept_files, total_files)
     for the snapshot's file set under ``predicates`` — a list of
@@ -264,14 +385,20 @@ def plan_scan(table: str, predicates, snapshot_id: int | None = None):
     files = _chain_files(table, None, sid)
     stats: dict = {}
     walk: int | None = sid
+    spec = None
     while walk is not None:
         man = _read_json(_meta(table) / f"snap-{walk}.json")
+        if spec is None:
+            spec = man.get("partition_spec")
         stats.update(man.get("file_stats", {}))
         if man.get("operation", "append") == "replace":
             break
         walk = man["parent"]
+    # hidden-partition rewrite: user predicates on source columns gain
+    # derived-column twins the per-file stats can prune on
+    preds = list(predicates) + _rewrite_preds(spec, predicates)
     kept = [f for f in files
-            if _file_may_match(stats.get(f, {}), predicates)]
+            if _file_may_match(stats.get(f, {}), preds)]
     return kept, files
 
 
@@ -302,7 +429,7 @@ def read_where(spark: SparkSession, table: str, predicates,
            ">": "__gt__", ">=": "__ge__"}
     for col, op, val in predicates:
         df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
-    return df
+    return _drop_hidden(df)
 
 
 _Z_BITS = 12  # per-dimension resolution of the z-curve (4096 buckets)
@@ -347,7 +474,8 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
            removed_files: list[str] | None = None,
            cluster_mode: str = "range",
            delete_keys: DataFrame | None = None,
-           delete_key: str | None = None) -> int:
+           delete_key: str | None = None,
+           partition_spec: list | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -386,7 +514,40 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     meta.mkdir(parents=True, exist_ok=True)
     (table_p / "data").mkdir(parents=True, exist_ok=True)
     staging = table_p / "data" / f".staging-{uuid.uuid4().hex}"
-    if cluster_by and cluster_mode == "zorder" and len(cluster_by) > 1:
+    # hidden-partition spec: explicit on the FIRST commit or a
+    # 'replace' (compaction rewrites every live file under the new
+    # layout, cutting the chain below it), INHERITED by every later
+    # commit — so all live data files of a spec-era table share the
+    # derived-column layout and readers never mix schemas. (The
+    # inherit read is pre-lock: spec changes ride replace commits,
+    # which CAS on expected_parent, so a race can only re-read the
+    # same spec.)
+    inherited = _current_spec(table)
+    if partition_spec is not None:
+        if inherited is not None and operation != "replace" \
+                and [list(e) for e in partition_spec] != inherited:
+            raise ValueError(
+                "changing partition_spec requires operation='replace' "
+                "(a compaction that rewrites the table under the new "
+                "layout) — appending files of a different layout would "
+                "mix schemas under one table")
+        spec = [list(e) for e in partition_spec]
+    else:
+        spec = inherited
+    if spec:
+        # derive the hidden partition columns and cluster files by
+        # them (range partitioning keeps each file's derived min==max
+        # for low-cardinality transforms, making stats pruning exact);
+        # cluster_by still orders rows WITHIN the partition files.
+        # Spec clustering supersedes the zorder/range cluster modes.
+        df = _drop_hidden(df)
+        pcols = [_pcol_name(e) for e in spec]
+        for e in spec:
+            df = df.withColumn(_pcol_name(e), _transform_expr(e))
+        df = (df.repartitionByRange(
+                  partitions or df.rdd.getNumPartitions(), *pcols)
+              .sortWithinPartitions(*pcols, *(cluster_by or [])))
+    elif cluster_by and cluster_mode == "zorder" and len(cluster_by) > 1:
         # Z-ORDER clustering: range-cluster on the interleaved-bit
         # z-value of the keys, so EVERY clustered dimension gets
         # usable (if coarser) per-file ranges — a predicate on any one
@@ -471,6 +632,8 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
             manifest["delete_files"] = dfiles
             manifest["delete_key"] = delete_key
             manifest["delete_key_range"] = drange
+        if spec:
+            manifest["partition_spec"] = spec
         (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
         tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
         tmp.write_text(str(sid))
@@ -483,7 +646,8 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
 def compact(spark: SparkSession, table: str,
             partitions: int | None = None,
             cluster_by: list[str] | None = None,
-            cluster_mode: str = "range") -> int:
+            cluster_mode: str = "range",
+            partition_spec: list | None = None) -> int:
     """Rewrite the CURRENT table state as one 'replace' snapshot —
     the small-files maintenance op. Readers planning from the new
     snapshot open the compacted files only; older snapshots stay
@@ -502,7 +666,7 @@ def compact(spark: SparkSession, table: str,
     df = read_snapshot(spark, table, snapshot_id=base)
     return commit(df, table, partitions=partitions, operation="replace",
                   expected_parent=base, cluster_by=cluster_by,
-                  cluster_mode=cluster_mode)
+                  cluster_mode=cluster_mode, partition_spec=partition_spec)
 
 
 def _plan_full(table: str, to_incl: int):
@@ -655,11 +819,11 @@ def read_snapshot(spark: SparkSession, table: str,
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        return _drop_hidden(reader.parquet(*files))
     df = _apply_deletes(spark, groups, deletes, merge_schema=merge_schema)
     if df is None:
         raise ValueError(f"{table}: snapshot {sid} has no data files")
-    return df
+    return _drop_hidden(df)
 
 
 def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
@@ -675,7 +839,7 @@ def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
     files = _chain_files(table, from_snapshot, to_sid, incremental=True)
     if not files:
         return read_snapshot(spark, table, to_sid).limit(0)
-    return spark.read.parquet(*files)
+    return _drop_hidden(spark.read.parquet(*files))
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> dict:
@@ -914,7 +1078,7 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
                    .select("_f").distinct().collect())
             touched += [r["_f"] for r in hit]
         if touched:
-            survivors = (spark.read.parquet(*sorted(touched))
+            survivors = (_drop_hidden(spark.read.parquet(*sorted(touched)))
                          .join(updates.select(key), key, "left_anti"))
             new_data = survivors.unionByName(updates)
         else:
@@ -1058,12 +1222,12 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
         tag = (F.lit("insert").alias("_change_type"),
                F.lit(sid).alias("_snapshot_id"))
         if op == "append" and man["added_files"]:
-            chunks.append(
-                spark.read.parquet(*man["added_files"]).select("*", *tag))
+            chunks.append(_drop_hidden(
+                spark.read.parquet(*man["added_files"])).select("*", *tag))
         elif op == "overwrite":
-            added = (spark.read.parquet(*man["added_files"])
+            added = (_drop_hidden(spark.read.parquet(*man["added_files"]))
                      if man["added_files"] else None)
-            removed = (spark.read.parquet(*man["removed_files"])
+            removed = (_drop_hidden(spark.read.parquet(*man["removed_files"]))
                        if man.get("removed_files") else None)
             if added is not None and removed is not None:
                 chunks.append(added.exceptAll(removed).select("*", *tag))
@@ -1084,8 +1248,8 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
             # delete-key range recorded in the manifest, so changelog
             # cost follows the delta size on a key-clustered table.
             if man["added_files"]:
-                chunks.append(
-                    spark.read.parquet(*man["added_files"]).select("*", *tag))
+                chunks.append(_drop_hidden(
+                    spark.read.parquet(*man["added_files"])).select("*", *tag))
             if man.get("delete_files"):
                 k = man["delete_key"]
                 rng = man.get("delete_key_range")
@@ -1108,4 +1272,5 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
         return empty.select(
             "*", F.lit("insert").alias("_change_type"),
             F.lit(0).alias("_snapshot_id")).limit(0)
-    return functools.reduce(lambda a, b: a.unionByName(b), chunks)
+    return _drop_hidden(
+        functools.reduce(lambda a, b: a.unionByName(b), chunks))

@@ -1106,3 +1106,92 @@ def test_snapshot_mor_model(spark, tmp_path):
         except ValueError:
             continue  # orphaned by the rollback fork
         assert got == st
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning (Iceberg partition transforms)
+
+
+def test_hidden_partitioning_day_transform_prunes_and_hides(spark, tmp_path):
+    """A day(ts)-partitioned table: readers never see the derived
+    column, a ts-window predicate on the SOURCE column prunes to the
+    window's files (the 'hidden' contract — queries mention only raw
+    columns), and results equal a plain filter."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        plan_scan,
+        read_where,
+    )
+
+    t = str(tmp_path / "hp_day")
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "ts", "user_id"))
+    commit(ev, t, partitions=8, partition_spec=[("day", "ts")])
+    df = read_snapshot(spark, t)
+    assert not [c for c in df.columns if c.startswith("__p_")]
+    import datetime
+
+    preds = [("ts", ">=", datetime.datetime(2024, 1, 10)),
+             ("ts", "<", datetime.datetime(2024, 1, 12))]
+    kept, total = plan_scan(t, preds)
+    assert 0 < len(kept) < len(total), (len(kept), len(total))
+    want = sorted(r["event_id"] for r in ev.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")).collect())
+    got = sorted(r["event_id"] for r in read_where(spark, t, preds).collect())
+    assert got == want
+
+
+def test_hidden_partitioning_bucket_point_lookup(spark, tmp_path):
+    """bucket(doc_id, 8): an equality predicate on the source column
+    rewrites to the sha256-derived bucket id (driver and executors
+    compute the same hash), pruning to ~1/8 of the files."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        plan_scan,
+        read_where,
+    )
+
+    t = str(tmp_path / "hp_bucket")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang"))
+    commit(docs, t, partitions=8, partition_spec=[("bucket", "doc_id", 8)])
+    kept, total = plan_scan(t, [("doc_id", "=", 123)])
+    assert 0 < len(kept) < len(total)
+    rows = read_where(spark, t, [("doc_id", "=", 123)]).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 123
+    # a range predicate must NOT rewrite through the hash (order-destroying)
+    kept_rng, total_rng = plan_scan(t, [("doc_id", ">=", 0)])
+    assert len(kept_rng) == len(total_rng)
+
+
+def test_hidden_partitioning_spec_lifecycle(spark, tmp_path):
+    """The spec is set at table creation, inherited by appends and
+    merges, changeable only via a replace (compaction under the new
+    layout), and every write path keeps results correct."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        compact,
+        merge_upsert,
+        mor_upsert,
+        plan_scan,
+        snapshot_log,
+    )
+
+    t = str(tmp_path / "hp_life")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang"))
+    commit(docs, t, partitions=4, partition_spec=[("truncate", "doc_id", 100)])
+    commit(docs.filter("doc_id < 5").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang"), t)
+    assert snapshot_log(t)[-1]["partition_spec"] == [["truncate", "doc_id", 100]]
+    with pytest.raises(ValueError, match="replace"):
+        commit(docs, t, partition_spec=[("bucket", "doc_id", 4)])
+    merge_upsert(spark, t, docs.filter("doc_id < 3").select(
+        "doc_id", F.lit("xx").alias("lang")), key="doc_id")
+    mor_upsert(spark, t, docs.filter("doc_id = 7").select(
+        "doc_id", F.lit("yy").alias("lang")), key="doc_id")
+    got = {r["doc_id"]: r["lang"] for r in read_snapshot(spark, t).collect()}
+    assert got[0] == "xx" and got[7] == "yy" and 100003 in got
+    compact(spark, t, partitions=4, partition_spec=[("bucket", "doc_id", 4)])
+    assert snapshot_log(t)[-1]["partition_spec"] == [["bucket", "doc_id", 4]]
+    kept, total = plan_scan(t, [("doc_id", "=", 7)])
+    assert 0 < len(kept) < len(total)
+    got2 = {r["doc_id"]: r["lang"] for r in read_snapshot(spark, t).collect()}
+    assert got2 == got  # respec is layout-only
