@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_pagerank": _web_host_pagerank,
         "web_hits": _web_hits,
         "web_anchor_text": _web_anchor_text,
+        "web_crawl_schedule": _web_crawl_schedule,
         "warc_roundtrip": _warc_roundtrip,
         "warc_wet_text": _warc_wet_text,
         "warc_wat_outlinks": _warc_wat_outlinks,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
             "web_hits": _WEB_HITS_ORACLE,
             "web_anchor_text": _WEB_ANCHOR_TEXT_ORACLE,
+            "web_crawl_schedule": _WEB_CRAWL_SCHEDULE_ORACLE,
             "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
             "warc_wet_text": _WARC_WET_TEXT_ORACLE,
             "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE}
@@ -675,6 +677,56 @@ def _web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_join(F.array_sort(F.collect_set("anchor")), ",")
                  .alias("anchor_terms"),
                  F.count("*").alias("n_anchors")))
+
+
+def _web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness pipeline: distinct outlink targets ->
+    per-host robots.txt bytes synthesized + PARSED (regexp over the
+    fetched file, JVM-side) -> disallowed path-prefixes filtered out
+    (broadcast anti-join) -> remaining URLs cut into per-host fetch
+    rounds of 2 spaced by the host's Crawl-delay. Hard oracle: DuckDB
+    re-derives the rule set from the same sha256 host digests and
+    replays the window arithmetic."""
+    from npm_extraction_server_spark.extract.crawl import (
+        fetch_rounds,
+        parse_robots,
+        robots_filter,
+        synth_robots,
+    )
+    from npm_extraction_server_spark.extract.links import normalize_url
+
+    links = _web_links_df(spark, sf_dir)
+    frontier = links.select(normalize_url("dst_url").alias("canon_url"),
+                            "dst_host").distinct()
+    hosts = frontier.select(F.col("dst_host").alias("host")).distinct()
+    rules = parse_robots(synth_robots(hosts))
+    allowed = robots_filter(frontier, rules)
+    return fetch_rounds(allowed, rules, per_round=2)
+
+
+_WEB_CRAWL_SCHEDULE_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
+, front AS (SELECT DISTINCT canon_url, dst_host FROM links),
+rules AS (
+    SELECT dst_host,
+           ('0x' || substr(sha256('rb:' || dst_host), 1, 15))::UBIGINT % 10
+               AS d,
+           (1 + ('0x' || substr(sha256('cd:' || dst_host), 1, 15))::UBIGINT % 3)
+               AS delay
+    FROM (SELECT DISTINCT dst_host FROM front)
+),
+allowed AS (
+    SELECT f.canon_url, f.dst_host, r.delay
+    FROM front f JOIN rules r USING (dst_host)
+    WHERE regexp_extract(f.canon_url, '^https?://[^/#?]+([^#?]*)', 1)
+          NOT LIKE '/p/' || r.d || '%'
+)
+SELECT canon_url, dst_host,
+       ((row_number() OVER (PARTITION BY dst_host ORDER BY canon_url) - 1)
+        // 2)::INT AS round,
+       delay::INT AS crawl_delay_s,
+       (((row_number() OVER (PARTITION BY dst_host ORDER BY canon_url) - 1)
+        // 2) * delay)::INT AS fetch_offset_s
+FROM allowed""")
 
 
 def _web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,3 +233,73 @@ def test_outlink_plan_is_jvm_only_and_prunes_text(spark, tmp_path):
         assert node not in plan
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "html" in read_schema and "text" not in read_schema
+
+
+# ---------------------------------------------------------------------------
+# crawl frontier: robots rules + politeness schedule (extract/crawl.py)
+
+
+def test_parse_robots_handles_spec_edge_cases(spark):
+    """Multiple Disallow lines emit one rule each; an EMPTY Disallow
+    ('Disallow:' = allow-all per the spec) emits no rule; missing
+    Crawl-delay defaults to 1; bytes are parsed JVM-side."""
+    from npm_extraction_server_spark.extract.crawl import parse_robots
+
+    rows = [
+        ("a.org", b"User-agent: *\nDisallow: /p/1\nDisallow: /admin\n"
+                  b"Crawl-delay: 3\n"),
+        ("b.org", b"User-agent: *\nDisallow:\n"),          # allow-all
+        ("c.org", b"User-agent: *\nDisallow: /x\n"),       # no delay -> 1
+    ]
+    robots = spark.createDataFrame(rows, "host string, robots binary")
+    rules = {(r["host"], r["disallow_prefix"], r["crawl_delay_s"])
+             for r in parse_robots(robots).collect()}
+    assert rules == {("a.org", "/p/1", 3), ("a.org", "/admin", 3),
+                     ("c.org", "/x", 1)}
+    plan = parse_robots(robots)._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_robots_filter_prefix_semantics(spark):
+    """The filter drops exactly the URLs whose PATH starts with a
+    disallow prefix of THEIR host — prefix match (not equality), query
+    strings excluded from the path, other hosts untouched."""
+    from npm_extraction_server_spark.extract.crawl import robots_filter
+
+    frontier = spark.createDataFrame(
+        [("http://a.org/p/1", "a.org"),
+         ("http://a.org/p/12?q=1", "a.org"),   # prefix match incl. query url
+         ("http://a.org/p/2", "a.org"),
+         ("http://b.org/p/1", "b.org")],       # same path, unruled host
+        "canon_url string, dst_host string")
+    rules = spark.createDataFrame([("a.org", "/p/1", 1)],
+                                  "host string, disallow_prefix string, "
+                                  "crawl_delay_s int")
+    kept = {r["canon_url"] for r in robots_filter(frontier, rules).collect()}
+    assert kept == {"http://a.org/p/2", "http://b.org/p/1"}
+
+
+def test_fetch_rounds_politeness_invariant(spark):
+    """At most per_round URLs of one host share a round; rounds are
+    dense from 0; the offset is round * the host's crawl-delay; the
+    schedule is a pure function of the URL set (rerun-identical)."""
+    from npm_extraction_server_spark.extract.crawl import fetch_rounds
+
+    frontier = spark.createDataFrame(
+        [(f"http://h{i % 2}.org/p/{i}", f"h{i % 2}.org") for i in range(10)],
+        "canon_url string, dst_host string")
+    rules = spark.createDataFrame(
+        [("h0.org", "/zzz", 2), ("h1.org", "/zzz", 3)],
+        "host string, disallow_prefix string, crawl_delay_s int")
+    a = fetch_rounds(frontier, rules, per_round=2).collect()
+    per = Counter((r["dst_host"], r["round"]) for r in a)
+    assert max(per.values()) <= 2
+    for host, delay in (("h0.org", 2), ("h1.org", 3)):
+        rounds = sorted(r["round"] for r in a if r["dst_host"] == host)
+        assert rounds == [0, 0, 1, 1, 2], rounds
+        for r in a:
+            if r["dst_host"] == host:
+                assert r["fetch_offset_s"] == r["round"] * delay
+    b = fetch_rounds(frontier, rules, per_round=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
