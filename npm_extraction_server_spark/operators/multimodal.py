@@ -74,6 +74,46 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def codec_capabilities() -> dict:
+    """Which OPTIONAL codec backends are importable in this
+    environment. The stdlib container codecs (WAV/BMP/Y4M) are always
+    on; compressed formats (JPEG/PNG via PIL, mp4/mkv via av,
+    flac/ogg via soundfile) auto-activate when their library exists —
+    in this container all three are absent and the compressed paths
+    honestly yield ok=false / NotImplementedError."""
+    import importlib
+
+    caps = {}
+    for name, mod in (("pil", "PIL.Image"), ("av", "av"),
+                      ("soundfile", "soundfile")):
+        try:
+            importlib.import_module(mod)
+            caps[name] = True
+        except Exception:  # noqa: BLE001 — absent or broken == off
+            caps[name] = False
+    return caps
+
+
+def _pil_image_stats(blob: bytes):
+    """JPEG/PNG leg of image_features, active only when PIL imports
+    (worker-side probe — raises ImportError otherwise, folding into
+    the ok=false row). Produces the same contract as the BMP path:
+    (w, h, floor integer channel means over RGB)."""
+    import io
+
+    from PIL import Image  # noqa: F401 — capability probe by import
+
+    im = Image.open(io.BytesIO(blob)).convert("RGB")
+    w, h = im.size
+    n = w * h
+    sums = [0, 0, 0]
+    for r, g, b in im.getdata():
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+    return w, h, sums[0] // n, sums[1] // n, sums[2] // n
+
+
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder: sha256-expanded
     pseudo-features. Replace with a real codec on a cluster image."""
@@ -434,9 +474,10 @@ IMAGE_SCHEMA = T.StructType([
 def image_features(media: DataFrame) -> DataFrame:
     """REAL image decode for BMP blobs: container header (dimensions)
     + per-channel integer pixel means (floor(sum/count) — exact, so
-    the driver oracle re-derives them analytically). Non-BMP image
-    blobs (JPEG/PNG — codecs not in this container) yield ok=false
-    rows, never task failures: the same honest split as
+    the driver oracle re-derives them analytically). JPEG/PNG blobs
+    auto-activate the PIL leg when the library exists (same integer-
+    means contract; see codec_capabilities); without it they yield
+    ok=false rows, never task failures: the same honest split as
     audio_features vs compressed audio."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -444,8 +485,9 @@ def image_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(p or b"")
                 try:
-                    w, h, px = decode_bmp(bytes(p or b""))
+                    w, h, px = decode_bmp(blob)
                     n = w * h
                     sums = [0, 0, 0]
                     for row in px:
@@ -455,9 +497,13 @@ def image_features(media: DataFrame) -> DataFrame:
                             sums[2] += b
                     rows.append((int(mid), True, w, h,
                                  sums[0] // n, sums[1] // n, sums[2] // n))
-                except Exception:  # noqa: BLE001 — non-BMP -> ok=false
-                    rows.append((int(mid), False, None, None,
-                                 None, None, None))
+                except Exception:  # noqa: BLE001 — not a BMP
+                    try:  # compressed leg: only if PIL imports worker-side
+                        w, h, mr, mg, mb = _pil_image_stats(blob)
+                        rows.append((int(mid), True, w, h, mr, mg, mb))
+                    except Exception:  # noqa: BLE001 — no codec -> ok=false
+                        rows.append((int(mid), False, None, None,
+                                     None, None, None))
             yield pd.DataFrame(rows, columns=cols)
 
     img = media.filter(F.col("media_kind") == "image")

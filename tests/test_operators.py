@@ -732,6 +732,25 @@ def test_image_features_real_bmp_and_stub_split(spark):
     assert thumbs[2]["payload"] is None
 
 
+def test_codec_capabilities_probe_and_honest_compressed_path():
+    """The optional-codec probe reports what actually imports (all off
+    in this container), and the PIL leg of image_features raises
+    ImportError here — folding into ok=false rather than activating a
+    codec that does not exist."""
+    import pytest as _pytest
+
+    from npm_extraction_server_spark.operators.multimodal import (
+        _pil_image_stats,
+        codec_capabilities,
+    )
+
+    caps = codec_capabilities()
+    assert set(caps) == {"pil", "av", "soundfile"}
+    assert caps == {k: False for k in caps}  # this container: all absent
+    with _pytest.raises(ImportError):
+        _pil_image_stats(b"\x89PNG\r\n" + b"x" * 40)
+
+
 def test_y4m_codec_and_video_features(spark):
     """Real Y4M video decode: round-trip, per-frame luma means, the
     1->N frame expansion, and ok=false for compressed video."""
