@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_doap": _kg_triples_doap,
         "kg_bgp_version_meta": _kg_bgp_version_meta,
         "kg_bgp_dep_chain": _kg_bgp_dep_chain,
+        "kg_bgp_optional_deps": _kg_bgp_optional_deps,
+        "kg_bgp_union_labels": _kg_bgp_union_labels,
         "kg_transitive_deps": _kg_transitive_deps,
         "web_outlinks": _web_outlinks,
         "web_url_normalize": _web_url_normalize,
@@ -238,6 +240,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_triples_doap": _KG_TRIPLES_DOAP_ORACLE,
             "kg_bgp_version_meta": _KG_BGP_VERSION_META_ORACLE,
             "kg_bgp_dep_chain": _KG_BGP_DEP_CHAIN_ORACLE,
+            "kg_bgp_optional_deps": _KG_BGP_OPTIONAL_DEPS_ORACLE,
+            "kg_bgp_union_labels": _KG_BGP_UNION_LABELS_ORACLE,
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
             "web_outlinks": _WEB_OUTLINKS_ORACLE,
@@ -933,6 +937,53 @@ def _kg_bgp_dep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     select=["v", "d", "rng"])
 
 
+def _kg_bgp_optional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the raw triples: the version-meta star
+    (?m doap:name ?name)(?m doap:revision ?rev) left-extended with the
+    2-pattern group OPTIONAL {(?m npm:dependency ?d)(?d doap:revision
+    ?rng)} — valid-semver-range dependencies only (tarball/repo-
+    shorthand deps are skolem blank nodes WITHOUT a revision, so the
+    inner chain excludes them, replicating the reference's valid_range
+    split at NpmModule handling). Versions whose every dep is invalid
+    (~7% of the corpus) keep their row with NULL ?d. Hard oracle:
+    vers LEFT JOIN the per-version valid-dependency replica."""
+    from npm_extraction_server_spark.plans.bgp import bgp_optional
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_optional(
+        t,
+        [("?m", DOAP + "name", "?name"), ("?m", DOAP + "revision", "?rev")],
+        [[("?m", NPM + "dependency", "?d"),
+          ("?d", DOAP + "revision", "?rng")]],
+        select=["m", "rev", "d"])
+
+
+def _kg_bgp_union_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION + FILTER over the raw triples:
+    {(?s doap:name ?label)} UNION {(?s doap:revision ?label)} with
+    FILTER(strstarts(?s, bundle prefix) && !contains '/.well-known/')
+    — every human-readable label in the KG keyed by subject, the
+    union-of-solution-mappings form. Hard oracle: the doap-slice
+    derivation reshaped to (s, label)."""
+    from npm_extraction_server_spark.plans.bgp import bgp_union
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_union(
+        t,
+        [[("?s", DOAP + "name", "?label")],
+         [("?s", DOAP + "revision", "?label")]],
+        select=["s", "label"],
+        filters=[F.col("s").startswith("http://example.org/bundles/npm/")
+                 & ~F.col("s").contains("/.well-known/")])
+
+
 def _kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SC5: changed-since window -> pipeline over only those pages,
     projected to the doap slice so the driver can hard-verify it (the
@@ -1046,6 +1097,35 @@ SELECT DISTINCT v,
 FROM alldeps
 """)
 
+# OPTIONAL (?m npm:dependency ?d) over the version-meta star: vers
+# LEFT JOIN the per-version dependency replica (same alldeps CTE as
+# the dep chain); versions failing both arms keep a NULL d.
+_KG_BGP_OPTIONAL_DEPS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+)
+SELECT DISTINCT vers.module_iri AS m,
+  '"' || vers.ver || '"' AS rev,
+  CASE WHEN a.v IS NULL THEN NULL
+       ELSE 'http://example.org/bundles/npm/' || a.dep_pkg || '/' ||
+         CASE a.rng WHEN '^1.0.0' THEN '%5E1.0.0'
+                    WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+                    ELSE a.rng END
+  END AS d
+FROM vers LEFT JOIN alldeps a ON a.v = vers.module_iri
+""")
+
+
 _DOAP_ORACLE_TMPL = """
 WITH docs AS (
   SELECT doc_id AS i,
@@ -1104,6 +1184,12 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 _KG_TRIPLES_DOAP_ORACLE = _DOAP_ORACLE_TMPL.format(lo=0, hi=100)
 _KG_INCREMENTAL_ORACLE = _DOAP_ORACLE_TMPL.format(lo=30, hi=100)
+
+# UNION of the two label predicates + subject FILTER == the doap
+# slice reshaped to (s, label): reuse its derivation verbatim.
+_KG_BGP_UNION_LABELS_ORACLE = (
+    "SELECT DISTINCT subj AS s, obj AS label FROM ("
+    + _KG_TRIPLES_DOAP_ORACLE + ")")
 
 
 def _tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:

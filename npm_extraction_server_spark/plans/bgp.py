@@ -34,25 +34,18 @@ Shape at 100 TB (10^11-triple tables):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_join"]
+__all__ = ["bgp_join", "bgp_optional", "bgp_union"]
 
 
-def bgp_join(triples: DataFrame, patterns: list[tuple[str, str, str]],
-             select: list[str] | None = None) -> DataFrame:
-    """Conjunctive triple-pattern join over ``triples`` (columns
-    subj, pred, obj). ``patterns``: list of (s, p, o) terms —
-    ``"?x"``-style variables bind, other strings filter. ``select``
-    optionally projects/orders the output variable columns.
-
-    Returns one row per distinct satisfying binding, one column per
-    variable (no ``?`` prefix). Repeated variables within one pattern
-    express equality (``("?x", P, "?x")`` keeps self-loops only).
-    """
+def _match_patterns(triples: DataFrame,
+                    patterns: list[tuple[str, str, str]]) -> DataFrame:
+    """Inner-join a conjunctive pattern group (no distinct — callers
+    decide set vs bag semantics after composing OPTIONAL/UNION)."""
     if not patterns:
-        raise ValueError("bgp_join: empty pattern list")
+        raise ValueError("bgp: empty pattern list")
     t = triples.select("subj", "pred", "obj")
     bound: DataFrame | None = None
     for s, p, o in patterns:
@@ -81,6 +74,90 @@ def bgp_join(triples: DataFrame, patterns: list[tuple[str, str, str]],
             else:  # disconnected pattern groups: explicit product
                 bound = bound.crossJoin(cur)
     assert bound is not None
+    return bound
+
+
+def _finish(bound: DataFrame, select: list[str] | None,
+            filters: list[Column] | list[str] | None) -> DataFrame:
+    """Shared FILTER -> SELECT -> DISTINCT tail of every BGP form.
+    ``filters`` entries are Column expressions over the variable
+    columns (SQL strings also accepted, evaluated via F.expr — an
+    expression API by contract, not data interpolation)."""
+    for flt in filters or []:
+        bound = bound.filter(F.expr(flt) if isinstance(flt, str) else flt)
     if select:
         bound = bound.select(*select)
     return bound.distinct()
+
+
+def bgp_join(triples: DataFrame, patterns: list[tuple[str, str, str]],
+             select: list[str] | None = None,
+             filters: list | None = None) -> DataFrame:
+    """Conjunctive triple-pattern join over ``triples`` (columns
+    subj, pred, obj). ``patterns``: list of (s, p, o) terms —
+    ``"?x"``-style variables bind, other strings filter. ``select``
+    optionally projects/orders the output variable columns;
+    ``filters`` are SPARQL-FILTER-style Column expressions applied to
+    the bindings before projection.
+
+    Returns one row per distinct satisfying binding, one column per
+    variable (no ``?`` prefix). Repeated variables within one pattern
+    express equality (``("?x", P, "?x")`` keeps self-loops only).
+    """
+    return _finish(_match_patterns(triples, patterns), select, filters)
+
+
+def bgp_optional(triples: DataFrame,
+                 patterns: list[tuple[str, str, str]],
+                 optional: list[list[tuple[str, str, str]]],
+                 select: list[str] | None = None,
+                 filters: list | None = None) -> DataFrame:
+    """SPARQL OPTIONAL: the required ``patterns`` group left-joined
+    with each group in ``optional`` on their shared variables —
+    bindings that match extend the row, bindings that don't leave the
+    optional group's variables NULL (never drop the required row).
+
+    Each optional group must share at least one variable with the
+    required group (a disconnected OPTIONAL would be a cartesian
+    product hiding behind NULL semantics — rejected instead).
+
+    Scale shape: each optional group is one more filtered scan +
+    left hash-join on the shared variable — same exchange reuse as
+    the inner-join star; NULL-extension is free. OPTIONAL groups
+    whose filtered scans are small broadcast under AQE.
+    """
+    bound = _match_patterns(triples, patterns)
+    for grp in optional:
+        opt = _match_patterns(triples, grp)
+        shared = [c for c in opt.columns if c in bound.columns]
+        if not shared:
+            raise ValueError(
+                "bgp_optional: optional group shares no variable with "
+                f"the required patterns: {grp}")
+        bound = bound.join(opt, shared, "left")
+    return _finish(bound, select, filters)
+
+
+def bgp_union(triples: DataFrame,
+              groups: list[list[tuple[str, str, str]]],
+              select: list[str] | None = None,
+              filters: list | None = None) -> DataFrame:
+    """SPARQL UNION: alternative pattern groups, each matched
+    independently, bindings unioned by variable NAME — variables
+    absent from one branch come back NULL in that branch's rows
+    (unionByName with null padding), exactly SPARQL's union of
+    solution mappings over possibly-different domains.
+
+    Scale shape: branches are independent filtered scans evaluated in
+    parallel; the union is a zero-shuffle concatenation — only the
+    final DISTINCT exchanges, on the (small) binding rows.
+    """
+    if not groups:
+        raise ValueError("bgp_union: empty group list")
+    out: DataFrame | None = None
+    for grp in groups:
+        cur = _match_patterns(triples, grp)
+        out = cur if out is None else out.unionByName(
+            cur, allowMissingColumns=True)
+    assert out is not None
+    return _finish(out, select, filters)

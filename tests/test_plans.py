@@ -250,6 +250,72 @@ def test_bgp_join_semantics(spark):
         bgp_join(t, [])
 
 
+def test_bgp_optional_semantics(spark):
+    """SPARQL OPTIONAL: unmatched optional groups NULL-extend instead
+    of dropping; matched ones fan out per binding; a disconnected
+    optional group is rejected (it would be a hidden cartesian)."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import bgp_optional
+
+    t = spark.createDataFrame(
+        [("a", "type", "Person"), ("b", "type", "Person"),
+         ("a", "knows", "b"), ("a", "knows", "c"),
+         ("b", "age", "30")],
+        "subj string, pred string, obj string")
+
+    out = bgp_optional(t, [("?x", "type", "Person")],
+                       [[("?x", "knows", "?y")]], select=["x", "y"])
+    assert sorted((r.x, r.y) for r in out.collect()) == [
+        ("a", "b"), ("a", "c"), ("b", None)]
+
+    # two optional groups stack independently
+    out = bgp_optional(t, [("?x", "type", "Person")],
+                       [[("?x", "knows", "?y")], [("?x", "age", "?a")]])
+    assert sorted((r.x, r.y, r.a) for r in out.collect()) == [
+        ("a", "b", None), ("a", "c", None), ("b", None, "30")]
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_optional(t, [("?x", "type", "Person")],
+                     [[("?z", "age", "?a")]])
+
+
+def test_bgp_union_and_filter_semantics(spark):
+    """SPARQL UNION: branches match independently and union by
+    variable NAME, padding variables absent from a branch with NULL;
+    FILTER expressions (Column or SQL string) prune bindings before
+    projection."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.plans.bgp import bgp_join, bgp_union
+
+    t = spark.createDataFrame(
+        [("a", "name", "alpha"), ("b", "name", "beta"),
+         ("a", "rev", "1.0"), ("c", "rev", "2.0")],
+        "subj string, pred string, obj string")
+
+    # same variable domain in both branches
+    out = bgp_union(t, [[("?s", "name", "?l")], [("?s", "rev", "?l")]])
+    assert sorted((r.s, r.l) for r in out.collect()) == [
+        ("a", "1.0"), ("a", "alpha"), ("b", "beta"), ("c", "2.0")]
+
+    # different domains: NULL padding per branch
+    out = bgp_union(t, [[("?s", "name", "?n")], [("?s", "rev", "?r")]])
+    got = sorted(((r.s, r.n, r.r) for r in out.collect()),
+                 key=lambda x: tuple("" if v is None else v for v in x))
+    assert got == [
+        ("a", None, "1.0"), ("a", "alpha", None),
+        ("b", "beta", None), ("c", None, "2.0")]
+
+    # FILTER: Column and SQL-string forms agree
+    got_col = bgp_join(t, [("?s", "name", "?n")],
+                       filters=[F.col("n").startswith("a")])
+    got_sql = bgp_join(t, [("?s", "name", "?n")],
+                       filters=["n LIKE 'a%'"])
+    assert [(r.s, r.n) for r in got_col.collect()] == [("a", "alpha")]
+    assert got_col.collect() == got_sql.collect()
+
+
 def test_hll_partial_aggregation_and_single_final_shuffle(spark):
     """hll_distinct must plan map-side partial aggregation for the
     register stage (HashAggregate below the Exchange), so the shuffle
