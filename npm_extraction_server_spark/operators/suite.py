@@ -1069,6 +1069,38 @@ def snap_mor_merge(spark, sf):
     return read_snapshot(spark, table)
 
 
+def snap_schema_evolution(spark, sf):
+    """Field-id schema evolution (hard oracle): documents commit under
+    (doc_id, lang, n_chars); a metadata-only evolve renames n_chars ->
+    chars and adds quality bigint (asserted: zero data files written);
+    a post-evolve commit appends rows in the new schema. read_snapshot
+    returns ONE uniform schema — old files read through the rename by
+    field id, their quality is NULL. DuckDB re-derives both eras with
+    plain aliasing/UNION, proving the mapping is purely logical."""
+    import tempfile
+
+    from ..sources.snapshots import (
+        commit,
+        evolve_schema,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapevo_")
+    commit(docs.filter(d < 300), table, partitions=4, cluster_by=["doc_id"])
+    evolve_schema(table, rename={"n_chars": "chars"},
+                  add=[("quality", "bigint")])
+    man = snapshot_log(table)[-1]
+    assert man["operation"] == "evolve" and man["added_files"] == []
+    commit(docs.filter((d >= 300) & (d < 400))
+               .select("doc_id", "lang", F.col("n_chars").alias("chars"),
+                       (d % 7).alias("quality")),
+           table, partitions=2, cluster_by=["doc_id"])
+    return read_snapshot(spark, table)
+
+
 def snap_mor_changelog(spark, sf):
     """Change-data feed over a merge-on-read upsert (hard oracle —
     identical change set to the copy-on-write snap_changelog): the
@@ -1392,6 +1424,7 @@ SPARK_QUERIES = {
     "snap_mor_merge": snap_mor_merge,
     "snap_mor_changelog": snap_mor_changelog,
     "snap_hidden_partition": snap_hidden_partition,
+    "snap_schema_evolution": snap_schema_evolution,
     "sketch_distinct": sketch_distinct,
     "sketch_hll": sketch_hll,
     "sketch_bloom": sketch_bloom,
@@ -2258,6 +2291,14 @@ ORACLE_SQL = {
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id >= 150 AND doc_id < 340
+    """,
+    "snap_schema_evolution": """
+        SELECT doc_id, lang, n_chars AS chars,
+               CAST(NULL AS BIGINT) AS quality
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id, lang, n_chars, doc_id % 7
+        FROM documents WHERE doc_id >= 300 AND doc_id < 400
     """,
     "text_unigram_ppl": """
         WITH toks AS (

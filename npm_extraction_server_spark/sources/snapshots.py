@@ -397,8 +397,21 @@ def plan_scan(table: str, predicates, snapshot_id: int | None = None):
     # hidden-partition rewrite: user predicates on source columns gain
     # derived-column twins the per-file stats can prune on
     preds = list(predicates) + _rewrite_preds(spec, predicates)
-    kept = [f for f in files
-            if _file_may_match(stats.get(f, {}), preds)]
+    current, era_index = _file_eras(table, sid)
+    kept = []
+    for f in files:
+        fp = preds
+        if current is not None:
+            # schema evolution: per-file stats are keyed by the file's
+            # WRITE-TIME column names — translate predicate columns
+            # current->era by field id; a predicate on a column added
+            # after the file's era can match no row (all NULL there),
+            # so the file is provably prunable
+            fp = _translate_preds(preds, era_index.get(f), current)
+            if fp is None:
+                continue
+        if _file_may_match(stats.get(f, {}), fp):
+            kept.append(f)
     return kept, files
 
 
@@ -415,14 +428,16 @@ def read_where(spark: SparkSession, table: str, predicates,
     if not kept:
         return read_snapshot(spark, table, snapshot_id).limit(0).filter(F.lit(False))
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
-    groups, deletes = _plan_full(table, sid)
-    if not deletes:
+    groups, deletes, sctx = _plan_full(table, sid)
+    if not deletes and sctx is None:
         df = spark.read.parquet(*kept)
     else:
-        # merge-on-read: apply the equality-delete anti-joins to the
-        # stats-kept files only (pruning never changes which rows a
-        # delete key removes — it only skips files with no matching row)
-        df = _apply_deletes(spark, groups, deletes, keep_only=set(kept))
+        # merge-on-read / schema evolution: apply the equality-delete
+        # anti-joins and era projections to the stats-kept files only
+        # (pruning never changes which rows a delete key removes — it
+        # only skips files with no matching row)
+        df = _apply_deletes(spark, groups, deletes, keep_only=set(kept),
+                            schema_ctx=sctx)
         if df is None:
             return read_snapshot(spark, table, sid).limit(0).filter(F.lit(False))
     ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
@@ -679,10 +694,21 @@ def _plan_full(table: str, to_incl: int):
     equality-delete file at snapshot ``s`` applies to data files whose
     origin snapshot is STRICTLY OLDER than ``s`` (Iceberg v2 sequence
     numbers) — a MOR upsert's own inserted rows are never shadowed by
-    its own delete keys."""
+    its own delete keys.
+
+    The third return value is the schema-evolution context: None on a
+    never-evolved view (the common zero-overhead path), else
+    ``{"current": fields, "eras": [fields-or-None per group]}`` where
+    None means the group was written in the current era (see
+    evolve_schema — an era is the field list the group's files were
+    written under, reconstructed from the evolve manifests passed on
+    the way down)."""
     groups: list[tuple[int, list[str]]] = []
+    eras: list[list | None] = []
     deletes: list[tuple[int, str, list[str], tuple | None]] = []
     removed: set[str] = set()
+    current_fields: list | None = None
+    running_era: list | None = None  # None == current era
     sid: int | None = to_incl
     while sid is not None:
         man = _read_json(_meta(table) / f"snap-{sid}.json")
@@ -692,9 +718,16 @@ def _plan_full(table: str, to_incl: int):
                 "read view may reference vacuumed files; anchor at a "
                 "kept snapshot instead")
         op = man.get("operation", "append")
+        if op == "evolve":
+            if current_fields is None:
+                current_fields = man["schema_fields"]
+            running_era = man["prev_fields"]
+            sid = man["parent"]
+            continue
         live = [f for f in man["added_files"] if f not in removed]
         if live:
             groups.append((sid, live))
+            eras.append(running_era)
         removed.update(man.get("removed_files", []))
         if op == "rowdelta" and man.get("delete_files"):
             deletes.append((sid, man["delete_key"], man["delete_files"],
@@ -703,12 +736,15 @@ def _plan_full(table: str, to_incl: int):
         if op == "replace":
             break  # full state; nothing older is needed
         sid = man["parent"]
-    return groups, deletes
+    sctx = None if current_fields is None \
+        else {"current": current_fields, "eras": eras}
+    return groups, deletes, sctx
 
 
 def _apply_deletes(spark: SparkSession, groups, deletes,
                    keep_only: set[str] | None = None,
-                   merge_schema: bool = False) -> DataFrame | None:
+                   merge_schema: bool = False,
+                   schema_ctx: dict | None = None) -> DataFrame | None:
     """Assemble the delete-aware scan: per origin group, anti-join the
     union of delete-key files COMMITTED AFTER the group's origin.
 
@@ -728,13 +764,21 @@ def _apply_deletes(spark: SparkSession, groups, deletes,
         r = spark.read
         return r.option("mergeSchema", "true") if merge_schema else r
 
+    eras = (schema_ctx or {}).get("eras")
+    current = (schema_ctx or {}).get("current")
     parts: list[DataFrame] = []
-    for origin, files in groups:
+    for gi, (origin, files) in enumerate(groups):
         if keep_only is not None:
             files = [f for f in files if f in keep_only]
         if not files:
             continue
         seg = reader().parquet(*files)
+        if eras is not None:
+            # schema evolution: map the group's write-time columns
+            # onto the current schema by field id BEFORE the delete
+            # anti-joins (delete keys are guarded against rename, so
+            # their names are era-invariant)
+            seg = _project_era(seg, eras[gi], current)
         applicable = [(k, fs) for dsid, k, fs, _ in deletes if dsid > origin]
         by_key: dict[str, list[str]] = {}
         for k, fs in applicable:
@@ -811,8 +855,8 @@ def read_snapshot(spark: SparkSession, table: str,
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table)
     if sid is None:
         raise ValueError(f"{table}: empty table (no CURRENT)")
-    groups, deletes = _plan_full(table, sid)
-    if not deletes:
+    groups, deletes, sctx = _plan_full(table, sid)
+    if not deletes and sctx is None:
         files = [f for _, fs in groups for f in fs]
         if not files:
             raise ValueError(f"{table}: snapshot {sid} has no data files")
@@ -820,7 +864,8 @@ def read_snapshot(spark: SparkSession, table: str,
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return _drop_hidden(reader.parquet(*files))
-    df = _apply_deletes(spark, groups, deletes, merge_schema=merge_schema)
+    df = _apply_deletes(spark, groups, deletes, merge_schema=merge_schema,
+                        schema_ctx=sctx)
     if df is None:
         raise ValueError(f"{table}: snapshot {sid} has no data files")
     return _drop_hidden(df)
@@ -839,7 +884,12 @@ def read_incremental(spark: SparkSession, table: str, from_snapshot: int,
     files = _chain_files(table, from_snapshot, to_sid, incremental=True)
     if not files:
         return read_snapshot(spark, table, to_sid).limit(0)
-    return _drop_hidden(spark.read.parquet(*files))
+    current, index = _file_eras(table, to_sid)
+    if current is None:
+        return _drop_hidden(spark.read.parquet(*files))
+    # schema evolution: files appended before an evolve in (or below)
+    # the range carry their era's column names — project per era
+    return _drop_hidden(_read_files_projected(spark, files, current, index))
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> dict:
@@ -898,7 +948,7 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     # clear error instead of failing mid-scan on a missing file.
     keep_files: set[str] = set()
     for sid in kept_ids:
-        groups, dels = _plan_full(table, sid)
+        groups, dels, _sctx = _plan_full(table, sid)
         keep_files.update(f for _, fs in groups for f in fs)
         # merge-on-read equality-delete files a kept view still applies
         # must survive the vacuum with the data files they mask
@@ -964,6 +1014,267 @@ def rollback(table: str, snapshot_id: int) -> None:
     tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
     tmp.write_text(str(snapshot_id))
     os.replace(tmp, meta / "CURRENT")
+
+
+# --------------- schema evolution (field-id based) ----------------
+#
+# Iceberg's schema-evolution model from the public design: every
+# column has a stable FIELD ID; add/rename/drop are metadata-only
+# commits (operation='evolve', no data files); readers map each data
+# file's write-time column names to the current schema BY ID —
+# renames never rewrite data, dropped columns become invisible while
+# their bytes stay in old files, and re-adding a dropped column's
+# NAME mints a fresh id, so old data never resurrects under it.
+# A file's write-time schema ("era") is resolved from the manifest
+# chain: the newest evolve at-or-below the file's origin snapshot;
+# each evolve manifest records both its new fields and the fields it
+# replaced, so the chain walk reconstructs every era without per-file
+# metadata. Compaction ('replace') rewrites in the current era and
+# collapses the history.
+
+
+def _fields_from_schema_json(schema_json: str) -> list[list]:
+    """Base field entries [id, name, ddl_type] synthesized from a data
+    manifest's Spark schema JSON (ids 1..n in field order; hidden
+    partition columns excluded — the spec machinery owns those)."""
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromJson(json.loads(schema_json))
+    out: list[list] = []
+    for f in st.fields:
+        if f.name.startswith(_P_PREFIX):
+            continue
+        out.append([len(out) + 1, f.name, f.dataType.simpleString()])
+    return out
+
+
+def resolve_fields(table: str, snapshot_id: int | None = None) -> list | None:
+    """Field list [[id, name, type], ...] in effect AT a snapshot: the
+    newest 'evolve' manifest at-or-below it. None if the table has
+    never evolved (plain name-addressed schema, zero overhead)."""
+    sid = snapshot_id if snapshot_id is not None \
+        else current_snapshot_id(table)
+    while sid is not None:
+        man = _read_json(_meta(table) / f"snap-{sid}.json")
+        if man.get("operation") == "evolve":
+            return man["schema_fields"]
+        sid = man["parent"]
+    return None
+
+
+def _base_fields(table: str, sid: int) -> list[list]:
+    """Era for a never-evolved prefix of the chain: synthesized from
+    the newest DATA manifest at-or-below ``sid`` (all pre-evolve
+    commits share one schema — commit() appends never change it)."""
+    while sid is not None:
+        man = _read_json(_meta(table) / f"snap-{sid}.json")
+        if "schema" in man:
+            return _fields_from_schema_json(man["schema"])
+        sid = man["parent"]
+    raise ValueError(f"{table}: no data manifest below snapshot — "
+                     "cannot evolve an empty table")
+
+
+def evolve_schema(table: str, add: list[tuple[str, str]] | None = None,
+                  rename: dict[str, str] | None = None,
+                  drop: list[str] | None = None,
+                  expected_parent=_UNSET, lock_timeout: float = 120.0,
+                  lock_stale_after: float = 300.0) -> int:
+    """Metadata-only DDL commit: ``add`` [(name, ddl_type), ...] new
+    columns (NULL in every pre-existing row), ``rename`` {old: new}
+    (field ids preserved — no data rewrite), ``drop`` [name, ...]
+    (bytes stay in old files, invisible to every reader). Returns the
+    new snapshot id; same lock/CAS discipline as data commits.
+
+    Guarded against the traps the id-based model exists to avoid:
+    hidden partition columns, the partition spec's source columns, and
+    the delete-key column of any live merge-on-read snapshot cannot be
+    renamed or dropped (the spec/delete machinery addresses them by
+    name at plan time)."""
+    add, rename, drop = list(add or []), dict(rename or {}), list(drop or [])
+    if not (add or rename or drop):
+        raise ValueError("evolve_schema: nothing to do")
+    for n in ([a[0] for a in add] + list(rename) + list(rename.values())
+              + drop):
+        if n.startswith(_P_PREFIX):
+            raise ValueError(f"column {n!r}: hidden partition columns "
+                             "belong to the partition spec, not the schema")
+    meta = _meta(table)
+    lock = _acquire_commit_lock(meta, lock_timeout, lock_stale_after)
+    try:
+        parent = current_snapshot_id(table)
+        if parent is None:
+            raise ValueError(f"{table}: cannot evolve an empty table")
+        if expected_parent is not _UNSET and parent != expected_parent:
+            raise CommitConflict(
+                f"{table}: CURRENT is {parent}, expected {expected_parent}")
+        prev = resolve_fields(table, parent) or _base_fields(table, parent)
+        names = {f[1] for f in prev}
+        touched = set(rename) | set(drop)
+        missing = touched - names
+        if missing:
+            raise ValueError(f"evolve_schema: no such column(s) {sorted(missing)}")
+        spec = _current_spec(table) or []
+        spec_cols = {e[1] for e in spec}
+        if touched & spec_cols:
+            raise ValueError(
+                f"columns {sorted(touched & spec_cols)} are partition-spec "
+                "source columns; change the spec (via a 'replace' commit) "
+                "before renaming/dropping them")
+        live_delete_keys = {d[1] for d in _plan_full(table, parent)[1]}
+        if touched & live_delete_keys:
+            raise ValueError(
+                f"columns {sorted(touched & live_delete_keys)} are delete "
+                "keys of live merge-on-read snapshots; compact() the table "
+                "first to fold the deletes in")
+        new: list[list] = []
+        for fid, name, dtype in prev:
+            if name in drop:
+                continue
+            new.append([fid, rename.get(name, name), dtype])
+        # next field id = historical maximum over EVERY schema version
+        # in the chain (Iceberg's last-column-id): ids are never
+        # reused, so re-adding a dropped column's name mints a fresh
+        # id and the dead bytes in old files stay invisible
+        high = max((f[0] for f in prev), default=0)
+        walk: int | None = parent
+        while walk is not None:
+            wman = _read_json(meta / f"snap-{walk}.json")
+            if wman.get("operation") == "evolve":
+                for fl in (wman["schema_fields"], wman["prev_fields"]):
+                    high = max(high, max((f[0] for f in fl), default=0))
+            walk = wman["parent"]
+        next_id = high + 1
+        for aname, atype in add:
+            new.append([next_id, aname, atype])
+            next_id += 1
+        seen: set[str] = set()
+        for _, name, _t in new:
+            if name in seen:
+                raise ValueError(f"evolve_schema: duplicate column {name!r} "
+                                 "in the resulting schema")
+            seen.add(name)
+        claimed = [int(p.stem.split("-")[1]) for p in meta.glob("snap-*.json")]
+        claimed += [int(d.name.split("-")[1])
+                    for d in (Path(table) / "data").glob("snap-*")
+                    if d.is_dir()]
+        sid = max(claimed, default=0) + 1
+        parent_man = _read_json(meta / f"snap-{parent}.json")
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "operation": "evolve",
+            "added_files": [],
+            "added_rows": 0,
+            "schema_fields": new,
+            "prev_fields": prev,
+            "props": {},
+            "file_stats": {},
+        }
+        if parent_man.get("partition_spec"):
+            # _current_spec reads CURRENT's own manifest: inherit
+            manifest["partition_spec"] = parent_man["partition_spec"]
+        (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
+        tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(str(sid))
+        os.replace(tmp, meta / "CURRENT")
+        return sid
+    finally:
+        lock.unlink(missing_ok=True)
+
+
+def _project_era(seg: DataFrame, era: list | None,
+                 current: list | None) -> DataFrame:
+    """Map a segment read from era-schema files onto the current
+    schema by field id: renamed fields alias over, fields added since
+    the era come back as typed NULLs, fields dropped from the current
+    schema are simply not selected (column pruning — their bytes are
+    never deserialized). Hidden partition columns pass through for the
+    spec machinery."""
+    if era is None or current is None or era == current:
+        return seg
+    from pyspark.sql import functions as F
+
+    era_by_id = {f[0]: f for f in era}
+    cols = []
+    for fid, name, dtype in current:
+        ef = era_by_id.get(fid)
+        if ef is not None:
+            cols.append(F.col(ef[1]).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    hidden = [F.col(c) for c in seg.columns if c.startswith(_P_PREFIX)]
+    return seg.select(*cols, *hidden)
+
+
+def _translate_preds(preds, era: list | None, current: list) -> list | None:
+    """Rewrite predicate column names from the current schema to a
+    file era's write-time names (by field id) for stats pruning.
+    Returns None when some predicate references a field the era does
+    not have (added later): such a file holds only NULLs for it, and
+    no supported op ('=', '<', '<=', '>', '>=') matches NULL — the
+    file is provably prunable. Hidden/unknown columns pass through
+    (conservative: stats lookup just misses)."""
+    if era is None or era == current:
+        return preds
+    cur_by_name = {f[1]: f[0] for f in current}
+    era_by_id = {f[0]: f[1] for f in era}
+    out = []
+    for col, op, val in preds:
+        if col.startswith(_P_PREFIX) or col not in cur_by_name:
+            out.append((col, op, val))
+            continue
+        ename = era_by_id.get(cur_by_name[col])
+        if ename is None:
+            return None
+        out.append((ename, op, val))
+    return out
+
+
+def _file_eras(table: str, to_incl: int) -> tuple[list | None, dict]:
+    """(current_fields, {data_file: era_fields}) over the FULL chain
+    from ``to_incl`` to the root — the per-file write-time schema
+    index used by readers that open files from many snapshots
+    (read_changes touches removed_files of older eras). Both values
+    are None/{} on a never-evolved table."""
+    current = resolve_fields(table, to_incl)
+    if current is None:
+        return None, {}
+    index: dict[str, list] = {}
+    running: list | None = None  # None == current era
+    sid: int | None = to_incl
+    while sid is not None:
+        man = _read_json(_meta(table) / f"snap-{sid}.json")
+        if man.get("operation") == "evolve":
+            running = man["prev_fields"]
+        else:
+            era = running if running is not None else current
+            for f in man.get("added_files", []):
+                index[f] = era
+        sid = man["parent"]
+    return current, index
+
+
+def _read_files_projected(spark: SparkSession, files: list[str],
+                          current: list | None, index: dict) -> DataFrame:
+    """Read a file set that may span schema eras: group by era, read
+    each group once, project every group onto the current schema by
+    field id, union by name. One read per era actually present —
+    a never-renamed file set stays a single parquet scan."""
+    import functools
+
+    if current is None:
+        return spark.read.parquet(*files)
+    by_key: dict[str, list[str]] = {}
+    eras: dict[str, list | None] = {}
+    for f in files:
+        era = index.get(f)
+        k = json.dumps(era)
+        by_key.setdefault(k, []).append(f)
+        eras[k] = era
+    parts = [_project_era(spark.read.parquet(*fs), eras[k], current)
+             for k, fs in by_key.items()]
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
@@ -1078,7 +1389,13 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
                    .select("_f").distinct().collect())
             touched += [r["_f"] for r in hit]
         if touched:
-            survivors = (_drop_hidden(spark.read.parquet(*sorted(touched)))
+            # era-project the touched files (a rename between a file's
+            # write and this merge must not fork column names in the
+            # rewritten union; old-era files lack stats under the
+            # current key name, so they all land here conservatively)
+            cur_fields, findex = _file_eras(table, base)
+            survivors = (_drop_hidden(_read_files_projected(
+                             spark, sorted(touched), cur_fields, findex))
                          .join(updates.select(key), key, "left_anti"))
             new_data = survivors.unionByName(updates)
         else:
@@ -1209,6 +1526,17 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
             raise ValueError(
                 f"snapshot {from_snapshot} is not an ancestor of {to_sid}")
 
+    # schema evolution: every file read below is projected onto the
+    # CURRENT-at-to_sid schema by field id (an overwrite's
+    # removed_files may predate an evolve that its added_files
+    # postdate — the per-file era index handles the mix), so change
+    # rows always arrive in one uniform schema
+    cur_fields, findex = _file_eras(table, to_sid)
+
+    def rd(files: list[str]) -> DataFrame:
+        return _drop_hidden(
+            _read_files_projected(spark, files, cur_fields, findex))
+
     chunks: list[DataFrame] = []
     sid: int | None = to_sid
     while sid is not None and sid != from_snapshot:
@@ -1222,12 +1550,11 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
         tag = (F.lit("insert").alias("_change_type"),
                F.lit(sid).alias("_snapshot_id"))
         if op == "append" and man["added_files"]:
-            chunks.append(_drop_hidden(
-                spark.read.parquet(*man["added_files"])).select("*", *tag))
+            chunks.append(rd(man["added_files"]).select("*", *tag))
         elif op == "overwrite":
-            added = (_drop_hidden(spark.read.parquet(*man["added_files"]))
+            added = (rd(man["added_files"])
                      if man["added_files"] else None)
-            removed = (_drop_hidden(spark.read.parquet(*man["removed_files"]))
+            removed = (rd(man["removed_files"])
                        if man.get("removed_files") else None)
             if added is not None and removed is not None:
                 chunks.append(added.exceptAll(removed).select("*", *tag))
@@ -1248,8 +1575,7 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
             # delete-key range recorded in the manifest, so changelog
             # cost follows the delta size on a key-clustered table.
             if man["added_files"]:
-                chunks.append(_drop_hidden(
-                    spark.read.parquet(*man["added_files"])).select("*", *tag))
+                chunks.append(rd(man["added_files"]).select("*", *tag))
             if man.get("delete_files"):
                 k = man["delete_key"]
                 rng = man.get("delete_key_range")

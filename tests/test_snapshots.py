@@ -1195,3 +1195,182 @@ def test_hidden_partitioning_spec_lifecycle(spark, tmp_path):
     assert 0 < len(kept) < len(total)
     got2 = {r["doc_id"]: r["lang"] for r in read_snapshot(spark, t).collect()}
     assert got2 == got  # respec is layout-only
+
+
+# ---------------- schema evolution (field-id based) ----------------
+
+
+def test_evolve_add_rename_drop_no_rewrite(spark, tmp_path):
+    """add/rename/drop are metadata-only: the data-file set is
+    untouched; old files read through the rename by FIELD ID, added
+    columns are NULL in pre-evolve rows, dropped columns vanish."""
+    from npm_extraction_server_spark.sources.snapshots import evolve_schema
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("junk"))
+    commit(df, t)
+    files_before = sorted(
+        str(p) for p in Path(t).glob("data/snap-*/part-*.parquet"))
+
+    evolve_schema(t, add=[("score", "double")],
+                  rename={"v": "value"}, drop=["junk"])
+
+    files_after = sorted(
+        str(p) for p in Path(t).glob("data/snap-*/part-*.parquet"))
+    assert files_after == files_before  # metadata-only DDL
+
+    out = read_snapshot(spark, t)
+    assert sorted(out.columns) == ["id", "score", "value"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[3]["value"] == 6 and rows[3]["score"] is None
+
+    # post-evolve append in the new schema mixes transparently
+    commit(spark.createDataFrame([(100, 200, 0.5)],
+                                 "id long, value long, score double"), t)
+    out = {r["id"]: r for r in read_snapshot(spark, t).collect()}
+    assert out[100]["score"] == 0.5 and out[2]["value"] == 4
+
+
+def test_evolve_time_travel_uses_schema_at_snapshot(spark, tmp_path):
+    """Reading an old snapshot id shows the schema AS OF then
+    (Iceberg time-travel semantics: a snapshot pins its schema)."""
+    from npm_extraction_server_spark.sources.snapshots import evolve_schema
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(3).select("id", F.col("id").alias("v")), t)
+    pre = current_snapshot_id(t)
+    evolve_schema(t, rename={"v": "value"})
+    assert sorted(read_snapshot(spark, t, pre).columns) == ["id", "v"]
+    assert sorted(read_snapshot(spark, t).columns) == ["id", "value"]
+
+
+def test_evolve_readd_same_name_does_not_resurrect(spark, tmp_path):
+    """Drop a column, re-add the SAME name: the new field gets a fresh
+    id, so old files' bytes for the dead field stay invisible — the
+    classic correctness property the id-based model exists for."""
+    from npm_extraction_server_spark.sources.snapshots import evolve_schema
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(4).select("id", (F.col("id") + 7).alias("v")), t)
+    evolve_schema(t, drop=["v"])
+    evolve_schema(t, add=[("v", "bigint")])
+    rows = {r["id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: None}
+
+
+def test_evolve_incremental_and_changelog_project(spark, tmp_path):
+    """read_incremental and read_changes spanning an evolve emit every
+    row in the CURRENT schema (per-file era projection)."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        evolve_schema,
+        read_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(1).select("id", F.col("id").alias("v")), t)
+    s0 = current_snapshot_id(t)
+    commit(spark.range(1, 3).select("id", F.col("id").alias("v")), t)
+    s1 = current_snapshot_id(t)
+    evolve_schema(t, rename={"v": "value"}, add=[("w", "bigint")])
+    commit(spark.createDataFrame([(10, 11, 12)],
+                                 "id long, value long, w long"), t)
+
+    inc = read_incremental(spark, t, from_snapshot=s0)
+    assert sorted(inc.columns) == ["id", "value", "w"]
+    assert _ids(inc) == [1, 2, 10]
+
+    ch = read_changes(spark, t, from_snapshot=s0)
+    got = {(r["id"], r["value"], r["w"], r["_change_type"])
+           for r in ch.collect()}
+    assert (10, 11, 12, "insert") in got and (1, 1, None, "insert") in got
+    # range strictly above the evolve still works
+    assert _ids(read_changes(spark, t, from_snapshot=s1)) == [10]
+
+
+def test_evolve_stats_pruning_translates_names(spark, tmp_path):
+    """read_where on a renamed column still prunes files via the
+    era-name stats; a predicate on an ADDED column prunes every
+    pre-evolve file outright (provably all-NULL there)."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        evolve_schema,
+        plan_scan,
+        read_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    ids = spark.range(100).select("id", (F.col("id") * 3).alias("v"))
+    commit(ids, t, partitions=4, cluster_by=["v"])
+    evolve_schema(t, rename={"v": "val"}, add=[("score", "bigint")])
+    commit(spark.createDataFrame([(1000, 3000, 5)],
+                                 "id long, val long, score long"), t)
+
+    kept, total = plan_scan(t, [("val", "=", 150)])
+    assert 0 < len(kept) < len(total)
+    got = read_where(spark, t, [("val", "=", 150)]).collect()
+    assert [(r["id"], r["val"]) for r in got] == [(50, 150)]
+
+    # predicate on the added column: only the post-evolve file survives
+    kept2, _ = plan_scan(t, [("score", "=", 5)])
+    assert len(kept2) == 1
+    assert _ids(read_where(spark, t, [("score", "=", 5)])) == [1000]
+
+
+def test_evolve_merge_upsert_across_rename(spark, tmp_path):
+    """Copy-on-write MERGE after a rename: old-era files lack stats
+    under the current key name, so they are conservatively rewritten —
+    and the rewrite projects them to the current schema first."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        evolve_schema,
+        merge_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(20).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v")), t)
+    evolve_schema(t, rename={"k": "key_id"})
+    upd = spark.createDataFrame([(5, 999)], "key_id long, v long")
+    merge_upsert(spark, t, upd, key="key_id")
+    rows = {r["key_id"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert rows[5] == 999 and rows[6] == 12 and len(rows) == 20
+
+
+def test_evolve_guards(spark, tmp_path):
+    """Rejected evolutions: unknown columns, duplicate result names,
+    hidden partition columns, partition-spec sources, live MOR delete
+    keys; CAS conflict on expected_parent."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        CommitConflict,
+        evolve_schema,
+        mor_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(10).select("id", F.col("id").alias("v"),
+                                  (F.col("id") % 3).alias("g")), t,
+           partitions=2, partition_spec=[["identity", "g"]])
+
+    with pytest.raises(ValueError, match="no such column"):
+        evolve_schema(t, drop=["nope"])
+    with pytest.raises(ValueError, match="duplicate column"):
+        evolve_schema(t, rename={"v": "id"})
+    with pytest.raises(ValueError, match="hidden partition"):
+        evolve_schema(t, drop=["__p_identity_g"])
+    with pytest.raises(ValueError, match="partition-spec source"):
+        evolve_schema(t, rename={"g": "grp"})
+    with pytest.raises(ValueError, match="nothing to do"):
+        evolve_schema(t)
+    with pytest.raises(CommitConflict):
+        evolve_schema(t, add=[("x", "int")], expected_parent=99)
+
+    # live-MOR delete-key guard (plain table: spec-less rowdelta)
+    t2 = str(tmp_path / "tbl2")
+    commit(spark.range(10).select("id", F.col("id").alias("v")), t2)
+    mor_delete(spark, t2, spark.createDataFrame([(3,)], "id long"), key="id")
+    with pytest.raises(ValueError, match="delete keys of live"):
+        evolve_schema(t2, rename={"id": "ident"})
+    # a non-key column still evolves fine next to live deletes
+    evolve_schema(t2, rename={"v": "val"})
+    rows = {r["id"]: r["val"] for r in read_snapshot(spark, t2).collect()}
+    assert 3 not in rows and rows[4] == 4
