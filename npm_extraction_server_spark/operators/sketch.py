@@ -120,6 +120,71 @@ def kmv_merge(sketches: DataFrame, group_col: str = "grp",
     )
 
 
+def kmv_set_ops(df: DataFrame, group_col: str, value_col: str,
+                k: int = 64) -> DataFrame:
+    """Pairwise distinct-set algebra over KMV sketches (Beyer et al.,
+    SIGMOD'07 synopses-under-multiset-operations, public design): for
+    every unordered pair of groups, estimate |A∪B|, Jaccard(A,B) and
+    |A∩B| from the two k-min-hash sketches alone.
+
+    Method: the combined sketch of a pair is the k smallest hashes of
+    the UNION of the two sketch hash sets (lossless re-sketch); with
+    K∩ = how many of those k appear in BOTH input sketches,
+    Jaccard ≈ K∩/k and |A∩B| ≈ (K∩/k)·|A∪B|. When the union sketch
+    holds < k hashes the union estimate is exact.
+
+    Scale shape: the heavy distributed work is the per-group sketch
+    build (one shuffle of DISTINCT (group, hash) rows, then a k-row
+    window per group — exactly kmv_distinct's plan); everything
+    pairwise runs on the G·k sketch rows, independent of table size —
+    the whole reason sketch algebra exists at 100 TB. Deterministic
+    md5 hashing keeps the estimates themselves cross-engine
+    verifiable (same philosophy as kmv_distinct/hll_distinct).
+
+    Returns (ga, gb, n_kept, k_cap, union_est, jaccard, inter_est).
+    """
+    rows = (
+        df.select(F.col(group_col).alias("grp"),
+                  kmv_hash(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (rows.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k).drop("rn"))
+    groups = sk.select("grp").distinct()
+    pairs = (groups.alias("x").join(groups.alias("y"),
+                                    F.col("x.grp") < F.col("y.grp"))
+             .select(F.col("x.grp").alias("ga"), F.col("y.grp").alias("gb")))
+    ea = sk.select(F.col("grp").alias("ga"), "h")
+    eb = sk.select(F.col("grp").alias("gb"), "h")
+    ex = (pairs.join(ea, "ga")
+          .select("ga", "gb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+          .unionByName(
+              pairs.join(eb, "gb")
+              .select("ga", "gb", "h", F.lit(0).alias("ia"),
+                      F.lit(1).alias("ib"))))
+    u = (ex.groupBy("ga", "gb", "h")
+         .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    wp = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = (u.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= k))
+    agg = topk.groupBy("ga", "gb").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("ia") * F.col("ib")).alias("k_cap"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("h_k"))
+    jac = F.col("k_cap").cast("double") / F.col("n_kept").cast("double")
+    return agg.select(
+        "ga", "gb", "n_kept", "k_cap",
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * union_est, 4).alias("inter_est"),
+    )
+
+
 def hll_registers(df: DataFrame, group_col: str, value_col: str,
                   p: int = 8) -> DataFrame:
     """Per-group HyperLogLog register table: (grp, reg, mj) where

@@ -815,6 +815,19 @@ def sketch_distinct(spark, sf):
     return kmv_distinct(_t(spark, sf, "documents"), "lang", "text", k=64)
 
 
+def sketch_set_ops(spark, sf):
+    """KMV set algebra (hard oracle): pairwise union / Jaccard /
+    intersection estimates between event-type AUDIENCES (distinct
+    user_id sets) from the k-min sketches alone — the "how much do
+    these segments overlap" question at 100 TB, answered on G·k
+    sketch rows. The md5 hash grid makes every estimate bit-identical
+    in DuckDB (the estimator itself is verified, not just plumbing)."""
+    from .sketch import kmv_set_ops
+
+    return kmv_set_ops(_t(spark, sf, "events"), "event_type", "user_id",
+                       k=64)
+
+
 def sketch_hll(spark, sf):
     """HyperLogLog distinct-count per event_type over event_id (hard
     oracle: md5-derived registers + an integer-scaled harmonic sum
@@ -1426,6 +1439,7 @@ SPARK_QUERIES = {
     "snap_hidden_partition": snap_hidden_partition,
     "snap_schema_evolution": snap_schema_evolution,
     "sketch_distinct": sketch_distinct,
+    "sketch_set_ops": sketch_set_ops,
     "sketch_hll": sketch_hll,
     "sketch_bloom": sketch_bloom,
     "sample_domain_mix": sample_domain_mix,
@@ -2461,6 +2475,50 @@ ORACLE_SQL = {
                     ELSE round(63.0::DOUBLE * 281474976710656.0::DOUBLE
                                / max_h::DOUBLE, 4)
                END AS distinct_est
+        FROM agg
+    """,
+    "sketch_set_ops": """
+        WITH rows0 AS (
+            SELECT DISTINCT event_type AS grp,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                   )::UBIGINT::BIGINT AS h
+            FROM events
+        ), sk AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM rows0 QUALIFY rn <= 64
+        ), pairs AS (
+            SELECT a.grp AS ga, b.grp AS gb
+            FROM (SELECT DISTINCT grp FROM sk) a,
+                 (SELECT DISTINCT grp FROM sk) b
+            WHERE a.grp < b.grp
+        ), ex AS (
+            SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+            FROM pairs p JOIN sk s ON s.grp = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h, 0, 1
+            FROM pairs p JOIN sk s ON s.grp = p.gb
+        ), u AS (
+            SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib
+            FROM ex GROUP BY ga, gb, h
+        ), topk AS (
+            SELECT ga, gb, h, ia, ib,
+                   row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM u QUALIFY rn <= 64
+        ), agg AS (
+            SELECT ga, gb, count(*)::BIGINT AS n_kept, max(h) AS h_k,
+                   sum(ia * ib)::BIGINT AS k_cap
+            FROM topk GROUP BY ga, gb
+        )
+        SELECT ga, gb, n_kept, k_cap,
+               round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                          ELSE 63.0::DOUBLE * 281474976710656.0::DOUBLE
+                               / h_k::DOUBLE END, 4) AS union_est,
+               round(k_cap::DOUBLE / n_kept::DOUBLE, 6) AS jaccard,
+               round((k_cap::DOUBLE / n_kept::DOUBLE)
+                     * CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                            ELSE 63.0::DOUBLE * 281474976710656.0::DOUBLE
+                                 / h_k::DOUBLE END, 4) AS inter_est
         FROM agg
     """,
     "text_repetition": r"""

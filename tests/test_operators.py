@@ -296,6 +296,34 @@ def test_kmv_sketch_accuracy_and_merge(spark):
         {r["h"] for r in global_sketch.collect()}
 
 
+def test_kmv_set_ops_exact_small_and_estimates_large(spark):
+    """KMV set algebra: below k the union/intersection/Jaccard are
+    EXACT (the sketch is exhaustive); at scale the estimates land
+    within ~3 standard errors of the truth for a constructed 50%
+    overlap."""
+    from npm_extraction_server_spark.operators.sketch import kmv_set_ops
+
+    # exact regime: |A|=20, |B|=20, |A∩B|=10 -> union 30, J=1/3
+    a = spark.range(20).selectExpr("'A' AS grp", "concat('u', id) AS v")
+    b = spark.range(10, 30).selectExpr("'B' AS grp", "concat('u', id) AS v")
+    out = kmv_set_ops(a.unionByName(b), "grp", "v", k=64).collect()[0]
+    assert (out["ga"], out["gb"]) == ("A", "B")
+    assert out["n_kept"] == 30 and out["k_cap"] == 10
+    assert out["union_est"] == 30.0 and out["inter_est"] == 10.0
+    assert abs(out["jaccard"] - round(10 / 30, 6)) < 1e-12
+
+    # estimate regime: |A|=|B|=4000, overlap 2000 -> union 6000, J=1/3
+    k = 256
+    a = spark.range(4000).selectExpr("'A' AS grp", "concat('u', id) AS v")
+    b = spark.range(2000, 6000).selectExpr(
+        "'B' AS grp", "concat('u', id) AS v")
+    out = kmv_set_ops(a.unionByName(b), "grp", "v", k=k).collect()[0]
+    se = 3 / (k - 2) ** 0.5
+    assert abs(out["union_est"] - 6000) / 6000 < se
+    assert abs(out["jaccard"] - 1 / 3) < se
+    assert abs(out["inter_est"] - 2000) / 2000 < 2 * se
+
+
 def test_scrub_pii_redacts_all_kinds(spark):
     from npm_extraction_server_spark.operators.text import scrub_pii
 
