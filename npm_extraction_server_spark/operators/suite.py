@@ -1114,6 +1114,40 @@ def snap_schema_evolution(spark, sf):
     return read_snapshot(spark, table)
 
 
+def snap_wap(spark, sf):
+    """Write-audit-publish over branch refs (hard oracle): docs<200
+    commit to main; [200,350) stage onto an 'audit' branch (TWO branch
+    commits — CURRENT never moves, asserted); an audit query validates
+    the staged rows (no empty langs), then fast_forward publishes
+    atomically. The returned table is main AFTER publish; DuckDB
+    re-derives it as the plain doc_id<350 selection, proving the whole
+    branch dance is metadata-only."""
+    import tempfile
+
+    from ..sources.snapshots import (
+        commit,
+        create_branch,
+        current_snapshot_id,
+        fast_forward,
+        read_snapshot,
+        ref_snapshot,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapwap_")
+    main_id = commit(docs.filter(d < 200), table, partitions=4)
+    create_branch(table, "audit")
+    commit(docs.filter((d >= 200) & (d < 300)), table, branch="audit")
+    commit(docs.filter((d >= 300) & (d < 350)), table, branch="audit")
+    assert current_snapshot_id(table) == main_id, "WAP leaked to main"
+    # the audit step: staged rows must all carry a lang
+    staged = read_snapshot(spark, table, ref_snapshot(table, "audit"))
+    assert staged.filter(F.col("lang").isNull()).limit(1).count() == 0
+    fast_forward(table, "audit")
+    return read_snapshot(spark, table)
+
+
 def snap_mor_changelog(spark, sf):
     """Change-data feed over a merge-on-read upsert (hard oracle —
     identical change set to the copy-on-write snap_changelog): the
@@ -1438,6 +1472,7 @@ SPARK_QUERIES = {
     "snap_mor_changelog": snap_mor_changelog,
     "snap_hidden_partition": snap_hidden_partition,
     "snap_schema_evolution": snap_schema_evolution,
+    "snap_wap": snap_wap,
     "sketch_distinct": sketch_distinct,
     "sketch_set_ops": sketch_set_ops,
     "sketch_hll": sketch_hll,
@@ -2305,6 +2340,9 @@ ORACLE_SQL = {
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id >= 150 AND doc_id < 340
+    """,
+    "snap_wap": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 350
     """,
     "snap_schema_evolution": """
         SELECT doc_id, lang, n_chars AS chars,

@@ -490,7 +490,8 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
            cluster_mode: str = "range",
            delete_keys: DataFrame | None = None,
            delete_key: str | None = None,
-           partition_spec: list | None = None) -> int:
+           partition_spec: list | None = None,
+           branch: str | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -537,7 +538,16 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
     # inherit read is pre-lock: spec changes ride replace commits,
     # which CAS on expected_parent, so a race can only re-read the
     # same spec.)
-    inherited = _current_spec(table)
+    if branch is not None:
+        # inherit the spec from the BRANCH head, not CURRENT
+        _bp = _refs_dir(table) / f"branch-{branch}"
+        inherited = None
+        if _bp.exists():
+            _bman = _meta(table) / f"snap-{int(_bp.read_text().strip())}.json"
+            if _bman.exists():
+                inherited = _read_json(_bman).get("partition_spec")
+    else:
+        inherited = _current_spec(table)
     if partition_spec is not None:
         if inherited is not None and operation != "replace" \
                 and [list(e) for e in partition_spec] != inherited:
@@ -599,11 +609,25 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
         shutil.rmtree(dstage, ignore_errors=True)
     lock = _acquire_commit_lock(meta, lock_timeout, lock_stale_after)
     try:
-        parent = current_snapshot_id(table)
+        if branch is not None:
+            # commit onto a branch head: same chain, different pointer
+            # (write-audit-publish staging — CURRENT never moves)
+            bp = _refs_dir(table) / f"branch-{branch}"
+            if not bp.exists():
+                if (_refs_dir(table) / f"tag-{branch}").exists():
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise ValueError(f"{table}: {branch!r} is a tag — "
+                                     "tags are immutable")
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ValueError(f"{table}: no branch {branch!r}")
+            parent = int(bp.read_text().strip())
+        else:
+            parent = current_snapshot_id(table)
         if expected_parent is not _UNSET and parent != expected_parent:
             shutil.rmtree(staging, ignore_errors=True)
             raise CommitConflict(
-                f"{table}: CURRENT is {parent}, expected {expected_parent}")
+                f"{table}: {'branch ' + branch if branch else 'CURRENT'} "
+                f"is at {parent}, expected {expected_parent}")
         claimed = [int(p.stem.split("-")[1])
                    for p in meta.glob("snap-*.json")]
         claimed += [int(d.name.split("-")[1])
@@ -652,7 +676,11 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
         (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
         tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
         tmp.write_text(str(sid))
-        os.replace(tmp, meta / "CURRENT")  # the atomic commit point
+        # the atomic commit point: flip the branch head or CURRENT
+        if branch is not None:
+            os.replace(tmp, _refs_dir(table) / f"branch-{branch}")
+        else:
+            os.replace(tmp, meta / "CURRENT")
         return sid
     finally:
         lock.unlink(missing_ok=True)
@@ -925,6 +953,10 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
     chain = [m["snapshot_id"] for m in snapshot_log(table)
              if not m.get("expired")]
     kept_ids = set(chain[-max(keep_last, 1):])
+    # every branch/tag head is a kept anchor: its read closure (and a
+    # branch's whole fork) must survive the vacuum — dropping the ref
+    # first is how staged-but-discarded data becomes expendable
+    kept_ids.update(r["snapshot_id"] for r in list_refs(table).values())
     # manifests reachable from kept snapshots stay (they plan the kept
     # reads); everything else is expired
     reachable: set[int] = set()
@@ -1014,6 +1046,136 @@ def rollback(table: str, snapshot_id: int) -> None:
     tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
     tmp.write_text(str(snapshot_id))
     os.replace(tmp, meta / "CURRENT")
+
+
+# ------------------- refs: branches and tags -----------------------
+#
+# Iceberg's branching/tagging model from the public design: a ref is
+# a named pointer into the shared snapshot-id space (the chain
+# already forks naturally — rollback proves it). A BRANCH is a
+# movable head that commit(branch=...) advances without touching
+# CURRENT; a TAG pins a snapshot immutably. Write-audit-publish is
+# then: create_branch -> commit staged data to the branch -> run
+# validation queries against read_snapshot(ref_snapshot(...)) ->
+# fast_forward to publish (atomic CURRENT flip, refused when the
+# main line diverged) or drop_ref to discard; expire_snapshots keeps
+# every ref head's read closure alive.
+
+
+def _refs_dir(table: str) -> Path:
+    return _meta(table) / "refs"
+
+
+def _ref_file(table: str, name: str) -> Path | None:
+    for kind in ("branch", "tag"):
+        p = _refs_dir(table) / f"{kind}-{name}"
+        if p.exists():
+            return p
+    return None
+
+
+def _check_ref_name(name: str) -> None:
+    if not name or not all(c.isalnum() or c in "-_." for c in name):
+        raise ValueError(f"invalid ref name {name!r} (alnum/-/_/. only)")
+
+
+def _create_ref(table: str, name: str, kind: str, at: int | None,
+                lock_timeout: float) -> int:
+    _check_ref_name(name)
+    meta = _meta(table)
+    lock = _acquire_commit_lock(meta, lock_timeout, 300.0)
+    try:
+        sid = at if at is not None else current_snapshot_id(table)
+        if sid is None:
+            raise ValueError(f"{table}: empty table (no CURRENT)")
+        if not (meta / f"snap-{sid}.json").exists():
+            raise ValueError(f"{table}: no snapshot {sid}")
+        if _read_json(meta / f"snap-{sid}.json").get("expired"):
+            raise ValueError(f"snapshot {sid} is expired: it can no "
+                             "longer anchor a ref")
+        if _ref_file(table, name) is not None:
+            raise ValueError(f"{table}: ref {name!r} already exists")
+        _refs_dir(table).mkdir(parents=True, exist_ok=True)
+        tmp = meta / f"ref.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(str(sid))
+        os.replace(tmp, _refs_dir(table) / f"{kind}-{name}")
+        return sid
+    finally:
+        lock.unlink(missing_ok=True)
+
+
+def create_branch(table: str, name: str, at: int | None = None,
+                  lock_timeout: float = 120.0) -> int:
+    """Create a movable branch ref at ``at`` (default CURRENT)."""
+    return _create_ref(table, name, "branch", at, lock_timeout)
+
+
+def create_tag(table: str, name: str, at: int | None = None,
+               lock_timeout: float = 120.0) -> int:
+    """Pin ``at`` (default CURRENT) under an immutable tag name —
+    commits cannot move it; only drop_ref removes it."""
+    return _create_ref(table, name, "tag", at, lock_timeout)
+
+
+def ref_snapshot(table: str, name: str) -> int:
+    """Resolve a branch or tag name to its snapshot id (pass it to
+    read_snapshot/read_where/read_changes as ``snapshot_id``)."""
+    p = _ref_file(table, name)
+    if p is None:
+        raise ValueError(f"{table}: no ref {name!r}")
+    return int(p.read_text().strip())
+
+
+def list_refs(table: str) -> dict[str, dict]:
+    """{name: {"kind": "branch"|"tag", "snapshot_id": sid}}."""
+    out: dict[str, dict] = {}
+    if _refs_dir(table).is_dir():
+        for p in sorted(_refs_dir(table).iterdir()):
+            kind, _, name = p.name.partition("-")
+            if kind in ("branch", "tag") and name:
+                out[name] = {"kind": kind,
+                             "snapshot_id": int(p.read_text().strip())}
+    return out
+
+
+def drop_ref(table: str, name: str) -> None:
+    """Delete a branch or tag. Snapshots only it reached become
+    expendable at the next expire_snapshots (exactly how a discarded
+    audit branch's staged data gets vacuumed)."""
+    p = _ref_file(table, name)
+    if p is None:
+        raise ValueError(f"{table}: no ref {name!r}")
+    p.unlink()
+
+
+def fast_forward(table: str, branch: str,
+                 lock_timeout: float = 120.0) -> int:
+    """Publish a branch: atomically move CURRENT to the branch head,
+    REFUSED unless CURRENT is an ancestor of (or equal to) the head —
+    a diverged main line would silently lose its commits otherwise
+    (Iceberg's fast-forward contract). Returns the published id."""
+    meta = _meta(table)
+    lock = _acquire_commit_lock(meta, lock_timeout, 300.0)
+    try:
+        p = _refs_dir(table) / f"branch-{branch}"
+        if not p.exists():
+            raise ValueError(f"{table}: no branch {branch!r}")
+        head = int(p.read_text().strip())
+        cur = current_snapshot_id(table)
+        walk: int | None = head
+        while walk is not None and walk != cur:
+            walk = _read_json(meta / f"snap-{walk}.json")["parent"]
+        if walk != cur:
+            raise ValueError(
+                f"fast_forward: CURRENT ({cur}) is not an ancestor of "
+                f"branch {branch!r} head ({head}) — the main line "
+                "diverged; re-branch from the new CURRENT and re-stage")
+        tmp = meta / f"CURRENT.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(str(head))
+        os.replace(tmp, meta / "CURRENT")
+        return head
+    finally:
+        lock.unlink(missing_ok=True)
 
 
 # --------------- schema evolution (field-id based) ----------------

@@ -1374,3 +1374,128 @@ def test_evolve_guards(spark, tmp_path):
     evolve_schema(t2, rename={"v": "val"})
     rows = {r["id"]: r["val"] for r in read_snapshot(spark, t2).collect()}
     assert 3 not in rows and rows[4] == 4
+
+
+# ------------------- refs: branches, tags, WAP ---------------------
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """WAP: staged commits land on the audit branch only (CURRENT
+    readers never see them), validation reads the branch by ref, and
+    fast_forward publishes atomically."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        create_branch,
+        fast_forward,
+        list_refs,
+        ref_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(10).select("id"), t)
+    create_branch(t, "audit")
+    commit(spark.range(10, 15).select("id"), t, branch="audit")
+    commit(spark.range(15, 18).select("id"), t, branch="audit")
+
+    # main line unchanged; branch sees staged rows
+    assert _ids(read_snapshot(spark, t)) == list(range(10))
+    staged = read_snapshot(spark, t, ref_snapshot(t, "audit"))
+    assert _ids(staged) == list(range(18))
+    assert list_refs(t)["audit"]["kind"] == "branch"
+
+    published = fast_forward(t, "audit")
+    assert current_snapshot_id(t) == published
+    assert _ids(read_snapshot(spark, t)) == list(range(18))
+
+
+def test_fast_forward_refuses_diverged_main(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        create_branch,
+        fast_forward,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(5).select("id"), t)
+    create_branch(t, "audit")
+    commit(spark.range(5, 8).select("id"), t, branch="audit")
+    commit(spark.range(100, 103).select("id"), t)  # main diverges
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward(t, "audit")
+    # main kept its own commit
+    assert _ids(read_snapshot(spark, t)) == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_tags_pin_and_are_immutable(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        create_tag,
+        drop_ref,
+        ref_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(5).select("id"), t)
+    create_tag(t, "v1")
+    commit(spark.range(5, 9).select("id"), t)
+    assert _ids(read_snapshot(spark, t, ref_snapshot(t, "v1"))) == \
+        list(range(5))
+    with pytest.raises(ValueError, match="is a tag"):
+        commit(spark.range(9, 10).select("id"), t, branch="v1")
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(t, "v1")
+    drop_ref(t, "v1")
+    with pytest.raises(ValueError, match="no ref"):
+        ref_snapshot(t, "v1")
+
+
+def test_expire_keeps_ref_closures_and_vacuums_dropped_branch(
+        spark, tmp_path):
+    """A tag's read closure survives expire_snapshots(keep_last=1);
+    a dropped audit branch's fork data is vacuumed."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        create_branch,
+        create_tag,
+        drop_ref,
+        expire_snapshots,
+        ref_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(5).select("id"), t)
+    create_tag(t, "v1")
+    create_branch(t, "audit")
+    commit(spark.range(50, 60).select("id"), t, branch="audit")
+    commit(spark.range(5, 9).select("id"), t)
+    commit(spark.range(9, 12).select("id"), t)
+
+    expire_snapshots(t, keep_last=1)
+    # tag still readable after the vacuum
+    assert _ids(read_snapshot(spark, t, ref_snapshot(t, "v1"))) == \
+        list(range(5))
+    # branch fork survived too
+    branch_head = ref_snapshot(t, "audit")
+    assert 50 in _ids(read_snapshot(spark, t, branch_head))
+
+    drop_ref(t, "audit")
+    expire_snapshots(t, keep_last=1)
+    man_ids = {int(p.stem.split("-")[1])
+               for p in (Path(t) / "meta").glob("snap-*.json")}
+    assert ref_snapshot(t, "v1") in man_ids  # tag closure still here
+    assert branch_head not in man_ids  # dropped fork vacuumed
+    assert _ids(read_snapshot(spark, t)) == list(range(12))
+
+
+def test_branch_commit_cas(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        CommitConflict,
+        create_branch,
+        ref_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(3).select("id"), t)
+    create_branch(t, "b")
+    base = ref_snapshot(t, "b")
+    commit(spark.range(3, 5).select("id"), t, branch="b",
+           expected_parent=base)
+    with pytest.raises(CommitConflict):
+        commit(spark.range(5, 6).select("id"), t, branch="b",
+               expected_parent=base)
