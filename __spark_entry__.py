@@ -177,7 +177,7 @@ _PRIORITY: list[str] = [
     "j1_range_pick", "j2_broadcast_dim", "j9_asof_join",
     "j10_fuzzy_block_join",
     "a2_last_write_wins", "w4_running_sum", "q1_pricing_summary",
-    "q18_large_orders", "events_session_window",
+    "events_session_window",
     # dedup family
     "dedup_minhash_verified", "dedup_simhash_verified", "dedup_clusters",
     # text / retrieval
@@ -186,25 +186,29 @@ _PRIORITY: list[str] = [
     # similarity
     "sim_cosine_topk", "sim_lsh_verified", "sim_ivf_verified",
     # graph
-    "graph_components", "graph_components_incr", "graph_bfs",
+    "graph_components", "graph_bfs",
     "graph_pagerank", "graph_pagerank_dangling",
     "graph_sssp", "graph_labelprop", "graph_kcore",
     # web link graph (graph_ppr / graph_triangles moved to the tail —
     # long-green siblings — to keep the head at 50 with the new family)
     "web_outlinks", "web_host_pagerank",
-    # lakehouse snapshots
+    # lakehouse snapshots (changelog demoted to the tail — long-green
+    # sibling of merge_upsert — for the round-4 additions)
     "snap_incremental", "snap_stats_prune", "snap_merge_upsert",
-    "snap_changelog",
-    # sketches (heavy_hitters moved to the tail — long-green sibling —
-    # to make room for the WARC container family)
-    "sketch_distinct", "sketch_hll",
+    "snap_schema_evolution", "snap_wap",
+    # sketches (heavy_hitters + distinct moved to the tail — set_ops
+    # subsumes the KMV build path)
+    "sketch_set_ops", "sketch_hll",
     # WARC/WET containers (wet_text = the byte-identical-text north
     # invariant through a file-format round trip)
     "warc_wet_text",
     # sampling / packing / curation
     "pack_tokens_bpe", "corpus_curation",
-    # KG pipeline + sources + BGP/closure query layer
-    "kg_triples_doap", "kg_bgp_version_meta", "kg_bgp_dep_chain",
+    # KG pipeline + sources + BGP/closure query layer (dep_chain
+    # demoted — optional_deps exercises the same chain join plus
+    # OPTIONAL; union_labels covers UNION+FILTER)
+    "kg_triples_doap", "kg_bgp_version_meta", "kg_bgp_optional_deps",
+    "kg_bgp_union_labels",
     "kg_transitive_deps", "semver_resolve", "kg_user_index", "tar_members",
     # multimodal
     "mm_image_features", "mm_video_features",
