@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transitive_deps": _kg_transitive_deps,
         "web_outlinks": _web_outlinks,
         "web_url_normalize": _web_url_normalize,
+        "web_main_content": _web_main_content,
         "web_host_degree": _web_host_degree,
         "web_cocitation": _web_cocitation,
         "web_host_pagerank": _web_host_pagerank,
@@ -189,9 +190,10 @@ _PRIORITY: list[str] = [
     "graph_components", "graph_bfs",
     "graph_pagerank", "graph_pagerank_dangling",
     "graph_sssp", "graph_labelprop", "graph_kcore",
-    # web link graph (graph_ppr / graph_triangles moved to the tail —
-    # long-green siblings — to keep the head at 50 with the new family)
-    "web_outlinks", "web_host_pagerank",
+    # web link graph + content extraction (graph_ppr / graph_triangles
+    # moved to the tail — long-green siblings — to keep the head at 50;
+    # web_main_content carries the byte-identity text invariant)
+    "web_outlinks", "web_host_pagerank", "web_main_content",
     # lakehouse snapshots (changelog demoted to the tail — long-green
     # sibling of merge_upsert — for the round-4 additions)
     "snap_incremental", "snap_stats_prune", "snap_merge_upsert",
@@ -209,7 +211,7 @@ _PRIORITY: list[str] = [
     # OPTIONAL; union_labels covers UNION+FILTER)
     "kg_triples_doap", "kg_bgp_version_meta", "kg_bgp_optional_deps",
     "kg_bgp_union_labels",
-    "kg_transitive_deps", "semver_resolve", "kg_user_index", "tar_members",
+    "kg_transitive_deps", "semver_resolve", "kg_user_index",
     # multimodal
     "mm_image_features", "mm_video_features",
 ]
@@ -250,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
             "web_outlinks": _WEB_OUTLINKS_ORACLE,
             "web_url_normalize": _WEB_URL_NORMALIZE_ORACLE,
+            "web_main_content": _WEB_MAIN_CONTENT_ORACLE,
             "web_host_degree": _WEB_HOST_DEGREE_ORACLE,
             "web_cocitation": _WEB_COCITATION_ORACLE,
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
@@ -508,6 +511,16 @@ _WEB_LINKS_SQL = _web_links_sql()
 _WEB_OUTLINKS_ORACLE = ("WITH " + _WEB_LINKS_SQL
                         + "SELECT url, dst_url, dst_host FROM links")
 
+# the boilerplate remover must return the article prose byte-identical
+# with exactly one surviving content block — the north text invariant
+_WEB_MAIN_CONTENT_ORACLE = f"""
+SELECT 'http://crawl.example.org/' || (doc_id % 100) || '/doc-' || doc_id
+           AS url,
+       text AS main_text,
+       1::INT AS n_content_blocks
+FROM documents WHERE doc_id < {_WEB_HI}
+"""
+
 _WEB_HOST_DEGREE_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
 SELECT dst_host, count(*)::BIGINT AS n_links,
        count(DISTINCT url)::BIGINT AS n_pages
@@ -645,6 +658,25 @@ def _web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_web_links_df(spark, sf_dir)
             .select("dst_url").distinct()
             .withColumn("canonical_url", normalize_url("dst_url")))
+
+
+def _web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal over the raw pages (extract/content.py):
+    text-density block classification must recover EXACTLY the
+    <article> prose — scripts stripped, the nav footer rejected at
+    link-density 1.0, the microdata stub rejected below the length
+    floor — so the oracle is the byte-identity check main_text ==
+    documents.text with exactly ONE surviving content block per page
+    (the north-rule text invariant THROUGH a real content extractor).
+    Whole-stage codegen: the html bytes never enter a Python worker
+    (plan-asserted in tests/test_webgraph.py)."""
+    from npm_extraction_server_spark.extract.content import (
+        extract_main_content,
+    )
+
+    pages = _pages_from_documents(spark, sf_dir, limit=_WEB_HI)
+    return extract_main_content(pages).select(
+        "url", "main_text", "n_content_blocks")
 
 
 def _web_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -303,3 +303,60 @@ def test_fetch_rounds_politeness_invariant(spark):
                 assert r["fetch_offset_s"] == r["round"] * delay
     b = fetch_rounds(frontier, rules, per_round=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (extract/content.py)
+
+
+def test_main_content_density_classification(spark):
+    """Block classification: prose with a below-threshold inline link
+    survives; title/short stubs fall to the length floor; nav falls to
+    link density; scripts/styles vanish before segmentation (markup
+    inside a script string must not leak blocks); all JVM-side."""
+    from npm_extraction_server_spark.extract.content import (
+        extract_main_content,
+    )
+
+    html = (
+        "<!DOCTYPE html><html><head><title>Site Title</title>"
+        "<style>p { color: red; }</style></head><body>"
+        "<p>short</p>"
+        "<p>this paragraph has plenty of prose with one "
+        '<a href="x">link</a> inside it somewhere</p>'
+        '<script type="application/json">{"a": "<p>fake block</p>"}'
+        "</script>"
+        "<article>the real article body with enough characters to pass"
+        "</article>"
+        '<nav><a href="a">one</a><a href="b">two</a>'
+        '<a href="c">three four five six seven eight</a></nav>'
+        "</body></html>")
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    out = extract_main_content(df)
+    r = out.collect()[0]
+    assert r["main_text"] == (
+        "this paragraph has plenty of prose with one link inside it "
+        "somewherethe real article body with enough characters to pass")
+    assert r["n_content_blocks"] == 2
+    assert r["n_blocks"] == 5  # title, short, prose, article, nav
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_main_content_thresholds_are_tunable(spark):
+    """min_len / max_link_density move the decision boundary."""
+    from npm_extraction_server_spark.extract.content import (
+        extract_main_content,
+    )
+
+    html = "<p>tiny</p><p>half of this block is <a href='x'>anchor text here</a></p>"
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    strict = extract_main_content(df, min_len=1,
+                                  max_link_density=0.1).collect()[0]
+    lax = extract_main_content(df, min_len=1,
+                               max_link_density=0.9).collect()[0]
+    assert strict["n_content_blocks"] == 1          # only "tiny"
+    assert lax["n_content_blocks"] == 2
