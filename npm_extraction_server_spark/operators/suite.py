@@ -916,6 +916,20 @@ def text_unigram_ppl(spark, sf):
     return unigram_logprob_scores(_t(spark, sf, "documents"), n_buckets=3)
 
 
+def text_bpe_train(spark, sf):
+    """Distributed BPE merge-table training (rows-only: the iterative
+    data-dependent argmax is not SQL-expressible; the trainer is
+    pinned EXACTLY against an independent pure-Python reference
+    implementation in tests/test_operators.py, and the apply path has
+    the hard-oracled sibling text_bpe_tokens). Corpus-sized work is
+    one word-count shuffle; each merge round runs on the vocab-sized
+    frequency table."""
+    from .text import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents")
+                     .filter(F.col("doc_id") < 200), n_merges=25)
+
+
 def text_tfidf_topk(spark, sf):
     """Lexical retrieval: top-20 documents by TF-IDF for a fixed query
     (hard oracle: identical idf grid + decimal tf*idf sums in DuckDB;
@@ -1445,6 +1459,7 @@ SPARK_QUERIES = {
     "text_span_dedup": text_span_dedup,
     "text_decontaminate": text_decontaminate,
     "text_unigram_ppl": text_unigram_ppl,
+    "text_bpe_train": text_bpe_train,
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_topk": text_bm25_topk,
     "text_repetition": text_repetition,

@@ -331,6 +331,82 @@ def bpe_token_counts(documents: DataFrame,
         documents.select("doc_id", text_col)).mapInPandas(fn, out_schema)
 
 
+def _re_quote(s: str) -> str:
+    """Java-regex literal quoting (\\Q...\\E, with embedded \\E split)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 50,
+              text_col: str = "text", min_freq: int = 2,
+              checkpoint_every: int = 8) -> DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016,
+    the public algorithm): start from characters, repeatedly merge the
+    most frequent adjacent symbol pair. Ties break deterministically
+    (count desc, then pair lexicographically asc), so the learned
+    table is a pure function of the corpus.
+
+    Returns (rank, left, right, merged, pair_count) — one row per
+    learned merge, rank = merge order.
+
+    Scale shape: the ONLY corpus-sized work is the initial word-count
+    shuffle (explode + groupBy — partial aggregation collapses Zipf
+    mass map-side). Every merge round then runs on the WORD-FREQUENCY
+    table (bounded by vocabulary, millions of rows at web scale, not
+    the 10^12-document corpus): one pair-count aggregate to find the
+    argmax pair (a 1-row collect, same justification as the Lloyd
+    centroid reads) and one regexp projection to apply it. Lineage is
+    truncated every ``checkpoint_every`` rounds. Symbol sequences are
+    space-joined strings; the merge is a lookaround regex
+    ``(?<= )L R(?= )`` — lookarounds don't consume the separator, so
+    one left-to-right pass merges every non-overlapping occurrence
+    exactly like the reference algorithm's scan.
+    """
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col(text_col)),
+                              r"[^a-z0-9]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(F.lit(" "),
+                     F.array_join(F.split(F.col("w"), ""), " "),
+                     F.lit(" ")).alias("sym"),
+            "cnt")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        arr = F.split(F.trim(F.col("sym")), " ")
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+                )).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect())
+        if not pairs or pairs[0]["n"] < min_freq:
+            break
+        left, right, n = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["n"])
+        merged = left + right
+        pat = f"(?<= ){_re_quote(left)} {_re_quote(right)}(?= )"
+        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+        words = words.withColumn(
+            "sym", F.regexp_replace("sym", pat, repl))
+        if (rank + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+        merges.append((rank, left, right, merged, n))
+
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_count bigint")
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text plus a
     winnowing-style min-k-gram fingerprint (min md5 over word

@@ -977,3 +977,63 @@ def test_unigram_logprob_ranks_gibberish_to_tail(spark):
     again = {r["doc_id"]: r["avg_logprob"] for r in
              unigram_logprob_scores(df, n_buckets=3).collect()}
     assert again == {k: v["avg_logprob"] for k, v in out.items()}
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed BPE trainer must reproduce the reference
+    algorithm (pure-Python Sennrich pair-merge over a word-frequency
+    dict, written independently here) EXACTLY — merge sequence, ranks,
+    and pair counts, including tie-breaks (count desc, pair asc) and
+    chained merges through shared symbols."""
+    import collections
+    import re
+
+    from npm_extraction_server_spark.operators.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the fish",
+        "low lower lowest low low",
+        "newer newest new new news",
+        "aaaa aaa aa a",          # overlapping-pair adversary
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+    # independent reference implementation
+    freq = collections.Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            freq[w] += 1
+    vocab = {tuple(w): c for w, c in freq.items()}
+    expected = []
+    for rank in range(30):
+        pairs = collections.Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+        expected.append((rank, a, b, a + b, n))
+
+    got = [(r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=30, min_freq=2)
+           .orderBy("rank").collect()]
+    assert got == expected
+    assert len(got) > 5  # the corpus genuinely trains several merges
