@@ -1128,6 +1128,33 @@ def snap_schema_evolution(spark, sf):
     return read_snapshot(spark, table)
 
 
+def snap_pos_delete(spark, sf):
+    """Positional merge-on-read delete (hard oracle): a ts-window
+    predicate delete over the documents table commits only (file, pos)
+    coordinates from Spark's _metadata scan columns — no key column,
+    zero data files rewritten (asserted) — and readers hide exactly
+    the matching rows. DuckDB runs the plain NOT(window) filter; the
+    match proves the coordinate bookkeeping is a pure optimization."""
+    import tempfile
+
+    from ..sources.snapshots import (
+        commit,
+        mor_delete_where,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snappd_")
+    commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    mor_delete_where(spark, table,
+                     [("doc_id", ">=", 120), ("doc_id", "<", 180)])
+    man = snapshot_log(table)[-1]
+    assert man["operation"] == "rowdelta" and man["added_rows"] == 0
+    assert man.get("pos_delete_files"), "no positional delete committed"
+    return read_snapshot(spark, table)
+
+
 def snap_wap(spark, sf):
     """Write-audit-publish over branch refs (hard oracle): docs<200
     commit to main; [200,350) stage onto an 'audit' branch (TWO branch
@@ -1488,6 +1515,7 @@ SPARK_QUERIES = {
     "snap_hidden_partition": snap_hidden_partition,
     "snap_schema_evolution": snap_schema_evolution,
     "snap_wap": snap_wap,
+    "snap_pos_delete": snap_pos_delete,
     "sketch_distinct": sketch_distinct,
     "sketch_set_ops": sketch_set_ops,
     "sketch_hll": sketch_hll,
@@ -2358,6 +2386,10 @@ ORACLE_SQL = {
     """,
     "snap_wap": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 350
+    """,
+    "snap_pos_delete": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE NOT (doc_id >= 120 AND doc_id < 180)
     """,
     "snap_schema_evolution": """
         SELECT doc_id, lang, n_chars AS chars,

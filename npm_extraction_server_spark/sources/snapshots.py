@@ -491,7 +491,8 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
            delete_keys: DataFrame | None = None,
            delete_key: str | None = None,
            partition_spec: list | None = None,
-           branch: str | None = None) -> int:
+           branch: str | None = None,
+           pos_deletes: DataFrame | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     ``operation='append'`` adds rows on top of the parent chain;
@@ -514,8 +515,13 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
         raise ValueError(f"unknown operation {operation!r}")
     if removed_files and operation != "overwrite":
         raise ValueError("removed_files requires operation='overwrite'")
-    if (delete_keys is not None) != (operation == "rowdelta"):
-        raise ValueError("delete_keys and operation='rowdelta' go together")
+    n_delete_kinds = (delete_keys is not None) + (pos_deletes is not None)
+    if (n_delete_kinds > 0) != (operation == "rowdelta"):
+        raise ValueError("delete_keys/pos_deletes and operation='rowdelta' "
+                         "go together")
+    if n_delete_kinds > 1:
+        raise ValueError("one delete kind per commit: delete_keys "
+                         "(equality) or pos_deletes (positional)")
     if delete_keys is not None and not delete_key:
         raise ValueError("rowdelta commits need delete_key (the equality-"
                          "delete column name)")
@@ -607,6 +613,15 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
         for i, p in enumerate(sorted(dstage.glob("part-*.parquet"))):
             os.replace(p, staging / f"delete-{i:05d}.parquet")
         shutil.rmtree(dstage, ignore_errors=True)
+    if pos_deletes is not None:
+        # positional-delete files (Iceberg v2's other MOR flavor):
+        # (file, pos) pairs naming exact rows of exact data files
+        dstage = table_p / "data" / f".staging-pdel-{uuid.uuid4().hex}"
+        (pos_deletes.select("file", "pos").distinct().coalesce(1)
+         .write.mode("errorifexists").parquet(str(dstage)))
+        for i, p in enumerate(sorted(dstage.glob("part-*.parquet"))):
+            os.replace(p, staging / f"posdel-{i:05d}.parquet")
+        shutil.rmtree(dstage, ignore_errors=True)
     lock = _acquire_commit_lock(meta, lock_timeout, lock_stale_after)
     try:
         if branch is not None:
@@ -671,6 +686,9 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
             manifest["delete_files"] = dfiles
             manifest["delete_key"] = delete_key
             manifest["delete_key_range"] = drange
+        pdfiles = sorted(str(p) for p in data_dir.glob("posdel-*.parquet"))
+        if pdfiles:
+            manifest["pos_delete_files"] = pdfiles
         if spec:
             manifest["partition_spec"] = spec
         (meta / f"snap-{sid}.json").write_text(json.dumps(manifest, indent=1))
@@ -761,12 +779,24 @@ def _plan_full(table: str, to_incl: int):
             deletes.append((sid, man["delete_key"], man["delete_files"],
                             tuple(man["delete_key_range"])
                             if man.get("delete_key_range") else None))
+        if op == "rowdelta" and man.get("pos_delete_files"):
+            # positional deletes: key None tags the kind; they bind to
+            # exact (file, pos) coordinates, not key values
+            deletes.append((sid, None, man["pos_delete_files"], None))
         if op == "replace":
             break  # full state; nothing older is needed
         sid = man["parent"]
     sctx = None if current_fields is None \
         else {"current": current_fields, "eras": eras}
     return groups, deletes, sctx
+
+
+def _norm_file_path(col):
+    """Normalize Spark's _metadata.file_path URI (file:/... or
+    file:///...) to the plain absolute path form the manifests use."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
 def _apply_deletes(spark: SparkSession, groups, deletes,
@@ -794,6 +824,7 @@ def _apply_deletes(spark: SparkSession, groups, deletes,
 
     eras = (schema_ctx or {}).get("eras")
     current = (schema_ctx or {}).get("current")
+    pos_files = [f for _sid, k, fs, _ in deletes if k is None for f in fs]
     parts: list[DataFrame] = []
     for gi, (origin, files) in enumerate(groups):
         if keep_only is not None:
@@ -801,13 +832,26 @@ def _apply_deletes(spark: SparkSession, groups, deletes,
         if not files:
             continue
         seg = reader().parquet(*files)
+        if pos_files:
+            # positional deletes bind to exact (file, row) coordinates:
+            # surface the scan's metadata columns, anti-join, drop them.
+            # Delete files are tiny by the MOR premise -> broadcast.
+            seg = seg.select(
+                _norm_file_path(F.col("_metadata.file_path")).alias("__f"),
+                F.col("_metadata.row_index").alias("__p"), "*")
+            pd_keys = (spark.read.parquet(*pos_files)
+                       .select(F.col("file").alias("__f"),
+                               F.col("pos").alias("__p")).distinct())
+            seg = (seg.join(F.broadcast(pd_keys), ["__f", "__p"],
+                            "left_anti").drop("__f", "__p"))
         if eras is not None:
             # schema evolution: map the group's write-time columns
             # onto the current schema by field id BEFORE the delete
             # anti-joins (delete keys are guarded against rename, so
             # their names are era-invariant)
             seg = _project_era(seg, eras[gi], current)
-        applicable = [(k, fs) for dsid, k, fs, _ in deletes if dsid > origin]
+        applicable = [(k, fs) for dsid, k, fs, _ in deletes
+                      if k is not None and dsid > origin]
         by_key: dict[str, list[str]] = {}
         for k, fs in applicable:
             by_key.setdefault(k, []).extend(fs)
@@ -850,7 +894,8 @@ def _chain_files(table: str, from_excl: int | None, to_incl: int,
         op = man.get("operation", "append")
         if incremental:
             if op == "overwrite" or (op == "rowdelta"
-                                     and man.get("delete_files")):
+                                     and (man.get("delete_files")
+                                          or man.get("pos_delete_files"))):
                 raise ValueError(
                     f"snapshot {sid} is a row-level {op}: an append-only "
                     "incremental scan over it would surface updated rows "
@@ -1496,7 +1541,8 @@ def merge_upsert(spark: SparkSession, table: str, updates: DataFrame,
         walk: int | None = base
         while walk is not None:
             man = _read_json(_meta(table) / f"snap-{walk}.json")
-            if man.get("operation") == "rowdelta" and man.get("delete_files"):
+            if man.get("operation") == "rowdelta" and (
+                    man.get("delete_files") or man.get("pos_delete_files")):
                 raise ValueError(
                     f"{table}: snapshot {man['snapshot_id']} carries "
                     "merge-on-read delete files; a copy-on-write merge "
@@ -1646,6 +1692,81 @@ def mor_delete(spark: SparkSession, table: str, keys: DataFrame,
                   delete_keys=keys, delete_key=key, props=props)
 
 
+def mor_delete_where(spark: SparkSession, table: str, predicates,
+                     props: dict | None = None) -> int:
+    """Merge-on-read POSITIONAL delete (Iceberg v2 position-delete
+    files, public design): delete every CURRENT row matching the
+    conjunctive ``predicates`` (plan_scan's (col, op, val) form) by
+    committing one small parquet of (file, pos) coordinates — the
+    file paths and row indexes come from Spark's ``_metadata`` scan
+    columns, so no key column is needed at all (the equality-delete
+    form can't express "delete where ts < cutoff" without touching
+    every key). Data files are untouched; :func:`compact` makes it
+    physical. Returns the new snapshot id, or the current id when
+    nothing matched.
+
+    Scale shape: the position scan is stats-pruned to the files that
+    can match (plan_scan), reads only the predicate columns plus
+    metadata, and the committed artifact is proportional to the
+    DELETED rows, not the table."""
+    from pyspark.sql import functions as F
+
+    base = current_snapshot_id(table)
+    if base is None:
+        raise ValueError(f"{table}: empty table (no CURRENT)")
+    kept, _total = plan_scan(table, predicates, base)
+    if not kept:
+        return base
+    groups, deletes, sctx = _plan_full(table, base)
+    ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
+           ">": "__gt__", ">=": "__ge__"}
+    eras = (sctx or {}).get("eras")
+    current = (sctx or {}).get("current")
+    parts = []
+    keep = set(kept)
+    for gi, (origin, files) in enumerate(groups):
+        files = [f for f in files if f in keep]
+        if not files:
+            continue
+        seg = spark.read.parquet(*files).select(
+            _norm_file_path(F.col("_metadata.file_path")).alias("file"),
+            F.col("_metadata.row_index").alias("pos"), "*")
+        if eras is not None:
+            # evaluate predicates on CURRENT names while keeping the
+            # (file, pos) coordinates through the era projection
+            seg = _project_era_keep(seg, eras[gi], current, ("file", "pos"))
+        for col, op, val in predicates:
+            seg = seg.filter(getattr(F.col(col), ops[op])(F.lit(val)))
+        parts.append(seg.select("file", "pos"))
+    if not parts:
+        return base
+    import functools
+
+    hits = functools.reduce(lambda a, b: a.unionByName(b), parts) \
+        .localCheckpoint(eager=True)
+    if not hits.limit(1).count():
+        return base
+    empty = read_snapshot(spark, table).limit(0).localCheckpoint(eager=True)
+    return commit(empty, table, operation="rowdelta", pos_deletes=hits,
+                  props=props)
+
+
+def _project_era_keep(seg: DataFrame, era, current, keep: tuple):
+    """_project_era that also carries the named passthrough columns
+    (used to keep (file, pos) coordinates through the projection)."""
+    if era is None or current is None or era == current:
+        return seg
+    from pyspark.sql import functions as F
+
+    era_by_id = {f[0]: f for f in era}
+    cols = [F.col(c) for c in keep]
+    for fid, name, dtype in current:
+        ef = era_by_id.get(fid)
+        cols.append(F.col(ef[1]).cast(dtype).alias(name) if ef is not None
+                    else F.lit(None).cast(dtype).alias(name))
+    return seg.select(*cols)
+
+
 def read_changes(spark: SparkSession, table: str, from_snapshot: int,
                  to_snapshot: int | None = None) -> DataFrame:
     """Row-level change-data feed over (from_snapshot, to_snapshot] —
@@ -1738,6 +1859,34 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
             # cost follows the delta size on a key-clustered table.
             if man["added_files"]:
                 chunks.append(rd(man["added_files"]).select("*", *tag))
+            if man.get("pos_delete_files"):
+                # positional delta: the deleted rows ARE the rows at
+                # the recorded (file, pos) coordinates — open only the
+                # targeted files (collected from the tiny delete
+                # parquet), semi-join on the coordinates
+                pdel = spark.read.parquet(*man["pos_delete_files"])
+                targeted = sorted(r["file"] for r in
+                                  pdel.select("file").distinct().collect())
+                live = [f for f in targeted if Path(f).exists()]
+                by_era: dict[str, list[str]] = {}
+                for f in live:
+                    by_era.setdefault(json.dumps(findex.get(f)),
+                                      []).append(f)
+                pk = pdel.select(F.col("file").alias("__f"),
+                                 F.col("pos").alias("__p")).distinct()
+                for ek, fs in by_era.items():
+                    prior = spark.read.parquet(*fs).select(
+                        _norm_file_path(
+                            F.col("_metadata.file_path")).alias("__f"),
+                        F.col("_metadata.row_index").alias("__p"), "*")
+                    prior = _project_era_keep(
+                        prior, json.loads(ek), cur_fields, ("__f", "__p"))
+                    chunks.append(
+                        _drop_hidden(
+                            prior.join(F.broadcast(pk), ["__f", "__p"],
+                                       "left_semi").drop("__f", "__p"))
+                        .select("*", F.lit("delete").alias("_change_type"),
+                                F.lit(sid).alias("_snapshot_id")))
             if man.get("delete_files"):
                 k = man["delete_key"]
                 rng = man.get("delete_key_range")

@@ -1499,3 +1499,77 @@ def test_branch_commit_cas(spark, tmp_path):
     with pytest.raises(CommitConflict):
         commit(spark.range(5, 6).select("id"), t, branch="b",
                expected_parent=base)
+
+
+# ---------------- positional (file, pos) MOR deletes ----------------
+
+
+def test_mor_delete_where_positional(spark, tmp_path):
+    """mor_delete_where: a predicate delete commits only (file, pos)
+    coordinates — zero data files rewritten — and readers hide exactly
+    the matching rows; compact() makes it physical."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        compact,
+        mor_delete_where,
+        snapshot_log,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(100).select("id", (F.col("id") * 2).alias("v")), t,
+           partitions=4, cluster_by=["id"])
+    files_before = sorted(
+        str(p) for p in Path(t).glob("data/snap-*/part-*.parquet"))
+
+    sid = mor_delete_where(spark, t, [("id", ">=", 20), ("id", "<", 30)])
+    man = snapshot_log(t)[-1]
+    assert man["snapshot_id"] == sid
+    assert man["operation"] == "rowdelta" and man["added_rows"] == 0
+    assert man.get("pos_delete_files") and not man.get("delete_files")
+    import pyarrow.parquet as pq
+
+    files_after = sorted(
+        str(p) for p in Path(t).glob("data/snap-*/part-*.parquet"))
+    assert set(files_before) <= set(files_after)  # originals untouched
+    for f in set(files_after) - set(files_before):
+        assert pq.ParquetFile(f).metadata.num_rows == 0  # empty stub only
+
+    got = _ids(read_snapshot(spark, t))
+    assert got == [i for i in range(100) if not (20 <= i < 30)]
+
+    # no-match predicates commit nothing
+    assert mor_delete_where(spark, t, [("id", ">=", 10**6)]) == sid
+
+    compact(spark, t)
+    assert _ids(read_snapshot(spark, t)) == got
+
+
+def test_mor_delete_where_changelog_and_incremental_refusal(
+        spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        mor_delete_where,
+        read_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    s1 = commit(spark.range(10).select("id"), t)
+    mor_delete_where(spark, t, [("id", "=", 3)])
+    ch = read_changes(spark, t, from_snapshot=s1).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(3, "delete")]
+    with pytest.raises(ValueError, match="row-level rowdelta"):
+        read_incremental(spark, t, from_snapshot=s1)
+
+
+def test_mor_delete_where_across_schema_evolution(spark, tmp_path):
+    """Predicates use CURRENT column names; coordinates land on
+    old-era files through the per-era projection."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        evolve_schema,
+        mor_delete_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit(spark.range(10).select("id", (F.col("id") * 3).alias("v")), t)
+    evolve_schema(t, rename={"v": "val"})
+    mor_delete_where(spark, t, [("val", "=", 9)])
+    rows = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
+    assert 3 not in rows and len(rows) == 9
