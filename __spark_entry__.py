@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_hits": _web_hits,
         "web_anchor_text": _web_anchor_text,
         "web_crawl_schedule": _web_crawl_schedule,
+        "web_sitemap_frontier": _web_sitemap_frontier,
         "warc_roundtrip": _warc_roundtrip,
         "warc_wet_text": _warc_wet_text,
         "warc_wat_outlinks": _warc_wat_outlinks,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
             "web_hits": _WEB_HITS_ORACLE,
             "web_anchor_text": _WEB_ANCHOR_TEXT_ORACLE,
             "web_crawl_schedule": _WEB_CRAWL_SCHEDULE_ORACLE,
+            "web_sitemap_frontier": _WEB_SITEMAP_FRONTIER_ORACLE,
             "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
             "warc_wet_text": _WARC_WET_TEXT_ORACLE,
             "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE}
@@ -679,6 +681,23 @@ def _web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "main_text", "n_content_blocks")
 
 
+def _web_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery over the link graph's host set
+    (extract/crawl.py): synthesize each host's sitemap XML (1/4 are
+    sitemap INDEXES referencing two child files), parse with JVM
+    regex, and expand root -> children -> URL frontier through the
+    fetch-join. Hard oracle: the frontier (loc/lastmod/priority) is a
+    pure sha256 function of the sitemap URLs, re-derived in DuckDB."""
+    from npm_extraction_server_spark.extract.crawl import (
+        sitemap_frontier,
+        synth_sitemaps,
+    )
+
+    hosts = (_web_links_df(spark, sf_dir)
+             .select(F.col("dst_host").alias("host")).distinct())
+    return sitemap_frontier(synth_sitemaps(hosts))
+
+
 def _web_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level in-degree over extracted links: anchor count +
     distinct citing pages per destination host. The hub hosts absorb
@@ -742,6 +761,42 @@ def _web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_robots(synth_robots(hosts))
     allowed = robots_filter(frontier, rules)
     return fetch_rounds(allowed, rules, per_round=2)
+
+
+# sitemap frontier: root urlsets' entries + index roots' children's
+# entries; every field a sha256 function of the sitemap URL (exact
+# replica of extract/crawl.synth_sitemaps)
+_WEB_SITEMAP_FRONTIER_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
+, hosts AS (SELECT DISTINCT dst_host AS host FROM links),
+hi AS (
+    SELECT host,
+           ('0x' || substr(sha256('si:' || host), 1, 15))::UBIGINT % 4 = 0
+               AS is_idx
+    FROM hosts
+),
+smaps AS (
+    SELECT host, 'http://' || host || '/sitemap.xml' AS su
+    FROM hi WHERE NOT is_idx
+    UNION ALL
+    SELECT host, 'http://' || host || '/sitemap-' || c || '.xml'
+    FROM hi, unnest([0, 1]) AS t(c) WHERE is_idx
+),
+entries AS (
+    SELECT host, su,
+           (3 + ('0x' || substr(sha256('sn:' || su), 1, 15))::UBIGINT % 4)
+               ::INT AS n
+    FROM smaps
+)
+SELECT host,
+       'http://' || host || '/s/' ||
+           (('0x' || substr(sha256('loc:' || su || '#' || j), 1, 15))
+            ::UBIGINT % 1000) AS loc,
+       '2024-01-' || lpad((1 + ('0x' || substr(sha256('lm:' || su || '#' || j), 1, 15))
+                           ::UBIGINT % 28)::VARCHAR, 2, '0') AS lastmod,
+       '0.' || (('0x' || substr(sha256('pr:' || su || '#' || j), 1, 15))
+                ::UBIGINT % 10) AS priority
+FROM entries, unnest(generate_series(1, n)) AS t(j)
+""")
 
 
 _WEB_CRAWL_SCHEDULE_ORACLE = ("WITH " + _WEB_LINKS_SQL + """

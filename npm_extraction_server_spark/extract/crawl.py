@@ -110,3 +110,113 @@ def fetch_rounds(frontier: DataFrame, rules: DataFrame,
                         F.coalesce("crawl_delay_s", F.lit(1)))
             .withColumn("fetch_offset_s",
                         F.col("round") * F.col("crawl_delay_s")))
+
+
+def synth_sitemaps(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """Deterministic sitemap XML per host (the fetched-file model,
+    like synth_robots): ~1/4 of hosts publish a SITEMAP INDEX at
+    /sitemap.xml referencing two child sitemaps; the rest publish a
+    plain urlset there. Every urlset carries 3-6 <url> entries with
+    <loc>/<lastmod>/<priority>, all pure sha256 functions of the
+    sitemap URL, so DuckDB re-derives the exact frontier. Returns
+    (host, sitemap_url, xml bytes) — one row per sitemap FILE (index
+    hosts emit the index plus both children)."""
+    h = F.col(host_col)
+    root = F.concat(F.lit("http://"), h, F.lit("/sitemap.xml"))
+    is_idx = _sha_mod("si:", h, 4) == 0
+    child = [F.concat(F.lit("http://"), h, F.lit(f"/sitemap-{c}.xml"))
+             for c in (0, 1)]
+    files = hosts.select(
+        h.alias("host"),
+        F.explode(F.when(is_idx, F.array(root, *child))
+                  .otherwise(F.array(root))).alias("sitemap_url"))
+
+    su, host = F.col("sitemap_url"), F.col("host")
+    index_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.lit("<sitemap><loc>"),
+        F.concat(F.lit("http://"), host, F.lit("/sitemap-0.xml")),
+        F.lit("</loc></sitemap><sitemap><loc>"),
+        F.concat(F.lit("http://"), host, F.lit("/sitemap-1.xml")),
+        F.lit("</loc></sitemap></sitemapindex>"))
+    n = (F.lit(3) + _sha_mod("sn:", su, 4)).cast("int")
+
+    def entry(j):
+        key = F.concat(su, F.lit("#"), j.cast("string"))
+        return F.concat(
+            F.lit("<url><loc>http://"), host, F.lit("/s/"),
+            _sha_mod("loc:", key, 1000).cast("string"),
+            F.lit("</loc><lastmod>2024-01-"),
+            F.lpad((F.lit(1) + _sha_mod("lm:", key, 28)).cast("string"),
+                   2, "0"),
+            F.lit("</lastmod><priority>0."),
+            _sha_mod("pr:", key, 10).cast("string"),
+            F.lit("</priority></url>"))
+
+    urlset_xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(F.transform(F.sequence(F.lit(1), n), entry), ""),
+        F.lit("</urlset>"))
+    is_root_index = su.endswith("/sitemap.xml") \
+        & (_sha_mod("si:", host, 4) == 0)
+    return files.select(
+        "host", "sitemap_url",
+        F.encode(F.when(is_root_index, index_xml).otherwise(urlset_xml),
+                 "UTF-8").alias("xml"))
+
+
+def parse_sitemap(sitemaps: DataFrame) -> DataFrame:
+    """(host, sitemap_url, xml bytes) -> one row per entry:
+    ``kind='index'`` rows carry a child sitemap URL in ``loc``
+    (lastmod/priority null); ``kind='urlset'`` rows carry a page URL
+    with its lastmod/priority strings. Pure JVM regex over the
+    fetched bytes."""
+    txt = F.decode(F.col("xml"), "UTF-8")
+    kind = F.when(txt.contains("<sitemapindex"), F.lit("index")) \
+        .otherwise(F.lit("urlset"))
+    idx = (sitemaps
+           .filter(txt.contains("<sitemapindex"))
+           .select("host", "sitemap_url", F.lit("index").alias("kind"),
+                   F.explode(F.regexp_extract_all(
+                       txt, F.lit("<loc>(.*?)</loc>"), F.lit(1)))
+                   .alias("loc"),
+                   F.lit(None).cast("string").alias("lastmod"),
+                   F.lit(None).cast("string").alias("priority")))
+    ent = (sitemaps
+           .filter(~txt.contains("<sitemapindex"))
+           .select("host", "sitemap_url", F.lit("urlset").alias("kind"),
+                   F.explode(F.regexp_extract_all(
+                       txt, F.lit("<url>(.*?)</url>"), F.lit(1)))
+                   .alias("e")))
+    ent = ent.select(
+        "host", "sitemap_url", "kind",
+        F.regexp_extract("e", "<loc>(.*?)</loc>", 1).alias("loc"),
+        F.regexp_extract("e", "<lastmod>(.*?)</lastmod>", 1).alias("lastmod"),
+        F.regexp_extract("e", "<priority>(.*?)</priority>", 1)
+        .alias("priority"))
+    return idx.unionByName(ent)
+
+
+def sitemap_frontier(sitemaps: DataFrame) -> DataFrame:
+    """Expand every host's ROOT sitemap into its URL frontier:
+    urlset roots contribute their entries directly; index roots join
+    their child references against the fetched child sitemaps (the
+    fetch-join a real crawler performs) and contribute the children's
+    entries. Returns (host, loc, lastmod, priority). Child sitemaps
+    not referenced by any root index are ignored — reachability, not
+    directory listing."""
+    parsed = parse_sitemap(sitemaps)
+    is_root = F.col("sitemap_url").endswith("/sitemap.xml")
+    direct = (parsed.filter(is_root & (F.col("kind") == "urlset"))
+              .select("host", "loc", "lastmod", "priority"))
+    refs = (parsed.filter(is_root & (F.col("kind") == "index"))
+            .select("host", F.col("loc").alias("child_url")))
+    children = (parsed.filter((~is_root) & (F.col("kind") == "urlset"))
+                .select(F.col("host").alias("h2"),
+                        F.col("sitemap_url").alias("child_url"),
+                        "loc", "lastmod", "priority"))
+    via_index = (refs.join(children,
+                           (refs["child_url"] == children["child_url"])
+                           & (refs["host"] == children["h2"]))
+                 .select("host", "loc", "lastmod", "priority"))
+    return direct.unionByName(via_index)

@@ -360,3 +360,94 @@ def test_main_content_thresholds_are_tunable(spark):
                                max_link_density=0.9).collect()[0]
     assert strict["n_content_blocks"] == 1          # only "tiny"
     assert lax["n_content_blocks"] == 2
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery (extract/crawl.py)
+
+
+def test_parse_sitemap_handles_both_formats(spark):
+    """Index files emit kind='index' rows whose loc is the child
+    sitemap URL; urlsets emit one row per <url> entry with
+    loc/lastmod/priority; JVM-side only."""
+    from npm_extraction_server_spark.extract.crawl import parse_sitemap
+
+    rows = [
+        ("a.org", "http://a.org/sitemap.xml",
+         b'<?xml version="1.0"?><sitemapindex>'
+         b"<sitemap><loc>http://a.org/sitemap-0.xml</loc></sitemap>"
+         b"</sitemapindex>"),
+        ("b.org", "http://b.org/sitemap.xml",
+         b'<?xml version="1.0"?><urlset>'
+         b"<url><loc>http://b.org/s/1</loc><lastmod>2024-01-05</lastmod>"
+         b"<priority>0.7</priority></url>"
+         b"<url><loc>http://b.org/s/2</loc><lastmod>2024-01-06</lastmod>"
+         b"<priority>0.2</priority></url></urlset>"),
+    ]
+    sm = spark.createDataFrame(
+        rows, "host string, sitemap_url string, xml binary")
+    got = {(r["host"], r["kind"], r["loc"], r["lastmod"], r["priority"])
+           for r in parse_sitemap(sm).collect()}
+    assert got == {
+        ("a.org", "index", "http://a.org/sitemap-0.xml", None, None),
+        ("b.org", "urlset", "http://b.org/s/1", "2024-01-05", "0.7"),
+        ("b.org", "urlset", "http://b.org/s/2", "2024-01-06", "0.2"),
+    }
+    plan = parse_sitemap(sm)._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_sitemap_frontier_reachability_only(spark):
+    """Frontier expansion follows root -> referenced children only: an
+    unreferenced child sitemap contributes nothing; index hosts pull
+    every referenced child's entries."""
+    from npm_extraction_server_spark.extract.crawl import sitemap_frontier
+
+    rows = [
+        ("a.org", "http://a.org/sitemap.xml",
+         b"<sitemapindex><sitemap><loc>http://a.org/sitemap-0.xml</loc>"
+         b"</sitemap></sitemapindex>"),
+        ("a.org", "http://a.org/sitemap-0.xml",
+         b"<urlset><url><loc>http://a.org/s/1</loc>"
+         b"<lastmod>2024-01-01</lastmod><priority>0.5</priority></url>"
+         b"</urlset>"),
+        # orphan: never referenced by the root index
+        ("a.org", "http://a.org/sitemap-9.xml",
+         b"<urlset><url><loc>http://a.org/s/999</loc>"
+         b"<lastmod>2024-01-02</lastmod><priority>0.1</priority></url>"
+         b"</urlset>"),
+        ("b.org", "http://b.org/sitemap.xml",
+         b"<urlset><url><loc>http://b.org/s/7</loc>"
+         b"<lastmod>2024-01-03</lastmod><priority>0.9</priority></url>"
+         b"</urlset>"),
+    ]
+    sm = spark.createDataFrame(
+        rows, "host string, sitemap_url string, xml binary")
+    got = {(r["host"], r["loc"]) for r in sitemap_frontier(sm).collect()}
+    assert got == {("a.org", "http://a.org/s/1"), ("b.org", "http://b.org/s/7")}
+
+
+def test_synth_sitemaps_roundtrip_through_parser(spark):
+    """The synthesizer's XML is exactly what the parser expects: every
+    generated urlset entry survives the parse, and index hosts emit
+    1 index + 2 children."""
+    from npm_extraction_server_spark.extract.crawl import (
+        parse_sitemap,
+        synth_sitemaps,
+    )
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.org",) for i in range(12)], "host string")
+    sm = synth_sitemaps(hosts)
+    parsed = parse_sitemap(sm)
+    per_host = {r["host"]: r["count"] for r in
+                sm.groupBy("host").count().collect()}
+    assert set(per_host.values()) <= {1, 3}
+    assert 3 in set(per_host.values())  # some index host in 12 draws
+    # every urlset row parses with complete fields
+    bad = parsed.filter(
+        (F.col("kind") == "urlset")
+        & ((F.col("loc") == "") | (F.col("lastmod") == "")
+           | (F.col("priority") == ""))).count()
+    assert bad == 0
