@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from pathlib import Path
 
@@ -675,6 +676,7 @@ def commit(df: DataFrame, table: str, partitions: int | None = None,
             "operation": operation,
             "added_files": files,
             "added_rows": added_rows,
+            "committed_at": time.time(),
             "schema": df.schema.json(),
             "props": props or {},
             # per-file column min/max from the footers — powers
@@ -1082,6 +1084,30 @@ def expire_snapshots(table: str, keep_last: int = 1) -> dict:
             "deleted_data_files": deleted_files}
 
 
+def snapshot_as_of(table: str, ts: float) -> int:
+    """AS OF TIMESTAMP time travel (Iceberg/Delta's other anchor):
+    resolve the newest snapshot on the CURRENT chain whose commit
+    time is <= ``ts`` (unix seconds). Pass the result to
+    read_snapshot/read_where/read_changes. Every commit kind stamps a
+    time, including evolve (so AS-OF lands on the schema in force at
+    ``ts``). Raises if the whole chain is newer than ``ts`` or commit
+    times are missing (pre-timestamp tables)."""
+    sid = current_snapshot_id(table)
+    best: tuple[float, int] | None = None
+    while sid is not None:
+        man = _read_json(_meta(table) / f"snap-{sid}.json")
+        at = man.get("committed_at")
+        if at is not None and at <= ts and not man.get("expired"):
+            best = (at, sid)
+            break  # chain walk is newest-first: first hit is the answer
+        sid = man["parent"]
+    if best is None:
+        raise ValueError(
+            f"{table}: no snapshot committed at or before {ts} "
+            "(chain is newer, expired, or predates commit timestamps)")
+    return best[1]
+
+
 def rollback(table: str, snapshot_id: int) -> None:
     """Point CURRENT at an earlier reachable snapshot (metadata-only,
     atomic). Later snapshots become unreachable; a subsequent commit
@@ -1373,6 +1399,7 @@ def evolve_schema(table: str, add: list[tuple[str, str]] | None = None,
             "operation": "evolve",
             "added_files": [],
             "added_rows": 0,
+            "committed_at": time.time(),
             "schema_fields": new,
             "prev_fields": prev,
             "props": {},

@@ -439,3 +439,47 @@ def read_link_degrees(spark: SparkSession, out_dir: str) -> DataFrame:
         .agg(F.sum("n_links").alias("n_links"),
              F.sum("n_pages").alias("n_pages"))
     )
+
+
+def stream_dedup(spark: SparkSession, events_dir: str, out_dir: str,
+                 checkpoint_dir: str, key_col: str = "event_id",
+                 watermark_delay: str = "30 minutes"):
+    """Watermarked streaming DEDUPLICATION: at-least-once sources
+    (replayed files, retried producers) emit the same keyed event more
+    than once; ``dropDuplicatesWithinWatermark`` keeps the FIRST
+    arrival of each key and discards re-deliveries that arrive within
+    the watermark of the original — after which the key's state is
+    dropped, so state is bounded by (keys per watermark window), not
+    the stream's lifetime (the property that matters on an unbounded
+    crawl feed; a plain dropDuplicates would grow state forever).
+    Restart-safe via the checkpoint. The batch equivalent is
+    dropDuplicates on the key — the test compares against it."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # re-deliveries land in later
+        .parquet(events_dir)              # micro-batches (the real shape)
+    )
+    deduped = (
+        stream.withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark([key_col])
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/deduped")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -544,3 +544,54 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                   F.expr("v_user = p_user AND p_ts >= v_ts "
                          "AND p_ts <= v_ts + interval 1 hour")).collect()}
     assert got == expect == {(1, 100), (2, 100), (4, 102)}
+
+
+def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """Streaming dedup: re-delivered keys inside the watermark are
+    dropped (first arrival wins), state for expired keys is evicted,
+    and the on-time output equals batch dropDuplicates over the
+    distinct-key stream."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_dedup,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mtime = [1_700_000_000]
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        path = str(events_dir / f"{name}.parquet")
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("ts", pa.timestamp("us")),
+                            ("user_id", pa.int64())])
+        pq.write_table(pa.Table.from_pandas(pdf).cast(schema), path)
+        mtime[0] += 60
+        os.utime(path, (mtime[0], mtime[0]))
+
+    # batch 1: three events, one key duplicated WITHIN the batch
+    write_file("f1", [(1, base + pd.Timedelta(minutes=1), 10),
+                      (1, base + pd.Timedelta(minutes=2), 11),
+                      (2, base + pd.Timedelta(minutes=3), 12)])
+    # batch 2: key 1 re-delivered within the watermark -> dropped;
+    # fresh key 3 kept
+    write_file("f2", [(1, base + pd.Timedelta(minutes=5), 13),
+                      (3, base + pd.Timedelta(minutes=6), 14)])
+    # batch 3: frontier jumps 2h -> watermark passes the old keys'
+    # expiry; key 4 is new
+    write_file("f3", [(4, base + pd.Timedelta(hours=2), 15)])
+
+    q = stream_dedup(spark, str(events_dir), str(tmp_path / "out"),
+                     str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out") + "/deduped")
+    got = {(r["event_id"], r["user_id"]) for r in out.collect()}
+    # first arrival of each key, exactly once
+    assert got == {(1, 10), (2, 12), (3, 14), (4, 15)}

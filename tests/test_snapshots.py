@@ -1573,3 +1573,40 @@ def test_mor_delete_where_across_schema_evolution(spark, tmp_path):
     mor_delete_where(spark, t, [("val", "=", 9)])
     rows = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
     assert 3 not in rows and len(rows) == 9
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    """AS OF TIMESTAMP resolves the newest snapshot committed at or
+    before ts, lands on the schema in force then (evolve commits are
+    timestamped too), and raises before the first commit."""
+    import json as jsonlib
+
+    from npm_extraction_server_spark.sources.snapshots import (
+        evolve_schema,
+        snapshot_as_of,
+    )
+
+    t = str(tmp_path / "tbl")
+    s1 = commit(spark.range(3).select("id", F.col("id").alias("v")), t)
+    s2 = commit(spark.range(3, 6).select("id", F.col("id").alias("v")), t)
+    s3 = evolve_schema(t, rename={"v": "val"})
+
+    # pin deterministic commit times by editing the manifests
+    meta = Path(t) / "meta"
+    for sid, at in ((s1, 100.0), (s2, 200.0), (s3, 300.0)):
+        p = meta / f"snap-{sid}.json"
+        man = jsonlib.loads(p.read_text())
+        man["committed_at"] = at
+        p.write_text(jsonlib.dumps(man))
+
+    assert snapshot_as_of(t, 150.0) == s1
+    assert snapshot_as_of(t, 200.0) == s2
+    assert snapshot_as_of(t, 1e12) == s3
+    assert sorted(read_snapshot(spark, t,
+                                snapshot_as_of(t, 250.0)).columns) == \
+        ["id", "v"]       # pre-DDL view
+    assert sorted(read_snapshot(spark, t,
+                                snapshot_as_of(t, 350.0)).columns) == \
+        ["id", "val"]     # post-DDL view
+    with pytest.raises(ValueError, match="at or before"):
+        snapshot_as_of(t, 50.0)
