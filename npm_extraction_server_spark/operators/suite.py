@@ -1280,6 +1280,38 @@ def graph_bfs(spark, sf):
     return bfs_distances(seeds, _kg_graph_edges(spark, sf))
 
 
+def _dep_dag_edges(spark, sf):
+    """Deterministic layered dependency graph over doc_ids < 540 with
+    a planted 3-cycle: node level = doc_id % 6, every level<5 node
+    points at one or two next-level nodes (doc_id arithmetic — DuckDB
+    re-derives the edge set exactly), plus the cycle 7->13->19->7
+    among level-1 nodes, which also poisons everything downstream of
+    those three (the cycle-closure contract topo_layers reports)."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 540)
+    lvl = d % 6
+    e1 = (docs.filter(lvl < 5)
+          .select(d.alias("src"),
+                  ((d * 11 + 7) % 89 * 6 + lvl + 1).alias("dst")))
+    e2 = (docs.filter((lvl < 5) & (d % 2 == 0))
+          .select(d.alias("src"),
+                  ((d * 17 + 3) % 89 * 6 + lvl + 1).alias("dst")))
+    cyc = spark.createDataFrame([(7, 13), (13, 19), (19, 7)],
+                                "src long, dst long")
+    return e1.unionByName(e2).unionByName(cyc)
+
+
+def graph_topo_layers(spark, sf):
+    """Kahn topological layering + cycle detection over the dependency
+    DAG (hard oracle: the peeling rounds are UNROLLED in DuckDB —
+    layer r = nodes whose every in-edge left earlier layers; nodes in
+    or downstream of the planted cycle come back layer NULL). The
+    build-order question a package KG exists to answer."""
+    from ..plans.graph import topo_layers
+
+    return topo_layers(_dep_dag_edges(spark, sf))
+
+
 def graph_pagerank(spark, sf):
     """5-iteration PageRank over the deterministic KG multigraph (hard
     oracle: the identical power iteration unrolled as 5 chained CTEs in
@@ -1505,6 +1537,7 @@ SPARK_QUERIES = {
     "graph_sssp": graph_sssp,
     "graph_labelprop": graph_labelprop,
     "graph_kcore": graph_kcore,
+    "graph_topo_layers": graph_topo_layers,
     "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
@@ -1925,6 +1958,51 @@ _GRAPH_TRIANGLES_SQL = f"""
 
 
 
+_DEP_DAG_EDGES_CTE = """
+    depbase AS (SELECT doc_id AS i FROM documents WHERE doc_id < 540),
+    depedges AS (
+        SELECT i AS src, (i*11 + 7) % 89 * 6 + (i%6) + 1 AS dst
+        FROM depbase WHERE i%6 < 5
+        UNION
+        SELECT i, (i*17 + 3) % 89 * 6 + (i%6) + 1
+        FROM depbase WHERE i%6 < 5 AND i%2 = 0
+        UNION
+        SELECT * FROM (VALUES (7, 13), (13, 19), (19, 7)) AS c(src, dst)
+    ),
+    depnodes AS (
+        SELECT DISTINCT n FROM (SELECT src AS n FROM depedges
+                                UNION SELECT dst FROM depedges)
+    )"""
+
+
+def _topo_layers_sql(rounds: int = 7) -> str:
+    """Kahn peeling unrolled: p_r = still-unassigned nodes with no
+    in-edge from a still-unassigned src; a_r accumulates. The layered
+    construction bounds true layers at 5, so 7 rounds over-covers;
+    what's left after the last round is the cycle closure (layer
+    NULL)."""
+    ctes, selects = [], []
+    for r in range(rounds):
+        prev = f"(SELECT n FROM a{r - 1})" if r else "(SELECT NULL WHERE 1=0)"
+        ctes.append(f"""
+    p{r} AS (
+        SELECT n FROM depnodes
+        WHERE n NOT IN {prev}
+          AND n NOT IN (SELECT dst FROM depedges
+                        WHERE src NOT IN {prev})
+    )""")
+        acc = f"SELECT n FROM a{r - 1} UNION SELECT n FROM p{r}" if r \
+            else f"SELECT n FROM p{r}"
+        ctes.append(f"""
+    a{r} AS ({acc})""")
+        selects.append(f"SELECT n AS node_id, {r} AS layer FROM p{r}")
+    selects.append(
+        f"SELECT n, CAST(NULL AS INT) FROM depnodes "
+        f"WHERE n NOT IN (SELECT n FROM a{rounds - 1})")
+    return ("WITH " + _DEP_DAG_EDGES_CTE + "," + ",".join(ctes)
+            + "\n" + "\nUNION ALL\n".join(selects))
+
+
 def _kcore_sql(k: int, rounds: int = 4) -> str:
     """kcore's peeling unrolled: s0 = the undirected simple edge set;
     each round keeps edges whose BOTH endpoints have degree >= k in
@@ -2316,6 +2394,7 @@ ORACLE_SQL = {
     "graph_sssp": _GRAPH_SSSP_SQL,
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
+    "graph_topo_layers": _topo_layers_sql(7),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200

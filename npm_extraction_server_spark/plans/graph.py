@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "hits", "kcore", "pagerank",
+__all__ = ["bfs_distances", "hits", "kcore", "pagerank", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
            "triangle_counts"]
 
@@ -540,6 +540,52 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
             return core_deg
         live, n_live = nxt, n_nxt
     raise RuntimeError(f"kcore: no convergence in {max_rounds} rounds")
+
+
+def topo_layers(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Topological layering of a directed dependency graph (Kahn's
+    algorithm by rounds, the public construction): layer 0 = nodes
+    with no in-edges; layer r = nodes whose every in-edge comes from
+    earlier layers. Nodes inside a cycle — or downstream of one —
+    never peel and come back with ``layer`` NULL: exactly the "which
+    dependencies can be built in what order, and what's stuck in a
+    cycle" question a package-dependency KG answers (npm graphs do
+    contain cycles; the reference's semver resolution creates the
+    version->version edges this runs over).
+
+    Per round: one distinct-dst projection of the live edge set + two
+    anti-joins; the live edge set only shrinks and is checkpointed.
+    Rounds are bounded by the longest acyclic in-path, not |V|. One
+    count action per round (the peel set, needed for termination).
+    Returns (node_id, layer int nullable)."""
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id")))
+             .distinct().localCheckpoint(eager=True))
+    unassigned, live = nodes, e
+    peeled: list[DataFrame] = []
+    for r in range(max_rounds):
+        blocked = live.select(F.col("dst").alias("node_id")).distinct()
+        peel = unassigned.join(blocked, "node_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if not peel.limit(1).count():
+            break  # only cycle closure remains (or nothing)
+        peeled.append(peel.withColumn("layer", F.lit(r)))
+        unassigned = unassigned.join(peel, "node_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        live = live.join(peel.withColumnRenamed("node_id", "src"),
+                         "src", "left_anti").localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(f"topo_layers: not converged in {max_rounds} "
+                           "rounds (raise max_rounds)")
+    import functools
+
+    out = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        peeled + [unassigned.withColumn("layer",
+                                        F.lit(None).cast("int"))])
+    return out
 
 
 def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:

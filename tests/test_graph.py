@@ -232,3 +232,42 @@ def test_sssp_oracle_cap_exceeds_true_diameter():
                 heapq.heappush(pq, (nd, v))
     assert len(dist) == 500          # everything reachable
     assert max(dist.values()) < 100  # the oracle's enumeration cap
+
+
+def test_topo_layers_dag_cycle_and_closure(spark):
+    """Kahn layering: DAG nodes get the longest-in-path layer; nodes
+    in the planted cycle AND everything downstream of it come back
+    layer NULL; an isolated diamond layers correctly."""
+    from npm_extraction_server_spark.plans.graph import topo_layers
+
+    edges = spark.createDataFrame(
+        [
+            # diamond: 1 -> 2,3 -> 4
+            (1, 2), (1, 3), (2, 4), (3, 4),
+            # chain off the diamond: 4 -> 5
+            (4, 5),
+            # cycle: 10 -> 11 -> 12 -> 10, feeding 13 (downstream)
+            (10, 11), (11, 12), (12, 10), (12, 13),
+            # 13 also fed by the acyclic side: still NULL (one poisoned
+            # in-edge is enough)
+            (5, 13),
+            # a root feeding the cycle does peel (edges INTO a cycle
+            # don't poison the src)
+            (9, 10),
+        ],
+        "src long, dst long")
+    got = {r["node_id"]: r["layer"] for r in topo_layers(edges).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2, 5: 3,
+                   10: None, 11: None, 12: None, 13: None}
+
+
+def test_topo_layers_all_cyclic_and_all_acyclic(spark):
+    from npm_extraction_server_spark.plans.graph import topo_layers
+
+    ring = spark.createDataFrame([(0, 1), (1, 2), (2, 0)],
+                                 "src long, dst long")
+    assert {r["layer"] for r in topo_layers(ring).collect()} == {None}
+
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["node_id"]: r["layer"] for r in topo_layers(chain).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
