@@ -1312,6 +1312,20 @@ def graph_topo_layers(spark, sf):
     return topo_layers(_dep_dag_edges(spark, sf))
 
 
+def graph_scc(spark, sf):
+    """Strongly connected components over the dependency graph (hard
+    oracle): the layered construction makes every edge strictly
+    increase level (doc_id % 6) EXCEPT the planted 7->13->19->7
+    cycle, so the unique non-trivial SCC is exactly {7,13,19} with
+    id 7 and every other node is a singleton — closed-form in DuckDB
+    from the edge derivation. The Spark side runs the real
+    trim+color+mark fixpoint machinery (pinned separately against a
+    pure-Python Tarjan in tests/test_graph.py)."""
+    from ..plans.graph import strongly_connected_components
+
+    return strongly_connected_components(_dep_dag_edges(spark, sf))
+
+
 def graph_pagerank(spark, sf):
     """5-iteration PageRank over the deterministic KG multigraph (hard
     oracle: the identical power iteration unrolled as 5 chained CTEs in
@@ -1538,6 +1552,7 @@ SPARK_QUERIES = {
     "graph_labelprop": graph_labelprop,
     "graph_kcore": graph_kcore,
     "graph_topo_layers": graph_topo_layers,
+    "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
@@ -2395,6 +2410,11 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_topo_layers": _topo_layers_sql(7),
+    "graph_scc": ("WITH " + _DEP_DAG_EDGES_CTE + """
+        SELECT n AS node_id,
+               CASE WHEN n IN (7, 13, 19) THEN 7 ELSE n END AS scc_id
+        FROM depnodes
+    """),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200

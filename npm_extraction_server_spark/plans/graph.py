@@ -588,6 +588,110 @@ def topo_layers(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     return out
 
 
+def strongly_connected_components(edges: DataFrame,
+                                  max_rounds: int = 30) -> DataFrame:
+    """SCC partition of a directed graph — the coloring algorithm from
+    the public FW-BW/coloring literature (Orzan; Slota et al.), built
+    from three DataFrame fixpoints:
+
+    1. TRIM: iteratively peel nodes with in-degree 0 or out-degree 0
+       in the live subgraph — each is a singleton SCC (this disposes
+       of the DAG portion in O(longest chain) cheap rounds, the known
+       fix for naive coloring's chain worst case).
+    2. COLOR: forward min-id propagation to fixpoint over what's left
+       (color(n) = min id that reaches n, within the live subgraph).
+    3. MARK: within each color class, backward-propagate from the
+       root (color c marks nodes that REACH c through same-colored
+       nodes) — marked nodes form exactly SCC(c); assign, remove,
+       repeat from 1.
+
+    Returns (node_id, scc_id) with scc_id = the component's minimum
+    node id. Every fixpoint is join+aggregate rounds over checkpointed
+    shrinking state; per-round shuffles carry (node, label) pairs."""
+    import functools
+
+    e_all = (edges.filter(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct().localCheckpoint(eager=True))
+    nodes = (e_all.select(F.col("src").alias("n"))
+             .unionByName(e_all.select(F.col("dst").alias("n")))
+             .distinct().localCheckpoint(eager=True))
+    live_n, live_e = nodes, e_all
+    done: list[DataFrame] = []
+    # isolated nodes never enter edges; callers pass edge-defined graphs
+    for _ in range(max_rounds):
+        if not live_n.limit(1).count():
+            out = functools.reduce(lambda a, b: a.unionByName(b), done)
+            return out.select(F.col("n").alias("node_id"), "scc_id")
+        # --- 1. trim singleton SCCs (in-deg 0 or out-deg 0) ---
+        while True:
+            srcs = live_e.select(F.col("src").alias("n")).distinct()
+            dsts = live_e.select(F.col("dst").alias("n")).distinct()
+            trivial = (live_n.join(srcs, "n", "left_anti")
+                       .unionByName(live_n.join(dsts, "n", "left_anti"))
+                       .distinct().localCheckpoint(eager=True))
+            if not trivial.limit(1).count():
+                break
+            done.append(trivial.withColumn("scc_id", F.col("n")))
+            live_n = live_n.join(trivial, "n", "left_anti") \
+                .localCheckpoint(eager=True)
+            live_e = (live_e
+                      .join(trivial.withColumnRenamed("n", "src"),
+                            "src", "left_anti")
+                      .join(trivial.withColumnRenamed("n", "dst"),
+                            "dst", "left_anti")
+                      .select("src", "dst").localCheckpoint(eager=True))
+        if not live_n.limit(1).count():
+            continue
+        # --- 2. forward min-id coloring to fixpoint ---
+        color = live_n.select("n", F.col("n").alias("c")) \
+            .localCheckpoint(eager=True)
+        while True:
+            inc = (live_e.join(color.withColumnRenamed("n", "src"), "src")
+                   .groupBy(F.col("dst").alias("n"))
+                   .agg(F.min("c").alias("pc")))
+            nxt = (color.join(inc, "n", "left")
+                   .select("n", F.least(F.col("c"),
+                                        F.coalesce("pc", F.col("c")))
+                           .alias("c"))
+                   .localCheckpoint(eager=True))
+            changed = (nxt.alias("x").join(
+                color.alias("y"), "n")
+                .filter(F.col("x.c") != F.col("y.c")).limit(1).count())
+            color = nxt
+            if not changed:
+                break
+        # --- 3. backward mark within color classes ---
+        mark = color.filter(F.col("n") == F.col("c")) \
+            .localCheckpoint(eager=True)     # roots reach themselves
+        ec = (live_e
+              .join(color.withColumnRenamed("n", "src")
+                    .withColumnRenamed("c", "sc"), "src")
+              .join(color.withColumnRenamed("n", "dst")
+                    .withColumnRenamed("c", "dc"), "dst")
+              .filter(F.col("sc") == F.col("dc"))
+              .select("src", "dst", F.col("sc").alias("c"))
+              .localCheckpoint(eager=True))  # same-color edges only
+        while True:
+            new = (ec.join(mark.withColumnRenamed("n", "dst"),
+                           ["dst", "c"], "left_semi")
+                   .select(F.col("src").alias("n"), "c").distinct()
+                   .join(mark, ["n", "c"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if not new.limit(1).count():
+                break
+            mark = mark.unionByName(new).localCheckpoint(eager=True)
+        done.append(mark.select("n", F.col("c").alias("scc_id")))
+        live_n = live_n.join(mark.select("n"), "n", "left_anti") \
+            .localCheckpoint(eager=True)
+        live_e = (live_e
+                  .join(mark.select(F.col("n").alias("src")),
+                        "src", "left_anti")
+                  .join(mark.select(F.col("n").alias("dst")),
+                        "dst", "left_anti")
+                  .select("src", "dst").localCheckpoint(eager=True))
+    raise RuntimeError(f"scc: not converged in {max_rounds} rounds")
+
+
 def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     """Unnormalized HITS (Kleinberg 1999): hub/authority scores over a
     directed graph. ``edges``: (src, dst); parallel edges count with

@@ -271,3 +271,107 @@ def test_topo_layers_all_cyclic_and_all_acyclic(spark):
     chain = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {r["node_id"]: r["layer"] for r in topo_layers(chain).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_scc_matches_tarjan_reference(spark):
+    """SCC partition pinned against an independent pure-Python Tarjan
+    implementation over a deterministic mixed graph (nested cycles,
+    shared-node cycles, DAG chains, a figure-eight)."""
+    from npm_extraction_server_spark.plans.graph import (
+        strongly_connected_components,
+    )
+
+    edge_list = [
+        # figure-eight: two cycles sharing node 2 -> one SCC
+        (1, 2), (2, 1), (2, 3), (3, 2),
+        # chain into it
+        (0, 1),
+        # separate 3-cycle with an exit
+        (10, 11), (11, 12), (12, 10), (12, 13),
+        # pure DAG diamond
+        (20, 21), (20, 22), (21, 23), (22, 23),
+        # 2-cycle fed by the diamond
+        (23, 30), (30, 31), (31, 30),
+        # deterministic pseudo-random extra edges
+        *[(i * 7 % 40 + 40, i * 13 % 40 + 40) for i in range(60)],
+    ]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+
+    # reference: iterative Tarjan
+    import collections
+    adj = collections.defaultdict(list)
+    vs = set()
+    for a, b in edge_list:
+        adj[a].append(b)
+        vs |= {a, b}
+    index = {}
+    low = {}
+    on = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                cid = min(scc)
+                for w in scc:
+                    comp[w] = cid
+            work.pop()
+            if work:
+                w, v2 = v, work[-1][0]
+                low[v2] = min(low[v2], low[w])
+
+    for v in sorted(vs):
+        if v not in index:
+            strongconnect(v)
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node_id"]: r["scc_id"]
+           for r in strongly_connected_components(edges).collect()}
+    assert got == comp
+
+
+def test_scc_simple_shapes(spark):
+    from npm_extraction_server_spark.plans.graph import (
+        strongly_connected_components,
+    )
+
+    # chain: all singletons
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["node_id"]: r["scc_id"]
+           for r in strongly_connected_components(chain).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+    # ring: one component labeled by its min id
+    ring = spark.createDataFrame([(5, 6), (6, 7), (7, 5)],
+                                 "src long, dst long")
+    got = {r["node_id"]: r["scc_id"]
+           for r in strongly_connected_components(ring).collect()}
+    assert got == {5: 5, 6: 5, 7: 5}
