@@ -19,7 +19,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,6 +47,32 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def dedup_against_corpus(batch: DataFrame, seen_digests: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup of a NEW batch against the historical
+    corpus — without rescanning the corpus. ``seen_digests`` is the
+    maintained digest table (one ``digest`` column, sha2-256 of the
+    content; a few % of corpus bytes). In-batch duplicates collapse
+    to the min-id survivor first, then survivors whose digest the
+    corpus has already seen are dropped. Returns the genuinely-new
+    rows with their ``digest`` attached — the caller appends them to
+    the corpus AND their digests to the digest table (one lakehouse
+    commit each; see the snap_dedup_incr driver query).
+
+    Scale shape: this is THE pattern that makes continuous crawl
+    ingestion tractable at 10^12 documents — per-batch cost is
+    one digest projection + one shuffle on digest (in-batch collapse)
+    + one join against the digest table (bucketed/broadcast by size),
+    never a corpus rescan. The digest table is itself a snapshot
+    table, so the whole loop is resumable and exactly-once."""
+    b = batch.withColumn("digest", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("digest").orderBy(id_col)
+    firsts = (b.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    return firsts.join(seen_digests.select("digest"), "digest", "left_anti")
 
 
 def word_shingles(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:

@@ -1189,6 +1189,45 @@ def snap_wap(spark, sf):
     return read_snapshot(spark, table)
 
 
+def snap_dedup_incr(spark, sf):
+    """Incremental corpus ingestion with exact dedup (hard oracle):
+    batch 1 (doc_id<250) seeds the corpus + digest tables; batch 2
+    carries genuinely-new docs [250,400) PLUS re-keyed copies of
+    [100,150) (same text, doc_id+100000) — dedup_against_corpus drops
+    every copy via the digest table WITHOUT rescanning the corpus,
+    and the survivors append as a second snapshot commit. The final
+    corpus is exactly doc_id<400 (DuckDB re-derives it trivially —
+    the copies' absence IS the assertion). The 10^12-document crawl
+    pattern: per-batch cost follows the batch, never the corpus."""
+    import tempfile
+
+    from ..operators.dedup import dedup_against_corpus
+    from ..sources.snapshots import commit, read_snapshot
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars",
+                                             "text")
+    corpus_t = tempfile.mkdtemp(prefix="snapcorp_")
+    digest_t = tempfile.mkdtemp(prefix="snapdig_")
+
+    batch1 = docs.filter(d < 250)
+    b1 = batch1.withColumn("digest", F.sha2(F.col("text"), 256))
+    commit(b1.drop("digest"), corpus_t, partitions=4)
+    commit(b1.select("digest"), digest_t, partitions=1)
+
+    batch2 = (docs.filter((d >= 250) & (d < 400))
+              .unionByName(
+                  docs.filter((d >= 100) & (d < 150))
+                  .select((d + 100000).alias("doc_id"), "lang",
+                          "n_chars", "text")))
+    fresh = dedup_against_corpus(batch2, read_snapshot(spark, digest_t))
+    commit(fresh.drop("digest"), corpus_t, partitions=2)
+    commit(fresh.select("digest"), digest_t, partitions=1)
+
+    return read_snapshot(spark, corpus_t).select("doc_id", "lang",
+                                                 "n_chars")
+
+
 def snap_mor_changelog(spark, sf):
     """Change-data feed over a merge-on-read upsert (hard oracle —
     identical change set to the copy-on-write snap_changelog): the
@@ -1564,6 +1603,7 @@ SPARK_QUERIES = {
     "snap_schema_evolution": snap_schema_evolution,
     "snap_wap": snap_wap,
     "snap_pos_delete": snap_pos_delete,
+    "snap_dedup_incr": snap_dedup_incr,
     "sketch_distinct": sketch_distinct,
     "sketch_set_ops": sketch_set_ops,
     "sketch_hll": sketch_hll,
@@ -2489,6 +2529,9 @@ ORACLE_SQL = {
     "snap_pos_delete": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE NOT (doc_id >= 120 AND doc_id < 180)
+    """,
+    "snap_dedup_incr": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 400
     """,
     "snap_schema_evolution": """
         SELECT doc_id, lang, n_chars AS chars,

@@ -1037,3 +1037,24 @@ def test_bpe_train_matches_reference_implementation(spark):
            .orderBy("rank").collect()]
     assert got == expected
     assert len(got) > 5  # the corpus genuinely trains several merges
+
+
+def test_dedup_against_corpus_in_batch_and_cross_batch(spark):
+    """In-batch duplicates collapse to the min-id survivor; digests
+    already in the corpus table drop the whole group; genuinely-new
+    texts survive with their digest attached."""
+    from npm_extraction_server_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    seen = spark.createDataFrame(
+        [("old corpus text",)], "text string").select(
+        F.sha2(F.col("text"), 256).alias("digest"))
+    batch = spark.createDataFrame(
+        [(10, "brand new"), (11, "brand new"),          # in-batch dup
+         (12, "old corpus text"),                       # corpus dup
+         (13, "also new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedup_against_corpus(batch, seen).collect()}
+    assert got == {10: "brand new", 13: "also new"}
