@@ -69,3 +69,68 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, left_time: str,
                 *[F.col(c) for c in lcols if c not in (by,)],
                 *[F.col(f"_f.{c}").alias(c) for c in value_cols])
     )
+
+
+def resample_linear(df: DataFrame, key: str, ts: str, value: str,
+                    step_s: int = 300) -> DataFrame:
+    """Time-series RESAMPLE with linear interpolation: per ``key``,
+    emit a regular ``step_s``-second grid spanning the series'
+    observed range, with the value at each grid point linearly
+    interpolated between the surrounding observations (exact hits
+    pass through untouched). The gap-fill every monitoring /
+    feature-engineering pipeline needs before windowed models.
+
+    Same scalable shape as asof_join: observations (collapsed to one
+    per (key, instant) via order-free MIN) and grid points union into
+    one stream, ONE shuffle on the key, and two windows (forward
+    last-non-null, backward first-non-null, both ignorenulls) attach
+    the bracketing observations — never a range join, never per-key
+    collects. Ties at coincident instants order observations first,
+    and the exact-hit guard short-circuits before the slope division.
+
+    Returns (key, grid_ts timestamp, value double, rounded 6dp so the
+    DuckDB oracle's identical IEEE expression matches bit-for-bit).
+    """
+    # session TZ is pinned UTC (plans/session.py), so the NTZ->TZ cast
+    # is the identity epoch mapping DuckDB's epoch_us performs
+    k = F.col(key)
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    step_us = step_s * 1_000_000
+    obs = (df.select(k.alias("k"), t_us.alias("t"),
+                     F.col(value).alias("v"))
+           .groupBy("k", "t").agg(F.min("v").alias("v"))
+           .withColumn("is_obs", F.lit(1)))
+    bounds = obs.groupBy("k").agg(F.min("t").alias("lo"),
+                                  F.max("t").alias("hi"))
+    grid = bounds.select(
+        "k",
+        F.explode(F.sequence(
+            (F.ceil(F.col("lo") / step_us) * step_us).cast("long"),
+            F.col("hi"), F.lit(step_us))).alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(0).alias("is_obs"))
+    u = obs.unionByName(grid)
+    fwd = (Window.partitionBy("k")
+           .orderBy(F.col("t"), F.col("is_obs").desc())
+           .rowsBetween(Window.unboundedPreceding, 0))
+    bwd = (Window.partitionBy("k")
+           .orderBy(F.col("t"), F.col("is_obs").desc())
+           .rowsBetween(0, Window.unboundedFollowing))
+    t_obs = F.when(F.col("is_obs") == 1, F.col("t"))
+    u = (u.withColumn("pv", F.last("v", ignorenulls=True).over(fwd))
+          .withColumn("pt", F.last(t_obs, ignorenulls=True).over(fwd))
+          .withColumn("nv", F.first("v", ignorenulls=True).over(bwd))
+          .withColumn("nt", F.first(t_obs, ignorenulls=True).over(bwd)))
+    interp = (
+        F.when(F.col("pt") == F.col("t"), F.col("pv"))
+        .when(F.col("pt").isNull(), F.col("nv"))
+        .when(F.col("nt").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv") + (F.col("nv") - F.col("pv"))
+            * ((F.col("t") - F.col("pt")).cast("double")
+               / (F.col("nt") - F.col("pt")).cast("double"))))
+    return (u.filter(F.col("is_obs") == 0)
+            .select(F.col("k").alias(key),
+                    F.timestamp_micros(F.col("t")).cast("timestamp_ntz")
+                    .alias("grid_ts"),
+                    F.round(interp, 6).alias("value")))

@@ -952,6 +952,19 @@ def text_bm25_topk(spark, sf):
                      ["spark", "merge", "vector"], k=20)
 
 
+def ts_resample(spark, sf):
+    """Time-series resample + linear interpolation per event_type on a
+    5-minute grid (hard oracle: identical union+two-window IEEE
+    expression in DuckDB — last/first ignorenulls with the same
+    coincident-instant tie order; the 6-dp round absorbs nothing, the
+    bits already match, it just pins the contract)."""
+    from .asof import resample_linear
+
+    return resample_linear(_t(spark, sf, "events"),
+                           key="event_type", ts="ts", value="value",
+                           step_s=300)
+
+
 def snap_stats_prune(spark, sf):
     """Manifest-stats file pruning (hard oracle): documents are
     committed range-clustered on doc_id, then a doc_id window is read
@@ -1593,6 +1606,7 @@ SPARK_QUERIES = {
     "graph_topo_layers": graph_topo_layers,
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
+    "ts_resample": ts_resample,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
     "snap_merge_upsert": snap_merge_upsert,
@@ -2518,6 +2532,45 @@ ORACLE_SQL = {
         )
         SELECT v AS user_id, est_count::BIGINT AS est_count
         FROM est WHERE est_count >= 80
+    """,
+    "ts_resample": """
+        WITH obs AS (
+            SELECT event_type AS k, epoch_us(ts) AS t, min(value) AS v
+            FROM events GROUP BY 1, 2
+        ), b AS (
+            SELECT k, min(t) AS lo, max(t) AS hi FROM obs GROUP BY k
+        ), grid AS (
+            SELECT k, j AS t, CAST(NULL AS DOUBLE) AS v, 0 AS is_obs
+            FROM b, unnest(generate_series(
+                CAST(ceil(lo / 300000000.0) * 300000000 AS BIGINT),
+                hi, 300000000)) AS g(j)
+        ), u AS (
+            SELECT k, t, v, 1 AS is_obs FROM obs
+            UNION ALL SELECT k, t, v, is_obs FROM grid
+        ), w AS (
+            SELECT k, t, is_obs,
+                last_value(v IGNORE NULLS) OVER fwd AS pv,
+                last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                    OVER fwd AS pt,
+                first_value(v IGNORE NULLS) OVER bwd AS nv,
+                first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                    OVER bwd AS nt
+            FROM u
+            WINDOW fwd AS (PARTITION BY k ORDER BY t, is_obs DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW),
+                   bwd AS (PARTITION BY k ORDER BY t, is_obs DESC
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING)
+        )
+        SELECT k AS event_type, make_timestamp(t) AS grid_ts,
+               round(CASE WHEN pt = t THEN pv
+                          WHEN pt IS NULL THEN nv
+                          WHEN nt IS NULL THEN pv
+                          ELSE pv + (nv - pv)
+                               * ((t - pt)::DOUBLE / (nt - pt)::DOUBLE)
+                     END, 6) AS value
+        FROM w WHERE is_obs = 0
     """,
     "snap_stats_prune": """
         SELECT doc_id, lang, n_chars FROM documents

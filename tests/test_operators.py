@@ -1058,3 +1058,41 @@ def test_dedup_against_corpus_in_batch_and_cross_batch(spark):
     got = {r["doc_id"]: r["text"]
            for r in dedup_against_corpus(batch, seen).collect()}
     assert got == {10: "brand new", 13: "also new"}
+
+
+def test_resample_linear_semantics(spark):
+    """Grid covers [ceil(min), max]; exact hits pass through; interior
+    points interpolate linearly; points past the last observation
+    hold the last value; coincident duplicate observations collapse
+    deterministically (MIN)."""
+    import datetime as dt
+
+    from npm_extraction_server_spark.operators.asof import resample_linear
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("a", at(0), 10.0),      # on-grid observation
+        ("a", at(20), 30.0),     # off-grid anchor
+        ("a", at(20), 99.0),     # coincident duplicate -> MIN wins
+        ("a", at(45), 80.0),     # off-grid anchor past t=40
+        ("b", at(7), 5.0),
+        ("b", at(13), 11.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = {(r["k"], r["grid_ts"].second + r["grid_ts"].minute * 60):
+           r["value"]
+           for r in resample_linear(df, "k", "ts", "v",
+                                    step_s=10).collect()}
+    assert out[("a", 0)] == 10.0                      # exact hit
+    assert out[("a", 10)] == 20.0                     # midpoint 10..30
+    assert out[("a", 20)] == 30.0                     # MIN of duplicates
+    assert out[("a", 30)] == 50.0                     # 30 + (80-30)*10/25
+    assert out[("a", 40)] == 70.0                     # 30 + (80-30)*20/25
+    assert ("a", 50) not in out                       # grid stops at max
+    # b: grid = {10} only (ceil(7/10)*10=10 .. 13)
+    assert out[("b", 10)] == 8.0 and ("b", 0) not in out
+    assert len(out) == 6
