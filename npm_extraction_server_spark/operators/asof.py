@@ -24,47 +24,91 @@ from pyspark.sql import functions as F
 
 
 def asof_join(left: DataFrame, right: DataFrame, by: str, left_time: str,
-              right_time: str, value_cols: list[str]) -> DataFrame:
+              right_time: str, value_cols: list[str],
+              direction: str = "backward") -> DataFrame:
     """Left as-of join: every ``left`` row + the ``value_cols`` of the
-    latest ``right`` row with ``right_time <= left_time`` for the same
-    ``by`` key (nulls when none exists).
+    matched ``right`` row for the same ``by`` key (nulls when none).
+    ``direction`` (pandas merge_asof semantics):
+
+    - ``"backward"`` (default): latest right with rt <= lt.
+    - ``"forward"``: earliest right with rt >= lt.
+    - ``"nearest"``: whichever of the two is closer in time;
+      exact ties (including rt == lt) prefer the backward match.
 
     ``right`` must be unique per (by, right_time) — pre-reduce it
     (deterministically) if it is not; ties inside the right side would
     make any as-of semantics ambiguous."""
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = left.columns
-    # ALL value columns travel in ONE struct, filled with ONE
-    # last(ignorenulls) — so the attached values always come from the
-    # same (latest) right row. Filling each column independently would
+    t_type = left.schema[left_time].dataType
+    # ALL value columns travel in ONE struct (plus the matched row's
+    # own time for the nearest tie-break), filled with ONE
+    # last/first(ignorenulls) — so the attached values always come
+    # from the same right row. Filling each column independently would
     # back-fill a null field from an OLDER right row and mix columns of
     # different right rows (deviating from true as-of semantics and
     # DuckDB's ASOF JOIN whenever right values contain nulls).
     r_struct_type = T.StructType(
-        [T.StructField(c, right.schema[c].dataType) for c in value_cols])
+        [T.StructField("_rt", t_type)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols])
     l_tagged = left.select(
         F.col(by), F.col(left_time).alias("_t"), F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols if c not in (by,)],
         F.lit(None).cast(r_struct_type).alias("_r"),
     )
+    rt = F.col(right_time).cast(t_type)
     r_tagged = right.select(
-        F.col(by), F.col(right_time).cast(
-            left.schema[left_time].dataType).alias("_t"),
+        F.col(by), rt.alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (by,)],
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r"),
+        F.struct(rt.alias("_rt"),
+                 *[F.col(c).alias(c) for c in value_cols]).alias("_r"),
     )
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col("_t"), F.col("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = l_tagged.unionByName(r_tagged).select(
-        "*", F.last("_r", ignorenulls=True).over(w).alias("_f"))
+    # Tie handling at rt == lt: the backward fill orders right rows
+    # BEFORE left (its [unbounded, current] window sees the coincident
+    # right — pandas'/DuckDB's equality convention), while the pure
+    # FORWARD fill orders left first so its [current, unbounded]
+    # window includes the coincident right too (forward also counts
+    # equality). "nearest" reuses the backward-friendly order for both
+    # windows: the coincident match arrives via the backward fill at
+    # delta 0, which wins its tie by contract.
+    base = (Window.partitionBy(by)
+            .orderBy(F.col("_t"), F.col("_is_left")))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = l_tagged.unionByName(r_tagged)
+    if direction == "backward":
+        u = u.select("*", F.last("_r", ignorenulls=True).over(wb).alias("_f"))
+    elif direction == "forward":
+        wf_eq = (Window.partitionBy(by)
+                 .orderBy(F.col("_t"), F.col("_is_left").desc())
+                 .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        u = u.select("*",
+                     F.first("_r", ignorenulls=True).over(wf_eq).alias("_f"))
+    else:
+        u = u.select("*",
+                     F.last("_r", ignorenulls=True).over(wb).alias("_b"),
+                     F.first("_r", ignorenulls=True).over(wf).alias("_ff"))
+
+        def _num(c):
+            if isinstance(t_type, T.NumericType):
+                return c.cast("double")
+            return c.cast("timestamp").cast("double")
+
+        db = _num(F.col("_t")) - _num(F.col("_b._rt"))
+        df_ = _num(F.col("_ff._rt")) - _num(F.col("_t"))
+        u = u.select(
+            "*",
+            F.when(F.col("_b").isNull(), F.col("_ff"))
+             .when(F.col("_ff").isNull(), F.col("_b"))
+             .when(df_ < db, F.col("_ff"))
+             .otherwise(F.col("_b")).alias("_f"))
     return (
-        filled.filter(F.col("_is_left") == 1)
+        u.filter(F.col("_is_left") == 1)
         .select(by,
                 *[F.col(c) for c in lcols if c not in (by,)],
                 *[F.col(f"_f.{c}").alias(c) for c in value_cols])

@@ -744,6 +744,27 @@ def j9_asof_join(spark, sf):
                      value_cols=["asof_orderkey", "asof_total"])
 
 
+def j11_asof_forward(spark, sf):
+    """FORWARD as-of join (pandas merge_asof direction='forward')
+    under DuckDB's native ASOF JOIN with the reversed inequality as
+    the oracle: every event gets the EARLIEST order of the same
+    customer at or after the event time."""
+    from .asof import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id")
+    r = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("next_orderkey"),
+             F.round(F.max_by("o_totalprice", "o_orderkey"), 2)
+             .alias("next_total"))
+    )
+    return asof_join(ev, r, by="user_id", left_time="ts",
+                     right_time="o_orderdate",
+                     value_cols=["next_orderkey", "next_total"],
+                     direction="forward")
+
+
 def j8_salted_join(spark, sf):
     """Skew-safe salted join under a hard oracle: the salt must be
     side-effect-free — the salted lineitem⋈orders aggregate equals the
@@ -1547,6 +1568,7 @@ SPARK_QUERIES = {
     "j7_anti_join": j7_anti_join,
     "j8_salted_join": j8_salted_join,
     "j9_asof_join": j9_asof_join,
+    "j11_asof_forward": j11_asof_forward,
     "j10_fuzzy_block_join": j10_fuzzy_block_join,
     "w1_topk_per_group": w1_topk_per_group,
     "w4_running_sum": w4_running_sum,
@@ -2717,6 +2739,18 @@ ORACLE_SQL = {
                r.asof_orderkey, r.asof_total
         FROM events e ASOF LEFT JOIN r
           ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """,
+    "j11_asof_forward": """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS next_orderkey,
+                   round(max_by(o_totalprice, o_orderkey), 2) AS next_total
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.user_id, e.event_id, e.ts,
+               r.next_orderkey, r.next_total
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
     """,
     "j8_salted_join": f"""
         SELECT o_orderpriority, count(*) AS n_rows,

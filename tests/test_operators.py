@@ -1096,3 +1096,35 @@ def test_resample_linear_semantics(spark):
     # b: grid = {10} only (ceil(7/10)*10=10 .. 13)
     assert out[("b", 10)] == 8.0 and ("b", 0) not in out
     assert len(out) == 6
+
+
+def test_asof_join_directions_match_pandas_merge_asof(spark):
+    """backward / forward / nearest pinned EXACTLY against pandas
+    merge_asof on a deterministic numeric-time series with coincident
+    timestamps and out-of-range edges."""
+    import pandas as pd
+
+    from npm_extraction_server_spark.operators.asof import asof_join
+
+    lrows = [(k, t) for k in (1, 2) for t in (0, 5, 10, 15, 20, 25, 33)]
+    rrows = [(1, 3, 30.0), (1, 10, 100.0), (1, 24, 240.0),
+             (2, 7, 70.0), (2, 26, 260.0)]
+    left = spark.createDataFrame(
+        [(k, t, k * 100 + t) for k, t in lrows],
+        "k long, lt long, payload long")
+    right = spark.createDataFrame(rrows, "k long, rt long, v double")
+
+    lpd = pd.DataFrame([(k, t, k * 100 + t) for k, t in lrows],
+                       columns=["k", "lt", "payload"]).sort_values("lt")
+    rpd = pd.DataFrame(rrows, columns=["k", "rt", "v"]).sort_values("rt")
+
+    for direction in ("backward", "forward", "nearest"):
+        want = pd.merge_asof(lpd, rpd, left_on="lt", right_on="rt",
+                             by="k", direction=direction)
+        want_map = {(r.k, r.lt): (None if pd.isna(r.v) else r.v)
+                    for r in want.itertuples()}
+        got = asof_join(left, right, by="k", left_time="lt",
+                        right_time="rt", value_cols=["v"],
+                        direction=direction).collect()
+        got_map = {(r["k"], r["lt"]): r["v"] for r in got}
+        assert got_map == want_map, direction
