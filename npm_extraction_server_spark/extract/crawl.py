@@ -172,8 +172,6 @@ def parse_sitemap(sitemaps: DataFrame) -> DataFrame:
     with its lastmod/priority strings. Pure JVM regex over the
     fetched bytes."""
     txt = F.decode(F.col("xml"), "UTF-8")
-    kind = F.when(txt.contains("<sitemapindex"), F.lit("index")) \
-        .otherwise(F.lit("urlset"))
     idx = (sitemaps
            .filter(txt.contains("<sitemapindex"))
            .select("host", "sitemap_url", F.lit("index").alias("kind"),

@@ -107,11 +107,17 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, left_time: str,
              .when(F.col("_ff").isNull(), F.col("_b"))
              .when(df_ < db, F.col("_ff"))
              .otherwise(F.col("_b")).alias("_f"))
+    # a left row with a NULL time has no defined as-of position: every
+    # direction yields a null match (backward gets this for free from
+    # nulls-first ordering; forward/nearest must not let the following
+    # window hand the null-time row the earliest right value)
+    fill = F.when(F.col("_t").isNull(),
+                  F.lit(None).cast(r_struct_type)).otherwise(F.col("_f"))
     return (
         u.filter(F.col("_is_left") == 1)
         .select(by,
                 *[F.col(c) for c in lcols if c not in (by,)],
-                *[F.col(f"_f.{c}").alias(c) for c in value_cols])
+                *[fill[c].alias(c) for c in value_cols])
     )
 
 
@@ -146,11 +152,16 @@ def resample_linear(df: DataFrame, key: str, ts: str, value: str,
            .withColumn("is_obs", F.lit(1)))
     bounds = obs.groupBy("k").agg(F.min("t").alias("lo"),
                                   F.max("t").alias("hi"))
+    # a key whose observed range straddles no grid instant (start > hi)
+    # yields an EMPTY grid, not a crash: Spark's sequence() throws on
+    # start > stop with a positive step, so guard it (explode of the
+    # empty array drops the key, matching generate_series semantics)
+    start = (F.ceil(F.col("lo") / step_us) * step_us).cast("long")
     grid = bounds.select(
         "k",
-        F.explode(F.sequence(
-            (F.ceil(F.col("lo") / step_us) * step_us).cast("long"),
-            F.col("hi"), F.lit(step_us))).alias("t"),
+        F.explode(F.when(start <= F.col("hi"),
+                         F.sequence(start, F.col("hi"), F.lit(step_us)))
+                  .otherwise(F.array().cast("array<long>"))).alias("t"),
         F.lit(None).cast("double").alias("v"),
         F.lit(0).alias("is_obs"))
     u = obs.unionByName(grid)

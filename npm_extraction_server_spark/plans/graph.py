@@ -574,6 +574,8 @@ def topo_layers(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         peeled.append(peel.withColumn("layer", F.lit(r)))
         unassigned = unassigned.join(peel, "node_id", "left_anti") \
             .localCheckpoint(eager=True)
+        if not unassigned.limit(1).count():
+            break  # fully layered: no extra round needed to see it
         live = live.join(peel.withColumnRenamed("node_id", "src"),
                          "src", "left_anti").localCheckpoint(eager=True)
     else:
@@ -624,7 +626,10 @@ def strongly_connected_components(edges: DataFrame,
              .unionByName(e_all.select(F.col("dst").alias("n")))
              .distinct().localCheckpoint(eager=True))
     live_n, live_e = nodes, e_all
-    done: list[DataFrame] = []
+    # seed with an empty typed frame so a graph with no (non-self-loop)
+    # edges returns an empty result instead of crashing the reduce
+    done: list[DataFrame] = [
+        nodes.limit(0).withColumn("scc_id", F.col("n"))]
     # isolated nodes never enter edges; callers pass edge-defined graphs
     for _ in range(max_rounds):
         if not live_n.limit(1).count():

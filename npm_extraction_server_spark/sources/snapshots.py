@@ -60,8 +60,25 @@ def _meta(table: str) -> Path:
     return Path(table) / "meta"
 
 
+_JSON_CACHE: dict[str, tuple[float, dict]] = {}
+
+
 def _read_json(p: Path) -> dict:
-    return json.loads(p.read_text())
+    """Manifest reader with an mtime-keyed cache: planning walks the
+    parent chain several times per read (stats, eras, file plan), and
+    long-lived tables have hundreds of manifests — cache by (path,
+    mtime) so repeated walks cost dict lookups, while in-place
+    manifest updates (expire stamping) invalidate naturally."""
+    key = str(p)
+    mtime = p.stat().st_mtime
+    hit = _JSON_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    doc = json.loads(p.read_text())
+    if len(_JSON_CACHE) > 4096:  # bound driver memory on huge chains
+        _JSON_CACHE.clear()
+    _JSON_CACHE[key] = (mtime, doc)
+    return doc
 
 
 def current_snapshot_id(table: str) -> int | None:
@@ -441,10 +458,8 @@ def read_where(spark: SparkSession, table: str, predicates,
                             schema_ctx=sctx)
         if df is None:
             return read_snapshot(spark, table, sid).limit(0).filter(F.lit(False))
-    ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
-           ">": "__gt__", ">=": "__ge__"}
     for col, op, val in predicates:
-        df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
+        df = df.filter(getattr(F.col(col), _OPS[op])(F.lit(val)))
     return _drop_hidden(df)
 
 
@@ -801,10 +816,16 @@ def _norm_file_path(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+# plan_scan/read_where/mor_delete_where predicate operators
+_OPS = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
+        ">": "__gt__", ">=": "__ge__"}
+
+
 def _apply_deletes(spark: SparkSession, groups, deletes,
                    keep_only: set[str] | None = None,
                    merge_schema: bool = False,
-                   schema_ctx: dict | None = None) -> DataFrame | None:
+                   schema_ctx: dict | None = None,
+                   keep_coords: bool = False) -> DataFrame | None:
     """Assemble the delete-aware scan: per origin group, anti-join the
     union of delete-key files COMMITTED AFTER the group's origin.
 
@@ -827,6 +848,18 @@ def _apply_deletes(spark: SparkSession, groups, deletes,
     eras = (schema_ctx or {}).get("eras")
     current = (schema_ctx or {}).get("current")
     pos_files = [f for _sid, k, fs, _ in deletes if k is None for f in fs]
+    pd_keys = None
+    targeted: set[str] = set()
+    if pos_files:
+        pd_keys = (spark.read.parquet(*pos_files)
+                   .select(F.col("file").alias("__f"),
+                           F.col("pos").alias("__p")).distinct()
+                   .localCheckpoint(eager=True))
+        # the delete parquet is tiny by the MOR premise: collect the
+        # targeted-file set once so untargeted groups skip the
+        # coordinate anti-join entirely
+        targeted = {r["__f"] for r in pd_keys.select("__f")
+                    .distinct().collect()}
     parts: list[DataFrame] = []
     for gi, (origin, files) in enumerate(groups):
         if keep_only is not None:
@@ -834,24 +867,25 @@ def _apply_deletes(spark: SparkSession, groups, deletes,
         if not files:
             continue
         seg = reader().parquet(*files)
-        if pos_files:
-            # positional deletes bind to exact (file, row) coordinates:
-            # surface the scan's metadata columns, anti-join, drop them.
-            # Delete files are tiny by the MOR premise -> broadcast.
+        need_pos = pd_keys is not None and (targeted & set(files))
+        if keep_coords or need_pos:
             seg = seg.select(
                 _norm_file_path(F.col("_metadata.file_path")).alias("__f"),
                 F.col("_metadata.row_index").alias("__p"), "*")
-            pd_keys = (spark.read.parquet(*pos_files)
-                       .select(F.col("file").alias("__f"),
-                               F.col("pos").alias("__p")).distinct())
-            seg = (seg.join(F.broadcast(pd_keys), ["__f", "__p"],
-                            "left_anti").drop("__f", "__p"))
+        if need_pos:
+            # positional deletes bind to exact (file, row) coordinates:
+            # broadcast anti-join on them (tiny delete side)
+            seg = seg.join(F.broadcast(pd_keys), ["__f", "__p"],
+                           "left_anti")
+            if not keep_coords:
+                seg = seg.drop("__f", "__p")
         if eras is not None:
             # schema evolution: map the group's write-time columns
             # onto the current schema by field id BEFORE the delete
             # anti-joins (delete keys are guarded against rename, so
             # their names are era-invariant)
-            seg = _project_era(seg, eras[gi], current)
+            keep = ("__f", "__p") if keep_coords else ()
+            seg = _project_era_keep(seg, eras[gi], current, keep)
         applicable = [(k, fs) for dsid, k, fs, _ in deletes
                       if k is not None and dsid > origin]
         by_key: dict[str, list[str]] = {}
@@ -1425,20 +1459,7 @@ def _project_era(seg: DataFrame, era: list | None,
     schema are simply not selected (column pruning — their bytes are
     never deserialized). Hidden partition columns pass through for the
     spec machinery."""
-    if era is None or current is None or era == current:
-        return seg
-    from pyspark.sql import functions as F
-
-    era_by_id = {f[0]: f for f in era}
-    cols = []
-    for fid, name, dtype in current:
-        ef = era_by_id.get(fid)
-        if ef is not None:
-            cols.append(F.col(ef[1]).cast(dtype).alias(name))
-        else:
-            cols.append(F.lit(None).cast(dtype).alias(name))
-    hidden = [F.col(c) for c in seg.columns if c.startswith(_P_PREFIX)]
-    return seg.select(*cols, *hidden)
+    return _project_era_keep(seg, era, current, ())
 
 
 def _translate_preds(preds, era: list | None, current: list) -> list | None:
@@ -1745,32 +1766,20 @@ def mor_delete_where(spark: SparkSession, table: str, predicates,
     if not kept:
         return base
     groups, deletes, sctx = _plan_full(table, base)
-    ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
-           ">": "__gt__", ">=": "__ge__"}
-    eras = (sctx or {}).get("eras")
-    current = (sctx or {}).get("current")
-    parts = []
-    keep = set(kept)
-    for gi, (origin, files) in enumerate(groups):
-        files = [f for f in files if f in keep]
-        if not files:
-            continue
-        seg = spark.read.parquet(*files).select(
-            _norm_file_path(F.col("_metadata.file_path")).alias("file"),
-            F.col("_metadata.row_index").alias("pos"), "*")
-        if eras is not None:
-            # evaluate predicates on CURRENT names while keeping the
-            # (file, pos) coordinates through the era projection
-            seg = _project_era_keep(seg, eras[gi], current, ("file", "pos"))
-        for col, op, val in predicates:
-            seg = seg.filter(getattr(F.col(col), ops[op])(F.lit(val)))
-        parts.append(seg.select("file", "pos"))
-    if not parts:
+    # the position scan rides the full delete-aware read (keep_coords
+    # surfaces the (file, pos) coordinates through it), so rows already
+    # hidden by earlier equality/positional deletes are never
+    # re-recorded — repeating the same predicate delete is a no-op and
+    # the CDC feed never emits a delete for a row that was not live
+    live = _apply_deletes(spark, groups, deletes, keep_only=set(kept),
+                          schema_ctx=sctx, keep_coords=True)
+    if live is None:
         return base
-    import functools
-
-    hits = functools.reduce(lambda a, b: a.unionByName(b), parts) \
-        .localCheckpoint(eager=True)
+    for col, op, val in predicates:
+        live = live.filter(getattr(F.col(col), _OPS[op])(F.lit(val)))
+    hits = (live.select(F.col("__f").alias("file"),
+                        F.col("__p").alias("pos"))
+            .localCheckpoint(eager=True))
     if not hits.limit(1).count():
         return base
     empty = read_snapshot(spark, table).limit(0).localCheckpoint(eager=True)
@@ -1779,18 +1788,20 @@ def mor_delete_where(spark: SparkSession, table: str, predicates,
 
 
 def _project_era_keep(seg: DataFrame, era, current, keep: tuple):
-    """_project_era that also carries the named passthrough columns
-    (used to keep (file, pos) coordinates through the projection)."""
+    """The era projection (see _project_era), optionally carrying the
+    named passthrough columns (used to keep (file, pos) coordinates
+    through it); hidden partition columns always pass through."""
     if era is None or current is None or era == current:
         return seg
     from pyspark.sql import functions as F
 
     era_by_id = {f[0]: f for f in era}
-    cols = [F.col(c) for c in keep]
+    cols = [F.col(c) for c in keep if c in seg.columns]
     for fid, name, dtype in current:
         ef = era_by_id.get(fid)
         cols.append(F.col(ef[1]).cast(dtype).alias(name) if ef is not None
                     else F.lit(None).cast(dtype).alias(name))
+    cols += [F.col(c) for c in seg.columns if c.startswith(_P_PREFIX)]
     return seg.select(*cols)
 
 

@@ -375,3 +375,22 @@ def test_scc_simple_shapes(spark):
     got = {r["node_id"]: r["scc_id"]
            for r in strongly_connected_components(ring).collect()}
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_topo_layers_exact_max_rounds_and_scc_empty(spark):
+    """A fully acyclic graph whose layer count equals max_rounds must
+    NOT raise (no phantom non-convergence); SCC of a self-loop-only
+    graph returns empty instead of crashing."""
+    from npm_extraction_server_spark.plans.graph import (
+        strongly_connected_components,
+        topo_layers,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                  "src long, dst long")
+    got = {r["node_id"]: r["layer"]
+           for r in topo_layers(chain, max_rounds=5).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert strongly_connected_components(loops).count() == 0

@@ -1128,3 +1128,36 @@ def test_asof_join_directions_match_pandas_merge_asof(spark):
                         direction=direction).collect()
         got_map = {(r["k"], r["lt"]): r["v"] for r in got}
         assert got_map == want_map, direction
+
+
+def test_resample_linear_key_with_no_grid_instant(spark):
+    """A key whose observed range straddles no grid instant yields an
+    empty grid (not a sequence crash); other keys are unaffected."""
+    import datetime as dt
+
+    from npm_extraction_server_spark.operators.asof import resample_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("narrow", t0 + dt.timedelta(seconds=11), 1.0),
+            ("narrow", t0 + dt.timedelta(seconds=19), 2.0),
+            ("wide", t0, 5.0),
+            ("wide", t0 + dt.timedelta(seconds=60), 6.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = resample_linear(df, "k", "ts", "v", step_s=30).collect()
+    ks = {r["k"] for r in out}
+    assert ks == {"wide"} and len(out) == 3  # 0s, 30s, 60s
+
+
+def test_asof_join_null_left_time_never_matches(spark):
+    from npm_extraction_server_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, None), (1, 7)],
+                                 "k long, lt long")
+    right = spark.createDataFrame([(1, 5, 50.0)], "k long, rt long, v double")
+    for direction, want7 in (("backward", 50.0), ("forward", None),
+                             ("nearest", 50.0)):
+        got = {r["lt"]: r["v"]
+               for r in asof_join(left, right, "k", "lt", "rt", ["v"],
+                                  direction=direction).collect()}
+        assert got[None] is None, direction
+        assert got[7] == want7, direction

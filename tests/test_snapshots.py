@@ -1610,3 +1610,35 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
         ["id", "val"]     # post-DDL view
     with pytest.raises(ValueError, match="at or before"):
         snapshot_as_of(t, 50.0)
+
+
+def test_mor_delete_where_idempotent_and_cdc_clean(spark, tmp_path):
+    """Repeating the same predicate delete is a no-op (already-hidden
+    rows are never re-recorded), and the changelog carries each
+    deleted row exactly once — also across an equality delete hiding
+    part of the predicate range first."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        mor_delete,
+        mor_delete_where,
+        read_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    s1 = commit(spark.range(20).select("id"), t)
+    # equality-delete ids 5,6 first
+    mor_delete(spark, t, spark.createDataFrame([(5,), (6,)], "id long"),
+               key="id")
+    # predicate delete overlapping the equality-deleted range
+    sid = mor_delete_where(spark, t, [("id", ">=", 4), ("id", "<", 8)])
+    assert _ids(read_snapshot(spark, t)) == [0, 1, 2, 3] + list(range(8, 20))
+    # repeat: nothing live matches -> no new snapshot
+    assert mor_delete_where(spark, t, [("id", ">=", 4), ("id", "<", 8)]) == sid
+    # CDC: ids 4 and 7 deleted by the positional commit (5,6 belong to
+    # the equality commit), each exactly once
+    ch = read_changes(spark, t, from_snapshot=s1)
+    got = sorted((r["id"], r["_change_type"], r["_snapshot_id"])
+                 for r in ch.collect())
+    pos_dels = [(i, c) for i, c, s in got if s == sid]
+    assert pos_dels == [(4, "delete"), (7, "delete")]
+    assert [(i, c) for i, c, s in got if s != sid] == [(5, "delete"),
+                                                      (6, "delete")]
