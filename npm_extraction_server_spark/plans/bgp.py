@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_join", "bgp_optional", "bgp_union"]
+__all__ = ["bgp_join", "bgp_optional", "bgp_path", "bgp_union"]
 
 
 def _match_patterns(triples: DataFrame,
@@ -161,3 +161,30 @@ def bgp_union(triples: DataFrame,
             cur, allowMissingColumns=True)
     assert out is not None
     return _finish(out, select, filters)
+
+
+def bgp_path(triples: DataFrame, seeds: DataFrame, pred: str,
+             max_hops: int = 30, include_seed: bool = False) -> DataFrame:
+    """SPARQL property path ``pred+`` (``pred*`` with
+    ``include_seed=True``) from a seed set: every node reachable from
+    a seed over one-or-more ``pred`` edges, with the minimum hop
+    count. ``seeds``: one column ``node_id`` (subject IRIs).
+
+    This is the SPARQL construct the engine's frontier-BFS machinery
+    exists for: the predicate filter becomes a pushed scan filter
+    (one partition on a pred-partitioned triple layout), and the
+    closure delegates to plans.graph.bfs_distances — per-round work
+    follows the reachability wavefront, never |V| (the
+    kg_transitive_deps driver query is exactly this operator composed
+    with semver resolution; its recursive-CTE oracle covers the
+    closure semantics end-to-end)."""
+    from .graph import bfs_distances
+
+    edges = (triples.filter(F.col("pred") == pred)
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    out = bfs_distances(seeds, edges, max_rounds=max_hops)
+    if not include_seed:
+        out = out.filter(F.col("dist") > 0)
+    return out.select(F.col("node_id").alias("node"),
+                      F.col("dist").alias("hops"))

@@ -366,3 +366,25 @@ def test_bgp_over_pred_partitioned_prunes(spark, tmp_path):
     plan = _plan(out)
     assert "PartitionFilters" in plan and "isnotnull(pred" in plan
     assert [(r.m, r.n, r.r) for r in out.collect()] == [("s1", "a", "1")]
+
+
+def test_bgp_path_plus_and_star(spark):
+    """pred+ reaches strictly-forward closure with min hop counts;
+    pred* includes the seeds at 0; other predicates never traverse."""
+    from npm_extraction_server_spark.plans.bgp import bgp_path
+
+    t = spark.createDataFrame(
+        [("a", "dep", "b"), ("b", "dep", "c"), ("c", "dep", "d"),
+         ("a", "dep", "c"),                   # shortcut: c at 1 hop
+         ("a", "other", "z")],                # wrong predicate
+        "subj string, pred string, obj string")
+    seeds = spark.createDataFrame([("a",)], "node_id string")
+
+    plus = {(r["node"], r["hops"])
+            for r in bgp_path(t, seeds, "dep").collect()}
+    assert plus == {("b", 1), ("c", 1), ("d", 2)}
+
+    star = {(r["node"], r["hops"])
+            for r in bgp_path(t, seeds, "dep",
+                              include_seed=True).collect()}
+    assert star == plus | {("a", 0)}
