@@ -122,7 +122,7 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, left_time: str,
 
 
 def resample_linear(df: DataFrame, key: str, ts: str, value: str,
-                    step_s: int = 300) -> DataFrame:
+                    step_s: int = 300, method: str = "linear") -> DataFrame:
     """Time-series RESAMPLE with linear interpolation: per ``key``,
     emit a regular ``step_s``-second grid spanning the series'
     observed range, with the value at each grid point linearly
@@ -138,9 +138,17 @@ def resample_linear(df: DataFrame, key: str, ts: str, value: str,
     collects. Ties at coincident instants order observations first,
     and the exact-hit guard short-circuits before the slope division.
 
+    ``method="linear"`` interpolates between the bracketing
+    observations; ``method="locf"`` (last observation carried forward
+    — the step-function fill monitoring pipelines use for gauges)
+    holds the previous observation, falling back to the next one only
+    before the first observation of a key.
+
     Returns (key, grid_ts timestamp, value double, rounded 6dp so the
     DuckDB oracle's identical IEEE expression matches bit-for-bit).
     """
+    if method not in ("linear", "locf"):
+        raise ValueError(f"resample_linear: unknown method {method!r}")
     # session TZ is pinned UTC (plans/session.py), so the NTZ->TZ cast
     # is the identity epoch mapping DuckDB's epoch_us performs
     k = F.col(key)
@@ -176,14 +184,18 @@ def resample_linear(df: DataFrame, key: str, ts: str, value: str,
           .withColumn("pt", F.last(t_obs, ignorenulls=True).over(fwd))
           .withColumn("nv", F.first("v", ignorenulls=True).over(bwd))
           .withColumn("nt", F.first(t_obs, ignorenulls=True).over(bwd)))
-    interp = (
-        F.when(F.col("pt") == F.col("t"), F.col("pv"))
-        .when(F.col("pt").isNull(), F.col("nv"))
-        .when(F.col("nt").isNull(), F.col("pv"))
-        .otherwise(
-            F.col("pv") + (F.col("nv") - F.col("pv"))
-            * ((F.col("t") - F.col("pt")).cast("double")
-               / (F.col("nt") - F.col("pt")).cast("double"))))
+    if method == "locf":
+        interp = F.when(F.col("pt").isNull(), F.col("nv")) \
+            .otherwise(F.col("pv"))
+    else:
+        interp = (
+            F.when(F.col("pt") == F.col("t"), F.col("pv"))
+            .when(F.col("pt").isNull(), F.col("nv"))
+            .when(F.col("nt").isNull(), F.col("pv"))
+            .otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv"))
+                * ((F.col("t") - F.col("pt")).cast("double")
+                   / (F.col("nt") - F.col("pt")).cast("double"))))
     return (u.filter(F.col("is_obs") == 0)
             .select(F.col("k").alias(key),
                     F.timestamp_micros(F.col("t")).cast("timestamp_ntz")

@@ -1161,3 +1161,25 @@ def test_asof_join_null_left_time_never_matches(spark):
                                   direction=direction).collect()}
         assert got[None] is None, direction
         assert got[7] == want7, direction
+
+
+def test_resample_locf_step_function(spark):
+    """method='locf' holds the previous observation (step function);
+    only pre-first-observation grid points fall forward."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from npm_extraction_server_spark.operators.asof import resample_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(seconds=5), 10.0),
+            ("a", t0 + dt.timedelta(seconds=28), 40.0),
+            ("a", t0 + dt.timedelta(seconds=41), 70.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = {r["grid_ts"].second: r["value"]
+           for r in resample_linear(df, "k", "ts", "v", step_s=10,
+                                    method="locf").collect()}
+    assert out == {10: 10.0, 20: 10.0, 30: 40.0, 40: 40.0}
+    with _pytest.raises(ValueError, match="unknown method"):
+        resample_linear(df, "k", "ts", "v", method="zigzag")
