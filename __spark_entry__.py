@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_dep_chain": _kg_bgp_dep_chain,
         "kg_bgp_optional_deps": _kg_bgp_optional_deps,
         "kg_bgp_union_labels": _kg_bgp_union_labels,
+        "kg_bgp_construct_labels": _kg_bgp_construct_labels,
         "kg_transitive_deps": _kg_transitive_deps,
         "web_outlinks": _web_outlinks,
         "web_url_normalize": _web_url_normalize,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_dep_chain": _KG_BGP_DEP_CHAIN_ORACLE,
             "kg_bgp_optional_deps": _KG_BGP_OPTIONAL_DEPS_ORACLE,
             "kg_bgp_union_labels": _KG_BGP_UNION_LABELS_ORACLE,
+            "kg_bgp_construct_labels": _KG_BGP_CONSTRUCT_ORACLE,
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
             "web_outlinks": _WEB_OUTLINKS_ORACLE,
@@ -1075,6 +1077,28 @@ def _kg_bgp_union_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & ~F.col("s").contains("/.well-known/")])
 
 
+def _kg_bgp_construct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the raw triples: from the version-meta
+    star, materialize the inference rule "every named+versioned
+    module gets an rdfs:label and an explicit type triple" — two
+    template triples per binding, the single-rule materialized-
+    inference shape rule sets compose from. Hard oracle: both
+    template arms re-derived from the vers replica."""
+    from npm_extraction_server_spark.plans.bgp import bgp_construct
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_construct(
+        t,
+        [("?m", DOAP + "name", "?name"), ("?m", DOAP + "revision", "?rev")],
+        [("?m", RDFS + "label", "?name"),
+         ("?m", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          DOAP + "Version")])
+
+
 def _kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SC5: changed-since window -> pipeline over only those pages,
     projected to the doap slice so the driver can hard-verify it (the
@@ -1275,6 +1299,22 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 _KG_TRIPLES_DOAP_ORACLE = _DOAP_ORACLE_TMPL.format(lo=0, hi=100)
 _KG_INCREMENTAL_ORACLE = _DOAP_ORACLE_TMPL.format(lo=30, hi=100)
+
+# CONSTRUCT from the version-meta star: both template arms re-derived
+# from the vers replica (label literal + constant type triple).
+_KG_BGP_CONSTRUCT_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT module_iri AS subj,
+         'http://www.w3.org/2000/01/rdf-schema#label' AS pred,
+         '"' || name || '"' AS obj
+  FROM vers
+  UNION ALL
+  SELECT module_iri,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://usefulinc.com/ns/doap#Version'
+  FROM vers
+)
+""")
 
 # UNION of the two label predicates + subject FILTER == the doap
 # slice reshaped to (s, label): reuse its derivation verbatim.

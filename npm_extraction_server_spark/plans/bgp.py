@@ -37,7 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_join", "bgp_optional", "bgp_path", "bgp_union"]
+__all__ = ["bgp_construct", "bgp_join", "bgp_optional", "bgp_path",
+           "bgp_union"]
 
 
 def _match_patterns(triples: DataFrame,
@@ -188,3 +189,44 @@ def bgp_path(triples: DataFrame, seeds: DataFrame, pred: str,
         out = out.filter(F.col("dist") > 0)
     return out.select(F.col("node_id").alias("node"),
                       F.col("dist").alias("hops"))
+
+
+def bgp_construct(triples: DataFrame,
+                  patterns: list[tuple[str, str, str]],
+                  template: list[tuple[str, str, str]],
+                  filters: list | None = None) -> DataFrame:
+    """SPARQL CONSTRUCT: match the WHERE ``patterns`` (conjunctive,
+    same semantics as bgp_join) and instantiate each ``template``
+    triple once per binding — ``?var`` terms substitute the bound
+    value, other terms are constants. Returns a (subj, pred, obj)
+    DataFrame, distinct (CONSTRUCT produces a GRAPH, a set of
+    triples), ready to union into the warehouse.
+
+    This is single-rule materialized inference: a rule like
+    "every module with a name has that name as its rdfs label" runs
+    as one Catalyst plan (pattern scans -> joins -> projection), and
+    a rule SET is just a union of bgp_construct calls — fixpoint
+    iteration on top of it gives RDFS-style closure when rules feed
+    each other."""
+    bound = _match_patterns(triples, patterns)
+    for flt in filters or []:
+        bound = bound.filter(F.expr(flt) if isinstance(flt, str) else flt)
+    parts = []
+    for s, p, o in template:
+        def term(t):
+            if t.startswith("?"):
+                var = t[1:]
+                if var not in bound.columns:
+                    raise ValueError(
+                        f"bgp_construct: template var ?{var} is not "
+                        f"bound by the patterns {sorted(bound.columns)}")
+                return F.col(var)
+            return F.lit(t)
+
+        parts.append(bound.select(term(s).alias("subj"),
+                                  term(p).alias("pred"),
+                                  term(o).alias("obj")))
+    import functools
+
+    return functools.reduce(lambda a, b: a.unionByName(b),
+                            parts).distinct()

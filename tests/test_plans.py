@@ -388,3 +388,29 @@ def test_bgp_path_plus_and_star(spark):
             for r in bgp_path(t, seeds, "dep",
                               include_seed=True).collect()}
     assert star == plus | {("a", 0)}
+
+
+def test_bgp_construct_materializes_rule(spark):
+    """CONSTRUCT: one output triple set per template entry x binding,
+    constants and variables mixed, distinct (graph semantics); unbound
+    template vars rejected."""
+    from npm_extraction_server_spark.plans.bgp import bgp_construct
+
+    t = spark.createDataFrame(
+        [("m1", "name", "alpha"), ("m1", "rev", "1.0"),
+         ("m2", "name", "beta"),
+         ("m1", "name", "alpha")],          # duplicate triple
+        "subj string, pred string, obj string")
+    out = bgp_construct(
+        t,
+        [("?m", "name", "?n")],
+        [("?m", "label", "?n"), ("?m", "type", "Module")])
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert got == {("m1", "label", "alpha"), ("m2", "label", "beta"),
+                   ("m1", "type", "Module"), ("m2", "type", "Module")}
+    assert out.count() == 4  # distinct: duplicate source triple collapsed
+
+    import pytest
+
+    with pytest.raises(ValueError, match=r"template var \?x"):
+        bgp_construct(t, [("?m", "name", "?n")], [("?m", "label", "?x")])
