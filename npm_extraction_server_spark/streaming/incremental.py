@@ -483,3 +483,63 @@ def stream_dedup(spark: SparkSession, events_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_join_outer(spark: SparkSession, views_dir: str,
+                               purchases_dir: str, out_dir: str,
+                               checkpoint_dir: str,
+                               within: str = "1 hour",
+                               watermark_delay: str = "30 minutes",
+                               max_files_per_trigger: int = 64):
+    """LEFT OUTER watermarked stream-stream interval join — the other
+    half of attribution: views that led to NO purchase within the
+    window must also be emitted (null purchase columns), and they can
+    only be emitted once the watermark proves no future purchase can
+    still match. Same bounded-state story as the inner form
+    (stream_interval_join); the outer rows ride the state EVICTION:
+    an unmatched buffered view is released with nulls exactly when
+    its match window expires, so output completeness is a function of
+    watermark progress, never of stream end."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ])
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(views_dir)
+        .withWatermark("ts", watermark_delay)
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("view_id")))
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(purchases_dir)
+        .withWatermark("ts", watermark_delay)
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id")))
+    joined = views.join(
+        purchases,
+        F.expr(f"""v_user = p_user
+                   AND p_ts >= v_ts
+                   AND p_ts <= v_ts + interval {within}"""),
+        "leftOuter")
+    return (
+        joined.select("v_user", "view_id", "purchase_id", "v_ts", "p_ts")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/attributed")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -595,3 +595,66 @@ def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
     got = {(r["event_id"], r["user_id"]) for r in out.collect()}
     # first arrival of each key, exactly once
     assert got == {(1, 10), (2, 12), (3, 14), (4, 15)}
+
+
+def test_stream_interval_join_outer_emits_unmatched_on_eviction(
+        spark, tmp_path):
+    """LEFT OUTER interval join: matched views join normally;
+    unmatched views are emitted with NULL purchase columns once the
+    watermark passes their match window — the on-time output equals
+    the batch left join over the same files."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_interval_join_outer,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+
+    def ts(hour, minute=0):
+        return datetime.datetime(2024, 1, 1, hour, minute)
+
+    # view 1 (user 7) matched by purchase 100; view 2 (user 8) never
+    # matched; view 3 (user 7) outside purchase 100's window; view 4
+    # advances the VIEWS-side watermark (the join's state watermark is
+    # the MIN across both inputs — without a late view, view 3's
+    # window never provably closes and its outer row stays buffered)
+    views = [(1, ts(0), 7), (2, ts(0, 5), 8), (3, ts(5), 7),
+             (4, ts(9), 99)]
+    # late purchases push the purchases-side watermark equally far
+    purchases = [(100, ts(0, 30), 7), (200, ts(9), 99), (201, ts(9, 1), 99)]
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    for rows, d in ((views, vdir), (purchases, pdir)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(d))
+
+    q = stream_interval_join_outer(
+        spark, str(vdir), str(pdir), str(tmp_path / "out"),
+        str(tmp_path / "ck"))
+    assert q.awaitTermination(300), "stream did not drain"
+    got = {(r["view_id"], r["purchase_id"])
+           for r in spark.read.parquet(
+               str(tmp_path / "out" / "attributed")).collect()}
+
+    batch_v = spark.createDataFrame(views, schema).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"))
+    batch_p = spark.createDataFrame(purchases, schema).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    expect = {(r["view_id"], r["purchase_id"])
+              for r in batch_v.join(
+                  batch_p,
+                  F.expr("v_user = p_user AND p_ts >= v_ts "
+                         "AND p_ts <= v_ts + interval 1 hour"),
+                  "leftOuter").collect()}
+    assert got == expect
+    assert (2, None) in got and (3, None) in got  # the outer rows
