@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bgp_construct", "bgp_join", "bgp_optional", "bgp_path",
-           "bgp_union"]
+           "bgp_union", "materialize_rules"]
 
 
 def _match_patterns(triples: DataFrame,
@@ -230,3 +230,41 @@ def bgp_construct(triples: DataFrame,
 
     return functools.reduce(lambda a, b: a.unionByName(b),
                             parts).distinct()
+
+
+def materialize_rules(triples: DataFrame,
+                      rules: list[tuple[list, list]],
+                      max_rounds: int = 20) -> DataFrame:
+    """Forward-chaining rule materialization to FIXPOINT: ``rules``
+    is a list of (patterns, template) pairs — each a bgp_construct
+    rule — applied repeatedly until no rule derives a new triple.
+    Returns the closure (original triples + everything derived),
+    distinct. This is RDFS-style entailment materialization
+    (subClassOf/subPropertyOf transitivity, type inheritance,
+    domain/range typing all fit the rule shape) done the warehouse
+    way: materialize once, query with plain BGP forever.
+
+    Scale shape: each round is |rules| Catalyst plans over the
+    current closure + one anti-join against it (only genuinely NEW
+    triples survive into the next round), checkpointed — rounds are
+    bounded by the derivation depth (e.g. the subclass-chain length),
+    and each round's cost follows the rule matches, not the closure
+    size squared. Raises on non-convergence within ``max_rounds``
+    (a rule set deriving fresh IRIs forever is a bug, not a
+    workload)."""
+    import functools
+
+    closure = (triples.select("subj", "pred", "obj").distinct()
+               .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        derived = functools.reduce(
+            lambda a, b: a.unionByName(b),
+            [bgp_construct(closure, pats, tmpl) for pats, tmpl in rules])
+        fresh = (derived.join(closure, ["subj", "pred", "obj"],
+                              "left_anti")
+                 .distinct().localCheckpoint(eager=True))
+        if not fresh.limit(1).count():
+            return closure
+        closure = closure.unionByName(fresh).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"materialize_rules: no fixpoint in {max_rounds} rounds")

@@ -414,3 +414,40 @@ def test_bgp_construct_materializes_rule(spark):
 
     with pytest.raises(ValueError, match=r"template var \?x"):
         bgp_construct(t, [("?m", "name", "?n")], [("?m", "label", "?x")])
+
+
+def test_materialize_rules_rdfs_closure(spark):
+    """Forward chaining to fixpoint: subClassOf transitivity + type
+    inheritance over a 4-deep class chain — every entailed triple
+    appears exactly once, original triples survive, and a divergent
+    rule set raises instead of looping."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import materialize_rules
+
+    SUB, TYPE = "subClassOf", "type"
+    t = spark.createDataFrame(
+        [("A", SUB, "B"), ("B", SUB, "C"), ("C", SUB, "D"),
+         ("i", TYPE, "A"), ("j", TYPE, "C")],
+        "subj string, pred string, obj string")
+    rules = [
+        ([("?a", SUB, "?b"), ("?b", SUB, "?c")], [("?a", SUB, "?c")]),
+        ([("?x", TYPE, "?c"), ("?c", SUB, "?d")], [("?x", TYPE, "?d")]),
+    ]
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in materialize_rules(t, rules).collect()}
+    assert got == {
+        ("A", SUB, "B"), ("B", SUB, "C"), ("C", SUB, "D"),
+        ("A", SUB, "C"), ("A", SUB, "D"), ("B", SUB, "D"),
+        ("i", TYPE, "A"), ("i", TYPE, "B"), ("i", TYPE, "C"),
+        ("i", TYPE, "D"),
+        ("j", TYPE, "C"), ("j", TYPE, "D"),
+    }
+
+    # the max_rounds guard: a rule still deriving fresh triples when
+    # the budget runs out raises instead of silently truncating
+    inverse = [([("?x", TYPE, "?c")], [("?c", TYPE, "?x")])]
+    looped = spark.createDataFrame(
+        [("a", TYPE, "b")], "subj string, pred string, obj string")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        materialize_rules(looped, inverse, max_rounds=1)
