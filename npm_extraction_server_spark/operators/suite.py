@@ -973,6 +973,28 @@ def text_bm25_topk(spark, sf):
                      ["spark", "merge", "vector"], k=20)
 
 
+def dq_violations(spark, sf):
+    """Data-quality expectations (hard oracle): the write-audit-
+    publish audit step as one plan — row-local rules (not_null /
+    range / accepted / expr) fuse into a single scan pass, the
+    referential rule is one anti-join against the customer dim (zero
+    violations — the empty-rule path is part of the contract), and
+    the violation stream is re-derived in DuckDB with plain WHERE
+    clauses."""
+    from .quality import validate
+
+    ev = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer")
+    rules = [
+        ("not_null", "user_id"),
+        ("range", "value", 0.0, 10.0),
+        ("accepted", "event_type", ["click", "view", "error", "signup"]),
+        ("expr", "props_has_k", "props LIKE '%\"k\"%'"),
+        ("fk", "user_id", cust, "c_custkey"),
+    ]
+    return validate(ev, rules, key_col="event_id")
+
+
 def ts_resample(spark, sf):
     """Time-series resample + linear interpolation per event_type on a
     5-minute grid (hard oracle: identical union+two-window IEEE
@@ -1628,6 +1650,7 @@ SPARK_QUERIES = {
     "graph_topo_layers": graph_topo_layers,
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
+    "dq_violations": dq_violations,
     "ts_resample": ts_resample,
     "snap_incremental": snap_incremental,
     "snap_stats_prune": snap_stats_prune,
@@ -2554,6 +2577,31 @@ ORACLE_SQL = {
         )
         SELECT v AS user_id, est_count::BIGINT AS est_count
         FROM est WHERE est_count >= 80
+    """,
+    "dq_violations": """
+        SELECT 'not_null(user_id)' AS rule,
+               event_id::VARCHAR AS key, user_id::VARCHAR AS detail
+        FROM events WHERE user_id IS NULL
+        UNION ALL
+        SELECT 'range(value,0.0,10.0)', event_id::VARCHAR, value::VARCHAR
+        FROM events
+        WHERE value IS NOT NULL AND (value < 0.0 OR value > 10.0)
+        UNION ALL
+        SELECT 'accepted(event_type)', event_id::VARCHAR, event_type
+        FROM events
+        WHERE event_type IS NOT NULL
+          AND event_type NOT IN ('click', 'view', 'error', 'signup')
+        UNION ALL
+        SELECT 'expr(props_has_k)', event_id::VARCHAR, 'props LIKE ''%"k"%'''
+        FROM events
+        WHERE NOT coalesce(props LIKE '%"k"%', FALSE)
+        UNION ALL
+        SELECT 'fk(user_id->c_custkey)', event_id::VARCHAR,
+               user_id::VARCHAR
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey IS NOT NULL)
     """,
     "ts_resample": """
         WITH obs AS (

@@ -1183,3 +1183,52 @@ def test_resample_locf_step_function(spark):
     assert out == {10: 10.0, 20: 10.0, 30: 40.0, 40: 40.0}
     with _pytest.raises(ValueError, match="unknown method"):
         resample_linear(df, "k", "ts", "v", method="zigzag")
+
+
+def test_validate_expectations_all_rule_kinds(spark):
+    """Every rule kind flags exactly its planted violations; passing
+    rows produce nothing; the row-local rules run as ONE scan pass
+    (no join/exchange for them); violation_counts summarizes."""
+    from npm_extraction_server_spark.operators.quality import (
+        validate,
+        violation_counts,
+    )
+
+    rows = [
+        (1, 10, "en", 5.0),      # clean
+        (2, None, "en", 5.0),    # not_null(v)
+        (3, 10, "xx", 5.0),      # accepted(lang)
+        (4, 10, "en", 99.0),     # range(score)
+        (5, 10, "en", 5.0),      # unique(v): 5 and 1 share v=10 with 3,4? no ->
+        (6, 10, "en", -1.0),     # range(score) low side
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v long, lang string, score double")
+    dim = spark.createDataFrame([(1,), (3,), (4,), (5,), (6,)], "id long")
+    out = validate(df, [
+        ("not_null", "v"),
+        ("accepted", "lang", ["en", "de"]),
+        ("range", "score", 0.0, 50.0),
+        ("unique", "v"),
+        ("expr", "id_pos", "id > 0"),
+        ("fk", "id", dim, "id"),
+    ], key_col="id")
+    got = {(r["rule"], r["key"]) for r in out.collect()}
+    assert got == {
+        ("not_null(v)", "2"),
+        ("accepted(lang)", "3"),
+        ("range(score,0.0,50.0)", "4"), ("range(score,0.0,50.0)", "6"),
+        # v=10 shared by ids 1,3,4,5,6 -> all five flagged
+        ("unique(v)", "1"), ("unique(v)", "3"), ("unique(v)", "4"),
+        ("unique(v)", "5"), ("unique(v)", "6"),
+        ("fk(id->id)", "2"),          # id 2 missing from the dim
+    }
+    counts = {r["rule"]: r["n_violations"]
+              for r in violation_counts(out).collect()}
+    assert counts["unique(v)"] == 5 and counts["not_null(v)"] == 1
+
+    # row-local rules alone: single scan, no exchange/join
+    row_only = validate(df, [("not_null", "v"),
+                             ("range", "score", 0.0, 50.0)], key_col="id")
+    plan = row_only._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
