@@ -765,6 +765,26 @@ def j11_asof_forward(spark, sf):
                      direction="forward")
 
 
+def j12_auto_salted_join(spark, sf):
+    """Sketch-driven SELECTIVE salting under a hard oracle: hot keys
+    detected by count-min heavy hitters get the salted join, the cold
+    tail takes the plain join, and the unioned aggregate must equal
+    the plain SQL join exactly (the split is a pure optimization; at
+    sf0.01 the 2000-count threshold genuinely splits event types into
+    both paths)."""
+    from .skew import auto_salted_join
+
+    ev = _t(spark, sf, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    joined = auto_salted_join(ev, dim, "event_type",
+                              hot_min_count=2000, salt_buckets=4,
+                              salt_source="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.max("type_total").alias("type_total"),
+        _dec_sum(F.col("value")).alias("sum_value"))
+
+
 def j8_salted_join(spark, sf):
     """Skew-safe salted join under a hard oracle: the salt must be
     side-effect-free — the salted lineitem⋈orders aggregate equals the
@@ -1591,6 +1611,7 @@ SPARK_QUERIES = {
     "j8_salted_join": j8_salted_join,
     "j9_asof_join": j9_asof_join,
     "j11_asof_forward": j11_asof_forward,
+    "j12_auto_salted_join": j12_auto_salted_join,
     "j10_fuzzy_block_join": j10_fuzzy_block_join,
     "w1_topk_per_group": w1_topk_per_group,
     "w4_running_sum": w4_running_sum,
@@ -2799,6 +2820,17 @@ ORACLE_SQL = {
                r.next_orderkey, r.next_total
         FROM events e ASOF LEFT JOIN r
           ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
+    """,
+    "j12_auto_salted_join": f"""
+        WITH dim AS (
+            SELECT event_type, count(*)::BIGINT AS type_total
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type, count(*)::BIGINT AS n_rows,
+               max(d.type_total)::BIGINT AS type_total,
+               {_dec_sum_sql('e.value')} AS sum_value
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type
     """,
     "j8_salted_join": f"""
         SELECT o_orderpriority, count(*) AS n_rows,

@@ -1232,3 +1232,27 @@ def test_validate_expectations_all_rule_kinds(spark):
                              ("range", "score", 0.0, 50.0)], key_col="id")
     plan = row_only._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_auto_salted_join_splits_paths_and_matches_plain(spark):
+    """Selective salting: a planted hot key takes the salted path
+    (build-side rows replicated salt_buckets times for it), the cold
+    tail takes the plain join, and the union equals the plain join
+    exactly."""
+    from npm_extraction_server_spark.operators.skew import auto_salted_join
+
+    # key 7 hot (600 rows), keys 0..5 cold (10 each)
+    probe = spark.range(600).selectExpr("7 AS k", "id AS payload") \
+        .unionByName(spark.range(60).selectExpr(
+            "CAST(id % 6 AS LONG) AS k", "id + 1000 AS payload"))
+    build = spark.createDataFrame([(i, f"dim{i}") for i in range(8)],
+                                  "k long, name string")
+    out = auto_salted_join(probe, build, "k", hot_min_count=100,
+                           salt_buckets=4, salt_source="payload")
+    plain = probe.join(build, "k")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # row counts per key survive exactly (no loss, no double-count)
+    counts = {r["k"]: r["n"] for r in
+              out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts[7] == 600 and all(counts[i] == 10 for i in range(6))
