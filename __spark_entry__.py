@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional_deps": _kg_bgp_optional_deps,
         "kg_bgp_union_labels": _kg_bgp_union_labels,
         "kg_bgp_construct_labels": _kg_bgp_construct_labels,
+        "kg_bgp_dep_counts": _kg_bgp_dep_counts,
+        "kg_bgp_minus_deps": _kg_bgp_minus_deps,
         "kg_transitive_deps": _kg_transitive_deps,
         "web_outlinks": _web_outlinks,
         "web_url_normalize": _web_url_normalize,
@@ -175,12 +177,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and keep every family represented when adding queries.
 _PRIORITY: list[str] = [
     # scans / predicates
-    "sc1_scan_filter", "q6_forecast_revenue",
+    "sc1_scan_filter",
     # joins / windows / aggs
     "j1_range_pick", "j2_broadcast_dim", "j9_asof_join",
     "j10_fuzzy_block_join",
-    "a2_last_write_wins", "w4_running_sum", "q1_pricing_summary",
+    "a2_last_write_wins", "q1_pricing_summary",
     "events_session_window",
+    # time series + data quality (w4_running_sum / q6 demoted to the
+    # tail — long-green siblings of q1/events windows)
+    "ts_resample", "dq_violations",
     # dedup family
     "dedup_minhash_verified", "dedup_simhash_verified", "dedup_clusters",
     # text / retrieval
@@ -251,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_optional_deps": _KG_BGP_OPTIONAL_DEPS_ORACLE,
             "kg_bgp_union_labels": _KG_BGP_UNION_LABELS_ORACLE,
             "kg_bgp_construct_labels": _KG_BGP_CONSTRUCT_ORACLE,
+            "kg_bgp_dep_counts": _KG_BGP_DEP_COUNTS_ORACLE,
+            "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
             "web_outlinks": _WEB_OUTLINKS_ORACLE,
@@ -1099,6 +1106,53 @@ def _kg_bgp_construct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
           DOAP + "Version")])
 
 
+def _kg_bgp_dep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY over the raw triples: how many (distinct)
+    valid-range dependencies does each version declare, and what is
+    its lexicographically-first range literal —
+    SELECT ?v (COUNT(DISTINCT ?d) AS n_deps) (MIN(?rng) AS min_rng)
+    WHERE {(?v npm:dependency ?d)(?d doap:revision ?rng)} GROUP BY ?v.
+    Hard oracle: the alldeps synth replica grouped identically (all
+    outputs are integers/ASCII strings — no float drift)."""
+    from npm_extraction_server_spark.plans.bgp import bgp_agg
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_agg(
+        t,
+        [("?v", NPM + "dependency", "?d"),
+         ("?d", DOAP + "revision", "?rng")],
+        group_by=["v"],
+        aggs=[("d", "count_distinct", "n_deps"),
+              ("rng", "min", "min_rng")])
+
+
+def _kg_bgp_minus_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS over the raw triples: the version-meta star MINUS
+    the valid-dependency chain — versions declaring NO valid-semver
+    dependency (~7% of the corpus; their deps are all tarball/repo-
+    shorthand skolem nodes without a revision). The negation query
+    that finds the KG's leaves. Hard oracle: vers anti-joined against
+    the alldeps replica."""
+    from npm_extraction_server_spark.plans.bgp import bgp_minus
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_minus(
+        t,
+        [("?m", DOAP + "name", "?name"),
+         ("?m", DOAP + "revision", "?rev")],
+        [[("?m", NPM + "dependency", "?d"),
+          ("?d", DOAP + "revision", "?rng")]],
+        select=["m", "name", "rev"])
+
+
 def _kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SC5: changed-since window -> pipeline over only those pages,
     projected to the doap slice so the driver can hard-verify it (the
@@ -1321,6 +1375,51 @@ SELECT DISTINCT subj, pred, obj FROM (
 _KG_BGP_UNION_LABELS_ORACLE = (
     "SELECT DISTINCT subj AS s, obj AS label FROM ("
     + _KG_TRIPLES_DOAP_ORACLE + ")")
+
+# GROUP BY ?v over the distinct (v, d, rng) bindings of the dep chain:
+# count distinct dep-module IRIs + min range literal per version. The
+# alldeps replica is per-version (bag), so DISTINCT first — exactly
+# bgp_agg's distinct-bindings contract.
+_KG_BGP_DEP_COUNTS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+bindings AS (
+  SELECT DISTINCT v,
+    'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+               ELSE rng END AS d,
+    '"' || rng || '"' AS rng
+  FROM alldeps
+)
+SELECT v, count(DISTINCT d)::BIGINT AS n_deps, min(rng) AS min_rng
+FROM bindings GROUP BY v
+""")
+
+# MINUS: version modules whose every dependency is invalid — vers
+# anti-joined against the dep-chain replica on the shared ?m.
+_KG_BGP_MINUS_DEPS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri FROM vers WHERE hv%9 <= 5
+)
+SELECT DISTINCT module_iri AS m,
+       '"' || name || '"' AS name,
+       '"' || ver || '"' AS rev
+FROM vers WHERE module_iri NOT IN (SELECT v FROM alldeps)
+""")
 
 
 def _tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1538,6 +1538,17 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_link_predict(spark, sf):
+    """Common-neighbor link prediction over the undirected KG graph
+    (hard oracle: the same wedge-enumeration + degree joins in DuckDB
+    — every output column is an integer, so Jaccard rides along as
+    the exact (common, union_n) fraction). min_common=2 keeps the
+    candidate set to multiply-supported predictions."""
+    from ..plans.graph import link_predict
+
+    return link_predict(_kg_graph_edges(spark, sf), min_common=2)
+
+
 def sample_split(spark, sf):
     """Deterministic train/val/test split: membership is a pure
     function of doc_id (sha256-based so the oracle can replicate) —
@@ -1671,6 +1682,7 @@ SPARK_QUERIES = {
     "graph_topo_layers": graph_topo_layers,
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
+    "graph_link_predict": graph_link_predict,
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
     "snap_incremental": snap_incremental,
@@ -2089,6 +2101,38 @@ _GRAPH_TRIANGLES_SQL = f"""
     )
     SELECT node_id, count(*)::BIGINT AS n_triangles
     FROM tri_nodes GROUP BY node_id
+"""
+
+# link_predict's SQL twin: wedges at their center node -> candidate
+# pair counts -> anti-join existing edges -> integer degree scores.
+_GRAPH_LINK_PREDICT_SQL = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    adj AS (
+        SELECT a AS n, b AS m FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT n, count(*)::BIGINT AS d FROM adj GROUP BY n),
+    pairs AS (
+        SELECT a1.m AS u, a2.m AS w, count(*)::BIGINT AS common
+        FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.m < a2.m
+        GROUP BY a1.m, a2.m
+        HAVING count(*) >= 2
+    ),
+    cand AS (
+        SELECT p.* FROM pairs p
+        ANTI JOIN und ON und.a = p.u AND und.b = p.w
+    )
+    SELECT c.u AS a, c.w AS b, c.common,
+           da.d AS deg_a, db.d AS deg_b,
+           (da.d + db.d - c.common)::BIGINT AS union_n,
+           (da.d * db.d)::BIGINT AS pref_attach
+    FROM cand c
+    JOIN deg da ON da.n = c.u
+    JOIN deg db ON db.n = c.w
 """
 
 
@@ -2536,6 +2580,7 @@ ORACLE_SQL = {
         FROM depnodes
     """),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
+    "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,

@@ -37,8 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_construct", "bgp_join", "bgp_optional", "bgp_path",
-           "bgp_union", "materialize_rules"]
+__all__ = ["bgp_agg", "bgp_construct", "bgp_join", "bgp_minus",
+           "bgp_optional", "bgp_path", "bgp_union", "materialize_rules"]
 
 
 def _match_patterns(triples: DataFrame,
@@ -268,3 +268,92 @@ def materialize_rules(triples: DataFrame,
         closure = closure.unionByName(fresh).localCheckpoint(eager=True)
     raise RuntimeError(
         f"materialize_rules: no fixpoint in {max_rounds} rounds")
+
+
+_AGG_FNS = {
+    "count": F.count,
+    "count_distinct": F.count_distinct,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+}
+
+
+def bgp_agg(triples: DataFrame,
+            patterns: list[tuple[str, str, str]],
+            group_by: list[str],
+            aggs: list[tuple[str, str, str]],
+            filters: list | None = None,
+            having: list | None = None) -> DataFrame:
+    """SPARQL GROUP BY + aggregates: match the conjunctive
+    ``patterns``, apply FILTER, then aggregate the DISTINCT bindings
+    (this module's uniform set-semantics contract — every BGP form
+    here returns distinct solution mappings, and the aggregate
+    operates over that same set) grouped by the ``group_by``
+    variables. ``aggs``: (var, fn, alias) with fn one of count /
+    count_distinct / min / max / sum. ``having``: Column expressions
+    (or SQL strings) over the aggregated row — SPARQL HAVING.
+
+    "How many dependencies does each version declare?", "how many
+    versions per package?" — the KG dashboard queries. Runs as one
+    Catalyst plan: filtered pattern scans -> joins -> distinct ->
+    partial/final hash aggregate; the groupBy reuses the binding
+    rows' existing hash partitioning when the group key was the last
+    join key, and map-side partial aggregation bounds the shuffle by
+    the group cardinality either way.
+    """
+    for var, fn, _ in aggs:
+        if fn not in _AGG_FNS:
+            raise ValueError(
+                f"bgp_agg: unknown aggregate '{fn}' for ?{var} "
+                f"(have {sorted(_AGG_FNS)})")
+    bound = _match_patterns(triples, patterns)
+    for flt in filters or []:
+        bound = bound.filter(F.expr(flt) if isinstance(flt, str) else flt)
+    bound = bound.distinct()
+    missing = [v for v in group_by if v not in bound.columns]
+    if missing:
+        raise ValueError(f"bgp_agg: group_by vars {missing} not bound "
+                         f"by the patterns {sorted(bound.columns)}")
+    out = bound.groupBy(*group_by).agg(
+        *[_AGG_FNS[fn](F.col(var)).alias(alias)
+          for var, fn, alias in aggs])
+    for h in having or []:
+        out = out.filter(F.expr(h) if isinstance(h, str) else h)
+    return out
+
+
+def bgp_minus(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              minus: list[list[tuple[str, str, str]]],
+              select: list[str] | None = None,
+              filters: list | None = None) -> DataFrame:
+    """SPARQL MINUS (and the equivalent FILTER NOT EXISTS for
+    variable-connected groups): keep the bindings of ``patterns``
+    that are NOT compatible with any binding of any ``minus`` group —
+    compatibility = agreement on the shared variables, so each minus
+    group becomes one LEFT ANTI join on its shared-variable
+    projection. "Packages with no dependency edge", "entities never
+    referenced" — the negation queries that find the KG's gaps.
+
+    Each minus group must share at least one variable with the
+    required group: SPARQL MINUS with disjoint domains removes
+    NOTHING by definition, which silently returns the unfiltered
+    input — rejected as a footgun instead.
+
+    Scale shape: the anti-join's build side is the minus group's
+    DISTINCT shared-variable projection (usually far smaller than its
+    full binding set); both sides hash-partition on the shared
+    variables, and a selective minus group broadcasts under AQE.
+    """
+    bound = _match_patterns(triples, patterns)
+    for grp in minus:
+        m = _match_patterns(triples, grp)
+        shared = [c for c in m.columns if c in bound.columns]
+        if not shared:
+            raise ValueError(
+                "bgp_minus: minus group shares no variable with the "
+                f"required patterns (would remove nothing): {grp}")
+        bound = bound.join(m.select(*shared).distinct(), shared,
+                           "left_anti")
+    return _finish(bound, select, filters)

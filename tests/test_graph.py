@@ -394,3 +394,47 @@ def test_topo_layers_exact_max_rounds_and_scc_empty(spark):
 
     loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
     assert strongly_connected_components(loops).count() == 0
+
+
+def test_link_predict_matches_bruteforce(spark):
+    """link_predict pinned against a pure-Python brute force over a
+    deterministic graph: common-neighbor counts, exact-integer
+    Jaccard components, preferential attachment; existing edges and
+    sub-threshold pairs excluded; max_degree drops hub CENTERS (their
+    neighborhoods stop generating candidates) but keeps their degree
+    in the scores of pairs found via other centers."""
+    import itertools
+
+    from npm_extraction_server_spark.plans.graph import link_predict
+
+    edge_list = [(i, (i * 7 + 3) % 30) for i in range(30)] + \
+                [(i, (i * 11 + 5) % 30) for i in range(30)] + \
+                [(0, j) for j in range(1, 12)]          # a hub
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    und = {tuple(sorted(e)) for e in edge_list}
+    nbr: dict[int, set[int]] = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+
+    def brute(min_common, max_degree=None):
+        centers = {n for n in nbr
+                   if max_degree is None or len(nbr[n]) <= max_degree}
+        exp = {}
+        for u, w in itertools.combinations(sorted(nbr), 2):
+            if (u, w) in und:
+                continue
+            common = sum(1 for c in nbr[u] & nbr[w] if c in centers)
+            if common >= min_common:
+                du, dw = len(nbr[u]), len(nbr[w])
+                exp[(u, w)] = (common, du, dw, du + dw - common, du * dw)
+        return exp
+
+    for kwargs in ({"min_common": 1}, {"min_common": 2},
+                   {"min_common": 1, "max_degree": 4}):
+        got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.union_n,
+                            r.pref_attach)
+               for r in link_predict(edges, **kwargs).collect()}
+        assert got == brute(**kwargs), kwargs

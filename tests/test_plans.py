@@ -451,3 +451,65 @@ def test_materialize_rules_rdfs_closure(spark):
         [("a", TYPE, "b")], "subj string, pred string, obj string")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         materialize_rules(looped, inverse, max_rounds=1)
+
+
+def test_bgp_agg_semantics(spark):
+    """SPARQL GROUP BY: aggregates run over the DISTINCT bindings
+    (set semantics — the duplicate triple must not inflate counts);
+    HAVING prunes groups; unknown aggregate / unbound group var
+    rejected."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import bgp_agg
+
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("a", "knows", "b"),  # duplicate binding
+         ("a", "knows", "c"), ("b", "knows", "c"),
+         ("a", "age", "30")],
+        "subj string, pred string, obj string")
+
+    out = bgp_agg(t, [("?x", "knows", "?y")], group_by=["x"],
+                  aggs=[("y", "count", "n"), ("y", "min", "first_y")])
+    assert sorted((r.x, r.n, r.first_y) for r in out.collect()) == [
+        ("a", 2, "b"), ("b", 1, "c")]
+
+    # count_distinct + HAVING
+    out = bgp_agg(t, [("?x", "knows", "?y")], group_by=["x"],
+                  aggs=[("y", "count_distinct", "n")],
+                  having=["n >= 2"])
+    assert [(r.x, r.n) for r in out.collect()] == [("a", 2)]
+
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        bgp_agg(t, [("?x", "knows", "?y")], ["x"], [("y", "avg", "m")])
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_agg(t, [("?x", "knows", "?y")], ["z"], [("y", "count", "n")])
+
+
+def test_bgp_minus_semantics(spark):
+    """SPARQL MINUS: bindings compatible with any minus-group binding
+    (agreement on shared vars) are removed; incompatible ones stay;
+    a minus group with no shared variable is rejected (it would
+    remove nothing)."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import bgp_minus
+
+    t = spark.createDataFrame(
+        [("a", "type", "Person"), ("b", "type", "Person"),
+         ("c", "type", "Person"),
+         ("a", "knows", "b"), ("b", "age", "30")],
+        "subj string, pred string, obj string")
+
+    # persons with no outgoing knows edge
+    out = bgp_minus(t, [("?x", "type", "Person")],
+                    [[("?x", "knows", "?y")]])
+    assert sorted(r.x for r in out.collect()) == ["b", "c"]
+
+    # two minus groups stack (remove knows-subjects AND age-subjects)
+    out = bgp_minus(t, [("?x", "type", "Person")],
+                    [[("?x", "knows", "?y")], [("?x", "age", "?a")]])
+    assert [r.x for r in out.collect()] == ["c"]
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_minus(t, [("?x", "type", "Person")],
+                  [[("?z", "age", "?a")]])
