@@ -1549,6 +1549,22 @@ def graph_link_predict(spark, sf):
     return link_predict(_kg_graph_edges(spark, sf), min_common=2)
 
 
+def graph_walks(spark, sf):
+    """Deterministic hash-seeded random walks over the KG multigraph:
+    50 start nodes x 2 walks each, 8 steps (hard oracle: the steps
+    unrolled in DuckDB with the identical md5 argmin — the walk corpus
+    is bit-identical cross-engine, the reproducibility property a
+    node-embedding training set needs)."""
+    from ..plans.graph import random_walks
+
+    d = F.col("doc_id")
+    starts = (_t(spark, sf, "documents").select("doc_id")
+              .filter((d < 500) & (d % 10 == 0))
+              .select(d.alias("node_id")))
+    return random_walks(_kg_graph_edges(spark, sf), starts,
+                        length=8, walks_per_node=2)
+
+
 def sample_split(spark, sf):
     """Deterministic train/val/test split: membership is a pure
     function of doc_id (sha256-based so the oracle can replicate) —
@@ -1683,6 +1699,7 @@ SPARK_QUERIES = {
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
+    "graph_walks": graph_walks,
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
     "snap_incremental": snap_incremental,
@@ -2102,6 +2119,41 @@ _GRAPH_TRIANGLES_SQL = f"""
     SELECT node_id, count(*)::BIGINT AS n_triangles
     FROM tri_nodes GROUP BY node_id
 """
+
+def _graph_walks_sql(length: int = 8, walks_per_node: int = 2) -> str:
+    """random_walks unrolled: step k picks the out-neighbor minimizing
+    the same md5-derived key Spark computes (15 hex chars < 2^60, so
+    UBIGINT ordering == the Spark BIGINT value's); row_number argmin
+    with the identical (h, dst) tie-break."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    ed AS (SELECT DISTINCT src, dst FROM e0),
+    w0 AS (
+        SELECT (doc_id * {walks_per_node} + r.r)::BIGINT AS walk_id,
+               doc_id AS node, 0 AS step
+        FROM documents,
+             (SELECT unnest(generate_series(0, {walks_per_node - 1})) AS r) r
+        WHERE doc_id < 500 AND doc_id % 10 = 0)"""
+    for k in range(1, length + 1):
+        sql += f""",
+    c{k} AS (
+        SELECT w.walk_id, e.dst,
+               ('0x' || substr(md5(w.walk_id || ':{k}:' || w.node
+                                   || ':' || e.dst), 1, 15))::UBIGINT AS h
+        FROM w{k - 1} w JOIN ed e ON e.src = w.node),
+    w{k} AS (
+        SELECT walk_id, node, {k} AS step FROM (
+            SELECT walk_id, dst AS node,
+                   row_number() OVER (PARTITION BY walk_id
+                                      ORDER BY h, dst) AS rn
+            FROM c{k})
+        WHERE rn = 1)"""
+    sql += ("\n    SELECT walk_id, step, node FROM ("
+            + "\n    UNION ALL ".join(
+                f"SELECT * FROM w{k}" for k in range(length + 1))
+            + ")")
+    return sql
+
 
 # link_predict's SQL twin: wedges at their center node -> candidate
 # pair counts -> anti-join existing edges -> integer degree scores.
@@ -2581,6 +2633,7 @@ ORACLE_SQL = {
     """),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
+    "graph_walks": _graph_walks_sql(),
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,

@@ -56,8 +56,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "hits", "kcore", "link_predict", "pagerank",
-           "topo_layers", "personalized_pagerank", "propagate_labels",
-           "sssp", "triangle_counts"]
+           "random_walks", "topo_layers", "personalized_pagerank",
+           "propagate_labels", "sssp", "triangle_counts"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -817,3 +817,62 @@ def link_predict(edges: DataFrame, min_common: int = 1,
                     .alias("union_n"),
                     (F.col("deg_a") * F.col("deg_b"))
                     .alias("pref_attach")))
+
+
+def random_walks(edges: DataFrame, starts: DataFrame, length: int = 8,
+                 walks_per_node: int = 1) -> DataFrame:
+    """Deterministic hash-seeded random walks — the corpus-generation
+    step of node2vec/DeepWalk-style graph embeddings, done the
+    reproducible way: at step t the walk at node v moves to the
+    out-neighbor d minimizing md5(walk_id:t:v:d), so the "random"
+    choice is a pure function of (walk, step, edge) — identical on
+    every run, every partitioning, and every engine (md5 hex is
+    engine-neutral, unlike builtin hash()). Walks stop early at sink
+    nodes.
+
+    ``starts``: one column ``node_id``; each start node launches
+    ``walks_per_node`` walks with walk_id = node_id * walks_per_node
+    + r. Returns (walk_id, step, node), step 0 = the start node.
+
+    Scale shape: the edge set is deduped and persisted hash-
+    partitioned on src ONCE; each step is one join of the |walks|-row
+    frontier against it plus a groupBy(walk_id) argmin — per-step
+    shuffle is O(frontier out-degree), never |V| or |E|. Exactly the
+    bfs_distances discipline with an argmin instead of a distinct.
+
+    Oracle twin: _graph_walks_sql in operators/suite.py (steps
+    unrolled, row_number argmin).
+    """
+    spark = starts.sparkSession
+    edges = (edges.select("src", "dst").distinct()
+             .repartition(F.col("src")).persist())
+    edges.count()
+    reps = spark.range(walks_per_node).select(F.col("id").alias("r"))
+    cur = (starts.select("node_id").distinct().crossJoin(reps)
+           .select((F.col("node_id") * walks_per_node + F.col("r"))
+                   .alias("walk_id"),
+                   F.col("node_id").alias("node"))
+           .withColumn("step", F.lit(0))
+           .localCheckpoint(eager=True))
+    out = cur
+    try:
+        for t in range(1, length + 1):
+            h = (F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("walk_id").cast("string"), F.lit(str(t)),
+                F.col("node").cast("string"),
+                F.col("dst").cast("string"))), 1, 15), 16, 10)
+                .cast("bigint"))
+            nxt = (cur.join(edges, cur.node == edges.src)
+                   .select("walk_id", h.alias("h"), "dst")
+                   .groupBy("walk_id")
+                   .agg(F.min(F.struct("h", "dst")).alias("m"))
+                   .select("walk_id", F.col("m.dst").alias("node"))
+                   .withColumn("step", F.lit(t))
+                   .localCheckpoint(eager=True))
+            if nxt.rdd.isEmpty():
+                break
+            out = out.unionByName(nxt.select(*out.columns))
+            cur = nxt
+    finally:
+        edges.unpersist()
+    return out.select("walk_id", "step", "node")

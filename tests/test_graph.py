@@ -438,3 +438,49 @@ def test_link_predict_matches_bruteforce(spark):
                             r.pref_attach)
                for r in link_predict(edges, **kwargs).collect()}
         assert got == brute(**kwargs), kwargs
+
+
+def test_random_walks_deterministic_and_sink_stop(spark):
+    """random_walks pinned against a pure-Python simulation of the
+    md5-argmin step rule; walks stop early at sink nodes; duplicate
+    edges don't perturb the choice; walks_per_node launches distinct
+    deterministic walks."""
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import random_walks
+
+    edge_list = [(i, (i * 7 + 3) % 20) for i in range(20)] + \
+                [(i, (i * 3 + 1) % 20) for i in range(20)] + \
+                [(0, 5), (0, 5)] + \
+                [(19, 100)]                      # 100 is a sink
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    starts = spark.createDataFrame([(0,), (7,), (19,)], "node_id long")
+
+    out = random_walks(edges, starts, length=6, walks_per_node=2)
+    got = {(r.walk_id, r.step): r.node for r in out.collect()}
+
+    nbr: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        nbr.setdefault(a, set()).add(b)
+
+    def h(walk_id, t, v, d):
+        s = f"{walk_id}:{t}:{v}:{d}".encode()
+        return int(hashlib.md5(s).hexdigest()[:15], 16)
+
+    exp = {}
+    for n in (0, 7, 19):
+        for r in (0, 1):
+            wid = n * 2 + r
+            cur = n
+            exp[(wid, 0)] = cur
+            for t in range(1, 7):
+                outs = nbr.get(cur)
+                if not outs:
+                    break
+                cur = min(outs, key=lambda d: (h(wid, t, cur, d), d))
+                exp[(wid, t)] = cur
+    assert got == exp
+    # the two walks from node 0 diverge (different walk_id seeds)
+    w0 = [exp[(0, t)] for t in range(7)]
+    w1 = [exp[(1, t)] for t in range(7)]
+    assert w0 != w1
