@@ -1110,6 +1110,44 @@ def snap_changelog(spark, sf):
     return read_changes(spark, table, from_snapshot=s1)
 
 
+def snap_incr_view(spark, sf):
+    """Incrementally-maintained aggregate view (hard oracle): a
+    per-lang (n_docs, sum_chars) view created at snapshot 1, then an
+    append + a copy-on-write merge land on the base table and ONE
+    incremental refresh folds their changelog into the view — no base
+    rescan (asserted: the refresh consumed exactly the change rows,
+    two orders below the table). DuckDB recomputes the final
+    aggregate from scratch; incremental must equal recompute."""
+    import tempfile
+
+    from ..plans.views import create_agg_view, read_view, refresh_agg_view
+    from ..sources.snapshots import commit, merge_upsert
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapview_")
+    view = tempfile.mkdtemp(prefix="aggview_")
+    commit(docs.filter(d < 150), table, partitions=8,
+           cluster_by=["doc_id"])
+    create_agg_view(spark, table, view, group_by=["lang"],
+                    sums={"sum_chars": "n_chars"})
+    commit(docs.filter((d >= 150) & (d < 300)), table, partitions=4)
+    updates = (
+        docs.filter((d >= 100) & (d < 200))
+        .select("doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"))
+        .unionByName(
+            docs.filter(d < 50)
+            .select((d + 100000).alias("doc_id"), "lang",
+                    F.lit(-1).alias("n_chars")))
+    )
+    merge_upsert(spark, table, updates, key="doc_id")
+    stats = refresh_agg_view(spark, table, view)
+    # incremental contract: work follows the changelog, not the table
+    assert 0 < stats["change_rows"] < 600, stats
+    assert refresh_agg_view(spark, table, view)["change_rows"] == 0
+    return read_view(spark, view)
+
+
 def snap_hidden_partition(spark, sf):
     """Hidden partitioning (hard oracle): events commit day(ts)-
     partitioned — the derived day column is invisible to readers, and
@@ -1706,6 +1744,7 @@ SPARK_QUERIES = {
     "snap_stats_prune": snap_stats_prune,
     "snap_merge_upsert": snap_merge_upsert,
     "snap_changelog": snap_changelog,
+    "snap_incr_view": snap_incr_view,
     "snap_mor_merge": snap_mor_merge,
     "snap_mor_changelog": snap_mor_changelog,
     "snap_hidden_partition": snap_hidden_partition,
@@ -2851,6 +2890,19 @@ ORACLE_SQL = {
         UNION ALL
         SELECT doc_id, lang, n_chars::BIGINT, 'delete', 2
         FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    """,
+    "snap_incr_view": """
+        WITH finalrows AS (
+            SELECT lang,
+                   CASE WHEN doc_id >= 100 AND doc_id < 200
+                        THEN n_chars + 1000 ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT lang, -1 FROM documents WHERE doc_id < 50
+        )
+        SELECT lang, count(*)::BIGINT AS n_rows,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM finalrows GROUP BY lang
     """,
     "snap_merge_upsert": """
         SELECT doc_id,

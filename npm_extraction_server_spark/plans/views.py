@@ -1,0 +1,161 @@
+"""Incrementally-maintained materialized aggregate views over the
+snapshot table format — the serving layer a KG/corpus warehouse puts
+in front of its biggest tables ("docs per language", "triples per
+predicate", "bytes per host") so dashboards never rescan the base.
+
+The maintenance algebra is classic incremental view maintenance:
+count and sum form Abelian GROUPS (every change has an inverse), so a
+changelog of inserts and deletes folds into the stored aggregate as
+``new = old + delta(inserts) - delta(deletes)`` — an update (delete +
+insert pair from the snapshot changelog, sources/snapshots.
+read_changes) nets out to its measure difference. The API offers
+ONLY count and sum by design: non-invertible aggregates (min/max —
+a deleted minimum cannot be retracted without rescanning its group)
+cannot be maintained this way; recompute those, or keep a sketch
+(operators/sketch.py's KMV/HLL/CMS are all mergeable).
+
+Refresh cost follows the CHANGELOG, not the table: one groupBy over
+the delta rows (bounded by what the merge/append touched) + one
+full-outer merge join against the view keyed on the group-by columns
+— at 10^12 base rows with a 0.01% daily churn, refresh touches ~10^8
+delta rows and |groups| view rows where a recompute scans everything.
+
+View state is a directory: ``data.parquet`` (the aggregate) +
+``view.json`` (spec + the base-table snapshot the aggregate is AS OF)
+— published atomically via write-temp-then-rename, the same
+single-host commit analog as sources/snapshots (object-store CAS in
+production). ``refresh`` is idempotent: a second call at the same
+base snapshot is a no-op, and a crash between data write and state
+write leaves the old view intact.
+
+NULL measure values contribute 0 to sums (coalesce on ingest — same
+rule applied in create and refresh, so the two paths agree exactly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.snapshots import current_snapshot_id, read_changes, read_snapshot
+
+__all__ = ["create_agg_view", "read_view", "refresh_agg_view"]
+
+
+def _spec_path(view: str) -> Path:
+    return Path(view) / "view.json"
+
+
+def _agg_cols(sums: dict[str, str]) -> list:
+    return [F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(F.coalesce(F.col(src), F.lit(0))).alias(alias)
+              for alias, src in sums.items()]]
+
+
+def _validate(group_by: list[str], sums: dict[str, str]) -> None:
+    if not group_by:
+        raise ValueError("agg view: empty group_by")
+    reserved = {"n_rows", "_change_type", "_snapshot_id"}
+    bad = reserved & set(sums) | reserved & set(group_by)
+    if bad:
+        raise ValueError(f"agg view: reserved column names {sorted(bad)}")
+
+
+def _publish(df: DataFrame, view: str, state: dict) -> None:
+    """Atomic publish: write data to a temp dir, fsync the state json
+    beside it, then rename both into place (data first, state last —
+    a crash in between leaves the PREVIOUS consistent pair)."""
+    view_p = Path(view)
+    view_p.mkdir(parents=True, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=view_p, prefix="_stage_")
+    df.write.mode("overwrite").parquet(str(Path(tmp) / "data.parquet"))
+    data_dst = view_p / "data.parquet"
+    old = None
+    if data_dst.exists():
+        old = view_p / f"_old_{os.getpid()}"
+        data_dst.rename(old)
+    (Path(tmp) / "data.parquet").rename(data_dst)
+    fd, tmp_json = tempfile.mkstemp(dir=view_p, suffix=".json")
+    with os.fdopen(fd, "w") as f:
+        json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_json, _spec_path(view))
+    if old is not None:
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+    Path(tmp).rmdir()
+
+
+def create_agg_view(spark: SparkSession, table: str, view: str,
+                    group_by: list[str],
+                    sums: dict[str, str] | None = None) -> int:
+    """Materialize ``SELECT group_by, count(*) AS n_rows, sum(src) AS
+    alias... FROM table GROUP BY group_by`` at the table's CURRENT
+    snapshot. ``sums``: {output_alias: source_column}. Returns the
+    base snapshot id the view is AS OF."""
+    sums = sums or {}
+    _validate(group_by, sums)
+    sid = current_snapshot_id(table)
+    if sid is None:
+        raise ValueError(f"{table}: empty table (no CURRENT)")
+    base = read_snapshot(spark, table, snapshot_id=sid)
+    agg = base.groupBy(*group_by).agg(*_agg_cols(sums))
+    _publish(agg, view, {"table": table, "group_by": group_by,
+                         "sums": sums, "as_of": sid})
+    return sid
+
+
+def read_view(spark: SparkSession, view: str) -> DataFrame:
+    p = _spec_path(view)
+    if not p.exists():
+        raise ValueError(f"{view}: not an agg view (no view.json)")
+    return spark.read.parquet(str(Path(view) / "data.parquet"))
+
+
+def refresh_agg_view(spark: SparkSession, table: str,
+                     view: str) -> dict:
+    """Fold the base table's changelog since the view's AS-OF snapshot
+    into the stored aggregate. Returns refresh stats:
+    {from, to, change_rows, groups_touched} (change_rows == 0 means
+    the no-op fast path — the view file is not rewritten)."""
+    spec = json.loads(_spec_path(view).read_text())
+    if spec["table"] != table:
+        raise ValueError(
+            f"view {view} maintains {spec['table']}, not {table}")
+    group_by, sums = spec["group_by"], spec["sums"]
+    to_sid = current_snapshot_id(table)
+    from_sid = spec["as_of"]
+    if to_sid == from_sid:
+        return {"from": from_sid, "to": to_sid, "change_rows": 0,
+                "groups_touched": 0}
+    changes = read_changes(spark, table, from_snapshot=from_sid,
+                           to_snapshot=to_sid)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)) \
+        .otherwise(F.lit(-1))
+    delta = (changes.groupBy(*group_by).agg(
+        F.sum(sign).alias("_d_n"),
+        *[F.sum(sign * F.coalesce(F.col(src), F.lit(0)))
+          .alias(f"_d_{alias}") for alias, src in sums.items()])
+        .localCheckpoint(eager=True))
+    n_changes = changes.count()
+    groups_touched = delta.count()
+    old = read_view(spark, view).localCheckpoint(eager=True)
+    merged = (old.join(delta, group_by, "full")
+              .select(*group_by,
+                      (F.coalesce(F.col("n_rows"), F.lit(0))
+                       + F.coalesce(F.col("_d_n"), F.lit(0)))
+                      .alias("n_rows"),
+                      *[(F.coalesce(F.col(a), F.lit(0))
+                         + F.coalesce(F.col(f"_d_{a}"), F.lit(0)))
+                        .alias(a) for a in sums])
+              .filter(F.col("n_rows") > 0))
+    _publish(merged, view, {**spec, "as_of": to_sid})
+    return {"from": from_sid, "to": to_sid, "change_rows": n_changes,
+            "groups_touched": groups_touched}

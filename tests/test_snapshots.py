@@ -1642,3 +1642,66 @@ def test_mor_delete_where_idempotent_and_cdc_clean(spark, tmp_path):
     assert pos_dels == [(4, "delete"), (7, "delete")]
     assert [(i, c) for i, c, s in got if s != sid] == [(5, "delete"),
                                                       (6, "delete")]
+
+
+def test_agg_view_incremental_equals_recompute(spark, tmp_path):
+    """Incrementally-maintained aggregate view: after an append, a
+    copy-on-write merge (update+insert), and a key delete, chained
+    refreshes must equal a from-scratch recompute; groups whose count
+    reaches 0 drop out; a same-snapshot refresh is a no-op; spec/
+    validation errors raise."""
+    from npm_extraction_server_spark.plans.views import (
+        create_agg_view,
+        read_view,
+        refresh_agg_view,
+    )
+    from npm_extraction_server_spark.sources.snapshots import merge_upsert, mor_delete
+
+    t = str(tmp_path / "base")
+    v = str(tmp_path / "view")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).alias("g"), (F.col("id") * 3).alias("x"))
+    commit(df.filter("id < 20"), t)
+    sid = create_agg_view(spark, t, v, group_by=["g"], sums={"sx": "x"})
+    assert sid == current_snapshot_id(t)
+
+    def check():
+        got = {(r.g): (r.n_rows, r.sx) for r in read_view(spark, v).collect()}
+        exp = {(r.g): (r.n_rows, r.sx)
+               for r in read_snapshot(spark, t).groupBy("g")
+               .agg(F.count("*").alias("n_rows"), F.sum("x").alias("sx"))
+               .collect()}
+        assert got == exp, (got, exp)
+
+    # append
+    commit(df.filter("id >= 20"), t)
+    s1 = refresh_agg_view(spark, t, v)
+    assert s1["change_rows"] == 20
+    check()
+
+    # copy-on-write merge: update 5 rows, insert 3 new
+    updates = (df.filter("id < 5").select("id", "g", (F.col("x") + 100).alias("x"))
+               .unionByName(spark.range(3).select(
+                   (F.col("id") + 1000).alias("id"), F.lit(9).alias("g"),
+                   F.lit(7).alias("x"))))
+    merge_upsert(spark, t, updates, key="id")
+    refresh_agg_view(spark, t, v)
+    check()
+
+    # delete the whole g=9 group -> it must vanish from the view
+    mor_delete(spark, t, spark.range(3).select((F.col("id") + 1000).alias("id")),
+               key="id")
+    refresh_agg_view(spark, t, v)
+    check()
+    assert 9 not in {r.g for r in read_view(spark, v).collect()}
+
+    # no-op refresh at the same snapshot
+    assert refresh_agg_view(spark, t, v)["change_rows"] == 0
+
+    with pytest.raises(ValueError, match="maintains"):
+        refresh_agg_view(spark, str(tmp_path / "other"), v)
+    with pytest.raises(ValueError, match="reserved"):
+        create_agg_view(spark, t, str(tmp_path / "v2"),
+                        group_by=["g"], sums={"n_rows": "x"})
+    with pytest.raises(ValueError, match="empty group_by"):
+        create_agg_view(spark, t, str(tmp_path / "v3"), group_by=[])
