@@ -652,6 +652,16 @@ def text_decontaminate(spark, sf):
     return decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), k=8)
 
 
+def text_inverted_index(spark, sf):
+    """Positional inverted index over the documents table, min_df=2
+    (hard oracle: DuckDB rebuilds the postings with zipped unnest +
+    the same window df). Positions are comma-joined so the array
+    content is hash-comparable cross-engine."""
+    from .text import inverted_index
+
+    return inverted_index(_t(spark, sf, "documents"), min_df=2)
+
+
 def sim_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1576,6 +1586,40 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def kg_sameas_closure(spark, sf):
+    """owl:sameAs entity-identity closure via forward-chaining rule
+    materialization to FIXPOINT (plans/bgp.materialize_rules): planted
+    4-node sameAs chains + per-chain-head rdfs:labels, closed under
+    {symmetry, transitivity, label inheritance across sameAs}. The
+    canonicalization-adjacent inference a KG runs after entity
+    linking. Hard oracle: closed form — every ordered pair (incl.
+    self) within a chain component, every member inheriting the head
+    label."""
+    from ..plans.bgp import materialize_rules
+
+    OWL_SAME = "http://www.w3.org/2002/07/owl#sameAs"
+    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 200)
+    e = F.concat(F.lit("e"), d.cast("string"))
+    e_next = F.concat(F.lit("e"), (d + 1).cast("string"))
+    edges = (docs.filter(d % 8 < 3)
+             .select(e.alias("subj"), F.lit(OWL_SAME).alias("pred"),
+                     e_next.alias("obj")))
+    labels = (docs.filter(d % 8 == 0)
+              .select(e.alias("subj"), F.lit(RDFS_LABEL).alias("pred"),
+                      F.concat(F.lit('"L'), d.cast("string"), F.lit('"'))
+                      .alias("obj")))
+    rules = [
+        ([("?a", OWL_SAME, "?b")], [("?b", OWL_SAME, "?a")]),
+        ([("?a", OWL_SAME, "?b"), ("?b", OWL_SAME, "?c")],
+         [("?a", OWL_SAME, "?c")]),
+        ([("?a", OWL_SAME, "?b"), ("?a", RDFS_LABEL, "?l")],
+         [("?b", RDFS_LABEL, "?l")]),
+    ]
+    return materialize_rules(edges.unionByName(labels), rules)
+
+
 def graph_link_predict(spark, sf):
     """Common-neighbor link prediction over the undirected KG graph
     (hard oracle: the same wedge-enumeration + degree joins in DuckDB
@@ -1707,6 +1751,7 @@ SPARK_QUERIES = {
     "dedup_embedding": dedup_embedding,
     "text_tokens": text_tokens,
     "text_bpe_tokens": text_bpe_tokens,
+    "text_inverted_index": text_inverted_index,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1738,6 +1783,7 @@ SPARK_QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
     "graph_walks": graph_walks,
+    "kg_sameas_closure": kg_sameas_closure,
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
     "snap_incremental": snap_incremental,
@@ -2673,6 +2719,26 @@ ORACLE_SQL = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "graph_walks": _graph_walks_sql(),
+    "kg_sameas_closure": """
+        WITH m AS (
+            SELECT doc_id AS i, (doc_id // 8) * 8 AS head
+            FROM documents WHERE doc_id < 200 AND doc_id % 8 < 4
+        ),
+        pairs AS (
+            SELECT 'e' || a.i AS subj,
+                   'http://www.w3.org/2002/07/owl#sameAs' AS pred,
+                   'e' || b.i AS obj
+            FROM m a JOIN m b ON a.head = b.head
+        ),
+        labels AS (
+            SELECT 'e' || i AS subj,
+                   'http://www.w3.org/2000/01/rdf-schema#label' AS pred,
+                   '"L' || head || '"' AS obj
+            FROM m
+        )
+        SELECT DISTINCT subj, pred, obj
+        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM labels)
+    """,
     "snap_incremental": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 200
     """,
@@ -3202,6 +3268,29 @@ ORACLE_SQL = {
                len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
                    AS distinct_words
         FROM documents
+    """,
+    "text_inverted_index": """
+        WITH arrs AS (
+            SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS term,
+                   unnest(generate_series(0, len(arr) - 1))::INT AS pos
+            FROM arrs
+        ),
+        postings AS (
+            SELECT term, doc_id, count(*)::BIGINT AS tf,
+                   list_aggregate(list_sort(list(pos)), 'string_agg', ',')
+                       AS positions
+            FROM toks GROUP BY term, doc_id
+        ),
+        with_df AS (
+            SELECT term, count(*) OVER (PARTITION BY term)::BIGINT AS df,
+                   doc_id, tf, positions
+            FROM postings
+        )
+        SELECT * FROM with_df WHERE df >= 2
     """,
     "text_quality": """
         WITH base AS (

@@ -608,3 +608,40 @@ def unigram_logprob_scores(documents: DataFrame,
                  / F.count("*").cast("double"), 6).alias("avg_logprob")))
     w = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col))
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def inverted_index(documents: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Positional inverted index — the retrieval-serving structure
+    materialized as a table: one row per (term, document) posting
+    with the term's document frequency, the in-document term
+    frequency, and the ascending 0-based token positions
+    (comma-joined, supporting phrase/proximity queries). ``min_df``
+    drops hapax noise terms.
+
+    Returns (term, df, doc_id, tf, positions). Tokenization is the
+    repo-wide word regex (WORD_RE — same as token_counts/tfidf), so
+    index and query side agree.
+
+    Scale shape: posexplode -> one groupBy (term, doc_id) building
+    each posting, then a window over ``term`` for df — two exchanges
+    total, both keyed on the term; no driver-side state. At 10^12
+    docs the natural layout is this table written partitioned/
+    bucketed by term (warehouse.write_triples_by_pred's layout logic
+    applied to terms), making every term lookup one partition scan.
+    Head terms (stopwords) are the skew: min_df doesn't help there —
+    cap or drop the head via sketch_heavy_hitters when serving, the
+    same routing j12_auto_salted_join applies to hot join keys.
+    """
+    posted = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "term"))
+    postings = (posted.groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf"),
+                     F.array_join(F.sort_array(F.collect_list("pos")), ",")
+                     .alias("positions")))
+    w = Window.partitionBy("term")
+    out = postings.withColumn("df", F.count("*").over(w))
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out.select("term", "df", "doc_id", "tf", "positions")

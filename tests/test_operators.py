@@ -1256,3 +1256,24 @@ def test_auto_salted_join_splits_paths_and_matches_plain(spark):
     counts = {r["k"]: r["n"] for r in
               out.groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert counts[7] == 600 and all(counts[i] == 10 for i in range(6))
+
+
+def test_inverted_index_positions_and_min_df(spark):
+    """Postings carry ascending 0-based positions of the word-regex
+    tokens; df counts documents (not occurrences); min_df prunes."""
+    from npm_extraction_server_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha! gamma"), (2, "beta gamma gamma"),
+         (3, "delta")],
+        "doc_id long, text string")
+    rows = {(r.term, r.doc_id): (r.df, r.tf, r.positions)
+            for r in inverted_index(docs).collect()}
+    assert rows[("alpha", 1)] == (1, 2, "0,2")
+    assert rows[("beta", 1)] == (2, 1, "1")
+    assert rows[("beta", 2)] == (2, 1, "0")
+    assert rows[("gamma", 2)] == (2, 2, "1,2")
+    assert rows[("delta", 3)] == (1, 1, "0")
+
+    pruned = {r.term for r in inverted_index(docs, min_df=2).collect()}
+    assert pruned == {"beta", "gamma"}
