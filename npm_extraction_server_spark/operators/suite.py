@@ -1586,6 +1586,22 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_walk_pairs(spark, sf):
+    """Skip-gram (center, context) pair counts from the deterministic
+    walk corpus (window=2) — the node2vec training set, reproducible
+    end-to-end because the walks are hash-seeded. Hard oracle: the
+    unrolled walk CTE self-joined identically in DuckDB."""
+    from ..plans.graph import random_walks, walk_skipgram_pairs
+
+    d = F.col("doc_id")
+    starts = (_t(spark, sf, "documents").select("doc_id")
+              .filter((d < 500) & (d % 10 == 0))
+              .select(d.alias("node_id")))
+    walks = random_walks(_kg_graph_edges(spark, sf), starts,
+                         length=8, walks_per_node=2)
+    return walk_skipgram_pairs(walks, window=2)
+
+
 def kg_sameas_closure(spark, sf):
     """owl:sameAs entity-identity closure via forward-chaining rule
     materialization to FIXPOINT (plans/bgp.materialize_rules): planted
@@ -1783,6 +1799,7 @@ SPARK_QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
     "graph_walks": graph_walks,
+    "graph_walk_pairs": graph_walk_pairs,
     "kg_sameas_closure": kg_sameas_closure,
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
@@ -2719,6 +2736,14 @@ ORACLE_SQL = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "graph_walks": _graph_walks_sql(),
+    "graph_walk_pairs": ("WITH walks AS (" + _graph_walks_sql() + """)
+        SELECT a.node AS center, b.node AS context,
+               count(*)::BIGINT AS n_pairs
+        FROM walks a JOIN walks b
+          ON a.walk_id = b.walk_id AND a.step <> b.step
+         AND abs(a.step - b.step) <= 2
+        GROUP BY a.node, b.node
+    """),
     "kg_sameas_closure": """
         WITH m AS (
             SELECT doc_id AS i, (doc_id // 8) * 8 AS head

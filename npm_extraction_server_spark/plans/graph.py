@@ -57,7 +57,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "hits", "kcore", "link_predict", "pagerank",
            "random_walks", "topo_layers", "personalized_pagerank",
-           "propagate_labels", "sssp", "triangle_counts"]
+           "propagate_labels", "sssp", "triangle_counts",
+           "walk_skipgram_pairs"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -876,3 +877,27 @@ def random_walks(edges: DataFrame, starts: DataFrame, length: int = 8,
     finally:
         edges.unpersist()
     return out.select("walk_id", "step", "node")
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a random-walk
+    corpus — the final data-prep step of DeepWalk/node2vec: each
+    walk's nodes within ``window`` steps of each other become a
+    training pair, aggregated to (center, context, n_pairs). Feed the
+    pairs to any embedding trainer; with deterministic walks
+    (random_walks) the whole training set is reproducible
+    end-to-end.
+
+    Scale shape: one self-join keyed on walk_id (each side ~|corpus|
+    rows, per-walk fan-out bounded by 2*window), then the pair
+    groupBy — shuffles on walk_id and (center, context) only.
+    """
+    a = walks.select("walk_id", F.col("step").alias("s1"),
+                     F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("s2"),
+                     F.col("node").alias("context"))
+    return (a.join(b, "walk_id")
+            .filter((F.col("s1") != F.col("s2"))
+                    & (F.abs(F.col("s1") - F.col("s2")) <= window))
+            .groupBy("center", "context")
+            .agg(F.count("*").alias("n_pairs")))
