@@ -189,21 +189,22 @@ _PRIORITY: list[str] = [
     # dedup family
     "dedup_minhash_verified", "dedup_simhash_verified", "dedup_clusters",
     # text / retrieval
-    "text_bpe_tokens", "text_tfidf_topk", "text_bm25_topk",
+    "text_inverted_index", "text_tfidf_topk", "text_bm25_topk",
     "text_decontaminate", "text_unigram_ppl",
     # similarity
     "sim_cosine_topk", "sim_lsh_verified", "sim_ivf_verified",
-    # graph
+    # graph (labelprop/kcore demoted to the tail — long-green
+    # siblings — for the new walk + link-prediction shapes)
     "graph_components", "graph_bfs",
     "graph_pagerank", "graph_pagerank_dangling",
-    "graph_sssp", "graph_labelprop", "graph_kcore",
+    "graph_sssp", "graph_walks", "graph_link_predict",
     # web link graph + content extraction (graph_ppr / graph_triangles
     # moved to the tail — long-green siblings — to keep the head at 50;
     # web_main_content carries the byte-identity text invariant)
     "web_outlinks", "web_host_pagerank", "web_main_content",
     # lakehouse snapshots (changelog demoted to the tail — long-green
     # sibling of merge_upsert — for the round-4 additions)
-    "snap_incremental", "snap_stats_prune", "snap_merge_upsert",
+    "snap_incremental", "snap_incr_view", "snap_merge_upsert",
     "snap_schema_evolution", "snap_wap",
     # sketches (heavy_hitters + distinct moved to the tail — set_ops
     # subsumes the KMV build path)
@@ -216,9 +217,9 @@ _PRIORITY: list[str] = [
     # KG pipeline + sources + BGP/closure query layer (dep_chain
     # demoted — optional_deps exercises the same chain join plus
     # OPTIONAL; union_labels covers UNION+FILTER)
-    "kg_triples_doap", "kg_bgp_version_meta", "kg_bgp_optional_deps",
-    "kg_bgp_union_labels",
-    "kg_transitive_deps", "semver_resolve", "kg_user_index",
+    "kg_triples_doap", "kg_sameas_closure", "kg_bgp_optional_deps",
+    "kg_bgp_dep_counts", "kg_bgp_minus_deps",
+    "kg_transitive_deps", "kg_bgp_union_labels",
     # multimodal
     "mm_image_features", "mm_video_features",
 ]
