@@ -652,6 +652,15 @@ def text_decontaminate(spark, sf):
     return decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), k=8)
 
 
+def text_bigram_ppl(spark, sf):
+    """Bigram-LM quality tiers (hard oracle: DuckDB replays the exact
+    count/smooth/round protocol with a lead window over zipped-unnest
+    positions)."""
+    from .text import bigram_logprob_scores
+
+    return bigram_logprob_scores(_t(spark, sf, "documents"))
+
+
 def text_inverted_index(spark, sf):
     """Positional inverted index over the documents table, min_df=2
     (hard oracle: DuckDB rebuilds the postings with zipped unnest +
@@ -1586,6 +1595,20 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_closeness(spark, sf):
+    """Sampled closeness aggregates from the 10-seed set over the KG
+    multigraph — ONE multi-source BFS sweep, frontier keyed
+    (seed, node) (hard oracle: recursive-CTE min distance per
+    (seed, node) in DuckDB, aggregated; all-integer output)."""
+    from ..plans.graph import closeness
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    return closeness(seeds, _kg_graph_edges(spark, sf))
+
+
 def graph_walk_pairs(spark, sf):
     """Skip-gram (center, context) pair counts from the deterministic
     walk corpus (window=2) — the node2vec training set, reproducible
@@ -1768,6 +1791,7 @@ SPARK_QUERIES = {
     "text_tokens": text_tokens,
     "text_bpe_tokens": text_bpe_tokens,
     "text_inverted_index": text_inverted_index,
+    "text_bigram_ppl": text_bigram_ppl,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1800,6 +1824,7 @@ SPARK_QUERIES = {
     "graph_link_predict": graph_link_predict,
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
+    "graph_closeness": graph_closeness,
     "kg_sameas_closure": kg_sameas_closure,
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
@@ -2736,6 +2761,24 @@ ORACLE_SQL = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "graph_walks": _graph_walks_sql(),
+    "graph_closeness": f"""
+        WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+        reach(seed, node, dist) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            WHERE doc_id < 500 AND doc_id % 50 = 0
+            UNION
+            SELECT r.seed, e0.dst, r.dist + 1
+            FROM reach r JOIN e0 ON e0.src = r.node
+            WHERE r.dist < 30
+        ),
+        md AS (
+            SELECT seed, node, min(dist) AS dist
+            FROM reach GROUP BY seed, node
+        )
+        SELECT node AS node_id, count(*)::BIGINT AS n_sources,
+               sum(dist)::BIGINT AS total_dist
+        FROM md GROUP BY node
+    """,
     "graph_walk_pairs": ("WITH walks AS (" + _graph_walks_sql() + """)
         SELECT a.node AS center, b.node AS context,
                count(*)::BIGINT AS n_pairs
@@ -3293,6 +3336,44 @@ ORACLE_SQL = {
                len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
                    AS distinct_words
         FROM documents
+    """,
+    "text_bigram_ppl": """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS w,
+                   unnest(generate_series(0, len(arr) - 1))::INT AS pos
+            FROM arrs
+        ),
+        bi AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ),
+        bif AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        c1 AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bif GROUP BY w1, w2),
+        vs AS (SELECT count(*)::DOUBLE AS v_size FROM c1),
+        logp AS (
+            SELECT c2.w1, c2.w2,
+                   round(ln((c2.c2::DOUBLE + 1.0)
+                         / (c1.c1::DOUBLE + (SELECT v_size FROM vs))), 8)
+                       AS lp
+            FROM c2 JOIN c1 ON c1.w = c2.w1
+        ),
+        scored AS (
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(cast(sum(cast(lp AS DECIMAL(28,8))) AS DOUBLE)
+                         / count(*)::DOUBLE, 6) AS avg_logprob
+            FROM bif JOIN logp USING (w1, w2) GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, avg_logprob,
+               ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)::INT
+                   AS bucket
+        FROM scored
     """,
     "text_inverted_index": """
         WITH arrs AS (

@@ -645,3 +645,57 @@ def inverted_index(documents: DataFrame, text_col: str = "text",
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)
     return out.select("term", "df", "doc_id", "tf", "positions")
+
+
+def bigram_logprob_scores(documents: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n_buckets: int = 3) -> DataFrame:
+    """Bigram-LM quality scoring — the next rung above
+    unigram_logprob_scores on the CCNet ladder: the corpus's own
+    bigram model (Laplace-smoothed p(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+V)) scores each document by its mean transition
+    log-probability, so word-salad documents (every word common, the
+    SEQUENCE improbable) sink where the unigram model cannot see
+    them. Returns (id_col, n_bigrams, avg_logprob, bucket) for
+    documents with >= 2 tokens; bucket 1 = head tier.
+
+    Shape at 100 TB: tokenize+posexplode -> one per-doc window (lead)
+    forming transitions -> bigram + unigram count aggregations (both
+    partial-aggregated map-side; the bigram table is the LM) -> join
+    scores back on the (w1, w2) key -> one per-doc aggregation.
+    Vocabulary size folds in as a broadcast 1-row aggregate — no
+    driver actions. Zipfian skew on the bigram head is AQE skew-join
+    territory, same as the unigram scorer.
+
+    Cross-engine determinism: identical protocol to the unigram
+    scorer — exact integer counts, one correctly-rounded double
+    division inside ln, 8-dp grid on per-transition lp, decimal sums,
+    6-dp mean (suite 'text_bigram_ppl' oracle replays it)."""
+    toks = documents.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi = (toks.select(F.col(id_col), F.col("w").alias("w1"),
+                      F.lead("w").over(w).alias("w2"))
+          .filter(F.col("w2").isNotNull()))
+    c1 = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vsize = c1.agg(F.count("*").cast("double").alias("v_size"))
+    logp = (c2.join(c1.withColumnRenamed("w", "w1"), "w1")
+            .crossJoin(F.broadcast(vsize))
+            .select("w1", "w2", F.round(F.log(
+                (F.col("c2").cast("double") + F.lit(1.0))
+                / (F.col("c1").cast("double") + F.col("v_size"))), 8)
+                .alias("lp")))
+    scored = (
+        bi.join(logp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(
+                 F.sum(F.col("lp").cast("decimal(28,8)")).cast("double")
+                 / F.count("*").cast("double"), 6).alias("avg_logprob")))
+    win = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(win))

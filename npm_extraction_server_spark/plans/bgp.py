@@ -38,7 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bgp_agg", "bgp_construct", "bgp_join", "bgp_minus",
-           "bgp_optional", "bgp_path", "bgp_union", "materialize_rules"]
+           "bgp_optional", "bgp_path", "bgp_union", "materialize_rules",
+           "reorder_patterns"]
 
 
 def _match_patterns(triples: DataFrame,
@@ -357,3 +358,53 @@ def bgp_minus(triples: DataFrame,
         bound = bound.join(m.select(*shared).distinct(), shared,
                            "left_anti")
     return _finish(bound, select, filters)
+
+
+def reorder_patterns(triples: DataFrame,
+                     patterns: list[tuple[str, str, str]]
+                     ) -> list[tuple[str, str, str]]:
+    """Selectivity-based BGP join ordering — the classic SPARQL
+    optimizer heuristic, measured instead of guessed: ONE aggregate
+    pass over ``triples`` counts each pattern's constant-matching
+    rows (a single job producing one row, every pattern's count as a
+    conditional sum), then patterns are ordered greedily
+    most-selective-first UNDER the connectivity constraint: the next
+    pattern must share a variable with those already placed (else the
+    join would degenerate into a cross product), falling back to the
+    cheapest remaining pattern only when no connected one exists
+    (i.e. the caller genuinely wrote disconnected groups).
+
+    Pure plan optimization: the result set of ``bgp_join(triples,
+    reorder_patterns(triples, ps))`` equals ``bgp_join(triples, ps)``
+    — only the join tree changes. At 10^11 triples the count pass is
+    one scan (cheap next to a misordered join whose first pattern
+    binds half the table), and the counts can be cached per predicate
+    by callers issuing many queries.
+    """
+    if not patterns:
+        raise ValueError("bgp: empty pattern list")
+    conds = []
+    for idx, (s, p, o) in enumerate(patterns):
+        cond = F.lit(True)
+        for col, term in zip(("subj", "pred", "obj"), (s, p, o)):
+            if not term.startswith("?"):
+                cond = cond & (F.col(col) == term)
+        conds.append(F.sum(cond.cast("long")).alias(f"c{idx}"))
+    row = triples.select("subj", "pred", "obj").agg(*conds).collect()[0]
+    counts = [int(row[f"c{i}"] or 0) for i in range(len(patterns))]
+
+    def pat_vars(pat):
+        return {t[1:] for t in pat if t.startswith("?") and len(t) > 1}
+
+    remaining = list(range(len(patterns)))
+    remaining.sort(key=lambda i: (counts[i], i))
+    order: list[int] = []
+    bound_vars: set[str] = set()
+    while remaining:
+        pick = next((i for i in remaining
+                     if not order or pat_vars(patterns[i]) & bound_vars),
+                    remaining[0])
+        remaining.remove(pick)
+        order.append(pick)
+        bound_vars |= pat_vars(patterns[pick])
+    return [patterns[i] for i in order]

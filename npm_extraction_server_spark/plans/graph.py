@@ -55,10 +55,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "hits", "kcore", "link_predict", "pagerank",
-           "random_walks", "topo_layers", "personalized_pagerank",
-           "propagate_labels", "sssp", "triangle_counts",
-           "walk_skipgram_pairs"]
+__all__ = ["bfs_distances", "closeness", "hits", "kcore", "link_predict",
+           "pagerank", "random_walks", "topo_layers",
+           "personalized_pagerank", "propagate_labels", "sssp",
+           "triangle_counts", "walk_skipgram_pairs"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -901,3 +901,53 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
                     & (F.abs(F.col("s1") - F.col("s2")) <= window))
             .groupBy("center", "context")
             .agg(F.count("*").alias("n_pairs")))
+
+
+def closeness(seeds: DataFrame, edges: DataFrame,
+              max_rounds: int = 30) -> DataFrame:
+    """Sampled closeness-centrality aggregates via MULTI-SOURCE BFS:
+    one level-synchronous sweep carries every seed's wavefront at
+    once — the frontier is keyed (seed, node), so k sampled sources
+    cost one traversal with k-wide frontiers instead of k traversals.
+    This is the standard estimator for closeness/harmonic centrality
+    at graph sizes where all-pairs BFS is impossible: sample seeds,
+    aggregate exact distances from the sample.
+
+    Returns per-node INTEGER aggregates (node_id, n_sources,
+    total_dist): the number of sampled sources that reach the node
+    and the sum of their hop distances. Closeness ≈ n_sources /
+    total_dist and harmonic variants derive from these; keeping the
+    output integral keeps it bit-exact cross-engine.
+
+    Scale shape: per-round shuffles carry only the (seed, node)
+    frontier; the visited set is bounded by |seeds| * |reachable| —
+    the sample size is the knob that trades estimator variance for
+    memory, exactly as in the published landmark/pivot estimators.
+    Edges are shuffled once (persisted src-hash-partitioned).
+    """
+    edges = (edges.select("src", "dst")
+             .repartition(F.col("src")).persist())
+    frontier = (seeds.select("node_id").distinct()
+                .select(F.col("node_id").alias("seed"),
+                        F.col("node_id").alias("node"))
+                .withColumn("dist", F.lit(0))
+                .localCheckpoint(eager=True))
+    visited = frontier
+    try:
+        for r in range(1, max_rounds + 1):
+            nxt = (frontier.join(edges, frontier.node == edges.src)
+                   .select("seed", F.col("dst").alias("node"))
+                   .distinct()
+                   .join(visited.select("seed", "node"),
+                         ["seed", "node"], "left_anti")
+                   .withColumn("dist", F.lit(r))
+                   .localCheckpoint(eager=True))
+            if nxt.rdd.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    finally:
+        edges.unpersist()
+    return (visited.groupBy(F.col("node").alias("node_id"))
+            .agg(F.count("*").alias("n_sources"),
+                 F.sum("dist").cast("bigint").alias("total_dist")))

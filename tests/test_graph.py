@@ -484,3 +484,41 @@ def test_random_walks_deterministic_and_sink_stop(spark):
     w0 = [exp[(0, t)] for t in range(7)]
     w1 = [exp[(1, t)] for t in range(7)]
     assert w0 != w1
+
+
+def test_closeness_matches_bruteforce_bfs(spark):
+    """Multi-source closeness aggregates pinned against per-seed
+    pure-Python BFS: n_sources counts reaching seeds, total_dist sums
+    their hop distances; unreachable (node, seed) pairs contribute
+    nothing; seeds count themselves at distance 0."""
+    import collections
+
+    from npm_extraction_server_spark.plans.graph import closeness
+
+    edge_list = [(i, (i * 7 + 3) % 25) for i in range(25)] + \
+                [(i, (i * 11 + 5) % 25) for i in range(25)] + \
+                [(30, 31), (31, 32)]      # island chain, unreachable
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = [0, 5, 10, 30]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node_id long")
+
+    adj = collections.defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+    exp = collections.defaultdict(lambda: [0, 0])
+    for s in seeds:
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for v, dv in dist.items():
+            exp[v][0] += 1
+            exp[v][1] += dv
+
+    got = {r.node_id: (r.n_sources, r.total_dist)
+           for r in closeness(sdf, edges).collect()}
+    assert got == {v: tuple(x) for v, x in exp.items()}

@@ -513,3 +513,38 @@ def test_bgp_minus_semantics(spark):
     with pytest.raises(ValueError, match="shares no variable"):
         bgp_minus(t, [("?x", "type", "Person")],
                   [[("?z", "age", "?a")]])
+
+
+def test_reorder_patterns_selectivity_and_connectivity(spark):
+    """reorder_patterns puts measured-selective patterns first but
+    never breaks join connectivity (a cheap pattern sharing no
+    variable with the placed prefix waits its turn); bgp_join results
+    are invariant under the reordering."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join, reorder_patterns
+
+    rows = [("s%d" % i, "common", "x") for i in range(50)] + \
+           [("s%d" % i, "rare", "y") for i in range(2)] + \
+           [("s0", "link", "t0"), ("s1", "link", "t1"),
+            ("t0", "tiny", "z")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    pats = [("?s", "common", "?c"),       # 50 rows
+            ("?s", "link", "?t"),         # 2 rows
+            ("?t", "tiny", "?z")]         # 1 row
+    got = reorder_patterns(t, pats)
+    # tiny (1 row) first; link connects via ?t before common (?s)
+    assert got == [("?t", "tiny", "?z"), ("?s", "link", "?t"),
+                   ("?s", "common", "?c")]
+
+    # variable COLUMN order follows pattern order, so compare the
+    # binding mappings by name
+    a = {frozenset(r.asDict().items()) for r in bgp_join(t, pats).collect()}
+    b = {frozenset(r.asDict().items()) for r in bgp_join(t, got).collect()}
+    assert a == b and a  # same non-empty bindings
+
+    # deliberately disconnected patterns keep working (cheapest-first
+    # fallback) and still produce the explicit product
+    pats2 = [("?a", "tiny", "?z"), ("?b", "rare", "?y")]
+    got2 = reorder_patterns(t, pats2)
+    assert set(got2) == set(pats2)
+    assert bgp_join(t, got2).count() == 2
