@@ -1595,6 +1595,19 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_neighbor_agg(spark, sf):
+    """Two rounds of integer sum message passing over the KG
+    multigraph, starting features h = doc_id % 100 (hard oracle: the
+    same two join+sum layers chained in DuckDB — every value exact)."""
+    from ..plans.graph import neighbor_agg
+
+    d = F.col("doc_id")
+    feats = (_t(spark, sf, "documents").select("doc_id")
+             .filter(d < 500)
+             .select(d.alias("node_id"), (d % 100).alias("h")))
+    return neighbor_agg(_kg_graph_edges(spark, sf), feats, rounds=2)
+
+
 def graph_closeness(spark, sf):
     """Sampled closeness aggregates from the 10-seed set over the KG
     multigraph — ONE multi-source BFS sweep, frontier keyed
@@ -1825,6 +1838,7 @@ SPARK_QUERIES = {
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
     "graph_closeness": graph_closeness,
+    "graph_neighbor_agg": graph_neighbor_agg,
     "kg_sameas_closure": kg_sameas_closure,
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
@@ -2761,6 +2775,29 @@ ORACLE_SQL = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "graph_walks": _graph_walks_sql(),
+    "graph_neighbor_agg": f"""
+        WITH {_KG_GRAPH_EDGES_CTE},
+        h0 AS (
+            SELECT doc_id AS node_id, (doc_id % 100)::BIGINT AS h0
+            FROM documents WHERE doc_id < 500
+        ),
+        m1 AS (
+            SELECT e0.dst, sum(h0.h0)::BIGINT AS m
+            FROM e0 JOIN h0 ON h0.node_id = e0.src GROUP BY e0.dst
+        ),
+        h1 AS (
+            SELECT h0.node_id, h0.h0,
+                   (h0.h0 + coalesce(m1.m, 0))::BIGINT AS h1
+            FROM h0 LEFT JOIN m1 ON m1.dst = h0.node_id
+        ),
+        m2 AS (
+            SELECT e0.dst, sum(h1.h1)::BIGINT AS m
+            FROM e0 JOIN h1 ON h1.node_id = e0.src GROUP BY e0.dst
+        )
+        SELECT h1.node_id, h1.h0, h1.h1,
+               (h1.h1 + coalesce(m2.m, 0))::BIGINT AS h2
+        FROM h1 LEFT JOIN m2 ON m2.dst = h1.node_id
+    """,
     "graph_closeness": f"""
         WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
         reach(seed, node, dist) AS (

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "closeness", "hits", "kcore", "link_predict",
-           "pagerank", "random_walks", "topo_layers",
+           "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
            "triangle_counts", "walk_skipgram_pairs"]
 
@@ -951,3 +951,50 @@ def closeness(seeds: DataFrame, edges: DataFrame,
     return (visited.groupBy(F.col("node").alias("node_id"))
             .agg(F.count("*").alias("n_sources"),
                  F.sum("dist").cast("bigint").alias("total_dist")))
+
+
+def neighbor_agg(edges: DataFrame, features: DataFrame,
+                 rounds: int = 2) -> DataFrame:
+    """GraphSAGE-style message passing over integer node features —
+    the data-prep shape of GNN feature engineering, kept
+    integer-exact: per round, every node adds the SUM of its
+    in-neighbors' previous-round values,
+    ``h_t(v) = h_{t-1}(v) + sum over edges (u, v) of h_{t-1}(u)``
+    (parallel edges count with multiplicity — they are distinct
+    messages). Returns (node_id, h0, h1, ..., h{rounds}) — one column
+    per layer, so downstream consumers get the whole receptive-field
+    cascade in one table.
+
+    ``features``: (node_id, h) integer starting features; nodes
+    absent from ``features`` contribute and accumulate nothing (they
+    are not in the output — give every vertex a row, zero if need
+    be).
+
+    Scale shape: per round ONE join (edges x current features,
+    co-partitioned on src against the once-shuffled persisted edge
+    set) + one groupBy(dst) partial-aggregated sum + one left join
+    back onto the feature table — all keyed on node id; the feature
+    table is the only state and it never grows beyond |V| x rounds
+    columns.
+    """
+    edges = (edges.select("src", "dst")
+             .repartition(F.col("src")).persist())
+    cur = (features.select("node_id", F.col("h").cast("bigint")
+                           .alias("h0"))
+           .localCheckpoint(eager=True))
+    try:
+        for t in range(1, rounds + 1):
+            prev = f"h{t - 1}"
+            msg = (edges.join(cur.select(F.col("node_id").alias("src"),
+                                         F.col(prev).alias("_hm")), "src")
+                   .groupBy("dst").agg(F.sum("_hm").alias("_m")))
+            cur = (cur.join(msg.select(F.col("dst").alias("node_id"),
+                                       "_m"), "node_id", "left")
+                   .withColumn(f"h{t}",
+                               F.col(prev) + F.coalesce(F.col("_m"),
+                                                        F.lit(0)))
+                   .drop("_m")
+                   .localCheckpoint(eager=True))
+    finally:
+        edges.unpersist()
+    return cur

@@ -522,3 +522,33 @@ def test_closeness_matches_bruteforce_bfs(spark):
     got = {r.node_id: (r.n_sources, r.total_dist)
            for r in closeness(sdf, edges).collect()}
     assert got == {v: tuple(x) for v, x in exp.items()}
+
+
+def test_neighbor_agg_matches_bruteforce(spark):
+    """Sum message passing pinned against a pure-Python simulation:
+    parallel edges deliver one message each; featureless nodes
+    neither send nor accumulate; h columns cascade per round."""
+    import collections
+
+    from npm_extraction_server_spark.plans.graph import neighbor_agg
+
+    edge_list = [(0, 1), (1, 2), (2, 0), (0, 1),   # parallel edge 0->1
+                 (3, 1), (9, 0)]                   # 9 has no feature row
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    feats = {0: 5, 1: 7, 2: 11, 3: 2}
+    fdf = spark.createDataFrame(list(feats.items()), "node_id long, h long")
+
+    h = dict(feats)
+    hist = {v: [h[v]] for v in h}
+    for _ in range(3):
+        inbox = collections.defaultdict(int)
+        for a, b in edge_list:
+            if a in h:
+                inbox[b] += h[a]
+        h = {v: h[v] + inbox[v] for v in h}
+        for v in h:
+            hist[v].append(h[v])
+
+    got = {r.node_id: (r.h0, r.h1, r.h2, r.h3)
+           for r in neighbor_agg(edges, fdf, rounds=3).collect()}
+    assert got == {v: tuple(hist[v]) for v in hist}
