@@ -148,6 +148,14 @@ def resample_to_mix(documents: DataFrame, targets: dict[str, float],
         raise ValueError(
             f"resample_to_mix: target domains {sorted(missing)} have no "
             "rows in the corpus — the requested mix is unrealizable")
+    return _mix_threshold_filter(documents, rates0, domain_col, id_col)
+
+
+def _mix_threshold_filter(documents: DataFrame, rates0: DataFrame,
+                          domain_col: str, id_col: str) -> DataFrame:
+    """Shared tail of the mix resamplers: rates0 (domain, n, t, cap)
+    -> T = min cap -> per-domain md5 thresholds -> scan-level filter.
+    Membership stays a pure function of the row key."""
     tmin = rates0.agg(F.min("cap").alias("tcap"))
     rates = (rates0.crossJoin(F.broadcast(tmin))
              .select(domain_col,
@@ -161,3 +169,28 @@ def resample_to_mix(documents: DataFrame, targets: dict[str, float],
     return (documents.join(F.broadcast(rates), domain_col)
             .filter(h < F.col("thr"))
             .select(id_col, domain_col))
+
+
+def alpha_mix(documents: DataFrame, alpha: float = 0.5,
+              domain_col: str = "source",
+              id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based domain mixing — the alpha-sampling recipe of
+    the published LLM corpus mixes (domain share proportional to
+    n_s^alpha): alpha=1 keeps the natural distribution (every row),
+    alpha -> 0 equalizes domains (each downsampled to the smallest),
+    0.5 is the common square-root compromise. Unlike resample_to_mix
+    the targets come from the corpus itself, so the whole computation
+    stays in ONE plan: count per domain -> t = round(n^alpha, 6) (the
+    6-dp grid absorbs libm pow ulp differences cross-engine) -> the
+    shared max-retention threshold tail. Same determinism contract:
+    membership is a pure md5 function of the row key, and the DuckDB
+    oracle selects the IDENTICAL row set.
+    """
+    if not alpha > 0:
+        raise ValueError("alpha_mix: alpha must be > 0")
+    cnt = documents.groupBy(domain_col).agg(F.count("*").alias("n"))
+    rates0 = (cnt.withColumn(
+        "t", F.round(F.pow(F.col("n").cast("double"),
+                           F.lit(float(alpha))), 6))
+        .withColumn("cap", F.col("n").cast("double") / F.col("t")))
+    return _mix_threshold_filter(documents, rates0, domain_col, id_col)

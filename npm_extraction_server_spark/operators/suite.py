@@ -912,6 +912,16 @@ def sample_domain_mix(spark, sf):
                            {"src1": 0.6, "src2": 0.3, "src3": 0.1})
 
 
+def sample_alpha_mix(spark, sf):
+    """Temperature (alpha=0.5) domain mixing — targets derived from
+    the corpus's own domain counts, whole computation one plan (hard
+    oracle: identical row set in DuckDB; the 6-dp grid on n^alpha
+    absorbs cross-engine pow ulps)."""
+    from .sampling import alpha_mix
+
+    return alpha_mix(_t(spark, sf, "documents"), alpha=0.5)
+
+
 def sketch_bloom(spark, sf):
     """Per-event-type Bloom filter over user_id as a (grp, slot, bits)
     long table (hard oracle: md5 hash positions + exact integer bit_or
@@ -1859,6 +1869,7 @@ SPARK_QUERIES = {
     "sketch_hll": sketch_hll,
     "sketch_bloom": sketch_bloom,
     "sample_domain_mix": sample_domain_mix,
+    "sample_alpha_mix": sample_alpha_mix,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_quantiles": sketch_quantiles,
     "emb_stats": emb_stats,
@@ -2855,6 +2866,26 @@ ORACLE_SQL = {
                 GROUP BY source),
         rates0 AS (SELECT c.source, c.n, g.t, c.n::DOUBLE / g.t AS cap
                    FROM cnt c JOIN tgt g USING (source)),
+        tm AS (SELECT min(cap) AS tcap FROM rates0),
+        rates AS (SELECT source,
+                         cast(floor(t * (SELECT tcap FROM tm) / n::DOUBLE
+                                    * 281474976710656.0) AS BIGINT) AS thr
+                  FROM rates0),
+        h AS (SELECT doc_id, source,
+                     ('0x' || substr(md5('mix:' || doc_id), 1, 12))
+                         ::UBIGINT::BIGINT AS hv
+              FROM documents)
+        SELECT h.doc_id, h.source
+        FROM h JOIN rates USING (source) WHERE hv < thr
+    """,
+    "sample_alpha_mix": """
+        WITH cnt AS (SELECT source, count(*) AS n FROM documents
+                     GROUP BY source),
+        rates0 AS (SELECT source, n,
+                          round(power(n::DOUBLE, 0.5), 6) AS t,
+                          n::DOUBLE / round(power(n::DOUBLE, 0.5), 6)
+                              AS cap
+                   FROM cnt),
         tm AS (SELECT min(cap) AS tcap FROM rates0),
         rates AS (SELECT source,
                          cast(floor(t * (SELECT tcap FROM tm) / n::DOUBLE

@@ -159,3 +159,38 @@ def test_resample_to_mix_rejects_missing_domain(spark):
                                "doc_id long, source string")
     with pytest.raises(ValueError, match="papers"):
         resample_to_mix(df, {"web": 0.5, "code": 0.3, "papers": 0.2})
+
+
+def test_alpha_mix_semantics(spark):
+    """alpha=1 keeps the natural distribution (every row); alpha->0
+    equalizes domain sizes toward the smallest; membership is a pure
+    function of the row key (subset stability across alphas is NOT
+    required, but rerun determinism is); invalid alpha raises."""
+    import pytest
+
+    from npm_extraction_server_spark.operators.sampling import alpha_mix
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big") for i in range(400)] + \
+           [(400 + i, "mid") for i in range(100)] + \
+           [(500 + i, "small") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: natural distribution, full retention
+    assert alpha_mix(docs, alpha=1.0).count() == 525
+
+    kept = alpha_mix(docs, alpha=0.5).groupBy("source").count()
+    sizes = {r["source"]: r["count"] for r in kept.collect()}
+    # sqrt temperature: ratios compress from 16:4:1 toward 4:2:1;
+    # the smallest domain is limiting and keeps everything
+    assert sizes["small"] == 25
+    assert sizes["big"] < 400 and sizes["mid"] < 100
+    assert sizes["big"] > sizes["mid"] > sizes["small"]
+
+    again = {r["source"]: r["count"]
+             for r in alpha_mix(docs, alpha=0.5)
+             .groupBy("source").count().collect()}
+    assert again == sizes
+
+    with pytest.raises(ValueError, match="alpha"):
+        alpha_mix(docs, alpha=0.0)
