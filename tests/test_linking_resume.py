@@ -658,3 +658,78 @@ def test_stream_interval_join_outer_emits_unmatched_on_eviction(
                   "leftOuter").collect()}
     assert got == expect
     assert (2, None) in got and (3, None) in got  # the outer rows
+
+
+def test_stream_upserts_maintain_agg_view(spark, tmp_path):
+    """Streaming CDC merges + incremental view maintenance compose:
+    a count/sum view created after the first ingested batch is folded
+    forward from the changelog the LATER streamed batches committed —
+    incremental refresh equals a from-scratch recompute of the final
+    table state, and the refresh consumes only changelog rows."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.plans.views import (
+        create_agg_view,
+        read_view,
+        refresh_agg_view,
+    )
+    from npm_extraction_server_spark.sources.snapshots import read_snapshot
+    from npm_extraction_server_spark.streaming.incremental import (
+        stream_upsert_to_snapshots,
+    )
+
+    ups = tmp_path / "ups"
+    table = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    ups.mkdir()
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    # batch 1: base rows
+    spark.range(20).select(F.col("id"), (F.col("id") % 3).alias("g"),
+                           (F.col("id") * 2).alias("x"),
+                           F.lit(0).alias("seq")) \
+        .coalesce(1).write.parquet(str(ups / "b1"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    now = _time.time()
+    f1 = next((ups / "b1").glob("part-*.parquet"))
+    d1 = flat / f"00-{f1.name}"
+    shutil.copy(f1, d1)
+    os.utime(d1, (now, now))
+    q = stream_upsert_to_snapshots(spark, str(flat), table,
+                                   str(tmp_path / "ckpt"), key="id",
+                                   schema=schema, order_col="seq")
+    assert q.awaitTermination(300)
+    create_agg_view(spark, table, view, group_by=["g"], sums={"sx": "x"})
+
+    # batch 2 streamed later: updates + inserts land as CoW merges
+    spark.createDataFrame(
+        [(0, 0, 999, 1), (3, 0, 7, 1), (100, 2, 4, 1)], schema) \
+        .coalesce(1).write.parquet(str(ups / "b2"))
+    f2 = next((ups / "b2").glob("part-*.parquet"))
+    d2 = flat / f"01-{f2.name}"
+    shutil.copy(f2, d2)
+    os.utime(d2, (now + 10, now + 10))
+    q = stream_upsert_to_snapshots(spark, str(flat), table,
+                                   str(tmp_path / "ckpt"), key="id",
+                                   schema=schema, order_col="seq")
+    assert q.awaitTermination(300)
+
+    stats = refresh_agg_view(spark, table, view)
+    assert 0 < stats["change_rows"] <= 8, stats   # 2 upd pairs + 1 ins
+    got = {r.g: (r.n_rows, r.sx) for r in read_view(spark, view).collect()}
+    exp = {r.g: (r.n_rows, r.sx)
+           for r in read_snapshot(spark, table).groupBy("g")
+           .agg(F.count("*").alias("n_rows"), F.sum("x").alias("sx"))
+           .collect()}
+    assert got == exp
