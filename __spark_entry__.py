@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_schedule": _web_crawl_schedule,
         "web_sitemap_frontier": _web_sitemap_frontier,
         "warc_roundtrip": _warc_roundtrip,
+        "warc_cdx": _warc_cdx,
         "warc_wet_text": _warc_wet_text,
         "warc_wat_outlinks": _warc_wat_outlinks,
     }
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
             "web_crawl_schedule": _WEB_CRAWL_SCHEDULE_ORACLE,
             "web_sitemap_frontier": _WEB_SITEMAP_FRONTIER_ORACLE,
             "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
+            "warc_cdx": _WARC_CDX_ORACLE,
             "warc_wet_text": _WARC_WET_TEXT_ORACLE,
             "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE}
 
@@ -917,6 +919,27 @@ def _warc_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode("payload", "UTF-8").alias("text"))
 
 
+def _warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages -> WET warc -> CDX index (SURT urlkey + per-record gzip
+    member spans + payload sha256). The driver-compared slice is
+    (urlkey, warc_ts, digest) — all re-derivable in DuckDB from
+    documents (sha256 of the text, SURT from the deterministic url);
+    the offset/length spans are pinned by the slice-fetch pytest
+    (tests/test_warc.py)."""
+    from npm_extraction_server_spark.sources import warc as W
+
+    pages = _pages_from_documents(spark, sf_dir, limit=_WEB_HI)
+    d = _warc_scratch("cdxq_")
+    W.write_warc(W.wet_from_pages(pages), d, kind="conversion")
+    return build_cdx_slice(spark, d)
+
+
+def build_cdx_slice(spark: SparkSession, d: str) -> DataFrame:
+    from npm_extraction_server_spark.sources.warc import build_cdx
+
+    return build_cdx(spark, d).select("urlkey", "warc_ts", "digest")
+
+
 def _warc_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages -> WAT metadata records (JSON envelope with the outlink
     list, built in-plan via to_json) -> read back -> from_json +
@@ -945,6 +968,16 @@ SELECT url, warc_ts, true AS payload_ok, 200::INT AS http_status FROM p""")
 
 _WARC_WET_TEXT_ORACLE = ("WITH " + _WARC_PAGES_CTE + """
 SELECT url, warc_ts, text FROM p""")
+
+# CDX slice: SURT urlkey + sha256(text) re-derived from the
+# deterministic corpus (url = http://crawl.example.org/{i%100}/doc-{i}
+# -> org,example,crawl)/{i%100}/doc-{i}; WET payload == text bytes).
+_WARC_CDX_ORACLE = ("WITH " + _WARC_PAGES_CTE + """
+SELECT 'org,example,crawl)/' || (doc_id % 100) || '/doc-' || doc_id
+           AS urlkey,
+       TIMESTAMP '2017-06-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+       sha256(text) AS digest
+FROM documents WHERE doc_id < 300""")
 
 _WARC_WAT_OUTLINKS_ORACLE = ("WITH " + _WEB_LINKS_SQL
                              + "SELECT url, dst_url FROM links")

@@ -378,3 +378,128 @@ def wat_outlinks(wat_records: DataFrame) -> DataFrame:
                 .alias("url"),
                 F.explode(links).alias("link"))
             .select("url", F.col("link.url").alias("dst_url")))
+
+
+# ---------------------------------------------------------------- CDX
+
+CDX_SCHEMA = T.StructType([
+    T.StructField("urlkey", T.StringType(), True),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("file", T.StringType(), False),
+    T.StructField("offset", T.LongType(), False),
+    T.StructField("length", T.LongType(), False),
+    T.StructField("digest", T.StringType(), True),
+])
+
+
+def surt(url: str) -> str:
+    """SURT canonical url key (the Common-Crawl CDX sort key): host
+    labels reversed and comma-joined, then ')' + lowercased path
+    (+ lowercased query). Scheme and default port are dropped —
+    'http://Crawl.Example.org/A/b' -> 'org,example,crawl)/a/b'."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    host = (p.hostname or "").lower()
+    key = ",".join(reversed(host.split("."))) + ")"
+    key += (p.path or "/").lower()
+    if p.query:
+        key += "?" + p.query.lower()
+    return key
+
+
+def parse_warc_spans(buf: bytes):
+    """Like parse_warc_bytes but over an UNCOMPRESSED buffer, yielding
+    (start, end, headers, payload) with byte spans — the positional
+    parse the CDX indexer needs. Framing strictly by Content-Length."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        while pos < end and buf[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= end:
+            return
+        start = pos
+        head_end = buf.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise WarcFormatError(f"unterminated header block at offset {pos}")
+        head_lines = buf[pos:head_end].split(_CRLF)
+        if not head_lines[0].startswith(b"WARC/"):
+            raise WarcFormatError(
+                f"bad version line {head_lines[0][:20]!r} at offset {pos}")
+        headers = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("utf-8")
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise WarcFormatError(f"missing/bad Content-Length at offset {pos}")
+        body_start = head_end + 4
+        if body_start + clen > end:
+            raise WarcFormatError(f"truncated payload at offset {body_start}")
+        yield start, body_start + clen, headers, buf[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def build_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Build the CDX index of a WARC directory — the Common-Crawl
+    index artifact that makes a petabyte of WARC random-accessible:
+    one row per record with (urlkey=SURT, warc_ts, file, offset,
+    length, digest=sha256 of the stored payload). ``offset``/
+    ``length`` address the record's own gzip member in the CC
+    record-seekable layout (plain .warc files get raw byte spans), so
+    ``file[offset : offset+length]`` gunzips to exactly one record —
+    pinned by the slice-fetch pytest. warcinfo records are not
+    indexed (no target URI).
+
+    Scale shape: one task per WARC file (binaryFile source), map-only
+    — the indexer streams each file's members once; no shuffle until
+    whatever the caller does with the index (typically a sort/write
+    partitioned by urlkey prefix)."""
+    import hashlib
+    import zlib
+
+    files = (spark.read.format("binaryFile")
+             .load(os.path.join(path, "part-*.warc*"))
+             .select("path", "content"))
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                fname = fpath.split("/")[-1]
+
+                def emit(headers, payload, off, ln):
+                    uri = headers.get("warc-target-uri")
+                    if headers.get("warc-type") == "warcinfo" or not uri:
+                        return
+                    rows.append((
+                        surt(uri),
+                        datetime.strptime(headers["warc-date"],
+                                          "%Y-%m-%dT%H:%M:%SZ"),
+                        fname, off, ln,
+                        hashlib.sha256(payload).hexdigest(),
+                    ))
+
+                if buf[:2] == b"\x1f\x8b":
+                    pos = 0
+                    while pos < len(buf):
+                        obj = zlib.decompressobj(wbits=31)
+                        data = obj.decompress(buf[pos:])
+                        consumed = len(buf) - pos - len(obj.unused_data)
+                        if consumed <= 0:
+                            raise WarcFormatError(
+                                f"stuck gzip member at offset {pos}")
+                        for _s, _e, headers, payload in parse_warc_spans(data):
+                            emit(headers, payload, pos, consumed)
+                        pos += consumed
+                else:
+                    for s, e, headers, payload in parse_warc_spans(buf):
+                        emit(headers, payload, s, e - s)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CDX_SCHEMA.fields])
+
+    return files.mapInPandas(_index, schema=CDX_SCHEMA)

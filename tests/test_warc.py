@@ -148,3 +148,49 @@ def test_empty_partitions_write_no_file(spark):
     summary = W.write_warc(df, d, kind="response")
     assert len(summary) <= 1 or sum(s["n_records"] for s in summary) == 1
     assert W.read_warc(spark, d).count() == 1
+
+
+def test_cdx_spans_random_access_and_surt(spark, tmp_path):
+    """CDX contract: file[offset : offset+length] gunzips to exactly
+    the indexed record (digest of its payload matches the row), for
+    both compressed and plain layouts; SURT keys normalize case and
+    reverse host labels; warcinfo is not indexed."""
+    import gzip as _gzip
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.sources.warc import (
+        build_cdx,
+        parse_warc_bytes,
+        surt,
+        write_warc,
+    )
+
+    assert surt("http://Crawl.Example.org/A/b?Q=1") == \
+        "org,example,crawl)/a/b?q=1"
+    assert surt("https://example.org") == "org,example)/"
+
+    pages = spark.createDataFrame(
+        [(f"http://h{i % 3}.example.org/p/{i}",
+          __import__("datetime").datetime(2017, 6, 1, 0, 0, i),
+          f"text body {i}") for i in range(12)],
+        "url string, warc_ts timestamp, text string")
+
+    for compress in (True, False):
+        d = str(tmp_path / f"w_{compress}")
+        write_warc(pages.repartition(3), d, kind="conversion",
+                   compress=compress)
+        rows = build_cdx(spark, d).collect()
+        assert len(rows) == 12            # warcinfo rows excluded
+        by_key = {}
+        for r in rows:
+            raw = open(f"{d}/{r.file}", "rb").read()
+            member = raw[r.offset:r.offset + r.length]
+            data = _gzip.decompress(member) if compress else member
+            (headers, payload), = list(parse_warc_bytes(data))
+            assert headers["warc-target-uri"].endswith(
+                r.urlkey.split(")/", 1)[1].rsplit("/", 1)[-1])
+            assert hashlib.sha256(payload).hexdigest() == r.digest
+            by_key[r.urlkey] = payload.decode()
+        assert by_key["org,example,h1)/p/1"] == "text body 1"
