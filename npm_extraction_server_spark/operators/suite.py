@@ -1605,6 +1605,16 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_ktruss(spark, sf):
+    """4-truss of the KG multigraph via per-edge support peeling
+    (hard oracle: the peel rounds unrolled in DuckDB with naive
+    triangle enumeration — same truss, skew-safe plan here). Returns
+    surviving edges with their final support."""
+    from ..plans.graph import ktruss
+
+    return ktruss(_kg_graph_edges(spark, sf), k=4)
+
+
 def graph_neighbor_agg(spark, sf):
     """Two rounds of integer sum message passing over the KG
     multigraph, starting features h = doc_id % 100 (hard oracle: the
@@ -1849,6 +1859,7 @@ SPARK_QUERIES = {
     "graph_walk_pairs": graph_walk_pairs,
     "graph_closeness": graph_closeness,
     "graph_neighbor_agg": graph_neighbor_agg,
+    "graph_ktruss": graph_ktruss,
     "kg_sameas_closure": kg_sameas_closure,
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
@@ -2386,6 +2397,40 @@ def _topo_layers_sql(rounds: int = 7) -> str:
             + "\n" + "\nUNION ALL\n".join(selects))
 
 
+def _ktruss_sql(k: int, rounds: int = 5) -> str:
+    """ktruss's peeling unrolled: per round, per-edge triangle support
+    over the survivor set (naive a<b<c enumeration), keep support >=
+    k-2. Rounds past the fixpoint are no-ops; the final support comes
+    from the last round's aggregate over the (fixpoint) survivor set,
+    exactly the value the Spark loop returns."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    s0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    t{r} AS MATERIALIZED (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM s{r - 1} e1
+        JOIN s{r - 1} e2 ON e2.a = e1.b
+        JOIN s{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+    p{r} AS MATERIALIZED (
+        SELECT a, b, count(*) AS s FROM (
+            SELECT a, b FROM t{r}
+            UNION ALL SELECT a, c AS b FROM t{r}
+            UNION ALL SELECT b AS a, c AS b FROM t{r}) GROUP BY a, b),
+    s{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM s{r - 1} e
+        JOIN p{r} p ON p.a = e.a AND p.b = e.b
+        WHERE p.s >= {k - 2})"""
+    sql += f"""
+    SELECT e.a, e.b, p.s::BIGINT AS support
+    FROM s{rounds} e JOIN p{rounds} p ON p.a = e.a AND p.b = e.b"""
+    return sql
+
+
 def _kcore_sql(k: int, rounds: int = 4) -> str:
     """kcore's peeling unrolled: s0 = the undirected simple edge set;
     each round keeps edges whose BOTH endpoints have degree >= k in
@@ -2777,6 +2822,7 @@ ORACLE_SQL = {
     "graph_sssp": _GRAPH_SSSP_SQL,
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
+    "graph_ktruss": _ktruss_sql(4, rounds=5),
     "graph_topo_layers": _topo_layers_sql(7),
     "graph_scc": ("WITH " + _DEP_DAG_EDGES_CTE + """
         SELECT n AS node_id,

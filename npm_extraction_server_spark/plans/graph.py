@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "closeness", "hits", "kcore", "link_predict",
+__all__ = ["bfs_distances", "closeness", "hits", "kcore", "ktruss", "link_predict",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
            "triangle_counts", "walk_skipgram_pairs"]
@@ -251,6 +251,37 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     return ranks.select("node_id", F.round("rank", out_scale).alias("rank"))
 
 
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle of the undirected simple edge set ``und``
+    (columns a < b) exactly once, as (u, v, w) via low-degree->high-
+    degree orientation (ties on id) — the Suri & Vassilvitskii MR
+    enumeration: wedges form only at each edge's cheap end, O(d) rows
+    per degree-d hub. The triangle SET equals naive a<b<c
+    enumeration; only the plan is skew-safe."""
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ori = (
+        und.join(da, "a").join(db, "b")
+        .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    e2 = ori.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = ori.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    return (
+        ori.join(e2, "v")                 # wedge u->v->w at u (low deg)
+        .join(e3, (F.col("u") == F.col("tu")) & (F.col("w") == F.col("tw")))
+        .select("u", "v", "w")
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation count over the undirected simple
     graph induced by ``edges`` (direction and duplicates dropped,
@@ -273,28 +304,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionByName(und.select(F.col("b").alias("n")))
-        .groupBy("n").agg(F.count("*").alias("d"))
-    )
-    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    ori = (
-        und.join(da, "a").join(db, "b")
-        .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
-        .localCheckpoint(eager=True)
-    )
-    e2 = ori.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    e3 = ori.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
-    tri = (
-        ori.join(e2, "v")                 # wedge u->v->w at u (low deg)
-        .join(e3, (F.col("u") == F.col("tu")) & (F.col("w") == F.col("tw")))
-        .select("u", "v", "w")
-    )
+    tri = _oriented_triangles(und)
     per_node = (
         tri.select(F.col("u").alias("node_id"))
         .unionByName(tri.select(F.col("v").alias("node_id")))
@@ -998,3 +1008,56 @@ def neighbor_agg(edges: DataFrame, features: DataFrame,
     finally:
         edges.unpersist()
     return cur
+
+
+def ktruss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """The k-truss of the undirected simple graph induced by
+    ``edges``: the maximal subgraph where every EDGE participates in
+    >= k-2 triangles — the standard cohesive-community definition one
+    rung stronger than k-core (every edge, not just every node, must
+    be embedded in enough mutual connections). Computed by iterative
+    edge peeling: count per-edge triangle support, drop edges below
+    k-2, repeat to fixpoint. Returns the surviving edges
+    (a, b, support) with their support in the final truss.
+
+    Each round is one skew-safe oriented triangle enumeration
+    (_oriented_triangles — O(d) wedge rows per degree-d hub) + one
+    per-edge support aggregate + one filter; the live edge set
+    shrinks monotonically and is checkpointed per round, and the
+    convergence check rides the same count that carries the loop (one
+    action per round, the kcore discipline). Raises if not converged
+    by ``max_rounds``.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live = und
+    n_live = live.count()
+    for _ in range(max_rounds):
+        tri = _oriented_triangles(live)
+        # (u,v,w) is degree-oriented, not sorted — normalize each of
+        # the triangle's three edges back to (a < b)
+        sup = (
+            tri.select(F.least("u", "v").alias("a"),
+                       F.greatest("u", "v").alias("b"))
+            .unionByName(tri.select(F.least("u", "w").alias("a"),
+                                    F.greatest("u", "w").alias("b")))
+            .unionByName(tri.select(F.least("v", "w").alias("a"),
+                                    F.greatest("v", "w").alias("b")))
+            .groupBy("a", "b").agg(F.count("*").alias("support"))
+        )
+        scored = (live.join(sup, ["a", "b"], "left")
+                  .select("a", "b",
+                          F.coalesce("support", F.lit(0)).alias("support")))
+        nxt = (scored.filter(F.col("support") >= k - 2)
+               .localCheckpoint(eager=True))
+        n_nxt = nxt.count()
+        if n_nxt == n_live:
+            return nxt
+        live = nxt.select("a", "b").localCheckpoint(eager=True)
+        n_live = n_nxt
+    raise RuntimeError(f"ktruss: no convergence in {max_rounds} rounds")

@@ -552,3 +552,39 @@ def test_neighbor_agg_matches_bruteforce(spark):
     got = {r.node_id: (r.h0, r.h1, r.h2, r.h3)
            for r in neighbor_agg(edges, fdf, rounds=3).collect()}
     assert got == {v: tuple(hist[v]) for v in hist}
+
+
+def test_ktruss_matches_bruteforce_peeling(spark):
+    """ktruss pinned against pure-Python edge peeling on a graph with
+    a planted 5-clique (survives k=4 and k=5), a triangle chain
+    (dies at k=4), and pendant edges (die immediately); supports in
+    the returned truss match the final-round counts."""
+    import itertools
+
+    from npm_extraction_server_spark.plans.graph import ktruss
+
+    clique = list(itertools.combinations(range(5), 2))
+    tri_chain = [(10, 11), (11, 12), (12, 10), (12, 13), (13, 14),
+                 (14, 12)]
+    pendants = [(0, 50), (11, 51)]
+    edge_list = clique + tri_chain + pendants
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    def brute(k):
+        live = {tuple(sorted(e)) for e in edge_list}
+        while True:
+            nbr = {}
+            for a, b in live:
+                nbr.setdefault(a, set()).add(b)
+                nbr.setdefault(b, set()).add(a)
+            sup = {e: len(nbr[e[0]] & nbr[e[1]]) for e in live}
+            nxt = {e for e in live if sup[e] >= k - 2}
+            if nxt == live:
+                return {e: sup[e] for e in live}
+            live = nxt
+
+    for k in (3, 4, 5):
+        got = {(r.a, r.b): r.support for r in ktruss(edges, k=k).collect()}
+        assert got == brute(k), k
+    # the 5-clique is exactly the 5-truss; every edge has support 3
+    assert set(brute(5)) == set(clique)
