@@ -177,52 +177,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The curated driver-budget head (see queries()); keep <= 50 entries
 # and keep every family represented when adding queries.
 _PRIORITY: list[str] = [
-    # scans / predicates
-    "sc1_scan_filter",
-    # joins / windows / aggs
-    "j1_range_pick", "j2_broadcast_dim", "j9_asof_join",
-    "j10_fuzzy_block_join",
-    "a2_last_write_wins", "q1_pricing_summary",
-    "events_session_window",
-    # time series + data quality (w4_running_sum / q6 demoted to the
-    # tail — long-green siblings of q1/events windows)
-    "ts_resample", "dq_violations",
-    # dedup family
-    "dedup_minhash_verified", "dedup_simhash_verified", "dedup_clusters",
+    # Curation principle (round-3 VERDICT item 1): the driver records
+    # exactly the FIRST 50 queries() entries each round, so the head
+    # holds queries with NO prior driver record — everything demoted
+    # to the tail is green in CORRECTNESS_r01-r03 (driver-recorded) or
+    # in the committed CORRECTNESS_FULL_r04.json self-run.
+    # joins / windows / time series / data quality
+    "j10_fuzzy_block_join", "j11_asof_forward", "j12_auto_salted_join",
+    "events_session_window", "ts_resample", "dq_violations",
+    # dedup family (clusters subsumes the verified-pair machinery)
+    "dedup_clusters",
     # text / retrieval
-    "text_inverted_index", "text_tfidf_topk", "text_bm25_topk",
-    "text_decontaminate", "text_unigram_ppl",
-    # similarity
-    "sim_cosine_topk", "sim_lsh_verified", "sim_ivf_verified",
-    # graph (labelprop/kcore demoted to the tail — long-green
-    # siblings — for the new walk + link-prediction shapes)
-    "graph_components", "graph_bfs",
-    "graph_pagerank", "graph_pagerank_dangling",
-    "graph_sssp", "graph_walks", "graph_link_predict",
-    # web link graph + content extraction (graph_ppr / graph_triangles
-    # moved to the tail — long-green siblings — to keep the head at 50;
-    # web_main_content carries the byte-identity text invariant)
+    "text_inverted_index", "text_bigram_ppl", "text_unigram_ppl",
+    # similarity (ivfpq exercises the IVF assignment + PQ re-rank path)
+    "sim_ivfpq_verified",
+    # graph
+    "graph_bfs", "graph_pagerank", "graph_pagerank_dangling",
+    "graph_sssp", "graph_walks", "graph_walk_pairs",
+    "graph_link_predict", "graph_closeness", "graph_neighbor_agg",
+    "graph_ktruss", "graph_scc", "graph_topo_layers",
+    # web link graph + content extraction (web_main_content carries
+    # the byte-identity text invariant)
     "web_outlinks", "web_host_pagerank", "web_main_content",
-    # lakehouse snapshots (changelog demoted to the tail — long-green
-    # sibling of merge_upsert — for the round-4 additions)
+    # lakehouse snapshots
     "snap_incremental", "snap_incr_view", "snap_merge_upsert",
-    "snap_schema_evolution", "snap_wap",
-    # sketches (heavy_hitters + distinct moved to the tail — set_ops
-    # subsumes the KMV build path)
-    "sketch_set_ops", "sketch_hll",
-    # WARC/WET containers (wet_text = the byte-identical-text north
-    # invariant through a file-format round trip)
-    "warc_wet_text",
+    "snap_schema_evolution", "snap_wap", "snap_pos_delete",
+    "snap_mor_merge",
+    # sketches
+    "sketch_set_ops", "sketch_hll", "sketch_bloom",
+    # WARC/WET containers + the CDX index
+    "warc_wet_text", "warc_cdx",
     # sampling / packing / curation
-    "pack_tokens_bpe", "corpus_curation",
-    # KG pipeline + sources + BGP/closure query layer (dep_chain
-    # demoted — optional_deps exercises the same chain join plus
-    # OPTIONAL; union_labels covers UNION+FILTER)
+    "pack_tokens_bpe", "corpus_curation", "sample_alpha_mix",
+    # KG pipeline + BGP/closure query layer
     "kg_triples_doap", "kg_sameas_closure", "kg_bgp_optional_deps",
-    "kg_bgp_dep_counts", "kg_bgp_minus_deps",
+    "kg_bgp_dep_counts", "kg_bgp_minus_deps", "kg_bgp_construct_labels",
     "kg_transitive_deps", "kg_bgp_union_labels",
     # multimodal
-    "mm_image_features", "mm_video_features",
+    "mm_image_features",
 ]
 
 
