@@ -923,13 +923,7 @@ def _warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages_from_documents(spark, sf_dir, limit=_WEB_HI)
     d = _warc_scratch("cdxq_")
     W.write_warc(W.wet_from_pages(pages), d, kind="conversion")
-    return build_cdx_slice(spark, d)
-
-
-def build_cdx_slice(spark: SparkSession, d: str) -> DataFrame:
-    from npm_extraction_server_spark.sources.warc import build_cdx
-
-    return build_cdx(spark, d).select("urlkey", "warc_ts", "digest")
+    return W.build_cdx(spark, d).select("urlkey", "warc_ts", "digest")
 
 
 def _warc_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1606,13 +1606,15 @@ def graph_triangles(spark, sf):
 
 
 def graph_ktruss(spark, sf):
-    """4-truss of the KG multigraph via per-edge support peeling
+    """3-truss of the KG multigraph via per-edge support peeling
     (hard oracle: the peel rounds unrolled in DuckDB with naive
-    triangle enumeration — same truss, skew-safe plan here). Returns
-    surviving edges with their final support."""
+    triangle enumeration — same truss, skew-safe plan here; 530 of
+    the 1657 undirected edges survive, so the comparison is
+    non-vacuous — the graph's 4-truss is EMPTY, which would verify
+    nothing). Returns surviving edges with their final support."""
     from ..plans.graph import ktruss
 
-    return ktruss(_kg_graph_edges(spark, sf), k=4)
+    return ktruss(_kg_graph_edges(spark, sf), k=3)
 
 
 def graph_neighbor_agg(spark, sf):
@@ -2822,7 +2824,7 @@ ORACLE_SQL = {
     "graph_sssp": _GRAPH_SSSP_SQL,
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
-    "graph_ktruss": _ktruss_sql(4, rounds=5),
+    "graph_ktruss": _ktruss_sql(3, rounds=4),
     "graph_topo_layers": _topo_layers_sql(7),
     "graph_scc": ("WITH " + _DEP_DAG_EDGES_CTE + """
         SELECT n AS node_id,

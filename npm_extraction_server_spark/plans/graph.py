@@ -1058,6 +1058,9 @@ def ktruss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         n_nxt = nxt.count()
         if n_nxt == n_live:
             return nxt
-        live = nxt.select("a", "b").localCheckpoint(eager=True)
+        # nxt is already an eager checkpoint; the projection is pure
+        # metadata — re-checkpointing it would materialize every
+        # round's survivor set twice
+        live = nxt.select("a", "b")
         n_live = n_nxt
     raise RuntimeError(f"ktruss: no convergence in {max_rounds} rounds")

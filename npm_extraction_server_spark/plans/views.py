@@ -20,13 +20,15 @@ full-outer merge join against the view keyed on the group-by columns
 — at 10^12 base rows with a 0.01% daily churn, refresh touches ~10^8
 delta rows and |groups| view rows where a recompute scans everything.
 
-View state is a directory: ``data.parquet`` (the aggregate) +
-``view.json`` (spec + the base-table snapshot the aggregate is AS OF)
-— published atomically via write-temp-then-rename, the same
+View state is a directory: VERSIONED data dirs
+(``data-<snapshot>.parquet``) + ``view.json`` (spec + the base-table
+snapshot the aggregate is AS OF + the data dir it names). The spec
+swap (one atomic os.replace) is the only commit point — the same
 single-host commit analog as sources/snapshots (object-store CAS in
 production). ``refresh`` is idempotent: a second call at the same
-base snapshot is a no-op, and a crash between data write and state
-write leaves the old view intact.
+base snapshot is a no-op, and a crash anywhere before the spec swap
+leaves the old (spec, data) pair fully intact, so the restarted
+refresh re-derives the same delta instead of double-applying it.
 
 NULL measure values contribute 0 to sums (coalesce on ingest — same
 rule applied in create and refresh, so the two paths agree exactly).
@@ -67,30 +69,34 @@ def _validate(group_by: list[str], sums: dict[str, str]) -> None:
 
 
 def _publish(df: DataFrame, view: str, state: dict) -> None:
-    """Atomic publish: write data to a temp dir, fsync the state json
-    beside it, then rename both into place (data first, state last —
-    a crash in between leaves the PREVIOUS consistent pair)."""
+    """Atomic publish via VERSIONED data directories: the aggregate is
+    written completely to ``data-<as_of>.parquet``, then the spec —
+    which names that directory — is swapped in with one atomic
+    os.replace. The spec swap is the ONLY commit point: a crash at any
+    earlier moment leaves the old spec still naming the old (intact)
+    data dir, so a restarted refresh re-reads the old ``as_of`` and
+    re-derives the same delta — never a half-published pair where new
+    data sits under an old snapshot pointer (which would double-apply
+    the changelog on the next refresh). Superseded data dirs are
+    removed only after the swap."""
     view_p = Path(view)
     view_p.mkdir(parents=True, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=view_p, prefix="_stage_")
-    df.write.mode("overwrite").parquet(str(Path(tmp) / "data.parquet"))
-    data_dst = view_p / "data.parquet"
-    old = None
-    if data_dst.exists():
-        old = view_p / f"_old_{os.getpid()}"
-        data_dst.rename(old)
-    (Path(tmp) / "data.parquet").rename(data_dst)
+    data_name = f"data-{state['as_of']}.parquet"
+    df.write.mode("overwrite").parquet(str(view_p / data_name))
+    state = {**state, "data": data_name}
+    old_data = None
+    if _spec_path(view).exists():
+        old_data = json.loads(_spec_path(view).read_text()).get("data")
     fd, tmp_json = tempfile.mkstemp(dir=view_p, suffix=".json")
     with os.fdopen(fd, "w") as f:
         json.dump(state, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_json, _spec_path(view))
-    if old is not None:
+    if old_data and old_data != data_name:
         import shutil
 
-        shutil.rmtree(old, ignore_errors=True)
-    Path(tmp).rmdir()
+        shutil.rmtree(view_p / old_data, ignore_errors=True)
 
 
 def create_agg_view(spark: SparkSession, table: str, view: str,
@@ -116,7 +122,8 @@ def read_view(spark: SparkSession, view: str) -> DataFrame:
     p = _spec_path(view)
     if not p.exists():
         raise ValueError(f"{view}: not an agg view (no view.json)")
-    return spark.read.parquet(str(Path(view) / "data.parquet"))
+    spec = json.loads(p.read_text())
+    return spark.read.parquet(str(Path(view) / spec["data"]))
 
 
 def refresh_agg_view(spark: SparkSession, table: str,
@@ -147,12 +154,21 @@ def refresh_agg_view(spark: SparkSession, table: str,
     n_changes = changes.count()
     groups_touched = delta.count()
     old = read_view(spark, view).localCheckpoint(eager=True)
-    merged = (old.join(delta, group_by, "full")
-              .select(*group_by,
+    # NULL-safe join on the group key: SQL GROUP BY puts all-NULL
+    # keys in ONE group, so the merge must treat NULL = NULL as a
+    # match or a NULL-keyed group would split into a stale row plus
+    # a delta row instead of folding
+    cond = None
+    for c in group_by:
+        eq = old[c].eqNullSafe(delta[c])
+        cond = eq if cond is None else cond & eq
+    merged = (old.join(delta, cond, "full")
+              .select(*[F.coalesce(old[c], delta[c]).alias(c)
+                        for c in group_by],
                       (F.coalesce(F.col("n_rows"), F.lit(0))
                        + F.coalesce(F.col("_d_n"), F.lit(0)))
                       .alias("n_rows"),
-                      *[(F.coalesce(F.col(a), F.lit(0))
+                      *[(F.coalesce(old[a], F.lit(0))
                          + F.coalesce(F.col(f"_d_{a}"), F.lit(0)))
                         .alias(a) for a in sums])
               .filter(F.col("n_rows") > 0))

@@ -1705,3 +1705,28 @@ def test_agg_view_incremental_equals_recompute(spark, tmp_path):
                         group_by=["g"], sums={"n_rows": "x"})
     with pytest.raises(ValueError, match="empty group_by"):
         create_agg_view(spark, t, str(tmp_path / "v3"), group_by=[])
+
+
+def test_agg_view_null_group_key_folds(spark, tmp_path):
+    """A NULL group key is ONE group (SQL GROUP BY semantics): the
+    refresh merge must fold the delta into the stored NULL-key row,
+    not emit a stale row plus a delta row."""
+    from npm_extraction_server_spark.plans.views import (
+        create_agg_view,
+        read_view,
+        refresh_agg_view,
+    )
+
+    t = str(tmp_path / "base")
+    v = str(tmp_path / "view")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 5)],
+        "id long, g string, x long")
+    commit(df, t)
+    create_agg_view(spark, t, v, group_by=["g"], sums={"sx": "x"})
+    commit(spark.createDataFrame([(4, None, 7), (5, "a", 1)],
+                                 "id long, g string, x long"), t)
+    refresh_agg_view(spark, t, v)
+    rows = {r.g: (r.n_rows, r.sx) for r in read_view(spark, v).collect()}
+    assert rows == {None: (3, 37), "a": (2, 6)}
+    assert len(read_view(spark, v).collect()) == 2
