@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "closeness", "hits", "kcore", "ktruss", "link_predict",
+           "maximal_independent_set",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
            "triangle_counts", "walk_skipgram_pairs"]
@@ -1064,3 +1065,70 @@ def ktruss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         live = nxt.select("a", "b")
         n_live = n_nxt
     raise RuntimeError(f"ktruss: no convergence in {max_rounds} rounds")
+
+
+def maximal_independent_set(edges: DataFrame,
+                            max_rounds: int = 40) -> DataFrame:
+    """Luby's maximal-independent-set algorithm with DETERMINISTIC
+    md5 round priorities — the classic distributed symmetry-breaking
+    primitive (the building block of parallel coloring, matching, and
+    clustering): each round, every undecided node draws priority
+    p = md5(round:node) and joins the MIS iff it beats every
+    undecided neighbor; winners and their neighbors leave the game.
+    Expected O(log n) rounds. md5 makes the "random" draw a pure
+    function of (round, node): identical on every run, partitioning,
+    and engine (15-hex keys — a tie needs an md5 collision).
+
+    Returns (node_id) — the MIS over the undirected simple graph
+    induced by ``edges``. Isolated nodes never appear in the edge
+    list and so are not represented (they are trivially in any MIS —
+    union them in if the vertex set is wider).
+
+    Scale shape: per round one join of the adjacency against the
+    undecided priorities + one groupBy(n) max + one anti-join — all
+    keyed on node id; the undecided set shrinks geometrically in
+    expectation and every round's state is checkpointed.
+
+    Oracle twin: _mis_sql in operators/suite.py (rounds unrolled).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m")))
+           .localCheckpoint(eager=True))
+    undecided = (adj.select("n").distinct()
+                 .localCheckpoint(eager=True))
+    mis: DataFrame | None = None
+    for r in range(1, max_rounds + 1):
+        if not undecided.limit(1).count():
+            assert mis is not None
+            return mis.select(F.col("n").alias("node_id"))
+        pr = undecided.select(
+            "n",
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(str(r)), F.col("n").cast("string"))), 1, 15),
+                16, 10).cast("bigint").alias("p"))
+        nbr_max = (adj.join(pr.select(F.col("n").alias("m"),
+                                      F.col("p").alias("p_m")), "m")
+                   .join(undecided, "n", "left_semi")
+                   .groupBy("n").agg(F.max("p_m").alias("mp")))
+        winners = (pr.join(nbr_max, "n", "left")
+                   .filter(F.col("mp").isNull()
+                           | (F.col("p") > F.col("mp")))
+                   .select("n")
+                   .localCheckpoint(eager=True))
+        mis = winners if mis is None else mis.unionByName(winners)
+        removed = (winners
+                   .unionByName(adj.join(winners, "n", "left_semi")
+                                .select(F.col("m").alias("n")))
+                   .distinct())
+        undecided = (undecided.join(removed, "n", "left_anti")
+                     .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"maximal_independent_set: no convergence in {max_rounds} rounds")

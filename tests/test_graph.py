@@ -588,3 +588,47 @@ def test_ktruss_matches_bruteforce_peeling(spark):
         assert got == brute(k), k
     # the 5-clique is exactly the 5-truss; every edge has support 3
     assert set(brute(5)) == set(clique)
+
+
+def test_mis_matches_simulation_and_properties(spark):
+    """Luby MIS pinned against a pure-Python simulation of the exact
+    md5 priority rounds; result is independent (no MIS edge) and
+    maximal (every non-MIS node has an MIS neighbor)."""
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import (
+        maximal_independent_set,
+    )
+
+    edge_list = [(i, (i * 7 + 3) % 40) for i in range(40)] + \
+                [(i, (i * 11 + 5) % 40) for i in range(40)] + \
+                [(0, j) for j in range(1, 10)]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    nbr = {}
+    for a, b in edge_list:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+
+    def p(r, v):
+        return int(hashlib.md5(f"{r}:{v}".encode()).hexdigest()[:15], 16)
+
+    undecided = set(nbr)
+    exp = set()
+    r = 0
+    while undecided:
+        r += 1
+        pri = {v: p(r, v) for v in undecided}
+        win = {v for v in undecided
+               if all(pri[v] > pri[u] for u in nbr[v] if u in undecided)}
+        exp |= win
+        rm = set(win)
+        for v in win:
+            rm |= nbr[v] & undecided
+        undecided -= rm
+
+    got = {r_.node_id for r_ in maximal_independent_set(edges).collect()}
+    assert got == exp
+    assert all(not (a in got and b in got) for a, b in edge_list)
+    assert all(v in got or (nbr[v] & got) for v in nbr)
