@@ -548,3 +548,47 @@ def test_reorder_patterns_selectivity_and_connectivity(spark):
     got2 = reorder_patterns(t, pats2)
     assert set(got2) == set(pats2)
     assert bgp_join(t, got2).count() == 2
+
+
+def test_inverted_index_two_term_exchanges(spark):
+    """inverted_index: exactly two shuffles, both keyed on the term
+    ((term, doc) posting aggregate + the term window for df); no
+    Python eval node anywhere."""
+    from npm_extraction_server_spark.operators.text import inverted_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(inverted_index(docs))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "term" in plan.split("Exchange hashpartitioning")[1][:60]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bgp_constant_predicate_reaches_scan(spark):
+    """bgp_agg (like every BGP form): a constant predicate term
+    becomes a pushed filter on the triples scan."""
+    import tempfile
+
+    from npm_extraction_server_spark.plans.bgp import bgp_agg
+
+    t = spark.createDataFrame(
+        [(f"s{i}", "knows" if i % 2 else "likes", f"o{i}")
+         for i in range(100)],
+        "subj string, pred string, obj string")
+    d = tempfile.mkdtemp(prefix="bgp_scan_")
+    t.write.mode("overwrite").parquet(d)
+    triples = spark.read.parquet(d)
+    plan = _plan(bgp_agg(triples, [("?s", "knows", "?o")], ["s"],
+                         [("o", "count", "n")]))
+    assert "PushedFilters" in plan and "EqualTo(pred,knows)" in plan
+
+
+def test_link_predict_no_cartesian(spark):
+    """link_predict: wedge pairs come from key-partitioned joins;
+    no cartesian/broadcast-nested-loop anywhere in the plan."""
+    from npm_extraction_server_spark.plans.graph import link_predict
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst"))
+    plan = _plan(link_predict(edges, min_common=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
