@@ -1670,6 +1670,25 @@ def graph_walk_pairs(spark, sf):
     return walk_skipgram_pairs(walks, window=2)
 
 
+def graph_weighted_walks(spark, sf):
+    """Edge-weighted deterministic walks over the KG multigraph with
+    the sssp weight rule w = 1 + (3*src + 5*dst) % 7 (hard oracle:
+    unrolled cumulative-threshold choice in DuckDB, exact HUGEINT/
+    decimal crossing compare — the weighted corpus is bit-identical
+    cross-engine)."""
+    from ..plans.graph import weighted_random_walks
+
+    d = F.col("doc_id")
+    starts = (_t(spark, sf, "documents").select("doc_id")
+              .filter((d < 500) & (d % 10 == 0))
+              .select(d.alias("node_id")))
+    edges = _kg_graph_edges(spark, sf).withColumn(
+        "w", (F.lit(1) + (F.col("src") * 3 + F.col("dst") * 5) % 7)
+        .cast("long"))
+    return weighted_random_walks(edges, starts, length=8,
+                                 walks_per_node=2)
+
+
 def kg_sameas_closure(spark, sf):
     """owl:sameAs entity-identity closure via forward-chaining rule
     materialization to FIXPOINT (plans/bgp.materialize_rules): planted
@@ -1869,6 +1888,7 @@ SPARK_QUERIES = {
     "graph_link_predict": graph_link_predict,
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
+    "graph_weighted_walks": graph_weighted_walks,
     "graph_closeness": graph_closeness,
     "graph_neighbor_agg": graph_neighbor_agg,
     "graph_ktruss": graph_ktruss,
@@ -2295,6 +2315,46 @@ _GRAPH_TRIANGLES_SQL = f"""
     SELECT node_id, count(*)::BIGINT AS n_triangles
     FROM tri_nodes GROUP BY node_id
 """
+
+def _weighted_walks_sql(length: int = 8, walks_per_node: int = 2) -> str:
+    """weighted_random_walks unrolled: per step the walk draws
+    u = md5(walk:step:node)/2^60 and picks the first dst (ordered by
+    id) whose cumulative weight crosses u — the crossing test in
+    exact HUGEINT arithmetic, mirroring Spark's decimal(38,0)."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    ew AS MATERIALIZED (
+        SELECT src, dst, (1 + (3*src + 5*dst) % 7)::BIGINT AS w FROM e0),
+    w0 AS (
+        SELECT (doc_id * {walks_per_node} + r.r)::BIGINT AS walk_id,
+               doc_id AS node, 0 AS step
+        FROM documents,
+             (SELECT unnest(generate_series(0, {walks_per_node - 1})) AS r) r
+        WHERE doc_id < 500 AND doc_id % 10 = 0)"""
+    for k in range(1, length + 1):
+        sql += f""",
+    c{k} AS MATERIALIZED (
+        SELECT w.walk_id,
+               ('0x' || substr(md5(w.walk_id || ':{k}:' || w.node),
+                               1, 15))::UBIGINT::HUGEINT AS h,
+               e.dst, e.w
+        FROM w{k - 1} w JOIN ew e ON e.src = w.node),
+    x{k} AS (
+        SELECT walk_id, dst, h,
+               sum(w) OVER (PARTITION BY walk_id
+                            ORDER BY dst)::HUGEINT AS cum,
+               sum(w) OVER (PARTITION BY walk_id)::HUGEINT AS total
+        FROM c{k}),
+    w{k} AS MATERIALIZED (
+        SELECT walk_id, min(dst) AS node, {k} AS step FROM x{k}
+        WHERE cum * 1152921504606846976::HUGEINT > h * total
+        GROUP BY walk_id)"""
+    sql += ("\n    SELECT walk_id, step, node FROM ("
+            + "\n    UNION ALL ".join(
+                f"SELECT * FROM w{k}" for k in range(length + 1))
+            + ")")
+    return sql
+
 
 def _graph_walks_sql(length: int = 8, walks_per_node: int = 2) -> str:
     """random_walks unrolled: step k picks the out-neighbor minimizing
@@ -2887,6 +2947,7 @@ ORACLE_SQL = {
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "graph_walks": _graph_walks_sql(),
+    "graph_weighted_walks": _weighted_walks_sql(),
     "graph_neighbor_agg": f"""
         WITH {_KG_GRAPH_EDGES_CTE},
         h0 AS (

@@ -52,14 +52,15 @@ vectors through every iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "closeness", "hits", "kcore", "ktruss", "link_predict",
            "maximal_independent_set",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
-           "triangle_counts", "walk_skipgram_pairs"]
+           "triangle_counts", "walk_skipgram_pairs",
+           "weighted_random_walks"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -1132,3 +1133,69 @@ def maximal_independent_set(edges: DataFrame,
                      .localCheckpoint(eager=True))
     raise RuntimeError(
         f"maximal_independent_set: no convergence in {max_rounds} rounds")
+
+
+def weighted_random_walks(edges: DataFrame, starts: DataFrame,
+                          length: int = 8,
+                          walks_per_node: int = 1) -> DataFrame:
+    """Edge-weighted deterministic random walks: at step t the walk
+    at node v draws u = md5(walk_id:t:v) / 2^60 and moves to the
+    neighbor at the cumulative-weight crossing (neighbors ordered by
+    dst id, P(d) proportional to its integer weight ``w``) — weighted
+    sampling without RNG state, reproducible anywhere. The crossing
+    test runs in EXACT decimal arithmetic (cum * 2^60 > h * total),
+    so engines can never disagree on a boundary.
+
+    ``edges``: (src, dst, w) with w a positive integer (parallel
+    edges: pre-aggregate, or they act as independent weight mass at
+    the same dst slot — dedupe+sum upstream for strict node2vec
+    semantics). Returns (walk_id, step, node) like random_walks;
+    walks stop at sinks.
+
+    Scale shape: identical to random_walks plus a per-(walk, step)
+    window over the candidate out-edges (partitioned on walk_id — the
+    frontier key, already co-located after the join).
+
+    Oracle twin: _weighted_walks_sql in operators/suite.py.
+    """
+    spark = starts.sparkSession
+    edges = (edges.select("src", "dst", F.col("w").cast("long"))
+             .repartition(F.col("src")).persist())
+    edges.count()
+    reps = spark.range(walks_per_node).select(F.col("id").alias("r"))
+    cur = (starts.select("node_id").distinct().crossJoin(reps)
+           .select((F.col("node_id") * walks_per_node + F.col("r"))
+                   .alias("walk_id"),
+                   F.col("node_id").alias("node"))
+           .withColumn("step", F.lit(0))
+           .localCheckpoint(eager=True))
+    out = cur
+    two60 = F.lit(str(1 << 60)).cast("decimal(38,0)")
+    try:
+        for t in range(1, length + 1):
+            h = (F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("walk_id").cast("string"), F.lit(str(t)),
+                F.col("node").cast("string"))), 1, 15), 16, 10)
+                .cast("decimal(38,0)"))
+            cand = (cur.join(edges, cur.node == edges.src)
+                    .select("walk_id", h.alias("h"), "dst", "w"))
+            win = Window.partitionBy("walk_id").orderBy("dst")
+            tot = Window.partitionBy("walk_id")
+            crossed = (cand
+                       .withColumn("cum", F.sum("w").over(win)
+                                   .cast("decimal(38,0)"))
+                       .withColumn("total", F.sum("w").over(tot)
+                                   .cast("decimal(38,0)"))
+                       .filter(F.col("cum") * two60
+                               > F.col("h") * F.col("total")))
+            nxt = (crossed.groupBy("walk_id")
+                   .agg(F.min("dst").alias("node"))
+                   .withColumn("step", F.lit(t))
+                   .localCheckpoint(eager=True))
+            if nxt.rdd.isEmpty():
+                break
+            out = out.unionByName(nxt.select(*out.columns))
+            cur = nxt
+    finally:
+        edges.unpersist()
+    return out.select("walk_id", "step", "node")

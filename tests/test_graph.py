@@ -632,3 +632,59 @@ def test_mis_matches_simulation_and_properties(spark):
     assert got == exp
     assert all(not (a in got and b in got) for a, b in edge_list)
     assert all(v in got or (nbr[v] & got) for v in nbr)
+
+
+def test_weighted_walks_match_simulation_and_bias(spark):
+    """weighted_random_walks pinned against a pure-Python simulation
+    of the cumulative-threshold rule; a heavily-weighted edge is
+    chosen proportionally more often across many walks."""
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import weighted_random_walks
+
+    # star: node 0 -> {1 (w=1), 2 (w=8), 3 (w=1)}; plus a tail so
+    # walks have length
+    edge_list = [(0, 1, 1), (0, 2, 8), (0, 3, 1),
+                 (1, 0, 1), (2, 0, 1), (3, 0, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    starts = spark.createDataFrame([(0,)], "node_id long")
+
+    out = weighted_random_walks(edges, starts, length=6,
+                                walks_per_node=40)
+    got = {(r.walk_id, r.step): r.node for r in out.collect()}
+
+    nbr = {}
+    for a, b, w in edge_list:
+        nbr.setdefault(a, []).append((b, w))
+    for v in nbr:
+        nbr[v].sort()
+
+    def u(wid, t, v):
+        s = f"{wid}:{t}:{v}".encode()
+        return int(hashlib.md5(s).hexdigest()[:15], 16)
+
+    exp = {}
+    for r in range(40):
+        wid = 0 * 40 + r
+        cur = 0
+        exp[(wid, 0)] = 0
+        for t in range(1, 7):
+            outs = nbr.get(cur)
+            if not outs:
+                break
+            h = u(wid, t, cur)
+            total = sum(w for _, w in outs)
+            cum = 0
+            for d, w in outs:
+                cum += w
+                if cum * (1 << 60) > h * total:
+                    cur = d
+                    break
+            exp[(wid, t)] = cur
+        # noqa: walk continues
+    assert got == exp
+    # bias: from node 0, the w=8 edge should dominate the choices
+    picks = [exp[(w, t)] for (w, t) in exp
+             if t >= 1 and exp.get((w, t - 1)) == 0]
+    frac2 = picks.count(2) / len(picks)
+    assert frac2 > 0.6, frac2
