@@ -1108,7 +1108,9 @@ def maximal_independent_set(edges: DataFrame,
     mis: DataFrame | None = None
     for r in range(1, max_rounds + 1):
         if not undecided.limit(1).count():
-            assert mis is not None
+            # empty-graph / all-self-loop input: the MIS is empty
+            if mis is None:
+                return undecided.select(F.col("n").alias("node_id"))
             return mis.select(F.col("n").alias("node_id"))
         pr = undecided.select(
             "n",

@@ -78,25 +78,34 @@ def _publish(df: DataFrame, view: str, state: dict) -> None:
     re-derives the same delta — never a half-published pair where new
     data sits under an old snapshot pointer (which would double-apply
     the changelog on the next refresh). Superseded data dirs are
-    removed only after the swap."""
+    removed only after the swap. Single-writer by contract (like the
+    snapshot commit lock's scope): the post-swap sweep assumes no
+    concurrent publisher is mid-write in the same view directory."""
+    import uuid
+
     view_p = Path(view)
     view_p.mkdir(parents=True, exist_ok=True)
-    data_name = f"data-{state['as_of']}.parquet"
-    df.write.mode("overwrite").parquet(str(view_p / data_name))
+    # unique per publish: a re-publish at the SAME base snapshot (e.g.
+    # a restarted create_agg_view) must never overwrite the live data
+    # dir in place — that would destroy the old state before the
+    # commit point
+    data_name = f"data-{state['as_of']}-{uuid.uuid4().hex[:8]}.parquet"
+    df.write.parquet(str(view_p / data_name))
     state = {**state, "data": data_name}
-    old_data = None
-    if _spec_path(view).exists():
-        old_data = json.loads(_spec_path(view).read_text()).get("data")
     fd, tmp_json = tempfile.mkstemp(dir=view_p, suffix=".json")
     with os.fdopen(fd, "w") as f:
         json.dump(state, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_json, _spec_path(view))
-    if old_data and old_data != data_name:
-        import shutil
+    # sweep EVERY data dir the committed spec does not name — also
+    # collects strands from publishes that crashed between their swap
+    # and their own sweep
+    import shutil
 
-        shutil.rmtree(view_p / old_data, ignore_errors=True)
+    for p in view_p.glob("data-*.parquet"):
+        if p.name != data_name:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def create_agg_view(spark: SparkSession, table: str, view: str,
@@ -123,7 +132,10 @@ def read_view(spark: SparkSession, view: str) -> DataFrame:
     if not p.exists():
         raise ValueError(f"{view}: not an agg view (no view.json)")
     spec = json.loads(p.read_text())
-    return spark.read.parquet(str(Path(view) / spec["data"]))
+    # .get fallback: specs written by the pre-versioned-dir format
+    # named their data dir implicitly
+    return spark.read.parquet(
+        str(Path(view) / spec.get("data", "data.parquet")))
 
 
 def refresh_agg_view(spark: SparkSession, table: str,

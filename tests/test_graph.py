@@ -688,3 +688,15 @@ def test_weighted_walks_match_simulation_and_bias(spark):
              if t >= 1 and exp.get((w, t - 1)) == 0]
     frac2 = picks.count(2) / len(picks)
     assert frac2 > 0.6, frac2
+
+
+def test_mis_empty_and_self_loop_input(spark):
+    """No non-self-loop edges: the MIS is empty, not an error."""
+    from npm_extraction_server_spark.plans.graph import (
+        maximal_independent_set,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert maximal_independent_set(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert maximal_independent_set(loops).count() == 0

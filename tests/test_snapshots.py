@@ -1730,3 +1730,41 @@ def test_agg_view_null_group_key_folds(spark, tmp_path):
     rows = {r.g: (r.n_rows, r.sx) for r in read_view(spark, v).collect()}
     assert rows == {None: (3, 37), "a": (2, 6)}
     assert len(read_view(spark, v).collect()) == 2
+
+
+def test_agg_view_republish_and_legacy_spec(spark, tmp_path):
+    """Re-creating a view at the same base snapshot never clobbers the
+    live data dir in place (readable throughout, exactly one data dir
+    after); legacy specs without a 'data' key fall back to
+    data.parquet; strand data dirs are swept on the next publish."""
+    import json as _json
+    from pathlib import Path
+
+    from npm_extraction_server_spark.plans.views import (
+        create_agg_view,
+        read_view,
+    )
+
+    t = str(tmp_path / "base")
+    v = str(tmp_path / "view")
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("g"),
+                                F.col("id").alias("x"))
+    commit(df, t)
+    create_agg_view(spark, t, v, group_by=["g"], sums={"sx": "x"})
+    first = {r.g: r.sx for r in read_view(spark, v).collect()}
+    # plant a strand from a hypothetical crashed publish
+    strand = Path(v) / "data-99-deadbeef.parquet"
+    strand.mkdir()
+    create_agg_view(spark, t, v, group_by=["g"], sums={"sx": "x"})
+    assert {r.g: r.sx for r in read_view(spark, v).collect()} == first
+    dirs = [p.name for p in Path(v).glob("data-*")]
+    assert len(dirs) == 1 and not strand.exists()
+
+    # legacy layout: data.parquet + spec without 'data'
+    lv = tmp_path / "legacy_view"
+    lv.mkdir()
+    read_view(spark, v).write.parquet(str(lv / "data.parquet"))
+    (lv / "view.json").write_text(_json.dumps(
+        {"table": t, "group_by": ["g"], "sums": {"sx": "x"}, "as_of": 1}))
+    assert {r.g: r.sx
+            for r in read_view(spark, str(lv)).collect()} == first
