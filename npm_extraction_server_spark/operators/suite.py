@@ -1689,6 +1689,24 @@ def graph_weighted_walks(spark, sf):
                                  walks_per_node=2)
 
 
+def graph_node2vec_walks(spark, sf):
+    """TRUE second-order node2vec walks over the weighted KG
+    multigraph — integer search biases (return 3 / adjacent 6 /
+    far 2, the p/q mapping scaled exact), md5-seeded draw (hard
+    oracle: unrolled in DuckDB with the same state-carrying
+    prev/cur tables and adjacency probe, bit-exact)."""
+    from ..plans.graph import node2vec_walks
+
+    d = F.col("doc_id")
+    starts = (_t(spark, sf, "documents").select("doc_id")
+              .filter((d < 500) & (d % 10 == 0))
+              .select(d.alias("node_id")))
+    edges = _kg_graph_edges(spark, sf).withColumn(
+        "w", (F.lit(1) + (F.col("src") * 3 + F.col("dst") * 5) % 7)
+        .cast("long"))
+    return node2vec_walks(edges, starts, length=8, walks_per_node=2)
+
+
 def kg_sameas_closure(spark, sf):
     """owl:sameAs entity-identity closure via forward-chaining rule
     materialization to FIXPOINT (plans/bgp.materialize_rules): planted
@@ -1889,6 +1907,7 @@ SPARK_QUERIES = {
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
     "graph_weighted_walks": graph_weighted_walks,
+    "graph_node2vec_walks": graph_node2vec_walks,
     "graph_closeness": graph_closeness,
     "graph_neighbor_agg": graph_neighbor_agg,
     "graph_ktruss": graph_ktruss,
@@ -2315,6 +2334,62 @@ _GRAPH_TRIANGLES_SQL = f"""
     SELECT node_id, count(*)::BIGINT AS n_triangles
     FROM tri_nodes GROUP BY node_id
 """
+
+def _node2vec_sql(length: int = 8, walks_per_node: int = 2,
+                  br: int = 3, ba: int = 6, bf: int = 2) -> str:
+    """node2vec_walks unrolled: state tables carry (walk_id, prev,
+    node); per step the candidate mass is w * bias(prev, dst)
+    (return/adjacent/far integer biases via a LEFT JOIN adjacency
+    probe — least/greatest skip NULL prev identically in both
+    engines, landing step 1 on the far branch), then the exact
+    HUGEINT cumulative-threshold crossing."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    ew AS MATERIALIZED (
+        SELECT src, dst, (1 + (3*src + 5*dst) % 7)::BIGINT AS w FROM e0),
+    undadj AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS ua, greatest(src, dst) AS ub
+        FROM e0 WHERE src <> dst),
+    w0 AS (
+        SELECT (doc_id * {walks_per_node} + r.r)::BIGINT AS walk_id,
+               NULL::BIGINT AS prev, doc_id AS node, 0 AS step
+        FROM documents,
+             (SELECT unnest(generate_series(0, {walks_per_node - 1})) AS r) r
+        WHERE doc_id < 500 AND doc_id % 10 = 0)"""
+    for k in range(1, length + 1):
+        sql += f""",
+    c{k} AS MATERIALIZED (
+        SELECT w.walk_id, w.node AS cur, w.prev,
+               ('0x' || substr(md5(w.walk_id || ':{k}:' || w.node),
+                               1, 15))::UBIGINT::HUGEINT AS h,
+               e.dst,
+               e.w * (CASE WHEN e.dst = w.prev THEN {br}
+                           WHEN a.ua IS NOT NULL THEN {ba}
+                           ELSE {bf} END) AS mass
+        FROM w{k - 1} w
+        JOIN ew e ON e.src = w.node
+        LEFT JOIN undadj a
+          ON least(w.prev, e.dst) = a.ua
+         AND greatest(w.prev, e.dst) = a.ub),
+    x{k} AS (
+        SELECT walk_id, cur, dst, h,
+               sum(mass) OVER (PARTITION BY walk_id
+                               ORDER BY dst)::HUGEINT AS cum,
+               sum(mass) OVER (PARTITION BY walk_id)::HUGEINT AS total
+        FROM c{k}),
+    w{k} AS MATERIALIZED (
+        SELECT walk_id, any_value(cur) AS prev, min(dst) AS node,
+               {k} AS step
+        FROM x{k}
+        WHERE cum * 1152921504606846976::HUGEINT > h * total
+        GROUP BY walk_id)"""
+    sql += ("\n    SELECT walk_id, step, node FROM ("
+            + "\n    UNION ALL ".join(
+                f"SELECT walk_id, step, node FROM w{k}"
+                for k in range(length + 1))
+            + ")")
+    return sql
+
 
 def _weighted_walks_sql(length: int = 8, walks_per_node: int = 2) -> str:
     """weighted_random_walks unrolled: per step the walk draws
@@ -2948,6 +3023,7 @@ ORACLE_SQL = {
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "graph_walks": _graph_walks_sql(),
     "graph_weighted_walks": _weighted_walks_sql(),
+    "graph_node2vec_walks": _node2vec_sql(),
     "graph_neighbor_agg": f"""
         WITH {_KG_GRAPH_EDGES_CTE},
         h0 AS (

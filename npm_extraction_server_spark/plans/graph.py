@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "closeness", "hits", "kcore", "ktruss", "link_predict",
-           "maximal_independent_set",
+           "maximal_independent_set", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
            "triangle_counts", "walk_skipgram_pairs",
@@ -1197,6 +1197,95 @@ def weighted_random_walks(edges: DataFrame, starts: DataFrame,
             if nxt.rdd.isEmpty():
                 break
             out = out.unionByName(nxt.select(*out.columns))
+            cur = nxt
+    finally:
+        edges.unpersist()
+    return out.select("walk_id", "step", "node")
+
+
+def node2vec_walks(edges: DataFrame, starts: DataFrame,
+                   length: int = 8, walks_per_node: int = 1,
+                   bias_return: int = 3, bias_adjacent: int = 6,
+                   bias_far: int = 2) -> DataFrame:
+    """TRUE second-order node2vec walks, deterministic end-to-end:
+    the next hop from ``cur`` (having arrived from ``prev``) draws
+    u = md5(walk:step:cur)/2^60 and picks the cumulative-mass
+    crossing over candidates weighted ``w * bias`` where bias depends
+    on the candidate's relation to ``prev`` — the node2vec search
+    bias. Biases are INTEGER weights (for p/q semantics scale by
+    p*q: return = q, adjacent = p*q, far = p), so every mass, cum and
+    crossing compare is exact — no float ratio ever enters.
+
+    Step 1 has no ``prev``: every candidate takes ``bias_far``
+    (a uniform scale — identical to a plain weighted first-order
+    choice). ``edges``: (src, dst, w) positive integer weights.
+    Returns (walk_id, step, node); walks stop at sinks.
+
+    Scale shape: weighted_random_walks plus ONE more join per step —
+    the (prev, dst) adjacency membership probe against the undirected
+    simple edge set (key-partitioned; the frontier side is
+    |walks| x out-degree). State carries (walk_id, prev, node) only.
+
+    Oracle twin: _node2vec_sql in operators/suite.py.
+    """
+    spark = starts.sparkSession
+    edges = (edges.select("src", "dst", F.col("w").cast("long"))
+             .repartition(F.col("src")).persist())
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("ua"),
+                   F.greatest("src", "dst").alias("ub"))
+           .distinct()
+           .withColumn("adj_flag", F.lit(1))
+           .localCheckpoint(eager=True))
+    reps = spark.range(walks_per_node).select(F.col("id").alias("r"))
+    cur = (starts.select("node_id").distinct().crossJoin(reps)
+           .select((F.col("node_id") * walks_per_node + F.col("r"))
+                   .alias("walk_id"),
+                   F.lit(None).cast("long").alias("prev"),
+                   F.col("node_id").alias("node"))
+           .withColumn("step", F.lit(0))
+           .localCheckpoint(eager=True))
+    out = cur.select("walk_id", "step", "node")
+    two60 = F.lit(str(1 << 60)).cast("decimal(38,0)")
+    try:
+        for t in range(1, length + 1):
+            h = (F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("walk_id").cast("string"), F.lit(str(t)),
+                F.col("node").cast("string"))), 1, 15), 16, 10)
+                .cast("decimal(38,0)"))
+            cand = (cur.join(edges, cur.node == edges.src)
+                    .select("walk_id", "prev", h.alias("h"), "dst", "w"))
+            cand = (cand.join(
+                und,
+                (F.least(F.col("prev"), F.col("dst")) == F.col("ua"))
+                & (F.greatest(F.col("prev"), F.col("dst")) == F.col("ub")),
+                "left"))
+            bias = (F.when(F.col("dst") == F.col("prev"),
+                           F.lit(bias_return))
+                    .when(F.col("adj_flag").isNotNull(),
+                          F.lit(bias_adjacent))
+                    .otherwise(F.lit(bias_far)))
+            cand = cand.select("walk_id", "h", "dst",
+                               (F.col("w") * bias).alias("mass"))
+            win = Window.partitionBy("walk_id").orderBy("dst")
+            tot = Window.partitionBy("walk_id")
+            crossed = (cand
+                       .withColumn("cum", F.sum("mass").over(win)
+                                   .cast("decimal(38,0)"))
+                       .withColumn("total", F.sum("mass").over(tot)
+                                   .cast("decimal(38,0)"))
+                       .filter(F.col("cum") * two60
+                               > F.col("h") * F.col("total")))
+            nxt_core = (crossed.groupBy("walk_id")
+                        .agg(F.min("dst").alias("node")))
+            nxt = (cur.select("walk_id", F.col("node").alias("prev"))
+                   .join(nxt_core, "walk_id")
+                   .withColumn("step", F.lit(t))
+                   .select("walk_id", "prev", "node", "step")
+                   .localCheckpoint(eager=True))
+            if nxt.rdd.isEmpty():
+                break
+            out = out.unionByName(nxt.select("walk_id", "step", "node"))
             cur = nxt
     finally:
         edges.unpersist()

@@ -700,3 +700,69 @@ def test_mis_empty_and_self_loop_input(spark):
     assert maximal_independent_set(empty).count() == 0
     loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
     assert maximal_independent_set(loops).count() == 0
+
+
+def test_node2vec_walks_match_second_order_simulation(spark):
+    """node2vec_walks pinned against a pure-Python second-order
+    simulation (return / adjacent / far biases all exercised); step 1
+    takes the far bias uniformly (no prev)."""
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import node2vec_walks
+
+    # triangle 0-1-2 with tails so all three bias branches appear
+    edge_list = [(0, 1, 2), (1, 0, 2), (1, 2, 1), (2, 1, 1),
+                 (0, 2, 3), (2, 0, 3), (2, 3, 5), (3, 2, 5),
+                 (3, 4, 1), (4, 3, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    starts = spark.createDataFrame([(0,), (3,)], "node_id long")
+
+    out_adj = {}
+    und = set()
+    for a, b, w in edge_list:
+        out_adj.setdefault(a, []).append((b, w))
+        und.add((min(a, b), max(a, b)))
+    for v in out_adj:
+        out_adj[v].sort()
+
+    def u(wid, t, v):
+        return int(hashlib.md5(f"{wid}:{t}:{v}".encode())
+                   .hexdigest()[:15], 16)
+
+    br, ba, bf = 3, 6, 2
+    exp = {}
+    for n in (0, 3):
+        for r in (0, 1):
+            wid = n * 2 + r
+            prev, cur = None, n
+            exp[(wid, 0)] = cur
+            for t in range(1, 7):
+                outs = out_adj.get(cur)
+                if not outs:
+                    break
+                h = u(wid, t, cur)
+                masses = []
+                for d, w in outs:
+                    if prev is not None and d == prev:
+                        b = br
+                    elif prev is not None and \
+                            (min(prev, d), max(prev, d)) in und:
+                        b = ba
+                    else:
+                        b = bf
+                    masses.append((d, w * b))
+                total = sum(m for _, m in masses)
+                cum = 0
+                nxt = None
+                for d, m in masses:
+                    cum += m
+                    if cum * (1 << 60) > h * total:
+                        nxt = d
+                        break
+                prev, cur = cur, nxt
+                exp[(wid, t)] = cur
+
+    got = {(r_.walk_id, r_.step): r_.node
+           for r_ in node2vec_walks(edges, starts, length=6,
+                                    walks_per_node=2).collect()}
+    assert got == exp
