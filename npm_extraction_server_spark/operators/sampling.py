@@ -194,3 +194,29 @@ def alpha_mix(documents: DataFrame, alpha: float = 0.5,
                            F.lit(float(alpha))), 6))
         .withColumn("cap", F.col("n").cast("double") / F.col("t")))
     return _mix_threshold_filter(documents, rates0, domain_col, id_col)
+
+
+def sample_k_per_group(documents: DataFrame, k: int,
+                       domain_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exactly min(k, n_group) rows per group, chosen uniformly and
+    DETERMINISTICALLY: rank each group's rows by md5 of the row key
+    and keep the k smallest — the balanced-eval-set / per-domain-cap
+    primitive. Unlike rate-based sampling the count is exact; unlike
+    RAND() the pick is a pure function of the row keys (stable under
+    reruns, partitioning, and corpus append order — adding rows can
+    only displace ranks, never reshuffle the hash order).
+
+    One exchange on the group key (the rank window); the md5 rank is
+    computed scan-side. Returns (id_col, domain_col).
+    """
+    if k <= 0:
+        raise ValueError("sample_k_per_group: k must be positive")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("kpg:"), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col))
+    return (documents.select(id_col, domain_col)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, domain_col))

@@ -661,6 +661,24 @@ def text_bigram_ppl(spark, sf):
     return bigram_logprob_scores(_t(spark, sf, "documents"))
 
 
+def text_hashed_features(spark, sf):
+    """Feature-hashing-trick sparse matrix (unigrams + bigrams,
+    12-bit space, signed) — hard oracle: DuckDB rebuilds the exact
+    matrix from the same md5 index/sign derivation."""
+    from .text import hashed_features
+
+    return hashed_features(_t(spark, sf, "documents"))
+
+
+def sample_k_per_domain(spark, sf):
+    """Exact-k deterministic per-domain sample (k=50) — hard oracle:
+    the identical md5-rank row_number in DuckDB selects the same
+    rows."""
+    from .sampling import sample_k_per_group
+
+    return sample_k_per_group(_t(spark, sf, "documents"), k=50)
+
+
 def text_inverted_index(spark, sf):
     """Positional inverted index over the documents table, min_df=2
     (hard oracle: DuckDB rebuilds the postings with zipped unnest +
@@ -1873,6 +1891,8 @@ SPARK_QUERIES = {
     "text_tokens": text_tokens,
     "text_bpe_tokens": text_bpe_tokens,
     "text_inverted_index": text_inverted_index,
+    "text_hashed_features": text_hashed_features,
+    "sample_k_per_domain": sample_k_per_domain,
     "text_bigram_ppl": text_bigram_ppl,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -3680,6 +3700,48 @@ ORACLE_SQL = {
                ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)::INT
                    AS bucket
         FROM scored
+    """,
+    "text_hashed_features": """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS w,
+                   unnest(generate_series(0, len(arr) - 1))::INT AS pos
+            FROM arrs
+        ),
+        grams AS (
+            SELECT doc_id, w AS term FROM toks
+            UNION ALL
+            SELECT doc_id, w || ' ' ||
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+            FROM toks
+            QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                    IS NOT NULL
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(term), 1, 12))::UBIGINT AS hx
+            FROM grams
+        )
+        SELECT doc_id, (hx % 4096)::BIGINT AS feat,
+               sum(CASE WHEN (hx // 4096) % 2 = 0 THEN 1 ELSE -1 END)
+                   ::BIGINT AS val
+        FROM hashed GROUP BY doc_id, feat
+        HAVING sum(CASE WHEN (hx // 4096) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    """,
+    "sample_k_per_domain": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('kpg:' || doc_id),
+                                                1, 15))::UBIGINT,
+                                doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 50
     """,
     "text_inverted_index": """
         WITH arrs AS (

@@ -699,3 +699,46 @@ def bigram_logprob_scores(documents: DataFrame,
                  / F.count("*").cast("double"), 6).alias("avg_logprob")))
     win = Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col))
     return scored.withColumn("bucket", F.ntile(n_buckets).over(win))
+
+
+def hashed_features(documents: DataFrame, n_bits: int = 12,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The feature-hashing trick (fastText / Vowpal Wabbit): unigrams
+    AND bigrams map to a fixed 2^n_bits feature space via
+    idx = md5(term) % 2^n_bits, with the classic sign hash (one more
+    md5 bit) so collisions cancel in expectation rather than
+    accumulate. Returns the sparse matrix as rows
+    (id_col, feat, val) with val = sum of +-1 per occurrence — the
+    linear-classifier input that needs no vocabulary, no fitting, and
+    no driver state.
+
+    Deterministic end-to-end (md5, not hashCode), so the feature
+    matrix is reproducible across runs/engines — the DuckDB oracle
+    rebuilds it bit-exactly. Scale shape: tokenize + one per-doc
+    window (bigrams) + one (doc, feat) aggregation; the feature space
+    is fixed-size so downstream training state is bounded regardless
+    of corpus vocabulary.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = (toks.select(F.col(id_col), F.col("w").alias("term"))
+             .unionByName(
+                 toks.select(F.col(id_col),
+                             F.concat_ws(" ", "w",
+                                         F.lead("w").over(w)).alias("term"))
+                 .filter(F.col("term").contains(" "))))
+    hx = F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10) \
+        .cast("bigint")
+    feat = F.pmod(hx, F.lit(1 << n_bits))
+    sign = F.when(F.pmod(F.floor(hx / F.lit(1 << n_bits)), F.lit(2)) == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    return (grams.select(F.col(id_col), feat.alias("feat"),
+                         sign.alias("s"))
+            .groupBy(id_col, "feat")
+            .agg(F.sum("s").cast("bigint").alias("val"))
+            .filter(F.col("val") != 0))

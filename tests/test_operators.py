@@ -1277,3 +1277,58 @@ def test_inverted_index_positions_and_min_df(spark):
 
     pruned = {r.term for r in inverted_index(docs, min_df=2).collect()}
     assert pruned == {"beta", "gamma"}
+
+
+def test_hashed_features_signed_and_bigrams(spark):
+    """Feature hashing: unigrams + bigrams land in the 2^n space with
+    the md5 sign trick; identical docs get identical rows; zero-net
+    buckets are dropped."""
+    import hashlib
+
+    from npm_extraction_server_spark.operators.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha"), (3, "")],
+        "doc_id long, text string")
+    rows = {}
+    for r in hashed_features(docs, n_bits=6).collect():
+        rows.setdefault(r.doc_id, {})[r.feat] = r.val
+    assert rows.get(1) == rows.get(2)
+    assert 3 not in rows
+
+    def hx(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:12], 16)
+
+    exp = {}
+    for term in ["alpha", "beta", "alpha", "alpha beta", "beta alpha"]:
+        h = hx(term)
+        exp[h % 64] = exp.get(h % 64, 0) + (1 if (h // 64) % 2 == 0 else -1)
+    exp = {k: v for k, v in exp.items() if v != 0}
+    assert rows[1] == exp
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    """Exactly min(k, n) per group; the picked set is stable when
+    unrelated rows are appended (hash order, not position)."""
+    from npm_extraction_server_spark.operators.sampling import (
+        sample_k_per_group,
+    )
+
+    rows = [(i, "a") for i in range(100)] + [(200 + i, "b") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sample_k_per_group(docs, k=10).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by["a"]) == 10 and len(by["b"]) == 3
+
+    docs2 = spark.createDataFrame(rows + [(500 + i, "c") for i in range(5)],
+                                  "doc_id long, source string")
+    got2 = {r.doc_id for r in sample_k_per_group(docs2, k=10).collect()
+            if r.source == "a"}
+    assert got2 == by["a"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        sample_k_per_group(docs, k=0)
