@@ -549,3 +549,77 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def setsim_join(documents: DataFrame, threshold_num: int = 3,
+                threshold_den: int = 5, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix
+    filtering): every document pair whose token-set Jaccard is >=
+    threshold_num/threshold_den, with NO false negatives and NO
+    hashing approximation — the exact complement to the MinHash
+    family (use this when recall must be 1, MinHash when the corpus
+    is too hot for exact work).
+
+    Lossless prefix filter: tokens are globally ordered
+    rarest-first; two sets at Jaccard >= t MUST share a token within
+    each one's first ``n - ceil(t*n) + 1`` tokens, so only pairs
+    co-occurring in a prefix are candidates — common tokens (the
+    all-pairs blowup) never generate candidates because they sort
+    last. Candidates are then verified by EXACT intersection and the
+    integer threshold test
+    ``(den + num) * inter >= num * (n_a + n_b)`` (equivalent to
+    inter/union >= num/den with no float).
+
+    Returns (id_a, id_b, inter, n_a, n_b) for satisfying pairs,
+    id_a < id_b; exact Jaccard = inter / (n_a + n_b - inter).
+
+    Scale shape: the frequency table is one token aggregate; per-doc
+    sorting is scan-side (sort_array of (freq, token) structs, no
+    global rank window); the candidate join is keyed on prefix
+    tokens whose document frequency is LOW by construction;
+    verification joins tokens through the candidate pairs, cost =
+    sum over candidates of |tokens(a)|.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("setsim_join: need 0 < num <= den")
+    toks = (documents.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))))
+        .alias("token")))
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    ordered = (toks.join(freq, "token")
+               .groupBy("doc")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("tf", "token"))).alias("sorted_toks")))
+    n = F.size("sorted_toks")
+    # ceil(num*n/den) in exact integer arithmetic
+    ceil_tn = F.floor((F.lit(threshold_num) * n
+                       + F.lit(threshold_den - 1)) / F.lit(threshold_den))
+    prefix = (ordered
+              .select("doc", n.alias("n"),
+                      F.slice("sorted_toks", 1,
+                              (n - ceil_tn + F.lit(1)).cast("int"))
+                      .alias("prefix"))
+              .select("doc", "n",
+                      F.explode("prefix").alias("pt"))
+              .select("doc", "n", F.col("pt.token").alias("token")))
+    a = prefix.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"),
+                      "token")
+    b = prefix.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"),
+                      "token")
+    cand = (a.join(b, "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "n_a", "n_b")
+            .distinct())
+    ta = toks.select(F.col("doc").alias("id_a"), "token")
+    tb = toks.select(F.col("doc").alias("id_b"), "token")
+    inter = (cand.join(ta, "id_a")
+             .join(tb, ["id_b", "token"])
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count("*").alias("inter")))
+    keep = (F.lit(threshold_den + threshold_num) * F.col("inter")
+            >= F.lit(threshold_num) * (F.col("n_a") + F.col("n_b")))
+    return inter.filter(keep).select("id_a", "id_b", "inter",
+                                     "n_a", "n_b")

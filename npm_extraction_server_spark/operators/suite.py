@@ -679,6 +679,15 @@ def sample_k_per_domain(spark, sf):
     return sample_k_per_group(_t(spark, sf, "documents"), k=50)
 
 
+def dedup_setsim_join(spark, sf):
+    """EXACT set-similarity self-join at Jaccard >= 3/5 via lossless
+    prefix filtering (hard oracle: brute-force all-pairs Jaccard in
+    DuckDB — the prefix filter must lose NOTHING)."""
+    from .dedup import setsim_join
+
+    return setsim_join(_t(spark, sf, "documents"))
+
+
 def text_inverted_index(spark, sf):
     """Positional inverted index over the documents table, min_df=2
     (hard oracle: DuckDB rebuilds the postings with zipped unnest +
@@ -1884,6 +1893,7 @@ SPARK_QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_clusters": dedup_clusters,
+    "dedup_setsim_join": dedup_setsim_join,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_verified": dedup_simhash_verified,
     "dedup_simhash_report": dedup_simhash_report,
@@ -3700,6 +3710,27 @@ ORACLE_SQL = {
                ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)::INT
                    AS bucket
         FROM scored
+    """,
+    "dedup_setsim_join": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id AS doc,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+            FROM documents
+        ),
+        n AS (SELECT doc, count(*) AS n FROM toks GROUP BY doc),
+        pairs AS (
+            SELECT a.doc AS id_a, b.doc AS id_b, count(*)::BIGINT AS inter
+            FROM toks a JOIN toks b
+              ON a.token = b.token AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b, p.inter,
+               na.n::BIGINT AS n_a, nb.n::BIGINT AS n_b
+        FROM pairs p
+        JOIN n na ON na.doc = p.id_a
+        JOIN n nb ON nb.doc = p.id_b
+        WHERE 8 * p.inter >= 3 * (na.n + nb.n)
     """,
     "text_hashed_features": """
         WITH arrs AS (

@@ -1332,3 +1332,51 @@ def test_sample_k_per_group_exact_and_stable(spark):
 
     with pytest.raises(ValueError, match="positive"):
         sample_k_per_group(docs, k=0)
+
+
+def test_setsim_join_exact_vs_bruteforce(spark):
+    """Prefix-filtered exact set-similarity join equals brute-force
+    all-pairs Jaccard at several thresholds (losslessness), including
+    pairs sharing only COMMON tokens (prefix must still catch them
+    when Jaccard clears the bar) and empty docs."""
+    from npm_extraction_server_spark.operators.dedup import setsim_join
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumped over a lazy dog",
+        3: "lorem ipsum dolor sit amet consectetur",
+        4: "lorem ipsum dolor sit amet elit",
+        5: "the the the the",
+        6: "the",
+        7: "",
+        8: "quick brown fox",
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+
+    def brute(num, den):
+        import re
+        sets = {k: set(re.findall(r"[a-z0-9]+", v.lower()))
+                for k, v in texts.items()}
+        out = {}
+        ks = sorted(sets)
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                if not sets[a] or not sets[b]:
+                    continue
+                inter = len(sets[a] & sets[b])
+                if (den + num) * inter >= num * (len(sets[a]) + len(sets[b])):
+                    out[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+        return out
+
+    for num, den in ((3, 5), (1, 2), (9, 10)):
+        got = {(r.id_a, r.id_b): (r.inter, r.n_a, r.n_b)
+               for r in setsim_join(docs, num, den).collect()}
+        assert got == brute(num, den), (num, den)
+    # (5, 6) share only 'the' yet Jaccard = 1 -> must be found
+    assert (5, 6) in brute(1, 2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="num"):
+        setsim_join(docs, 0, 5)
