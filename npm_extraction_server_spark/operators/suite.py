@@ -1642,6 +1642,25 @@ def graph_mis(spark, sf):
     return maximal_independent_set(_kg_graph_edges(spark, sf))
 
 
+def graph_modularity(spark, sf):
+    """Integer-exact modularity components of the labelprop
+    communities over the KG multigraph (hard oracle: the labelprop
+    recursive CTE composed with the same per-community aggregates —
+    not a float anywhere; global Q = sum(q_num)/(4 m^2))."""
+    from ..plans.graph import modularity, propagate_labels
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id"),
+                     F.concat(F.lit("L"), (d / 50).cast("int").cast("string"))
+                     .alias("label")))
+    edges = _kg_graph_edges(spark, sf)
+    labels = (propagate_labels(seeds, edges)
+              .select("node_id", F.col("label").alias("community")))
+    return modularity(edges, labels)
+
+
 def graph_ktruss(spark, sf):
     """3-truss of the KG multigraph via per-edge support peeling
     (hard oracle: the peel rounds unrolled in DuckDB with naive
@@ -1941,6 +1960,7 @@ SPARK_QUERIES = {
     "graph_closeness": graph_closeness,
     "graph_neighbor_agg": graph_neighbor_agg,
     "graph_ktruss": graph_ktruss,
+    "graph_modularity": graph_modularity,
     "graph_mis": graph_mis,
     "kg_sameas_closure": kg_sameas_closure,
     "dq_violations": dq_violations,
@@ -3042,6 +3062,54 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
+    "graph_modularity": f"""
+        WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+        reach(node_id, label, dist) AS (
+            SELECT doc_id, 'L' || (doc_id // 50)::VARCHAR, 0
+            FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0
+            UNION
+            SELECT e0.dst, r.label, r.dist + 1
+            FROM reach r JOIN e0 ON e0.src = r.node_id
+            WHERE r.dist < 30
+        ),
+        best AS (SELECT node_id, min(dist) AS d FROM reach GROUP BY node_id),
+        lab AS (
+            SELECT r.node_id, min(r.label) AS community
+            FROM reach r JOIN best b
+              ON b.node_id = r.node_id AND r.dist = b.d
+            GROUP BY r.node_id
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst
+        ),
+        m AS (SELECT count(*)::BIGINT AS m FROM und),
+        intra AS (
+            SELECT la.community, count(*)::BIGINT AS e_in
+            FROM und u
+            JOIN lab la ON la.node_id = u.a
+            JOIN lab lb ON lb.node_id = u.b
+            WHERE la.community = lb.community
+            GROUP BY la.community
+        ),
+        deg AS (
+            SELECT node_id, count(*)::BIGINT AS d FROM (
+                SELECT a AS node_id FROM und
+                UNION ALL SELECT b FROM und) GROUP BY node_id
+        ),
+        pc AS (
+            SELECT l.community, count(*)::BIGINT AS n_nodes,
+                   sum(coalesce(deg.d, 0))::BIGINT AS tot_deg
+            FROM lab l LEFT JOIN deg ON deg.node_id = l.node_id
+            GROUP BY l.community
+        )
+        SELECT pc.community, pc.n_nodes,
+               coalesce(i.e_in, 0)::BIGINT AS e_in, pc.tot_deg,
+               (4 * (SELECT m FROM m) * coalesce(i.e_in, 0)
+                - pc.tot_deg * pc.tot_deg)::BIGINT AS q_num,
+               (SELECT m FROM m) AS m_edges
+        FROM pc LEFT JOIN intra i ON i.community = pc.community
+    """,
     "graph_mis": _mis_sql(4),
     "graph_topo_layers": _topo_layers_sql(7),
     "graph_scc": ("WITH " + _DEP_DAG_EDGES_CTE + """

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "closeness", "hits", "kcore", "ktruss", "link_predict",
-           "maximal_independent_set", "node2vec_walks",
+           "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
            "triangle_counts", "walk_skipgram_pairs",
@@ -1290,3 +1290,56 @@ def node2vec_walks(edges: DataFrame, starts: DataFrame,
     finally:
         edges.unpersist()
     return out.select("walk_id", "step", "node")
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """INTEGER-EXACT modularity components per community — the
+    community-quality metric, computed without a single float:
+    for each community c over the undirected simple graph,
+    ``e_in`` (intra-community edges), ``tot_deg`` (degree sum) and
+    ``q_num = 4*m*e_in - tot_deg^2``; global Newman modularity
+    Q = sum(q_num) / (4*m^2) — the caller divides once at the end
+    (or compares communities directly on the integer numerators).
+
+    ``labels``: (node_id, community). Edges with an unlabeled
+    endpoint count toward ``m`` and toward labeled endpoints'
+    degrees but are intra-community for none — the standard
+    treatment of an incomplete partition.
+
+    Scale shape: one distinct-edge projection, one degree aggregate,
+    two label joins keyed on node id, one groupBy(community) — no
+    iteration; composes directly with propagate_labels /
+    connected_components output.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()
+    lab = labels.select(F.col("node_id"), F.col("community"))
+    la = lab.select(F.col("node_id").alias("a"),
+                    F.col("community").alias("ca"))
+    lb = lab.select(F.col("node_id").alias("b"),
+                    F.col("community").alias("cb"))
+    intra = (und.join(la, "a").join(lb, "b")
+             .filter(F.col("ca") == F.col("cb"))
+             .groupBy(F.col("ca").alias("community"))
+             .agg(F.count("*").alias("e_in")))
+    deg = (und.select(F.col("a").alias("node_id"))
+           .unionByName(und.select(F.col("b").alias("node_id")))
+           .groupBy("node_id").agg(F.count("*").alias("d")))
+    per_comm = (lab.join(deg, "node_id", "left")
+                .groupBy("community")
+                .agg(F.count("*").alias("n_nodes"),
+                     F.sum(F.coalesce("d", F.lit(0))).alias("tot_deg")))
+    return (per_comm.join(intra, "community", "left")
+            .select("community", "n_nodes",
+                    F.coalesce("e_in", F.lit(0)).alias("e_in"),
+                    "tot_deg",
+                    (F.lit(4 * m) * F.coalesce("e_in", F.lit(0))
+                     - F.col("tot_deg") * F.col("tot_deg"))
+                    .alias("q_num"),
+                    F.lit(m).alias("m_edges")))

@@ -766,3 +766,36 @@ def test_node2vec_walks_match_second_order_simulation(spark):
            for r_ in node2vec_walks(edges, starts, length=6,
                                     walks_per_node=2).collect()}
     assert got == exp
+
+
+def test_modularity_matches_handcomputed(spark):
+    """Integer modularity components on a hand-checkable graph: two
+    4-cliques joined by one bridge, perfect 2-community labels; also
+    the unlabeled-endpoint and isolated-labeled-node treatments."""
+    import itertools
+
+    from npm_extraction_server_spark.plans.graph import modularity
+
+    c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edge_list = c1 + c2 + [(3, 10), (13, 99)]   # 99 unlabeled
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, "A") for i in range(4)] + [(10 + i, "B") for i in range(4)]
+        + [(50, "C")],                            # labeled, isolated
+        "node_id long, community string")
+
+    rows = {r.community: r for r in modularity(edges, labels).collect()}
+    m = len(edge_list)  # 14 distinct edges
+    assert rows["A"].e_in == 6 and rows["A"].tot_deg == 13
+    assert rows["B"].e_in == 6 and rows["B"].tot_deg == 14
+    assert rows["C"].e_in == 0 and rows["C"].tot_deg == 0
+    for c in ("A", "B", "C"):
+        r = rows[c]
+        assert r.q_num == 4 * m * r.e_in - r.tot_deg ** 2
+        assert r.m_edges == m
+    # global Q against the textbook float formula
+    q = sum(r.q_num for r in rows.values()) / (4 * m * m)
+    exp = sum((r.e_in / m) - (r.tot_deg / (2 * m)) ** 2
+              for r in rows.values())
+    assert abs(q - exp) < 1e-12
