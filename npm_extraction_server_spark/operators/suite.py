@@ -1642,6 +1642,36 @@ def graph_mis(spark, sf):
     return maximal_independent_set(_kg_graph_edges(spark, sf))
 
 
+def kg_er_metrics(spark, sf):
+    """Pair-counting ER evaluation, integer-exact: the chain-graph
+    connected components scored against a doc_id-block gold
+    partition (hard oracle: the recursive-CTE closure + the same
+    C(n,2) contingency combinatorics in DuckDB). Precision/recall
+    derive as tp/(tp+fp), tp/(tp+fn)."""
+    from ..plans.linking import connected_components, pair_metrics
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def nid(col):
+        return F.lpad(col.cast("string"), 8, "0")
+
+    d = F.col("doc_id")
+    chain = (docs.filter(d % 10 != 0)
+             .select(nid(d).alias("a"), nid(d - 1).alias("b")))
+    cross = (docs.filter(d % 37 == 0)
+             .select(nid(d).alias("a"), nid(d + 100).alias("b"))
+             .join(docs.select(nid(d).alias("b")), "b", "left_semi"))
+    edges = (chain.unionByName(cross)
+             .select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    verts = docs.select(nid(d).alias("entity_iri"))
+    pred = (connected_components(verts, edges)
+            .select(F.col("entity_iri").alias("item"),
+                    F.col("canonical_id").alias("cluster")))
+    gold = docs.select(nid(d).alias("item"),
+                       (d - d % 10).alias("cluster"))
+    return pair_metrics(pred, gold)
+
+
 def graph_modularity(spark, sf):
     """Integer-exact modularity components of the labelprop
     communities over the KG multigraph (hard oracle: the labelprop
@@ -1961,6 +1991,7 @@ SPARK_QUERIES = {
     "graph_neighbor_agg": graph_neighbor_agg,
     "graph_ktruss": graph_ktruss,
     "graph_modularity": graph_modularity,
+    "kg_er_metrics": kg_er_metrics,
     "graph_mis": graph_mis,
     "kg_sameas_closure": kg_sameas_closure,
     "dq_violations": dq_violations,
@@ -3062,6 +3093,44 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
+    "kg_er_metrics": """
+        WITH RECURSIVE e0 AS (
+            SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+            WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT d.doc_id, d.doc_id + 100 FROM documents d
+            WHERE d.doc_id % 37 = 0
+              AND EXISTS (SELECT 1 FROM documents x
+                          WHERE x.doc_id = d.doc_id + 100)
+        ), sym AS (
+            SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+        ), r(id, t) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.id, sym.b FROM r JOIN sym ON r.t = sym.a
+        ),
+        pred AS (
+            SELECT lpad(id::VARCHAR, 8, '0') AS item,
+                   lpad(min(t)::VARCHAR, 8, '0') AS cp
+            FROM r GROUP BY id
+        ),
+        gold AS (
+            SELECT lpad(doc_id::VARCHAR, 8, '0') AS item,
+                   doc_id - doc_id % 10 AS cg
+            FROM documents
+        ),
+        j AS (SELECT p.cp, g.cg FROM pred p JOIN gold g USING (item)),
+        cells AS (SELECT cp, cg, count(*) AS n FROM j GROUP BY 1, 2),
+        tp AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS tp FROM cells),
+        p2 AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS p2 FROM
+               (SELECT count(*) AS n FROM j GROUP BY cp)),
+        g2 AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS g2 FROM
+               (SELECT count(*) AS n FROM j GROUP BY cg))
+        SELECT (SELECT count(*) FROM j)::BIGINT AS n_items,
+               (SELECT tp FROM tp)::BIGINT AS tp,
+               ((SELECT p2 FROM p2) - (SELECT tp FROM tp))::BIGINT AS fp,
+               ((SELECT g2 FROM g2) - (SELECT tp FROM tp))::BIGINT AS fn
+    """,
     "graph_modularity": f"""
         WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
         reach(node_id, label, dist) AS (

@@ -334,3 +334,43 @@ def canonicalize_triples(triples: DataFrame, entities: DataFrame) -> DataFrame:
                     .otherwise(F.coalesce("obj_canon", "obj")))
         .drop("subj_canon", "obj_canon")
     )
+
+
+def pair_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Pair-counting evaluation of a clustering against gold — the
+    entity-resolution / dedup scorecard behind the north rule's
+    P/R >= 0.95 bar, INTEGER-EXACT: over all item pairs,
+    tp = pairs co-clustered in both, fp = co-clustered only in pred,
+    fn = only in gold. Precision = tp/(tp+fp), recall = tp/(tp+fn) —
+    the caller divides once; everything emitted here is a count.
+
+    ``pred``: (item, cluster); ``gold``: (item, cluster). Items
+    missing from either side are ignored (inner join — score what
+    both sides cover).
+
+    Scale shape: never enumerates pairs — pair counts come from
+    cluster-size combinatorics (sum of C(n,2) over pred clusters,
+    gold clusters, and the pred x gold contingency cells), so the
+    cost is three aggregates over |items| rows. Returns one row
+    (n_items, tp, fp, fn)."""
+    j = (pred.select(F.col("item"), F.col("cluster").alias("cp"))
+         .join(gold.select(F.col("item"), F.col("cluster").alias("cg")),
+               "item")
+         .localCheckpoint(eager=True))
+
+    def c2(df, cols):
+        return (df.groupBy(*cols).agg(F.count("*").alias("n"))
+                .agg(F.coalesce(
+                    F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0))
+                    .alias("pairs")))
+
+    tp = c2(j, ["cp", "cg"]).withColumnRenamed("pairs", "tp")
+    p2 = c2(j, ["cp"]).withColumnRenamed("pairs", "p2")
+    g2 = c2(j, ["cg"]).withColumnRenamed("pairs", "g2")
+    n = j.agg(F.count("*").alias("n_items"))
+    return (n.crossJoin(F.broadcast(tp))
+            .crossJoin(F.broadcast(p2))
+            .crossJoin(F.broadcast(g2))
+            .select("n_items", F.col("tp").cast("bigint").alias("tp"),
+                    (F.col("p2") - F.col("tp")).cast("bigint").alias("fp"),
+                    (F.col("g2") - F.col("tp")).cast("bigint").alias("fn")))

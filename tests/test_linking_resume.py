@@ -733,3 +733,26 @@ def test_stream_upserts_maintain_agg_view(spark, tmp_path):
            .agg(F.count("*").alias("n_rows"), F.sum("x").alias("sx"))
            .collect()}
     assert got == exp
+
+
+def test_pair_metrics_hand_computed(spark):
+    """Pair-counting metrics on a hand-checkable case: pred merges two
+    gold clusters and splits another; items missing from one side are
+    ignored."""
+    from npm_extraction_server_spark.plans.linking import pair_metrics
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 3), ("x", 9)],
+        "item string, cluster long")
+    gold = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 20), ("d", 20), ("e", 20)],
+        "item string, cluster long")
+    # joined items: a,b,c,d,e. pred pairs: C(3,2)=3 (abc) = ab,ac,bc
+    # gold pairs: ab, cd, ce, de = 1 + 3 = 4; tp = ab only
+    r = pair_metrics(pred, gold).collect()[0]
+    assert (r.n_items, r.tp, r.fp, r.fn) == (5, 1, 2, 3)
+    # perfect clustering: tp = all pairs, fp = fn = 0
+    r2 = pair_metrics(gold.withColumnRenamed("cluster", "c")
+                      .select("item", F.col("c").alias("cluster")),
+                      gold).collect()[0]
+    assert (r2.tp, r2.fp, r2.fn) == (4, 0, 0)
