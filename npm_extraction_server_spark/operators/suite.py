@@ -688,6 +688,17 @@ def dedup_setsim_join(spark, sf):
     return setsim_join(_t(spark, sf, "documents"))
 
 
+def text_collocations(spark, sf):
+    """Corpus collocations at exact lift >= 6/5 with min_count 3
+    (131 pairs at sf0.01 — parameters chosen non-vacuous on the
+    formulaic synthetic corpus; hard oracle: the identical integer
+    cross-multiplied filter in DuckDB)."""
+    from .text import collocations
+
+    return collocations(_t(spark, sf, "documents"),
+                        lift_num=6, lift_den=5, min_count=3)
+
+
 def text_inverted_index(spark, sf):
     """Positional inverted index over the documents table, min_df=2
     (hard oracle: DuckDB rebuilds the postings with zipped unnest +
@@ -1672,6 +1683,15 @@ def kg_er_metrics(spark, sf):
     return pair_metrics(pred, gold)
 
 
+def graph_clustering_coeff(spark, sf):
+    """Per-node clustering coefficient as an exact integer fraction
+    (2T, d(d-1)) over the KG multigraph (hard oracle: the triangle
+    CTE + degree aggregate in DuckDB)."""
+    from ..plans.graph import clustering_coefficients
+
+    return clustering_coefficients(_kg_graph_edges(spark, sf))
+
+
 def graph_modularity(spark, sf):
     """Integer-exact modularity components of the labelprop
     communities over the KG multigraph (hard oracle: the labelprop
@@ -1950,6 +1970,7 @@ SPARK_QUERIES = {
     "text_tokens": text_tokens,
     "text_bpe_tokens": text_bpe_tokens,
     "text_inverted_index": text_inverted_index,
+    "text_collocations": text_collocations,
     "text_hashed_features": text_hashed_features,
     "sample_k_per_domain": sample_k_per_domain,
     "text_bigram_ppl": text_bigram_ppl,
@@ -1991,6 +2012,7 @@ SPARK_QUERIES = {
     "graph_neighbor_agg": graph_neighbor_agg,
     "graph_ktruss": graph_ktruss,
     "graph_modularity": graph_modularity,
+    "graph_clustering_coeff": graph_clustering_coeff,
     "kg_er_metrics": kg_er_metrics,
     "graph_mis": graph_mis,
     "kg_sameas_closure": kg_sameas_closure,
@@ -3093,6 +3115,65 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
+    "graph_clustering_coeff": f"""
+        WITH {_KG_GRAPH_EDGES_CTE},
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst
+        ),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tn AS (
+            SELECT node_id, count(*)::BIGINT AS t FROM (
+                SELECT a AS node_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) GROUP BY node_id
+        ),
+        deg AS (
+            SELECT node_id, count(*)::BIGINT AS d FROM (
+                SELECT a AS node_id FROM und
+                UNION ALL SELECT b FROM und) GROUP BY node_id
+        )
+        SELECT deg.node_id, deg.d,
+               (2 * coalesce(tn.t, 0))::BIGINT AS two_t,
+               (deg.d * (deg.d - 1))::BIGINT AS d_pairs
+        FROM deg LEFT JOIN tn ON tn.node_id = deg.node_id
+    """,
+    "text_collocations": """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS w,
+                   unnest(generate_series(0, len(arr) - 1))::INT AS pos
+            FROM arrs
+        ),
+        bi AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks QUALIFY w2 IS NOT NULL
+        ),
+        cab AS (
+            SELECT w1, w2, count(*)::BIGINT AS c_ab FROM bi
+            GROUP BY w1, w2 HAVING count(*) >= 3
+        ),
+        uni AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+        nt AS (SELECT count(*)::BIGINT AS n_total FROM toks)
+        SELECT cab.w1, cab.w2, cab.c_ab,
+               ua.c AS c_a, ub.c AS c_b,
+               (SELECT n_total FROM nt) AS n_total
+        FROM cab
+        JOIN uni ua ON ua.w = cab.w1
+        JOIN uni ub ON ub.w = cab.w2
+        WHERE 5 * cab.c_ab * (SELECT n_total FROM nt)
+              >= 6 * ua.c * ub.c
+    """,
     "kg_er_metrics": """
         WITH RECURSIVE e0 AS (
             SELECT doc_id AS a, doc_id - 1 AS b FROM documents

@@ -742,3 +742,48 @@ def hashed_features(documents: DataFrame, n_bits: int = 12,
             .groupBy(id_col, "feat")
             .agg(F.sum("s").cast("bigint").alias("val"))
             .filter(F.col("val") != 0))
+
+
+def collocations(documents: DataFrame, lift_num: int = 3,
+                 lift_den: int = 1, min_count: int = 5,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus collocations by EXACT lift filtering: adjacent word
+    pairs whose observed frequency beats independence by at least
+    lift_num/lift_den — the association-mining primitive (PMI's
+    monotone core) with no logarithm and no float:
+    ``lift = c_ab * N / (c_a * c_b) >= num/den`` tested as
+    ``den * c_ab * N >= num * c_a * c_b`` in BIGINT. Returns
+    (w1, w2, c_ab, c_a, c_b, n_total); rank downstream by the exact
+    rational (cross-multiply to compare).
+
+    One tokenize + per-doc lead window (the bigram machinery), one
+    bigram count, one unigram count joined twice, the corpus total as
+    a broadcast 1-row aggregate — all map-side-combined.
+    """
+    if lift_num <= 0 or lift_den <= 0 or min_count < 1:
+        raise ValueError("collocations: positive lift fraction and "
+                         "min_count required")
+    toks = documents.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi = (toks.select(F.col(id_col), F.col("w").alias("w1"),
+                      F.lead("w").over(w).alias("w2"))
+          .filter(F.col("w2").isNotNull()))
+    c_ab = (bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+            .filter(F.col("c_ab") >= min_count))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    n_total = toks.agg(F.count("*").alias("n_total"))
+    out = (c_ab
+           .join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("c_a")), "w1")
+           .join(uni.select(F.col("w").alias("w2"),
+                            F.col("c").alias("c_b")), "w2")
+           .crossJoin(F.broadcast(n_total)))
+    keep = (F.lit(lift_den) * F.col("c_ab") * F.col("n_total")
+            >= F.lit(lift_num) * F.col("c_a") * F.col("c_b"))
+    return out.filter(keep).select("w1", "w2", "c_ab", "c_a", "c_b",
+                                   "n_total")

@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "closeness", "hits", "kcore", "ktruss", "link_predict",
+__all__ = ["bfs_distances", "closeness", "clustering_coefficients", "hits", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
@@ -1343,3 +1343,33 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
                      - F.col("tot_deg") * F.col("tot_deg"))
                     .alias("q_num"),
                     F.lit(m).alias("m_edges")))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient as an EXACT fraction:
+    cc(v) = 2*T(v) / (d(v)*(d(v)-1)) emitted as integer numerator
+    ``two_t`` and denominator ``d_pairs`` (0-denominator rows — degree
+    < 2 — keep two_t = 0). Composes triangle_counts with the degree
+    aggregate; one extra join, no float anywhere (the caller divides,
+    or compares nodes by cross-multiplication)."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tri = _oriented_triangles(und)
+    per_node = (
+        tri.select(F.col("u").alias("node_id"))
+        .unionByName(tri.select(F.col("v").alias("node_id")))
+        .unionByName(tri.select(F.col("w").alias("node_id")))
+        .groupBy("node_id").agg(F.count("*").alias("t"))
+    )
+    deg = (und.select(F.col("a").alias("node_id"))
+           .unionByName(und.select(F.col("b").alias("node_id")))
+           .groupBy("node_id").agg(F.count("*").alias("d")))
+    return (deg.join(per_node, "node_id", "left")
+            .select("node_id", "d",
+                    (F.lit(2) * F.coalesce("t", F.lit(0))).alias("two_t"),
+                    (F.col("d") * (F.col("d") - 1)).alias("d_pairs")))

@@ -799,3 +799,21 @@ def test_modularity_matches_handcomputed(spark):
     exp = sum((r.e_in / m) - (r.tot_deg / (2 * m)) ** 2
               for r in rows.values())
     assert abs(q - exp) < 1e-12
+
+
+def test_clustering_coefficients_exact_fractions(spark):
+    """cc fractions on a hand graph: triangle node = 1, star hub = 0,
+    degree-1 nodes get 0/0 denominators kept as (0, 0)."""
+    from npm_extraction_server_spark.plans.graph import (
+        clustering_coefficients,
+    )
+
+    edge_list = [(0, 1), (1, 2), (2, 0),            # triangle
+                 (0, 3), (0, 4),                     # hub spokes on 0
+                 (5, 6)]                             # isolated edge
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    rows = {r.node_id: (r.d, r.two_t, r.d_pairs)
+            for r in clustering_coefficients(edges).collect()}
+    assert rows[1] == (2, 2, 2) and rows[2] == (2, 2, 2)   # cc = 1
+    assert rows[0] == (4, 2, 12)                           # cc = 1/6
+    assert rows[3] == (1, 0, 0) and rows[5] == (1, 0, 0)
