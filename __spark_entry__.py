@@ -185,8 +185,9 @@ _PRIORITY: list[str] = [
     # joins / windows / time series / data quality
     "j10_fuzzy_block_join", "j11_asof_forward", "j12_auto_salted_join",
     "events_session_window", "ts_resample", "dq_violations",
-    # dedup family (clusters subsumes the verified-pair machinery)
-    "dedup_clusters",
+    # dedup family (clusters subsumes the verified-pair machinery;
+    # setsim is the recall-1 exact join)
+    "dedup_clusters", "dedup_setsim_join",
     # text / retrieval
     "text_inverted_index", "text_bigram_ppl", "text_unigram_ppl",
     # similarity (ivfpq exercises the IVF assignment + PQ re-rank path)
@@ -195,7 +196,7 @@ _PRIORITY: list[str] = [
     "graph_bfs", "graph_pagerank", "graph_pagerank_dangling",
     "graph_sssp", "graph_walks", "graph_walk_pairs",
     "graph_link_predict", "graph_closeness", "graph_neighbor_agg",
-    "graph_ktruss", "graph_scc", "graph_topo_layers",
+    "graph_ktruss", "graph_node2vec_walks", "graph_modularity",
     # web link graph + content extraction (web_main_content carries
     # the byte-identity text invariant)
     "web_outlinks", "web_host_pagerank", "web_main_content",
@@ -204,7 +205,7 @@ _PRIORITY: list[str] = [
     "snap_schema_evolution", "snap_wap", "snap_pos_delete",
     "snap_mor_merge",
     # sketches
-    "sketch_set_ops", "sketch_hll", "sketch_bloom",
+    "sketch_set_ops", "sketch_hll",
     # WARC/WET containers + the CDX index
     "warc_wet_text", "warc_cdx",
     # sampling / packing / curation
@@ -212,7 +213,7 @@ _PRIORITY: list[str] = [
     # KG pipeline + BGP/closure query layer
     "kg_triples_doap", "kg_sameas_closure", "kg_bgp_optional_deps",
     "kg_bgp_dep_counts", "kg_bgp_minus_deps", "kg_bgp_construct_labels",
-    "kg_transitive_deps", "kg_bgp_union_labels",
+    "kg_transitive_deps", "kg_er_metrics",
     # multimodal
     "mm_image_features",
 ]
