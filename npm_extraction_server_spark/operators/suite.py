@@ -1215,6 +1215,48 @@ def snap_incr_view(spark, sf):
     return read_view(spark, view)
 
 
+def snap_compact(spark, sf):
+    """Compaction as a hard oracle: 8 small commits -> one 'replace'
+    snapshot; the rewritten table must read back exactly the logical
+    state (DuckDB recomputes it from documents) and the file count
+    must actually shrink (asserted) — the small-files maintenance op
+    end-to-end."""
+    import tempfile
+
+    from ..sources.snapshots import commit, compact, plan_scan, read_snapshot
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapcompact_")
+    for i in range(8):
+        commit(docs.filter((d % 8) == i), table, partitions=4)
+    pre = len(plan_scan(table, [])[1])
+    compact(spark, table, partitions=2, cluster_by=["doc_id"])
+    post = len(plan_scan(table, [])[1])
+    assert post < pre, (pre, post)
+    return read_snapshot(spark, table)
+
+
+def events_retention(spark, sf):
+    """Cohort retention matrix: users bucketed by first-event ISO
+    week, distinct-user counts at each week offset (hard oracle: the
+    identical date_trunc/datediff derivation in DuckDB — both engines
+    Monday-truncate, so the day difference is an exact multiple of
+    7)."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    weeks = (ev.select("user_id",
+                       F.date_trunc("week", F.col("ts")).alias("w"))
+             .distinct())
+    return (firsts.join(weeks, "user_id")
+            .select("user_id", "cohort_week",
+                    (F.datediff(F.col("w"), F.col("cohort_week"))
+                     / F.lit(7)).cast("int").alias("week_k"))
+            .groupBy("cohort_week", "week_k")
+            .agg(F.count_distinct("user_id").alias("n_users")))
+
+
 def snap_hidden_partition(spark, sf):
     """Hidden partitioning (hard oracle): events commit day(ts)-
     partitioned — the derived day column is invisible to readers, and
@@ -2019,6 +2061,8 @@ SPARK_QUERIES = {
     "dq_violations": dq_violations,
     "ts_resample": ts_resample,
     "snap_incremental": snap_incremental,
+    "snap_compact": snap_compact,
+    "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
     "snap_merge_upsert": snap_merge_upsert,
     "snap_changelog": snap_changelog,
@@ -3578,6 +3622,24 @@ ORACLE_SQL = {
         UNION ALL
         SELECT doc_id, lang, n_chars::BIGINT, 'delete', 2
         FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    """,
+    "snap_compact": """
+        SELECT doc_id, lang, n_chars FROM documents
+    """,
+    "events_retention": """
+        WITH f AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        w AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT f.cohort_week,
+               (datediff('day', f.cohort_week, w.w) // 7)::INT AS week_k,
+               count(DISTINCT w.user_id)::BIGINT AS n_users
+        FROM f JOIN w USING (user_id)
+        GROUP BY 1, 2
     """,
     "snap_incr_view": """
         WITH finalrows AS (
