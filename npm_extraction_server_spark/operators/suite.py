@@ -1215,6 +1215,29 @@ def snap_incr_view(spark, sf):
     return read_view(spark, view)
 
 
+def q17_small_quantity(spark, sf):
+    """TPC-H Q17 shape — correlated per-part average turned exact:
+    the classic avg-subquery filter l_quantity < 0.2 * avg(qty) is
+    cross-multiplied to ``5 * qty * cnt < sum_qty`` over exact
+    decimals, so no division (and no float) exists anywhere; the
+    per-part aggregate joins back broadcastable, the money sum uses
+    the decimal protocol (hard oracle: identical rewrite in
+    DuckDB)."""
+    li = _t(spark, sf, "lineitem")
+    sel = (_t(spark, sf, "part")
+           .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
+           .select(F.col("p_partkey").alias("l_partkey")))
+    qd = F.round(F.col("l_quantity"), 2).cast("decimal(28,2)")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(qd).alias("sum_q"),
+                     F.count("*").alias("cnt")))
+    return (li.join(F.broadcast(sel), "l_partkey")
+            .join(per_part, "l_partkey")
+            .filter(F.lit(5) * qd * F.col("cnt") < F.col("sum_q"))
+            .agg(_dec_sum(F.col("l_extendedprice")).alias("sum_extprice"),
+                 F.count("*").alias("n_rows")))
+
+
 def snap_compact(spark, sf):
     """Compaction as a hard oracle: 8 small commits -> one 'replace'
     snapshot; the rewritten table must read back exactly the logical
@@ -2062,6 +2085,7 @@ SPARK_QUERIES = {
     "ts_resample": ts_resample,
     "snap_incremental": snap_incremental,
     "snap_compact": snap_compact,
+    "q17_small_quantity": q17_small_quantity,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
     "snap_merge_upsert": snap_merge_upsert,
@@ -3622,6 +3646,26 @@ ORACLE_SQL = {
         UNION ALL
         SELECT doc_id, lang, n_chars::BIGINT, 'delete', 2
         FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    """,
+    "q17_small_quantity": f"""
+        WITH pp AS (
+            SELECT l_partkey,
+                   sum(cast(round(l_quantity, 2) AS DECIMAL(28,2)))
+                       AS sum_q,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ),
+        sel AS (
+            SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#23' AND p_size < 15
+        )
+        SELECT {_dec_sum_sql("l_extendedprice")} AS sum_extprice,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        JOIN sel ON sel.p_partkey = lineitem.l_partkey
+        JOIN pp USING (l_partkey)
+        WHERE 5 * cast(round(l_quantity, 2) AS DECIMAL(28,2)) * cnt
+              < sum_q
     """,
     "snap_compact": """
         SELECT doc_id, lang, n_chars FROM documents
