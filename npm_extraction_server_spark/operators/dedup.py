@@ -587,7 +587,8 @@ def setsim_join(documents: DataFrame, threshold_num: int = 3,
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))))
-        .alias("token")))
+        .alias("token"))
+        .localCheckpoint(eager=True))  # feeds 4 plan branches
     freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
     ordered = (toks.join(freq, "token")
                .groupBy("doc")
@@ -609,8 +610,15 @@ def setsim_join(documents: DataFrame, threshold_num: int = 3,
                       "token")
     b = prefix.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"),
                       "token")
+    # AllPairs length prune: J >= num/den requires
+    # min(n)/max(n) >= num/den — size-mismatched docs sharing a
+    # prefix token never reach exact verification
     cand = (a.join(b, "token")
-            .filter(F.col("id_a") < F.col("id_b"))
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.lit(threshold_den)
+                       * F.least("n_a", "n_b")
+                       >= F.lit(threshold_num)
+                       * F.greatest("n_a", "n_b")))
             .select("id_a", "id_b", "n_a", "n_b")
             .distinct())
     ta = toks.select(F.col("doc").alias("id_a"), "token")

@@ -1733,7 +1733,8 @@ def kg_er_metrics(spark, sf):
 
     d = F.col("doc_id")
     chain = (docs.filter(d % 10 != 0)
-             .select(nid(d).alias("a"), nid(d - 1).alias("b")))
+             .select(nid(d).alias("a"), nid(d - 1).alias("b"))
+             .join(docs.select(nid(d).alias("b")), "b", "left_semi"))
     cross = (docs.filter(d % 37 == 0)
              .select(nid(d).alias("a"), nid(d + 100).alias("b"))
              .join(docs.select(nid(d).alias("b")), "b", "left_semi"))

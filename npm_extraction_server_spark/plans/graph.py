@@ -1359,13 +1359,8 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    tri = _oriented_triangles(und)
-    per_node = (
-        tri.select(F.col("u").alias("node_id"))
-        .unionByName(tri.select(F.col("v").alias("node_id")))
-        .unionByName(tri.select(F.col("w").alias("node_id")))
-        .groupBy("node_id").agg(F.count("*").alias("t"))
-    )
+    per_node = triangle_counts(edges).withColumnRenamed(
+        "n_triangles", "t")
     deg = (und.select(F.col("a").alias("node_id"))
            .unionByName(und.select(F.col("b").alias("node_id")))
            .groupBy("node_id").agg(F.count("*").alias("d")))

@@ -103,9 +103,15 @@ def _publish(df: DataFrame, view: str, state: dict) -> None:
     # and their own sweep
     import shutil
 
-    for p in view_p.glob("data-*.parquet"):
+    for p in view_p.glob("data*.parquet"):
+        # data*.parquet also matches the legacy data.parquet layout,
+        # which the spec fallback can supersede
         if p.name != data_name:
             shutil.rmtree(p, ignore_errors=True)
+    for p in view_p.glob("*.json"):
+        # orphaned mkstemp strands from crashed publishes
+        if p.name != "view.json":
+            p.unlink(missing_ok=True)
 
 
 def create_agg_view(spark: SparkSession, table: str, view: str,

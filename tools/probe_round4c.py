@@ -62,7 +62,7 @@ def main() -> None:
     n_mis = mis.count()
     print(f"MIS: {time.time()-t0:.1f} s, {n_mis} nodes", flush=True)
 
-    starts = spark.range(1000).select((d * 1_999).alias("node_id"))
+    starts = spark.range(1000).select(((d * 1_999) % nodes).alias("node_id"))
     ew = edges.withColumn(
         "w", (F.lit(1) + (F.col("src") * 3 + F.col("dst") * 5) % 7)
         .cast("long"))
