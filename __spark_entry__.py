@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_union_labels": _kg_bgp_union_labels,
         "kg_bgp_construct_labels": _kg_bgp_construct_labels,
         "kg_bgp_dep_counts": _kg_bgp_dep_counts,
+        "kg_describe": _kg_describe,
+        "kg_bgp_ask": _kg_bgp_ask,
+        "kg_void_stats": _kg_void_stats,
         "kg_bgp_minus_deps": _kg_bgp_minus_deps,
         "kg_transitive_deps": _kg_transitive_deps,
         "web_outlinks": _web_outlinks,
@@ -252,6 +255,9 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_union_labels": _KG_BGP_UNION_LABELS_ORACLE,
             "kg_bgp_construct_labels": _KG_BGP_CONSTRUCT_ORACLE,
             "kg_bgp_dep_counts": _KG_BGP_DEP_COUNTS_ORACLE,
+            "kg_describe": _KG_DESCRIBE_ORACLE,
+            "kg_bgp_ask": _KG_BGP_ASK_ORACLE,
+            "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
@@ -1174,6 +1180,50 @@ def _kg_bgp_minus_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["m", "name", "rev"])
 
 
+def _kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE of the hotpkg bundle entity over the doap
+    slice (subject-or-object closure, depth 1) — completes the
+    SELECT / CONSTRUCT / DESCRIBE verb triad. Hard oracle: the doap
+    replica filtered the same way (hotpkg is doc 0's fixed name, so
+    the IRI is corpus-independent)."""
+    from npm_extraction_server_spark.plans.bgp import bgp_describe
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = _doap_slice(run_pipeline(pages)["triples"])
+    return bgp_describe(t, "http://example.org/bundles/npm/hotpkg")
+
+
+def _kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style dataset statistics over the doap slice: per
+    predicate, triple count + distinct subjects + distinct objects —
+    the RDF dataset-description standard a KG publishes about itself.
+    Hard oracle: the same aggregates over the doap replica."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = _doap_slice(run_pipeline(pages)["triples"])
+    return (t.groupBy("pred")
+            .agg(F.count("*").alias("n_triples"),
+                 F.count_distinct("subj").alias("n_subjects"),
+                 F.count_distinct("obj").alias("n_objects")))
+
+
+def _kg_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK: does any version declare a dependency on
+    hotpkg@^1.0.0? (constant-object pattern -> LIMIT 1 probe).
+    Hard oracle: EXISTS over the alldeps replica."""
+    from npm_extraction_server_spark.plans.bgp import bgp_ask
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_ask(t, [(
+        "?v", NPM + "dependency",
+        "http://example.org/bundles/npm/hotpkg/%5E1.0.0")])
+
+
 def _kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SC5: changed-since window -> pipeline over only those pages,
     projected to the doap slice so the driver can hard-verify it (the
@@ -1393,6 +1443,21 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 # UNION of the two label predicates + subject FILTER == the doap
 # slice reshaped to (s, label): reuse its derivation verbatim.
+_KG_DESCRIBE_ORACLE = (
+    "SELECT DISTINCT subj, pred, obj FROM (" + _KG_TRIPLES_DOAP_ORACLE
+    + ") WHERE subj = 'http://example.org/bundles/npm/hotpkg'"
+      " OR obj = 'http://example.org/bundles/npm/hotpkg'")
+
+_KG_BGP_ASK_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """
+SELECT EXISTS(SELECT 1 FROM vers WHERE hv % 3 = 0 AND hv % 10 < 8)
+    AS ask""")
+
+_KG_VOID_STATS_ORACLE = (
+    "SELECT pred, count(*)::BIGINT AS n_triples,"
+    " count(DISTINCT subj)::BIGINT AS n_subjects,"
+    " count(DISTINCT obj)::BIGINT AS n_objects FROM ("
+    + _KG_TRIPLES_DOAP_ORACLE + ") GROUP BY pred")
+
 _KG_BGP_UNION_LABELS_ORACLE = (
     "SELECT DISTINCT subj AS s, obj AS label FROM ("
     + _KG_TRIPLES_DOAP_ORACLE + ")")

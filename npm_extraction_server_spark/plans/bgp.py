@@ -37,7 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_agg", "bgp_construct", "bgp_join", "bgp_minus",
+__all__ = ["bgp_agg", "bgp_ask", "bgp_construct", "bgp_describe",
+           "bgp_join", "bgp_minus",
            "bgp_optional", "bgp_path", "bgp_union", "materialize_rules",
            "reorder_patterns"]
 
@@ -408,3 +409,32 @@ def reorder_patterns(triples: DataFrame,
         order.append(pick)
         bound_vars |= pat_vars(patterns[pick])
     return [patterns[i] for i in order]
+
+
+def bgp_describe(triples: DataFrame, iri: str) -> DataFrame:
+    """SPARQL DESCRIBE (symmetric concise-bounded form, depth 1):
+    every triple in which ``iri`` appears as subject OR object — the
+    "show me this entity" query the reference answers per-package
+    over HTTP, expressed over the triples table. Two pushed scan
+    filters unioned; on a pred-partitioned layout both sides still
+    prune columns, and a subj-bucketed table serves the subject arm
+    shuffle-free."""
+    t = triples.select("subj", "pred", "obj")
+    return (t.filter(F.col("subj") == iri)
+            .unionByName(t.filter(F.col("obj") == iri))
+            .distinct())
+
+
+def bgp_ask(triples: DataFrame, patterns: list[tuple[str, str, str]],
+            filters: list | None = None) -> DataFrame:
+    """SPARQL ASK: does at least one binding satisfy the pattern
+    group? Returns ONE row (ask: boolean). Planned as the pattern
+    join under a LIMIT 1 — Catalyst stops the scan at the first
+    surviving row, so a satisfiable ASK touches a sliver of the
+    table."""
+    bound = _match_patterns(triples, patterns)
+    for flt in filters or []:
+        bound = bound.filter(F.expr(flt) if isinstance(flt, str) else flt)
+    spark = triples.sparkSession
+    n = bound.limit(1).count()
+    return spark.createDataFrame([(bool(n),)], "ask boolean")

@@ -592,3 +592,24 @@ def test_link_predict_no_cartesian(spark):
     plan = _plan(link_predict(edges, min_common=1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bgp_describe_and_ask_semantics(spark):
+    """DESCRIBE returns the subject+object closure at depth 1,
+    distinct; ASK returns one boolean row, true iff a binding exists
+    (including under FILTER)."""
+    from npm_extraction_server_spark.plans.bgp import bgp_ask, bgp_describe
+
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "a"), ("a", "knows", "b"),
+         ("c", "likes", "a"), ("b", "age", "30")],
+        "subj string, pred string, obj string")
+
+    rows = {tuple(r) for r in bgp_describe(t, "a").collect()}
+    assert rows == {("a", "knows", "b"), ("b", "knows", "a"),
+                    ("c", "likes", "a")}
+
+    assert bgp_ask(t, [("?x", "age", "?y")]).collect()[0].ask is True
+    assert bgp_ask(t, [("?x", "height", "?y")]).collect()[0].ask is False
+    assert bgp_ask(t, [("?x", "age", "?y")],
+                   filters=["y > '40'"]).collect()[0].ask is False
