@@ -186,7 +186,7 @@ _PRIORITY: list[str] = [
     # to the tail is green in CORRECTNESS_r01-r03 (driver-recorded) or
     # in the committed CORRECTNESS_FULL_r04.json self-run.
     # joins / windows / time series / data quality
-    "j10_fuzzy_block_join", "j11_asof_forward", "j12_auto_salted_join",
+    "j10_fuzzy_block_join", "q17_small_quantity", "j12_auto_salted_join",
     "events_session_window", "ts_resample", "dq_violations",
     # dedup family (clusters subsumes the verified-pair machinery;
     # setsim is the recall-1 exact join)
