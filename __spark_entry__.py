@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_ask": _kg_bgp_ask,
         "kg_void_stats": _kg_void_stats,
         "kg_bgp_minus_deps": _kg_bgp_minus_deps,
+        "kg_bgp_quads_meta": _kg_bgp_quads_meta,
+        "kg_bgp_graph_const": _kg_bgp_graph_const,
+        "kg_bgp_topk_deps": _kg_bgp_topk_deps,
         "kg_transitive_deps": _kg_transitive_deps,
         "web_outlinks": _web_outlinks,
         "web_url_normalize": _web_url_normalize,
@@ -259,6 +262,9 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_ask": _KG_BGP_ASK_ORACLE,
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
+            "kg_bgp_quads_meta": _KG_BGP_QUADS_META_ORACLE,
+            "kg_bgp_graph_const": _KG_BGP_GRAPH_CONST_ORACLE,
+            "kg_bgp_topk_deps": _KG_BGP_TOPK_DEPS_ORACLE,
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
             "web_outlinks": _WEB_OUTLINKS_ORACLE,
@@ -1180,6 +1186,67 @@ def _kg_bgp_minus_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["m", "name", "rev"])
 
 
+def _kg_bgp_quads_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH with a graph VARIABLE over the quad dataset: the
+    version-meta star constrained to a single named graph —
+    GRAPH ?g { ?m doap:name ?name . ?m doap:revision ?rev } — over
+    as_quads(triples) (graph = each triple's source document, the
+    per-package-document dataset the reference serves). Binds which
+    crawl page each version's metadata came from. Hard oracle: the
+    vers replica with g re-derived from doc_id (the synthetic page
+    url is a pure function of it)."""
+    from npm_extraction_server_spark.plans.bgp import as_quads, bgp_join
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    q = as_quads(run_pipeline(pages)["triples"])
+    return bgp_join(q, [("?m", DOAP + "name", "?name", "?g"),
+                        ("?m", DOAP + "revision", "?rev", "?g")],
+                    select=["m", "rev", "g"])
+
+
+def _kg_bgp_graph_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH with a CONSTANT graph IRI: all doap:name bindings
+    inside ONE source document's named graph — GRAPH <doc-0's url>
+    { ?s doap:name ?name } — the "what did this page contribute"
+    provenance query. The constant graph term is an ordinary scan
+    filter (partition-prunable on a graph-partitioned layout). Hard
+    oracle: doc 0 is the fixed 'hotpkg' package, so the bundle IRI +
+    its version-module IRIs are re-derived from doc_id 0 alone."""
+    from npm_extraction_server_spark.plans.bgp import as_quads, bgp_join
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    q = as_quads(run_pipeline(pages)["triples"])
+    return bgp_join(
+        q,
+        [("?s", DOAP + "name", "?name", "http://crawl.example.org/0/doc-0")],
+        select=["s", "name"],
+        filters=[F.col("s").startswith("http://example.org/bundles/npm/")])
+
+
+def _kg_bgp_topk_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers (ORDER BY + LIMIT) as a BGP-layer
+    surface: the dependency-chain bindings ordered by the full
+    (v, d, rng) tuple, first 25 — a deterministic top-k page. Plans
+    as TakeOrderedAndProject (per-partition heap + k-row merge),
+    never a global sort (plan-asserted in tests/test_plans.py). Hard
+    oracle: the dep-chain replica under the same ORDER BY/LIMIT."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_join(t, [("?v", NPM + "dependency", "?d"),
+                        ("?d", DOAP + "revision", "?rng")],
+                    select=["v", "d", "rng"],
+                    order_by=["v", "d", "rng"], limit=25)
+
+
 def _kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE of the hotpkg bundle entity over the doap
     slice (subject-or-object closure, depth 1) — completes the
@@ -1505,6 +1572,57 @@ SELECT DISTINCT module_iri AS m,
        '"' || name || '"' AS name,
        '"' || ver || '"' AS rev
 FROM vers WHERE module_iri NOT IN (SELECT v FROM alldeps)
+""")
+
+# GRAPH ?g star: each version's (m, rev) plus the named graph it lives
+# in = its source page's url (as_quads coalesces NULL graph -> src_url;
+# the synthetic url is a pure function of doc_id, vers carries i).
+_KG_BGP_QUADS_META_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """
+SELECT DISTINCT module_iri AS m,
+       '"' || ver || '"' AS rev,
+       'http://crawl.example.org/' || (i % 100) || '/doc-' || i AS g
+FROM vers
+""")
+
+# GRAPH <const>: doc 0 is the fixed 'hotpkg' package; its graph holds
+# the bundle's doap:name plus one per version module (dep-range modules
+# carry revision only, so the name pattern excludes them).
+_KG_BGP_GRAPH_CONST_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """
+SELECT DISTINCT s, name FROM (
+  SELECT 'http://example.org/bundles/npm/hotpkg' AS s,
+         '"hotpkg"' AS name
+  FROM pkg WHERE i = 0
+  UNION ALL
+  SELECT module_iri, '"' || name || '"' FROM vers WHERE i = 0
+)
+""")
+
+# ORDER BY (v, d, rng) LIMIT 25 over the distinct dep-chain bindings —
+# full-tuple ordering, so the page is deterministic in both engines.
+_KG_BGP_TOPK_DEPS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+bindings AS (
+  SELECT DISTINCT v,
+    'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+               ELSE rng END AS d,
+    '"' || rng || '"' AS rng
+  FROM alldeps
+)
+SELECT v, d, rng FROM bindings ORDER BY v, d, rng LIMIT 25
 """)
 
 

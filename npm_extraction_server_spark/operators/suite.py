@@ -1228,10 +1228,17 @@ def q17_small_quantity(spark, sf):
            .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
            .select(F.col("p_partkey").alias("l_partkey")))
     qd = F.round(F.col("l_quantity"), 2).cast("decimal(28,2)")
-    per_part = (li.groupBy("l_partkey")
+    # Semi-join BEFORE the per-part aggregate: only ~1/1000 parts
+    # survive the brand/size filter, so aggregating the full lineitem
+    # and discarding 99.9% of the groups would be a full-table shuffle
+    # wasted at scale. The broadcast semi-join prunes the aggregate's
+    # input; per-part sums/counts are unchanged because every lineitem
+    # row of a selected part survives the equi-join.
+    li_sel = li.join(F.broadcast(sel), "l_partkey")
+    per_part = (li_sel.groupBy("l_partkey")
                 .agg(F.sum(qd).alias("sum_q"),
                      F.count("*").alias("cnt")))
-    return (li.join(F.broadcast(sel), "l_partkey")
+    return (li_sel
             .join(per_part, "l_partkey")
             .filter(F.lit(5) * qd * F.col("cnt") < F.col("sum_q"))
             .agg(_dec_sum(F.col("l_extendedprice")).alias("sum_extprice"),

@@ -14,6 +14,19 @@ against the column. The result is one row per variable binding that
 satisfies EVERY pattern (set semantics — duplicates collapsed), with
 one column per variable.
 
+Quad patterns (SPARQL GRAPH): a pattern may carry a FOURTH term
+``(s, p, o, g)`` matched against the table's ``graph`` column — a
+variable binds the graph name, a constant selects one named graph
+(``GRAPH <g> {{...}}``), and ``None``/omitted means the pattern
+matches in the DEFAULT graph view = the union of all graphs (the
+RDF-dataset convention this engine's warehouse uses: the reference
+serves each package as its own RDF document, so the dump is a dataset
+of per-source named graphs; ``as_quads`` lifts the pipeline's triples
+table into that form with graph = COALESCE(graph, src_url)). Mixing
+3- and 4-term patterns in one group is allowed. A constant graph term
+is a scan filter like any other (partition-prunable on a
+graph-partitioned layout).
+
 Shape at 100 TB (10^11-triple tables):
 
 - Constant terms become scan-level filters — a pattern with a bound
@@ -37,25 +50,61 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_agg", "bgp_ask", "bgp_construct", "bgp_describe",
+__all__ = ["as_quads", "bgp_agg", "bgp_ask", "bgp_construct",
+           "bgp_describe",
            "bgp_join", "bgp_minus",
            "bgp_optional", "bgp_path", "bgp_union", "materialize_rules",
-           "reorder_patterns"]
+           "reorder_patterns", "reorder_patterns_void"]
+
+
+def as_quads(triples: DataFrame,
+             default_graph: str = "src_url") -> DataFrame:
+    """Lift a pipeline triples table into the named-graph dataset the
+    GRAPH patterns run over: graph = COALESCE(graph, <default_graph
+    column>) — triples the JSON-LD converter placed in an explicit
+    named graph keep it, everything else lands in its source
+    document's graph (the reference serves each package as its own
+    RDF document — lib/npm/NpmBundle.js — so the dataset-dump
+    convention is one named graph per source)."""
+    cols = [c for c in ("subj", "pred", "obj") if c in triples.columns]
+    return triples.select(
+        *cols,
+        F.coalesce(F.col("graph"), F.col(default_graph)).alias("graph"))
+
+
+def _norm_pattern(pat) -> tuple:
+    """(s, p, o) -> (s, p, o, None); validate arity."""
+    if len(pat) == 3:
+        return (*pat, None)
+    if len(pat) == 4:
+        return tuple(pat)
+    raise ValueError(f"bgp: pattern must have 3 or 4 terms, got {pat}")
 
 
 def _match_patterns(triples: DataFrame,
-                    patterns: list[tuple[str, str, str]]) -> DataFrame:
+                    patterns: list[tuple]) -> DataFrame:
     """Inner-join a conjunctive pattern group (no distinct — callers
-    decide set vs bag semantics after composing OPTIONAL/UNION)."""
+    decide set vs bag semantics after composing OPTIONAL/UNION).
+    Patterns are (s, p, o) triples or (s, p, o, g) quads."""
     if not patterns:
         raise ValueError("bgp: empty pattern list")
-    t = triples.select("subj", "pred", "obj")
+    patterns = [_norm_pattern(p) for p in patterns]
+    has_graph = any(g is not None for _, _, _, g in patterns)
+    if has_graph and "graph" not in triples.columns:
+        raise ValueError(
+            "bgp: quad pattern over a table without a 'graph' column "
+            "(lift it with as_quads first)")
+    base_cols = ["subj", "pred", "obj"] + (["graph"] if has_graph else [])
+    t = triples.select(*base_cols)
     bound: DataFrame | None = None
-    for s, p, o in patterns:
+    for s, p, o, g in patterns:
         cur = t
         out_cols: list = []
         seen: dict[str, str] = {}
-        for col, term in (("subj", s), ("pred", p), ("obj", o)):
+        terms = [("subj", s), ("pred", p), ("obj", o)]
+        if g is not None:
+            terms.append(("graph", g))
+        for col, term in terms:
             if term.startswith("?"):
                 var = term[1:]
                 if not var:
@@ -80,22 +129,47 @@ def _match_patterns(triples: DataFrame,
     return bound
 
 
+def _modifiers(out: DataFrame, order_by, limit, offset) -> DataFrame:
+    """SPARQL solution modifiers: ORDER BY / LIMIT / OFFSET over a
+    finished solution set. ``order_by`` entries are column names
+    (``"-name"`` for DESC) or Column expressions. ORDER BY + LIMIT
+    (no offset) plans as TakeOrderedAndProject — a per-partition
+    top-k heap + single-partition merge of k rows — never a global
+    sort (plan-asserted in tests). OFFSET forces the global sort
+    (its semantics need the full prefix) and is the discouraged
+    pagination form at scale, same as in any warehouse."""
+    if order_by:
+        cols = [F.col(c[1:]).desc() if isinstance(c, str)
+                and c.startswith("-") else c for c in order_by]
+        out = out.orderBy(*cols)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def _finish(bound: DataFrame, select: list[str] | None,
-            filters: list[Column] | list[str] | None) -> DataFrame:
-    """Shared FILTER -> SELECT -> DISTINCT tail of every BGP form.
-    ``filters`` entries are Column expressions over the variable
-    columns (SQL strings also accepted, evaluated via F.expr — an
-    expression API by contract, not data interpolation)."""
+            filters: list[Column] | list[str] | None,
+            order_by: list | None = None, limit: int | None = None,
+            offset: int = 0) -> DataFrame:
+    """Shared FILTER -> SELECT -> DISTINCT -> ORDER/LIMIT/OFFSET tail
+    of every BGP form. ``filters`` entries are Column expressions over
+    the variable columns (SQL strings also accepted, evaluated via
+    F.expr — an expression API by contract, not data
+    interpolation)."""
     for flt in filters or []:
         bound = bound.filter(F.expr(flt) if isinstance(flt, str) else flt)
     if select:
         bound = bound.select(*select)
-    return bound.distinct()
+    return _modifiers(bound.distinct(), order_by, limit, offset)
 
 
-def bgp_join(triples: DataFrame, patterns: list[tuple[str, str, str]],
+def bgp_join(triples: DataFrame, patterns: list[tuple],
              select: list[str] | None = None,
-             filters: list | None = None) -> DataFrame:
+             filters: list | None = None,
+             order_by: list | None = None, limit: int | None = None,
+             offset: int = 0) -> DataFrame:
     """Conjunctive triple-pattern join over ``triples`` (columns
     subj, pred, obj). ``patterns``: list of (s, p, o) terms —
     ``"?x"``-style variables bind, other strings filter. ``select``
@@ -107,14 +181,17 @@ def bgp_join(triples: DataFrame, patterns: list[tuple[str, str, str]],
     variable (no ``?`` prefix). Repeated variables within one pattern
     express equality (``("?x", P, "?x")`` keeps self-loops only).
     """
-    return _finish(_match_patterns(triples, patterns), select, filters)
+    return _finish(_match_patterns(triples, patterns), select, filters,
+                   order_by, limit, offset)
 
 
 def bgp_optional(triples: DataFrame,
-                 patterns: list[tuple[str, str, str]],
-                 optional: list[list[tuple[str, str, str]]],
+                 patterns: list[tuple],
+                 optional: list[list[tuple]],
                  select: list[str] | None = None,
-                 filters: list | None = None) -> DataFrame:
+                 filters: list | None = None,
+                 order_by: list | None = None, limit: int | None = None,
+                 offset: int = 0) -> DataFrame:
     """SPARQL OPTIONAL: the required ``patterns`` group left-joined
     with each group in ``optional`` on their shared variables —
     bindings that match extend the row, bindings that don't leave the
@@ -138,13 +215,15 @@ def bgp_optional(triples: DataFrame,
                 "bgp_optional: optional group shares no variable with "
                 f"the required patterns: {grp}")
         bound = bound.join(opt, shared, "left")
-    return _finish(bound, select, filters)
+    return _finish(bound, select, filters, order_by, limit, offset)
 
 
 def bgp_union(triples: DataFrame,
-              groups: list[list[tuple[str, str, str]]],
+              groups: list[list[tuple]],
               select: list[str] | None = None,
-              filters: list | None = None) -> DataFrame:
+              filters: list | None = None,
+              order_by: list | None = None, limit: int | None = None,
+              offset: int = 0) -> DataFrame:
     """SPARQL UNION: alternative pattern groups, each matched
     independently, bindings unioned by variable NAME — variables
     absent from one branch come back NULL in that branch's rows
@@ -163,7 +242,7 @@ def bgp_union(triples: DataFrame,
         out = cur if out is None else out.unionByName(
             cur, allowMissingColumns=True)
     assert out is not None
-    return _finish(out, select, filters)
+    return _finish(out, select, filters, order_by, limit, offset)
 
 
 def bgp_path(triples: DataFrame, seeds: DataFrame, pred: str,
@@ -194,8 +273,8 @@ def bgp_path(triples: DataFrame, seeds: DataFrame, pred: str,
 
 
 def bgp_construct(triples: DataFrame,
-                  patterns: list[tuple[str, str, str]],
-                  template: list[tuple[str, str, str]],
+                  patterns: list[tuple],
+                  template: list[tuple],
                   filters: list | None = None) -> DataFrame:
     """SPARQL CONSTRUCT: match the WHERE ``patterns`` (conjunctive,
     same semantics as bgp_join) and instantiate each ``template``
@@ -209,12 +288,20 @@ def bgp_construct(triples: DataFrame,
     as one Catalyst plan (pattern scans -> joins -> projection), and
     a rule SET is just a union of bgp_construct calls — fixpoint
     iteration on top of it gives RDFS-style closure when rules feed
-    each other."""
+    each other.
+
+    Quad templates: a 4-term template ``(s, p, o, g)`` emits into the
+    named graph ``g`` (variable or constant) — SPARQL's
+    ``CONSTRUCT {{ GRAPH ?g {{...}} }}`` extension. If ANY template
+    entry is a quad the output carries a ``graph`` column (NULL for
+    3-term entries = default graph)."""
     bound = _match_patterns(triples, patterns)
     for flt in filters or []:
         bound = bound.filter(F.expr(flt) if isinstance(flt, str) else flt)
+    template = [_norm_pattern(t) for t in template]
+    with_graph = any(g is not None for _, _, _, g in template)
     parts = []
-    for s, p, o in template:
+    for s, p, o, g in template:
         def term(t):
             if t.startswith("?"):
                 var = t[1:]
@@ -225,9 +312,13 @@ def bgp_construct(triples: DataFrame,
                 return F.col(var)
             return F.lit(t)
 
-        parts.append(bound.select(term(s).alias("subj"),
-                                  term(p).alias("pred"),
-                                  term(o).alias("obj")))
+        cols = [term(s).alias("subj"), term(p).alias("pred"),
+                term(o).alias("obj")]
+        if with_graph:
+            cols.append(
+                (F.lit(None).cast("string") if g is None
+                 else term(g)).alias("graph"))
+        parts.append(bound.select(*cols))
     import functools
 
     return functools.reduce(lambda a, b: a.unionByName(b),
@@ -282,11 +373,13 @@ _AGG_FNS = {
 
 
 def bgp_agg(triples: DataFrame,
-            patterns: list[tuple[str, str, str]],
+            patterns: list[tuple],
             group_by: list[str],
             aggs: list[tuple[str, str, str]],
             filters: list | None = None,
-            having: list | None = None) -> DataFrame:
+            having: list | None = None,
+            order_by: list | None = None, limit: int | None = None,
+            offset: int = 0) -> DataFrame:
     """SPARQL GROUP BY + aggregates: match the conjunctive
     ``patterns``, apply FILTER, then aggregate the DISTINCT bindings
     (this module's uniform set-semantics contract — every BGP form
@@ -322,14 +415,16 @@ def bgp_agg(triples: DataFrame,
           for var, fn, alias in aggs])
     for h in having or []:
         out = out.filter(F.expr(h) if isinstance(h, str) else h)
-    return out
+    return _modifiers(out, order_by, limit, offset)
 
 
 def bgp_minus(triples: DataFrame,
-              patterns: list[tuple[str, str, str]],
-              minus: list[list[tuple[str, str, str]]],
+              patterns: list[tuple],
+              minus: list[list[tuple]],
               select: list[str] | None = None,
-              filters: list | None = None) -> DataFrame:
+              filters: list | None = None,
+              order_by: list | None = None, limit: int | None = None,
+              offset: int = 0) -> DataFrame:
     """SPARQL MINUS (and the equivalent FILTER NOT EXISTS for
     variable-connected groups): keep the bindings of ``patterns``
     that are NOT compatible with any binding of any ``minus`` group —
@@ -358,7 +453,7 @@ def bgp_minus(triples: DataFrame,
                 f"required patterns (would remove nothing): {grp}")
         bound = bound.join(m.select(*shared).distinct(), shared,
                            "left_anti")
-    return _finish(bound, select, filters)
+    return _finish(bound, select, filters, order_by, limit, offset)
 
 
 def reorder_patterns(triples: DataFrame,
@@ -384,42 +479,101 @@ def reorder_patterns(triples: DataFrame,
     """
     if not patterns:
         raise ValueError("bgp: empty pattern list")
+    norm = [_norm_pattern(pat) for pat in patterns]
     conds = []
-    for idx, (s, p, o) in enumerate(patterns):
+    cols = ("subj", "pred", "obj", "graph")
+    proj = ["subj", "pred", "obj"] + (
+        ["graph"] if any(g is not None and not g.startswith("?")
+                         for _, _, _, g in norm) else [])
+    for idx, quad in enumerate(norm):
         cond = F.lit(True)
-        for col, term in zip(("subj", "pred", "obj"), (s, p, o)):
-            if not term.startswith("?"):
+        for col, term in zip(cols, quad):
+            if term is not None and not term.startswith("?"):
                 cond = cond & (F.col(col) == term)
         conds.append(F.sum(cond.cast("long")).alias(f"c{idx}"))
-    row = triples.select("subj", "pred", "obj").agg(*conds).collect()[0]
+    row = triples.select(*proj).agg(*conds).collect()[0]
     counts = [int(row[f"c{i}"] or 0) for i in range(len(patterns))]
+    return _greedy_order(patterns, counts)
 
-    def pat_vars(pat):
-        return {t[1:] for t in pat if t.startswith("?") and len(t) > 1}
 
+def _pat_vars(pat) -> set:
+    return {t[1:] for t in pat
+            if t is not None and t.startswith("?") and len(t) > 1}
+
+
+def _greedy_order(patterns: list, counts: list[int]) -> list:
+    """Most-selective-first under the shared-variable connectivity
+    constraint (shared by the measured and the stats-based orderer)."""
     remaining = list(range(len(patterns)))
     remaining.sort(key=lambda i: (counts[i], i))
     order: list[int] = []
     bound_vars: set[str] = set()
     while remaining:
         pick = next((i for i in remaining
-                     if not order or pat_vars(patterns[i]) & bound_vars),
+                     if not order or _pat_vars(patterns[i]) & bound_vars),
                     remaining[0])
         remaining.remove(pick)
         order.append(pick)
-        bound_vars |= pat_vars(patterns[pick])
+        bound_vars |= _pat_vars(patterns[pick])
     return [patterns[i] for i in order]
 
 
-def bgp_describe(triples: DataFrame, iri: str) -> DataFrame:
+def reorder_patterns_void(patterns: list,
+                          void_stats: dict[str, tuple[int, int, int]]
+                          ) -> list:
+    """Stats-based BGP join ordering from the dataset's OWN VoID
+    partition statistics — no measurement job at all. ``void_stats``
+    maps predicate IRI -> (n_triples, n_subjects, n_objects), exactly
+    the rows ``plans/warehouse.void_stats`` (the ``kg_void_stats``
+    query) materializes; callers collect that small table ONCE per
+    dataset and order every subsequent query driver-side.
+
+    Cardinality model (the standard VoID estimator): a bound
+    predicate starts at its n_triples; a bound subject divides by the
+    predicate's distinct-subject count, a bound object by its
+    distinct-object count (uniformity assumption). A variable
+    predicate starts at the dataset total and divides by the summed
+    distinct counts. Same greedy connectivity-constrained order as
+    ``reorder_patterns``; same result-set invariance guarantee (only
+    the join tree changes). Estimates are driver-side float math over
+    a dict — the plan gains the ordering with ZERO extra Spark jobs,
+    closing the one measurement pass ``reorder_patterns`` pays."""
+    if not patterns:
+        raise ValueError("bgp: empty pattern list")
+    tot_t = sum(v[0] for v in void_stats.values()) or 1
+    tot_s = sum(v[1] for v in void_stats.values()) or 1
+    tot_o = sum(v[2] for v in void_stats.values()) or 1
+    counts = []
+    for pat in patterns:
+        s, p, o, g = _norm_pattern(pat)
+        if not p.startswith("?"):
+            nt, ns, no = void_stats.get(p, (0, 1, 1))
+        else:
+            nt, ns, no = tot_t, tot_s, tot_o
+        est = float(nt)
+        if not s.startswith("?"):
+            est /= max(ns, 1)
+        if not o.startswith("?"):
+            est /= max(no, 1)
+        if g is not None and not g.startswith("?"):
+            est /= 2.0  # graph constants prune; exact share unknown
+        counts.append(est)
+    return _greedy_order(patterns, counts)
+
+
+def bgp_describe(triples: DataFrame, iri: str,
+                 with_graph: bool = False) -> DataFrame:
     """SPARQL DESCRIBE (symmetric concise-bounded form, depth 1):
     every triple in which ``iri`` appears as subject OR object — the
     "show me this entity" query the reference answers per-package
     over HTTP, expressed over the triples table. Two pushed scan
     filters unioned; on a pred-partitioned layout both sides still
     prune columns, and a subj-bucketed table serves the subject arm
-    shuffle-free."""
-    t = triples.select("subj", "pred", "obj")
+    shuffle-free. ``with_graph=True`` keeps the ``graph`` column
+    (quad DESCRIBE over an ``as_quads`` dataset — which named graphs
+    mention the entity)."""
+    cols = ["subj", "pred", "obj"] + (["graph"] if with_graph else [])
+    t = triples.select(*cols)
     return (t.filter(F.col("subj") == iri)
             .unionByName(t.filter(F.col("obj") == iri))
             .distinct())

@@ -568,8 +568,20 @@ def topo_layers(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
 
     Per round: one distinct-dst projection of the live edge set + two
     anti-joins; the live edge set only shrinks and is checkpointed.
-    Rounds are bounded by the longest acyclic in-path, not |V|. One
-    count action per round (the peel set, needed for termination).
+    Rounds are bounded by the longest acyclic in-path, not |V|.
+
+    ONE action per round: ``peel`` is lazily checkpointed and its
+    ``count()`` is the round's only real computation. Termination
+    state (is the peel empty? are any nodes left?) is carried in
+    driver counters off that one count, mirroring the kcore loop —
+    the round-4 loop's separate eager-checkpoint actions and two
+    ``limit(1).count()`` emptiness probes are gone. Residual cost:
+    Spark finalizes each lazy local checkpoint in its own narrow
+    single-stage job (cached parents, no shuffle), so the measured
+    budget is 4 jobs/round (1 action + 3 finalizations) vs ~11 before
+    (pinned by tests/test_graph.py's 120-level-chain probe). Rounds ∝
+    DAG depth — npm chains run hundreds of levels, so per-round
+    scheduler waste multiplies by depth.
     Returns (node_id, layer int nullable)."""
     e = (edges.filter(F.col("src") != F.col("dst"))
          .select("src", "dst").distinct().localCheckpoint(eager=True))
@@ -577,20 +589,26 @@ def topo_layers(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
              .unionByName(e.select(F.col("dst").alias("node_id")))
              .distinct().localCheckpoint(eager=True))
     unassigned, live = nodes, e
+    n_unassigned = nodes.count()
     peeled: list[DataFrame] = []
     for r in range(max_rounds):
         blocked = live.select(F.col("dst").alias("node_id")).distinct()
         peel = unassigned.join(blocked, "node_id", "left_anti") \
-            .localCheckpoint(eager=True)
-        if not peel.limit(1).count():
+            .localCheckpoint(eager=False)
+        n_peel = peel.count()  # the round's ONE job
+        if n_peel == 0:
             break  # only cycle closure remains (or nothing)
         peeled.append(peel.withColumn("layer", F.lit(r)))
+        n_unassigned -= n_peel
+        if n_unassigned == 0:
+            # fully layered: the residual is empty; no extra round (or
+            # checkpoint) needed to see it
+            unassigned = unassigned.join(peel, "node_id", "left_anti")
+            break
         unassigned = unassigned.join(peel, "node_id", "left_anti") \
-            .localCheckpoint(eager=True)
-        if not unassigned.limit(1).count():
-            break  # fully layered: no extra round needed to see it
+            .localCheckpoint(eager=False)
         live = live.join(peel.withColumnRenamed("node_id", "src"),
-                         "src", "left_anti").localCheckpoint(eager=True)
+                         "src", "left_anti").localCheckpoint(eager=False)
     else:
         raise RuntimeError(f"topo_layers: not converged in {max_rounds} "
                            "rounds (raise max_rounds)")

@@ -613,3 +613,170 @@ def test_bgp_describe_and_ask_semantics(spark):
     assert bgp_ask(t, [("?x", "height", "?y")]).collect()[0].ask is False
     assert bgp_ask(t, [("?x", "age", "?y")],
                    filters=["y > '40'"]).collect()[0].ask is False
+
+
+def test_bgp_quad_patterns_semantics(spark):
+    """GRAPH patterns: a constant 4th term selects one named graph, a
+    variable binds the graph name, 3-term patterns keep matching the
+    union of all graphs, and mixing arities inside one group works.
+    A quad pattern over a graph-less table is rejected."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+
+    q = spark.createDataFrame(
+        [("a", "type", "Person", "g1"), ("a", "age", "30", "g1"),
+         ("b", "type", "Person", "g2"), ("b", "age", "40", "g2"),
+         ("a", "age", "31", "g2")],      # same subj, different graph
+        "subj string, pred string, obj string, graph string")
+
+    # constant graph: only g1's age triple
+    out = bgp_join(q, [("?x", "age", "?v", "g1")])
+    assert [(r.x, r.v) for r in out.collect()] == [("a", "30")]
+
+    # graph variable binds; same-graph star join constrains both
+    # patterns to ONE graph (a's type is only in g1, so its g2 age
+    # binding is excluded)
+    out = bgp_join(q, [("?x", "type", "Person", "?g"),
+                       ("?x", "age", "?v", "?g")], select=["x", "v", "g"])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "30", "g1"), ("b", "40", "g2")]
+
+    # 3-term pattern = default graph = union of graphs
+    out = bgp_join(q, [("?x", "age", "?v")])
+    assert sorted((r.x, r.v) for r in out.collect()) == [
+        ("a", "30"), ("a", "31"), ("b", "40")]
+
+    # mixed arity in one group
+    out = bgp_join(q, [("?x", "type", "Person"),
+                       ("?x", "age", "?v", "g2")], select=["x", "v"])
+    assert sorted((r.x, r.v) for r in out.collect()) == [
+        ("a", "31"), ("b", "40")]
+
+    t3 = q.select("subj", "pred", "obj")
+    with pytest.raises(ValueError, match="graph"):
+        bgp_join(t3, [("?x", "age", "?v", "?g")])
+    with pytest.raises(ValueError, match="3 or 4 terms"):
+        bgp_join(q, [("?x", "age")])
+
+
+def test_as_quads_and_describe_with_graph(spark):
+    """as_quads: explicit named-graph triples keep their graph,
+    default-graph triples land in their source document's graph;
+    DESCRIBE with_graph carries the provenance column."""
+    from npm_extraction_server_spark.plans.bgp import as_quads, bgp_describe
+
+    t = spark.createDataFrame(
+        [("a", "p", "b", None, "http://x/1"),
+         ("a", "q", "c", "gX", "http://x/1"),
+         ("d", "p", "a", None, "http://x/2")],
+        "subj string, pred string, obj string, graph string, src_url string")
+    q = as_quads(t)
+    assert sorted(tuple(r) for r in q.collect()) == [
+        ("a", "p", "b", "http://x/1"), ("a", "q", "c", "gX"),
+        ("d", "p", "a", "http://x/2")]
+
+    rows = {tuple(r) for r in bgp_describe(q, "a", with_graph=True).collect()}
+    assert rows == {("a", "p", "b", "http://x/1"), ("a", "q", "c", "gX"),
+                    ("d", "p", "a", "http://x/2")}
+
+
+def test_bgp_construct_quad_template(spark):
+    """CONSTRUCT quad templates: a 4-term template emits into a named
+    graph (variable or constant); 3-term entries get NULL (default
+    graph) when any quad entry is present."""
+    from npm_extraction_server_spark.plans.bgp import bgp_construct
+
+    q = spark.createDataFrame(
+        [("a", "type", "Person", "g1"), ("b", "type", "Person", "g2")],
+        "subj string, pred string, obj string, graph string")
+    out = bgp_construct(
+        q, [("?x", "type", "Person", "?g")],
+        [("?x", "rdfs:label", "someone", "?g"),
+         ("?x", "audited", "true")])
+    assert out.columns == ["subj", "pred", "obj", "graph"]
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "audited", "true", None),
+        ("a", "rdfs:label", "someone", "g1"),
+        ("b", "audited", "true", None),
+        ("b", "rdfs:label", "someone", "g2")]
+
+
+def test_bgp_modifiers_take_ordered_plan(spark):
+    """ORDER BY + LIMIT on a BGP plans as TakeOrderedAndProject (per-
+    partition heap + k-row merge), NOT a global Sort; results honor
+    order, limit, offset, and '-col' DESC syntax."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+
+    t = spark.createDataFrame(
+        [(f"s{i:02d}", "score", f"{i:02d}") for i in range(40)],
+        "subj string, pred string, obj string")
+
+    out = bgp_join(t, [("?x", "score", "?v")], select=["x", "v"],
+                   order_by=["v"], limit=3)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
+    assert [r.v for r in out.collect()] == ["00", "01", "02"]
+
+    out = bgp_join(t, [("?x", "score", "?v")], select=["x", "v"],
+                   order_by=["-v"], limit=2)
+    assert [r.v for r in out.collect()] == ["39", "38"]
+
+    out = bgp_join(t, [("?x", "score", "?v")], select=["v"],
+                   order_by=["v"], limit=2, offset=5)
+    assert [r.v for r in out.collect()] == ["05", "06"]
+
+
+def test_reorder_patterns_void_stats(spark):
+    """reorder_patterns_void orders from the VoID per-predicate stats
+    with ZERO Spark jobs (pure driver math), keeps connectivity, and
+    bgp_join results are invariant under the reordering."""
+    from npm_extraction_server_spark.plans.bgp import (
+        bgp_join,
+        reorder_patterns_void,
+    )
+
+    rows = [("s%d" % i, "common", "x") for i in range(50)] + \
+           [("s0", "link", "t0"), ("s1", "link", "t1"),
+            ("t0", "tiny", "z")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    void = {"common": (50, 50, 1), "link": (2, 2, 2), "tiny": (1, 1, 1)}
+
+    pats = [("?s", "common", "?c"), ("?s", "link", "?t"),
+            ("?t", "tiny", "?z")]
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    got = reorder_patterns_void(pats, void)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before)  # no counting job ran
+    assert got == [("?t", "tiny", "?z"), ("?s", "link", "?t"),
+                   ("?s", "common", "?c")]
+
+    a = {frozenset(r.asDict().items()) for r in bgp_join(t, pats).collect()}
+    b = {frozenset(r.asDict().items()) for r in bgp_join(t, got).collect()}
+    assert a == b and a
+
+    # bound-subject estimate: n_triples/n_subjects ranks a point
+    # lookup on a big predicate under a full scan of a medium one
+    pats2 = [("s0", "common", "?c"), ("?s2", "link", "?t2")]
+    got2 = reorder_patterns_void(pats2, void)
+    assert got2[0] == ("s0", "common", "?c")  # est 1 row < 2 rows
+
+
+def test_q17_aggregate_prefiltered(spark):
+    """TPC-H Q17: the per-part aggregate's input must carry the
+    broadcast part semi-join BELOW the groupBy — the full-lineitem
+    Exchange that round-4 flagged as the scale killer must be gone
+    (the only Exchange under the aggregate is fed by the pruned
+    join, and the lineitem scan feeding it sits under a
+    BroadcastHashJoin)."""
+    from npm_extraction_server_spark.operators.suite import q17_small_quantity
+
+    plan = _plan(q17_small_quantity(spark, SF))
+    # locate the per-part partial aggregate (sum of l_quantity)
+    seg = plan.split("partial_sum(cast(round(l_quantity", 1)
+    assert len(seg) == 2, plan
+    below = seg[1]
+    # the aggregate's child: a broadcast join appears BEFORE the
+    # lineitem scan it prunes
+    assert below.index("BroadcastHashJoin") < below.index("lineitem.parquet")
