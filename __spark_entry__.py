@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_ask": _kg_bgp_ask,
         "kg_void_stats": _kg_void_stats,
         "kg_bgp_minus_deps": _kg_bgp_minus_deps,
+        "kg_trig_roundtrip": _kg_trig_roundtrip,
         "kg_bgp_quads_meta": _kg_bgp_quads_meta,
         "kg_bgp_graph_const": _kg_bgp_graph_const,
         "kg_bgp_topk_deps": _kg_bgp_topk_deps,
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_ask": _KG_BGP_ASK_ORACLE,
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
+            "kg_trig_roundtrip": _KG_TRIG_ROUNDTRIP_ORACLE,
             "kg_bgp_quads_meta": _KG_BGP_QUADS_META_ORACLE,
             "kg_bgp_graph_const": _KG_BGP_GRAPH_CONST_ORACLE,
             "kg_bgp_topk_deps": _KG_BGP_TOPK_DEPS_ORACLE,
@@ -1247,6 +1249,63 @@ def _kg_bgp_topk_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     order_by=["v", "d", "rng"], limit=25)
 
 
+def _kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph serialization ROUND TRIP through real TriG text
+    (kernel/serialize.to_trig -> kernel/parse.parse_trig), executed
+    distributed: each partition's doap-slice quads (graph = source
+    page, the as_quads dataset-dump convention) are serialized to a
+    TriG document and re-parsed, and the parsed rows must equal the
+    input — the warc_roundtrip analog for the RDF text formats, in
+    the direction (parsing) the engine previously lacked. Hard
+    oracle: the doap replica extended with per-source graph
+    attribution (dep-range modules repeat per citing page; version/
+    bundle triples are unique to theirs)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from npm_extraction_server_spark.plans.bgp import as_quads
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    q = (as_quads(t.filter(
+            F.col("pred").isin(DOAP + "name", DOAP + "revision")
+            & F.col("subj").startswith("http://example.org/bundles/npm/")
+            & ~F.col("subj").contains("/.well-known/"))
+         .select("subj", "pred", "obj", "obj_is_literal", "graph",
+                 "src_url")))
+
+    schema = T.StructType([
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("g", T.StringType(), False),
+    ])
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from npm_extraction_server_spark.kernel.jsonld_rdf import Triple
+        from npm_extraction_server_spark.kernel.parse import parse_trig
+        from npm_extraction_server_spark.kernel.serialize import to_trig
+
+        for pdf in batches:
+            ts = [Triple(s, p, o, True, g)
+                  for s, p, o, g in zip(pdf["subj"], pdf["pred"],
+                                        pdf["obj"], pdf["graph"])]
+            back = parse_trig(to_trig(ts))
+            yield pd.DataFrame(
+                {"subj": [x.subj for x in back],
+                 "pred": [x.pred for x in back],
+                 "obj": [x.obj for x in back],
+                 "g": [x.graph for x in back]})
+
+    return (q.select("subj", "pred", "obj", "graph")
+            .mapInPandas(roundtrip, schema=schema)
+            .dropDuplicates(["subj", "pred", "obj", "g"]))
+
+
 def _kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE of the hotpkg bundle entity over the doap
     slice (subject-or-object closure, depth 1) — completes the
@@ -1582,6 +1641,49 @@ SELECT DISTINCT module_iri AS m,
        '"' || ver || '"' AS rev,
        'http://crawl.example.org/' || (i % 100) || '/doc-' || i AS g
 FROM vers
+""")
+
+# The doap replica with per-source-graph attribution: version/bundle
+# triples belong to their own page's graph; dep-range revisions repeat
+# once per citing page (DISTINCT per (quad), not per (triple)).
+_KG_TRIG_ROUNDTRIP_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """
+SELECT DISTINCT subj, pred, obj, g FROM (
+  SELECT module_iri AS subj, 'http://usefulinc.com/ns/doap#name' AS pred,
+         '"' || name || '"' AS obj,
+         'http://crawl.example.org/' || (i % 100) || '/doc-' || i AS g
+  FROM vers
+  UNION ALL
+  SELECT module_iri, 'http://usefulinc.com/ns/doap#revision',
+         '"' || ver || '"',
+         'http://crawl.example.org/' || (i % 100) || '/doc-' || i
+  FROM vers
+  UNION ALL
+  -- bundle URIs keep scoped names RAW ('@org/x', not %40org%2Fx):
+  -- the reference's NpmBundle URI quirk, replicated by kernel/uris.py
+  SELECT 'http://example.org/bundles/npm/' || name,
+         'http://usefulinc.com/ns/doap#name', '"' || name || '"',
+         'http://crawl.example.org/' || (i % 100) || '/doc-' || i
+  FROM pkg
+  UNION ALL
+  SELECT 'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+           CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+                    WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+                    ELSE rng END,
+         'http://usefulinc.com/ns/doap#revision', '"' || rng || '"',
+         'http://crawl.example.org/' || (i % 100) || '/doc-' || i
+  FROM (
+    SELECT i, CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+                        ELSE 'ultrautil' END AS dep_pkg,
+           '^1.0.0' AS rng
+    FROM vers WHERE hv%10 < 8
+    UNION ALL
+    SELECT i, 'pkg-' || (hv%1000),
+           CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2'
+                     WHEN 2 THEN '1.x' WHEN 3 THEN '*'
+                     WHEN 4 THEN '>=1.0.0 <2' WHEN 5 THEN '1.0.0' END
+    FROM vers WHERE hv%9 <= 5
+  )
+)
 """)
 
 # GRAPH <const>: doc 0 is the fixed 'hotpkg' package; its graph holds

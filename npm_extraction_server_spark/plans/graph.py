@@ -143,7 +143,8 @@ def _dangling_mass(ranks: DataFrame, dang: DataFrame) -> DataFrame:
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping: float = 0.85, out_scale: int = 8,
              dangling: str = "redistribute",
-             normalized: bool = True) -> DataFrame:
+             normalized: bool = True,
+             return_history: bool = False) -> DataFrame:
     """Fixed-iteration PageRank over a directed multigraph.
 
     ``edges``: (src, dst); parallel edges each carry their own share
@@ -175,6 +176,11 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     ``round(decimal_sum(rank)::double / n, 12)`` added INSIDE the
     damped term, so the dangling oracle unrolls to the same doubles.
     Output rank is rounded to ``out_scale``.
+
+    ``return_history=True`` returns the full per-iteration rank table
+    (node_id, iter, rank) on the 12-dp grid instead of the final
+    rounded vector — the warm state ``pagerank_incremental`` resumes
+    from when the edge set changes.
     """
     if dangling not in ("redistribute", "assert_none", "ignore"):
         raise ValueError(f"pagerank: unknown dangling mode {dangling!r}")
@@ -217,6 +223,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         init = 1.0
         teleport = round(1.0 - damping, _GRID)
     ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
+    hist = [ranks.withColumn("iter", F.lit(0))]
 
     try:
         for _ in range(iterations):
@@ -248,9 +255,190 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                 )
                 .localCheckpoint(eager=True)
             )
+            hist.append(ranks.withColumn("iter", F.lit(len(hist))))
     finally:
         adj.unpersist()
+    if return_history:
+        # per-iteration GRID ranks (node_id, iter, rank), iter 0..k —
+        # the warm state pagerank_incremental consumes; every input is
+        # an eager checkpoint, so the union is pure metadata
+        import functools
+
+        return functools.reduce(lambda a, b: a.unionByName(b), hist)
     return ranks.select("node_id", F.round("rank", out_scale).alias("rank"))
+
+
+def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
+                         history: DataFrame, iterations: int = 5,
+                         damping: float = 0.85, out_scale: int = 8,
+                         normalized: bool = True,
+                         stats: dict | None = None) -> DataFrame:
+    """Delta-proportional PageRank maintenance: given the OLD graph's
+    per-iteration rank history (``pagerank(edges_old, ...,
+    return_history=True)``) and a new edge set, produce ranks
+    BIT-IDENTICAL to ``pagerank(edges_new, iterations, ...)`` while
+    recomputing only the nodes the delta can actually reach.
+
+    The exactness argument: with fixed-iteration semantics,
+    ``rank_t(v)`` is a pure function of v's in-edge multiset, its
+    in-neighbors' ``rank_{t-1}``, and their out-degrees. So
+    ``rank_t^{new}(v) != rank_t^{old}(v)`` is only possible if
+    (a) v's in-edge set changed, (b) an in-neighbor's out-degree
+    changed, or (c) an in-neighbor's ``rank_{t-1}`` changed. (a)+(b)
+    form the round-invariant STATIC affected set (dst endpoints of
+    added/removed edges + new-graph out-neighbors of degree-changed
+    sources + brand-new nodes); (c) propagates one hop per iteration
+    from the previous round's recomputed set. Each round therefore
+    recomputes a SUPERSET of the truly-changed nodes — affected nodes
+    whose inputs turn out unchanged reproduce their old value exactly
+    (same grid formula) and simply stop propagating. Everything else
+    keeps its history value, which is provably the recompute value.
+
+    Cost per round: the in-edges of the affected set (one semi-join
+    against the dst-partitioned adjacency) — ∝ delta size × damping
+    horizon, never |E|. The composition mirrors
+    ``incremental_components``/`plans.views`' maintenance contract:
+    work follows the changelog, not the table.
+
+    Locality constraints (checked, not assumed):
+    - the new graph must be SINK-FREE — the dangling-mass term is a
+      global sum, one changed sink would touch every node (callers
+      with sinks: pre-augment, as the host web graph does).
+    - with ``normalized=True`` the node SET must be unchanged (init
+      and teleport are 1/n — a node-count change shifts every rank).
+      ``normalized=False`` (constants independent of n) accepts node
+      additions/removals.
+
+    ``stats``, when passed, receives {"affected": [per-round counts],
+    "n_nodes": n} — the delta-proportionality evidence the probes
+    assert on. Returns (node_id, rank) rounded to ``out_scale``,
+    exactly as ``pagerank`` does.
+    """
+    e_old = edges_old.select("src", "dst")
+    e_new = edges_new.select("src", "dst").localCheckpoint(eager=True)
+    added = e_new.exceptAll(e_old).localCheckpoint(eager=True)
+    removed = e_old.exceptAll(e_new).localCheckpoint(eager=True)
+
+    nodes_new = (e_new.select(F.col("src").alias("node_id"))
+                 .unionByName(e_new.select(F.col("dst").alias("node_id")))
+                 .distinct().localCheckpoint(eager=True))
+    n = nodes_new.count()
+    if normalized:
+        nodes_old = (e_old.select(F.col("src").alias("node_id"))
+                     .unionByName(e_old.select(F.col("dst")
+                                               .alias("node_id")))
+                     .distinct())
+        if (nodes_new.join(nodes_old, "node_id", "left_anti")
+                .unionByName(nodes_old.join(nodes_new, "node_id",
+                                            "left_anti"))
+                .limit(1).count()):
+            raise ValueError(
+                "pagerank_incremental(normalized=True): node set "
+                "changed — 1/n constants shift every rank; recompute, "
+                "or use normalized=False")
+        init = round(1.0 / n, _GRID)
+        teleport = round((1.0 - damping) / n, _GRID)
+    else:
+        init = 1.0
+        teleport = round(1.0 - damping, _GRID)
+    if _dangling_nodes(nodes_new, e_new).limit(1).count():
+        raise ValueError(
+            "pagerank_incremental: new graph has sink nodes — the "
+            "dangling-mass term is global, incremental maintenance "
+            "cannot stay local; pre-augment the graph")
+
+    hist = history.select("node_id", "iter", "rank") \
+        .localCheckpoint(eager=True)
+    hist_depth = hist.agg(F.max("iter")).collect()[0][0]
+    if hist_depth is None or hist_depth < iterations:
+        raise ValueError(
+            f"pagerank_incremental: history covers iterations "
+            f"0..{hist_depth}, need {iterations} — rerun "
+            f"pagerank(edges_old, iterations={iterations}, "
+            f"return_history=True)")
+    out_deg_new = e_new.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # loop-invariant in-edge adjacency, partitioned on dst: each
+    # round's inflow gather shuffles only the affected frontier
+    adj = (e_new.join(out_deg_new, "src")
+           .repartition(F.col("dst")).persist())
+    adj.count()
+
+    deg_changed = (
+        out_deg_new.join(e_old.groupBy("src")
+                         .agg(F.count("*").alias("deg_old")),
+                         "src", "full")
+        .filter(F.coalesce("out_deg", F.lit(-1))
+                != F.coalesce("deg_old", F.lit(-1)))
+        .select("src"))
+    new_nodes = nodes_new.join(
+        hist.select("node_id").distinct(), "node_id", "left_anti")
+    static_aff = (
+        added.select("dst").unionByName(removed.select("dst"))
+        .unionByName(e_new.join(deg_changed, "src", "left_semi")
+                     .select("dst"))
+        .select(F.col("dst").alias("node_id"))
+        .unionByName(new_nodes)
+        .distinct()
+        .join(nodes_new, "node_id", "left_semi")
+        .localCheckpoint(eager=True))
+    if stats is not None:
+        stats["n_nodes"] = n
+        stats["affected"] = []
+
+    changed: DataFrame | None = None
+    try:
+        for t in range(1, iterations + 1):
+            aff = static_aff
+            if changed is not None:
+                aff = (aff.unionByName(
+                    e_new.join(changed.select("node_id")
+                               .withColumnRenamed("node_id", "src"),
+                               "src", "left_semi")
+                    .select(F.col("dst").alias("node_id")))
+                    .distinct())
+            prev_h = (hist.filter(F.col("iter") == t - 1)
+                      .select(F.col("node_id").alias("src"),
+                              F.col("rank").alias("h_rank")))
+            gather = adj.join(aff.withColumnRenamed("node_id", "dst"),
+                              "dst", "left_semi")
+            if changed is not None:
+                gather = gather.join(
+                    changed.select(F.col("node_id").alias("src"),
+                                   F.col("rank").alias("c_rank")),
+                    "src", "left")
+            else:
+                gather = gather.withColumn("c_rank",
+                                           F.lit(None).cast("double"))
+            gather = gather.join(prev_h, "src", "left")
+            contrib = gather.select(
+                "dst",
+                F.round(F.coalesce("c_rank", "h_rank", F.lit(init))
+                        / F.col("out_deg"), _GRID)
+                .cast(f"decimal(28,{_GRID})").alias("contrib"))
+            inflow = contrib.groupBy("dst").agg(
+                F.sum("contrib").cast("double").alias("inflow"))
+            changed = (
+                aff.join(inflow, aff.node_id == inflow.dst, "left")
+                .select(
+                    "node_id",
+                    F.round(F.lit(teleport)
+                            + F.lit(damping)
+                            * F.coalesce("inflow", F.lit(0.0)),
+                            _GRID).alias("rank"))
+                .localCheckpoint(eager=True))
+            if stats is not None:
+                stats["affected"].append(changed.count())
+    finally:
+        adj.unpersist()
+    hk = (hist.filter(F.col("iter") == iterations)
+          .select("node_id", F.col("rank").alias("h_rank")))
+    assert changed is not None
+    return (nodes_new.join(hk, "node_id", "left")
+            .join(changed.withColumnRenamed("rank", "c_rank"),
+                  "node_id", "left")
+            .select("node_id",
+                    F.round(F.coalesce("c_rank", "h_rank"), out_scale)
+                    .alias("rank")))
 
 
 def _oriented_triangles(und: DataFrame) -> DataFrame:
@@ -392,8 +580,16 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                                    _GRID).alias("rank"))
                 .localCheckpoint(eager=True)
             )
+            hist.append(ranks.withColumn("iter", F.lit(len(hist))))
     finally:
         adj.unpersist()
+    if return_history:
+        # per-iteration GRID ranks (node_id, iter, rank), iter 0..k —
+        # the warm state pagerank_incremental consumes; every input is
+        # an eager checkpoint, so the union is pure metadata
+        import functools
+
+        return functools.reduce(lambda a, b: a.unionByName(b), hist)
     return ranks.select("node_id", F.round("rank", out_scale).alias("rank"))
 
 

@@ -859,3 +859,72 @@ def test_topo_layers_one_job_per_round_deep_dag(spark):
     # node count) + the final collect. 4/round is the hard budget
     # (1 action + 3 checkpoint materializations).
     assert len(jobs) <= 4 * depth + 8, len(jobs)
+
+
+def test_pagerank_incremental_bit_exact_and_local(spark):
+    """pagerank_incremental == full recompute on the changed graph,
+    bit-for-bit, while recomputing only the delta's forward cone:
+    on a 200-node ring with one chord added far from most nodes, the
+    per-round affected counts stay << n (the delta-proportionality
+    contract). Guards: sink graphs and node-set changes under
+    normalized=True are rejected."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.graph import (
+        pagerank,
+        pagerank_incremental,
+    )
+
+    n = 200
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    # delta: one chord 0 -> 100 and remove nothing; node set unchanged
+    chord = spark.createDataFrame([(0, 100)], "src long, dst long")
+    new = ring.unionAll(chord)
+
+    hist = pagerank(ring, iterations=5, dangling="assert_none",
+                    return_history=True)
+    stats = {}
+    inc = {r.node_id: r.rank
+           for r in pagerank_incremental(ring, new, hist, iterations=5,
+                                         stats=stats).collect()}
+    full = {r.node_id: r.rank
+            for r in pagerank(new, iterations=5,
+                              dangling="assert_none").collect()}
+    assert inc == full
+    # locality: the chord touches 0's out-neighbors and the 5-hop
+    # cone past 100 — far below the 200-node graph each round
+    assert stats["n_nodes"] == n
+    assert max(stats["affected"]) < n / 4, stats
+
+    # edge REMOVAL path: drop the chord again (new -> ring)
+    hist2 = pagerank(new, iterations=4, return_history=True)
+    inc2 = {r.node_id: r.rank
+            for r in pagerank_incremental(new, ring, hist2,
+                                          iterations=4).collect()}
+    full2 = {r.node_id: r.rank
+             for r in pagerank(ring, iterations=4).collect()}
+    assert inc2 == full2
+
+    # unnormalized + node-set growth (new node spliced into the ring)
+    grown = ring.unionAll(spark.createDataFrame(
+        [(0, 1000), (1000, 1)], "src long, dst long"))
+    hist3 = pagerank(ring, iterations=3, normalized=False,
+                     return_history=True)
+    inc3 = {r.node_id: r.rank
+            for r in pagerank_incremental(ring, grown, hist3,
+                                          iterations=3,
+                                          normalized=False).collect()}
+    full3 = {r.node_id: r.rank
+             for r in pagerank(grown, iterations=3,
+                               normalized=False).collect()}
+    assert inc3 == full3 and 1000 in inc3
+
+    with pytest.raises(ValueError, match="node set changed"):
+        pagerank_incremental(ring, grown, hist3, iterations=3)
+    sinky = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="sink"):
+        pagerank_incremental(sinky, sinky, hist3, iterations=3)
+    with pytest.raises(ValueError, match="history covers"):
+        pagerank_incremental(ring, new, hist3, iterations=9,
+                             normalized=False)

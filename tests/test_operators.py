@@ -1380,3 +1380,23 @@ def test_setsim_join_exact_vs_bruteforce(spark):
 
     with pytest.raises(ValueError, match="num"):
         setsim_join(docs, 0, 5)
+
+
+def test_ivfpq_recall_report_floor(spark):
+    """The IVF+PQ recall instrument: per-query recall@k vs exact brute
+    force. Floor: mean >= 0.7 on the driver corpus at nprobe=8 (the
+    measured value is ~0.77 — near-uniform embeddings scatter true
+    neighbors across IVF cells, so this is the honest regime, not a
+    tuning failure); every hits count is within [0, k]."""
+    from npm_extraction_server_spark.operators.similarity import (
+        ivfpq_recall_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rep = ivfpq_recall_report(emb, n_queries=20, k=10, n_centroids=16,
+                              nprobe=8, m_sub=8, ksub=16,
+                              rerank=256).collect()
+    assert len(rep) == 20
+    assert all(0 <= r.hits <= r.k for r in rep)
+    mean = sum(r.recall for r in rep) / len(rep)
+    assert mean >= 0.7, mean

@@ -183,3 +183,64 @@ def test_max_satisfying_edges_in_graph(spark, tmp_path):
     assert n > 0  # hot packages resolve within the corpus
     row = ms.first()
     assert "/bundles/npm/" in row["subj"] and "/bundles/npm/" in row["obj"]
+
+
+def test_parse_roundtrip_every_format():
+    """kernel/parse: parse(serialize(x, fmt), fmt) == x as a multiset
+    for every serializer, including named graphs (nq/trig), language
+    tags, typed literals, and every escape the writer emits."""
+    from npm_extraction_server_spark.kernel.jsonld_rdf import Triple
+    from npm_extraction_server_spark.kernel.parse import parse_rdf
+    from npm_extraction_server_spark.kernel.serialize import serialize
+
+    ts = [
+        Triple("http://e/s", "http://usefulinc.com/ns/doap#name",
+               '"va\nl "q" \\ \t"', True, None),
+        Triple("http://e/s", "http://e/p", '"v"@en-GB', True, None),
+        Triple("http://e/s2", "http://e/p",
+               '"3"^^http://www.w3.org/2001/XMLSchema#integer', True,
+               "http://e/G1"),
+        Triple("http://e/s2", "http://e/p2", "http://e/o", False,
+               "http://e/G1"),
+        Triple("http://e/s3", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+               "http://usefulinc.com/ns/doap#Project", False, "http://e/G2"),
+    ]
+    for fmt in ("nt", "nq", "ttl", "n3", "trig"):
+        use = ([t._replace(graph=None) for t in ts]
+               if fmt in ("nt", "ttl", "n3") else ts)
+        back = parse_rdf(serialize(use, fmt), fmt)
+        assert sorted(back) == sorted(use), fmt
+
+
+def test_parse_foreign_turtle_subset():
+    """Standards-subset features our writers never emit: 'a' keyword,
+    comments, blank-node labels, SPARQL-style PREFIX, ',' lists —
+    parsed; unsupported constructs raise instead of mis-parsing."""
+    import pytest
+
+    from npm_extraction_server_spark.kernel.parse import (
+        parse_ntriples,
+        parse_turtle,
+    )
+
+    got = parse_turtle(
+        "# header comment\n"
+        "PREFIX ex: <http://ex.org/>\n"
+        "@prefix x: <http://x.org/> .\n"
+        "ex:t a x:Type ; ex:knows _:b1 , ex:o . # trailing\n"
+        '_:b1 ex:name "Bob"@en .\n')
+    assert ("http://ex.org/t",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://x.org/Type", False, None) in [tuple(t) for t in got]
+    assert ("_:b1", "http://ex.org/name", '"Bob"@en', True, None) \
+        in [tuple(t) for t in got]
+    assert len(got) == 4
+
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        parse_turtle("nope:s nope:p nope:o .")
+    with pytest.raises(ValueError, match="literal in subject"):
+        parse_ntriples('"lit" <http://e/p> <http://e/o> .')
+    with pytest.raises(ValueError, match="named-graph block"):
+        parse_ntriples("<http://e/g> { <http://e/s> <http://e/p> <http://e/o> . }")
+    with pytest.raises(ValueError, match="parse error|unexpected"):
+        parse_turtle("<http://e/s> <http://e/p> ( <http://e/o> ) .")
