@@ -1400,3 +1400,69 @@ def test_ivfpq_recall_report_floor(spark):
     assert all(0 <= r.hits <= r.k for r in rep)
     mean = sum(r.recall for r in rep) / len(rep)
     assert mean >= 0.7, mean
+
+
+def _encode_png_rgb(pixels):
+    """Minimal pure-stdlib PNG encoder (8-bit RGB, filter 0) — builds
+    a REAL spec-valid PNG so the compressed-image legs are exercised
+    without any codec library in the fixture path."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(px) for px in row) for row in pixels)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_image_features_png_leg_honest_split(spark):
+    """The compressed-image (PNG/JPEG) leg of image_features: with no
+    PIL in the container the PNG row comes back ok=false (honest
+    capability split, never a task failure); the codec_capabilities
+    probe agrees with what the leg actually did."""
+    from npm_extraction_server_spark.operators.multimodal import (
+        codec_capabilities,
+        image_features,
+    )
+
+    png = _encode_png_rgb([[(10, 20, 30), (10, 20, 30)],
+                           [(50, 60, 70), (90, 100, 110)]])
+    media = spark.createDataFrame([(1, "image", bytearray(png))],
+                                  "media_id long, media_kind string, "
+                                  "payload binary")
+    row = image_features(media).collect()[0]
+    caps = codec_capabilities()
+    assert row["ok"] is bool(caps["pil"])
+    if not caps["pil"]:
+        assert row["width"] is None and row["mean_r"] is None
+
+
+def test_image_features_pil_leg_exact_means():
+    """Round-4 stretch item: when the driver image ever gains PIL,
+    the compressed leg must auto-activate with the SAME integer-means
+    contract as the BMP path. Skipped (not failed) while the
+    container has no PIL — it runs unmodified the day the library
+    appears."""
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    from npm_extraction_server_spark.operators.multimodal import (
+        _pil_image_stats,
+    )
+
+    png = _encode_png_rgb([[(10, 20, 30), (10, 20, 30)],
+                           [(50, 60, 70), (90, 100, 110)]])
+    w, h, mr, mg, mb = _pil_image_stats(png)
+    # floor integer channel means over the 4 pixels — the BMP contract
+    assert (w, h) == (2, 2)
+    assert (mr, mg, mb) == ((10 + 10 + 50 + 90) // 4,
+                            (20 + 20 + 60 + 100) // 4,
+                            (30 + 30 + 70 + 110) // 4)
