@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_ask": _kg_bgp_ask,
         "kg_void_stats": _kg_void_stats,
         "kg_bgp_minus_deps": _kg_bgp_minus_deps,
+        "kg_bgp_path_ops": _kg_bgp_path_ops,
+        "kg_bgp_values": _kg_bgp_values,
         "kg_trig_roundtrip": _kg_trig_roundtrip,
         "kg_bgp_quads_meta": _kg_bgp_quads_meta,
         "kg_bgp_graph_const": _kg_bgp_graph_const,
@@ -263,6 +265,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_ask": _KG_BGP_ASK_ORACLE,
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
+            "kg_bgp_path_ops": _KG_BGP_PATH_OPS_ORACLE,
+            "kg_bgp_values": _KG_BGP_VALUES_ORACLE,
             "kg_trig_roundtrip": _KG_TRIG_ROUNDTRIP_ORACLE,
             "kg_bgp_quads_meta": _KG_BGP_QUADS_META_ORACLE,
             "kg_bgp_graph_const": _KG_BGP_GRAPH_CONST_ORACLE,
@@ -1249,6 +1253,54 @@ def _kg_bgp_topk_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     order_by=["v", "d", "rng"], limit=25)
 
 
+def _kg_bgp_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path ALGEBRA (plans/bgp.path_edges): the path
+    ``(npm:dependency / doap:revision) | owl:sameAs`` — sequence
+    composes the dependency hop with the range-literal hop,
+    alternative unions in each bundle's npmjs identity edge. One
+    Catalyst plan: two pushed predicate scans joined on the midpoint,
+    a third unioned in. Hard oracle: the dep-chain replica UNION the
+    encodeURIComponent-escaped npmjs sameAs replica."""
+    from npm_extraction_server_spark.plans.bgp import path_edges
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    OWL_SAME = "http://www.w3.org/2002/07/owl#sameAs"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    # crawl-derived triples only: the engine DIMENSION (SC8's fixed
+    # node/iojs table) also carries sameAs edges, constant and
+    # corpus-independent — excluded so the oracle derives every row
+    # from doc_id
+    t = run_pipeline(pages)["triples"].filter(
+        ~F.col("subj").startswith("http://example.org/engines/"))
+    return path_edges(
+        t, ("alt", ("seq", NPM + "dependency", DOAP + "revision"),
+            OWL_SAME))
+
+
+def _kg_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES: the dependency-chain bindings pinned to an
+    explicit two-module list — VALUES ?d { <hotpkg@^1.0.0>
+    <megalib@^1.0.0> } — the entity-list constraint a KG consumer
+    sends with every lookup batch. The inline table broadcasts into
+    the binding join. Hard oracle: the dep-chain replica filtered to
+    the same two IRIs."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    pin = ["http://example.org/bundles/npm/hotpkg/%5E1.0.0",
+           "http://example.org/bundles/npm/megalib/%5E1.0.0"]
+    return bgp_join(t, [("?v", NPM + "dependency", "?d"),
+                        ("?d", DOAP + "revision", "?rng")],
+                    select=["v", "d", "rng"],
+                    values=(["d"], [(p,) for p in pin]))
+
+
 def _kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-graph serialization ROUND TRIP through real TriG text
     (kernel/serialize.to_trig -> kernel/parse.parse_trig), executed
@@ -1684,6 +1736,61 @@ SELECT DISTINCT subj, pred, obj, g FROM (
     FROM vers WHERE hv%9 <= 5
   )
 )
+""")
+
+# (dependency/revision) | sameAs: dep-chain (v -> range literal) UNION
+# bundle -> npmjs identity (encodeURIComponent-escaped name).
+_KG_BGP_PATH_OPS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+)
+SELECT DISTINCT src, dst FROM (
+  SELECT v AS src, '"' || rng || '"' AS dst FROM alldeps
+  UNION ALL
+  SELECT 'http://example.org/bundles/npm/' || name,
+         'https://www.npmjs.com/package/' ||
+           replace(replace(name,'@','%40'),'/','%2F')
+  FROM pkg
+)
+""")
+
+# dep chain under VALUES ?d { hotpkg@^1.0.0, megalib@^1.0.0 }.
+_KG_BGP_VALUES_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+bindings AS (
+  SELECT DISTINCT v,
+    'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+               ELSE rng END AS d,
+    '"' || rng || '"' AS rng
+  FROM alldeps
+)
+SELECT v, d, rng FROM bindings
+WHERE d IN ('http://example.org/bundles/npm/hotpkg/%5E1.0.0',
+            'http://example.org/bundles/npm/megalib/%5E1.0.0')
 """)
 
 # GRAPH <const>: doc 0 is the fixed 'hotpkg' package; its graph holds

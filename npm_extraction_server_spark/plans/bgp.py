@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["as_quads", "bgp_agg", "bgp_ask", "bgp_construct",
+__all__ = ["as_quads", "bgp_agg", "bgp_ask", "bgp_construct", "path_edges",
            "bgp_describe",
            "bgp_join", "bgp_minus",
            "bgp_optional", "bgp_path", "bgp_union", "materialize_rules",
@@ -169,7 +169,9 @@ def bgp_join(triples: DataFrame, patterns: list[tuple],
              select: list[str] | None = None,
              filters: list | None = None,
              order_by: list | None = None, limit: int | None = None,
-             offset: int = 0) -> DataFrame:
+             offset: int = 0,
+             values: tuple[list[str], list[tuple]] | None = None
+             ) -> DataFrame:
     """Conjunctive triple-pattern join over ``triples`` (columns
     subj, pred, obj). ``patterns``: list of (s, p, o) terms —
     ``"?x"``-style variables bind, other strings filter. ``select``
@@ -180,8 +182,32 @@ def bgp_join(triples: DataFrame, patterns: list[tuple],
     Returns one row per distinct satisfying binding, one column per
     variable (no ``?`` prefix). Repeated variables within one pattern
     express equality (``("?x", P, "?x")`` keeps self-loops only).
+
+    ``values``: SPARQL VALUES — an inline binding table
+    ``(["var", ...], [(v1, ...), ...])`` inner-joined with the
+    solutions on its variable names (each must be bound by the
+    patterns). The literal rows build a local DataFrame that is
+    BROADCAST into the join, so a VALUES-constrained query prunes at
+    the join against a hash table, never rescans — the standard way a
+    caller pins a query to an explicit entity list.
     """
-    return _finish(_match_patterns(triples, patterns), select, filters,
+    bound = _match_patterns(triples, patterns)
+    if values is not None:
+        vars_, rows = values
+        if not vars_ or not rows:
+            raise ValueError("bgp_join: VALUES needs >=1 var and row")
+        missing = [v for v in vars_ if v not in bound.columns]
+        if missing:
+            raise ValueError(
+                f"bgp_join: VALUES vars {missing} not bound by the "
+                f"patterns {sorted(bound.columns)}")
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            [tuple(r) if isinstance(r, (list, tuple)) else (r,)
+             for r in rows],
+            ", ".join(f"{v} string" for v in vars_)).distinct()
+        bound = bound.join(F.broadcast(vdf), vars_)
+    return _finish(bound, select, filters,
                    order_by, limit, offset)
 
 
@@ -245,7 +271,7 @@ def bgp_union(triples: DataFrame,
     return _finish(out, select, filters, order_by, limit, offset)
 
 
-def bgp_path(triples: DataFrame, seeds: DataFrame, pred: str,
+def bgp_path(triples: DataFrame, seeds: DataFrame, pred,
              max_hops: int = 30, include_seed: bool = False) -> DataFrame:
     """SPARQL property path ``pred+`` (``pred*`` with
     ``include_seed=True``) from a seed set: every node reachable from
@@ -262,14 +288,68 @@ def bgp_path(triples: DataFrame, seeds: DataFrame, pred: str,
     closure semantics end-to-end)."""
     from .graph import bfs_distances
 
-    edges = (triples.filter(F.col("pred") == pred)
-             .select(F.col("subj").alias("src"),
-                     F.col("obj").alias("dst")))
+    edges = path_edges(triples, pred)  # str or any path expression:
+    # closure (+/*) composes over the whole path algebra, exactly
+    # SPARQL's grammar where +/* wrap an arbitrary path
     out = bfs_distances(seeds, edges, max_rounds=max_hops)
     if not include_seed:
         out = out.filter(F.col("dist") > 0)
     return out.select(F.col("node_id").alias("node"),
                       F.col("dist").alias("hops"))
+
+
+def path_edges(triples: DataFrame, path) -> DataFrame:
+    """SPARQL property-path ALGEBRA over the triple table: evaluate a
+    path expression to its edge relation (src, dst). Expressions:
+
+    - ``"<pred-IRI>"``            — one predicate (a pushed scan filter)
+    - ``("seq", p1, p2, ...)``    — sequence ``p1/p2``: relational
+      composition, one hash-join per step on the shared midpoint
+    - ``("alt", p1, p2, ...)``    — alternative ``p1|p2``: union
+    - ``("inv", p)``              — inverse ``^p``: swap src/dst (free)
+    - ``("neg", i1, i2, ...)``    — negated property set ``!(i1|..)``:
+      every triple whose predicate is NOT listed (IRI terms only)
+
+    Each operator is one Catalyst plan fragment — sequences join on
+    their midpoint variable (the same shape as a bgp_join chain),
+    alternatives scan in parallel and concatenate shuffle-free. For
+    transitive closure (``p+``/``p*``) pass the RESULT of this algebra
+    to ``bgp_path`` via its ``edges=`` form — closure composes on top
+    of any path expression, mirroring SPARQL's grammar where +/* wrap
+    a path. Returns DISTINCT (src, dst): SPARQL path semantics are
+    set-valued (and unbounded-length paths make bag semantics
+    undefined), so every composition point collapses duplicates."""
+    if isinstance(path, str):
+        return (triples.filter(F.col("pred") == path)
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")).distinct())
+    op, *args = path
+    if op == "inv":
+        (inner,) = args
+        e = path_edges(triples, inner)
+        return e.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"))
+    if op == "alt":
+        import functools
+
+        return functools.reduce(
+            lambda a, b: a.unionByName(b),
+            [path_edges(triples, a) for a in args]).distinct()
+    if op == "seq":
+        out = path_edges(triples, args[0])
+        for nxt in args[1:]:
+            step = (path_edges(triples, nxt)
+                    .withColumnRenamed("src", "mid")
+                    .withColumnRenamed("dst", "nxt_dst"))
+            out = (out.join(step, out.dst == step.mid)
+                   .select("src", F.col("nxt_dst").alias("dst"))
+                   .distinct())
+        return out
+    if op == "neg":
+        return (triples.filter(~F.col("pred").isin(*args))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")).distinct())
+    raise ValueError(f"path_edges: unknown path operator {op!r}")
 
 
 def bgp_construct(triples: DataFrame,

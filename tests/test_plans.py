@@ -780,3 +780,65 @@ def test_q17_aggregate_prefiltered(spark):
     # the aggregate's child: a broadcast join appears BEFORE the
     # lineitem scan it prunes
     assert below.index("BroadcastHashJoin") < below.index("lineitem.parquet")
+
+
+def test_path_edges_algebra(spark):
+    """Property-path algebra: seq composes, alt unions, inv swaps,
+    neg excludes; closure (bgp_path) accepts a path expression."""
+    from npm_extraction_server_spark.plans.bgp import bgp_path, path_edges
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("b", "q", "c"),  # dup
+         ("a", "r", "x"), ("c", "p", "d")],
+        "subj string, pred string, obj string")
+
+    assert sorted(map(tuple, path_edges(t, ("seq", "p", "q")).collect())) \
+        == [("a", "c")]
+    assert sorted(map(tuple, path_edges(t, ("alt", "p", "r")).collect())) \
+        == [("a", "b"), ("a", "x"), ("c", "d")]
+    assert sorted(map(tuple, path_edges(t, ("inv", "p")).collect())) \
+        == [("b", "a"), ("d", "c")]
+    assert sorted(map(tuple, path_edges(t, ("neg", "p", "q")).collect())) \
+        == [("a", "x")]
+    # composed: ^(p/q) == inv of seq
+    assert sorted(map(tuple,
+                      path_edges(t, ("inv", ("seq", "p", "q"))).collect())) \
+        == [("c", "a")]
+    # closure over an alternative: (p|q)+ from a reaches b, c, d
+    seeds = spark.createDataFrame([("a",)], "node_id string")
+    got = {(r.node, r.hops)
+           for r in bgp_path(t, seeds, ("alt", "p", "q")).collect()}
+    assert got == {("b", 1), ("c", 2), ("d", 3)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown path operator"):
+        path_edges(t, ("bogus", "p"))
+
+
+def test_bgp_values_semantics_and_broadcast(spark):
+    """VALUES inner-joins the inline binding table (broadcast into
+    the plan); unknown vars and empty tables are rejected."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("c", "p", "x")],
+        "subj string, pred string, obj string")
+    out = bgp_join(t, [("?s", "p", "?o")],
+                   values=(["o"], [("x",), ("x",)]))  # dup row collapses
+    assert sorted((r.s, r.o) for r in out.collect()) == [
+        ("a", "x"), ("c", "x")]
+    # two-var VALUES: row-wise conjunction, not per-column IN
+    out2 = bgp_join(t, [("?s", "p", "?o")],
+                    values=(["s", "o"], [("a", "x"), ("b", "x")]))
+    assert [(r.s, r.o) for r in out2.collect()] == [("a", "x")]
+    plan = _plan(bgp_join(t, [("?s", "p", "?o")],
+                          values=(["o"], [("x",)])))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_join(t, [("?s", "p", "?o")], values=(["zz"], [("x",)]))
+    with pytest.raises(ValueError, match=">=1 var"):
+        bgp_join(t, [("?s", "p", "?o")], values=(["o"], []))
