@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_minus_deps": _kg_bgp_minus_deps,
         "kg_bgp_path_ops": _kg_bgp_path_ops,
         "kg_bgp_values": _kg_bgp_values,
+        "kg_bgp_group_concat": _kg_bgp_group_concat,
         "kg_trig_roundtrip": _kg_trig_roundtrip,
         "kg_bgp_quads_meta": _kg_bgp_quads_meta,
         "kg_bgp_graph_const": _kg_bgp_graph_const,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_bgp_path_ops": _KG_BGP_PATH_OPS_ORACLE,
             "kg_bgp_values": _KG_BGP_VALUES_ORACLE,
+            "kg_bgp_group_concat": _KG_BGP_GROUP_CONCAT_ORACLE,
             "kg_trig_roundtrip": _KG_TRIG_ROUNDTRIP_ORACLE,
             "kg_bgp_quads_meta": _KG_BGP_QUADS_META_ORACLE,
             "kg_bgp_graph_const": _KG_BGP_GRAPH_CONST_ORACLE,
@@ -1301,6 +1303,28 @@ def _kg_bgp_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                     values=(["d"], [(p,) for p in pin]))
 
 
+def _kg_bgp_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 aggregate completions over the dep-chain bindings,
+    GROUP BY ?v: GROUP_CONCAT(?rng) with canonical (sorted) element
+    order, SAMPLE(?d) (deterministic = min), COUNT(?d). Hard oracle:
+    DuckDB string_agg ORDER BY over the same distinct bindings."""
+    from npm_extraction_server_spark.plans.bgp import bgp_agg
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_agg(
+        t,
+        [("?v", NPM + "dependency", "?d"),
+         ("?d", DOAP + "revision", "?rng")],
+        group_by=["v"],
+        aggs=[("rng", "group_concat", "all_ranges"),
+              ("d", "sample", "sample_dep"),
+              ("d", "count", "n_deps")])
+
+
 def _kg_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-graph serialization ROUND TRIP through real TriG text
     (kernel/serialize.to_trig -> kernel/parse.parse_trig), executed
@@ -1693,6 +1717,38 @@ SELECT DISTINCT module_iri AS m,
        '"' || ver || '"' AS rev,
        'http://crawl.example.org/' || (i % 100) || '/doc-' || i AS g
 FROM vers
+""")
+
+# GROUP BY ?v over distinct dep-chain bindings with canonical-order
+# GROUP_CONCAT + min-SAMPLE + COUNT.
+_KG_BGP_GROUP_CONCAT_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+bindings AS (
+  SELECT DISTINCT v,
+    'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+               ELSE rng END AS d,
+    '"' || rng || '"' AS rng
+  FROM alldeps
+)
+SELECT v,
+       string_agg(rng, ',' ORDER BY rng) AS all_ranges,
+       min(d) AS sample_dep,
+       count(d)::BIGINT AS n_deps
+FROM bindings GROUP BY v
 """)
 
 # The doap replica with per-source-graph attribution: version/bundle

@@ -709,6 +709,17 @@ def text_inverted_index(spark, sf):
     return inverted_index(_t(spark, sf, "documents"), min_df=2)
 
 
+def text_gopher_rules(spark, sf):
+    """Gopher/MassiveText quality rule set (Rae et al. 2021 A1.1
+    thresholds) over the documents table — every rule an integer
+    cross-multiplied boolean, so the DuckDB oracle reproduces the
+    booleans bit-for-bit. The curation pre-filter a web-scale corpus
+    runs before anything expensive."""
+    from .text import gopher_rules
+
+    return gopher_rules(_t(spark, sf, "documents"))
+
+
 def sim_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1428,6 +1439,35 @@ def snap_pos_delete(spark, sf):
     return read_snapshot(spark, table)
 
 
+def snap_eq_delete(spark, sf):
+    """Equality merge-on-read delete (hard oracle): a key-list DELETE
+    over the documents table commits one small equality-delete file
+    (the distinct doc_id values) and ZERO data rows (asserted from
+    the manifest) — readers hide exactly the keyed rows, DuckDB runs
+    the plain NOT IN filter. The other MOR flavor next to
+    snap_pos_delete: keys when you have them, coordinates when you
+    don't."""
+    import tempfile
+
+    from ..sources.snapshots import (
+        commit,
+        mor_delete,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snaped_")
+    commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    keys = docs.filter((d % 7 == 0) & (d < 210)).select("doc_id")
+    mor_delete(spark, table, keys, key="doc_id")
+    man = snapshot_log(table)[-1]
+    assert man["operation"] == "rowdelta" and man["added_rows"] == 0
+    assert man.get("delete_files"), "no equality delete committed"
+    return read_snapshot(spark, table)
+
+
 def snap_wap(spark, sf):
     """Write-audit-publish over branch refs (hard oracle): docs<200
     commit to main; [200,350) stage onto an 'audit' branch (TWO branch
@@ -1672,6 +1712,22 @@ def graph_pagerank_incr(spark, sf):
     e_new = e_old.exceptAll(removed).unionByName(added)
     hist = pagerank(e_old, iterations=5, return_history=True)
     return pagerank_incremental(e_old, e_new, hist, iterations=5)
+
+
+def graph_betweenness(spark, sf):
+    """Sampled Brandes betweenness (plans/graph.betweenness) on the
+    standard KG graph, 10 hash-spread sources, scaled to n — rows-only
+    by nature (the backward dependency sweep is an IEEE-double
+    accumulation; no SQL twin exists), exactness pinned by the
+    pure-Python Brandes twin in tests/test_graph.py on multi-path /
+    cycle / pendant graphs."""
+    from ..plans.graph import betweenness
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    return betweenness(_kg_graph_edges(spark, sf), sources=seeds,
+                       scale_to_n=True)
 
 
 def graph_pagerank_dangling(spark, sf):
@@ -2089,6 +2145,7 @@ SPARK_QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_inverted_index": text_inverted_index,
     "text_collocations": text_collocations,
+    "text_gopher_rules": text_gopher_rules,
     "text_hashed_features": text_hashed_features,
     "sample_k_per_domain": sample_k_per_domain,
     "text_bigram_ppl": text_bigram_ppl,
@@ -2115,6 +2172,7 @@ SPARK_QUERIES = {
     "graph_bfs": graph_bfs,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_incr": graph_pagerank_incr,
+    "graph_betweenness": graph_betweenness,
     "graph_pagerank_dangling": graph_pagerank_dangling,
     "graph_ppr": graph_ppr,
     "graph_sssp": graph_sssp,
@@ -2152,6 +2210,7 @@ SPARK_QUERIES = {
     "snap_schema_evolution": snap_schema_evolution,
     "snap_wap": snap_wap,
     "snap_pos_delete": snap_pos_delete,
+    "snap_eq_delete": snap_eq_delete,
     "snap_dedup_incr": snap_dedup_incr,
     "sketch_distinct": sketch_distinct,
     "sketch_set_ops": sketch_set_ops,
@@ -4186,6 +4245,54 @@ ORACLE_SQL = {
             FROM postings
         )
         SELECT * FROM with_df WHERE df >= 2
+    """,
+    "snap_eq_delete": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE NOT (doc_id % 7 = 0 AND doc_id < 210)
+    """,
+    "text_gopher_rules": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), feat AS (
+            SELECT doc_id,
+                len(words) AS n_words,
+                len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                coalesce(list_sum(list_transform(words,
+                    w -> length(w))), 0) AS twc,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                len(string_split(text, '...')) - 1 AS n_ellipsis,
+                len(lines) AS n_lines,
+                len(list_filter(lines, ln -> regexp_matches(ln,
+                    '^\s*([-*•]|[0-9]+[.)])\s'))) AS n_bullet,
+                len(list_filter(lines, ln -> regexp_matches(ln,
+                    '\.\.\.\s*$'))) AS n_ell_end,
+                len(list_intersect(list_distinct(words),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS n_stop
+            FROM base
+        )
+        SELECT doc_id, n_words,
+            (n_words BETWEEN 50 AND 100000) AS r_word_count,
+            (n_words > 0 AND twc >= 3 * n_words
+                         AND twc <= 10 * n_words) AS r_mean_word_len,
+            (n_words > 0 AND 10 * (n_hash + n_ellipsis) <= n_words)
+                AS r_symbol_ratio,
+            (n_words > 0 AND 5 * n_alpha >= 4 * n_words) AS r_alpha_words,
+            (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
+            (10 * n_ell_end < 3 * n_lines) AS r_ellipsis_lines,
+            (n_stop >= 2) AS r_stopwords,
+            ((n_words BETWEEN 50 AND 100000)
+             AND (n_words > 0 AND twc >= 3 * n_words AND twc <= 10 * n_words)
+             AND (n_words > 0 AND 10 * (n_hash + n_ellipsis) <= n_words)
+             AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+             AND (10 * n_bullet < 9 * n_lines)
+             AND (10 * n_ell_end < 3 * n_lines)
+             AND (n_stop >= 2)) AS gopher_pass
+        FROM feat
     """,
     "text_quality": """
         WITH base AS (

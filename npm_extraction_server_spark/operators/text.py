@@ -787,3 +787,77 @@ def collocations(documents: DataFrame, lift_num: int = 3,
             >= F.lit(lift_num) * F.col("c_a") * F.col("c_b"))
     return out.filter(keep).select("w1", "w2", "c_ab", "c_a", "c_b",
                                    "n_total")
+
+
+def gopher_rules(documents: DataFrame,
+                 text_col: str = "text") -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set (Rae et al.
+    2021, §A1.1 — the public thresholds reused by RefinedWeb/Dolma),
+    as one whole-stage-codegen projection. Per document, each rule is
+    a boolean column plus the conjunctive ``gopher_pass``:
+
+    - ``r_word_count``: 50 <= words <= 100,000
+    - ``r_mean_word_len``: 3 <= mean word length <= 10
+    - ``r_symbol_ratio``: (# '#' + # '...' occurrences) / words <= 0.1
+    - ``r_alpha_words``: >= 80% of words contain an alphabetic char
+    - ``r_bullet_lines``: < 90% of lines start with a bullet mark
+    - ``r_ellipsis_lines``: < 30% of lines end with '...'
+    - ``r_stopwords``: >= 2 distinct words from the fixed 8-word list
+      {the, be, to, of, and, that, have, with}
+
+    Exactness contract: every count is integer and every ratio test is
+    cross-multiplied to integer comparisons — no float appears, so a
+    DuckDB oracle reproduces the booleans bit-for-bit (the
+    text_gopher_rules hard oracle). Empty documents fail the count
+    rule and short-circuit nothing (all rules still evaluate).
+
+    Scale shape: one projection over the text column, no shuffle, no
+    UDF — the filter a 10^12-page curation pass runs FIRST because it
+    costs one scan."""
+    text = F.col(text_col)
+    words = _tokens(text)
+    n_words = F.size(words)
+    # words containing at least one ASCII letter
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    lines = F.split(text, "\n", -1)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^\s*([-*•]|\d+[.)])\s")))
+    n_ell_end = F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$")))
+    gopher_stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(words), F.array(*[F.lit(w) for w in gopher_stop])))
+
+    r_word_count = (n_words >= 50) & (n_words <= 100000)
+    # 3 <= total_chars/words <= 10, cross-multiplied
+    r_mean_word_len = (n_words > 0) \
+        & (total_word_chars >= 3 * n_words) \
+        & (total_word_chars <= 10 * n_words)
+    r_symbol_ratio = (n_words > 0) \
+        & (10 * (n_hash + n_ellipsis) <= n_words)
+    r_alpha_words = (n_words > 0) & (5 * n_alpha >= 4 * n_words)
+    r_bullet_lines = 10 * n_bullet < 9 * n_lines
+    r_ellipsis_lines = 10 * n_ell_end < 3 * n_lines
+    r_stopwords = n_stop >= 2
+
+    rules = {
+        "r_word_count": r_word_count,
+        "r_mean_word_len": r_mean_word_len,
+        "r_symbol_ratio": r_symbol_ratio,
+        "r_alpha_words": r_alpha_words,
+        "r_bullet_lines": r_bullet_lines,
+        "r_ellipsis_lines": r_ellipsis_lines,
+        "r_stopwords": r_stopwords,
+    }
+    import functools
+
+    gopher_pass = functools.reduce(lambda a, b: a & b, rules.values())
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        gopher_pass.alias("gopher_pass"))

@@ -449,6 +449,16 @@ _AGG_FNS = {
     "min": F.min,
     "max": F.max,
     "sum": F.sum,
+    # SPARQL 1.1 completions. avg is rounded to a fixed grid so the
+    # cross-engine hard oracle compares doubles exactly; SAMPLE is
+    # deterministic (the spec allows any element — min is the
+    # reproducible choice); GROUP_CONCAT sorts its elements before
+    # joining (the spec leaves order undefined — an engine that feeds
+    # results to a hash-comparing consumer must pick a canonical one).
+    "avg": lambda c: F.round(F.avg(c), 9),
+    "sample": F.min,
+    "group_concat": lambda c: F.array_join(F.sort_array(
+        F.collect_list(c)), ","),
 }
 
 

@@ -1582,3 +1582,119 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .select("node_id", "d",
                     (F.lit(2) * F.coalesce("t", F.lit(0))).alias("two_t"),
                     (F.col("d") * (F.col("d") - 1)).alias("d_pairs")))
+
+
+def betweenness(edges: DataFrame, sources: DataFrame | None = None,
+                max_rounds: int = 40, out_scale: int = 6,
+                scale_to_n: bool = False) -> DataFrame:
+    """Betweenness centrality by Brandes' dependency accumulation
+    (Brandes 2001), run for ALL sources simultaneously as one
+    level-synchronous computation — the multi-source trick the
+    closeness estimator uses, extended with shortest-path COUNTS and
+    the backward sweep:
+
+    - forward: the frontier is keyed (source, node) and carries sigma
+      = the number of shortest s->v paths (exact integers, summed per
+      (source, node) each level). Rounds ∝ diameter; per-round
+      shuffles carry only the live frontier.
+    - backward: walk the BFS DAG from the deepest level up; at level
+      d, each v accumulates delta(v) = Σ_w σ(v)/σ(w) · (1 + delta(w))
+      over its successors w at level d+1 (pair dependencies, one join
+      + aggregate per level).
+    - betweenness(v) = Σ_sources delta_s(v), v ≠ s.
+
+    ``sources=None`` runs EXACT betweenness (every node a source) —
+    all-pairs, affordable only on small/medium graphs. Pass a sampled
+    ``sources`` (node_id) DataFrame for the Brandes-Pich estimator;
+    with ``scale_to_n=True`` the result is scaled by n/|sources| to
+    estimate the exact value. The BFS-DAG state (source, node, dist,
+    sigma) is the memory bound: |sources| × |reachable| rows,
+    checkpointed once per level — the sample size is the knob, same
+    contract as ``closeness``.
+
+    Determinism: sigma is exact integer; delta is IEEE double
+    accumulated per level (+ a fixed output rounding), so repeated
+    runs agree to ``out_scale``; no cross-engine SQL oracle exists for
+    the float sweep — exactness is pinned by the pytest twin against
+    a pure-Python Brandes on hand-checked graphs. Directed semantics
+    (pass both edge directions for the undirected variant)."""
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct()
+         .repartition(F.col("src")).persist())
+    e.count()
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    src_nodes = (nodes if sources is None
+                 else sources.select("node_id").distinct()
+                 .join(nodes, "node_id", "left_semi"))
+    n_sources = src_nodes.count()
+    if not n_sources:
+        raise ValueError("betweenness: empty source set")
+
+    frontier = (src_nodes
+                .select(F.col("node_id").alias("s"),
+                        F.col("node_id").alias("v"),
+                        F.lit(1).cast("long").alias("sigma"))
+                .localCheckpoint(eager=True))
+    # visited BFS-DAG state per level; each level is its own
+    # checkpointed frame (the backward sweep walks them in reverse)
+    levels: list[DataFrame] = [frontier]
+    visited = frontier.select("s", "v").localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = (frontier.join(e, frontier.v == e.src)
+               .select("s", F.col("dst").alias("v"), "sigma")
+               .join(visited, ["s", "v"], "left_anti")
+               .groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
+               .localCheckpoint(eager=True))
+        if not nxt.limit(1).count():
+            break
+        levels.append(nxt)
+        visited = (visited.unionByName(nxt.select("s", "v"))
+                   .localCheckpoint(eager=True))
+        frontier = nxt
+    else:
+        raise RuntimeError(f"betweenness: diameter exceeds {max_rounds} "
+                           "rounds (raise max_rounds)")
+
+    # backward sweep: delta at the deepest level is 0
+    acc: DataFrame | None = None
+    delta = None  # (s, v, delta) for level d+1
+    for d in range(len(levels) - 2, -1, -1):
+        succ = levels[d + 1].select(
+            "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"))
+        if delta is not None:
+            succ = (succ.join(delta.select("s",
+                                           F.col("v").alias("w"),
+                                           F.col("delta").alias("dw")),
+                              ["s", "w"], "left")
+                    .withColumn("dw", F.coalesce("dw", F.lit(0.0))))
+        else:
+            succ = succ.withColumn("dw", F.lit(0.0))
+        cur = levels[d]
+        contrib = (cur.join(e, cur.v == e.src)
+                   .select("s", "v", "sigma", F.col("dst").alias("w"))
+                   .join(succ, ["s", "w"])
+                   .select("s", "v",
+                           (F.col("sigma") / F.col("sigma_w")
+                            * (F.lit(1.0) + F.col("dw"))).alias("part")))
+        delta = (contrib.groupBy("s", "v")
+                 .agg(F.sum("part").alias("delta"))
+                 .localCheckpoint(eager=True))
+        dep = delta.filter(F.col("s") != F.col("v")) \
+            .select("v", "delta")
+        acc = dep if acc is None else acc.unionByName(dep)
+    e.unpersist()
+    factor = float(n) / n_sources if scale_to_n else 1.0
+    if acc is None:  # no edges from any source: all-zero centrality
+        return nodes.select("node_id", F.lit(0.0).alias("betweenness"))
+    agg = (acc.groupBy(F.col("v").alias("node_id"))
+           .agg(F.round(F.sum("delta") * F.lit(factor), out_scale)
+                .alias("bc")))
+    # every node gets a row — endpoints that lie on no shortest path
+    # carry an explicit 0.0, the per-node-metric contract the rest of
+    # the family (closeness, pagerank) follows
+    return (nodes.join(agg, "node_id", "left")
+            .select("node_id",
+                    F.coalesce("bc", F.lit(0.0)).alias("betweenness")))

@@ -928,3 +928,80 @@ def test_pagerank_incremental_bit_exact_and_local(spark):
     with pytest.raises(ValueError, match="history covers"):
         pagerank_incremental(ring, new, hist3, iterations=9,
                              normalized=False)
+
+
+def _brandes_reference(edge_list, sources=None):
+    """Pure-Python Brandes (directed, unweighted) — the exactness twin
+    for plans/graph.betweenness."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in edge_list:
+        if a != b:
+            adj[a].append(b)
+            nodes.add(a)
+            nodes.add(b)
+    bc = defaultdict(float)
+    for s in (sources if sources is not None else sorted(nodes)):
+        stack, preds = [], defaultdict(list)
+        sigma = defaultdict(int)
+        dist = {s: 0}
+        sigma[s] = 1
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in sorted(set(adj[v])):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return dict(bc)
+
+
+def test_betweenness_matches_pure_python_brandes(spark):
+    """Exact all-sources betweenness equals the textbook Brandes on a
+    graph with multiple equal-length shortest paths, a cycle, and a
+    pendant; sampled mode restricts sources; scale_to_n multiplies."""
+    import math
+
+    from npm_extraction_server_spark.plans.graph import betweenness
+
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3),   # diamond: two paths 0->3
+             (3, 4), (4, 5), (5, 3),           # cycle off the diamond
+             (4, 6)]                            # pendant
+    e = _edges(spark, pairs)
+    got = {r.node_id: r.betweenness for r in betweenness(e).collect()}
+    want = _brandes_reference(pairs)
+    want[0] = 0.0  # sources on no path still get a 0.0 row
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-6), (k, got[k], want[k])
+
+    # sampled sources: only s=0's dependencies accumulate
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    got1 = {r.node_id: r.betweenness
+            for r in betweenness(e, sources=seeds).collect()}
+    want1 = _brandes_reference(pairs, sources=[0])
+    for k in set(got1) - set(want1):
+        want1[k] = 0.0  # off-path nodes carry explicit zeros
+    assert set(got1) == set(want1)
+    for k in want1:
+        assert math.isclose(got1[k], want1[k], abs_tol=1e-6)
+
+    # scale_to_n: n/|sources| = 7 multiplies every value
+    got7 = {r.node_id: r.betweenness
+            for r in betweenness(e, sources=seeds,
+                                 scale_to_n=True).collect()}
+    for k in want1:
+        assert math.isclose(got7[k], 7 * want1[k], abs_tol=1e-5)

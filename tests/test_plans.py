@@ -842,3 +842,22 @@ def test_bgp_values_semantics_and_broadcast(spark):
         bgp_join(t, [("?s", "p", "?o")], values=(["zz"], [("x",)]))
     with pytest.raises(ValueError, match=">=1 var"):
         bgp_join(t, [("?s", "p", "?o")], values=(["o"], []))
+
+
+def test_bgp_agg_sparql11_completions(spark):
+    """avg (grid-rounded), sample (deterministic min), group_concat
+    (canonical sorted order) — the SPARQL 1.1 aggregate tail."""
+    from npm_extraction_server_spark.plans.bgp import bgp_agg
+
+    t = spark.createDataFrame(
+        [("a", "score", "2"), ("a", "score", "3"), ("a", "score", "3"),
+         ("b", "score", "10")],
+        "subj string, pred string, obj string")
+    out = {r.s: r for r in bgp_agg(
+        t, [("?s", "score", "?v")], group_by=["s"],
+        aggs=[("v", "avg", "mean_v"), ("v", "sample", "one_v"),
+              ("v", "group_concat", "all_v")]).collect()}
+    # distinct bindings: a -> {2,3}; b -> {10}
+    assert out["a"].mean_v == 2.5 and out["b"].mean_v == 10.0
+    assert out["a"].one_v == "2" and out["a"].all_v == "2,3"
+    assert out["b"].all_v == "10"
