@@ -187,45 +187,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The curated driver-budget head (see queries()); keep <= 50 entries
 # and keep every family represented when adding queries.
 _PRIORITY: list[str] = [
-    # Curation principle (round-3 VERDICT item 1): the driver records
-    # exactly the FIRST 50 queries() entries each round, so the head
-    # holds queries with NO prior driver record — everything demoted
-    # to the tail is green in CORRECTNESS_r01-r03 (driver-recorded) or
-    # in the committed CORRECTNESS_FULL_r04.json self-run.
-    # joins / windows / time series / data quality
-    "j10_fuzzy_block_join", "q17_small_quantity", "j12_auto_salted_join",
-    "events_session_window", "ts_resample", "dq_violations",
-    # dedup family (clusters subsumes the verified-pair machinery;
-    # setsim is the recall-1 exact join)
-    "dedup_clusters", "dedup_setsim_join",
+    # Curation principle (round-3 VERDICT item 1, reaffirmed r4): the
+    # driver records exactly the FIRST 50 queries() entries each
+    # round, so the head holds queries with NO prior driver record —
+    # everything demoted is green in CORRECTNESS_r01-r04 (driver) or
+    # the committed CORRECTNESS_FULL_r04.json self-run; this round's
+    # full self-run is CORRECTNESS_FULL_r05.json.
+    # round-5 additions (SPARQL quads/modifiers/paths/VALUES/1.1 aggs,
+    # TriG parse round trip, incremental PageRank, betweenness,
+    # IVF-PQ recall, Gopher rules, equality deletes)
+    "text_gopher_rules", "sim_ivfpq_recall", "graph_pagerank_incr",
+    "graph_betweenness", "snap_eq_delete", "kg_bgp_path_ops",
+    "kg_bgp_values", "kg_bgp_group_concat", "kg_trig_roundtrip",
+    "kg_bgp_quads_meta", "kg_bgp_graph_const", "kg_bgp_topk_deps",
+    # joins / TPC-H / SQL surface
+    "j11_asof_forward", "q6_forecast_revenue", "q18_large_orders",
+    "sql_lang_stats",
     # text / retrieval
-    "text_inverted_index", "text_bigram_ppl", "text_unigram_ppl",
-    # similarity (ivfpq exercises the IVF assignment + PQ re-rank path)
-    "sim_ivfpq_verified",
+    "text_collocations", "text_hashed_features", "text_bpe_train",
+    # sampling
+    "sample_k_per_domain", "sample_domain_mix",
     # graph
-    "graph_bfs", "graph_pagerank", "graph_pagerank_dangling",
-    "graph_sssp", "graph_walks", "graph_walk_pairs",
-    "graph_link_predict", "graph_closeness", "graph_neighbor_agg",
-    "graph_ktruss", "graph_node2vec_walks", "graph_modularity",
-    # web link graph + content extraction (web_main_content carries
-    # the byte-identity text invariant)
-    "web_outlinks", "web_host_pagerank", "web_main_content",
+    "graph_ppr", "graph_labelprop", "graph_kcore", "graph_topo_layers",
+    "graph_scc", "graph_triangles", "graph_mis",
+    "graph_clustering_coeff",
     # lakehouse snapshots
-    "snap_incremental", "snap_incr_view", "snap_merge_upsert",
-    "snap_schema_evolution", "snap_wap", "snap_pos_delete",
-    "snap_mor_merge",
-    # sketches
-    "sketch_set_ops", "sketch_hll",
-    # WARC/WET containers + the CDX index
-    "warc_wet_text", "warc_cdx",
-    # sampling / packing / curation
-    "pack_tokens_bpe", "corpus_curation", "sample_alpha_mix",
-    # KG pipeline + BGP/closure query layer
-    "kg_triples_doap", "kg_sameas_closure", "kg_bgp_optional_deps",
-    "kg_bgp_dep_counts", "kg_bgp_minus_deps", "kg_bgp_construct_labels",
-    "kg_transitive_deps", "kg_er_metrics",
-    # multimodal
-    "mm_image_features",
+    "snap_compact", "snap_stats_prune", "snap_changelog",
+    "snap_mor_changelog", "snap_dedup_incr",
+    # events / sketches
+    "events_retention", "sketch_distinct", "sketch_bloom",
+    "sketch_heavy_hitters",
+    # multimodal / tarballs
+    "mm_audio_features", "mm_image_resize", "tar_members",
+    "tar_components",
+    # KG / BGP layer
+    "kg_bgp_version_meta", "kg_bgp_dep_chain", "kg_void_stats",
+    "kg_bgp_ask",
+    # web link graph / crawl
+    "web_url_normalize", "web_host_degree", "web_hits",
+    "web_crawl_schedule",
 ]
 
 
