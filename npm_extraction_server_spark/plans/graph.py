@@ -508,7 +508,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                           iterations: int = 5, damping: float = 0.85,
                           out_scale: int = 8,
-                          dangling: str = "redistribute") -> DataFrame:
+                          dangling: str = "redistribute",
+                          return_history: bool = False) -> DataFrame:
     """Personalized PageRank: teleport mass goes to ``seeds`` (one
     column ``node_id``) instead of uniformly — importance RELATIVE TO
     a seed set, the query a KG consumer asks to rank entities around
@@ -556,6 +557,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
            .repartition(F.col("src")).persist())
     adj.count()
     ranks = base.select("node_id", F.col("t").alias("rank"))
+    hist = [ranks.withColumn("iter", F.lit(0))]
     try:
         for _ in range(iterations):
             contrib = (

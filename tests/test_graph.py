@@ -1005,3 +1005,21 @@ def test_betweenness_matches_pure_python_brandes(spark):
                                  scale_to_n=True).collect()}
     for k in want1:
         assert math.isclose(got7[k], 7 * want1[k], abs_tol=1e-5)
+
+
+def test_personalized_pagerank_history(spark):
+    """PPR return_history: iter 0..k grid ranks; iter k matches the
+    default output before out_scale rounding."""
+    from npm_extraction_server_spark.plans.graph import personalized_pagerank
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    hist = personalized_pagerank(e, seeds, iterations=3,
+                                 return_history=True)
+    got = {(r.node_id, r.iter): r.rank for r in hist.collect()}
+    assert {i for _, i in got} == {0, 1, 2, 3}
+    final = {r.node_id: r.rank
+             for r in personalized_pagerank(e, seeds,
+                                            iterations=3).collect()}
+    for n, v in final.items():
+        assert abs(got[(n, 3)] - v) < 1e-8

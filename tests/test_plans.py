@@ -480,7 +480,8 @@ def test_bgp_agg_semantics(spark):
     assert [(r.x, r.n) for r in out.collect()] == [("a", 2)]
 
     with pytest.raises(ValueError, match="unknown aggregate"):
-        bgp_agg(t, [("?x", "knows", "?y")], ["x"], [("y", "avg", "m")])
+        bgp_agg(t, [("?x", "knows", "?y")], ["x"],
+                [("y", "median", "m")])  # avg/sample/group_concat exist now
     with pytest.raises(ValueError, match="not bound"):
         bgp_agg(t, [("?x", "knows", "?y")], ["z"], [("y", "count", "n")])
 
