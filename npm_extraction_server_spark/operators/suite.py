@@ -1711,7 +1711,10 @@ def graph_pagerank_incr(spark, sf):
              .select(d.alias("src"), ((d * 11 + 2) % 500).alias("dst")))
     e_new = e_old.exceptAll(removed).unionByName(added)
     hist = pagerank(e_old, iterations=5, return_history=True)
-    return pagerank_incremental(e_old, e_new, hist, iterations=5)
+    # changelog path: the delta is known (as it would be from the
+    # snapshot change feed), so no exceptAll re-derivation runs
+    return pagerank_incremental(e_old, e_new, hist, iterations=5,
+                                added=added, removed=removed)
 
 
 def graph_betweenness(spark, sf):

@@ -89,6 +89,7 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame,
     frontier = seeds.select("node_id").distinct() \
         .withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     visited = frontier
+    parts = [frontier]
 
     try:
         for r in range(1, max_rounds + 1):
@@ -104,8 +105,11 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame,
                 break
             # every input of the union is already an eager checkpoint,
             # so the union is pure metadata — re-checkpointing it would
-            # rewrite O(rounds * |V|) rows for nothing
-            visited = visited.unionByName(nxt)
+            # rewrite O(rounds * |V|) rows for nothing; the union tree
+            # is re-balanced each round (depth log r, not r) so a
+            # 500-diameter graph cannot overflow the analyzer stack
+            parts.append(nxt)
+            visited = _union_all(parts)
             frontier = nxt
     finally:
         edges.unpersist()
@@ -116,6 +120,22 @@ def bfs_distances(seeds: DataFrame, edges: DataFrame,
 # meaningful precision, coarse enough that both engines' double
 # round() agree (the proven suite.py money-sum scale).
 _GRID = 12
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    """Balanced unionByName tree (depth log2 n). A left-fold union
+    chain nests the analyzer recursion once per input and overflows
+    the JVM stack beyond a few hundred — exactly the shape of
+    per-round accumulators (peel lists, BFS visited sets, backward-
+    sweep dependencies) on deep graphs, where rounds ∝ depth/diameter.
+    Inputs are typically checkpointed frames, so the union itself is
+    pure metadata either way; only the tree SHAPE changes."""
+    if not dfs:
+        raise ValueError("_union_all: empty input")
+    while len(dfs) > 1:
+        dfs = [dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs)
+               else dfs[i] for i in range(0, len(dfs), 2)]
+    return dfs[0]
 
 
 def _dangling_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -272,7 +292,9 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
                          history: DataFrame, iterations: int = 5,
                          damping: float = 0.85, out_scale: int = 8,
                          normalized: bool = True,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         added: DataFrame | None = None,
+                         removed: DataFrame | None = None) -> DataFrame:
     """Delta-proportional PageRank maintenance: given the OLD graph's
     per-iteration rank history (``pagerank(edges_old, ...,
     return_history=True)``) and a new edge set, produce ranks
@@ -294,11 +316,23 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
     (same grid formula) and simply stop propagating. Everything else
     keeps its history value, which is provably the recompute value.
 
-    Cost per round: the in-edges of the affected set (one semi-join
-    against the dst-partitioned adjacency) — ∝ delta size × damping
-    horizon, never |E|. The composition mirrors
-    ``incremental_components``/`plans.views`' maintenance contract:
-    work follows the changelog, not the table.
+    Cost per round: the in-edges of the affected set (one broadcast
+    semi-join against the dst-partitioned cached adjacency) — ∝ delta
+    size × damping horizon, never |E|; history lookups are pruned to
+    the gather's sources via broadcast semi-joins, so per-round work
+    is map-side scans of cached state plus delta-sized joins. The
+    composition mirrors ``incremental_components``/`plans.views`'
+    maintenance contract: work follows the changelog, not the table.
+
+    Pass ``added``/``removed`` (the edge changelog — e.g. from the
+    snapshot layer's change feed) to skip the exceptAll multiset diff:
+    with the changelog in hand EVERY fixed cost except one adjacency
+    build is delta-proportional (degree changes are a subset of the
+    delta's src endpoints). Without it, two full edge-set comparisons
+    derive the delta — fine at moderate |E|, the wrong plan at 100x.
+    The affected set is broadcast each round by contract (it is
+    delta-proportional); a delta that touches most of the graph should
+    be a cold recompute instead.
 
     Locality constraints (checked, not assumed):
     - the new graph must be SINK-FREE — the dangling-mass term is a
@@ -316,8 +350,18 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
     """
     e_old = edges_old.select("src", "dst")
     e_new = edges_new.select("src", "dst").localCheckpoint(eager=True)
-    added = e_new.exceptAll(e_old).localCheckpoint(eager=True)
-    removed = e_old.exceptAll(e_new).localCheckpoint(eager=True)
+    if (added is None) != (removed is None):
+        raise ValueError("pagerank_incremental: pass added AND removed "
+                         "(the changelog), or neither (exceptAll diff)")
+    if added is None:
+        # no changelog available: derive the delta by multiset diff —
+        # two full-edge-set comparisons; fine for moderate graphs, but
+        # the changelog path below is the 100x-scale one
+        added = e_new.exceptAll(e_old).localCheckpoint(eager=True)
+        removed = e_old.exceptAll(e_new).localCheckpoint(eager=True)
+    else:
+        added = added.select("src", "dst").localCheckpoint(eager=True)
+        removed = removed.select("src", "dst").localCheckpoint(eager=True)
 
     nodes_new = (e_new.select(F.col("src").alias("node_id"))
                  .unionByName(e_new.select(F.col("dst").alias("node_id")))
@@ -363,13 +407,11 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
            .repartition(F.col("dst")).persist())
     adj.count()
 
-    deg_changed = (
-        out_deg_new.join(e_old.groupBy("src")
-                         .agg(F.count("*").alias("deg_old")),
-                         "src", "full")
-        .filter(F.coalesce("out_deg", F.lit(-1))
-                != F.coalesce("deg_old", F.lit(-1)))
-        .select("src"))
+    # a source's out-degree can only change where the delta touches
+    # it: the src endpoints of added/removed edges are an exact
+    # superset — no full old-vs-new degree join needed
+    deg_changed = (added.select("src")
+                   .unionByName(removed.select("src")).distinct())
     new_nodes = nodes_new.join(
         hist.select("node_id").distinct(), "node_id", "left_anti")
     static_aff = (
@@ -390,26 +432,40 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
         for t in range(1, iterations + 1):
             aff = static_aff
             if changed is not None:
+                # one-hop forward propagation; the changed set is
+                # delta-proportional, so broadcast it and keep the
+                # full edge scan map-side (no per-round shuffle)
                 aff = (aff.unionByName(
-                    e_new.join(changed.select("node_id")
-                               .withColumnRenamed("node_id", "src"),
-                               "src", "left_semi")
+                    e_new.join(F.broadcast(
+                        changed.select("node_id")
+                        .withColumnRenamed("node_id", "src")),
+                        "src", "left_semi")
                     .select(F.col("dst").alias("node_id")))
                     .distinct())
+            gather = (adj.join(F.broadcast(
+                          aff.withColumnRenamed("node_id", "dst")),
+                          "dst", "left_semi")
+                      .localCheckpoint(eager=True))
+            # history lookup, pruned to the gather's sources FIRST via
+            # a broadcast semi-join — a map-side scan of the cached
+            # history instead of a 2M-row shuffle per round (the cost
+            # that made the first cut lose to cold recompute)
+            src_set = gather.select("src").distinct()
             prev_h = (hist.filter(F.col("iter") == t - 1)
+                      .join(F.broadcast(src_set),
+                            hist.node_id == src_set.src, "left_semi")
                       .select(F.col("node_id").alias("src"),
                               F.col("rank").alias("h_rank")))
-            gather = adj.join(aff.withColumnRenamed("node_id", "dst"),
-                              "dst", "left_semi")
             if changed is not None:
                 gather = gather.join(
-                    changed.select(F.col("node_id").alias("src"),
-                                   F.col("rank").alias("c_rank")),
+                    F.broadcast(changed.select(
+                        F.col("node_id").alias("src"),
+                        F.col("rank").alias("c_rank"))),
                     "src", "left")
             else:
                 gather = gather.withColumn("c_rank",
                                            F.lit(None).cast("double"))
-            gather = gather.join(prev_h, "src", "left")
+            gather = gather.join(F.broadcast(prev_h), "src", "left")
             contrib = gather.select(
                 "dst",
                 F.round(F.coalesce("c_rank", "h_rank", F.lit(init))
@@ -679,6 +735,7 @@ def propagate_labels(seeds: DataFrame, edges: DataFrame,
                .withColumn("dist", F.lit(0))
                .localCheckpoint(eager=True))
     frontier = labeled
+    lparts = [labeled]
 
     try:
         for r in range(1, max_rounds + 1):
@@ -695,7 +752,8 @@ def propagate_labels(seeds: DataFrame, edges: DataFrame,
             )
             if nxt.rdd.isEmpty():
                 break
-            labeled = labeled.unionByName(nxt)
+            lparts.append(nxt)
+            labeled = _union_all(lparts)  # balanced: depth log r
             frontier = nxt
     finally:
         edges.unpersist()
@@ -810,10 +868,7 @@ def topo_layers(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     else:
         raise RuntimeError(f"topo_layers: not converged in {max_rounds} "
                            "rounds (raise max_rounds)")
-    import functools
-
-    out = functools.reduce(
-        lambda a, b: a.unionByName(b),
+    out = _union_all(
         peeled + [unassigned.withColumn("layer",
                                         F.lit(None).cast("int"))])
     return out
@@ -862,7 +917,7 @@ def strongly_connected_components(edges: DataFrame,
     # isolated nodes never enter edges; callers pass edge-defined graphs
     for _ in range(max_rounds):
         if not live_n.limit(1).count():
-            out = functools.reduce(lambda a, b: a.unionByName(b), done)
+            out = _union_all(done)  # balanced: many trim rounds
             return out.select(F.col("n").alias("node_id"), "scc_id")
         # --- 1. trim singleton SCCs (in-deg 0 or out-deg 0) ---
         while True:
@@ -1161,6 +1216,7 @@ def closeness(seeds: DataFrame, edges: DataFrame,
                 .withColumn("dist", F.lit(0))
                 .localCheckpoint(eager=True))
     visited = frontier
+    cparts = [frontier]
     try:
         for r in range(1, max_rounds + 1):
             nxt = (frontier.join(edges, frontier.node == edges.src)
@@ -1172,7 +1228,8 @@ def closeness(seeds: DataFrame, edges: DataFrame,
                    .localCheckpoint(eager=True))
             if nxt.rdd.isEmpty():
                 break
-            visited = visited.unionByName(nxt)
+            cparts.append(nxt)
+            visited = _union_all(cparts)  # balanced: depth log r
             frontier = nxt
     finally:
         edges.unpersist()
@@ -1661,7 +1718,7 @@ def betweenness(edges: DataFrame, sources: DataFrame | None = None,
                            "rounds (raise max_rounds)")
 
     # backward sweep: delta at the deepest level is 0
-    acc: DataFrame | None = None
+    acc_parts: list[DataFrame] = []
     delta = None  # (s, v, delta) for level d+1
     for d in range(len(levels) - 2, -1, -1):
         succ = levels[d + 1].select(
@@ -1686,11 +1743,12 @@ def betweenness(edges: DataFrame, sources: DataFrame | None = None,
                  .localCheckpoint(eager=True))
         dep = delta.filter(F.col("s") != F.col("v")) \
             .select("v", "delta")
-        acc = dep if acc is None else acc.unionByName(dep)
+        acc_parts.append(dep)
     e.unpersist()
     factor = float(n) / n_sources if scale_to_n else 1.0
-    if acc is None:  # no edges from any source: all-zero centrality
+    if not acc_parts:  # no edges from any source: all-zero centrality
         return nodes.select("node_id", F.lit(0.0).alias("betweenness"))
+    acc = _union_all(acc_parts)  # balanced: depth ∝ log(diameter)
     agg = (acc.groupBy(F.col("v").alias("node_id"))
            .agg(F.round(F.sum("delta") * F.lit(factor), out_scale)
                 .alias("bc")))

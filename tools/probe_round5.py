@@ -60,18 +60,28 @@ def main() -> None:
 
     delta_added = (n.filter(d % 100_000 == 7)
                    .select(d.alias("src"),
-                           ((d * 31 + 17) % nodes).alias("dst")))
+                           ((d * 31 + 17) % nodes).alias("dst"))
+                   .localCheckpoint(eager=True))
+    empty = delta_added.limit(0).localCheckpoint(eager=True)
     e_new = e_old.unionByName(delta_added)
     stats: dict = {}
     t0 = time.time()
     inc = pagerank_incremental(e_old, e_new, hist, iterations=5,
-                               stats=stats)
+                               stats=stats, added=delta_added,
+                               removed=empty)
     n_inc = inc.count()
     t_inc = time.time() - t0
-    print(f"pagerank_incremental (+{delta_added.count()} edges): "
-          f"{t_inc:.1f}s, rows={n_inc}, affected/round={stats['affected']}"
-          f" of n={stats['n_nodes']}", flush=True)
+    print(f"pagerank_incremental changelog path (+{delta_added.count()} "
+          f"edges): {t_inc:.1f}s, rows={n_inc}, "
+          f"affected/round={stats['affected']} of n={stats['n_nodes']}",
+          flush=True)
     assert max(stats["affected"]) < nodes / 10, stats
+
+    t0 = time.time()
+    inc2 = pagerank_incremental(e_old, e_new, hist, iterations=5)
+    inc2.count()
+    print(f"pagerank_incremental exceptAll path: {time.time()-t0:.1f}s",
+          flush=True)
 
     t0 = time.time()
     cold = pagerank(e_new, iterations=5)
@@ -91,11 +101,10 @@ def main() -> None:
 
     # --- 3. deep topo DAG --------------------------------------------
     depth, width = 500, 2_000
-    layer = F.col("id") % depth
-    dag = (spark.range(depth * width)
+    # node id = layer*width + pos; edge to the same pos one layer down
+    dag = (spark.range((depth - 1) * width)
            .select(F.col("id").alias("src"),
-                   (F.col("id") + width).alias("dst"))
-           .filter(layer < depth - 1))
+                   (F.col("id") + width).alias("dst")))
     sc.setJobGroup("topo5", "topo deep probe")
     t0 = time.time()
     out = topo_layers(dag, max_rounds=depth + 5)
