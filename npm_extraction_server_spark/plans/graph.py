@@ -316,32 +316,40 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
     (same grid formula) and simply stop propagating. Everything else
     keeps its history value, which is provably the recompute value.
 
-    Cost per round: the in-edges of the affected set (one broadcast
-    semi-join against the dst-partitioned cached adjacency) — ∝ delta
-    size × damping horizon, never |E|; history lookups are pruned to
-    the gather's sources via broadcast semi-joins, so per-round work
-    is map-side scans of cached state plus delta-sized joins. The
-    composition mirrors ``incremental_components``/`plans.views`'
-    maintenance contract: work follows the changelog, not the table.
+    TWO COST REGIMES, one semantics:
 
-    Pass ``added``/``removed`` (the edge changelog — e.g. from the
-    snapshot layer's change feed) to skip the exceptAll multiset diff:
-    with the changelog in hand EVERY fixed cost except one adjacency
-    build is delta-proportional (degree changes are a subset of the
-    delta's src endpoints). Without it, two full edge-set comparisons
-    derive the delta — fine at moderate |E|, the wrong plan at 100x.
-    The affected set is broadcast each round by contract (it is
-    delta-proportional); a delta that touches most of the graph should
-    be a cold recompute instead.
+    - **changelog path** (pass ``added``/``removed`` — e.g. from the
+      snapshot layer's change feed): the full graph is touched ONLY by
+      map-side scans of the cached new edge list (per-round in-edge
+      gather, needed-source out-degrees, history lookups — all
+      broadcast semi-joins against delta-sized sets) plus one cached
+      scan of the history per round. No full-graph shuffle exists
+      anywhere: degree changes derive from the delta's src endpoints,
+      node births/deaths are checked only at delta endpoints, and the
+      final result is the cached history's last iteration overlaid
+      with the recomputed rows. This is the 100x-scale path; the
+      2M-node probe (tools/probe_round5.py) pins it beating cold
+      recompute.
+    - **diff path** (no changelog): the delta is derived by two
+      exceptAll multiset comparisons and the node universe is rebuilt
+      and fully cross-checked — correct anywhere, but pays fixed
+      full-graph costs comparable to ~one cold run; use it when no
+      change feed exists.
 
     Locality constraints (checked, not assumed):
     - the new graph must be SINK-FREE — the dangling-mass term is a
-      global sum, one changed sink would touch every node (callers
-      with sinks: pre-augment, as the host web graph does).
+      global sum, one changed sink would touch every node (on the
+      changelog path only the removed edges' sources can become
+      sinks, so exactly those are checked; the OLD graph being
+      sink-free is the caller's contract — history produced with an
+      active dangling term would poison the formula either way).
     - with ``normalized=True`` the node SET must be unchanged (init
       and teleport are 1/n — a node-count change shifts every rank).
       ``normalized=False`` (constants independent of n) accepts node
       additions/removals.
+    - the affected set is broadcast each round BY CONTRACT (it is
+      delta-proportional); a delta touching most of the graph should
+      be a cold recompute instead.
 
     ``stats``, when passed, receives {"affected": [per-round counts],
     "n_nodes": n} — the delta-proportionality evidence the probes
@@ -349,50 +357,22 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
     exactly as ``pagerank`` does.
     """
     e_old = edges_old.select("src", "dst")
-    e_new = edges_new.select("src", "dst").localCheckpoint(eager=True)
+    e_new = edges_new.select("src", "dst").persist()
+    e_new.count()
     if (added is None) != (removed is None):
         raise ValueError("pagerank_incremental: pass added AND removed "
                          "(the changelog), or neither (exceptAll diff)")
-    if added is None:
+    changelog = added is not None
+    if not changelog:
         # no changelog available: derive the delta by multiset diff —
-        # two full-edge-set comparisons; fine for moderate graphs, but
-        # the changelog path below is the 100x-scale one
+        # two full-edge-set comparisons (the moderate-scale path)
         added = e_new.exceptAll(e_old).localCheckpoint(eager=True)
         removed = e_old.exceptAll(e_new).localCheckpoint(eager=True)
     else:
         added = added.select("src", "dst").localCheckpoint(eager=True)
         removed = removed.select("src", "dst").localCheckpoint(eager=True)
 
-    nodes_new = (e_new.select(F.col("src").alias("node_id"))
-                 .unionByName(e_new.select(F.col("dst").alias("node_id")))
-                 .distinct().localCheckpoint(eager=True))
-    n = nodes_new.count()
-    if normalized:
-        nodes_old = (e_old.select(F.col("src").alias("node_id"))
-                     .unionByName(e_old.select(F.col("dst")
-                                               .alias("node_id")))
-                     .distinct())
-        if (nodes_new.join(nodes_old, "node_id", "left_anti")
-                .unionByName(nodes_old.join(nodes_new, "node_id",
-                                            "left_anti"))
-                .limit(1).count()):
-            raise ValueError(
-                "pagerank_incremental(normalized=True): node set "
-                "changed — 1/n constants shift every rank; recompute, "
-                "or use normalized=False")
-        init = round(1.0 / n, _GRID)
-        teleport = round((1.0 - damping) / n, _GRID)
-    else:
-        init = 1.0
-        teleport = round(1.0 - damping, _GRID)
-    if _dangling_nodes(nodes_new, e_new).limit(1).count():
-        raise ValueError(
-            "pagerank_incremental: new graph has sink nodes — the "
-            "dangling-mass term is global, incremental maintenance "
-            "cannot stay local; pre-augment the graph")
-
-    hist = history.select("node_id", "iter", "rank") \
-        .localCheckpoint(eager=True)
+    hist = history.select("node_id", "iter", "rank").persist()
     hist_depth = hist.agg(F.max("iter")).collect()[0][0]
     if hist_depth is None or hist_depth < iterations:
         raise ValueError(
@@ -400,101 +380,170 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
             f"0..{hist_depth}, need {iterations} — rerun "
             f"pagerank(edges_old, iterations={iterations}, "
             f"return_history=True)")
-    out_deg_new = e_new.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # loop-invariant in-edge adjacency, partitioned on dst: each
-    # round's inflow gather shuffles only the affected frontier
-    adj = (e_new.join(out_deg_new, "src")
-           .repartition(F.col("dst")).persist())
-    adj.count()
+    hist_nodes = hist.filter(F.col("iter") == 0).select("node_id")
 
-    # a source's out-degree can only change where the delta touches
-    # it: the src endpoints of added/removed edges are an exact
-    # superset — no full old-vs-new degree join needed
+    def _members(universe_col_pairs, probe: DataFrame) -> DataFrame:
+        """Which rows of small ``probe`` (node_id) appear in any of the
+        (df, col) universes — each test a broadcast-probe map-side
+        semi-scan of the cached big side, inverted so the BIG side
+        streams and the SMALL side builds."""
+        parts = [df.join(F.broadcast(probe),
+                         df[col] == probe["node_id"], "left_semi")
+                 .select(df[col].alias("node_id"))
+                 for df, col in universe_col_pairs]
+        return _union_all(parts).distinct()
+
+    dend = (added.select(F.col("src").alias("node_id"))
+            .unionByName(added.select(F.col("dst").alias("node_id")))
+            .unionByName(removed.select(F.col("src").alias("node_id")))
+            .unionByName(removed.select(F.col("dst").alias("node_id")))
+            .distinct().localCheckpoint(eager=True))
+    # node births/deaths happen only at delta endpoints
+    known = _members([(hist_nodes, "node_id")], dend) \
+        .localCheckpoint(eager=True)
+    new_nodes = dend.join(known, "node_id", "left_anti") \
+        .localCheckpoint(eager=True)
+    rem_end = (removed.select(F.col("src").alias("node_id"))
+               .unionByName(removed.select(F.col("dst").alias("node_id")))
+               .distinct())
+    still_there = _members([(e_new, "src"), (e_new, "dst")], rem_end) \
+        .localCheckpoint(eager=True)
+    dead = rem_end.join(still_there, "node_id", "left_anti") \
+        .localCheckpoint(eager=True)
+    n_new_nodes, n_dead = new_nodes.count(), dead.count()
+
+    if normalized:
+        if n_new_nodes or n_dead:
+            raise ValueError(
+                "pagerank_incremental(normalized=True): node set "
+                "changed — 1/n constants shift every rank; recompute, "
+                "or use normalized=False")
+        n = hist_nodes.count()
+        init = round(1.0 / n, _GRID)
+        teleport = round((1.0 - damping) / n, _GRID)
+    else:
+        n = None
+        init = 1.0
+        teleport = round(1.0 - damping, _GRID)
+
+    # sink check: on the changelog path only a removed edge's source
+    # can LOSE its last out-edge, so exactly those are probed (the old
+    # graph being sink-free is the documented caller contract); the
+    # diff path keeps the full whole-graph check, since it makes no
+    # assumption about how the inputs were produced
+    if changelog:
+        sink_cand = (removed.select(F.col("src").alias("node_id"))
+                     .distinct())
+        has_out = _members([(e_new, "src")], sink_cand)
+        sinky = sink_cand.join(has_out, "node_id", "left_anti") \
+            .limit(1).count()
+    else:
+        sinky = (e_new.select(F.col("dst").alias("node_id")).distinct()
+                 .join(e_new.select(F.col("src").alias("node_id"))
+                       .distinct(), "node_id", "left_anti")
+                 .limit(1).count())
+    if sinky:
+        raise ValueError(
+            "pagerank_incremental: the new graph has sink nodes — the "
+            "dangling-mass term is global, incremental maintenance "
+            "cannot stay local; pre-augment the graph")
+
+    # static affected set: delta-edge dsts + out-neighbors of
+    # degree-changed sources (== delta src endpoints) + new nodes
     deg_changed = (added.select("src")
                    .unionByName(removed.select("src")).distinct())
-    new_nodes = nodes_new.join(
-        hist.select("node_id").distinct(), "node_id", "left_anti")
     static_aff = (
         added.select("dst").unionByName(removed.select("dst"))
-        .unionByName(e_new.join(deg_changed, "src", "left_semi")
-                     .select("dst"))
+        .unionByName(e_new.join(F.broadcast(deg_changed), "src",
+                                "left_semi").select("dst"))
         .select(F.col("dst").alias("node_id"))
         .unionByName(new_nodes)
         .distinct()
-        .join(nodes_new, "node_id", "left_semi")
+        .join(dead, "node_id", "left_anti")
         .localCheckpoint(eager=True))
     if stats is not None:
         stats["n_nodes"] = n
         stats["affected"] = []
 
     changed: DataFrame | None = None
-    try:
-        for t in range(1, iterations + 1):
-            aff = static_aff
-            if changed is not None:
-                # one-hop forward propagation; the changed set is
-                # delta-proportional, so broadcast it and keep the
-                # full edge scan map-side (no per-round shuffle)
-                aff = (aff.unionByName(
-                    e_new.join(F.broadcast(
-                        changed.select("node_id")
-                        .withColumnRenamed("node_id", "src")),
-                        "src", "left_semi")
-                    .select(F.col("dst").alias("node_id")))
-                    .distinct())
-            gather = (adj.join(F.broadcast(
-                          aff.withColumnRenamed("node_id", "dst")),
-                          "dst", "left_semi")
-                      .localCheckpoint(eager=True))
-            # history lookup, pruned to the gather's sources FIRST via
-            # a broadcast semi-join — a map-side scan of the cached
-            # history instead of a 2M-row shuffle per round (the cost
-            # that made the first cut lose to cold recompute)
-            src_set = gather.select("src").distinct()
-            prev_h = (hist.filter(F.col("iter") == t - 1)
-                      .join(F.broadcast(src_set),
-                            hist.node_id == src_set.src, "left_semi")
-                      .select(F.col("node_id").alias("src"),
-                              F.col("rank").alias("h_rank")))
-            if changed is not None:
-                gather = gather.join(
-                    F.broadcast(changed.select(
-                        F.col("node_id").alias("src"),
-                        F.col("rank").alias("c_rank"))),
-                    "src", "left")
-            else:
-                gather = gather.withColumn("c_rank",
-                                           F.lit(None).cast("double"))
-            gather = gather.join(F.broadcast(prev_h), "src", "left")
-            contrib = gather.select(
-                "dst",
-                F.round(F.coalesce("c_rank", "h_rank", F.lit(init))
-                        / F.col("out_deg"), _GRID)
-                .cast(f"decimal(28,{_GRID})").alias("contrib"))
-            inflow = contrib.groupBy("dst").agg(
-                F.sum("contrib").cast("double").alias("inflow"))
-            changed = (
-                aff.join(inflow, aff.node_id == inflow.dst, "left")
-                .select(
-                    "node_id",
-                    F.round(F.lit(teleport)
-                            + F.lit(damping)
-                            * F.coalesce("inflow", F.lit(0.0)),
-                            _GRID).alias("rank"))
-                .localCheckpoint(eager=True))
-            if stats is not None:
-                stats["affected"].append(changed.count())
-    finally:
-        adj.unpersist()
+    for t in range(1, iterations + 1):
+        aff = static_aff
+        if changed is not None:
+            # one-hop forward propagation, map-side over the cached
+            # edge list (the changed set broadcasts by contract)
+            aff = (aff.unionByName(
+                e_new.join(F.broadcast(changed.select("node_id")
+                                       .withColumnRenamed("node_id",
+                                                          "src")),
+                           "src", "left_semi")
+                .select(F.col("dst").alias("node_id")))
+                .distinct())
+        # in-edges of the affected set + out-degrees of exactly the
+        # sources that appear — two map-side scans of the cached edges
+        in_edges = e_new.join(
+            F.broadcast(aff.withColumnRenamed("node_id", "dst")),
+            "dst", "left_semi").localCheckpoint(eager=True)
+        srcs = in_edges.select("src").distinct()
+        out_deg = (e_new.join(F.broadcast(srcs), "src", "left_semi")
+                   .groupBy("src").agg(F.count("*").alias("out_deg")))
+        gather = in_edges.join(F.broadcast(out_deg), "src")
+        # history lookup pruned to the gather's sources FIRST (a
+        # map-side scan of the cached history, never a full shuffle)
+        prev_h = (hist.filter(F.col("iter") == t - 1)
+                  .join(F.broadcast(srcs),
+                        hist.node_id == srcs.src, "left_semi")
+                  .select(F.col("node_id").alias("src"),
+                          F.col("rank").alias("h_rank")))
+        if changed is not None:
+            gather = gather.join(
+                F.broadcast(changed.select(F.col("node_id").alias("src"),
+                                           F.col("rank").alias("c_rank"))),
+                "src", "left")
+        else:
+            gather = gather.withColumn("c_rank",
+                                       F.lit(None).cast("double"))
+        gather = gather.join(F.broadcast(prev_h), "src", "left")
+        contrib = gather.select(
+            "dst",
+            F.round(F.coalesce("c_rank", "h_rank", F.lit(init))
+                    / F.col("out_deg"), _GRID)
+            .cast(f"decimal(28,{_GRID})").alias("contrib"))
+        inflow = contrib.groupBy("dst").agg(
+            F.sum("contrib").cast("double").alias("inflow"))
+        changed = (
+            aff.join(inflow, aff.node_id == inflow.dst, "left")
+            .select(
+                "node_id",
+                F.round(F.lit(teleport)
+                        + F.lit(damping)
+                        * F.coalesce("inflow", F.lit(0.0)),
+                        _GRID).alias("rank"))
+            .localCheckpoint(eager=True))
+        if stats is not None:
+            stats["affected"].append(changed.count())
+    assert changed is not None
+    # final overlay: the cached history's last iteration, minus dead
+    # nodes, recomputed rows substituted, brand-new nodes appended —
+    # one map-side scan of the history, zero full-graph shuffles
     hk = (hist.filter(F.col("iter") == iterations)
           .select("node_id", F.col("rank").alias("h_rank")))
-    assert changed is not None
-    return (nodes_new.join(hk, "node_id", "left")
-            .join(changed.withColumnRenamed("rank", "c_rank"),
-                  "node_id", "left")
-            .select("node_id",
-                    F.round(F.coalesce("c_rank", "h_rank"), out_scale)
-                    .alias("rank")))
+    if n_dead:
+        hk = hk.join(F.broadcast(dead), "node_id", "left_anti")
+    out = (hk.join(F.broadcast(changed.withColumnRenamed("rank",
+                                                         "c_rank")),
+                   "node_id", "left")
+           .select("node_id",
+                   F.coalesce("c_rank", "h_rank").alias("rank")))
+    if n_new_nodes:
+        out = out.unionByName(
+            changed.join(F.broadcast(new_nodes), "node_id", "left_semi")
+            .select("node_id", "rank"))
+    out = out.select("node_id",
+                     F.round("rank", out_scale).alias("rank"))
+    e_new.unpersist()
+    # hist stays cached: ``out`` reads its last iteration lazily — the
+    # caller's action consumes the cache; Spark evicts it LRU after
+    return out
 
 
 def _oriented_triangles(und: DataFrame) -> DataFrame:

@@ -54,6 +54,15 @@ def get_spark(app: str = "npm_extraction_server_spark",
         .config("spark.executor.extraJavaOptions", jopts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Iterative graph loops use LAZY localCheckpoint so one count
+        # action per round materializes everything. By default Spark
+        # truncates only the NEAREST checkpoint-marked RDD of the
+        # action's lineage — marked ANCESTORS (the loop's carried
+        # unassigned/live state) stay untruncated, lineage grows one
+        # hop per round, and task deserialization overflows the JVM
+        # stack near round ~500 (hit by the 500-level topo DAG probe).
+        # This flag makes the same job truncate every marked ancestor.
+        .config("spark.checkpoint.checkpointAllMarkedAncestors", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
