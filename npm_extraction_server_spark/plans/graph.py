@@ -465,6 +465,12 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
         stats["n_nodes"] = n
         stats["affected"] = []
 
+    # out-degrees once (one shuffle), probed per round by broadcast
+    # semi-join — a 2M-row cached scan per round instead of re-counting
+    # from the 6M-row edge list
+    out_deg_all = e_new.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out_deg_all = out_deg_all.persist()
+
     changed: DataFrame | None = None
     for t in range(1, iterations + 1):
         aff = static_aff
@@ -484,8 +490,7 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
             F.broadcast(aff.withColumnRenamed("node_id", "dst")),
             "dst", "left_semi").localCheckpoint(eager=True)
         srcs = in_edges.select("src").distinct()
-        out_deg = (e_new.join(F.broadcast(srcs), "src", "left_semi")
-                   .groupBy("src").agg(F.count("*").alias("out_deg")))
+        out_deg = out_deg_all.join(F.broadcast(srcs), "src", "left_semi")
         gather = in_edges.join(F.broadcast(out_deg), "src")
         # history lookup pruned to the gather's sources FIRST (a
         # map-side scan of the cached history, never a full shuffle)
@@ -541,6 +546,7 @@ def pagerank_incremental(edges_old: DataFrame, edges_new: DataFrame,
     out = out.select("node_id",
                      F.round("rank", out_scale).alias("rank"))
     e_new.unpersist()
+    out_deg_all.unpersist()
     # hist stays cached: ``out`` reads its last iteration lazily — the
     # caller's action consumes the cache; Spark evicts it LRU after
     return out
