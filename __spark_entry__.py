@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_ask": _kg_bgp_ask,
         "kg_void_stats": _kg_void_stats,
         "kg_bgp_minus_deps": _kg_bgp_minus_deps,
+        "kg_bgp_exists_deps": _kg_bgp_exists_deps,
         "kg_bgp_path_ops": _kg_bgp_path_ops,
         "kg_bgp_values": _kg_bgp_values,
         "kg_bgp_group_concat": _kg_bgp_group_concat,
@@ -197,8 +198,10 @@ _PRIORITY: list[str] = [
     # TriG parse round trip, incremental PageRank, betweenness,
     # IVF-PQ recall, Gopher rules, equality deletes)
     "text_gopher_rules", "sim_ivfpq_recall", "graph_pagerank_incr",
-    "graph_betweenness", "snap_eq_delete", "kg_bgp_path_ops",
-    "kg_bgp_values", "kg_bgp_group_concat", "kg_trig_roundtrip",
+    "graph_betweenness", "snap_eq_delete", "snap_zorder",
+    "kg_bgp_path_ops",
+    "kg_bgp_values", "kg_bgp_group_concat", "kg_bgp_exists_deps",
+    "kg_trig_roundtrip",
     "kg_bgp_quads_meta", "kg_bgp_graph_const", "kg_bgp_topk_deps",
     # joins / TPC-H / SQL surface
     "j11_asof_forward", "q6_forecast_revenue", "q18_large_orders",
@@ -218,8 +221,7 @@ _PRIORITY: list[str] = [
     "events_retention", "sketch_distinct", "sketch_bloom",
     "sketch_heavy_hitters",
     # multimodal / tarballs
-    "mm_audio_features", "mm_image_resize", "tar_members",
-    "tar_components",
+    "mm_audio_features", "tar_members",
     # KG / BGP layer
     "kg_bgp_version_meta", "kg_bgp_dep_chain", "kg_void_stats",
     "kg_bgp_ask",
@@ -266,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_ask": _KG_BGP_ASK_ORACLE,
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
+            "kg_bgp_exists_deps": _KG_BGP_EXISTS_DEPS_ORACLE,
             "kg_bgp_path_ops": _KG_BGP_PATH_OPS_ORACLE,
             "kg_bgp_values": _KG_BGP_VALUES_ORACLE,
             "kg_bgp_group_concat": _KG_BGP_GROUP_CONCAT_ORACLE,
@@ -1255,6 +1258,28 @@ def _kg_bgp_topk_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     order_by=["v", "d", "rng"], limit=25)
 
 
+def _kg_bgp_exists_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS (plans/bgp.bgp_exists): the version-meta
+    star kept only where a valid-semver dependency chain EXISTS — the
+    positive dual of kg_bgp_minus_deps (their row sets partition the
+    version universe; both hard-oracled, so the duality itself is
+    cross-checked). One LEFT SEMI join on the shared ?m."""
+    from npm_extraction_server_spark.plans.bgp import bgp_exists
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_exists(
+        t,
+        [("?m", DOAP + "name", "?name"),
+         ("?m", DOAP + "revision", "?rev")],
+        [[("?m", NPM + "dependency", "?d"),
+          ("?d", DOAP + "revision", "?rng")]],
+        select=["m", "name", "rev"])
+
+
 def _kg_bgp_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property-path ALGEBRA (plans/bgp.path_edges): the path
     ``(npm:dependency / doap:revision) | owl:sameAs`` — sequence
@@ -1792,6 +1817,19 @@ SELECT DISTINCT subj, pred, obj, g FROM (
     FROM vers WHERE hv%9 <= 5
   )
 )
+""")
+
+# EXISTS dual of the minus oracle: versions WITH a valid dep.
+_KG_BGP_EXISTS_DEPS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri FROM vers WHERE hv%9 <= 5
+)
+SELECT DISTINCT module_iri AS m,
+       '"' || name || '"' AS name,
+       '"' || ver || '"' AS rev
+FROM vers WHERE module_iri IN (SELECT v FROM alldeps)
 """)
 
 # (dependency/revision) | sameAs: dep-chain (v -> range literal) UNION

@@ -1146,6 +1146,34 @@ def snap_stats_prune(spark, sf):
     return read_where(spark, table, preds).select("doc_id", "lang", "n_chars")
 
 
+def snap_zorder(spark, sf):
+    """Z-order clustered commit (hard oracle): documents are committed
+    with cluster_mode='zorder' over (doc_id, n_chars) — the
+    interleaved-bit curve gives EVERY clustered dimension usable
+    per-file ranges, so a predicate on doc_id AND a predicate on
+    n_chars each prune files (both asserted; linear clustering serves
+    only its first key — the 2-D grid proof lives in
+    tests/test_snapshots.py). The read must equal a plain filtered
+    scan, which is what DuckDB runs — the curve is pure layout, never
+    semantics."""
+    import tempfile
+
+    from ..sources.snapshots import commit, plan_scan, read_where
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapz_")
+    commit(docs, table, partitions=16, cluster_by=["doc_id", "n_chars"],
+           cluster_mode="zorder")
+    p1 = [("doc_id", ">=", 100), ("doc_id", "<", 160)]
+    p2 = [("n_chars", ">=", 200), ("n_chars", "<", 260)]
+    k1, total = plan_scan(table, p1)
+    k2, _ = plan_scan(table, p2)
+    assert len(k1) < len(total), "z-order: dim 1 did not prune"
+    assert len(k2) < len(total), "z-order: dim 2 did not prune"
+    return read_where(spark, table, p2).select("doc_id", "lang",
+                                               "n_chars")
+
+
 def snap_merge_upsert(spark, sf):
     """Copy-on-write MERGE/upsert (hard oracle): documents land
     range-clustered, then a merge updates n_chars for doc_id in
@@ -2204,6 +2232,7 @@ SPARK_QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
+    "snap_zorder": snap_zorder,
     "snap_merge_upsert": snap_merge_upsert,
     "snap_changelog": snap_changelog,
     "snap_incr_view": snap_incr_view,
@@ -4248,6 +4277,10 @@ ORACLE_SQL = {
             FROM postings
         )
         SELECT * FROM with_df WHERE df >= 2
+    """,
+    "snap_zorder": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars >= 200 AND n_chars < 260
     """,
     "snap_eq_delete": """
         SELECT doc_id, lang, n_chars FROM documents

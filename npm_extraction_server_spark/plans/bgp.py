@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["as_quads", "bgp_agg", "bgp_ask", "bgp_construct", "path_edges",
+__all__ = ["as_quads", "bgp_agg", "bgp_ask", "bgp_construct", "bgp_exists", "path_edges",
            "bgp_describe",
            "bgp_join", "bgp_minus",
            "bgp_optional", "bgp_path", "bgp_union", "materialize_rules",
@@ -543,6 +543,43 @@ def bgp_minus(triples: DataFrame,
                 f"required patterns (would remove nothing): {grp}")
         bound = bound.join(m.select(*shared).distinct(), shared,
                            "left_anti")
+    return _finish(bound, select, filters, order_by, limit, offset)
+
+
+def bgp_exists(triples: DataFrame,
+               patterns: list[tuple],
+               exists: list[list[tuple]],
+               select: list[str] | None = None,
+               filters: list | None = None,
+               order_by: list | None = None, limit: int | None = None,
+               offset: int = 0) -> DataFrame:
+    """SPARQL FILTER EXISTS: keep the bindings of ``patterns`` that
+    ARE compatible with at least one binding of EVERY ``exists`` group
+    — the positive dual of bgp_minus, one LEFT SEMI join per group on
+    the shared variables. "Versions that do declare a dependency",
+    "entities that are referenced somewhere" — the existence probes a
+    KG consumer composes with the main pattern.
+
+    Each exists group must share a variable with the required group
+    (a disconnected EXISTS is satisfied by the group's mere
+    non-emptiness — write it as a separate bgp_ask instead; rejected
+    here as a footgun, mirroring bgp_minus).
+
+    Scale shape: identical to bgp_minus with the join type flipped —
+    the semi join's build side is the group's DISTINCT shared-variable
+    projection; both sides hash-partition on the shared variables and
+    selective groups broadcast under AQE.
+    """
+    bound = _match_patterns(triples, patterns)
+    for grp in exists:
+        m = _match_patterns(triples, grp)
+        shared = [c for c in m.columns if c in bound.columns]
+        if not shared:
+            raise ValueError(
+                "bgp_exists: exists group shares no variable with the "
+                f"required patterns (use bgp_ask instead): {grp}")
+        bound = bound.join(m.select(*shared).distinct(), shared,
+                           "left_semi")
     return _finish(bound, select, filters, order_by, limit, offset)
 
 

@@ -862,3 +862,31 @@ def test_bgp_agg_sparql11_completions(spark):
     assert out["a"].mean_v == 2.5 and out["b"].mean_v == 10.0
     assert out["a"].one_v == "2" and out["a"].all_v == "2,3"
     assert out["b"].all_v == "10"
+
+
+def test_bgp_exists_semantics(spark):
+    """FILTER EXISTS keeps bindings compatible with every exists
+    group (positive dual of MINUS: the two row sets partition the
+    base bindings); disconnected groups are rejected."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import (
+        bgp_exists,
+        bgp_join,
+        bgp_minus,
+    )
+
+    t = spark.createDataFrame(
+        [("a", "type", "P"), ("b", "type", "P"), ("c", "type", "P"),
+         ("a", "knows", "b"), ("c", "knows", "c")],
+        "subj string, pred string, obj string")
+    pats = [("?x", "type", "P")]
+    grp = [[("?x", "knows", "?y")]]
+    ex = {r.x for r in bgp_exists(t, pats, grp).collect()}
+    mi = {r.x for r in bgp_minus(t, pats, grp).collect()}
+    base = {r.x for r in bgp_join(t, pats).collect()}
+    assert ex == {"a", "c"} and mi == {"b"}
+    assert ex | mi == base and not (ex & mi)  # exact partition
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_exists(t, pats, [[("?z", "age", "?v")]])
