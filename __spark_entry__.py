@@ -219,7 +219,6 @@ _PRIORITY: list[str] = [
     "snap_mor_changelog", "snap_dedup_incr",
     # events / sketches
     "events_retention", "sketch_distinct", "sketch_bloom",
-    "sketch_heavy_hitters",
     # multimodal / tarballs
     "mm_audio_features", "tar_members",
     # KG / BGP layer

@@ -631,3 +631,77 @@ def setsim_join(documents: DataFrame, threshold_num: int = 3,
             >= F.lit(threshold_num) * (F.col("n_a") + F.col("n_b")))
     return inter.filter(keep).select("id_a", "id_b", "inter",
                                      "n_a", "n_b")
+
+
+def containment_join(documents: DataFrame, threshold_num: int = 4,
+                     threshold_den: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """EXACT set-containment self-join: every DIRECTED pair (a, b)
+    with ``|tokens(a) ∩ tokens(b)| / |tokens(a)| >= num/den`` — the
+    asymmetric near-superset relation Jaccard misses (a short doc
+    embedded in a long one scores high containment but low Jaccard;
+    the C4/boilerplate-expansion dedup case). Recall 1, no hashing.
+
+    Prefix filter (the containment form of AllPairs): order tokens
+    globally rarest-first; if C(a→b) >= t then a MUST share a token
+    within its first ``n_a - ceil(t*n_a) + 1`` tokens — so only the
+    CONTAINED side is prefix-pruned, while the containing side
+    indexes all its tokens (containment places no ceiling on where
+    the shared tokens sit inside b). Size prune: ``n_b >=
+    ceil(t * n_a)`` (b must hold at least the required intersection).
+    Verification is the exact intersection count with the integer
+    test ``den * inter >= num * n_a``.
+
+    Returns (id_a, id_b, inter, n_a, n_b), id_a != id_b, directed:
+    a is contained in b at inter/n_a >= t. Scale shape mirrors
+    setsim_join: the candidate join is keyed on RARE prefix tokens of
+    the contained side; the full-token side is the posting list an
+    inverted index serves, and the verification join's cost follows
+    the candidate set.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("containment_join: need 0 < num <= den")
+    toks = (documents.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))))
+        .alias("token"))
+        .localCheckpoint(eager=True))
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    ordered = (toks.join(freq, "token")
+               .groupBy("doc")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("tf", "token"))).alias("sorted_toks")))
+    n = F.size("sorted_toks")
+    ceil_tn = F.floor((F.lit(threshold_num) * n
+                       + F.lit(threshold_den - 1)) / F.lit(threshold_den))
+    prefix = (ordered
+              .select("doc", n.alias("n"),
+                      F.slice("sorted_toks", 1,
+                              (n - ceil_tn + F.lit(1)).cast("int"))
+                      .alias("prefix"))
+              .select("doc", "n", F.explode("prefix").alias("pt"))
+              .select("doc", "n", F.col("pt.token").alias("token")))
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n"))
+    a = prefix.select(F.col("doc").alias("id_a"),
+                      F.col("n").alias("n_a"), "token")
+    b = (toks.join(sizes, "doc")
+         .select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"),
+                 "token"))
+    cand = (a.join(b, "token")
+            .filter((F.col("id_a") != F.col("id_b"))
+                    # n_b >= ceil(t*n_a)  <=>  den*n_b >= num*n_a
+                    & (F.lit(threshold_den) * F.col("n_b")
+                       >= F.lit(threshold_num) * F.col("n_a")))
+            .select("id_a", "id_b", "n_a", "n_b")
+            .distinct())
+    ta = toks.select(F.col("doc").alias("id_a"), "token")
+    tb = toks.select(F.col("doc").alias("id_b"), "token")
+    inter = (cand.join(ta, "id_a")
+             .join(tb, ["id_b", "token"])
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count("*").alias("inter")))
+    keep = (F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("n_a"))
+    return inter.filter(keep).select("id_a", "id_b", "inter",
+                                     "n_a", "n_b")

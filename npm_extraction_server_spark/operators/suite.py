@@ -720,6 +720,18 @@ def text_gopher_rules(spark, sf):
     return gopher_rules(_t(spark, sf, "documents"))
 
 
+def dedup_containment(spark, sf):
+    """EXACT directed set-containment join at >= 4/5 over documents
+    (dedup.containment_join) — the asymmetric near-superset dedup
+    (short doc inside long doc) Jaccard misses. Hard oracle:
+    brute-force all-pairs containment in DuckDB (recall-1 contract,
+    same integer threshold)."""
+    from .dedup import containment_join
+
+    return containment_join(_t(spark, sf, "documents"),
+                            threshold_num=4, threshold_den=5)
+
+
 def sim_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -2168,6 +2180,7 @@ SPARK_QUERIES = {
     "dedup_minhash_verified": dedup_minhash_verified,
     "dedup_clusters": dedup_clusters,
     "dedup_setsim_join": dedup_setsim_join,
+    "dedup_containment": dedup_containment,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_verified": dedup_simhash_verified,
     "dedup_simhash_report": dedup_simhash_report,
@@ -4191,6 +4204,27 @@ ORACLE_SQL = {
                ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id)::INT
                    AS bucket
         FROM scored
+    """,
+    "dedup_containment": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id AS doc,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+            FROM documents
+        ),
+        n AS (SELECT doc, count(*) AS n FROM toks GROUP BY doc),
+        pairs AS (
+            SELECT a.doc AS id_a, b.doc AS id_b, count(*)::BIGINT AS inter
+            FROM toks a JOIN toks b
+              ON a.token = b.token AND a.doc <> b.doc
+            GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b, p.inter,
+               na.n::BIGINT AS n_a, nb.n::BIGINT AS n_b
+        FROM pairs p
+        JOIN n na ON na.doc = p.id_a
+        JOIN n nb ON nb.doc = p.id_b
+        WHERE 5 * p.inter >= 4 * na.n
     """,
     "dedup_setsim_join": """
         WITH toks AS (

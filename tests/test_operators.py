@@ -1466,3 +1466,39 @@ def test_image_features_pil_leg_exact_means():
     assert (mr, mg, mb) == ((10 + 10 + 50 + 90) // 4,
                             (20 + 20 + 60 + 100) // 4,
                             (30 + 30 + 70 + 110) // 4)
+
+
+def test_containment_join_asymmetric_and_lossless(spark):
+    """containment_join: directed — a short doc inside a long one
+    scores containment 1 in one direction only (the pair Jaccard
+    misses at the same threshold); prefix+size pruning loses nothing
+    vs brute force on a corpus with common-token noise."""
+    from npm_extraction_server_spark.operators.dedup import (
+        containment_join,
+        setsim_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "omega psi chi"),
+         (4, "the of and to in is the of and to")],  # common-token noise
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.inter, r.n_a)
+           for r in containment_join(docs, 4, 5).collect()}
+    assert (1, 2) in got and got[(1, 2)] == (3, 3)  # containment 1.0
+    assert (2, 1) not in got                         # 3/8 < 4/5
+    assert all(a != b for a, b in got)
+    # the same pair fails symmetric Jaccard at 4/5 (3/8)
+    js = {(r.id_a, r.id_b) for r in setsim_join(docs, 4, 5).collect()}
+    assert (1, 2) not in js
+
+    # brute-force equivalence on the same corpus
+    import itertools
+
+    toksets = {r.doc_id: set(r.text.split())
+               for r in docs.collect()}
+    brute = {(a, b)
+             for a, b in itertools.permutations(toksets, 2)
+             if 5 * len(toksets[a] & toksets[b]) >= 4 * len(toksets[a])}
+    assert set(got) == brute
