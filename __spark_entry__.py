@@ -197,7 +197,8 @@ _PRIORITY: list[str] = [
     # round-5 additions (SPARQL quads/modifiers/paths/VALUES/1.1 aggs,
     # TriG parse round trip, incremental PageRank, betweenness,
     # IVF-PQ recall, Gopher rules, equality deletes)
-    "text_gopher_rules", "sim_ivfpq_recall", "graph_pagerank_incr",
+    "text_gopher_rules", "sim_ivfpq_recall", "dedup_containment",
+    "graph_pagerank_incr",
     "graph_betweenness", "snap_eq_delete", "snap_zorder",
     "kg_bgp_path_ops",
     "kg_bgp_values", "kg_bgp_group_concat", "kg_bgp_exists_deps",
