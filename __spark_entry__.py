@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": _kg_void_stats,
         "kg_bgp_minus_deps": _kg_bgp_minus_deps,
         "kg_bgp_exists_deps": _kg_bgp_exists_deps,
+        "kg_bgp_bind": _kg_bgp_bind,
         "kg_bgp_path_ops": _kg_bgp_path_ops,
         "kg_bgp_values": _kg_bgp_values,
         "kg_bgp_group_concat": _kg_bgp_group_concat,
@@ -198,7 +199,7 @@ _PRIORITY: list[str] = [
     # TriG parse round trip, incremental PageRank, betweenness,
     # IVF-PQ recall, Gopher rules, equality deletes)
     "text_gopher_rules", "sim_ivfpq_recall", "dedup_containment",
-    "graph_pagerank_incr",
+    "graph_pagerank_incr", "graph_pagerank_weighted", "kg_bgp_bind",
     "graph_betweenness", "snap_eq_delete", "snap_zorder",
     "kg_bgp_path_ops",
     "kg_bgp_values", "kg_bgp_group_concat", "kg_bgp_exists_deps",
@@ -214,10 +215,9 @@ _PRIORITY: list[str] = [
     # graph
     "graph_ppr", "graph_labelprop", "graph_kcore", "graph_topo_layers",
     "graph_scc", "graph_triangles", "graph_mis",
-    "graph_clustering_coeff",
     # lakehouse snapshots
     "snap_compact", "snap_stats_prune", "snap_changelog",
-    "snap_mor_changelog", "snap_dedup_incr",
+    "snap_dedup_incr",
     # events / sketches
     "events_retention", "sketch_distinct", "sketch_bloom",
     # multimodal / tarballs
@@ -269,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_bgp_exists_deps": _KG_BGP_EXISTS_DEPS_ORACLE,
+            "kg_bgp_bind": _KG_BGP_BIND_ORACLE,
             "kg_bgp_path_ops": _KG_BGP_PATH_OPS_ORACLE,
             "kg_bgp_values": _KG_BGP_VALUES_ORACLE,
             "kg_bgp_group_concat": _KG_BGP_GROUP_CONCAT_ORACLE,
@@ -1280,6 +1281,28 @@ def _kg_bgp_exists_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         select=["m", "name", "rev"])
 
 
+def _kg_bgp_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND over the dep-chain bindings: derive the bare range
+    string (strip the literal quotes) and its length, then FILTER on
+    the derived variable — BIND(expr AS ?var) evaluated before FILTER
+    so downstream clauses see it, exactly the SPARQL scoping. Hard
+    oracle: identical string derivation in DuckDB."""
+    from npm_extraction_server_spark.plans.bgp import bgp_join
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return bgp_join(
+        t, [("?v", NPM + "dependency", "?d"),
+            ("?d", DOAP + "revision", "?rng")],
+        bind={"bare": "substring(rng, 2, length(rng) - 2)",
+              "rng_len": "length(rng) - 2"},
+        filters=["rng_len >= 4"],
+        select=["v", "bare", "rng_len"])
+
+
 def _kg_bgp_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property-path ALGEBRA (plans/bgp.path_edges): the path
     ``(npm:dependency / doap:revision) | owl:sameAs`` — sequence
@@ -1817,6 +1840,25 @@ SELECT DISTINCT subj, pred, obj, g FROM (
     FROM vers WHERE hv%9 <= 5
   )
 )
+""")
+
+# BIND derivation: bare range + its length from the quoted literal.
+_KG_BGP_BIND_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+)
+SELECT DISTINCT v, rng AS bare, length(rng)::INT AS rng_len
+FROM alldeps WHERE length(rng) >= 4
 """)
 
 # EXISTS dual of the minus oracle: versions WITH a valid dep.

@@ -1773,6 +1773,20 @@ def graph_betweenness(spark, sf):
                        scale_to_n=True)
 
 
+def graph_pagerank_weighted(spark, sf):
+    """Edge-weighted PageRank (plans/graph.pagerank(weight_col=...)):
+    rank splits proportionally to the integer edge weight (the SSSP
+    weight formula, 1 + (3*src + 5*dst) % 7) instead of uniformly —
+    dependency-strength edges in a KG. Hard oracle: the unrolled
+    decimal-grid iteration with contributions rank*w/sum_w, bit-exact
+    like the unweighted twin."""
+    from ..plans.graph import pagerank
+
+    e = _kg_graph_edges(spark, sf).withColumn(
+        "w", (F.lit(1) + (F.col("src") * 3 + F.col("dst") * 5) % 7))
+    return pagerank(e, iterations=5, weight_col="w")
+
+
 def graph_pagerank_dangling(spark, sf):
     """5-iteration PageRank over the KG multigraph with every
     ``src % 7 == 0`` node's out-edges REMOVED — 72 of the 500 nodes
@@ -2216,6 +2230,7 @@ SPARK_QUERIES = {
     "graph_bfs": graph_bfs,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_incr": graph_pagerank_incr,
+    "graph_pagerank_weighted": graph_pagerank_weighted,
     "graph_betweenness": graph_betweenness,
     "graph_pagerank_dangling": graph_pagerank_dangling,
     "graph_ppr": graph_ppr,
@@ -2452,7 +2467,8 @@ _GRAPH_SSSP_SQL = f"""
 """
 
 
-def _pagerank_sql(iterations: int = 5, edges: str = "e0") -> str:
+def _pagerank_sql(iterations: int = 5, edges: str = "e0",
+                  weighted: bool = False) -> str:
     """The power iteration of plans/graph.pagerank unrolled as chained
     CTEs: same init (round(1/500,12)=0.002), same teleport
     (round(0.15/500,12)=0.0003), same 12-decimal contribution grid and
@@ -2468,9 +2484,12 @@ def _pagerank_sql(iterations: int = 5, edges: str = "e0") -> str:
         SELECT doc_id, (11 * doc_id + 2) % 500 FROM documents
         WHERE doc_id < 500 AND doc_id % 50 = 7
     ),
-    deg AS (SELECT src, count(*) AS out_deg FROM {edges} GROUP BY src),
-    adj AS (SELECT e.src, e.dst, deg.out_deg
-            FROM {edges} e JOIN deg USING (src)),
+    ew AS (SELECT src, dst, 1 + (3*src + 5*dst) % 7 AS w FROM {edges}),
+    deg AS (SELECT src,
+                   {'sum(w)' if weighted else 'count(*)'} AS out_deg
+            FROM {'ew' if weighted else edges} GROUP BY src),
+    adj AS (SELECT e.src, e.dst, {'e.w,' if weighted else ''} deg.out_deg
+            FROM {'ew' if weighted else edges} e JOIN deg USING (src)),
     nodes AS (SELECT src AS node_id FROM {edges}
               UNION SELECT dst FROM {edges}),
     r0 AS (SELECT node_id, 0.002::DOUBLE AS rank FROM nodes)"""
@@ -2481,7 +2500,8 @@ def _pagerank_sql(iterations: int = 5, edges: str = "e0") -> str:
                round(0.0003 + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
         FROM nodes n LEFT JOIN (
             SELECT a.dst,
-                   cast(sum(cast(round(r.rank / a.out_deg, 12)
+                   cast(sum(cast(round({'r.rank * a.w' if weighted
+                                        else 'r.rank'} / a.out_deg, 12)
                                  AS DECIMAL(28,12))) AS DOUBLE) AS inflow
             FROM adj a JOIN r{k - 1} r ON r.node_id = a.src
             GROUP BY a.dst) s ON s.dst = n.node_id)"""
@@ -3347,6 +3367,7 @@ ORACLE_SQL = {
     "graph_bfs": _GRAPH_BFS_SQL,
     "graph_pagerank": _pagerank_sql(5),
     "graph_pagerank_incr": _pagerank_sql(5, edges="eN"),
+    "graph_pagerank_weighted": _pagerank_sql(5, weighted=True),
     "graph_pagerank_dangling": _pagerank_dangling_sql(5),
     "graph_ppr": _ppr_sql(5),
     "graph_sssp": _GRAPH_SSSP_SQL,

@@ -170,7 +170,8 @@ def bgp_join(triples: DataFrame, patterns: list[tuple],
              filters: list | None = None,
              order_by: list | None = None, limit: int | None = None,
              offset: int = 0,
-             values: tuple[list[str], list[tuple]] | None = None
+             values: tuple[list[str], list[tuple]] | None = None,
+             bind: dict[str, Column | str] | None = None
              ) -> DataFrame:
     """Conjunctive triple-pattern join over ``triples`` (columns
     subj, pred, obj). ``patterns``: list of (s, p, o) terms —
@@ -207,6 +208,13 @@ def bgp_join(triples: DataFrame, patterns: list[tuple],
              for r in rows],
             ", ".join(f"{v} string" for v in vars_)).distinct()
         bound = bound.join(F.broadcast(vdf), vars_)
+    for var, expr in (bind or {}).items():
+        # SPARQL BIND(expr AS ?var): a derived variable over the
+        # bindings — pure projection, evaluated before FILTER/SELECT
+        # so both can reference it (SQL strings via F.expr, same
+        # expression-API contract as filters)
+        bound = bound.withColumn(
+            var, F.expr(expr) if isinstance(expr, str) else expr)
     return _finish(bound, select, filters,
                    order_by, limit, offset)
 

@@ -164,7 +164,8 @@ def pagerank(edges: DataFrame, iterations: int = 5,
              damping: float = 0.85, out_scale: int = 8,
              dangling: str = "redistribute",
              normalized: bool = True,
-             return_history: bool = False) -> DataFrame:
+             return_history: bool = False,
+             weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed multigraph.
 
     ``edges``: (src, dst); parallel edges each carry their own share
@@ -197,6 +198,11 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     damped term, so the dangling oracle unrolls to the same doubles.
     Output rank is rounded to ``out_scale``.
 
+    ``weight_col``: integer edge weights — rank splits w/sum_w per
+    source instead of uniformly (``round(rank*w/sum_w, 12)`` on the
+    same grid, so the weighted oracle unrolls identically). Zero-total
+    sources would divide by zero; weights must be positive.
+
     ``return_history=True`` returns the full per-iteration rank table
     (node_id, iter, rank) on the 12-dp grid instead of the final
     rounded vector — the warm state ``pagerank_incremental`` resumes
@@ -204,7 +210,17 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     """
     if dangling not in ("redistribute", "assert_none", "ignore"):
         raise ValueError(f"pagerank: unknown dangling mode {dangling!r}")
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    if weight_col is not None:
+        # edge-weighted variant: a source's rank splits PROPORTIONALLY
+        # to integer edge weights (w / sum_w per src) instead of
+        # uniformly — "how strongly does a depend on b" KG edges. The
+        # unweighted path is the weight==1 special case; kept separate
+        # so its oracle SQL stays byte-stable.
+        edges = (edges.select("src", "dst",
+                              F.col(weight_col).cast("long").alias("w"))
+                 .localCheckpoint(eager=True))
+    else:
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))
@@ -221,7 +237,10 @@ def pagerank(edges: DataFrame, iterations: int = 5,
             raise ValueError(
                 "pagerank(dangling='assert_none'): graph has nodes with "
                 "no out-edges; pass dangling='redistribute' or augment")
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    if weight_col is not None:
+        out_deg = edges.groupBy("src").agg(F.sum("w").alias("out_deg"))
+    else:
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # (src, dst, out_deg) is loop-invariant: persist it HASH-PARTITIONED
     # on src — InMemoryTableScan keeps its outputPartitioning, so each
     # iteration's rank join shuffles only the (|V|-sized) rank vector,
@@ -247,11 +266,14 @@ def pagerank(edges: DataFrame, iterations: int = 5,
 
     try:
         for _ in range(iterations):
+            share = (F.col("rank") * F.col("w") / F.col("out_deg")
+                     if weight_col is not None
+                     else F.col("rank") / F.col("out_deg"))
             contrib = (
                 adj.join(ranks, adj.src == ranks.node_id)
                 .select(
                     F.col("dst"),
-                    F.round(F.col("rank") / F.col("out_deg"), _GRID)
+                    F.round(share, _GRID)
                     .cast(f"decimal(28,{_GRID})").alias("contrib"),
                 )
             )

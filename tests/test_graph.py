@@ -1023,3 +1023,25 @@ def test_personalized_pagerank_history(spark):
                                             iterations=3).collect()}
     for n, v in final.items():
         assert abs(got[(n, 3)] - v) < 1e-8
+
+
+def test_pagerank_weighted_follows_weights(spark):
+    """weight_col: rank splits w/sum_w per source — the heavy edge's
+    target out-ranks the light edge's; all-equal weights reproduce
+    the unweighted ranks exactly (same grid)."""
+    e = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src long, dst long, w long")
+    ranks = {r.node_id: r.rank
+             for r in pagerank(e, iterations=10, weight_col="w").collect()}
+    assert ranks[1] > ranks[2]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+    uni = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5), (2, 0, 5)], "src long, dst long, w long")
+    a = {r.node_id: r.rank
+         for r in pagerank(uni, iterations=5, weight_col="w").collect()}
+    b = {r.node_id: r.rank
+         for r in pagerank(uni.select("src", "dst"),
+                           iterations=5).collect()}
+    assert a == b
