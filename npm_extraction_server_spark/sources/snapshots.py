@@ -1949,3 +1949,28 @@ def read_changes(spark: SparkSession, table: str, from_snapshot: int,
             F.lit(0).alias("_snapshot_id")).limit(0)
     return _drop_hidden(
         functools.reduce(lambda a, b: a.unionByName(b), chunks))
+
+
+def snapshot_row_count(table: str,
+                       snapshot_id: int | None = None) -> int | None:
+    """METADATA-ONLY row count of a snapshot view: sum the parquet
+    footer row counts of the live data files — zero data pages read,
+    no Spark job (the Iceberg `COUNT(*)` fast path; a 10^12-row table
+    answers from its manifests). Returns ``None`` when merge-on-read
+    delete files are in view: the exact count then depends on which
+    delete keys/coordinates actually match, which requires a data
+    read — the same honest fallback Iceberg makes (``compact`` makes
+    deletes physical and restores the fast path). Cost is O(live
+    files) footer opens; 'replace'/'overwrite' semantics follow the
+    normal chain walk."""
+    import pyarrow.parquet as pq
+
+    sid = snapshot_id if snapshot_id is not None \
+        else current_snapshot_id(table)
+    if sid is None:
+        return 0
+    groups, deletes, _ = _plan_full(table, sid)
+    if deletes:
+        return None
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for _, files in groups for f in files)

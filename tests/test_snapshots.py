@@ -1768,3 +1768,42 @@ def test_agg_view_republish_and_legacy_spec(spark, tmp_path):
         {"table": t, "group_by": ["g"], "sums": {"sx": "x"}, "as_of": 1}))
     assert {r.g: r.sx
             for r in read_view(spark, str(lv)).collect()} == first
+
+
+def test_snapshot_row_count_metadata_only(spark, tmp_path):
+    """snapshot_row_count: footer-sum equals the real count across
+    append / overwrite-merge / replace chains, runs NO Spark job,
+    honestly returns None while MOR deletes are in view, and recovers
+    after compact makes them physical."""
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        compact,
+        merge_upsert,
+        mor_delete,
+        read_snapshot,
+        snapshot_row_count,
+    )
+
+    t = str(tmp_path / "cnt")
+    docs = spark.range(300).selectExpr("id", "id % 7 AS grp")
+    commit(docs, t, partitions=4, cluster_by=["id"])
+    commit(spark.range(300, 420).selectExpr("id", "id % 7 AS grp"), t,
+           partitions=2)
+
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    n = snapshot_row_count(t)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert n == 420 and len(after) == len(before)  # no Spark job ran
+
+    # copy-on-write merge (update + insert) stays countable
+    merge_upsert(spark, t,
+                 spark.range(400, 440).selectExpr("id", "id % 7 AS grp"),
+                 key="id")
+    assert snapshot_row_count(t) == 440
+    assert snapshot_row_count(t) == read_snapshot(spark, t).count()
+
+    # MOR delete: honest None; compaction restores the fast path
+    mor_delete(spark, t, spark.range(10), key="id")
+    assert snapshot_row_count(t) is None
+    compact(spark, t, partitions=2)
+    assert snapshot_row_count(t) == 430
