@@ -1981,6 +1981,30 @@ def graph_closeness(spark, sf):
     return closeness(seeds, _kg_graph_edges(spark, sf))
 
 
+def graph_hyperball(spark, sf):
+    """HyperBall out-ball-size estimates |B(v,t)| for t=0..3 over the
+    KG multigraph — HLL counters propagated along edges, the 10^9-node
+    scale path for distance distributions where per-node BFS is
+    intractable. Hard oracle: DuckDB computes EXACT balls by recursive
+    CTE, rebuilds the same md5-derived HLL registers over the exact
+    membership, and runs the identical integer-exact estimator — the
+    approximate values themselves are bit-identical cross-engine."""
+    from ..plans.graph import hyperball
+
+    return hyperball(_kg_graph_edges(spark, sf), radius=3, p=4)
+
+
+def graph_hyperball_nf(spark, sf):
+    """Neighborhood function N(t) = Σ_v |B(v,t)| and frac-of-final
+    curve from the HyperBall series — the effective-diameter
+    instrument (0.9 crossing). Per-node grid doubles summed as exact
+    decimals; hard oracle shares graph_hyperball's register SQL."""
+    from ..plans.graph import hyperball, hyperball_stats
+
+    return hyperball_stats(
+        hyperball(_kg_graph_edges(spark, sf), radius=3, p=4), radius=3)
+
+
 def graph_walk_pairs(spark, sf):
     """Skip-gram (center, context) pair counts from the deterministic
     walk corpus (window=2) — the node2vec training set, reproducible
@@ -2246,6 +2270,8 @@ SPARK_QUERIES = {
     "graph_weighted_walks": graph_weighted_walks,
     "graph_node2vec_walks": graph_node2vec_walks,
     "graph_closeness": graph_closeness,
+    "graph_hyperball": graph_hyperball,
+    "graph_hyperball_nf": graph_hyperball_nf,
     "graph_neighbor_agg": graph_neighbor_agg,
     "graph_ktruss": graph_ktruss,
     "graph_modularity": graph_modularity,
@@ -2638,6 +2664,76 @@ def _hll_oracle(p: int = 8) -> str:
                            / ({m} - nset)::DOUBLE), 8), 4)
                 ELSE raw END AS distinct_est
     FROM est
+    """
+
+
+def _hyperball_sql(radius: int = 3, p: int = 4,
+                   stats: bool = False) -> str:
+    """plans/graph.hyperball mirrored in DuckDB — but from the EXACT
+    side: recursive-CTE min-hop distances give the true ball
+    membership per (node, t); the same md5-derived HLL registers and
+    integer-exact estimator as _hll_oracle then reproduce Spark's
+    approximate ball sizes bit-for-bit (the sketch is a deterministic
+    function of set membership, so exact-membership + same-registers
+    == propagated-counters). stats=True wraps the per-node series in
+    the neighborhood-function aggregate (exact decimal sums, one
+    double division on a 6-dp grid)."""
+    m = 1 << p
+    sb = 48 - p
+    mr = sb + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * float(m) * float(m) * float(1 << mr))
+    mf = repr(float(m))
+    ts = ", ".join(f"({t})" for t in range(radius + 1))
+    series = f"""
+    WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+    nodes AS (SELECT DISTINCT src AS v FROM e0
+              UNION SELECT DISTINCT dst FROM e0),
+    reach(v, u, dist) AS (
+        SELECT v, v, 0 FROM nodes
+        UNION
+        SELECT r.v, e0.dst, r.dist + 1
+        FROM reach r JOIN e0 ON e0.src = r.u
+        WHERE r.dist < {radius}
+    ),
+    ball AS (SELECT v, u, min(dist) AS d FROM reach GROUP BY v, u),
+    mem AS (SELECT b.v, tv.t, b.u
+            FROM ball b JOIN (VALUES {ts}) tv(t) ON b.d <= tv.t),
+    h AS (SELECT v, t,
+                 ('0x' || substr(md5(u::VARCHAR), 1, 12))
+                     ::UBIGINT::BIGINT AS hv
+          FROM mem),
+    r AS (SELECT v, t, hv >> {sb} AS reg,
+                 hv & ((1::BIGINT << {sb}) - 1) AS rest FROM h),
+    regs AS (SELECT v, t, reg,
+                    max(CASE WHEN rest = 0 THEN {mr}
+                        ELSE {mr} - length(bin(rest)) END) AS mj
+             FROM r GROUP BY v, t, reg),
+    agg AS (SELECT v, t, count(*) AS nset,
+                   sum(1::BIGINT << ({mr} - mj)) AS s_present
+            FROM regs GROUP BY v, t),
+    est AS (SELECT v, t, nset,
+                   round({num} / (s_present
+                         + ({m} - nset)::BIGINT * (1::BIGINT << {mr}))
+                         ::DOUBLE, 4) AS raw
+            FROM agg),
+    series AS (
+        SELECT v AS node_id, t::INT AS t,
+               CASE WHEN ({m} - nset) > 0 AND raw <= {repr(2.5 * m)}
+                    THEN round({mf} * round(ln({mf}
+                               / ({m} - nset)::DOUBLE), 8), 4)
+                    ELSE raw END AS ball_est
+        FROM est)
+    """
+    if not stats:
+        return series + "SELECT node_id, t, ball_est FROM series"
+    return series + f""",
+    nf AS (SELECT t, sum(CAST(ball_est AS DECIMAL(28,4))) AS n
+           FROM series GROUP BY t),
+    tot AS (SELECT n AS tot FROM nf WHERE t = {radius})
+    SELECT t, n::DOUBLE AS n_est,
+           round(n::DOUBLE / tot::DOUBLE, 6) AS frac_reached
+    FROM nf, tot ORDER BY t
     """
 
 
@@ -3572,6 +3668,8 @@ ORACLE_SQL = {
                sum(dist)::BIGINT AS total_dist
         FROM md GROUP BY node
     """,
+    "graph_hyperball": _hyperball_sql(3, 4),
+    "graph_hyperball_nf": _hyperball_sql(3, 4, stats=True),
     "graph_walk_pairs": ("WITH walks AS (" + _graph_walks_sql() + """)
         SELECT a.node AS center, b.node AS context,
                count(*)::BIGINT AS n_pairs

@@ -55,7 +55,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "closeness", "clustering_coefficients", "hits", "kcore", "ktruss", "link_predict",
+__all__ = ["bfs_distances", "closeness", "clustering_coefficients", "hits",
+           "hyperball", "hyperball_stats", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
@@ -1835,3 +1836,100 @@ def betweenness(edges: DataFrame, sources: DataFrame | None = None,
     return (nodes.join(agg, "node_id", "left")
             .select("node_id",
                     F.coalesce("bc", F.lit(0.0)).alias("betweenness")))
+
+
+def hyperball(edges: DataFrame, radius: int = 3, p: int = 4) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node out-ball-size
+    estimates |B(v, t)| for every t = 0..radius, via HyperLogLog
+    counters propagated along edges — the algorithm that measured
+    "four degrees of separation" on the full Facebook graph, and the
+    ONLY tractable shape for distance distributions / effective
+    diameter / harmonic centrality at 10^9+ nodes, where one exact
+    BFS per node (|V| sweeps) is off the table and even the sampled
+    ``closeness`` sweep caps at a few hundred sources.
+
+    State is the repo's sparse HLL register table keyed by node:
+    (node_id, reg, mj) with at most 2^p rows per node — fixed-size
+    mergeable state, exactly ``operators/sketch.hll_registers``'s
+    shape. One round is
+
+        c_{t+1}(v) = c_t(v)  ∪  ⋃_{(v,w) ∈ E} c_t(w)
+
+    i.e. ONE hash join (edges keyed dst × state keyed node) plus ONE
+    map-combined groupBy((node, reg), max(mj)) — two node-keyed
+    shuffles per round, each bounded by |V|·2^p rows no matter how
+    dense the balls get (the whole point: exact ball MEMBERSHIP grows
+    quadratically, the sketch does not). The state is eagerly
+    localCheckpoint-ed per round (the family's lineage-truncation
+    discipline), and register values only ever grow, so rounds
+    monotonically converge; callers track saturation via the t-series.
+
+    Estimates use ``operators/sketch.hll_estimate`` — md5-derived
+    registers and an integer-exact harmonic sum on a 4-dp grid, so the
+    approximate ball sizes themselves are CROSS-ENGINE BIT-IDENTICAL
+    (DuckDB recomputes the same registers over exact recursive-CTE
+    balls and must land on the same doubles — a hard oracle for an
+    approximate algorithm).
+
+    Returns (node_id, t, ball_est) for t = 0..radius, one row per
+    node per radius. p=4 (16 registers, ~26% rel. std. err.) suits
+    effective-diameter work; raise p for centrality-grade accuracy.
+    """
+    from ..operators.sketch import hll_estimate, kmv_hash
+
+    sb = 48 - p
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id")))
+             .distinct())
+    h = kmv_hash(F.col("node_id"))
+    rest = h.bitwiseAND(F.lit((1 << sb) - 1))
+    rank = (F.when(rest == 0, F.lit(sb + 1))
+            .otherwise(F.lit(sb + 1) - F.length(F.bin(rest))))
+    state = (nodes.select("node_id",
+                          F.shiftrightunsigned(h, sb).alias("reg"),
+                          rank.alias("mj"))
+             .localCheckpoint(eager=True))
+
+    def est(st: DataFrame, t: int) -> DataFrame:
+        out = hll_estimate(st.withColumnRenamed("node_id", "grp"),
+                           "node_id", p)
+        return out.select("node_id", F.lit(t).cast("int").alias("t"),
+                          F.col("distinct_est").alias("ball_est"))
+
+    outs = [est(state, 0)]
+    for t in range(1, radius + 1):
+        contrib = (e.join(state.withColumnRenamed("node_id", "_n"),
+                          F.col("dst") == F.col("_n"))
+                   .select(F.col("src").alias("node_id"), "reg", "mj"))
+        state = (state.unionByName(contrib)
+                 .groupBy("node_id", "reg").agg(F.max("mj").alias("mj"))
+                 .localCheckpoint(eager=True))
+        outs.append(est(state, t))
+    return _union_all(outs)
+
+
+def hyperball_stats(ball_series: DataFrame,
+                    radius: int) -> DataFrame:
+    """Graph-level neighborhood function from a ``hyperball`` series:
+    per radius t, N(t) = Σ_v |B(v,t)| (estimated reachable pairs
+    within t hops) and the fraction of N(radius) reached — the curve
+    whose 0.9 crossing IS the effective diameter. The per-node grid
+    doubles are summed as DECIMAL(28,4) (exact, associative — Spark's
+    partition-order double sum can never leak a ULP), and the single
+    fraction division happens on the exact decimals cast once to
+    double, so every output bit is cross-engine reproducible.
+
+    Returns (t, n_est, frac_reached), one row per radius."""
+    nf = (ball_series.groupBy("t")
+          .agg(F.sum(F.col("ball_est").cast("decimal(28,4)"))
+               .alias("_n")))
+    tot = (nf.filter(F.col("t") == radius)
+           .select(F.col("_n").alias("_tot")))
+    return (nf.crossJoin(F.broadcast(tot))
+            .select("t",
+                    F.col("_n").cast("double").alias("n_est"),
+                    F.round(F.col("_n").cast("double")
+                            / F.col("_tot").cast("double"), 6)
+                    .alias("frac_reached"))
+            .orderBy("t"))

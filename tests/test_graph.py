@@ -1045,3 +1045,62 @@ def test_pagerank_weighted_follows_weights(spark):
          for r in pagerank(uni.select("src", "dst"),
                            iterations=5).collect()}
     assert a == b
+
+
+def test_hyperball_tracks_exact_balls(spark):
+    """HyperBall ball-size estimates vs exact out-ball sizes from
+    pure-Python BFS on a 40-node graph: t=0 is exactly 1 everywhere
+    (single element, linear-counting regime is near-exact there), the
+    series is monotone nondecreasing in t per node, and at p=8 (256
+    registers, ~6.5% rse) every estimate lands within 30% of truth."""
+    import collections
+
+    from npm_extraction_server_spark.plans.graph import hyperball
+
+    n = 40
+    edge_list = [(i, (i * 7 + 3) % n) for i in range(n)] + \
+                [(i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {(r.node_id, r.t): r.ball_est
+           for r in hyperball(edges, radius=3, p=8).collect()}
+
+    adj = collections.defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+    for v in range(n):
+        ball, frontier = {v}, {v}
+        exact = {0: 1}
+        for t in range(1, 4):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+            exact[t] = len(ball)
+        for t in range(4):
+            est = got[(v, t)]
+            assert est >= 0.9999  # never below a single element
+            if t > 0:
+                assert est >= got[(v, t - 1)] - 1e-9  # monotone
+            # absolute floor of 1.5: at 2-4 elements a single register
+            # collision (prob ~ k^2/2m) costs ~1 whole element
+            assert abs(est - exact[t]) <= max(1.5, 0.30 * exact[t]), \
+                (v, t, est, exact[t])
+
+
+def test_hyperball_stats_frac_curve(spark):
+    """Neighborhood-function aggregate: frac_reached hits 1.0 at the
+    final radius, is monotone, and n_est equals the per-node column
+    sum (decimal-exact)."""
+    from npm_extraction_server_spark.plans.graph import (
+        hyperball, hyperball_stats)
+
+    edge_list = [(i, (i + 1) % 20) for i in range(20)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    series = hyperball(edges, radius=2, p=4)
+    rows = hyperball_stats(series, radius=2).collect()
+    assert [r.t for r in rows] == [0, 1, 2]
+    assert rows[-1].frac_reached == 1.0
+    fr = [r.frac_reached for r in rows]
+    assert fr == sorted(fr)
+    from decimal import Decimal
+    per_node = series.filter(F.col("t") == 1) \
+        .agg(F.sum(F.col("ball_est").cast("decimal(28,4)"))).collect()[0][0]
+    assert float(per_node) == rows[1].n_est
