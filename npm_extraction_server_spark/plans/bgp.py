@@ -171,7 +171,8 @@ def bgp_join(triples: DataFrame, patterns: list[tuple],
              order_by: list | None = None, limit: int | None = None,
              offset: int = 0,
              values: tuple[list[str], list[tuple]] | None = None,
-             bind: dict[str, Column | str] | None = None
+             bind: dict[str, Column | str] | None = None,
+             subqueries: list[DataFrame] | None = None
              ) -> DataFrame:
     """Conjunctive triple-pattern join over ``triples`` (columns
     subj, pred, obj). ``patterns``: list of (s, p, o) terms —
@@ -191,8 +192,31 @@ def bgp_join(triples: DataFrame, patterns: list[tuple],
     BROADCAST into the join, so a VALUES-constrained query prunes at
     the join against a hash table, never rescans — the standard way a
     caller pins a query to an explicit entity list.
+
+    ``subqueries``: SPARQL 1.1 subqueries — each entry is a FINISHED
+    solution DataFrame (the output of another ``bgp_join`` /
+    ``bgp_agg`` / ``bgp_union`` call, its columns = its projected
+    variables) inner-joined with this group's bindings on the shared
+    variable names, SPARQL's bottom-up evaluation order made literal:
+    the inner SELECT is a value, the outer group joins against it.
+    The canonical use is an aggregate subquery extending each binding
+    with its group statistic ("versions of packages declaring >= k
+    dependencies"); because the subquery is just a DataFrame, Catalyst
+    still sees ONE plan — a selective aggregate broadcasts under AQE,
+    and the join keys reuse the bindings' hash partitioning. A
+    subquery sharing no variable with the outer group is a cartesian
+    product per SPARQL semantics — rejected as a footgun, same rule
+    as ``bgp_minus``.
     """
     bound = _match_patterns(triples, patterns)
+    for sq in subqueries or []:
+        shared = [c for c in sq.columns if c in bound.columns]
+        if not shared:
+            raise ValueError(
+                "bgp_join: subquery shares no variable with the outer "
+                f"patterns (cartesian product): {sq.columns} vs "
+                f"{sorted(bound.columns)}")
+        bound = bound.join(sq, shared)
     if values is not None:
         vars_, rows = values
         if not vars_ or not rows:

@@ -890,3 +890,28 @@ def test_bgp_exists_semantics(spark):
 
     with pytest.raises(ValueError, match="shares no variable"):
         bgp_exists(t, pats, [[("?z", "age", "?v")]])
+
+
+def test_bgp_subquery_joins_nested_select(spark):
+    """SPARQL 1.1 subquery: a nested aggregate SELECT joins into the
+    outer bindings on its shared variable; unshared subqueries
+    (cartesian product) are rejected."""
+    import pytest
+
+    from npm_extraction_server_spark.plans.bgp import bgp_agg, bgp_join
+
+    t = spark.createDataFrame(
+        [("a", "dep", "x"), ("a", "dep", "y"), ("b", "dep", "z"),
+         ("x", "rev", "1"), ("y", "rev", "2"), ("z", "rev", "3")],
+        "subj string, pred string, obj string")
+    sub = bgp_agg(t, [("?v", "dep", "?d")], group_by=["v"],
+                  aggs=[("d", "count_distinct", "n")])
+    out = bgp_join(t, [("?v", "dep", "?d"), ("?d", "rev", "?r")],
+                   subqueries=[sub], filters=["n >= 2"],
+                   select=["v", "d", "r", "n"])
+    assert sorted((r.v, r.d, r.r, r.n) for r in out.collect()) == [
+        ("a", "x", "1", 2), ("a", "y", "2", 2)]
+
+    alien = spark.createDataFrame([(1,)], "zz long")
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_join(t, [("?v", "dep", "?d")], subqueries=[alien])
