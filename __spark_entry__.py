@@ -212,6 +212,7 @@ _PRIORITY: list[str] = [
     # CORRECTNESS_FULL_r04/r05 self-runs + the judge's independent
     # round-4 re-run)
     "graph_hyperball", "graph_hyperball_nf", "kg_bgp_subquery",
+    "graph_harmonic",
     # joins / TPC-H / SQL surface
     "j11_asof_forward", "q6_forecast_revenue",
     "sql_lang_stats",
@@ -221,7 +222,7 @@ _PRIORITY: list[str] = [
     "sample_k_per_domain", "sample_domain_mix",
     # graph
     "graph_ppr", "graph_labelprop", "graph_kcore", "graph_topo_layers",
-    "graph_scc", "graph_triangles",
+    "graph_scc",
     # lakehouse snapshots
     "snap_compact", "snap_stats_prune", "snap_changelog",
     # events / sketches

@@ -1981,6 +1981,22 @@ def graph_closeness(spark, sf):
     return closeness(seeds, _kg_graph_edges(spark, sf))
 
 
+def graph_harmonic(spark, sf):
+    """Sampled HARMONIC centrality from the 10-seed set — the
+    closeness variant that survives disconnection (unreachable
+    sources add 0 instead of breaking the mean). Same single
+    multi-source BFS sweep as graph_closeness; the reciprocal sum
+    rides the 8-dp-grid exact-decimal protocol, so the double output
+    hard-oracles bit-for-bit (recursive-CTE distances in DuckDB)."""
+    from ..plans.graph import closeness
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    return closeness(seeds, _kg_graph_edges(spark, sf), harmonic=True)
+
+
 def graph_hyperball(spark, sf):
     """HyperBall out-ball-size estimates |B(v,t)| for t=0..3 over the
     KG multigraph — HLL counters propagated along edges, the 10^9-node
@@ -2270,6 +2286,7 @@ SPARK_QUERIES = {
     "graph_weighted_walks": graph_weighted_walks,
     "graph_node2vec_walks": graph_node2vec_walks,
     "graph_closeness": graph_closeness,
+    "graph_harmonic": graph_harmonic,
     "graph_hyperball": graph_hyperball,
     "graph_hyperball_nf": graph_hyperball_nf,
     "graph_neighbor_agg": graph_neighbor_agg,
@@ -3666,6 +3683,28 @@ ORACLE_SQL = {
         )
         SELECT node AS node_id, count(*)::BIGINT AS n_sources,
                sum(dist)::BIGINT AS total_dist
+        FROM md GROUP BY node
+    """,
+    "graph_harmonic": f"""
+        WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+        reach(seed, node, dist) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            WHERE doc_id < 500 AND doc_id % 50 = 0
+            UNION
+            SELECT r.seed, e0.dst, r.dist + 1
+            FROM reach r JOIN e0 ON e0.src = r.node
+            WHERE r.dist < 30
+        ),
+        md AS (
+            SELECT seed, node, min(dist) AS dist
+            FROM reach GROUP BY seed, node
+        )
+        SELECT node AS node_id, count(*)::BIGINT AS n_sources,
+               sum(dist)::BIGINT AS total_dist,
+               sum(CAST(CASE WHEN dist > 0
+                        THEN round(1.0::DOUBLE / dist, 8)
+                        ELSE 0.0 END AS DECIMAL(28,8)))::DOUBLE
+                   AS harmonic
         FROM md GROUP BY node
     """,
     "graph_hyperball": _hyperball_sql(3, 4),

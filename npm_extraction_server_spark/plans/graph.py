@@ -1265,7 +1265,7 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
 
 
 def closeness(seeds: DataFrame, edges: DataFrame,
-              max_rounds: int = 30) -> DataFrame:
+              max_rounds: int = 30, harmonic: bool = False) -> DataFrame:
     """Sampled closeness-centrality aggregates via MULTI-SOURCE BFS:
     one level-synchronous sweep carries every seed's wavefront at
     once — the frontier is keyed (seed, node), so k sampled sources
@@ -1285,6 +1285,13 @@ def closeness(seeds: DataFrame, edges: DataFrame,
     the sample size is the knob that trades estimator variance for
     memory, exactly as in the published landmark/pivot estimators.
     Edges are shuffled once (persisted src-hash-partitioned).
+
+    ``harmonic=True`` appends the harmonic-centrality sample sum
+    Σ_{d(s,v)>0} 1/d(s,v) — the variant that stays well-defined on
+    disconnected graphs (unreachable sources contribute 0 instead of
+    poisoning the mean). Each reciprocal is rounded to the 8-dp grid
+    and summed as exact DECIMAL (the BM25 oracle's proven protocol),
+    so the double output is cross-engine bit-identical.
     """
     edges = (edges.select("src", "dst")
              .repartition(F.col("src")).persist())
@@ -1311,9 +1318,15 @@ def closeness(seeds: DataFrame, edges: DataFrame,
             frontier = nxt
     finally:
         edges.unpersist()
-    return (visited.groupBy(F.col("node").alias("node_id"))
-            .agg(F.count("*").alias("n_sources"),
-                 F.sum("dist").cast("bigint").alias("total_dist")))
+    aggs = [F.count("*").alias("n_sources"),
+            F.sum("dist").cast("bigint").alias("total_dist")]
+    if harmonic:
+        aggs.append(
+            F.sum(F.when(F.col("dist") > 0,
+                         F.round(F.lit(1.0) / F.col("dist"), 8))
+                  .otherwise(F.lit(0.0)).cast("decimal(28,8)"))
+            .cast("double").alias("harmonic"))
+    return (visited.groupBy(F.col("node").alias("node_id")).agg(*aggs))
 
 
 def neighbor_agg(edges: DataFrame, features: DataFrame,
@@ -1878,7 +1891,11 @@ def hyperball(edges: DataFrame, radius: int = 3, p: int = 4) -> DataFrame:
     from ..operators.sketch import hll_estimate, kmv_hash
 
     sb = 48 - p
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # one dst-hash shuffle up front: every round's join probes the
+    # SAME edge partitioning (the closeness pattern), so per round
+    # only the register state moves
+    e = (edges.select("src", "dst").distinct()
+         .repartition(F.col("dst")).persist())
     nodes = (e.select(F.col("src").alias("node_id"))
              .unionByName(e.select(F.col("dst").alias("node_id")))
              .distinct())
@@ -1906,6 +1923,7 @@ def hyperball(edges: DataFrame, radius: int = 3, p: int = 4) -> DataFrame:
                  .groupBy("node_id", "reg").agg(F.max("mj").alias("mj"))
                  .localCheckpoint(eager=True))
         outs.append(est(state, t))
+    e.unpersist()  # states are eagerly checkpointed; nothing lazy left
     return _union_all(outs)
 
 

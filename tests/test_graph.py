@@ -1104,3 +1104,21 @@ def test_hyperball_stats_frac_curve(spark):
     per_node = series.filter(F.col("t") == 1) \
         .agg(F.sum(F.col("ball_est").cast("decimal(28,4)"))).collect()[0][0]
     assert float(per_node) == rows[1].n_est
+
+
+def test_closeness_harmonic_column(spark):
+    """harmonic=True appends Σ 1/d over reaching sources (8-dp grid):
+    chain 0->1->2 with seeds {0, 2}: node 1 gets 1/1 from seed 0
+    (seed 2 can't reach it); node 2 gets 1/2 + 0 (itself at d=0
+    contributes nothing); default output keeps the 3-column schema."""
+    from npm_extraction_server_spark.plans.graph import closeness
+
+    e = _edges(spark, [(0, 1), (1, 2)])
+    seeds = spark.createDataFrame([(0,), (2,)], "node_id long")
+    got = {r.node_id: r for r in
+           closeness(seeds, e, harmonic=True).collect()}
+    assert got[1].harmonic == 1.0
+    assert got[2].harmonic == 0.5
+    assert got[0].harmonic == 0.0
+    assert closeness(seeds, e).columns == [
+        "node_id", "n_sources", "total_dist"]
