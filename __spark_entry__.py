@@ -219,7 +219,7 @@ _PRIORITY: list[str] = [
     # text / retrieval
     "text_collocations", "text_hashed_features", "text_bpe_train",
     # sampling
-    "sample_k_per_domain", "sample_domain_mix",
+    "sample_k_per_domain", "sample_weighted",
     # graph
     "graph_ppr", "graph_labelprop", "graph_kcore", "graph_topo_layers",
     "graph_scc",

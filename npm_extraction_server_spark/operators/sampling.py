@@ -220,3 +220,46 @@ def sample_k_per_group(documents: DataFrame, k: int,
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(id_col, domain_col))
+
+
+def weighted_sample_k(documents: DataFrame, k: int,
+                      weight_col, group_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, inclusion
+    probability proportional to the row's weight — the
+    quality-weighted subsampling step of a curation pipeline ("keep
+    50k docs per language, preferring longer/higher-scoring ones,
+    without going deterministic-top-k"). This is Efraimidis-Spirakis
+    A-ES: draw u_i ~ U(0,1], rank by u_i^(1/w_i), keep the k largest
+    — provably equivalent to sequential weighted draws.
+
+    Determinism: u_i is the md5-derived 48-bit uniform (a pure
+    function of the row key, the repo's no-RNG convention), and the
+    rank key is compared in log space, ln(u)/w, with ln() rounded to
+    the 8-dp grid (the suite's standard libm-ulp absorber) before the
+    one exact double division — so the SELECTED ROW SET is
+    cross-engine reproducible, not just the counts. Rows with
+    non-positive weight are excluded (zero weight = zero inclusion
+    probability; negative is undefined).
+
+    One exchange on the group key (the rank window); the hash and
+    key arithmetic are scan-side projections. Returns
+    (id_col, group_col, w).
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample_k: k must be positive")
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col).cast("double")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))),
+        1, 12), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    key = F.round(F.log(u), 8) / F.col("w")
+    win = Window.partitionBy(group_col).orderBy(F.desc("key"),
+                                                F.col(id_col))
+    return (documents.select(id_col, group_col, w.alias("w"))
+            .filter(F.col("w") > 0)
+            .withColumn("key", key)
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select(id_col, group_col, "w"))

@@ -679,6 +679,18 @@ def sample_k_per_domain(spark, sf):
     return sample_k_per_group(_t(spark, sf, "documents"), k=50)
 
 
+def sample_weighted(spark, sf):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES), 50 docs per source with inclusion probability ∝ n_chars —
+    the quality-weighted curation subsample. Hard oracle: the
+    identical md5-uniform + grid-ln(u)/w rank in DuckDB selects the
+    SAME row set."""
+    from .sampling import weighted_sample_k
+
+    return weighted_sample_k(_t(spark, sf, "documents"), k=50,
+                             weight_col="n_chars")
+
+
 def dedup_setsim_join(spark, sf):
     """EXACT set-similarity self-join at Jaccard >= 3/5 via lossless
     prefix filtering (hard oracle: brute-force all-pairs Jaccard in
@@ -2246,6 +2258,7 @@ SPARK_QUERIES = {
     "text_gopher_rules": text_gopher_rules,
     "text_hashed_features": text_hashed_features,
     "sample_k_per_domain": sample_k_per_domain,
+    "sample_weighted": sample_weighted,
     "text_bigram_ppl": text_bigram_ppl,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -4435,6 +4448,22 @@ ORACLE_SQL = {
                    ::BIGINT AS val
         FROM hashed GROUP BY doc_id, feat
         HAVING sum(CASE WHEN (hx // 4096) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    """,
+    "sample_weighted": f"""
+        SELECT doc_id, source, w FROM (
+            SELECT doc_id, source, w,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY key DESC, doc_id) AS rn
+            FROM (
+                SELECT doc_id, source, n_chars::DOUBLE AS w,
+                       round(ln((('0x' || substr(md5('ws:' || doc_id),
+                                                 1, 12))
+                                 ::UBIGINT::BIGINT + 1)::DOUBLE
+                                / {float(1 << 48)!r}), 8)
+                           / n_chars::DOUBLE AS key
+                FROM documents WHERE n_chars > 0))
+        WHERE rn <= 50
     """,
     "sample_k_per_domain": """
         SELECT doc_id, source FROM (

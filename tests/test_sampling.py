@@ -194,3 +194,46 @@ def test_alpha_mix_semantics(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         alpha_mix(docs, alpha=0.0)
+
+
+def test_weighted_sample_k_matches_python_twin(spark):
+    """Efraimidis-Spirakis weighted sample equals an independent
+    pure-Python implementation using the same md5 uniforms (exact
+    row-set identity), prefers the dominant-weight row at k=1, keeps
+    everything when k >= n, and drops non-positive weights."""
+    import hashlib
+
+    import pytest
+
+    from npm_extraction_server_spark.operators.sampling import (
+        weighted_sample_k)
+
+    rows = [(i, "a", (i % 7) + 1) for i in range(60)] + \
+           [(100, "b", 10**9)] + [(101 + j, "b", 1) for j in range(50)] + \
+           [(200, "c", 0), (201, "c", -5), (202, "c", 3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, wt long")
+
+    def key(i, w):
+        hv = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:12], 16)
+        import math
+        return round(math.log((hv + 1) / float(1 << 48)), 8) / float(w)
+
+    got = {(r.doc_id, r.source)
+           for r in weighted_sample_k(docs, k=10,
+                                      weight_col="wt").collect()}
+    exp = set()
+    for grp in ("a", "b", "c"):
+        cand = [(i, w) for i, s, w in rows if s == grp and w > 0]
+        ranked = sorted(cand, key=lambda t: (-key(t[0], t[1]), t[0]))
+        exp |= {(i, grp) for i, _ in ranked[:10]}
+    assert got == exp
+    # dominant weight wins at k=1
+    top_b = weighted_sample_k(docs.filter(F.col("source") == "b"),
+                              k=1, weight_col="wt").collect()
+    assert top_b[0].doc_id == 100
+    # k >= n keeps every positive-weight row; zero/negative excluded
+    all_c = weighted_sample_k(docs.filter(F.col("source") == "c"),
+                              k=99, weight_col="wt").collect()
+    assert [(r.doc_id, r.w) for r in all_c] == [(202, 3.0)]
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample_k(docs, k=0, weight_col="wt")
