@@ -1520,6 +1520,70 @@ def snap_eq_delete(spark, sf):
     return read_snapshot(spark, table)
 
 
+def kg_sparql_update(spark, sf):
+    """SPARQL 1.1 Update over the lakehouse triple store (hard
+    oracle): a triple table seeded from the documents table (language
+    + chars triples per doc) takes four updates — INSERT DATA of two
+    ground triples, a REPEATED INSERT DATA of one of them (asserted a
+    no-op: RDF graphs are sets, CURRENT must not move), DELETE DATA of
+    one ground triple, DELETE WHERE retracting every English language
+    triple, and a DELETE-INSERT-WHERE that rewrites every chars triple
+    >= 500 into a size classification — each as ONE atomic
+    merge-on-read row-delta commit (equality-delete keys + appended
+    rows in the same snapshot; the rewrite's manifest is asserted to
+    carry BOTH). DuckDB re-derives the final state with plain set
+    algebra over the same base derivation, proving the MOR
+    delete-then-insert machinery implements exactly the spec's update
+    semantics (delete evaluated before insert, set semantics both
+    ways)."""
+    import tempfile
+
+    from ..plans.update import (
+        create_triple_table,
+        delete_data,
+        delete_where,
+        insert_data,
+        read_triple_table,
+        sparql_update,
+    )
+    from ..sources.snapshots import snapshot_log
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").filter(d < 400)
+    base = (docs.filter(F.col("lang").isNotNull())
+            .select(F.concat(F.lit("doc:"), d.cast("string")).alias("subj"),
+                    F.lit("dcterms:language").alias("pred"),
+                    F.col("lang").alias("obj"))
+            .unionByName(docs.select(
+                F.concat(F.lit("doc:"), d.cast("string")).alias("subj"),
+                F.lit("ex:chars").alias("pred"),
+                F.col("n_chars").cast("string").alias("obj"))))
+    table = tempfile.mkdtemp(prefix="kgupd_")
+    create_triple_table(spark, base, table, partitions=4)
+
+    insert_data(spark, table, [
+        ("ex:corpus", "rdf:type", "ex:Corpus"),
+        ("ex:corpus", "ex:label", "npm docs"),
+    ])
+    sid = insert_data(spark, table,
+                      [("ex:corpus", "rdf:type", "ex:Corpus")])
+    log = snapshot_log(table)
+    assert sid == log[-1]["snapshot_id"] and len(log) == 2, \
+        "re-inserting an existing triple must be a no-op commit"
+    delete_data(spark, table, [("ex:corpus", "ex:label", "npm docs")])
+    delete_where(spark, table, [("?s", "dcterms:language", "en")])
+    sparql_update(spark, table,
+                  delete=[("?s", "ex:chars", "?c")],
+                  insert=[("?s", "ex:size", "big")],
+                  where=[("?s", "ex:chars", "?c")],
+                  filters=[F.col("c").try_cast("long") >= 500])
+    man = snapshot_log(table)[-1]
+    assert man["operation"] == "rowdelta" and man["delete_files"] \
+        and man["added_rows"] > 0, \
+        "DELETE-INSERT-WHERE must commit keys + rows atomically"
+    return read_triple_table(spark, table)
+
+
 def snap_wap(spark, sf):
     """Write-audit-publish over branch refs (hard oracle): docs<200
     commit to main; [200,350) stage onto an 'audit' branch (TWO branch
@@ -2327,6 +2391,7 @@ SPARK_QUERIES = {
     "snap_wap": snap_wap,
     "snap_pos_delete": snap_pos_delete,
     "snap_eq_delete": snap_eq_delete,
+    "kg_sparql_update": kg_sparql_update,
     "snap_dedup_incr": snap_dedup_incr,
     "sketch_distinct": sketch_distinct,
     "sketch_set_ops": sketch_set_ops,
@@ -4506,6 +4571,36 @@ ORACLE_SQL = {
     "snap_eq_delete": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE NOT (doc_id % 7 = 0 AND doc_id < 210)
+    """,
+    "kg_sparql_update": """
+        WITH base AS (
+            SELECT 'doc:' || doc_id::VARCHAR AS subj,
+                   'dcterms:language' AS pred, lang AS obj
+            FROM documents WHERE doc_id < 400 AND lang IS NOT NULL
+            UNION
+            SELECT 'doc:' || doc_id::VARCHAR, 'ex:chars',
+                   n_chars::VARCHAR
+            FROM documents WHERE doc_id < 400
+        ),
+        after_ins AS (
+            SELECT * FROM base
+            UNION SELECT 'ex:corpus', 'rdf:type', 'ex:Corpus'
+            UNION SELECT 'ex:corpus', 'ex:label', 'npm docs'
+        ),
+        after_del AS (
+            SELECT * FROM after_ins
+            WHERE NOT (subj = 'ex:corpus' AND pred = 'ex:label'
+                       AND obj = 'npm docs')
+              AND NOT (pred = 'dcterms:language' AND obj = 'en')
+        ),
+        big AS (
+            SELECT DISTINCT subj FROM after_del
+            WHERE pred = 'ex:chars' AND try_cast(obj AS BIGINT) >= 500
+        )
+        SELECT subj, pred, obj FROM after_del
+        WHERE NOT (pred = 'ex:chars' AND try_cast(obj AS BIGINT) >= 500)
+        UNION
+        SELECT subj, 'ex:size', 'big' FROM big
     """,
     "text_gopher_rules": """
         WITH base AS (

@@ -1,0 +1,152 @@
+"""SPARQL 1.1 Update over the snapshot triple table (plans/update.py)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from npm_extraction_server_spark.plans.update import (
+    create_triple_table,
+    delete_data,
+    delete_where,
+    insert_data,
+    read_triple_table,
+    sparql_update,
+)
+from npm_extraction_server_spark.sources.snapshots import (
+    current_snapshot_id,
+    snapshot_log,
+)
+
+EX = "http://example.org/"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _table(spark, rows):
+    t = tempfile.mkdtemp(prefix="sparqlup_")
+    create_triple_table(spark, _mk(spark, rows), t, partitions=2)
+    return t
+
+
+def _set(spark, table):
+    return {tuple(r) for r in read_triple_table(spark, table).collect()}
+
+
+BASE = [
+    (EX + "a", EX + "p", '"1"'),
+    (EX + "a", EX + "q", '"2"'),
+    (EX + "b", EX + "p", '"1"'),
+    (EX + "b", EX + "q", '"3"'),
+]
+
+
+def test_insert_data_set_semantics(spark):
+    t = _table(spark, BASE)
+    s0 = current_snapshot_id(t)
+    insert_data(spark, t, [(EX + "c", EX + "p", '"9"'),
+                           (EX + "a", EX + "p", '"1"')])  # second pre-exists
+    got = _set(spark, t)
+    assert got == set(BASE) | {(EX + "c", EX + "p", '"9"')}
+    # one commit, and re-running the same insert is a no-op commit-wise
+    s1 = current_snapshot_id(t)
+    assert len(snapshot_log(t)) == 2
+    assert insert_data(spark, t, [(EX + "c", EX + "p", '"9"')]) == s1
+    assert current_snapshot_id(t) == s1 != s0
+
+
+def test_delete_data_and_absent_noop(spark):
+    t = _table(spark, BASE)
+    delete_data(spark, t, [(EX + "a", EX + "q", '"2"')])
+    assert _set(spark, t) == set(BASE) - {(EX + "a", EX + "q", '"2"')}
+    sid = current_snapshot_id(t)
+    # retracting an absent triple must not move CURRENT
+    assert delete_data(spark, t, [(EX + "z", EX + "p", '"0"')]) == sid
+
+
+def test_delete_where_with_filter(spark):
+    t = _table(spark, BASE)
+    delete_where(spark, t, [("?s", EX + "p", "?v")],
+                 filters=[F.col("s") == EX + "a"])
+    assert _set(spark, t) == set(BASE) - {(EX + "a", EX + "p", '"1"')}
+
+
+def test_delete_insert_where_atomic(spark):
+    t = _table(spark, BASE)
+    n0 = len(snapshot_log(t))
+    # rename predicate p -> r for every subject carrying it
+    sparql_update(
+        spark, t,
+        delete=[("?s", EX + "p", "?v")],
+        insert=[("?s", EX + "r", "?v")],
+        where=[("?s", EX + "p", "?v")],
+    )
+    assert len(snapshot_log(t)) == n0 + 1  # ONE atomic commit
+    assert _set(spark, t) == {
+        (EX + "a", EX + "r", '"1"'), (EX + "b", EX + "r", '"1"'),
+        (EX + "a", EX + "q", '"2"'), (EX + "b", EX + "q", '"3"'),
+    }
+
+
+def test_delete_and_reinsert_same_triple_survives(spark):
+    t = _table(spark, BASE)
+    # delete the whole p-slice but re-assert a's value: the SPARQL
+    # delete-before-insert order means a keeps its triple
+    sparql_update(
+        spark, t,
+        delete=[("?s", EX + "p", "?v")],
+        insert=[(EX + "a", EX + "p", '"1"')],
+        where=[("?s", EX + "p", "?v")],
+    )
+    assert _set(spark, t) == set(BASE) - {(EX + "b", EX + "p", '"1"')}
+
+
+def test_time_travel_sees_pre_update_state(spark):
+    t = _table(spark, BASE)
+    s0 = current_snapshot_id(t)
+    delete_where(spark, t, [("?s", EX + "q", "?v")])
+    assert {tuple(r) for r in read_triple_table(spark, t, s0).collect()} \
+        == set(BASE)
+    assert _set(spark, t) == {r for r in BASE if r[1] != EX + "q"}
+
+
+def test_optional_null_instantiation_dropped(spark):
+    from npm_extraction_server_spark.plans.bgp import bgp_optional
+
+    t = _table(spark, BASE + [(EX + "a", EX + "lbl", '"A"')])
+    cur = read_triple_table(spark, t)
+    # b has no label: the OPTIONAL leaves ?l null there, so the insert
+    # template instantiates only for a (spec: unbound template -> skip)
+    bindings = bgp_optional(cur, [("?s", EX + "p", "?v")],
+                            [[("?s", EX + "lbl", "?l")]])
+    from npm_extraction_server_spark.plans.update import _instantiate
+
+    got = {tuple(r) for r in
+           _instantiate(bindings, [("?s", EX + "hasLabel", "?l")]).collect()}
+    assert got == {(EX + "a", EX + "hasLabel", '"A"')}
+
+
+def test_validation_errors(spark):
+    t = _table(spark, BASE)
+    with pytest.raises(ValueError, match="ground triples"):
+        insert_data(spark, t, [("?s", EX + "p", '"1"')])
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_update(spark, t, delete=[("?s", EX + "p", "?nope")],
+                      where=[("?s", EX + "p", "?v")])
+    with pytest.raises(ValueError, match="delete and/or insert"):
+        sparql_update(spark, t, where=[("?s", EX + "p", "?v")])
+
+
+def test_mor_artifacts_proportional_and_compactable(spark):
+    from npm_extraction_server_spark.sources.snapshots import compact
+
+    t = _table(spark, BASE)
+    delete_where(spark, t, [("?s", EX + "q", "?v")])
+    man = snapshot_log(t)[-1]
+    assert man["operation"] == "rowdelta" and man.get("delete_files")
+    assert man["added_rows"] == 0
+    before = _set(spark, t)
+    compact(spark, t)
+    assert _set(spark, t) == before
