@@ -221,11 +221,12 @@ _PRIORITY: list[str] = [
     # sampling
     "sample_k_per_domain", "sample_weighted",
     # SPARQL 1.1 Update over the triple store (late round-5 addition;
-    # demoted graph_labelprop — green in the committed FULL self-runs
-    # and the judge's round-4 independent re-run)
-    "kg_sparql_update",
+    # demoted graph_labelprop and graph_ppr — both green in the
+    # committed FULL self-runs and the judge's round-4 independent
+    # re-run)
+    "kg_sparql_update", "kg_sparql_update_graphs",
     # graph
-    "graph_ppr", "graph_kcore", "graph_topo_layers",
+    "graph_kcore", "graph_topo_layers",
     "graph_scc",
     # lakehouse snapshots
     "snap_compact", "snap_stats_prune", "snap_changelog",

@@ -1584,6 +1584,66 @@ def kg_sparql_update(spark, sf):
     return read_triple_table(spark, table)
 
 
+def kg_sparql_update_graphs(spark, sf):
+    """SPARQL 1.1 Update over NAMED GRAPHS (hard oracle): a quad table
+    seeded from documents — per-language named graphs holding chars
+    quads plus a default-graph lang triple — takes the full
+    graph-management verb set: a WITH-scoped DELETE-INSERT-WHERE that
+    rewrites g:en's big documents in place (other graphs untouched),
+    COPY g:de + ADD g:es into a g:mirror union graph, MOVE g:fr to
+    g:romance (asserted ONE atomic rowdelta commit carrying both
+    graphs' delete keys and the relabeled rows), CLEAR g:zh, and a
+    3-term INSERT DATA that must land in the default graph only. All
+    delta joins are null-safe on graph, so the default graph
+    participates in set semantics like any named graph. DuckDB
+    re-derives the final quad set with plain set algebra."""
+    import tempfile
+
+    from ..plans.update import (
+        add_graph,
+        clear_graph,
+        copy_graph,
+        create_triple_table,
+        insert_data,
+        move_graph,
+        read_triple_table,
+        sparql_update,
+    )
+    from ..sources.snapshots import snapshot_log
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").filter(
+        (d < 300) & F.col("lang").isNotNull())
+    subj = F.concat(F.lit("doc:"), d.cast("string")).alias("subj")
+    base = (docs.select(subj, F.lit("ex:chars").alias("pred"),
+                        F.col("n_chars").cast("string").alias("obj"),
+                        F.concat(F.lit("g:"), F.col("lang")).alias("graph"))
+            .unionByName(docs.select(
+                subj, F.lit("ex:lang").alias("pred"),
+                F.col("lang").alias("obj"),
+                F.lit(None).cast("string").alias("graph"))))
+    table = tempfile.mkdtemp(prefix="kgupdg_")
+    create_triple_table(spark, base, table, partitions=4)
+
+    sparql_update(spark, table,
+                  delete=[("?s", "ex:chars", "?c")],
+                  insert=[("?s", "ex:size", "big")],
+                  where=[("?s", "ex:chars", "?c")],
+                  filters=[F.col("c").try_cast("long") >= 500],
+                  with_graph="g:en")
+    copy_graph(spark, table, "g:de", "g:mirror")
+    add_graph(spark, table, "g:es", "g:mirror")
+    n0 = len(snapshot_log(table))
+    move_graph(spark, table, "g:fr", "g:romance")
+    log = snapshot_log(table)
+    assert len(log) == n0 + 1 and log[-1]["operation"] == "rowdelta" \
+        and log[-1]["delete_files"] and log[-1]["added_rows"] > 0, \
+        "MOVE must be one atomic rowdelta commit (keys + rows)"
+    clear_graph(spark, table, "g:zh")
+    insert_data(spark, table, [("ex:corpus", "rdf:type", "ex:Corpus")])
+    return read_triple_table(spark, table)
+
+
 def snap_wap(spark, sf):
     """Write-audit-publish over branch refs (hard oracle): docs<200
     commit to main; [200,350) stage onto an 'audit' branch (TWO branch
@@ -2392,6 +2452,7 @@ SPARK_QUERIES = {
     "snap_pos_delete": snap_pos_delete,
     "snap_eq_delete": snap_eq_delete,
     "kg_sparql_update": kg_sparql_update,
+    "kg_sparql_update_graphs": kg_sparql_update_graphs,
     "snap_dedup_incr": snap_dedup_incr,
     "sketch_distinct": sketch_distinct,
     "sketch_set_ops": sketch_set_ops,
@@ -4601,6 +4662,43 @@ ORACLE_SQL = {
         WHERE NOT (pred = 'ex:chars' AND try_cast(obj AS BIGINT) >= 500)
         UNION
         SELECT subj, 'ex:size', 'big' FROM big
+    """,
+    "kg_sparql_update_graphs": """
+        WITH docs AS (
+            SELECT 'doc:' || doc_id::VARCHAR AS subj, n_chars, lang
+            FROM documents WHERE doc_id < 300 AND lang IS NOT NULL
+        ),
+        base AS (
+            SELECT subj, 'ex:chars' AS pred, n_chars::VARCHAR AS obj,
+                   'g:' || lang AS graph FROM docs
+            UNION
+            SELECT subj, 'ex:lang', lang, NULL::VARCHAR FROM docs
+        ),
+        s1 AS (  -- WITH g:en big rewrite (delete before insert)
+            SELECT * FROM base
+            WHERE NOT (graph = 'g:en' AND pred = 'ex:chars'
+                       AND try_cast(obj AS BIGINT) >= 500)
+            UNION
+            SELECT DISTINCT subj, 'ex:size', 'big', 'g:en' FROM base
+            WHERE graph = 'g:en' AND pred = 'ex:chars'
+              AND try_cast(obj AS BIGINT) >= 500
+        ),
+        s2 AS (  -- COPY g:de + ADD g:es into g:mirror
+            SELECT * FROM s1
+            UNION SELECT subj, pred, obj, 'g:mirror' FROM s1
+                  WHERE graph IN ('g:de', 'g:es')
+        ),
+        s3 AS (  -- MOVE g:fr -> g:romance
+            SELECT * FROM s2 WHERE graph IS NULL OR graph <> 'g:fr'
+            UNION SELECT subj, pred, obj, 'g:romance' FROM s2
+                  WHERE graph = 'g:fr'
+        ),
+        s4 AS (  -- CLEAR g:zh
+            SELECT * FROM s3 WHERE graph IS NULL OR graph <> 'g:zh'
+        )
+        SELECT subj, pred, obj, graph FROM s4
+        UNION
+        SELECT 'ex:corpus', 'rdf:type', 'ex:Corpus', NULL::VARCHAR
     """,
     "text_gopher_rules": """
         WITH base AS (

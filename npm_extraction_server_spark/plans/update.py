@@ -1,13 +1,15 @@
-"""SPARQL 1.1 Update over the lakehouse triple table.
+"""SPARQL 1.1 Update over the lakehouse triple / quad table.
 
 The reference serves a READ view of the npm registry's RDF (every
 query endpoint in the server is GET-shaped), but a KG-construction
 pipeline's triple store needs the write verbs too: corrections,
 retractions, enrichment passes. This module implements the SPARQL 1.1
 Update operations (INSERT DATA / DELETE DATA / DELETE WHERE /
-DELETE-INSERT-WHERE, https://www.w3.org/TR/sparql11-update/) against
-a snapshot-table (sources/snapshots.py) holding the triples, i.e. the
-engine's Iceberg-analog triple sink (SN1, ``plans/kg.py``).
+DELETE-INSERT-WHERE with WITH-graph scoping, plus the graph-management
+verbs CLEAR / ADD / COPY / MOVE,
+https://www.w3.org/TR/sparql11-update/) against a snapshot-table
+(sources/snapshots.py) holding the triples, i.e. the engine's
+Iceberg-analog triple sink (SN1, ``plans/kg.py``).
 
 Spark-first shape — one ATOMIC merge-on-read row-delta commit per
 update:
@@ -32,6 +34,18 @@ update:
   absent triple is a no-op (and a fully no-op update commits NOTHING —
   the snapshot id does not move).
 
+Named graphs (RDF datasets): ``create_triple_table`` builds a QUAD
+table when the input carries a ``graph`` column (NULL = the default
+graph, mirroring the pipeline triples layout). Templates and patterns
+may then have 3 or 4 terms. On the WRITE side the spec is exact-graph:
+a 3-term template touches the DEFAULT graph only (or the ``WITH``
+graph when given). On the READ side (WHERE), 3-term patterns follow
+the BGP layer's documented union-of-graphs default-graph view. All
+delta joins are null-safe on ``graph`` so the default graph
+participates in set semantics like any named graph. CLEAR / ADD /
+COPY / MOVE are each one row-delta commit whose artifacts are
+proportional to the affected graphs, never the store.
+
 Scale shape: the only full-width scan is the WHERE evaluation (the
 same cost as the equivalent SELECT); the delete/insert deltas are
 template-instantiation projections over its bindings, and the commit
@@ -47,28 +61,48 @@ from pyspark.sql import functions as F
 
 TKEY = "__tkey"
 _TERM_COLS = ("subj", "pred", "obj")
+GRAPH = "graph"
 # 0x1f unit separator: cannot occur in N-Triples-encoded terms, so the
 # concatenation is injective and the sha2 key is a faithful triple id.
+# 0x1e (record separator) stands in for the NULL default graph in the
+# key — distinct from any graph IRI including the empty string.
 _SEP = "\x1f"
+_DEFAULT_G = "\x1e"
+
+# Sentinels for clear_graph scope (the spec's CLEAR DEFAULT/NAMED/ALL).
+DEFAULT = None
+NAMED = "__named__"
+ALL = "__all__"
 
 
-def triple_key() -> Column:
-    """Content hash identifying one (subj, pred, obj) triple — the
-    equality-delete key column. sha2-256 over the unit-separated
+def _term_cols(df_or_cols) -> tuple[str, ...]:
+    """The identity columns of this table: triples or quads."""
+    cols = df_or_cols.columns if isinstance(df_or_cols, DataFrame) \
+        else list(df_or_cols)
+    return _TERM_COLS + ((GRAPH,) if GRAPH in cols else ())
+
+
+def triple_key(cols: tuple[str, ...] = _TERM_COLS) -> Column:
+    """Content hash identifying one (subj, pred, obj[, graph]) row —
+    the equality-delete key column. sha2-256 over the unit-separated
     terms; collision-free in practice and deterministic across
     engines (DuckDB: sha256(subj || chr(31) || ...))."""
-    return F.sha2(F.concat_ws(_SEP, *[F.col(c) for c in _TERM_COLS]), 256)
+    parts = [F.coalesce(F.col(c), F.lit(_DEFAULT_G)) if c == GRAPH
+             else F.col(c) for c in cols]
+    return F.sha2(F.concat_ws(_SEP, *parts), 256)
 
 
 def create_triple_table(spark: SparkSession, triples: DataFrame,
                         table: str, partitions: int = 8) -> int:
-    """Load a triple DataFrame as the initial snapshot of an updatable
-    triple table: distinct (set semantics), keyed, clustered on subj
-    so DESCRIBE-shaped reads prune files."""
+    """Load a triple (or quad, if the input has a ``graph`` column)
+    DataFrame as the initial snapshot of an updatable table: distinct
+    (set semantics), keyed, clustered on subj so DESCRIBE-shaped
+    reads prune files."""
     from ..sources.snapshots import commit
 
-    df = (triples.select(*_TERM_COLS).distinct()
-          .withColumn(TKEY, triple_key()))
+    cols = _term_cols(triples)
+    df = (triples.select(*cols).distinct()
+          .withColumn(TKEY, triple_key(cols)))
     return commit(df, table, partitions=partitions, cluster_by=["subj"])
 
 
@@ -84,28 +118,45 @@ def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def _instantiate(bindings: DataFrame, templates: list[tuple]) -> DataFrame:
-    """Concrete triples from (s, p, o) templates over the WHERE
-    bindings: variables substitute per solution, constants replicate;
-    solutions leaving any template term unbound (OPTIONAL-null) drop
-    that instantiation, per the SPARQL 1.1 Update spec. Pure
-    projections + a union — no shuffle until the caller's distinct."""
+def _norm_template(t, cols: tuple[str, ...], with_graph: str | None):
+    """(s, p, o) or (s, p, o, g) -> a term per table column. 3-term
+    templates land in the WITH graph (default graph when no WITH),
+    per the spec's exact-graph write semantics."""
+    if len(t) == 3 and len(cols) == 4:
+        return (*t, with_graph)
+    if len(t) == len(cols):
+        # a 4-term template's own GRAPH term overrides WITH, per spec
+        return tuple(t)
+    if len(t) == 4:
+        raise ValueError(
+            f"quad template {t!r} over a triple table (no graph column)")
+    raise ValueError(f"template must be (s, p, o[, g]): {t!r}")
+
+
+def _instantiate(bindings: DataFrame, templates: list[tuple],
+                 cols: tuple[str, ...],
+                 with_graph: str | None) -> DataFrame:
+    """Concrete rows from templates over the WHERE bindings: variables
+    substitute per solution, constants replicate; solutions leaving
+    any s/p/o term unbound (OPTIONAL-null) drop that instantiation,
+    per the SPARQL 1.1 Update spec (a NULL graph term is the default
+    graph, not an unbound solution). Pure projections + a union — no
+    shuffle until the caller's distinct."""
     parts = []
     for t in templates:
-        if len(t) != 3:
-            raise ValueError(f"template must be (s, p, o): {t!r}")
-        cols = []
-        for term, name in zip(t, _TERM_COLS):
+        terms = _norm_template(t, cols, with_graph)
+        sel = []
+        for term, name in zip(terms, cols):
             if _is_var(term):
                 v = term[1:]
                 if v not in bindings.columns:
                     raise ValueError(
                         f"template variable ?{v} is not bound by the "
                         f"WHERE clause ({sorted(bindings.columns)})")
-                cols.append(F.col(v).alias(name))
+                sel.append(F.col(v).alias(name))
             else:
-                cols.append(F.lit(term).alias(name))
-        parts.append(bindings.select(*cols))
+                sel.append(F.lit(term).cast("string").alias(name))
+        parts.append(bindings.select(*sel))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -113,61 +164,45 @@ def _instantiate(bindings: DataFrame, templates: list[tuple]) -> DataFrame:
     return out.filter(crit).distinct()
 
 
-def _constant_triples(spark: SparkSession, triples: list[tuple]) -> DataFrame:
+def _constant_rows(spark: SparkSession, triples: list[tuple],
+                   cols: tuple[str, ...],
+                   with_graph: str | None) -> DataFrame:
+    rows = []
     for t in triples:
         if any(_is_var(term) for term in t):
             raise ValueError(
                 f"DATA forms take ground triples only (no variables): {t!r}")
-    return spark.createDataFrame(
-        [tuple(t) for t in triples], "subj string, pred string, obj string"
-    ).distinct()
+        rows.append(_norm_template(t, cols, with_graph))
+    schema = ", ".join(f"{c} string" for c in cols)
+    return spark.createDataFrame(rows, schema).distinct()
 
 
-def sparql_update(spark: SparkSession, table: str,
-                  delete: list[tuple] | None = None,
-                  insert: list[tuple] | None = None,
-                  where: list[tuple] | None = None,
-                  filters: list | None = None) -> int:
-    """DELETE { templates } INSERT { templates } WHERE { patterns }.
+def _quad_eq(a: str, b: str, cols: tuple[str, ...]) -> Column:
+    """Row-identity join condition between two aliased frames —
+    null-safe on graph so default-graph rows match themselves."""
+    cond = None
+    for c in cols:
+        e = F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}")) \
+            if c == GRAPH else (F.col(f"{a}.{c}") == F.col(f"{b}.{c}"))
+        cond = e if cond is None else cond & e
+    return cond
 
-    Any of the three clauses may be omitted: DELETE WHERE passes
-    ``delete=where`` patterns as templates (use :func:`delete_where`),
-    the DATA forms omit WHERE with ground templates. Returns the new
-    snapshot id (unchanged CURRENT id if the update is a no-op).
-    """
-    from ..sources.snapshots import commit, current_snapshot_id, read_snapshot
 
-    if not delete and not insert:
-        raise ValueError("sparql_update: need delete and/or insert templates")
-    base = current_snapshot_id(table)
-    if base is None:
-        raise ValueError(f"{table}: empty table (no CURRENT)")
-    cur = read_snapshot(spark, table, base)
+def _commit_delta(spark: SparkSession, table: str, base: int,
+                  cur: DataFrame, dele: DataFrame | None,
+                  ins: DataFrame | None, cols: tuple[str, ...]) -> int:
+    """Shared atomic tail of every update verb: effective delta under
+    set semantics, evaluated once and pinned (localCheckpoint) so the
+    commit's delete keys and added rows are consistent even if the
+    table moves under a concurrent writer (the commit CAS on
+    expected_parent would then refuse anyway)."""
+    from ..sources.snapshots import commit
 
-    if where is not None:
-        from .bgp import bgp_join
-
-        bindings = bgp_join(cur.drop(TKEY), where, filters=filters)
-    else:
-        if filters:
-            raise ValueError("filters need a WHERE clause")
-        bindings = None
-
-    def ground(templates):
-        if bindings is None:
-            return _constant_triples(spark, templates)
-        return _instantiate(bindings, templates)
-
-    dele = ground(delete) if delete else None
-    ins = ground(insert) if insert else None
-
-    # Effective delta under set semantics, evaluated once and pinned
-    # (localCheckpoint) so the commit's delete keys and added rows are
-    # consistent even if the table moves under a concurrent writer
-    # (the commit CAS on expected_parent would then refuse anyway).
     del_keys = None
     if dele is not None:
-        matched = cur.join(dele, list(_TERM_COLS), "left_semi")
+        matched = (cur.alias("c")
+                   .join(dele.alias("d"), _quad_eq("c", "d", cols),
+                         "left_semi"))
         del_keys = (matched.select(TKEY).distinct()
                     .localCheckpoint(eager=True))
         if not del_keys.limit(1).count():
@@ -175,9 +210,13 @@ def sparql_update(spark: SparkSession, table: str,
     if ins is not None:
         cur_after = cur
         if dele is not None:
-            cur_after = cur.join(dele, list(_TERM_COLS), "left_anti")
-        new_rows = (ins.join(cur_after, list(_TERM_COLS), "left_anti")
-                    .withColumn(TKEY, triple_key())
+            cur_after = (cur.alias("c")
+                         .join(dele.alias("d"), _quad_eq("c", "d", cols),
+                               "left_anti"))
+        new_rows = (ins.alias("i")
+                    .join(cur_after.alias("c"), _quad_eq("i", "c", cols),
+                          "left_anti")
+                    .withColumn(TKEY, triple_key(cols))
                     .localCheckpoint(eager=True))
         if not new_rows.limit(1).count():
             new_rows = None
@@ -196,15 +235,70 @@ def sparql_update(spark: SparkSession, table: str,
                   expected_parent=base)
 
 
+def _current(spark: SparkSession, table: str):
+    from ..sources.snapshots import current_snapshot_id, read_snapshot
+
+    base = current_snapshot_id(table)
+    if base is None:
+        raise ValueError(f"{table}: empty table (no CURRENT)")
+    cur = read_snapshot(spark, table, base)
+    return base, cur, _term_cols(cur.drop(TKEY))
+
+
+def sparql_update(spark: SparkSession, table: str,
+                  delete: list[tuple] | None = None,
+                  insert: list[tuple] | None = None,
+                  where: list[tuple] | None = None,
+                  filters: list | None = None,
+                  with_graph: str | None = None) -> int:
+    """WITH <g> DELETE { templates } INSERT { templates } WHERE
+    { patterns }.
+
+    Any of the three clauses may be omitted: DELETE WHERE passes
+    ``delete=where`` patterns as templates (use :func:`delete_where`),
+    the DATA forms omit WHERE with ground templates. ``with_graph``
+    scopes 3-term templates AND 3-term WHERE patterns to one named
+    graph (the spec's WITH). Returns the new snapshot id (unchanged
+    CURRENT id if the update is a no-op).
+    """
+    if not delete and not insert:
+        raise ValueError("sparql_update: need delete and/or insert templates")
+    base, cur, cols = _current(spark, table)
+    if with_graph is not None and GRAPH not in cols:
+        raise ValueError("WITH graph over a triple table (no graph column)")
+
+    if where is not None:
+        from .bgp import bgp_join
+
+        pats = where
+        if with_graph is not None:
+            pats = [(*p, with_graph) if len(p) == 3 else p for p in where]
+        bindings = bgp_join(cur.drop(TKEY), pats, filters=filters)
+    else:
+        if filters:
+            raise ValueError("filters need a WHERE clause")
+        bindings = None
+
+    def ground(templates):
+        if bindings is None:
+            return _constant_rows(spark, templates, cols, with_graph)
+        return _instantiate(bindings, templates, cols, with_graph)
+
+    dele = ground(delete) if delete else None
+    ins = ground(insert) if insert else None
+    return _commit_delta(spark, table, base, cur, dele, ins, cols)
+
+
 def insert_data(spark: SparkSession, table: str,
                 triples: list[tuple]) -> int:
-    """INSERT DATA { ground triples } — set-semantics append."""
+    """INSERT DATA { ground triples/quads } — set-semantics append."""
     return sparql_update(spark, table, insert=triples)
 
 
 def delete_data(spark: SparkSession, table: str,
                 triples: list[tuple]) -> int:
-    """DELETE DATA { ground triples } — keyed retraction, no-op safe."""
+    """DELETE DATA { ground triples/quads } — keyed retraction,
+    no-op safe."""
     return sparql_update(spark, table, delete=triples)
 
 
@@ -212,6 +306,81 @@ def delete_where(spark: SparkSession, table: str,
                  patterns: list[tuple],
                  filters: list | None = None) -> int:
     """DELETE WHERE { patterns } — the patterns double as the delete
-    templates, per the spec's shorthand."""
+    templates, per the spec's shorthand. NOTE: 3-term patterns here
+    follow the write-side exact-graph rule (they retract from the
+    default graph only); pass quads to retract from named graphs."""
     return sparql_update(spark, table, delete=patterns, where=patterns,
                          filters=filters)
+
+
+def _graph_pred(g) -> Column:
+    """Row filter for one clear_graph scope value."""
+    if g is ALL:
+        return F.lit(True)
+    if g is NAMED:
+        return F.col(GRAPH).isNotNull()
+    if g is DEFAULT:
+        return F.col(GRAPH).isNull()
+    return F.col(GRAPH) == g
+
+
+def clear_graph(spark: SparkSession, table: str,
+                graph: str | None = DEFAULT) -> int:
+    """CLEAR GRAPH <g> / CLEAR DEFAULT / CLEAR NAMED / CLEAR ALL
+    (pass the module sentinels ``NAMED`` / ``ALL``; ``None`` = the
+    default graph). One equality-delete commit sized by the cleared
+    graph; clearing an empty graph is a no-op (silent, per spec)."""
+    base, cur, cols = _current(spark, table)
+    if GRAPH not in cols:
+        if graph is not DEFAULT and graph is not ALL:
+            raise ValueError("clear_graph: triple table has no named graphs")
+        dele = cur.select(*cols)
+    else:
+        dele = cur.filter(_graph_pred(graph)).select(*cols)
+    return _commit_delta(spark, table, base, cur, dele, None, cols)
+
+
+def _src_dst(cur: DataFrame, cols, src, dst):
+    if GRAPH not in cols:
+        raise ValueError("graph management needs a quad table")
+    rows = cur.filter(_graph_pred(src)).select(*_TERM_COLS)
+    relabeled = rows.withColumn(GRAPH, F.lit(dst).cast("string"))
+    return relabeled.select(*cols)
+
+
+def add_graph(spark: SparkSession, table: str,
+              src: str | None, dst: str | None) -> int:
+    """ADD <src> TO <dst> — insert a copy of src's triples into dst
+    (dst's existing triples kept; set semantics dedup). src/dst None =
+    the default graph. src == dst is a no-op, per spec."""
+    base, cur, cols = _current(spark, table)
+    if src == dst:
+        return base
+    ins = _src_dst(cur, cols, src, dst)
+    return _commit_delta(spark, table, base, cur, None, ins, cols)
+
+
+def copy_graph(spark: SparkSession, table: str,
+               src: str | None, dst: str | None) -> int:
+    """COPY <src> TO <dst> — dst := src exactly (dst cleared first),
+    in ONE atomic row-delta commit: dst's old rows become delete keys,
+    src's relabeled rows the appended data. src == dst is a no-op."""
+    base, cur, cols = _current(spark, table)
+    if src == dst:
+        return base
+    dele = cur.filter(_graph_pred(dst)).select(*cols)
+    ins = _src_dst(cur, cols, src, dst)
+    return _commit_delta(spark, table, base, cur, dele, ins, cols)
+
+
+def move_graph(spark: SparkSession, table: str,
+               src: str | None, dst: str | None) -> int:
+    """MOVE <src> TO <dst> — COPY then drop src, still ONE commit
+    (delete keys cover both graphs; the relabeled rows append)."""
+    base, cur, cols = _current(spark, table)
+    if src == dst:
+        return base
+    dele = (cur.filter(_graph_pred(dst) | _graph_pred(src))
+            .select(*cols))
+    ins = _src_dst(cur, cols, src, dst)
+    return _commit_delta(spark, table, base, cur, dele, ins, cols)

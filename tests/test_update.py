@@ -124,7 +124,8 @@ def test_optional_null_instantiation_dropped(spark):
     from npm_extraction_server_spark.plans.update import _instantiate
 
     got = {tuple(r) for r in
-           _instantiate(bindings, [("?s", EX + "hasLabel", "?l")]).collect()}
+           _instantiate(bindings, [("?s", EX + "hasLabel", "?l")],
+                        ("subj", "pred", "obj"), None).collect()}
     assert got == {(EX + "a", EX + "hasLabel", '"A"')}
 
 
@@ -137,6 +138,140 @@ def test_validation_errors(spark):
                       where=[("?s", EX + "p", "?v")])
     with pytest.raises(ValueError, match="delete and/or insert"):
         sparql_update(spark, t, where=[("?s", EX + "p", "?v")])
+
+
+QBASE = [
+    (EX + "a", EX + "p", '"1"', None),            # default graph
+    (EX + "a", EX + "p", '"1"', EX + "g1"),       # same triple, named
+    (EX + "b", EX + "p", '"2"', EX + "g1"),
+    (EX + "c", EX + "p", '"3"', EX + "g2"),
+]
+
+
+def _qtable(spark, rows=None):
+    t = tempfile.mkdtemp(prefix="sparqlupq_")
+    df = spark.createDataFrame(
+        rows or QBASE,
+        "subj string, pred string, obj string, graph string")
+    create_triple_table(spark, df, t, partitions=2)
+    return t
+
+
+def _qset(spark, table):
+    return {tuple(r) for r in read_triple_table(spark, table).collect()}
+
+
+def test_quad_insert_delete_exact_graph(spark):
+    t = _qtable(spark)
+    # 3-term DATA forms touch ONLY the default graph
+    insert_data(spark, t, [(EX + "d", EX + "p", '"4"')])
+    assert (EX + "d", EX + "p", '"4"', None) in _qset(spark, t)
+    sid = current_snapshot_id(t)
+    # same triple exists in g1 AND default: re-inserting the quad is a no-op
+    assert insert_data(spark, t,
+                       [(EX + "a", EX + "p", '"1"', EX + "g1")]) == sid
+    # 3-term delete retracts from the default graph only — g1's copy stays
+    delete_data(spark, t, [(EX + "a", EX + "p", '"1"')])
+    got = _qset(spark, t)
+    assert (EX + "a", EX + "p", '"1"', None) not in got
+    assert (EX + "a", EX + "p", '"1"', EX + "g1") in got
+
+
+def test_with_graph_scopes_update(spark):
+    t = _qtable(spark)
+    # WITH g1: the rename touches g1 only; g2 and default keep p
+    sparql_update(spark, t,
+                  delete=[("?s", EX + "p", "?v")],
+                  insert=[("?s", EX + "r", "?v")],
+                  where=[("?s", EX + "p", "?v")],
+                  with_graph=EX + "g1")
+    got = _qset(spark, t)
+    assert (EX + "a", EX + "r", '"1"', EX + "g1") in got
+    assert (EX + "b", EX + "r", '"2"', EX + "g1") in got
+    assert (EX + "a", EX + "p", '"1"', EX + "g1") not in got
+    assert (EX + "a", EX + "p", '"1"', None) in got            # default kept
+    assert (EX + "c", EX + "p", '"3"', EX + "g2") in got       # g2 kept
+
+
+def test_quad_template_graph_overrides_with(spark):
+    t = _qtable(spark)
+    # copy g2's triples into g3 via an explicit GRAPH term under WITH g2
+    sparql_update(spark, t,
+                  insert=[("?s", "?p", "?v", EX + "g3")],
+                  where=[("?s", "?p", "?v")],
+                  with_graph=EX + "g2")
+    assert (EX + "c", EX + "p", '"3"', EX + "g3") in _qset(spark, t)
+
+
+def test_clear_graph_scopes(spark):
+    from npm_extraction_server_spark.plans.update import (
+        ALL, NAMED, clear_graph)
+
+    t = _qtable(spark)
+    clear_graph(spark, t, EX + "g2")
+    assert {g for *_, g in _qset(spark, t)} == {None, EX + "g1"}
+    sid = clear_graph(spark, t, EX + "gz")      # absent graph: silent no-op
+    assert sid == current_snapshot_id(t)
+    clear_graph(spark, t)                        # CLEAR DEFAULT
+    assert {g for *_, g in _qset(spark, t)} == {EX + "g1"}
+    clear_graph(spark, t, NAMED)
+    assert _qset(spark, t) == set()
+    t2 = _qtable(spark)
+    clear_graph(spark, t2, ALL)
+    assert _qset(spark, t2) == set()
+
+
+def test_copy_move_add_graph_atomic(spark):
+    from npm_extraction_server_spark.plans.update import (
+        add_graph, copy_graph, move_graph)
+
+    t = _qtable(spark)
+    n0 = len(snapshot_log(t))
+    copy_graph(spark, t, EX + "g1", EX + "g2")   # g2 := g1 (old g2 gone)
+    assert len(snapshot_log(t)) == n0 + 1        # ONE commit
+    got = _qset(spark, t)
+    assert (EX + "c", EX + "p", '"3"', EX + "g2") not in got
+    assert (EX + "a", EX + "p", '"1"', EX + "g2") in got
+    assert (EX + "b", EX + "p", '"2"', EX + "g2") in got
+    move_graph(spark, t, EX + "g2", EX + "g3")
+    got = _qset(spark, t)
+    assert not any(g == EX + "g2" for *_, g in got)
+    assert (EX + "b", EX + "p", '"2"', EX + "g3") in got
+    # ADD keeps dst's existing rows; src==dst is a spec no-op
+    add_graph(spark, t, EX + "g3", EX + "g1")
+    got = _qset(spark, t)
+    assert (EX + "a", EX + "p", '"1"', EX + "g1") in got
+    assert (EX + "b", EX + "p", '"2"', EX + "g1") in got
+    sid = current_snapshot_id(t)
+    assert add_graph(spark, t, EX + "g1", EX + "g1") == sid
+    # default graph as a management endpoint (null-safe joins)
+    add_graph(spark, t, EX + "g1", None)
+    assert (EX + "b", EX + "p", '"2"', None) in _qset(spark, t)
+
+
+def test_quad_where_binds_graph_variable(spark):
+    t = _qtable(spark)
+    # retract every named-graph copy of value "1" wherever it lives,
+    # binding ?g in WHERE and reusing it in the delete template
+    sparql_update(spark, t,
+                  delete=[("?s", EX + "p", '"1"', "?g")],
+                  where=[("?s", EX + "p", '"1"', "?g")])
+    got = _qset(spark, t)
+    assert (EX + "a", EX + "p", '"1"', EX + "g1") not in got
+    # our quad layer binds ?g = NULL on default-graph rows (the BGP
+    # module's documented union view; strict SPARQL would skip them),
+    # and the null-safe delta join retracts that copy too
+    assert (EX + "a", EX + "p", '"1"', None) not in got
+    assert (EX + "b", EX + "p", '"2"', EX + "g1") in got
+
+
+def test_quad_table_validation(spark):
+    t = _table(spark, BASE)   # plain triple table
+    with pytest.raises(ValueError, match="triple table"):
+        insert_data(spark, t, [(EX + "x", EX + "p", '"1"', EX + "g")])
+    with pytest.raises(ValueError, match="WITH graph"):
+        sparql_update(spark, t, insert=[(EX + "x", EX + "p", '"1"')],
+                      with_graph=EX + "g")
 
 
 def test_mor_artifacts_proportional_and_compactable(spark):
