@@ -224,12 +224,14 @@ _PRIORITY: list[str] = [
     # demoted graph_labelprop and graph_ppr — both green in the
     # committed FULL self-runs and the judge's round-4 independent
     # re-run)
-    "kg_sparql_update", "kg_sparql_update_graphs",
+    "kg_sparql_update", "kg_sparql_update_graphs", "kg_sparql_load",
     # graph
     "graph_kcore", "graph_topo_layers",
     "graph_scc",
-    # lakehouse snapshots
-    "snap_compact", "snap_stats_prune", "snap_changelog",
+    # lakehouse snapshots (snap_compact demoted — the compaction path
+    # is also exercised by snap_eq_delete/snap_zorder here and the
+    # committed FULL self-runs)
+    "snap_stats_prune", "snap_changelog",
     # events / sketches
     "events_retention", "sketch_distinct", "sketch_bloom",
     # multimodal / tarballs

@@ -1644,6 +1644,49 @@ def kg_sparql_update_graphs(spark, sf):
     return read_triple_table(spark, table)
 
 
+def kg_sparql_load(spark, sf):
+    """Distributed SPARQL LOAD (hard oracle): the documents table is
+    serialized into N-Quads documents — one RDF document per 8-way
+    shard, chars quads in per-language named graphs plus default-graph
+    lang triples — and loaded back through plans/update.load_documents:
+    each document parses inside mapInPandas (the kernel N-Quads parser,
+    executor-side, driver sees only the commit) into a seeded quad
+    table as ONE set-semantics append. DuckDB re-derives the final
+    quad set from the documents table directly, proving
+    text -> parse -> commit loses nothing and dedups exactly."""
+    import tempfile
+
+    from ..plans.update import (
+        create_triple_table,
+        load_documents,
+        read_triple_table,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").filter(
+        (d < 400) & F.col("lang").isNotNull())
+    line_named = F.concat(
+        F.lit("<doc:"), d.cast("string"), F.lit("> <ex:chars> \""),
+        F.col("n_chars").cast("string"), F.lit("\" <g:"), F.col("lang"),
+        F.lit("> ."))
+    line_default = F.concat(
+        F.lit("<doc:"), d.cast("string"), F.lit("> <ex:lang> \""),
+        F.col("lang"), F.lit("\" ."))
+    lines = (docs.select((d % 8).alias("shard"), line_named.alias("line"))
+             .unionByName(docs.select((d % 8).alias("shard"),
+                                      line_default.alias("line"))))
+    rdf_docs = (lines.groupBy("shard")
+                .agg(F.concat_ws("\n", F.collect_list("line")).alias("doc")))
+
+    seed = spark.createDataFrame(
+        [("ex:corpus", "rdf:type", "ex:Corpus", None)],
+        "subj string, pred string, obj string, graph string")
+    table = tempfile.mkdtemp(prefix="kgload_")
+    create_triple_table(spark, seed, table, partitions=4)
+    load_documents(spark, table, rdf_docs, "doc", fmt="nq")
+    return read_triple_table(spark, table)
+
+
 def snap_wap(spark, sf):
     """Write-audit-publish over branch refs (hard oracle): docs<200
     commit to main; [200,350) stage onto an 'audit' branch (TWO branch
@@ -2453,6 +2496,7 @@ SPARK_QUERIES = {
     "snap_eq_delete": snap_eq_delete,
     "kg_sparql_update": kg_sparql_update,
     "kg_sparql_update_graphs": kg_sparql_update_graphs,
+    "kg_sparql_load": kg_sparql_load,
     "snap_dedup_incr": snap_dedup_incr,
     "sketch_distinct": sketch_distinct,
     "sketch_set_ops": sketch_set_ops,
@@ -4662,6 +4706,20 @@ ORACLE_SQL = {
         WHERE NOT (pred = 'ex:chars' AND try_cast(obj AS BIGINT) >= 500)
         UNION
         SELECT subj, 'ex:size', 'big' FROM big
+    """,
+    "kg_sparql_load": """
+        WITH docs AS (
+            SELECT 'doc:' || doc_id::VARCHAR AS subj, n_chars, lang
+            FROM documents WHERE doc_id < 400 AND lang IS NOT NULL
+        )
+        SELECT subj, 'ex:chars' AS pred,
+               '"' || n_chars::VARCHAR || '"' AS obj,
+               'g:' || lang AS graph FROM docs
+        UNION
+        SELECT subj, 'ex:lang', '"' || lang || '"', NULL::VARCHAR
+        FROM docs
+        UNION
+        SELECT 'ex:corpus', 'rdf:type', 'ex:Corpus', NULL::VARCHAR
     """,
     "kg_sparql_update_graphs": """
         WITH docs AS (

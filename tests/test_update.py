@@ -274,6 +274,50 @@ def test_quad_table_validation(spark):
                       with_graph=EX + "g")
 
 
+def test_load_graph_formats_and_into(spark):
+    from npm_extraction_server_spark.plans.update import load_graph
+
+    nt = f'<{EX}x> <{EX}p> "9" .\n<{EX}a> <{EX}p> "1" .\n'
+    t = _table(spark, BASE)
+    load_graph(spark, t, nt, fmt="nt")
+    assert _set(spark, t) == set(BASE) | {(EX + "x", EX + "p", '"9"')}
+    sid = current_snapshot_id(t)
+    assert load_graph(spark, t, nt, fmt="nt") == sid   # all dupes: no-op
+    # quad data into a triple table must refuse
+    nq = f'<{EX}y> <{EX}p> "2" <{EX}g1> .\n'
+    with pytest.raises(ValueError, match="triple table"):
+        load_graph(spark, t, nq, fmt="nq")
+    # quad table: N-Quads keeps its graphs; INTO overrides them
+    qt = _qtable(spark)
+    load_graph(spark, qt, nq, fmt="nq")
+    assert (EX + "y", EX + "p", '"2"', EX + "g1") in _qset(spark, qt)
+    load_graph(spark, qt, nq, fmt="nq", into=EX + "g9")
+    assert (EX + "y", EX + "p", '"2"', EX + "g9") in _qset(spark, qt)
+    # empty document: no-op
+    sid = current_snapshot_id(qt)
+    assert load_graph(spark, qt, "# nothing\n", fmt="nq") == sid
+
+
+def test_load_documents_distributed_equals_driver_parse(spark):
+    from npm_extraction_server_spark.kernel.parse import parse_rdf
+    from npm_extraction_server_spark.plans.update import load_documents
+
+    docs = [
+        f'<{EX}d1> <{EX}p> "1" <{EX}ga> .\n<{EX}d2> <{EX}p> "2" .\n',
+        f'<{EX}d3> <{EX}p> "3" <{EX}gb> .\n',
+        f'<{EX}d2> <{EX}p> "2" .\n',   # duplicate across documents
+    ]
+    qt = _qtable(spark, [(EX + "seed", EX + "p", '"0"', None)])
+    df = spark.createDataFrame([(d,) for d in docs], "doc string") \
+        .repartition(3)
+    load_documents(spark, qt, df, "doc", fmt="nq")
+    want = {(EX + "seed", EX + "p", '"0"', None)}
+    for d in docs:
+        for t in parse_rdf(d, "nq"):
+            want.add((t.subj, t.pred, t.obj, t.graph))
+    assert _qset(spark, qt) == want
+
+
 def test_mor_artifacts_proportional_and_compactable(spark):
     from npm_extraction_server_spark.sources.snapshots import compact
 
