@@ -249,7 +249,7 @@ def _current(spark: SparkSession, table: str):
 def sparql_update(spark: SparkSession, table: str,
                   delete: list[tuple] | None = None,
                   insert: list[tuple] | None = None,
-                  where: list[tuple] | None = None,
+                  where: list[tuple] | DataFrame | None = None,
                   filters: list | None = None,
                   with_graph: str | None = None) -> int:
     """WITH <g> DELETE { templates } INSERT { templates } WHERE
@@ -259,7 +259,12 @@ def sparql_update(spark: SparkSession, table: str,
     ``delete=where`` patterns as templates (use :func:`delete_where`),
     the DATA forms omit WHERE with ground templates. ``with_graph``
     scopes 3-term templates AND 3-term WHERE patterns to one named
-    graph (the spec's WITH). Returns the new snapshot id (unchanged
+    graph (the spec's WITH). For WHERE clauses beyond a conjunctive
+    group (OPTIONAL / UNION / MINUS / subqueries / aggregates), pass a
+    prepared solution DataFrame built with the bgp_* forms over
+    :func:`read_triple_table` — templates bind its columns by variable
+    name, so the full SPARQL query algebra drives updates without this
+    function re-growing it. Returns the new snapshot id (unchanged
     CURRENT id if the update is a no-op).
     """
     if not delete and not insert:
@@ -268,7 +273,12 @@ def sparql_update(spark: SparkSession, table: str,
     if with_graph is not None and GRAPH not in cols:
         raise ValueError("WITH graph over a triple table (no graph column)")
 
-    if where is not None:
+    if isinstance(where, DataFrame):
+        if filters:
+            raise ValueError(
+                "apply filters when building the bindings DataFrame")
+        bindings = where
+    elif where is not None:
         from .bgp import bgp_join
 
         pats = where

@@ -274,6 +274,27 @@ def test_quad_table_validation(spark):
                       with_graph=EX + "g")
 
 
+def test_prepared_bindings_where_optional(spark):
+    from npm_extraction_server_spark.plans.bgp import bgp_optional
+
+    t = _table(spark, BASE + [(EX + "a", EX + "lbl", '"A"')])
+    cur = read_triple_table(spark, t)
+    # OPTIONAL-shaped WHERE: label every p-subject that HAS a label
+    # (b's unbound ?l drops its insert instantiation, per spec)
+    bindings = bgp_optional(cur, [("?s", EX + "p", "?v")],
+                            [[("?s", EX + "lbl", "?l")]])
+    sparql_update(spark, t,
+                  insert=[("?s", EX + "hasLabel", "?l")],
+                  where=bindings)
+    got = _set(spark, t)
+    assert (EX + "a", EX + "hasLabel", '"A"') in got
+    assert not any(s == EX + "b" and p == EX + "hasLabel"
+                   for s, p, _ in got)
+    with pytest.raises(ValueError, match="filters"):
+        sparql_update(spark, t, insert=[("?s", EX + "x", '"1"')],
+                      where=bindings, filters=[F.col("v") == '"1"'])
+
+
 def test_load_graph_formats_and_into(spark):
     from npm_extraction_server_spark.plans.update import load_graph
 
