@@ -41,11 +41,14 @@ graph, mirroring the pipeline triples layout). Templates and patterns
 may then have 3 or 4 terms. On the WRITE side the spec is exact-graph:
 a 3-term template touches the DEFAULT graph only (or the ``WITH``
 graph when given). On the READ side (WHERE), 3-term patterns follow
-the BGP layer's documented union-of-graphs default-graph view. All
-delta joins are null-safe on ``graph`` so the default graph
-participates in set semantics like any named graph. CLEAR / ADD /
-COPY / MOVE are each one row-delta commit whose artifacts are
-proportional to the affected graphs, never the store.
+the BGP layer's documented union-of-graphs default-graph view. Every
+identity comparison runs on the single content-hash key column (its
+sentinel coalesce folds the NULL default graph), so the default graph
+participates in set semantics like any named graph and the store-side
+scans column-prune to the key. CLEAR / ADD / COPY / MOVE are each one
+row-delta commit whose artifacts are proportional to the affected
+graphs, never the store — their delete side is a filtered subset of
+the current rows, so its keys commit with no join at all.
 
 Scale shape: the only full-width scan is the WHERE evaluation (the
 same cost as the equivalent SELECT); the delete/insert deltas are
@@ -178,17 +181,6 @@ def _constant_rows(spark: SparkSession, triples: list[tuple],
     return spark.createDataFrame(rows, schema).distinct()
 
 
-def _quad_eq(a: str, b: str, cols: tuple[str, ...]) -> Column:
-    """Row-identity join condition between two aliased frames —
-    null-safe on graph so default-graph rows match themselves."""
-    cond = None
-    for c in cols:
-        e = F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}")) \
-            if c == GRAPH else (F.col(f"{a}.{c}") == F.col(f"{b}.{c}"))
-        cond = e if cond is None else cond & e
-    return cond
-
-
 def _commit_delta(spark: SparkSession, table: str, base: int,
                   cur: DataFrame, dele: DataFrame | None,
                   ins: DataFrame | None, cols: tuple[str, ...]) -> int:
@@ -196,28 +188,41 @@ def _commit_delta(spark: SparkSession, table: str, base: int,
     set semantics, evaluated once and pinned (localCheckpoint) so the
     commit's delete keys and added rows are consistent even if the
     table moves under a concurrent writer (the commit CAS on
-    expected_parent would then refuse anyway)."""
+    expected_parent would then refuse anyway).
+
+    Every identity comparison runs on the ONE content-hash key column
+    (the same injective sha2 the store persists), never on the 3-4
+    term columns: the store-side scans column-prune to ``__tkey``
+    alone, the joins are single-column hash semi/anti joins (AQE
+    broadcasts the delta side when small), and NULL default graphs
+    need no null-safe special case — the key's sentinel coalesce
+    already folded them. A ``dele`` frame that still carries the key
+    column is a subset of ``cur`` by construction (CLEAR/COPY/MOVE
+    pass filtered current rows), so its keys commit with NO join at
+    all — one filtered, column-pruned scan."""
     from ..sources.snapshots import commit
 
     del_keys = None
     if dele is not None:
-        matched = (cur.alias("c")
-                   .join(dele.alias("d"), _quad_eq("c", "d", cols),
-                         "left_semi"))
-        del_keys = (matched.select(TKEY).distinct()
-                    .localCheckpoint(eager=True))
+        if TKEY in dele.columns:  # subset of cur: keys are authoritative
+            del_keys = (dele.select(TKEY).distinct()
+                        .localCheckpoint(eager=True))
+        else:
+            dkeys = (dele.withColumn(TKEY, triple_key(cols))
+                     .select(TKEY).distinct())
+            # semi join against the store keeps the no-op contract:
+            # retracting absent triples must not move CURRENT or emit
+            # spurious delete artifacts
+            del_keys = (cur.select(TKEY).join(dkeys, TKEY, "left_semi")
+                        .localCheckpoint(eager=True))
         if not del_keys.limit(1).count():
             del_keys = None
     if ins is not None:
-        cur_after = cur
-        if dele is not None:
-            cur_after = (cur.alias("c")
-                         .join(dele.alias("d"), _quad_eq("c", "d", cols),
-                               "left_anti"))
-        new_rows = (ins.alias("i")
-                    .join(cur_after.alias("c"), _quad_eq("i", "c", cols),
-                          "left_anti")
-                    .withColumn(TKEY, triple_key(cols))
+        live_keys = cur.select(TKEY)
+        if del_keys is not None:
+            live_keys = live_keys.join(del_keys, TKEY, "left_anti")
+        new_rows = (ins.withColumn(TKEY, triple_key(cols))
+                    .join(live_keys, TKEY, "left_anti")
                     .localCheckpoint(eager=True))
         if not new_rows.limit(1).count():
             new_rows = None
@@ -409,9 +414,9 @@ def clear_graph(spark: SparkSession, table: str,
     if GRAPH not in cols:
         if graph is not DEFAULT and graph is not ALL:
             raise ValueError("clear_graph: triple table has no named graphs")
-        dele = cur.select(*cols)
+        dele = cur.select(*cols, TKEY)
     else:
-        dele = cur.filter(_graph_pred(graph)).select(*cols)
+        dele = cur.filter(_graph_pred(graph)).select(*cols, TKEY)
     return _commit_delta(spark, table, base, cur, dele, None, cols)
 
 
@@ -443,7 +448,7 @@ def copy_graph(spark: SparkSession, table: str,
     base, cur, cols = _current(spark, table)
     if src == dst:
         return base
-    dele = cur.filter(_graph_pred(dst)).select(*cols)
+    dele = cur.filter(_graph_pred(dst)).select(*cols, TKEY)
     ins = _src_dst(cur, cols, src, dst)
     return _commit_delta(spark, table, base, cur, dele, ins, cols)
 
@@ -456,6 +461,6 @@ def move_graph(spark: SparkSession, table: str,
     if src == dst:
         return base
     dele = (cur.filter(_graph_pred(dst) | _graph_pred(src))
-            .select(*cols))
+            .select(*cols, TKEY))
     ins = _src_dst(cur, cols, src, dst)
     return _commit_delta(spark, table, base, cur, dele, ins, cols)

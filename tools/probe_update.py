@@ -59,16 +59,17 @@ def main() -> None:
     print(f"store: {n} quads committed in {t_load:.1f}s", flush=True)
 
     # --- 1+2: small DELETE WHERE ------------------------------------
-    # ~n/(10*64) rows: one predicate within one graph
+    # one predicate within one graph: d%10==3 AND d%64==7 has
+    # solutions mod lcm(10,64)=320 (both residues odd) -> n/320 rows
     t0 = time.time()
     delete_where(spark, table, [("?s", "p:3", "?v", "g:7")])
     t_del = time.time() - t0
     man = snapshot_log(table)[-1]
     t0 = time.time()
     sel = read_triple_table(spark, table).filter(
-        (F.col("pred") == "p:4") & (F.col("graph") == "g:7")).count()
+        (F.col("pred") == "p:4") & (F.col("graph") == "g:4")).count()
     t_sel = time.time() - t0
-    print(f"DELETE WHERE (~{n // 640} rows): {t_del:.1f}s, "
+    print(f"DELETE WHERE ({n // 320} rows): {t_del:.1f}s, "
           f"manifest op={man['operation']} added_rows={man['added_rows']} "
           f"delete_files={len(man.get('delete_files') or [])}; "
           f"equivalent SELECT count={sel}: {t_sel:.1f}s", flush=True)
@@ -105,7 +106,7 @@ def main() -> None:
     clear_graph(spark, table, "g:11")
     t_clear = time.time() - t0
     man = snapshot_log(table)[-1]
-    print(f"CLEAR g:11 (~{n // 64} rows): {t_clear:.1f}s, "
+    print(f"CLEAR g:11 ({n // 64} rows): {t_clear:.1f}s, "
           f"delete_files={len(man.get('delete_files') or [])}", flush=True)
 
     # --- 4: distributed LOAD throughput ------------------------------
