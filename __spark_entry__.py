@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": _warc_cdx,
         "warc_wet_text": _warc_wet_text,
         "warc_wat_outlinks": _warc_wat_outlinks,
+        "kg_link_pred_rank": _kg_link_pred_rank,
+        "kg_link_pred_metrics": _kg_link_pred_metrics,
     }
 
     def _wrap(fn):
@@ -213,6 +215,10 @@ _PRIORITY: list[str] = [
     # round-4 re-run)
     "graph_hyperball", "graph_hyperball_nf", "kg_bgp_subquery",
     "graph_harmonic",
+    # round-5 final additions: embedding link-prediction eval (TransE
+    # filtered ranking on the md5 grid — demoted web_hits and
+    # web_crawl_schedule, both green in the committed FULL self-runs)
+    "kg_link_pred_rank", "kg_link_pred_metrics",
     # joins / TPC-H / SQL surface
     "j11_asof_forward", "q6_forecast_revenue",
     "sql_lang_stats",
@@ -240,8 +246,7 @@ _PRIORITY: list[str] = [
     "kg_bgp_version_meta", "kg_bgp_dep_chain", "kg_void_stats",
     "kg_bgp_ask",
     # web link graph / crawl
-    "web_url_normalize", "web_host_degree", "web_hits",
-    "web_crawl_schedule",
+    "web_url_normalize", "web_host_degree",
 ]
 
 
@@ -307,7 +312,9 @@ def oracle_sql() -> dict[str, str]:
             "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
             "warc_cdx": _WARC_CDX_ORACLE,
             "warc_wet_text": _WARC_WET_TEXT_ORACLE,
-            "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE}
+            "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE,
+            "kg_link_pred_rank": _KG_LINK_PRED_RANK_ORACLE,
+            "kg_link_pred_metrics": _KG_LINK_PRED_METRICS_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -2380,3 +2387,127 @@ def _semver_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dependency_edges(docs)
     versions = version_rows(docs)
     return resolve_ranges(edges, versions)
+
+
+# --- embedding link-prediction eval (plans/embed.py) ----------------------
+
+def _dep_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The valid-range dependency edges of the pipeline KG as a
+    (src, rel, dst) set: version module -> npm:dependency -> range
+    module (skolem tarball/shorthand deps carry /.well-known/ genid
+    IRIs and are excluded, mirroring the dep-chain BGP's revision
+    join)."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pref = "http://example.org/bundles/npm/"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return (
+        t.filter((F.col("pred") == NPM + "dependency")
+                 & F.col("obj").startswith(pref)
+                 & ~F.col("obj").contains("/.well-known/"))
+        .select(F.col("subj").alias("src"), F.col("pred").alias("rel"),
+                F.col("obj").alias("dst"))
+    )
+
+
+def _kg_link_pred_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered TransE link-prediction ranks over the dependency-edge
+    KG (md5-grid embeddings -> exact integer scores; hard oracle
+    re-derives edges + the identical scoring in DuckDB)."""
+    from npm_extraction_server_spark.plans.embed import link_pred_ranks
+
+    return link_pred_ranks(_dep_edge_set(spark, sf_dir))
+
+
+def _kg_link_pred_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorecard over the ranks: n / hits@1 / hits@10 / integer-grid
+    MRR numerator (floor(1e8/rank) summed — exact in both engines)."""
+    from npm_extraction_server_spark.plans.embed import (
+        link_pred_metrics,
+        link_pred_ranks,
+    )
+
+    return link_pred_metrics(link_pred_ranks(_dep_edge_set(spark, sf_dir)))
+
+
+def _lp_h(x: str, tag: str, i: int) -> str:
+    """DuckDB twin of plans/embed.md5_component."""
+    return (f"(('0x' || substr(md5({x} || '#{tag}{i}'), 1, 8))"
+            "::UBIGINT)::BIGINT")
+
+
+def _lp_score(src: str, rel: str, cand: str, dim: int = 4) -> str:
+    """DuckDB twin of plans/embed.transe_score (L1 on the md5 grid)."""
+    return " + ".join(
+        f"abs({_lp_h(src, 'e', i)} + {_lp_h(rel, 'r', i)}"
+        f" - {_lp_h(cand, 'e', i)})"
+        for i in range(dim))
+
+
+# Edges replica = the dep-chain bindings (distinct v, d); test split,
+# candidate domain, filtered anti-join and lexicographic tie-break all
+# mirror plans/embed.link_pred_ranks exactly.
+_LP_RANKS_CTE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+edges AS (
+  SELECT DISTINCT v AS src,
+    'https://linkedsoftwaredependencies.org/vocabularies/npm#dependency'
+      AS rel,
+    'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+               ELSE rng END AS dst
+  FROM alldeps
+),
+test AS (
+  SELECT src, rel, dst, """ + _lp_score("src", "rel", "dst") + """ AS ts
+  FROM edges
+  WHERE (('0x' || substr(md5(src || '->' || dst), 1, 4))::UBIGINT)::BIGINT
+        % 5 = 0
+),
+cands AS (SELECT DISTINCT rel, dst AS cand FROM edges),
+pairs AS (
+  SELECT t.src, t.rel, t.dst, t.ts, c.cand,
+         """ + _lp_score("t.src", "t.rel", "c.cand") + """ AS sc
+  FROM test t JOIN cands c ON t.rel = c.rel
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = t.src AND e.rel = t.rel
+                      AND e.dst = c.cand)
+),
+grouped AS (
+  SELECT src, rel, dst,
+    (1 + sum(CASE WHEN sc < ts OR (sc = ts AND cand < dst)
+                  THEN 1 ELSE 0 END))::BIGINT AS rank,
+    count(*)::BIGINT AS n_comp
+  FROM pairs GROUP BY src, rel, dst
+),
+ranks AS (
+  SELECT t.src, t.dst, coalesce(g.rank, 1)::BIGINT AS rank,
+         coalesce(g.n_comp, 0)::BIGINT AS n_comp
+  FROM test t LEFT JOIN grouped g ON t.src = g.src AND t.dst = g.dst
+)
+""")
+
+_KG_LINK_PRED_RANK_ORACLE = _LP_RANKS_CTE + "SELECT * FROM ranks"
+
+_KG_LINK_PRED_METRICS_ORACLE = (_LP_RANKS_CTE + """
+SELECT count(*)::BIGINT AS n,
+       sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)::BIGINT AS hits1,
+       sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits10,
+       sum(100000000 // rank)::BIGINT AS sum_rr_e8
+FROM ranks
+""")
