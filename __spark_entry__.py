@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_wat_outlinks": _warc_wat_outlinks,
         "kg_link_pred_rank": _kg_link_pred_rank,
         "kg_link_pred_metrics": _kg_link_pred_metrics,
+        "kg_shacl_report": _kg_shacl_report,
     }
 
     def _wrap(fn):
@@ -219,6 +220,10 @@ _PRIORITY: list[str] = [
     # filtered ranking on the md5 grid — demoted web_hits and
     # web_crawl_schedule, both green in the committed FULL self-runs)
     "kg_link_pred_rank", "kg_link_pred_metrics",
+    # SHACL-style shape validation report (demoted sketch_bloom — green
+    # in the committed FULL self-runs; sketch family keeps
+    # sketch_distinct in the head)
+    "kg_shacl_report",
     # joins / TPC-H / SQL surface
     "j11_asof_forward", "q6_forecast_revenue",
     "sql_lang_stats",
@@ -239,7 +244,7 @@ _PRIORITY: list[str] = [
     # committed FULL self-runs)
     "snap_stats_prune", "snap_changelog",
     # events / sketches
-    "events_retention", "sketch_distinct", "sketch_bloom",
+    "events_retention", "sketch_distinct",
     # multimodal / tarballs
     "mm_audio_features", "tar_members",
     # KG / BGP layer
@@ -314,7 +319,8 @@ def oracle_sql() -> dict[str, str]:
             "warc_wet_text": _WARC_WET_TEXT_ORACLE,
             "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE,
             "kg_link_pred_rank": _KG_LINK_PRED_RANK_ORACLE,
-            "kg_link_pred_metrics": _KG_LINK_PRED_METRICS_ORACLE}
+            "kg_link_pred_metrics": _KG_LINK_PRED_METRICS_ORACLE,
+            "kg_shacl_report": _KG_SHACL_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -2510,4 +2516,84 @@ SELECT count(*)::BIGINT AS n,
        sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits10,
        sum(100000000 // rank)::BIGINT AS sum_rr_e8
 FROM ranks
+""")
+
+
+# --- SHACL-style shape validation (plans/shacl.py) -------------------------
+
+def _kg_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate on the pipeline KG: VersionShape (targetSubjectsOf
+    doap:name) validates revision cardinality+pattern, qualified
+    dependency cardinality (valid range modules only — skolem genid
+    deps don't count, the qualifiedValueShape analog) and a
+    deliberately-failing nodeKind (names are literals, the shape says
+    IRI) so every constraint component appears in the report."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.shacl import shacl_validate
+
+    DOAP = "http://usefulinc.com/ns/doap#"
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    shapes = [{
+        "id": "VersionShape",
+        "target_pred": DOAP + "name",
+        "target_also_pred": DOAP + "revision",
+        "target_not_contains": "/.well-known/",
+        "properties": [
+            {"path": DOAP + "revision", "min_count": 1, "max_count": 1,
+             "pattern": '^"1\\.'},
+            {"path": NPM + "dependency",
+             "qualified_prefix": "http://example.org/bundles/npm/",
+             "qualified_not_contains": "/.well-known/",
+             "min_count": 1, "max_count": 1},
+            {"path": DOAP + "name", "node_kind": "IRI"},
+        ],
+    }]
+    return shacl_validate(t, shapes)
+
+
+# Violation replica: dep cardinality per version is (hv%10<8)+(hv%9<=5)
+# distinct range-module IRIs; revisions start "1." iff h%2=0; every
+# version's doap:name is a literal (the intentional nodeKind failure).
+_KG_SHACL_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+depcnt AS (
+  SELECT v, count(DISTINCT dep_pkg || '@' || rng)::BIGINT AS n
+  FROM alldeps GROUP BY v
+),
+dep AS (
+  SELECT vers.module_iri AS focus, coalesce(d.n, 0)::BIGINT AS n
+  FROM vers LEFT JOIN depcnt d ON d.v = vers.module_iri
+)
+SELECT focus, 'VersionShape' AS shape,
+  'https://linkedsoftwaredependencies.org/vocabularies/npm#dependency'
+    AS path,
+  'sh:minCount' AS component, n
+FROM dep WHERE n < 1
+UNION ALL
+SELECT focus, 'VersionShape',
+  'https://linkedsoftwaredependencies.org/vocabularies/npm#dependency',
+  'sh:maxCount', n
+FROM dep WHERE n > 1
+UNION ALL
+SELECT module_iri, 'VersionShape',
+  'http://usefulinc.com/ns/doap#revision', 'sh:pattern', 1::BIGINT
+FROM vers WHERE ver LIKE '2.%'
+UNION ALL
+SELECT module_iri, 'VersionShape',
+  'http://usefulinc.com/ns/doap#name', 'sh:nodeKind', 1::BIGINT
+FROM vers
 """)
