@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred_rank": _kg_link_pred_rank,
         "kg_link_pred_metrics": _kg_link_pred_metrics,
         "kg_shacl_report": _kg_shacl_report,
+        "kg_prov_triples": _kg_prov_triples,
     }
 
     def _wrap(fn):
@@ -224,13 +225,17 @@ _PRIORITY: list[str] = [
     # in the committed FULL self-runs; sketch family keeps
     # sketch_distinct in the head)
     "kg_shacl_report",
+    # PROV-O provenance star per source document (demoted
+    # sample_weighted — green in the committed FULL self-run; sampling
+    # keeps sample_k_per_domain in the head)
+    "kg_prov_triples",
     # joins / TPC-H / SQL surface
     "j11_asof_forward", "q6_forecast_revenue",
     "sql_lang_stats",
     # text / retrieval
     "text_collocations", "text_hashed_features", "text_bpe_train",
     # sampling
-    "sample_k_per_domain", "sample_weighted",
+    "sample_k_per_domain",
     # SPARQL 1.1 Update over the triple store (late round-5 addition;
     # demoted graph_labelprop and graph_ppr — both green in the
     # committed FULL self-runs and the judge's round-4 independent
@@ -320,7 +325,8 @@ def oracle_sql() -> dict[str, str]:
             "warc_wat_outlinks": _WARC_WAT_OUTLINKS_ORACLE,
             "kg_link_pred_rank": _KG_LINK_PRED_RANK_ORACLE,
             "kg_link_pred_metrics": _KG_LINK_PRED_METRICS_ORACLE,
-            "kg_shacl_report": _KG_SHACL_ORACLE}
+            "kg_shacl_report": _KG_SHACL_ORACLE,
+            "kg_prov_triples": _KG_PROV_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -2597,3 +2603,51 @@ SELECT module_iri, 'VersionShape',
   'http://usefulinc.com/ns/doap#name', 'sh:nodeKind', 1::BIGINT
 FROM vers
 """)
+
+
+# --- PROV-O provenance emission (plans/kg.prov_triples) ---------------------
+
+def _kg_prov_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C PROV-O star per source document over the pipeline KG
+    (page/graph prov:Entity, #extract prov:Activity, derivation/use
+    edges + generatedAtTime from the page's warc_ts). Hard oracle:
+    src_url and warc_ts are pure functions of doc_id."""
+    from npm_extraction_server_spark.plans.kg import prov_triples, run_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages, include_engines=False)["triples"]
+    return prov_triples(t, pages=pages)
+
+
+_KG_PROV_ORACLE = """
+WITH docs AS (
+  SELECT 'http://crawl.example.org/' || (doc_id % 100) || '/doc-' || doc_id
+           AS url,
+         strftime(TIMESTAMP '2017-06-01 00:00:00' + to_seconds(doc_id),
+                  '%Y-%m-%dT%H:%M:%S') || '.000Z' AS ts
+  FROM documents WHERE doc_id < 100
+)
+SELECT url AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://www.w3.org/ns/prov#Entity' AS obj FROM docs
+UNION ALL
+SELECT url || '#graph',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'http://www.w3.org/ns/prov#Entity' FROM docs
+UNION ALL
+SELECT url || '#graph', 'http://www.w3.org/ns/prov#wasDerivedFrom', url
+FROM docs
+UNION ALL
+SELECT url || '#graph', 'http://www.w3.org/ns/prov#wasGeneratedBy',
+       url || '#extract' FROM docs
+UNION ALL
+SELECT url || '#extract',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'http://www.w3.org/ns/prov#Activity' FROM docs
+UNION ALL
+SELECT url || '#extract', 'http://www.w3.org/ns/prov#used', url FROM docs
+UNION ALL
+SELECT url || '#graph', 'http://www.w3.org/ns/prov#generatedAtTime',
+       '"' || ts || '"^^http://www.w3.org/2001/XMLSchema#dateTime'
+FROM docs
+"""

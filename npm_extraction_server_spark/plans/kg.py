@@ -329,3 +329,58 @@ def select_bundle_docs(docs: DataFrame, names: list[str]) -> DataFrame:
         named.join(F.broadcast(wanted), "name", "left_semi")
         .drop("name")
     )
+
+
+PROV = "http://www.w3.org/ns/prov#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def prov_triples(triples: DataFrame, pages: DataFrame | None = None) -> DataFrame:
+    """W3C PROV-O provenance for the KG itself (SN2's lineage idea at
+    the RDF level): one provenance star per source document, so a
+    consumer can ask the graph where a triple's document came from.
+
+    Per distinct src_url: the crawled page is a prov:Entity, the
+    extracted per-document named graph (<url>#graph — the as_quads
+    graph IRI is the url itself; the fragment keeps the two apart) is
+    a prov:Entity prov:wasDerivedFrom the page and
+    prov:wasGeneratedBy the <url>#extract prov:Activity which
+    prov:used the page. With ``pages`` given, the graph entity also
+    carries prov:generatedAtTime (the page's warc_ts as an
+    xsd:dateTime literal in the kernel's typed-literal encoding).
+
+    One distinct + one generate-6-rows projection (plus a url-keyed
+    join when pages is given): at 10^12 documents this is exactly one
+    shuffle on src_url, and the output is ∝ documents, not triples.
+    """
+    docs = triples.select("src_url").distinct()
+    if pages is not None:
+        ts_lit = F.concat(
+            F.lit('"'),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.lit('"^^' + _XSD_DT))
+        docs = docs.join(
+            pages.select(F.col("url").alias("src_url"),
+                         ts_lit.alias("ts_lit")).distinct(),
+            "src_url", "left")
+    url = F.col("src_url")
+    graph_e = F.concat(url, F.lit("#graph"))
+    act = F.concat(url, F.lit("#extract"))
+    rows = [
+        (url, F.lit(_RDF_TYPE), F.lit(PROV + "Entity")),
+        (graph_e, F.lit(_RDF_TYPE), F.lit(PROV + "Entity")),
+        (graph_e, F.lit(PROV + "wasDerivedFrom"), url),
+        (graph_e, F.lit(PROV + "wasGeneratedBy"), act),
+        (act, F.lit(_RDF_TYPE), F.lit(PROV + "Activity")),
+        (act, F.lit(PROV + "used"), url),
+    ]
+    if pages is not None:
+        rows.append((graph_e, F.lit(PROV + "generatedAtTime"),
+                     F.col("ts_lit")))
+    star = F.array(*[
+        F.struct(s.alias("subj"), p.alias("pred"), o.alias("obj"))
+        for s, p, o in rows])
+    out = docs.select(F.explode(star).alias("t")).select(
+        "t.subj", "t.pred", "t.obj")
+    return out.filter(F.col("obj").isNotNull())
