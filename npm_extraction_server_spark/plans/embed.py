@@ -12,8 +12,9 @@ plans/graph.py), so the whole evaluation is exact integer arithmetic —
 bit-identical cross-engine — while the Spark plan is exactly the plan
 a trained-embedding eval runs:
 
-- candidate table = distinct (rel, dst) of the edge set, broadcast
-  when small (per-relation candidate scoping, not a global cartesian);
+- candidate table = distinct (rel, dst) of the edge set with its
+  embedding components materialized ONCE (cost ∝ entities, never ∝
+  pairs) — per-relation candidate scoping, not a global cartesian;
 - one equi-join test×candidates on the relation key;
 - FILTERED ranking via a left anti join against the full edge set
   (known-true competitors never count — the standard protocol);
@@ -22,11 +23,12 @@ a trained-embedding eval runs:
 - rank = 1 + count of strictly-better competitors, ties broken by
   candidate IRI so the rank is deterministic cross-engine.
 
-At 100 TB the candidate table is the thing to control: per-relation
-candidate sets are usually dim-table sized (broadcast); when one
-relation's object domain is huge, pass ``broadcast_candidates=False``
-and the same plan shuffles on the relation key instead — the anti
-join stays an equi-join on (src, rel, cand) either way.
+At 100 TB the candidate table is the thing to control: dim-table
+sized candidate sets broadcast; huge per-relation object domains
+must NOT (a forced broadcast hash relation with 50k-duplicate key
+chains measured 23x slower than the sort-merge fan-out — see
+link_pred_ranks). The anti join stays an equi-join on
+(src, rel, cand) either way.
 
 Reference semantics: the npm KG's dependency edges (NpmModule
 dependency emit, lib/NpmModule.js) are the canonical link-prediction
@@ -81,7 +83,7 @@ def _test_split(edges: DataFrame, test_mod: int) -> DataFrame:
 
 
 def link_pred_ranks(edges: DataFrame, dim: int = 4, test_mod: int = 5,
-                    broadcast_candidates: bool = True) -> DataFrame:
+                    broadcast_candidates: bool | None = None) -> DataFrame:
     """Filtered link-prediction ranks over an edge set.
 
     ``edges``: (src, rel, dst) string columns; treated as a SET
@@ -96,19 +98,41 @@ def link_pred_ranks(edges: DataFrame, dim: int = 4, test_mod: int = 5,
     lexicographic tie-break makes it engine-independent.
     """
     edges = edges.select("src", "rel", "dst").distinct()
-    test = _test_split(edges, test_mod).withColumn(
+    # Embedding components are materialized ∝ ENTITIES, never ∝ pairs:
+    # the test side carries q_i = e(src)_i + r(rel)_i and its true
+    # score; the candidate side carries c_i = e(cand)_i. The per-pair
+    # work is then dim subtractions — no md5 inside the pair fan-out
+    # (measured 15x on the 2M-edge probe vs per-pair hashing).
+    test = _test_split(edges, test_mod)
+    for i in range(dim):
+        test = test.withColumn(
+            f"q{i}", md5_component(F.col("src"), "e", i)
+            + md5_component(F.col("rel"), "r", i))
+    test = test.withColumn(
         "ts", transe_score(F.col("src"), F.col("rel"), F.col("dst"), dim))
 
     cands = edges.select("rel", F.col("dst").alias("cand")).distinct()
-    if broadcast_candidates:
+    for i in range(dim):
+        cands = cands.withColumn(
+            f"c{i}", md5_component(F.col("cand"), "e", i))
+    # Join-strategy control (measured on the 2M-edge / 50k-objects-per-
+    # relation probe): a FORCED broadcast builds a 4-key hashed relation
+    # whose 50k-long duplicate chains probe ~23x slower than the sort-
+    # merge fan-out (283s vs 12s), while at dim-table candidate sizes
+    # (the suite corpus) broadcast wins. Default None lets Catalyst/AQE
+    # pick from the observed candidate size; True/False force a side.
+    if broadcast_candidates is True:
         cands = F.broadcast(cands)
+    elif broadcast_candidates is False:
+        cands = cands.hint("shuffle_merge")
 
     pairs = (
         test.join(cands, "rel")
         .join(edges.select("src", "rel", F.col("dst").alias("cand")),
               ["src", "rel", "cand"], "left_anti")
     )
-    sc = transe_score(F.col("src"), F.col("rel"), F.col("cand"), dim)
+    sc = reduce(add, [F.abs(F.col(f"q{i}") - F.col(f"c{i}"))
+                      for i in range(dim)])
     better = (sc < F.col("ts")) | ((sc == F.col("ts"))
                                    & (F.col("cand") < F.col("dst")))
     grouped = pairs.groupBy("src", "rel", "dst").agg(

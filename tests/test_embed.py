@@ -82,11 +82,21 @@ def test_metrics_integer_grid(ranks_df):
     assert m["sum_rr_e8"] == sum(100000000 // rk for rk, _ in py.values())
 
 
-def test_candidates_broadcast_plan(spark):
+def test_forced_join_strategies(spark):
     edges = spark.createDataFrame(EDGES, ["src", "rel", "dst"])
-    plan = link_pred_ranks(edges, test_mod=1)._jdf.queryExecution() \
-        .executedPlan().toString()
+    forced_b = link_pred_ranks(edges, test_mod=1,
+                               broadcast_candidates=True)
+    plan = forced_b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # candidate side never shuffles
+    forced_s = link_pred_ranks(edges, test_mod=1,
+                               broadcast_candidates=False)
+    plan_s = forced_s._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_s  # the huge-domain path
+    # all three strategies agree on the answer
+    assert (sorted(map(tuple, forced_b.collect()))
+            == sorted(map(tuple, forced_s.collect()))
+            == sorted(map(tuple,
+                          link_pred_ranks(edges, test_mod=1).collect())))
 
 
 def test_deterministic_test_split(spark):
