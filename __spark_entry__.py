@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred_metrics": _kg_link_pred_metrics,
         "kg_shacl_report": _kg_shacl_report,
         "kg_prov_triples": _kg_prov_triples,
+        "kg_property_graph": _kg_property_graph,
     }
 
     def _wrap(fn):
@@ -229,11 +230,14 @@ _PRIORITY: list[str] = [
     # sample_weighted — green in the committed FULL self-run; sampling
     # keeps sample_k_per_domain in the head)
     "kg_prov_triples",
+    # property-graph export (demoted text_collocations — green in the
+    # committed FULL self-run; text family keeps gopher/hashed/bpe)
+    "kg_property_graph",
     # joins / TPC-H / SQL surface
     "j11_asof_forward", "q6_forecast_revenue",
     "sql_lang_stats",
     # text / retrieval
-    "text_collocations", "text_hashed_features", "text_bpe_train",
+    "text_hashed_features", "text_bpe_train",
     # sampling
     "sample_k_per_domain",
     # SPARQL 1.1 Update over the triple store (late round-5 addition;
@@ -326,7 +330,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_link_pred_rank": _KG_LINK_PRED_RANK_ORACLE,
             "kg_link_pred_metrics": _KG_LINK_PRED_METRICS_ORACLE,
             "kg_shacl_report": _KG_SHACL_ORACLE,
-            "kg_prov_triples": _KG_PROV_ORACLE}
+            "kg_prov_triples": _KG_PROV_ORACLE,
+            "kg_property_graph": _KG_PROPERTY_GRAPH_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -2651,3 +2656,97 @@ SELECT url || '#graph', 'http://www.w3.org/ns/prov#generatedAtTime',
        '"' || ts || '"^^http://www.w3.org/2001/XMLSchema#dateTime'
 FROM docs
 """
+
+
+# --- property-graph export (plans/warehouse.property_graph) ----------------
+
+def _kg_property_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF -> property-graph export over the oracle-able KG slice
+    (doap literal star + valid dependency edges): nodes with out/in
+    degree + property counts. Hard oracle: both inputs have synth
+    replicas, so DuckDB rebuilds the full node relation."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.warehouse import property_graph
+
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pref = "http://example.org/bundles/npm/"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    dep_edges = (
+        t.filter((F.col("pred") == NPM + "dependency")
+                 & F.col("obj").startswith(pref)
+                 & ~F.col("obj").contains("/.well-known/")
+                 & ~F.col("subj").contains("/.well-known/"))
+        .select("subj", "pred", "obj")
+    )
+    return property_graph(_doap_slice(t).unionByName(dep_edges))["nodes"]
+
+
+_KG_PROPERTY_GRAPH_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+pkgdeps AS (
+  SELECT DISTINCT
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng FROM vers WHERE hv%10 < 8
+  UNION
+  SELECT DISTINCT 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+slice AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT module_iri AS subj, 'name' AS pred, '"' || name || '"' AS obj
+    FROM vers
+    UNION ALL
+    SELECT module_iri, 'rev', '"' || ver || '"' FROM vers
+    UNION ALL
+    SELECT 'http://example.org/bundles/npm/' || name, 'name',
+           '"' || name || '"' FROM pkg
+    UNION ALL
+    SELECT 'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+             CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+                      WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+                      ELSE rng END,
+           'rev', '"' || rng || '"'
+    FROM pkgdeps
+  )
+),
+edges AS (
+  SELECT DISTINCT v AS src,
+    'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+               ELSE rng END AS dst
+  FROM alldeps
+),
+ids AS (
+  SELECT DISTINCT id FROM (
+    SELECT subj AS id FROM slice
+    UNION ALL SELECT src FROM edges
+    UNION ALL SELECT dst FROM edges)
+),
+outd AS (SELECT src, count(*) AS n FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*) AS n FROM edges GROUP BY dst),
+np AS (SELECT subj, count(*) AS n FROM slice GROUP BY subj)
+SELECT id, coalesce(o.n, 0)::BIGINT AS out_deg,
+       coalesce(i.n, 0)::BIGINT AS in_deg,
+       coalesce(p.n, 0)::BIGINT AS n_props
+FROM ids LEFT JOIN outd o ON o.src = id
+         LEFT JOIN ind i ON i.dst = id
+         LEFT JOIN np p ON p.subj = id
+""")

@@ -200,3 +200,51 @@ def user_package_index(triples: DataFrame) -> DataFrame:
              .alias("maintains"),
              F.count("*").alias("n_mentions"))
     )
+
+
+def property_graph(triples: DataFrame) -> dict[str, DataFrame]:
+    """Export the RDF triple table as a property graph (the shape
+    GraphFrames / Neo4j-style consumers load): IRI->IRI triples become
+    the ``edges`` relation (src, rel, dst), literal-valued triples
+    become node properties, and ``nodes`` carries every IRI seen on
+    either side with its out/in degree and property count.
+
+    Literal detection is the serialization contract (kernel/serialize:
+    literals carry their quotes in ``obj``). Both outputs are value
+    SETS (triples may repeat across source documents). Every shuffle
+    is keyed on the node id — the same subject-hash layout the triple
+    sink buckets by (write_triples), so on a bucketed store the three
+    degree aggregations are map-side; the final assembly is one
+    id-keyed join tree AQE plans from observed sizes.
+    """
+    lit = F.col("obj").startswith('"')
+    edges = (
+        triples.filter(~lit)
+        .select(F.col("subj").alias("src"), F.col("pred").alias("rel"),
+                F.col("obj").alias("dst"))
+        .distinct()
+    )
+    props = triples.filter(lit).select("subj", "pred", "obj").distinct()
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    n_p = props.groupBy(F.col("subj").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_props"))
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(props.select(F.col("subj").alias("id")))
+        .distinct()
+    )
+    nodes = (
+        ids.join(out_d, "id", "left").join(in_d, "id", "left")
+        .join(n_p, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_props", F.lit(0)).cast("long").alias("n_props"),
+        )
+    )
+    return {"nodes": nodes, "edges": edges}
