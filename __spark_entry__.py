@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_report": _kg_shacl_report,
         "kg_prov_triples": _kg_prov_triples,
         "kg_property_graph": _kg_property_graph,
+        "kg_sparql_text_agg": _kg_sparql_text_agg,
+        "kg_sparql_text_topk": _kg_sparql_text_topk,
     }
 
     def _wrap(fn):
@@ -233,9 +235,12 @@ _PRIORITY: list[str] = [
     # property-graph export (demoted text_collocations — green in the
     # committed FULL self-run; text family keeps gopher/hashed/bpe)
     "kg_property_graph",
+    # SPARQL text front-end (demoted j11_asof_forward and sql_lang_stats
+    # — both green in the committed FULL self-runs; TPC-H/SQL keeps
+    # q6_forecast_revenue in the head)
+    "kg_sparql_text_agg", "kg_sparql_text_topk",
     # joins / TPC-H / SQL surface
-    "j11_asof_forward", "q6_forecast_revenue",
-    "sql_lang_stats",
+    "q6_forecast_revenue",
     # text / retrieval
     "text_hashed_features", "text_bpe_train",
     # sampling
@@ -331,7 +336,9 @@ def oracle_sql() -> dict[str, str]:
             "kg_link_pred_metrics": _KG_LINK_PRED_METRICS_ORACLE,
             "kg_shacl_report": _KG_SHACL_ORACLE,
             "kg_prov_triples": _KG_PROV_ORACLE,
-            "kg_property_graph": _KG_PROPERTY_GRAPH_ORACLE}
+            "kg_property_graph": _KG_PROPERTY_GRAPH_ORACLE,
+            "kg_sparql_text_agg": _KG_BGP_DEP_COUNTS_ORACLE,
+            "kg_sparql_text_topk": _KG_BGP_TOPK_DEPS_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -2750,3 +2757,43 @@ FROM ids LEFT JOIN outd o ON o.src = id
          LEFT JOIN ind i ON i.dst = id
          LEFT JOIN np p ON p.subj = id
 """)
+
+
+# --- SPARQL text front-end (plans/sparql.py) --------------------------------
+
+_SPARQL_PREFIXES = """
+PREFIX doap: <http://usefulinc.com/ns/doap#>
+PREFIX npm: <https://linkedsoftwaredependencies.org/vocabularies/npm#>
+"""
+
+
+def _kg_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kg_bgp_dep_counts aggregate expressed as SPARQL TEXT
+    (plans/sparql.py parses it onto bgp_agg — same Catalyst plan,
+    same hard oracle as the Python-API form)."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.sparql import sparql
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return sparql(t, _SPARQL_PREFIXES + """
+        SELECT ?v (COUNT(DISTINCT ?d) AS ?n_deps) (MIN(?rng) AS ?min_rng)
+        WHERE { ?v npm:dependency ?d . ?d doap:revision ?rng . }
+        GROUP BY ?v
+    """)
+
+
+def _kg_sparql_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kg_bgp_topk_deps ORDER BY + LIMIT page as SPARQL TEXT
+    (parses onto bgp_join's solution modifiers — still
+    TakeOrderedAndProject, same oracle)."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.sparql import sparql
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    return sparql(t, _SPARQL_PREFIXES + """
+        SELECT ?v ?d ?rng
+        WHERE { ?v npm:dependency ?d . ?d doap:revision ?rng . }
+        ORDER BY ?v ?d ?rng LIMIT 25
+    """)
