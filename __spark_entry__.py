@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_graph": _kg_property_graph,
         "kg_sparql_text_agg": _kg_sparql_text_agg,
         "kg_sparql_text_topk": _kg_sparql_text_topk,
+        "kg_sparql_text_path": _kg_sparql_text_path,
     }
 
     def _wrap(fn):
@@ -239,6 +240,9 @@ _PRIORITY: list[str] = [
     # — both green in the committed FULL self-runs; TPC-H/SQL keeps
     # q6_forecast_revenue in the head)
     "kg_sparql_text_agg", "kg_sparql_text_topk",
+    # text property paths (demoted graph_scc — green in the committed
+    # FULL self-runs; the graph family keeps 8 head slots)
+    "kg_sparql_text_path",
     # joins / TPC-H / SQL surface
     "q6_forecast_revenue",
     # text / retrieval
@@ -252,7 +256,6 @@ _PRIORITY: list[str] = [
     "kg_sparql_update", "kg_sparql_update_graphs", "kg_sparql_load",
     # graph
     "graph_kcore", "graph_topo_layers",
-    "graph_scc",
     # lakehouse snapshots (snap_compact demoted — the compaction path
     # is also exercised by snap_eq_delete/snap_zorder here and the
     # committed FULL self-runs)
@@ -338,7 +341,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_prov_triples": _KG_PROV_ORACLE,
             "kg_property_graph": _KG_PROPERTY_GRAPH_ORACLE,
             "kg_sparql_text_agg": _KG_BGP_DEP_COUNTS_ORACLE,
-            "kg_sparql_text_topk": _KG_BGP_TOPK_DEPS_ORACLE}
+            "kg_sparql_text_topk": _KG_BGP_TOPK_DEPS_ORACLE,
+            "kg_sparql_text_path": _KG_BGP_PATH_OPS_ORACLE}
 
 
 # DuckDB replica of sources/synth.py synth_package(i)'s maintainer facts:
@@ -2796,4 +2800,21 @@ def _kg_sparql_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ?v ?d ?rng
         WHERE { ?v npm:dependency ?d . ?d doap:revision ?rng . }
         ORDER BY ?v ?d ?rng LIMIT 25
+    """)
+
+
+def _kg_sparql_text_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kg_bgp_path_ops property path written as SPARQL TEXT —
+    ((npm:dependency/doap:revision)|owl:sameAs) parses onto the same
+    path_edges algebra and reuses its hard oracle."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.sparql import sparql
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"].filter(
+        ~F.col("subj").startswith("http://example.org/engines/"))
+    return sparql(t, _SPARQL_PREFIXES + """
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT ?src ?dst
+        WHERE { ?src (npm:dependency/doap:revision)|owl:sameAs ?dst }
     """)

@@ -31,8 +31,14 @@ Deliberate contract choices, documented rather than hidden:
 - One algebra form per query: a query mixing OPTIONAL with MINUS (or
   aggregates with OPTIONAL, etc.) raises SparqlUnsupported — the
   algebra composes those through subqueries/prepared frames, which
-  have no text syntax here. Same for property paths in pattern
-  position (use plans.bgp.bgp_path / path_edges).
+  have no text syntax here.
+- Property paths in predicate position: sequence ``p1/p2``,
+  alternative ``p1|p2``, inverse ``^p`` and negated sets ``!(p1|p2)``
+  parse onto ``path_edges`` and join into the other patterns (the
+  bgp_join subquery mechanism). Transitive closure (``p+``/``p*``) is
+  SEEDED in this engine (per-pair closure over an unbounded relation
+  is a different algorithm) — the text layer raises and points at
+  ``plans.bgp.bgp_path``.
 
 Everything rejected raises ``SparqlUnsupported`` with the offending
 token — the honest-subset pattern kernel/parse.py uses for RDF docs.
@@ -45,6 +51,7 @@ import re
 from pyspark.sql import DataFrame
 
 from .bgp import (
+    _finish,
     bgp_agg,
     bgp_ask,
     bgp_construct,
@@ -73,7 +80,7 @@ _TOKEN = re.compile(r"""
   | [A-Za-z_][\w-]*
   | -?\d+(?:\.\d+)?
   | !=|<=|>=|&&|\|\|
-  | [{}().;,*=<>!]
+  | [{}().;,*=<>!/^|+]
 """, re.X)
 
 
@@ -143,9 +150,9 @@ class _P:
 def _group(p: _P) -> dict:
     """Parse one { ... } group into its algebra components."""
     p.expect("{")
-    g = {"patterns": [], "optionals": [], "unions": [], "minuses": [],
-         "exists": [], "not_exists": [], "filters": [], "binds": {},
-         "values": None}
+    g = {"patterns": [], "paths": [], "optionals": [], "unions": [],
+         "minuses": [], "exists": [], "not_exists": [], "filters": [],
+         "binds": {}, "values": None}
     while True:
         tok = p.peek()
         if tok is None:
@@ -205,13 +212,13 @@ def _group(p: _P) -> dict:
                 raise SparqlUnsupported("bare nested group (not UNION)")
             g["unions"].append(branches)
         else:
-            _triples_block(p, g["patterns"])
+            _triples_block(p, g)
     return g
 
 
 def _patterns_only(g: dict, ctx: str) -> list[tuple]:
-    extras = [k for k in ("optionals", "unions", "minuses", "exists",
-                          "not_exists", "filters", "binds")
+    extras = [k for k in ("paths", "optionals", "unions", "minuses",
+                          "exists", "not_exists", "filters", "binds")
               if g[k]] + (["values"] if g["values"] else [])
     if extras:
         raise SparqlUnsupported(
@@ -220,13 +227,14 @@ def _patterns_only(g: dict, ctx: str) -> list[tuple]:
     return g["patterns"]
 
 
-def _triples_block(p: _P, out: list[tuple]) -> None:
+def _triples_block(p: _P, g: dict) -> None:
     subj = p.term()
     while True:
-        pred = p.term()
+        pred = _path_alt(p)
         while True:
             obj = p.term()
-            out.append((subj, pred, obj))
+            (g["patterns"] if isinstance(pred, str)
+             else g["paths"]).append((subj, pred, obj))
             if p.peek() == ",":
                 p.i += 1
                 continue
@@ -239,6 +247,88 @@ def _triples_block(p: _P, out: list[tuple]) -> None:
         break
     if p.peek() == ".":
         p.i += 1
+
+
+# --- property-path expressions (predicate position) ---
+
+def _closure_check(p: _P, e):
+    if p.peek() in ("+", "*"):
+        raise SparqlUnsupported(
+            "transitive closure (p+/p*) is seeded in this engine — "
+            "use plans.bgp.bgp_path over path_edges")
+    return e
+
+
+def _path_primary(p: _P):
+    tok = p.peek()
+    if tok == "(":
+        p.i += 1
+        e = _path_alt(p)
+        p.expect(")")
+        return e
+    if tok == "^":
+        p.i += 1
+        return ("inv", _path_primary(p))
+    if tok == "!":
+        p.i += 1
+        p.expect("(")
+        iris = [p.term()]
+        while p.peek() == "|":
+            p.i += 1
+            iris.append(p.term())
+        p.expect(")")
+        bad = [i for i in iris if i.startswith("?") or i.startswith('"')]
+        if bad:
+            raise SparqlUnsupported(f"negated set needs IRIs, got {bad}")
+        return ("neg", *iris)
+    t = p.term()
+    if t.startswith("?") or t.startswith('"'):
+        raise SparqlUnsupported(
+            f"predicate position needs an IRI or path, got {t!r}")
+    return t
+
+
+def _path_seq(p: _P):
+    parts = [_closure_check(p, _path_primary(p))]
+    while p.peek() == "/":
+        p.i += 1
+        parts.append(_closure_check(p, _path_primary(p)))
+    return parts[0] if len(parts) == 1 else ("seq", *parts)
+
+
+def _path_alt(p: _P):
+    parts = [_path_seq(p)]
+    while p.peek() == "|":
+        p.i += 1
+        parts.append(_path_seq(p))
+    return parts[0] if len(parts) == 1 else ("alt", *parts)
+
+
+def _path_frame(triples: DataFrame, s: str, expr, o: str) -> DataFrame:
+    """Evaluate one path pattern (s, pathexpr, o) to a solution frame
+    over its variable terms (the bgp_join subquery shape)."""
+    from pyspark.sql import functions as F
+
+    from .bgp import path_edges
+
+    e = path_edges(triples, expr)
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    if not s_var and not o_var:
+        raise SparqlUnsupported(
+            "path pattern with two constants — use ASK semantics via "
+            "a variable + FILTER")
+    if not s_var:
+        e = e.filter(F.col("src") == s)
+    if not o_var:
+        e = e.filter(F.col("dst") == o)
+    if s_var and o_var and s == o:
+        return e.filter(F.col("src") == F.col("dst"))             .select(F.col("src").alias(s[1:])).distinct()
+    cols = []
+    if s_var:
+        cols.append(F.col("src").alias(s[1:]))
+    if o_var:
+        cols.append(F.col("dst").alias(o[1:]))
+    return e.select(*cols).distinct()
 
 
 def _values(p: _P) -> tuple[list[str], list[tuple]]:
@@ -517,8 +607,8 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
 
 
 def _filters_patterns_only(g: dict, ctx: str) -> list[tuple]:
-    extras = [k for k in ("optionals", "unions", "minuses", "exists",
-                          "not_exists", "binds") if g[k]]
+    extras = [k for k in ("paths", "optionals", "unions", "minuses",
+                          "exists", "not_exists", "binds") if g[k]]
     if extras or g["values"]:
         raise SparqlUnsupported(f"{ctx} supports patterns+FILTER only")
     return g["patterns"]
@@ -527,6 +617,30 @@ def _filters_patterns_only(g: dict, ctx: str) -> list[tuple]:
 def _route_select(triples, select, aggs, g, mods) -> DataFrame:
     common = dict(order_by=mods["order_by"], limit=mods["limit"],
                   offset=mods["offset"])
+    if g["paths"]:
+        other = [k for k in ("optionals", "unions", "minuses", "exists",
+                             "not_exists") if g[k]]
+        if other or aggs or mods["group_by"]:
+            raise SparqlUnsupported(
+                f"property paths combine only with plain patterns and "
+                f"FILTER (found {other or 'aggregates'})")
+        frames = [_path_frame(triples, s, e, o) for s, e, o in g["paths"]]
+        if g["patterns"]:
+            return bgp_join(triples, g["patterns"],
+                            select=select, filters=g["filters"] or None,
+                            values=g["values"], bind=g["binds"] or None,
+                            subqueries=frames, **common)
+        if g["values"] or g["binds"]:
+            raise SparqlUnsupported(
+                "VALUES/BIND with a path-only group (unsupported)")
+        out = frames[0]
+        for f in frames[1:]:
+            shared = [c for c in f.columns if c in out.columns]
+            if not shared:
+                raise SparqlUnsupported(
+                    "path patterns share no variable (cartesian)")
+            out = out.join(f, shared)
+        return _finish(out, select, g["filters"] or None, **common)
     if aggs or mods["group_by"]:
         pats = _filters_patterns_only(g, "aggregate query")
         if not aggs:

@@ -152,3 +152,52 @@ def test_matches_direct_algebra_call(t):
     direct = bgp_join(t, [("?v", EX + "dep", "?d"),
                           ("?d", EX + "name", "?n")], select=["v", "d"])
     assert rows(via_text) == rows(direct)
+
+
+def test_property_path_seq_alt_inv_neg(t):
+    seq = sparql(t, """PREFIX ex: <http://ex.org/>
+        SELECT ?s ?n WHERE { ?s ex:dep/ex:name ?n }""")
+    assert rows(seq) == [("e:v1", '"three"'), ("e:v1", '"two"'),
+                         ("e:v2", '"three"')]
+    inv = sparql(t, """PREFIX ex: <http://ex.org/>
+        SELECT ?d ?v WHERE { ?d ^ex:dep ?v }""")
+    assert rows(inv) == [("e:v2", "e:v1"), ("e:v3", "e:v1"),
+                         ("e:v3", "e:v2")]
+    alt = sparql(t, """PREFIX ex: <http://ex.org/>
+        SELECT ?x ?y WHERE { ?x ex:dep|ex:name ?y }""")
+    assert len(rows(alt)) == 6
+    neg = sparql(t, """PREFIX ex: <http://ex.org/>
+        SELECT ?x ?y WHERE { ?x !(ex:dep|ex:name) ?y }""")
+    assert rows(neg) == [("e:v1", EX + "Version")]  # only rdf:type
+
+
+def test_property_path_joins_base_patterns(t):
+    out = sparql(t, """PREFIX ex: <http://ex.org/>
+        SELECT ?v ?dn WHERE {
+            ?v ex:name ?n .
+            ?v ex:dep/ex:name ?dn .
+            FILTER(?n = "one") }""")
+    assert rows(out) == [("e:v1", '"three"'), ("e:v1", '"two"')]
+
+
+def test_property_path_constant_endpoint(t):
+    out = sparql(t, """PREFIX ex: <http://ex.org/>
+        SELECT ?n WHERE { <e:v1> ex:dep/ex:name ?n }""")
+    assert rows(out) == [('"three"',), ('"two"',)]
+
+
+def test_path_closure_raises(t):
+    with pytest.raises(SparqlUnsupported):
+        sparql(t, """PREFIX ex: <http://ex.org/>
+            SELECT ?x ?y WHERE { ?x ex:dep+ ?y }""")
+
+
+def test_path_matches_algebra(t):
+    from npm_extraction_server_spark.plans.bgp import path_edges
+
+    via_text = sparql(t, """PREFIX ex: <http://ex.org/>
+        SELECT ?src ?dst WHERE { ?src (ex:dep/ex:name)|ex:name ?dst }""")
+    direct = path_edges(
+        t, ("alt", ("seq", EX + "dep", EX + "name"), EX + "name"))
+    assert rows(via_text) == sorted(
+        (r["src"], r["dst"]) for r in direct.collect())
