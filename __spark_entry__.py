@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_report": _kg_shacl_report,
         "kg_prov_triples": _kg_prov_triples,
         "kg_property_graph": _kg_property_graph,
+        "kg_char_sets": _kg_char_sets,
         "kg_sparql_text_agg": _kg_sparql_text_agg,
         "kg_sparql_text_topk": _kg_sparql_text_topk,
         "kg_sparql_text_path": _kg_sparql_text_path,
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_describe": _KG_DESCRIBE_ORACLE,
             "kg_bgp_ask": _KG_BGP_ASK_ORACLE,
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
+            "kg_char_sets": _KG_CHAR_SETS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_bgp_exists_deps": _KG_BGP_EXISTS_DEPS_ORACLE,
             "kg_bgp_bind": _KG_BGP_BIND_ORACLE,
@@ -2760,6 +2762,102 @@ SELECT id, coalesce(o.n, 0)::BIGINT AS out_deg,
 FROM ids LEFT JOIN outd o ON o.src = id
          LEFT JOIN ind i ON i.dst = id
          LEFT JOIN np p ON p.subj = id
+""")
+
+
+def _kg_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011) over the
+    oracle-able KG slice (doap literal star + valid dependency
+    edges): one row per distinct per-subject predicate set with
+    subject/triple counts — the star-join cardinality statistic one
+    step past kg_void_stats' per-predicate counts. Hard oracle: the
+    synth replica re-derives every subject's predicate set, and the
+    signature/counters are deterministic integers/ASCII strings."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+    from npm_extraction_server_spark.plans.warehouse import (
+        characteristic_sets,
+    )
+
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pref = "http://example.org/bundles/npm/"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    dep_edges = (
+        t.filter((F.col("pred") == NPM + "dependency")
+                 & F.col("obj").startswith(pref)
+                 & ~F.col("obj").contains("/.well-known/")
+                 & ~F.col("subj").contains("/.well-known/"))
+        .select("subj", "pred", "obj")
+    )
+    trip = (_doap_slice(t).unionByName(dep_edges)
+            .dropDuplicates(["subj", "pred", "obj"]))
+    return characteristic_sets(trip)
+
+
+_KG_CHAR_SETS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+pkgdeps AS (
+  SELECT DISTINCT
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng FROM vers WHERE hv%10 < 8
+  UNION
+  SELECT DISTINCT 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+trip AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT module_iri AS subj,
+           'http://usefulinc.com/ns/doap#name' AS pred,
+           '"' || name || '"' AS obj
+    FROM vers
+    UNION ALL
+    SELECT module_iri, 'http://usefulinc.com/ns/doap#revision',
+           '"' || ver || '"' FROM vers
+    UNION ALL
+    SELECT 'http://example.org/bundles/npm/' || name,
+           'http://usefulinc.com/ns/doap#name', '"' || name || '"'
+    FROM pkg
+    UNION ALL
+    SELECT 'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+             CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+                      WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+                      ELSE rng END,
+           'http://usefulinc.com/ns/doap#revision', '"' || rng || '"'
+    FROM pkgdeps
+    UNION ALL
+    SELECT v,
+           'https://linkedsoftwaredependencies.org/vocabularies/npm#dependency',
+           'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+             CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+                      WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+                      ELSE rng END
+    FROM alldeps
+  )
+),
+per_subj AS (
+  SELECT subj, string_agg(DISTINCT pred, '|' ORDER BY pred) AS char_set,
+         count(DISTINCT pred) AS n_preds, count(*) AS n_triples
+  FROM trip GROUP BY subj
+)
+SELECT char_set, min(n_preds)::BIGINT AS n_preds,
+       count(*)::BIGINT AS n_subjects, sum(n_triples)::BIGINT AS n_triples
+FROM per_subj GROUP BY char_set
 """)
 
 

@@ -2298,6 +2298,18 @@ def graph_link_predict(spark, sf):
     return link_predict(_kg_graph_edges(spark, sf), min_common=2)
 
 
+def graph_lpa_communities(spark, sf):
+    """Label-propagation community detection over the KG multigraph
+    (hard oracle: the synchronous min-tie-break rounds unrolled in
+    DuckDB — a bit-exact oracle for a community detector, possible
+    because the min tie-break removes LPA's only nondeterminism).
+    Three rounds: the ring+chord structure settles into label basins
+    around the low-id chord anchors."""
+    from ..plans.graph import lpa_communities
+
+    return lpa_communities(_kg_graph_edges(spark, sf), rounds=3)
+
+
 def graph_walks(spark, sf):
     """Deterministic hash-seeded random walks over the KG multigraph:
     50 start nodes x 2 walks each, 8 steps (hard oracle: the steps
@@ -2461,6 +2473,7 @@ SPARK_QUERIES = {
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
+    "graph_lpa_communities": graph_lpa_communities,
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
     "graph_weighted_walks": graph_weighted_walks,
@@ -3136,8 +3149,10 @@ _GRAPH_LINK_PREDICT_SQL = f"""
     ),
     deg AS (SELECT n, count(*)::BIGINT AS d FROM adj GROUP BY n),
     pairs AS (
-        SELECT a1.m AS u, a2.m AS w, count(*)::BIGINT AS common
+        SELECT a1.m AS u, a2.m AS w, count(*)::BIGINT AS common,
+               sum(100000000 // dc.d)::BIGINT AS ra_grid
         FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.m < a2.m
+        JOIN deg dc ON dc.n = a1.n
         GROUP BY a1.m, a2.m
         HAVING count(*) >= 2
     ),
@@ -3148,11 +3163,44 @@ _GRAPH_LINK_PREDICT_SQL = f"""
     SELECT c.u AS a, c.w AS b, c.common,
            da.d AS deg_a, db.d AS deg_b,
            (da.d + db.d - c.common)::BIGINT AS union_n,
-           (da.d * db.d)::BIGINT AS pref_attach
+           (da.d * db.d)::BIGINT AS pref_attach,
+           c.ra_grid
     FROM cand c
     JOIN deg da ON da.n = c.u
     JOIN deg db ON db.n = c.w
 """
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """lpa_communities' SQL twin: the synchronous min-tie-break label
+    rounds unrolled — l0 = own id; l{r} picks per node the (count desc,
+    label asc) argmax over neighbor labels in l{r-1}."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    adj AS (
+        SELECT a AS n, b AS m FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    c{r} AS (
+        SELECT a.n, l.label, count(*) AS c
+        FROM adj a JOIN l{r - 1} l ON l.node = a.m
+        GROUP BY a.n, l.label),
+    l{r} AS (
+        SELECT node, label FROM (
+            SELECT n AS node, label,
+                   row_number() OVER (PARTITION BY n
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{r})
+        WHERE rn = 1)"""
+    sql += f"\n    SELECT node, label FROM l{rounds}"
+    return sql
 
 
 
@@ -3668,6 +3716,7 @@ ORACLE_SQL = {
     "graph_ppr": _ppr_sql(5),
     "graph_sssp": _GRAPH_SSSP_SQL,
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
+    "graph_lpa_communities": _lpa_sql(3),
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
     "graph_clustering_coeff": f"""

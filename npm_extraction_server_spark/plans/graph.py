@@ -1126,10 +1126,21 @@ def link_predict(edges: DataFrame, min_common: int = 1,
     the package-dependency graph: packages sharing many dependents
     but no direct edge are likely alternatives).
 
-    Returns (a, b, common, deg_a, deg_b, union_n, pref_attach) with
-    a < b, one row per predicted pair. All columns are integers, so
-    the DuckDB oracle is bit-exact; callers rank by common desc or
-    common/union_n (exact rational compare: c1*u2 > c2*u1).
+    Also emits the Resource Allocation index (Zhou/Lu/Zhang 2009) —
+    sum over common neighbors c of 1/deg(c), which down-weights hub
+    witnesses — on the repo's integer grid: ra_grid = sum of
+    floor(1e8 / deg(c)). Floor division of positive integers is
+    bit-exact in both engines, so RA joins the hard oracle instead of
+    becoming a float column (the harmonic-centrality protocol).
+    deg(c) here is the FULL-graph degree even under ``max_degree``
+    (the cap prunes which centers generate candidates, not the
+    degree a surviving witness contributes).
+
+    Returns (a, b, common, deg_a, deg_b, union_n, pref_attach,
+    ra_grid) with a < b, one row per predicted pair. All columns are
+    integers, so the DuckDB oracle is bit-exact; callers rank by
+    common desc, common/union_n (exact rational compare:
+    c1*u2 > c2*u1), or ra_grid desc.
 
     Scale shape: wedges are enumerated at their CENTER node — a
     degree-d center yields the d*(d-1)/2 candidate pairs its
@@ -1159,13 +1170,20 @@ def link_predict(edges: DataFrame, min_common: int = 1,
     if max_degree is not None:
         adj = (adj.join(deg.filter(F.col("d") <= max_degree)
                         .select("n"), "n", "left_semi"))
-    # wedges at center n: unordered neighbor pair (u, w), u < w
-    left = adj.select(F.col("n").alias("c"), F.col("m").alias("u"))
+    # wedges at center n: unordered neighbor pair (u, w), u < w.
+    # The center's full-graph degree rides along on the LEFT leg so
+    # the RA witness weight needs no post-aggregation re-join.
+    degc = deg.select(F.col("n").alias("c"),
+                      F.expr("CAST(100000000 DIV d AS BIGINT)")
+                      .alias("ra_c"))
+    left = (adj.select(F.col("n").alias("c"), F.col("m").alias("u"))
+            .join(degc, "c"))
     right = adj.select(F.col("n").alias("c"), F.col("m").alias("w"))
     pairs = (left.join(right, "c")
              .filter(F.col("u") < F.col("w"))
              .groupBy("u", "w")
-             .agg(F.count("*").alias("common"))
+             .agg(F.count("*").alias("common"),
+                  F.sum("ra_c").alias("ra_grid"))
              .filter(F.col("common") >= min_common))
     # drop already-adjacent pairs (u < w matches und's a < b)
     cand = pairs.join(
@@ -1178,7 +1196,60 @@ def link_predict(edges: DataFrame, min_common: int = 1,
                     (F.col("deg_a") + F.col("deg_b") - F.col("common"))
                     .alias("union_n"),
                     (F.col("deg_a") * F.col("deg_b"))
-                    .alias("pref_attach")))
+                    .alias("pref_attach"),
+                    "ra_grid"))
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over the undirected simple graph induced by
+    ``edges``: every node starts labeled with its own id; each round,
+    every node adopts the label most frequent among its neighbors,
+    ties broken by the MINIMUM label. The min tie-break makes the
+    synchronous schedule fully deterministic (the paper's random
+    order/tie-break is the only nondeterminism in LPA), so a fixed
+    round count unrolls to an exact DuckDB twin — a hard oracle for a
+    community detector. This is the community question
+    ``propagate_labels`` (nearest-SEED labeling) cannot answer: no
+    seeds, communities emerge from the edge structure alone.
+
+    Returns (node, label) for every non-isolated node. ``rounds`` is
+    fixed, not converged-to: synchronous LPA can 2-cycle on bipartite
+    structures (known since the original paper), so production runs
+    pick a small fixed budget — labels stabilize in O(diameter) of
+    each community in practice.
+
+    Scale shape: per round, ONE shuffle join of the label table into
+    the neighbor-keyed adjacency, a map-side-combinable (node, label)
+    count, and a node-keyed window pick — all keyed on node ids, cost
+    ∝ |E| per round regardless of community count. The adjacency is
+    built once and cached; the label frame is lazily checkpointed
+    each round so the plan stays round-deep, not round-exponential.
+
+    Oracle twin: _lpa_sql in operators/suite.py.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m")))
+           .localCheckpoint(eager=True))
+    labels = adj.select(F.col("n").alias("node")).distinct() \
+                .withColumn("label", F.col("node"))
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(),
+                                        F.col("label").asc())
+    for _ in range(rounds):
+        cnt = (adj.join(labels.withColumnRenamed("node", "m"), "m")
+               .groupBy("n", "label").agg(F.count("*").alias("c")))
+        labels = (cnt.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("n").alias("node"), "label")
+                  .localCheckpoint(eager=False))
+    return labels
 
 
 def random_walks(edges: DataFrame, starts: DataFrame, length: int = 8,

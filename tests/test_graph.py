@@ -426,18 +426,92 @@ def test_link_predict_matches_bruteforce(spark):
         for u, w in itertools.combinations(sorted(nbr), 2):
             if (u, w) in und:
                 continue
-            common = sum(1 for c in nbr[u] & nbr[w] if c in centers)
+            witnesses = [c for c in nbr[u] & nbr[w] if c in centers]
+            common = len(witnesses)
             if common >= min_common:
                 du, dw = len(nbr[u]), len(nbr[w])
-                exp[(u, w)] = (common, du, dw, du + dw - common, du * dw)
+                # RA on the integer grid: full-graph degree of each
+                # surviving witness, floor(1e8 / deg)
+                ra = sum(100000000 // len(nbr[c]) for c in witnesses)
+                exp[(u, w)] = (common, du, dw, du + dw - common,
+                               du * dw, ra)
         return exp
 
     for kwargs in ({"min_common": 1}, {"min_common": 2},
                    {"min_common": 1, "max_degree": 4}):
         got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.union_n,
-                            r.pref_attach)
+                            r.pref_attach, r.ra_grid)
                for r in link_predict(edges, **kwargs).collect()}
         assert got == brute(**kwargs), kwargs
+
+
+def test_lpa_communities_matches_python_twin(spark):
+    """lpa_communities pinned against a pure-Python synchronous LPA
+    with the same min tie-break, on two cliques joined by one bridge
+    edge: after 3 rounds each clique collapses to its min id, and the
+    result is invariant to edge direction/duplication."""
+    from npm_extraction_server_spark.plans.graph import lpa_communities
+
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    edge_list = c1 + c2 + [(4, 10)]
+    # direction + duplicate noise must not change anything
+    noisy = edge_list + [(b, a) for a, b in edge_list[:5]] + c1[:3]
+
+    nbr: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+
+    def python_lpa(rounds):
+        lab = {n: n for n in nbr}
+        for _ in range(rounds):
+            new = {}
+            for n in nbr:
+                cnt: dict[int, int] = {}
+                for m in nbr[n]:
+                    cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+                best = max(cnt.values())
+                new[n] = min(l for l, c in cnt.items() if c == best)
+            lab = new
+        return lab
+
+    for rounds in (1, 3):
+        exp = python_lpa(rounds)
+        for elist in (edge_list, noisy):
+            edges = spark.createDataFrame(elist, "src long, dst long")
+            got = {r.node: r.label
+                   for r in lpa_communities(edges, rounds=rounds).collect()}
+            assert got == exp, (rounds, len(elist))
+    # the two cliques end as two communities anchored at their min ids
+    final = python_lpa(3)
+    assert {final[n] for n in range(5)} == {0}
+    assert {final[n] for n in range(10, 15)} == {10}
+
+
+def test_characteristic_sets_counts_and_signature(spark):
+    """characteristic_sets: signatures are sorted distinct predicates,
+    n_subjects counts subjects per shape, n_triples sums their triple
+    counts (duplicate predicate occurrences counted, set unchanged)."""
+    from npm_extraction_server_spark.plans.warehouse import (
+        characteristic_sets,
+    )
+
+    rows = [
+        ("s1", "p:name", "a"), ("s1", "p:rev", "b"),
+        ("s2", "p:rev", "c"), ("s2", "p:name", "d"),
+        ("s2", "p:name", "e"),            # repeat pred, new obj
+        ("s3", "p:name", "f"),
+        ("s4", "p:dep", "g"), ("s4", "p:name", "h"), ("s4", "p:rev", "i"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r.char_set: (r.n_preds, r.n_subjects, r.n_triples)
+           for r in characteristic_sets(t).collect()}
+    assert got == {
+        "p:name|p:rev": (2, 2, 5),
+        "p:name": (1, 1, 1),
+        "p:dep|p:name|p:rev": (3, 1, 3),
+    }
 
 
 def test_random_walks_deterministic_and_sink_stop(spark):
