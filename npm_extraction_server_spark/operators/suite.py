@@ -2052,6 +2052,17 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_coloring(spark, sf):
+    """Distributed greedy coloring over the KG multigraph (hard
+    oracle: the Luby/Jones-Plassmann rounds unrolled in DuckDB with
+    the identical md5 priorities and mex picks — bit-exact colors).
+    The fixed graph settles in 10 rounds / 6 colors; the oracle
+    unrolls 12 (fixpoint rounds are no-ops)."""
+    from ..plans.graph import greedy_coloring
+
+    return greedy_coloring(_kg_graph_edges(spark, sf))
+
+
 def graph_mis(spark, sf):
     """Luby maximal independent set over the KG multigraph with
     deterministic md5 round priorities (hard oracle: the rounds
@@ -2474,6 +2485,7 @@ SPARK_QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
     "graph_lpa_communities": graph_lpa_communities,
+    "graph_coloring": graph_coloring,
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
     "graph_weighted_walks": graph_weighted_walks,
@@ -3290,6 +3302,58 @@ def _mis_sql(rounds: int = 4) -> str:
     return sql
 
 
+def _coloring_sql(rounds: int = 12) -> str:
+    """greedy_coloring unrolled: per round, uncolored nodes beating
+    every uncolored neighbor's md5(round:node) priority win and take
+    the mex of their colored neighbors' colors. Rounds past the
+    fixpoint are no-ops (empty uncolored -> empty winners)."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    s0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS n, b AS m FROM s0 UNION ALL SELECT b, a FROM s0
+    ),
+    u0 AS MATERIALIZED (SELECT DISTINCT n FROM adj),
+    col0 AS MATERIALIZED (SELECT n, 0::INT AS color FROM u0 WHERE false)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    pr{r} AS MATERIALIZED (
+        SELECT n, ('0x' || substr(md5({r} || ':' || n), 1, 15))::UBIGINT AS p
+        FROM u{r - 1}),
+    mx{r} AS MATERIALIZED (
+        SELECT e.n, max(pm.p) AS mp
+        FROM adj e
+        JOIN pr{r} pm ON pm.n = e.m
+        SEMI JOIN u{r - 1} uu ON uu.n = e.n
+        GROUP BY e.n),
+    w{r} AS MATERIALIZED (
+        SELECT pr.n FROM pr{r} pr LEFT JOIN mx{r} mx ON mx.n = pr.n
+        WHERE mx.n IS NULL OR pr.p > mx.mp),
+    nc{r} AS MATERIALIZED (
+        SELECT w.n,
+               coalesce(mexed.color, 0)::INT AS color
+        FROM w{r} w LEFT JOIN (
+            SELECT u.n,
+                   list_min(list_filter(range(0, len(u.used) + 1),
+                                        x -> NOT list_contains(u.used, x)))
+                   AS color
+            FROM (
+                SELECT w2.n, list(DISTINCT c.color) AS used
+                FROM w{r} w2
+                JOIN adj e ON e.n = w2.n
+                JOIN col{r - 1} c ON c.n = e.m
+                GROUP BY w2.n) u) mexed ON mexed.n = w.n),
+    col{r} AS MATERIALIZED (
+        SELECT * FROM col{r - 1} UNION ALL SELECT * FROM nc{r}),
+    u{r} AS MATERIALIZED (
+        SELECT u.n FROM u{r - 1} u ANTI JOIN w{r} w ON w.n = u.n)"""
+    sql += f"\n    SELECT n AS node_id, color FROM col{rounds}"
+    return sql
+
+
 def _ktruss_sql(k: int, rounds: int = 5) -> str:
     """ktruss's peeling unrolled: per round, per-edge triangle support
     over the survivor set (naive a<b<c enumeration), keep support >=
@@ -3717,6 +3781,7 @@ ORACLE_SQL = {
     "graph_sssp": _GRAPH_SSSP_SQL,
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_lpa_communities": _lpa_sql(3),
+    "graph_coloring": _coloring_sql(12),
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
     "graph_clustering_coeff": f"""

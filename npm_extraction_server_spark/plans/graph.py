@@ -1572,6 +1572,91 @@ def maximal_independent_set(edges: DataFrame,
         f"maximal_independent_set: no convergence in {max_rounds} rounds")
 
 
+def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Distributed greedy graph coloring (Jones-Plassmann with Luby
+    re-draws): each round, every still-uncolored node draws priority
+    p = md5(round:node) and wins iff it beats every uncolored
+    neighbor; winners form an independent set, so each safely takes
+    the MEX (smallest non-negative integer) of its already-colored
+    neighbors' colors. Any edge's endpoints either win in different
+    rounds (the later sees the earlier's color in its mex) or never
+    tie (15-hex md5 keys), so the result is a proper coloring —
+    greedy-bounded at maxdeg+1 colors. Coloring is the classic
+    scheduling primitive (color classes = conflict-free parallel
+    batches, e.g. for edge-disjoint graph mutations or async label
+    updates); md5 priorities make the whole run a pure function of
+    the graph, identical on every partitioning and engine.
+
+    Returns (node_id, color int) for every non-isolated node.
+
+    Scale shape: per round, one join of the adjacency against the
+    uncolored-priority frame + a groupBy(n) max for the local-max
+    test, and one adjacency join against the colored frame for the
+    mex — all node-keyed, no blowup. One driver action per round (the
+    uncolored count, off a lazy checkpoint — the kcore/topo_layers
+    job-budget pattern); the uncolored set shrinks geometrically.
+
+    Oracle twin: _coloring_sql in operators/suite.py (rounds
+    unrolled; fixpoint rounds are no-ops).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m")))
+           .localCheckpoint(eager=True))
+    uncolored = (adj.select("n").distinct()
+                 .localCheckpoint(eager=False))
+    colors: DataFrame | None = None
+    mex = F.array_min(F.filter(
+        F.sequence(F.lit(0), F.size("used")),
+        lambda x: ~F.array_contains(F.col("used"), x)))
+    for r in range(1, max_rounds + 1):
+        if not uncolored.count():
+            if colors is None:
+                return uncolored.select(F.col("n").alias("node_id"),
+                                        F.lit(0).cast("int").alias("color"))
+            return colors
+        pr = uncolored.select(
+            "n",
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(str(r)), F.col("n").cast("string"))), 1, 15),
+                16, 10).cast("bigint").alias("p"))
+        nbr_max = (adj.join(pr.select(F.col("n").alias("m"),
+                                      F.col("p").alias("p_m")), "m")
+                   .join(uncolored, "n", "left_semi")
+                   .groupBy("n").agg(F.max("p_m").alias("mp")))
+        winners = (pr.join(nbr_max, "n", "left")
+                   .filter(F.col("mp").isNull()
+                           | (F.col("p") > F.col("mp")))
+                   .select("n"))
+        if colors is None:
+            newc = winners.select(
+                F.col("n").alias("node_id"),
+                F.lit(0).cast("int").alias("color"))
+        else:
+            used = (winners.join(adj, "n")
+                    .join(colors.select(F.col("node_id").alias("m"),
+                                        "color"), "m")
+                    .groupBy("n")
+                    .agg(F.collect_set("color").alias("used")))
+            newc = (winners.join(used, "n", "left")
+                    .select(F.col("n").alias("node_id"),
+                            F.when(F.col("used").isNull(), F.lit(0))
+                            .otherwise(mex).cast("int").alias("color")))
+        colors = (newc if colors is None
+                  else colors.unionByName(newc)).localCheckpoint(eager=False)
+        uncolored = (uncolored.join(winners, "n", "left_anti")
+                     .localCheckpoint(eager=False))
+    raise RuntimeError(
+        f"greedy_coloring: no convergence in {max_rounds} rounds")
+
+
 def weighted_random_walks(edges: DataFrame, starts: DataFrame,
                           length: int = 8,
                           walks_per_node: int = 1) -> DataFrame:

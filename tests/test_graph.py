@@ -489,6 +489,59 @@ def test_lpa_communities_matches_python_twin(spark):
     assert {final[n] for n in range(10, 15)} == {10}
 
 
+def test_greedy_coloring_proper_and_matches_twin(spark):
+    """greedy_coloring: proper coloring (no monochromatic edge),
+    greedy bound (colors <= maxdeg+1), and bit-equality with a
+    pure-Python twin of the md5 round rule — incl. a clique (forces
+    maxdeg+1 colors, one winner per round) and direction/duplicate
+    invariance."""
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import greedy_coloring
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    ring = [(i, (i + 1) % 12) for i in range(100, 112)]
+    edge_list = clique + ring + [(4, 100)]
+    noisy = edge_list + [(b, a) for a, b in edge_list[:4]] + clique[:2]
+
+    nbr: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+
+    def python_coloring():
+        color: dict[int, int] = {}
+        unc = set(nbr)
+        r = 0
+        while unc:
+            r += 1
+            p = {n: int(hashlib.md5(f"{r}:{n}".encode())
+                        .hexdigest()[:15], 16) for n in unc}
+            winners = [n for n in unc
+                       if all(p[n] > p[m] for m in nbr[n] if m in unc)]
+            for n in winners:
+                used = {color[m] for m in nbr[n] if m in color}
+                c = 0
+                while c in used:
+                    c += 1
+                color[n] = c
+            unc -= set(winners)
+        return color
+
+    exp = python_coloring()
+    for elist in (edge_list, noisy):
+        edges = spark.createDataFrame(elist, "src long, dst long")
+        got = {r.node_id: r.color
+               for r in greedy_coloring(edges).collect()}
+        assert got == exp
+    # proper + greedy bound
+    assert all(exp[a] != exp[b] for a, b in edge_list)
+    maxdeg = max(len(v) for v in nbr.values())
+    assert max(exp.values()) <= maxdeg
+    # the 5-clique needs exactly 5 colors
+    assert {exp[n] for n in range(5)} == set(range(5))
+
+
 def test_characteristic_sets_counts_and_signature(spark):
     """characteristic_sets: signatures are sorted distinct predicates,
     n_subjects counts subjects per shape, n_triples sums their triple
