@@ -2052,6 +2052,17 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_matching(spark, sf):
+    """Maximal matching over the KG multigraph (hard oracle: the
+    edge-Luby rounds unrolled in DuckDB with identical md5 priorities
+    — the matched edge set is bit-identical). The fixed graph matches
+    228 edges in 5 rounds; the oracle unrolls 7 (fixpoint no-ops).
+    Matched endpoints double as the 2-approx vertex cover."""
+    from ..plans.graph import maximal_matching
+
+    return maximal_matching(_kg_graph_edges(spark, sf))
+
+
 def graph_coloring(spark, sf):
     """Distributed greedy coloring over the KG multigraph (hard
     oracle: the Luby/Jones-Plassmann rounds unrolled in DuckDB with
@@ -2486,6 +2497,7 @@ SPARK_QUERIES = {
     "graph_link_predict": graph_link_predict,
     "graph_lpa_communities": graph_lpa_communities,
     "graph_coloring": graph_coloring,
+    "graph_matching": graph_matching,
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
     "graph_weighted_walks": graph_weighted_walks,
@@ -3302,6 +3314,44 @@ def _mis_sql(rounds: int = 4) -> str:
     return sql
 
 
+def _matching_sql(rounds: int = 7) -> str:
+    """maximal_matching unrolled: per round, live edges whose
+    md5(round:a:b) priority is the max at BOTH endpoints enter the
+    matching; covered edges leave. Fixpoint rounds are no-ops."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    pr{r} AS MATERIALIZED (
+        SELECT a, b,
+               ('0x' || substr(md5({r} || ':' || a || ':' || b), 1, 15))
+               ::UBIGINT AS p
+        FROM l{r - 1}),
+    nm{r} AS MATERIALIZED (
+        SELECT node, max(p) AS mx FROM (
+            SELECT a AS node, p FROM pr{r}
+            UNION ALL SELECT b, p FROM pr{r}) GROUP BY node),
+    w{r} AS MATERIALIZED (
+        SELECT pr.a, pr.b FROM pr{r} pr
+        JOIN nm{r} na ON na.node = pr.a
+        JOIN nm{r} nb ON nb.node = pr.b
+        WHERE pr.p >= na.mx AND pr.p >= nb.mx),
+    mn{r} AS MATERIALIZED (
+        SELECT a AS n FROM w{r} UNION SELECT b FROM w{r}),
+    l{r} AS MATERIALIZED (
+        SELECT l.a, l.b FROM l{r - 1} l
+        ANTI JOIN mn{r} ma ON ma.n = l.a
+        ANTI JOIN mn{r} mb ON mb.n = l.b)"""
+    sql += ("\n    SELECT a, b FROM ("
+            + " UNION ALL ".join(f"SELECT a, b FROM w{k}"
+                                 for k in range(1, rounds + 1)) + ")")
+    return sql
+
+
 def _coloring_sql(rounds: int = 12) -> str:
     """greedy_coloring unrolled: per round, uncolored nodes beating
     every uncolored neighbor's md5(round:node) priority win and take
@@ -3782,6 +3832,7 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_lpa_communities": _lpa_sql(3),
     "graph_coloring": _coloring_sql(12),
+    "graph_matching": _matching_sql(7),
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
     "graph_clustering_coeff": f"""

@@ -1572,6 +1572,71 @@ def maximal_independent_set(edges: DataFrame,
         f"maximal_independent_set: no convergence in {max_rounds} rounds")
 
 
+def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Maximal matching via Luby's symmetry-breaking on EDGES: each
+    round, every live edge draws p = md5(round:a:b) and enters the
+    matching iff p is the maximum among all edges sharing either
+    endpoint (unique 15-hex keys make >= the strict local max);
+    matched endpoints leave, killing their incident edges. The result
+    is a maximal (not maximum) matching — no live edge survives with
+    both endpoints free — and its endpoint set is the classic
+    2-approximate vertex cover. Expected O(log n) rounds;
+    deterministic on any partitioning/engine.
+
+    Returns (a, b) matched edges over the undirected simple graph.
+
+    Scale shape: per round one explode of live edges to (endpoint,
+    priority) + a node-keyed max + two node-keyed joins for the
+    local-max test + two anti-joins to drop covered edges — cost
+    ∝ live |E|, which shrinks geometrically. One driver action per
+    round (the live count off a lazy checkpoint).
+
+    Oracle twin: _matching_sql in operators/suite.py.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live = und
+    matched: DataFrame | None = None
+    for r in range(1, max_rounds + 1):
+        if not live.count():
+            return und.limit(0) if matched is None else matched
+        pr = live.select(
+            "a", "b",
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(str(r)), F.col("a").cast("string"),
+                F.col("b").cast("string"))), 1, 15),
+                16, 10).cast("bigint").alias("p"))
+        nm = (pr.select(F.col("a").alias("node"), "p")
+              .unionByName(pr.select(F.col("b").alias("node"), "p"))
+              .groupBy("node").agg(F.max("p").alias("mx")))
+        winners = (
+            pr.join(nm.select(F.col("node").alias("a"),
+                              F.col("mx").alias("mx_a")), "a")
+            .join(nm.select(F.col("node").alias("b"),
+                            F.col("mx").alias("mx_b")), "b")
+            .filter((F.col("p") >= F.col("mx_a"))
+                    & (F.col("p") >= F.col("mx_b")))
+            .select("a", "b"))
+        matched = (winners if matched is None
+                   else matched.unionByName(winners)
+                   ).localCheckpoint(eager=False)
+        mnodes = (winners.select(F.col("a").alias("n"))
+                  .unionByName(winners.select(F.col("b").alias("n")))
+                  .distinct())
+        live = (live
+                .join(mnodes.select(F.col("n").alias("a")), "a", "left_anti")
+                .join(mnodes.select(F.col("n").alias("b")), "b", "left_anti")
+                .select("a", "b")
+                .localCheckpoint(eager=False))
+    raise RuntimeError(
+        f"maximal_matching: no convergence in {max_rounds} rounds")
+
+
 def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Distributed greedy graph coloring (Jones-Plassmann with Luby
     re-draws): each round, every still-uncolored node draws priority

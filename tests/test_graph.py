@@ -542,6 +542,55 @@ def test_greedy_coloring_proper_and_matches_twin(spark):
     assert {exp[n] for n in range(5)} == set(range(5))
 
 
+def test_maximal_matching_maximal_and_matches_twin(spark):
+    """maximal_matching: a valid matching (no shared endpoint),
+    MAXIMAL (every edge touches a matched node), bit-equal to a
+    pure-Python twin of the md5 edge-Luby rule, invariant to
+    direction/duplicate noise; a star matches exactly one edge."""
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import maximal_matching
+
+    star = [(0, j) for j in range(1, 8)]
+    path = [(i, i + 1) for i in range(20, 30)]
+    edge_list = star + path + [(7, 20)]
+    noisy = edge_list + [(b, a) for a, b in edge_list[:5]] + star[:2]
+
+    def python_matching():
+        und = {tuple(sorted(e)) for e in edge_list}
+        matched, mnodes = set(), set()
+        r = 0
+        while und:
+            r += 1
+            p = {e: int(hashlib.md5(f"{r}:{e[0]}:{e[1]}".encode())
+                        .hexdigest()[:15], 16) for e in und}
+            nodemax: dict[int, int] = {}
+            for (a, b), v in p.items():
+                nodemax[a] = max(nodemax.get(a, 0), v)
+                nodemax[b] = max(nodemax.get(b, 0), v)
+            win = [e for e in und
+                   if p[e] >= nodemax[e[0]] and p[e] >= nodemax[e[1]]]
+            for a, b in win:
+                matched.add((a, b))
+                mnodes.update((a, b))
+            und = {e for e in und
+                   if e[0] not in mnodes and e[1] not in mnodes}
+        return matched, mnodes
+
+    exp, mnodes = python_matching()
+    for elist in (edge_list, noisy):
+        edges = spark.createDataFrame(elist, "src long, dst long")
+        got = {(r.a, r.b) for r in maximal_matching(edges).collect()}
+        assert got == exp
+    # valid matching: endpoints pairwise distinct
+    flat = [n for e in exp for n in e]
+    assert len(flat) == len(set(flat))
+    # maximal: every original edge touches a matched node
+    assert all(a in mnodes or b in mnodes for a, b in edge_list)
+    # the star contributes exactly one matched edge at node 0
+    assert sum(1 for a, b in exp if 0 in (a, b)) == 1
+
+
 def test_characteristic_sets_counts_and_signature(spark):
     """characteristic_sets: signatures are sorted distinct predicates,
     n_subjects counts subjects per shape, n_triples sums their triple
