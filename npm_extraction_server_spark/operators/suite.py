@@ -601,6 +601,59 @@ def text_fingerprint(spark, sf):
     return fingerprints(_t(spark, sf, "documents"))
 
 
+def text_textrank(spark, sf):
+    """TextRank keyword scores over the first 200 documents (hard
+    oracle: the word co-occurrence graph rebuilt with DuckDB list ops
+    + the unnormalized weighted power iteration unrolled on the same
+    decimal grid — bit-exact ranks). A text-layer -> graph-layer
+    composition: tokenization, pair extraction, and the PageRank
+    rounds are ONE Catalyst plan."""
+    from .text import textrank_keywords
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return textrank_keywords(docs, iterations=4)
+
+
+def _textrank_sql(iterations: int = 4) -> str:
+    """textrank_keywords' SQL twin: adjacent lowercased word tokens ->
+    unordered co-occurrence counts -> symmetrized weighted edges ->
+    the normalized=False weighted power iteration (init 1.0, teleport
+    0.15, round(rank*w/sum_w, 12) contributions summed as
+    DECIMAL(28,12)) unrolled."""
+    sql = """
+    WITH docs AS (
+        SELECT regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS l
+        FROM documents WHERE doc_id < 200
+    ),
+    prs AS (
+        SELECT least(l[i], l[i + 1]) AS a, greatest(l[i], l[i + 1]) AS b
+        FROM docs, unnest(range(1, len(l))) AS t(i)
+        WHERE l[i] <> l[i + 1]
+    ),
+    co AS (SELECT a, b, count(*)::BIGINT AS w FROM prs GROUP BY a, b),
+    e0 AS (SELECT a AS src, b AS dst, w FROM co
+           UNION ALL SELECT b, a, w FROM co),
+    deg AS (SELECT src, sum(w) AS out_deg FROM e0 GROUP BY src),
+    adj AS (SELECT e0.src, e0.dst, e0.w, deg.out_deg
+            FROM e0 JOIN deg USING (src)),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    r0 AS (SELECT node_id, 1.0::DOUBLE AS rank FROM nodes)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT n.node_id,
+               round(0.15 + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT a.dst,
+                   cast(sum(cast(round(r.rank * a.w / a.out_deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+            FROM adj a JOIN r{k - 1} r ON r.node_id = a.src
+            GROUP BY a.dst) s ON s.dst = n.node_id)"""
+    sql += f"""
+    SELECT node_id AS word, round(rank, 8) AS rank FROM r{iterations}"""
+    return sql
+
+
 def text_pii_scrub(spark, sf):
     """PII redaction under a hard oracle: a deterministic PII footer
     (email + phone + IPv4 keyed off doc_id) is planted into every doc
@@ -2464,6 +2517,7 @@ SPARK_QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_textrank": text_textrank,
     "text_pii_scrub": text_pii_scrub,
     "text_span_dedup": text_span_dedup,
     "text_decontaminate": text_decontaminate,
@@ -5026,6 +5080,7 @@ ORACLE_SQL = {
                     ELSE 'und' END AS lang_pred
         FROM feat
     """,
+    "text_textrank": _textrank_sql(4),
     "text_fingerprint": """
         WITH norm AS (
             SELECT doc_id,

@@ -407,6 +407,47 @@ def bpe_train(documents: DataFrame, n_merges: int = 50,
                 "pair_count bigint")
 
 
+def textrank_keywords(documents: DataFrame, iterations: int = 4,
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the corpus-level word co-occurrence graph. Adjacent
+    lowercased word tokens form undirected edges weighted by their
+    corpus co-occurrence count; ranks come from the engine's own
+    ``plans/graph.pagerank`` with ``weight_col`` (rank splits w/sum_w
+    on the 12-dp grid) and ``normalized=False`` (init 1, teleport
+    0.15 — constants free of the data-dependent vocabulary size, the
+    web_host_pagerank protocol), so the scores are bit-identical
+    cross-engine. The symmetrized graph has no sinks by construction.
+
+    Returns (word, rank) for every word that co-occurs at least once.
+
+    Scale shape: tokenization + pair extraction are one whole-stage
+    projection (slice/zip, no explode of full cross products); the
+    co-occurrence groupBy is the only corpus-sized shuffle, and its
+    output is vocabulary-sized — everything downstream iterates over
+    the SMALL word graph, not the corpus. A composition proof: the
+    text layer feeds the graph layer without leaving Catalyst.
+    """
+    from ..plans.graph import pagerank
+
+    toks = _tokens(F.lower(F.col(text_col)))
+    docs = documents.select(toks.alias("l")).filter(F.size("l") >= 2)
+    pairs = docs.select(F.explode(F.arrays_zip(
+        F.slice("l", 1, F.size("l") - 1).alias("w1"),
+        F.slice("l", 2, F.size("l") - 1).alias("w2"))).alias("p"))
+    co = (pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .filter(F.col("w1") != F.col("w2"))
+          .select(F.least("w1", "w2").alias("a"),
+                  F.greatest("w1", "w2").alias("b"))
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")))
+    edges = (co.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+             .unionByName(co.select(F.col("b").alias("src"),
+                                    F.col("a").alias("dst"), "w")))
+    ranks = pagerank(edges, iterations=iterations, normalized=False,
+                     weight_col="w")
+    return ranks.select(F.col("node_id").alias("word"), "rank")
+
+
 def fingerprints(documents: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text plus a
     winnowing-style min-k-gram fingerprint (min md5 over word

@@ -339,6 +339,41 @@ def test_scrub_pii_redacts_all_kinds(spark):
     assert rows[1]["n_emails"] + rows[1]["n_ips"] + rows[1]["n_phones"] == 0
 
 
+def test_textrank_pairs_and_composition(spark):
+    """textrank_keywords: adjacent-pair extraction (lowercased,
+    self-pairs dropped, multiplicity counted) matches a hand count,
+    and the ranks equal plans/graph.pagerank run directly on the
+    hand-built weighted co-occurrence graph — the composition adds
+    nothing beyond the two layers."""
+    from npm_extraction_server_spark.operators.text import (
+        textrank_keywords,
+    )
+    from npm_extraction_server_spark.plans.graph import pagerank
+
+    docs = spark.createDataFrame(
+        [(0, "Spark spark graph RANK graph spark"),
+         (1, "rank graph rank"),
+         (2, "solo")],                        # <2 tokens: contributes 0
+        "doc_id long, text string")
+    # hand-derived unordered adjacent pairs:
+    # doc0: (spark,spark)x -> drop; (graph,spark) [spark graph],
+    #       (graph,rank), (graph,rank), (graph,spark)
+    # doc1: (graph,rank), (graph,rank)
+    co = {("graph", "spark"): 2, ("graph", "rank"): 4}
+    edges = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in co.items()]
+        + [(b, a, w) for (a, b), w in co.items()],
+        "src string, dst string, w long")
+    exp = {r.node_id: r.rank
+           for r in pagerank(edges, iterations=4, normalized=False,
+                             weight_col="w").collect()}
+    got = {r.word: r.rank
+           for r in textrank_keywords(docs, iterations=4).collect()}
+    assert got == exp
+    # graph is the hub: strictly top-ranked
+    assert got["graph"] > max(got["spark"], got["rank"])
+
+
 def test_span_dedup_removes_shared_chunks(spark):
     """A 10-word chunk shared by two docs disappears from both; unique
     chunks survive in order; a fully-boilerplate doc keeps 0 chunks."""
