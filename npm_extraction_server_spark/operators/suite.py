@@ -2105,6 +2105,23 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_msf(spark, sf):
+    """Borůvka minimum spanning forest over the weighted KG graph
+    (hard oracle: the outer rounds unrolled in DuckDB, each merge a
+    recursive-CTE closure — a bit-exact oracle for an MST algorithm,
+    possible because the (w, a, b) total order makes the forest
+    unique). The connected suite graph spans in 4 rounds -> 499
+    edges, total weight 852; the oracle unrolls 5."""
+    from ..plans.graph import boruvka_msf
+
+    e = _kg_graph_edges(spark, sf)
+    weighted = e.select(
+        "src", "dst",
+        (1 + (3 * F.least("src", "dst")
+              + 5 * F.greatest("src", "dst")) % 7).alias("w"))
+    return boruvka_msf(weighted)
+
+
 def graph_matching(spark, sf):
     """Maximal matching over the KG multigraph (hard oracle: the
     edge-Luby rounds unrolled in DuckDB with identical md5 priorities
@@ -2552,6 +2569,7 @@ SPARK_QUERIES = {
     "graph_lpa_communities": graph_lpa_communities,
     "graph_coloring": graph_coloring,
     "graph_matching": graph_matching,
+    "graph_msf": graph_msf,
     "graph_walks": graph_walks,
     "graph_walk_pairs": graph_walk_pairs,
     "graph_weighted_walks": graph_weighted_walks,
@@ -3368,6 +3386,60 @@ def _mis_sql(rounds: int = 4) -> str:
     return sql
 
 
+def _msf_sql(rounds: int = 5) -> str:
+    """boruvka_msf unrolled: per outer round, each component's
+    (w, a, b)-minimum outgoing edge joins the forest, and the merge
+    is a recursive-CTE min-label closure over that round's pick
+    edges on the COMPONENT graph. Weights are the deterministic
+    1 + (3a + 5b) % 7 grid of the weighted-pagerank convention.
+    Fixpoint rounds are no-ops (empty live -> identity relabel)."""
+    sql = f"""
+    WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+    und AS MATERIALIZED (
+        SELECT a, b, 1 + (3*a + 5*b) % 7 AS w FROM (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst)
+    ),
+    l0 AS MATERIALIZED (
+        SELECT n AS node, n AS comp FROM (
+            SELECT a AS n FROM und UNION SELECT b FROM und)
+    ),
+    f0 AS MATERIALIZED (SELECT a, b, w FROM und WHERE false)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    live{r} AS MATERIALIZED (
+        SELECT u.a, u.b, u.w, la.comp AS ca, lb.comp AS cb
+        FROM und u
+        JOIN l{r - 1} la ON la.node = u.a
+        JOIN l{r - 1} lb ON lb.node = u.b
+        WHERE la.comp <> lb.comp),
+    picks{r} AS MATERIALIZED (
+        SELECT DISTINCT a, b, w, ca, cb FROM (
+            SELECT *, row_number() OVER (PARTITION BY c
+                                         ORDER BY w, a, b) AS rn
+            FROM (SELECT ca AS c, w, a, b, ca, cb FROM live{r}
+                  UNION ALL
+                  SELECT cb, w, a, b, ca, cb FROM live{r}))
+        WHERE rn = 1),
+    f{r} AS MATERIALIZED (
+        SELECT a, b, w FROM f{r - 1}
+        UNION SELECT a, b, w FROM picks{r}),
+    psym{r} AS MATERIALIZED (
+        SELECT ca AS x, cb AS y FROM picks{r}
+        UNION SELECT cb, ca FROM picks{r}),
+    pcc{r}(id, t) AS (
+        SELECT comp, comp FROM (SELECT DISTINCT comp FROM l{r - 1})
+        UNION
+        SELECT p.id, s.y FROM pcc{r} p JOIN psym{r} s ON s.x = p.t),
+    m{r} AS MATERIALIZED (
+        SELECT id, min(t) AS new FROM pcc{r} GROUP BY id),
+    l{r} AS MATERIALIZED (
+        SELECT l.node, m.new AS comp
+        FROM l{r - 1} l JOIN m{r} m ON m.id = l.comp)"""
+    sql += f"\n    SELECT a, b, w::BIGINT AS w FROM f{rounds}"
+    return sql
+
+
 def _matching_sql(rounds: int = 7) -> str:
     """maximal_matching unrolled: per round, live edges whose
     md5(round:a:b) priority is the max at BOTH endpoints enter the
@@ -3887,6 +3959,7 @@ ORACLE_SQL = {
     "graph_lpa_communities": _lpa_sql(3),
     "graph_coloring": _coloring_sql(12),
     "graph_matching": _matching_sql(7),
+    "graph_msf": _msf_sql(5),
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
     "graph_clustering_coeff": f"""

@@ -1572,6 +1572,118 @@ def maximal_independent_set(edges: DataFrame,
         f"maximal_independent_set: no convergence in {max_rounds} rounds")
 
 
+def _stats_fresh(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that also DROPS the plan's carried size
+    statistics. ``Dataset.localCheckpoint`` preserves the origin
+    plan's estimated sizeInBytes into the checkpoint's LogicalRDD,
+    and the size-only estimator MULTIPLIES child sizes through every
+    join — so an iterative algorithm that feeds checkpoints back into
+    self-joins (pointer doubling) squares the carried number each
+    round. Composed across an outer loop this grows
+    double-exponentially: boruvka_msf round 4 stalled the driver for
+    minutes multiplying ~10^6-digit BigIntegers inside
+    SizeInBytesOnlyStatsPlanVisitor (jstack: BigInteger.multiplyToomCook3
+    under LogicalPlanStats). Rebuilding the frame from the
+    checkpointed InternalRow RDD resets stats to the bounded default
+    (one scan, same data, no extra job). Falls back to the plain
+    checkpoint if the JVM constructor ever disappears."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        fresh = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(fresh, df.sparkSession)
+    except Exception:   # pragma: no cover - Spark-internal dependency
+        return ck
+
+
+def boruvka_msf(edges: DataFrame, weight_col: str = "w",
+                max_rounds: int = 25) -> DataFrame:
+    """Borůvka's minimum spanning forest — THE parallel MST algorithm
+    (every component picks its minimum outgoing edge each round, so
+    components at least halve: O(log n) rounds regardless of graph
+    shape). Edges are totally ordered by (w, a, b), which makes the
+    forest UNIQUE even under weight ties — every engine and run
+    returns the same edge set, so a bit-exact cross-engine oracle
+    exists for an MST algorithm. Parallel edges collapse to their
+    minimum weight first (only the lightest can ever be picked).
+
+    Returns (a, b, w): the forest edges (a < b). Spanning tree per
+    connected component; total weight is the MST weight.
+
+    Scale shape: per round, two node-keyed label joins attach
+    component ids to the surviving inter-component edges, a
+    component-keyed window picks each component's min edge, and the
+    merge runs the engine's own ``plans/linking.connected_components``
+    on the COMPONENT graph — whose size halves every round, so the
+    inner pointer-jumping loops operate on geometrically shrinking
+    frames. State frames are EAGERLY checkpointed (with a nested loop
+    per round the job budget is already rounds x cc-rounds), and the
+    two cross-round accumulation points go through ``_stats_fresh`` —
+    see its docstring for the double-exponential carried-stats blowup
+    this loop exposed.
+
+    Oracle twin: _msf_sql in operators/suite.py (outer rounds
+    unrolled; each merge is a recursive-CTE closure over that round's
+    pick edges).
+    """
+    from .linking import connected_components
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("long").alias("w"))
+        .groupBy("a", "b").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (und.select(F.col("a").alias("node"))
+              .unionByName(und.select(F.col("b").alias("node")))
+              .distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    forest: DataFrame | None = None
+    wpick = Window.partitionBy("c").orderBy("w", "a", "b")
+    for _ in range(max_rounds):
+        live = (
+            und.join(labels.select(F.col("node").alias("a"),
+                                   F.col("comp").alias("ca")), "a")
+            .join(labels.select(F.col("node").alias("b"),
+                                F.col("comp").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=True))
+        if not live.count():
+            return und.limit(0).select("a", "b", "w") \
+                if forest is None else forest
+        cand = (live.select(F.col("ca").alias("c"), "w", "a", "b",
+                            "ca", "cb")
+                .unionByName(live.select(F.col("cb").alias("c"), "w",
+                                         "a", "b", "ca", "cb")))
+        picks = (cand.withColumn("rn", F.row_number().over(wpick))
+                 .filter(F.col("rn") == 1)
+                 .select("a", "b", "w", "ca", "cb")
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        new_edges = picks.select("a", "b", "w")
+        forest = (new_edges if forest is None
+                  else forest.unionByName(new_edges)
+                  ).localCheckpoint(eager=True)
+        # _stats_fresh at both accumulation points: connected_components'
+        # pointer doubling inflates carried size stats ~2x in DIGITS per
+        # inner round, and feeding that back into next round's joins is
+        # the double-exponential blowup documented on _stats_fresh
+        mapping = _stats_fresh(connected_components(
+            labels.select(F.col("comp").alias("entity_iri")).distinct(),
+            picks.select(F.col("ca").alias("src"),
+                         F.col("cb").alias("dst"))))
+        labels = _stats_fresh(labels.join(
+            mapping.select(F.col("entity_iri").alias("comp"),
+                           "canonical_id"), "comp")
+            .select("node", F.col("canonical_id").alias("comp")))
+    raise RuntimeError(
+        f"boruvka_msf: no convergence in {max_rounds} rounds")
+
+
 def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Maximal matching via Luby's symmetry-breaking on EDGES: each
     round, every live edge draws p = md5(round:a:b) and enters the

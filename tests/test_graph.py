@@ -591,6 +591,53 @@ def test_maximal_matching_maximal_and_matches_twin(spark):
     assert sum(1 for a, b in exp if 0 in (a, b)) == 1
 
 
+def test_boruvka_msf_equals_kruskal(spark):
+    """boruvka_msf equals an independent Kruskal union-find on the
+    (w, a, b) total order — the unique MSF under distinct tuple
+    weights. Covers: weight ties (broken by (a, b)), parallel edges
+    collapsing to min weight, a DISCONNECTED graph (spanning forest,
+    |V| - #components edges), direction invariance."""
+    from npm_extraction_server_spark.plans.graph import boruvka_msf
+
+    comp1 = [(0, 1, 4), (1, 2, 1), (0, 2, 1), (2, 3, 9), (1, 3, 9),
+             (0, 3, 2), (1, 2, 7)]          # parallel (1,2) -> min 1
+    comp2 = [(10, 11, 3), (11, 12, 3), (10, 12, 3)]   # all-tie triangle
+    edge_list = comp1 + comp2
+    rev = [(b, a, w) for a, b, w in edge_list[:4]]
+
+    def kruskal():
+        und = {}
+        for a, b, w in edge_list:
+            k = (min(a, b), max(a, b))
+            und[k] = min(und.get(k, w), w)
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        forest = set()
+        for (a, b), w in sorted(und.items(), key=lambda kv:
+                                (kv[1], kv[0][0], kv[0][1])):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                forest.add((a, b, w))
+        return forest
+
+    exp = kruskal()
+    for elist in (edge_list, edge_list + rev):
+        edges = spark.createDataFrame(elist, "src long, dst long, w long")
+        got = {(r.a, r.b, r.w) for r in boruvka_msf(edges).collect()}
+        assert got == exp
+    # spanning forest shape: 4+3 nodes, 2 components -> 5 edges
+    assert len(exp) == 5
+    assert sum(w for _, _, w in exp) == 1 + 1 + 2 + 3 + 3
+
+
 def test_characteristic_sets_counts_and_signature(spark):
     """characteristic_sets: signatures are sorted distinct predicates,
     n_subjects counts subjects per shape, n_triples sums their triple
