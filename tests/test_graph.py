@@ -638,6 +638,37 @@ def test_boruvka_msf_equals_kruskal(spark):
     assert sum(w for _, _, w in exp) == 1 + 1 + 2 + 3 + 3
 
 
+def test_stats_fresh_resets_carried_size_stats(spark):
+    """_stats_fresh: localCheckpoint PRESERVES the origin plan's
+    estimated sizeInBytes (self-joins then square it every iteration
+    — the boruvka_msf driver stall), while _stats_fresh returns the
+    same rows with the carried estimate dropped to the bounded
+    default. Pin both halves so a Spark upgrade that changes either
+    behavior is caught here, not as a mystery hang."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.plans.graph import _stats_fresh
+
+    def size_digits(df):
+        return len(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    df = spark.range(64).select(F.col("id").alias("a"),
+                                (F.col("id") * 2).alias("b"))
+    # three rounds of checkpointed self-joins: carried stats square
+    for _ in range(3):
+        j = df.join(df.select("a", F.col("b").alias("c")), "a") \
+              .select("a", "b")
+        df = j.localCheckpoint(eager=True)
+    inflated = size_digits(df)
+    fresh = _stats_fresh(df)
+    assert inflated > size_digits(fresh)
+    assert size_digits(fresh) <= 19        # the bounded default
+    assert sorted(map(tuple, fresh.collect())) == \
+        sorted(map(tuple, df.collect()))
+    assert fresh.columns == df.columns
+
+
 def test_characteristic_sets_counts_and_signature(spark):
     """characteristic_sets: signatures are sorted distinct predicates,
     n_subjects counts subjects per shape, n_triples sums their triple
