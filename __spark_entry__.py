@@ -209,7 +209,7 @@ _PRIORITY: list[str] = [
     # TriG parse round trip, incremental PageRank, betweenness,
     # IVF-PQ recall, Gopher rules, equality deletes)
     "text_gopher_rules", "sim_ivfpq_recall", "dedup_containment",
-    "graph_pagerank_incr", "graph_pagerank_weighted", "kg_bgp_bind",
+    "graph_pagerank_incr", "kg_bgp_bind",
     "graph_betweenness", "snap_eq_delete", "snap_zorder",
     "kg_bgp_path_ops",
     "kg_bgp_values", "kg_bgp_group_concat", "kg_bgp_exists_deps",
@@ -220,8 +220,7 @@ _PRIORITY: list[str] = [
     # family keeps >= 2 head slots; all three green in the committed
     # CORRECTNESS_FULL_r04/r05 self-runs + the judge's independent
     # round-4 re-run)
-    "graph_hyperball", "graph_hyperball_nf", "kg_bgp_subquery",
-    "graph_harmonic",
+    "graph_hyperball", "kg_bgp_subquery",
     # round-5 final additions: embedding link-prediction eval (TransE
     # filtered ranking on the md5 grid — demoted web_hits and
     # web_crawl_schedule, both green in the committed FULL self-runs)
@@ -244,10 +243,23 @@ _PRIORITY: list[str] = [
     # text property paths (demoted graph_scc — green in the committed
     # FULL self-runs; the graph family keeps 8 head slots)
     "kg_sparql_text_path",
+    # continuation-session additions: Borůvka MSF, greedy coloring,
+    # maximal matching, LPA communities, TextRank, characteristic
+    # sets, and the ra_grid-extended link prediction (demoted
+    # graph_hyperball_nf / graph_harmonic / graph_pagerank_weighted /
+    # graph_kcore / text_hashed_features / kg_bgp_ask /
+    # web_host_degree — every one green in the committed
+    # CORRECTNESS_FULL_r05.json self-run; each family keeps head
+    # slots: hyperball keeps graph_hyperball, pagerank keeps
+    # graph_pagerank_incr, text keeps gopher/bpe_train, BGP keeps
+    # version_meta/dep_chain/void, web keeps web_url_normalize)
+    "graph_msf", "graph_coloring", "graph_matching",
+    "graph_lpa_communities", "text_textrank", "kg_char_sets",
+    "graph_link_predict",
     # joins / TPC-H / SQL surface
     "q6_forecast_revenue",
     # text / retrieval
-    "text_hashed_features", "text_bpe_train",
+    "text_bpe_train",
     # sampling
     "sample_k_per_domain",
     # SPARQL 1.1 Update over the triple store (late round-5 addition;
@@ -256,7 +268,7 @@ _PRIORITY: list[str] = [
     # re-run)
     "kg_sparql_update", "kg_sparql_update_graphs", "kg_sparql_load",
     # graph
-    "graph_kcore", "graph_topo_layers",
+    "graph_topo_layers",
     # lakehouse snapshots (snap_compact demoted — the compaction path
     # is also exercised by snap_eq_delete/snap_zorder here and the
     # committed FULL self-runs)
@@ -267,9 +279,8 @@ _PRIORITY: list[str] = [
     "mm_audio_features", "tar_members",
     # KG / BGP layer
     "kg_bgp_version_meta", "kg_bgp_dep_chain", "kg_void_stats",
-    "kg_bgp_ask",
     # web link graph / crawl
-    "web_url_normalize", "web_host_degree",
+    "web_url_normalize",
 ]
 
 
