@@ -85,6 +85,22 @@ def main() -> None:
     print(f"  shared endpoints: {dup} (must be 0)")
     assert dup == 0
 
+    # --- Borůvka MSF over the same graph with grid weights --------------
+    from npm_extraction_server_spark.plans.graph import boruvka_msf
+
+    wedges = edges.select(
+        "src", "dst",
+        (1 + (3 * F.least("src", "dst")
+              + 5 * F.greatest("src", "dst")) % 7).alias("w"))
+    t0 = time.time()
+    msf = boruvka_msf(wedges)
+    n_f = msf.count()
+    tw = msf.agg(F.sum("w")).collect()[0][0]
+    print(f"boruvka_msf: {time.time() - t0:.1f}s  "
+          f"forest_edges={n_f:,} total_weight={tw:,}")
+    # the probe graph is connected (ring edge): spanning tree
+    assert n_f == n - 1
+
     # --- characteristic sets: 10M triples / 1M subjects -----------------
     # Power-law predicate sets: subject s carries preds p0..p(k-1) with
     # k = 1 + (hash % 10), each pred with 1 + hash%2 occurrences.
