@@ -5067,9 +5067,9 @@ ORACLE_SQL = {
                 len(string_split(text, '...')) - 1 AS n_ellipsis,
                 len(lines) AS n_lines,
                 len(list_filter(lines, ln -> regexp_matches(ln,
-                    '^\s*([-*•]|[0-9]+[.)])\s'))) AS n_bullet,
+                    '^\\s*([-*•]|[0-9]+[.)])\\s'))) AS n_bullet,
                 len(list_filter(lines, ln -> regexp_matches(ln,
-                    '\.\.\.\s*$'))) AS n_ell_end,
+                    '\\.\\.\\.\\s*$'))) AS n_ell_end,
                 len(list_intersect(list_distinct(words),
                     ['the','be','to','of','and','that','have','with']))
                     AS n_stop
