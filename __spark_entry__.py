@@ -428,6 +428,42 @@ vers AS (
 )
 """
 
+# Shared synth dependency-replica fragments (used by the property-graph
+# and characteristic-sets oracles): the per-version dependency targets
+# and the range -> encodeURIComponent'd revision-IRI segment. One
+# definition so the two oracles cannot drift apart.
+_SYNTH_DEPS_CTES = """pkgdeps AS (
+  SELECT DISTINCT
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng FROM vers WHERE hv%10 < 8
+  UNION
+  SELECT DISTINCT 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+),
+alldeps AS (
+  SELECT module_iri AS v,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS dep_pkg,
+    '^1.0.0' AS rng
+  FROM vers WHERE hv%10 < 8
+  UNION ALL
+  SELECT module_iri, 'pkg-' || (hv%1000),
+    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
+              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
+              WHEN 5 THEN '1.0.0' END
+  FROM vers WHERE hv%9 <= 5
+)"""
+
+_RNG_ENC_CASE = """CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
+         WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
+         ELSE rng END"""
+
+
+
 _SEMVER_RESOLVE_ORACLE = """
 WITH docs AS (
   SELECT doc_id AS i,
@@ -1825,9 +1861,7 @@ alldeps AS (
 bindings AS (
   SELECT DISTINCT v,
     'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-               ELSE rng END AS d,
+      """ + _RNG_ENC_CASE + """ AS d,
     '"' || rng || '"' AS rng
   FROM alldeps
 )
@@ -1878,9 +1912,7 @@ alldeps AS (
 bindings AS (
   SELECT DISTINCT v,
     'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-               ELSE rng END AS d,
+      """ + _RNG_ENC_CASE + """ AS d,
     '"' || rng || '"' AS rng
   FROM alldeps
 )
@@ -2010,9 +2042,7 @@ alldeps AS (
 bindings AS (
   SELECT DISTINCT v,
     'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-               ELSE rng END AS d,
+      """ + _RNG_ENC_CASE + """ AS d,
     '"' || rng || '"' AS rng
   FROM alldeps
 )
@@ -2040,9 +2070,7 @@ alldeps AS (
 bindings AS (
   SELECT DISTINCT v,
     'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-               ELSE rng END AS d,
+      """ + _RNG_ENC_CASE + """ AS d,
     '"' || rng || '"' AS rng
   FROM alldeps
 ),
@@ -2087,9 +2115,7 @@ alldeps AS (
 bindings AS (
   SELECT DISTINCT v,
     'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-               ELSE rng END AS d,
+      """ + _RNG_ENC_CASE + """ AS d,
     '"' || rng || '"' AS rng
   FROM alldeps
 )
@@ -2509,9 +2535,7 @@ edges AS (
     'https://linkedsoftwaredependencies.org/vocabularies/npm#dependency'
       AS rel,
     'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-               ELSE rng END AS dst
+      """ + _RNG_ENC_CASE + """ AS dst
   FROM alldeps
 ),
 test AS (
@@ -2706,32 +2730,8 @@ def _kg_property_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return property_graph(_doap_slice(t).unionByName(dep_edges))["nodes"]
 
 
-_KG_PROPERTY_GRAPH_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
-pkgdeps AS (
-  SELECT DISTINCT
-    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
-              ELSE 'ultrautil' END AS dep_pkg,
-    '^1.0.0' AS rng FROM vers WHERE hv%10 < 8
-  UNION
-  SELECT DISTINCT 'pkg-' || (hv%1000),
-    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
-              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
-              WHEN 5 THEN '1.0.0' END
-  FROM vers WHERE hv%9 <= 5
-),
-alldeps AS (
-  SELECT module_iri AS v,
-    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
-              ELSE 'ultrautil' END AS dep_pkg,
-    '^1.0.0' AS rng
-  FROM vers WHERE hv%10 < 8
-  UNION ALL
-  SELECT module_iri, 'pkg-' || (hv%1000),
-    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
-              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
-              WHEN 5 THEN '1.0.0' END
-  FROM vers WHERE hv%9 <= 5
-),
+_KG_PROPERTY_GRAPH_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + ",\n"
+    + _SYNTH_DEPS_CTES + """,
 slice AS (
   SELECT DISTINCT subj, pred, obj FROM (
     SELECT module_iri AS subj, 'name' AS pred, '"' || name || '"' AS obj
@@ -2743,9 +2743,7 @@ slice AS (
            '"' || name || '"' FROM pkg
     UNION ALL
     SELECT 'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-             CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-                      WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-                      ELSE rng END,
+             """ + _RNG_ENC_CASE + """,
            'rev', '"' || rng || '"'
     FROM pkgdeps
   )
@@ -2753,9 +2751,7 @@ slice AS (
 edges AS (
   SELECT DISTINCT v AS src,
     'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-      CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-               WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-               ELSE rng END AS dst
+      """ + _RNG_ENC_CASE + """ AS dst
   FROM alldeps
 ),
 ids AS (
@@ -2805,32 +2801,8 @@ def _kg_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return characteristic_sets(trip)
 
 
-_KG_CHAR_SETS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
-pkgdeps AS (
-  SELECT DISTINCT
-    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
-              ELSE 'ultrautil' END AS dep_pkg,
-    '^1.0.0' AS rng FROM vers WHERE hv%10 < 8
-  UNION
-  SELECT DISTINCT 'pkg-' || (hv%1000),
-    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
-              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
-              WHEN 5 THEN '1.0.0' END
-  FROM vers WHERE hv%9 <= 5
-),
-alldeps AS (
-  SELECT module_iri AS v,
-    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
-              ELSE 'ultrautil' END AS dep_pkg,
-    '^1.0.0' AS rng
-  FROM vers WHERE hv%10 < 8
-  UNION ALL
-  SELECT module_iri, 'pkg-' || (hv%1000),
-    CASE hv%9 WHEN 0 THEN '^1.0.0' WHEN 1 THEN '~1.2' WHEN 2 THEN '1.x'
-              WHEN 3 THEN '*' WHEN 4 THEN '>=1.0.0 <2'
-              WHEN 5 THEN '1.0.0' END
-  FROM vers WHERE hv%9 <= 5
-),
+_KG_CHAR_SETS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + ",\n"
+    + _SYNTH_DEPS_CTES + """,
 trip AS (
   SELECT DISTINCT subj, pred, obj FROM (
     SELECT module_iri AS subj,
@@ -2846,18 +2818,14 @@ trip AS (
     FROM pkg
     UNION ALL
     SELECT 'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-             CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-                      WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-                      ELSE rng END,
+             """ + _RNG_ENC_CASE + """,
            'http://usefulinc.com/ns/doap#revision', '"' || rng || '"'
     FROM pkgdeps
     UNION ALL
     SELECT v,
            'https://linkedsoftwaredependencies.org/vocabularies/npm#dependency',
            'http://example.org/bundles/npm/' || dep_pkg || '/' ||
-             CASE rng WHEN '^1.0.0' THEN '%5E1.0.0'
-                      WHEN '>=1.0.0 <2' THEN '%3E%3D1.0.0%20%3C2'
-                      ELSE rng END
+             """ + _RNG_ENC_CASE + """
     FROM alldeps
   )
 ),

@@ -139,6 +139,18 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
     return dfs[0]
 
 
+def _und_simple(edges: DataFrame, eager: bool | None = True) -> DataFrame:
+    """The undirected-simple-graph normalization every symmetric
+    algorithm starts from: drop self-loops, canonicalize each edge to
+    (a, b) with a < b, dedupe. ``eager=None`` skips the checkpoint
+    (callers that immediately derive and checkpoint something else)."""
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    return und if eager is None else und.localCheckpoint(eager=eager)
+
+
 def _dangling_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Nodes with no out-edge (sink entities). One anti-join, computed
     once per pagerank call and checkpointed — loop-invariant."""
@@ -1228,12 +1240,7 @@ def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
 
     Oracle twin: _lpa_sql in operators/suite.py.
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    und = _und_simple(edges, eager=None)
     adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
            .unionByName(und.select(F.col("b").alias("n"),
                                    F.col("a").alias("m")))
@@ -1705,13 +1712,7 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
 
     Oracle twin: _matching_sql in operators/suite.py.
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _und_simple(edges)
     live = und
     matched: DataFrame | None = None
     for r in range(1, max_rounds + 1):
@@ -1779,13 +1780,7 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     Oracle twin: _coloring_sql in operators/suite.py (rounds
     unrolled; fixpoint rounds are no-ops).
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _und_simple(edges)
     adj_unc = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
                .unionByName(und.select(F.col("b").alias("n"),
                                        F.col("a").alias("m")))
