@@ -2390,6 +2390,19 @@ def graph_link_predict(spark, sf):
     return link_predict(_kg_graph_edges(spark, sf), min_common=2)
 
 
+def graph_eccentricity(spark, sf):
+    """Sampled eccentricity per seed over the KG multigraph (hard
+    oracle: recursive-CTE min-distances, max per seed) — the exact
+    diameter lower bound the HyperBall estimate can't give."""
+    from ..plans.graph import eccentricity
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    return eccentricity(seeds, _kg_graph_edges(spark, sf))
+
+
 def graph_lpa_communities(spark, sf):
     """Label-propagation community detection over the KG multigraph
     (hard oracle: the synchronous min-tie-break rounds unrolled in
@@ -2566,6 +2579,7 @@ SPARK_QUERIES = {
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
+    "graph_eccentricity": graph_eccentricity,
     "graph_lpa_communities": graph_lpa_communities,
     "graph_coloring": graph_coloring,
     "graph_matching": graph_matching,
@@ -4159,6 +4173,24 @@ ORACLE_SQL = {
         SELECT node AS node_id, count(*)::BIGINT AS n_sources,
                sum(dist)::BIGINT AS total_dist
         FROM md GROUP BY node
+    """,
+    "graph_eccentricity": f"""
+        WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+        reach(seed, node, dist) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            WHERE doc_id < 500 AND doc_id % 50 = 0
+            UNION
+            SELECT r.seed, e0.dst, r.dist + 1
+            FROM reach r JOIN e0 ON e0.src = r.node
+            WHERE r.dist < 30
+        ),
+        md AS (
+            SELECT seed, node, min(dist) AS dist
+            FROM reach GROUP BY seed, node
+        )
+        SELECT seed AS node_id, max(dist)::BIGINT AS ecc,
+               count(*)::BIGINT AS n_reached
+        FROM md GROUP BY seed
     """,
     "graph_harmonic": f"""
         WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},

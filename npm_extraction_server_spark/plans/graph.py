@@ -1342,6 +1342,64 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
             .agg(F.count("*").alias("n_pairs")))
 
 
+def _multi_source_sweep(seeds: DataFrame, edges: DataFrame,
+                        max_rounds: int) -> DataFrame:
+    """The shared multi-source BFS sweep under closeness / harmonic /
+    eccentricity: one level-synchronous traversal carrying every
+    seed's wavefront at once; returns the visited set (seed, node,
+    dist) with exact hop distances. Edges are shuffled once
+    (persisted src-hash-partitioned); per-round shuffles carry only
+    the (seed, node) frontier."""
+    edges = (edges.select("src", "dst")
+             .repartition(F.col("src")).persist())
+    frontier = (seeds.select("node_id").distinct()
+                .select(F.col("node_id").alias("seed"),
+                        F.col("node_id").alias("node"))
+                .withColumn("dist", F.lit(0))
+                .localCheckpoint(eager=True))
+    visited = frontier
+    cparts = [frontier]
+    try:
+        for r in range(1, max_rounds + 1):
+            nxt = (frontier.join(edges, frontier.node == edges.src)
+                   .select("seed", F.col("dst").alias("node"))
+                   .distinct()
+                   .join(visited.select("seed", "node"),
+                         ["seed", "node"], "left_anti")
+                   .withColumn("dist", F.lit(r))
+                   .localCheckpoint(eager=True))
+            if nxt.rdd.isEmpty():
+                break
+            cparts.append(nxt)
+            visited = _union_all(cparts)  # balanced: depth log r
+            frontier = nxt
+    finally:
+        edges.unpersist()
+    return visited
+
+
+def eccentricity(seeds: DataFrame, edges: DataFrame,
+                 max_rounds: int = 30) -> DataFrame:
+    """Sampled eccentricity: for each SEED, the maximum hop distance
+    to any node it reaches (plus the reachable count) — the third
+    distance statistic next to closeness (sum) and harmonic
+    (reciprocal sum), on the same single multi-source sweep. The max
+    sampled eccentricity is the standard exact LOWER bound on the
+    graph's diameter (the double-sweep heuristic's building block),
+    and the one HyperBall's neighborhood-function estimate cannot
+    give exactly. All-integer output -> bit-exact cross-engine.
+
+    Returns (node_id, ecc, n_reached) — one row per seed.
+
+    Oracle twin: the graph_eccentricity entry in operators/suite.py
+    (recursive-CTE min-distances, max per seed).
+    """
+    visited = _multi_source_sweep(seeds, edges, max_rounds)
+    return (visited.groupBy(F.col("seed").alias("node_id"))
+            .agg(F.max("dist").cast("bigint").alias("ecc"),
+                 F.count(F.lit(1)).alias("n_reached")))
+
+
 def closeness(seeds: DataFrame, edges: DataFrame,
               max_rounds: int = 30, harmonic: bool = False) -> DataFrame:
     """Sampled closeness-centrality aggregates via MULTI-SOURCE BFS:
@@ -1371,31 +1429,7 @@ def closeness(seeds: DataFrame, edges: DataFrame,
     and summed as exact DECIMAL (the BM25 oracle's proven protocol),
     so the double output is cross-engine bit-identical.
     """
-    edges = (edges.select("src", "dst")
-             .repartition(F.col("src")).persist())
-    frontier = (seeds.select("node_id").distinct()
-                .select(F.col("node_id").alias("seed"),
-                        F.col("node_id").alias("node"))
-                .withColumn("dist", F.lit(0))
-                .localCheckpoint(eager=True))
-    visited = frontier
-    cparts = [frontier]
-    try:
-        for r in range(1, max_rounds + 1):
-            nxt = (frontier.join(edges, frontier.node == edges.src)
-                   .select("seed", F.col("dst").alias("node"))
-                   .distinct()
-                   .join(visited.select("seed", "node"),
-                         ["seed", "node"], "left_anti")
-                   .withColumn("dist", F.lit(r))
-                   .localCheckpoint(eager=True))
-            if nxt.rdd.isEmpty():
-                break
-            cparts.append(nxt)
-            visited = _union_all(cparts)  # balanced: depth log r
-            frontier = nxt
-    finally:
-        edges.unpersist()
+    visited = _multi_source_sweep(seeds, edges, max_rounds)
     aggs = [F.count("*").alias("n_sources"),
             F.sum("dist").cast("bigint").alias("total_dist")]
     if harmonic:

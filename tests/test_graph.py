@@ -638,6 +638,25 @@ def test_boruvka_msf_equals_kruskal(spark):
     assert sum(w for _, _, w in exp) == 1 + 1 + 2 + 3 + 3
 
 
+def test_eccentricity_chain_and_disconnection(spark):
+    """eccentricity: exact max-hop per seed on a directed chain with a
+    side branch; unreachable parts don't count (n_reached tracks the
+    reachable set); agrees with closeness' sweep on the same seeds."""
+    from npm_extraction_server_spark.plans.graph import eccentricity
+
+    # 0->1->2->3->4 and 2->9; island 100->101
+    edge_list = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 9), (100, 101)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (3,), (100,)], "node_id long")
+    got = {r.node_id: (r.ecc, r.n_reached)
+           for r in eccentricity(seeds, edges).collect()}
+    assert got == {
+        0: (4, 6),      # reaches 0,1,2,3,4,9; farthest = 4 hops
+        3: (1, 2),      # reaches 3,4
+        100: (1, 2),    # island: reaches 100,101
+    }
+
+
 def test_stats_fresh_resets_carried_size_stats(spark):
     """_stats_fresh: localCheckpoint PRESERVES the origin plan's
     estimated sizeInBytes (self-joins then square it every iteration
