@@ -2390,6 +2390,15 @@ def graph_link_predict(spark, sf):
     return link_predict(_kg_graph_edges(spark, sf), min_common=2)
 
 
+def graph_assortativity(spark, sf):
+    """Degree-assortativity moments over the KG multigraph (hard
+    oracle: the same integer sums in DuckDB — all-BIGINT, so the
+    Pearson numerator/denominator are exact)."""
+    from ..plans.graph import assortativity_moments
+
+    return assortativity_moments(_kg_graph_edges(spark, sf))
+
+
 def graph_eccentricity(spark, sf):
     """Sampled eccentricity per seed over the KG multigraph (hard
     oracle: recursive-CTE min-distances, max per seed) — the exact
@@ -2579,6 +2588,7 @@ SPARK_QUERIES = {
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
+    "graph_assortativity": graph_assortativity,
     "graph_eccentricity": graph_eccentricity,
     "graph_lpa_communities": graph_lpa_communities,
     "graph_coloring": graph_coloring,
@@ -4173,6 +4183,24 @@ ORACLE_SQL = {
         SELECT node AS node_id, count(*)::BIGINT AS n_sources,
                sum(dist)::BIGINT AS total_dist
         FROM md GROUP BY node
+    """,
+    "graph_assortativity": f"""
+        WITH {_KG_GRAPH_EDGES_CTE},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst
+        ),
+        adj AS (
+            SELECT a AS n, b AS m FROM und UNION ALL SELECT b, a FROM und
+        ),
+        deg AS (SELECT n, count(*)::BIGINT AS d FROM adj GROUP BY n)
+        SELECT count(*)::BIGINT AS m1,
+               sum(dj.d)::BIGINT AS s_j,
+               sum(dj.d * dk.d)::BIGINT AS s_jk,
+               sum(dj.d * dj.d)::BIGINT AS s_jj
+        FROM adj
+        JOIN deg dj ON dj.n = adj.n
+        JOIN deg dk ON dk.n = adj.m
     """,
     "graph_eccentricity": f"""
         WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},

@@ -1342,6 +1342,42 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
             .agg(F.count("*").alias("n_pairs")))
 
 
+def assortativity_moments(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity moments (Newman 2002) over the undirected
+    simple graph: for every edge endpoint pair with degrees (j, k),
+    the exact integer sums the Pearson coefficient is built from —
+    r = (M1*Sjk - Sj*Sk) / sqrt((M1*Sjj - Sj^2) * (M1*Skk - Sk^2))
+    where each edge contributes BOTH orientations (the standard
+    undirected convention, which also makes Sj == Sk and Sjj == Skk).
+    Emitting the moments instead of r keeps the output all-BIGINT and
+    the oracle bit-exact; the float division is one driver-side line
+    for the caller. Positive r = hubs link to hubs (social shape),
+    negative = hubs link to leaves (web/dependency shape) — the
+    one-number skew diagnostic for join planning on a new graph.
+
+    Returns one row (m1, s_j, s_jk, s_jj): orientation count,
+    Σj, Σjk, Σj² — everything r needs under the symmetry above.
+
+    Scale shape: one degree aggregate + two node-keyed joins to
+    attach endpoint degrees + a single global sum — no quadratic
+    anything; cost ∝ |E|.
+    """
+    und = _und_simple(edges, eager=None)
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m"))))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    dj = deg.select(F.col("n"), F.col("d").alias("dj"))
+    dk = deg.select(F.col("n").alias("m"), F.col("d").alias("dk"))
+    return (adj.join(dj, "n").join(dk, "m")
+            .agg(F.count(F.lit(1)).alias("m1"),
+                 F.sum("dj").cast("bigint").alias("s_j"),
+                 F.sum(F.col("dj") * F.col("dk")).cast("bigint")
+                 .alias("s_jk"),
+                 F.sum(F.col("dj") * F.col("dj")).cast("bigint")
+                 .alias("s_jj")))
+
+
 def _multi_source_sweep(seeds: DataFrame, edges: DataFrame,
                         max_rounds: int) -> DataFrame:
     """The shared multi-source BFS sweep under closeness / harmonic /

@@ -638,6 +638,28 @@ def test_boruvka_msf_equals_kruskal(spark):
     assert sum(w for _, _, w in exp) == 1 + 1 + 2 + 3 + 3
 
 
+def test_assortativity_moments_star_vs_clique(spark):
+    """assortativity_moments: exact integer moments against a hand
+    count; the derived Pearson r is -1 on a star (perfectly
+    disassortative) and the moments are direction/duplicate
+    invariant."""
+    import math
+
+    from npm_extraction_server_spark.plans.graph import (
+        assortativity_moments,
+    )
+
+    star = [(0, j) for j in range(1, 6)]        # deg0=5, leaves=1
+    edges = spark.createDataFrame(star + [(3, 0), (0, 1)],
+                                  "src long, dst long")
+    r = assortativity_moments(edges).collect()[0]
+    # 10 orientations; each edge contributes (5,1) and (1,5)
+    assert (r.m1, r.s_j, r.s_jk, r.s_jj) == (10, 5 * 6, 10 * 5, 5 * 26)
+    num = r.m1 * r.s_jk - r.s_j * r.s_j
+    den = math.sqrt((r.m1 * r.s_jj - r.s_j ** 2) ** 2)
+    assert num / den == -1.0
+
+
 def test_eccentricity_chain_and_disconnection(spark):
     """eccentricity: exact max-hop per seed on a directed chain with a
     side branch; unreachable parts don't count (n_reached tracks the
