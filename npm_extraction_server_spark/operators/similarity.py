@@ -58,6 +58,31 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def cosine_range(embeddings: DataFrame, queries: DataFrame,
+                 threshold: float = 0.8, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine RANGE search — every corpus vector within
+    ``threshold`` of each query — the second query shape of an ANN
+    API next to top-k (radius queries: "all near-duplicates of X",
+    "all candidates above the match bar"). Same broadcast-query /
+    stream-corpus plan as cosine_topk, no window: output size is
+    data-dependent, so no per-query ordering pass is needed at all.
+    Cosines are rounded to the 6-dp grid BEFORE the threshold
+    compare, so the boundary is bit-identical cross-engine."""
+    base = with_norms(embeddings, vec_col).select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"), "norm")
+    q = with_norms(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+        F.col("norm").alias("qnorm"))
+    joined = base.crossJoin(F.broadcast(q)).filter(
+        F.col("item_id") != F.col("query_id"))
+    sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
+        F.col("norm") * F.col("qnorm"))
+    return (joined.select("query_id", "item_id",
+                          F.round(sim, 6).alias("cosine"))
+            .filter(F.col("cosine") >= F.lit(threshold)))
+
+
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from sha256 — same on every
     executor, no RNG state, no broadcast needed beyond the literal."""

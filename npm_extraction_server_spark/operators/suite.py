@@ -296,6 +296,31 @@ def q6_forecast_revenue(spark, sf):
     )
 
 
+def q19_disjunctive_bands(spark, sf):
+    """TPC-H Q19 shape: an OR of three (brand, size-range,
+    quantity-range) conjunction bands sharing the part equi-join key —
+    the classic disjunctive-predicate plan test (the join stays ONE
+    equi-join with the disjunction as a residual filter; the naive
+    plan is a union of three joins). Part broadcasts; decimal-sum
+    protocol for cross-engine equality."""
+    li = _t(spark, sf, "lineitem")
+    pt = _t(spark, sf, "part")
+    q = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & q.between(20, 30)))
+    return (li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+            .filter(band)
+            .agg(_dec_sum(F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount")), 4)
+                 .alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
 def q18_large_orders(spark, sf):
     """TPC-H Q18 shape: HAVING over a grouped child (orders whose
     line-quantity sum exceeds a threshold) joined back to customer +
@@ -801,6 +826,19 @@ def sim_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(emb, queries, k=5)
+
+
+def sim_range_search(spark, sf):
+    """Exact cosine range search over the planted queries (hard
+    oracle: the same 6-dp-grid cosine filter in DuckDB) — the
+    radius-query dual of sim_cosine_topk; at threshold 0.9 the result
+    is exactly each plant's known near-duplicate source, asserting
+    both directions of the radius cut (the ~0.993 plant passes, the
+    ~0.4-max random mass does not)."""
+    from .similarity import cosine_range
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_range(emb, _planted_ann_queries(emb), threshold=0.9)
 
 
 def sim_lsh_topk(spark, sf):
@@ -2522,6 +2560,7 @@ SPARK_QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_bands": q19_disjunctive_bands,
     "sql_lang_stats": sql_lang_stats,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
@@ -2566,6 +2605,7 @@ SPARK_QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_repetition": text_repetition,
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_range_search": sim_range_search,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_verified": sim_lsh_verified,
@@ -3793,6 +3833,18 @@ ORACLE_SQL = {
           AND l_shipdate < DATE '1995-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "q19_disjunctive_bands": f"""
+        SELECT {_dec_sum_sql('l_extendedprice * (1.0 - l_discount)', 4)}
+                   AS revenue,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "q18_large_orders": f"""
         WITH big AS (
@@ -5302,6 +5354,27 @@ ORACLE_SQL = {
                                      ROWS UNBOUNDED PRECEDING)
                  - n_tokens) // 2048)::BIGINT AS bin_id
         FROM t
+    """,
+    "sim_range_search": """
+        WITH orig AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> cast(x AS double)) AS vec
+            FROM embeddings),
+        q AS (
+            SELECT id + 200000 AS query_id,
+                   list_transform(range(1, 65),
+                       i -> vec[i] + 0.01 * (cast((id * 64 + (i - 1)) % 5
+                                                  AS double) - 2)) AS qv
+            FROM orig WHERE id < 20),
+        scored AS (
+            SELECT q.query_id, o.id AS item_id,
+                   round(list_sum(list_transform(range(1, 65),
+                             i -> o.vec[i] * q.qv[i]))
+                         / (sqrt(list_sum(list_transform(o.vec, x -> x * x)))
+                            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+                         6) AS cosine
+            FROM orig o CROSS JOIN q WHERE o.id <> q.query_id)
+        SELECT query_id, item_id, cosine FROM scored WHERE cosine >= 0.9
     """,
     "sim_cosine_topk": """
         WITH q AS (

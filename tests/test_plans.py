@@ -783,6 +783,21 @@ def test_q17_aggregate_prefiltered(spark):
     assert below.index("BroadcastHashJoin") < below.index("lineitem.parquet")
 
 
+def test_q19_one_broadcast_join_no_union(spark):
+    """TPC-H Q19: the OR of three conjunction bands must plan as ONE
+    broadcast equi-join with a residual disjunction filter — not a
+    union of three joins and not a cartesian fallback."""
+    from npm_extraction_server_spark.operators.suite import (
+        q19_disjunctive_bands,
+    )
+
+    plan = _plan(q19_disjunctive_bands(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "Union" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_path_edges_algebra(spark):
     """Property-path algebra: seq composes, alt unions, inv swaps,
     neg excludes; closure (bgp_path) accepts a path expression."""
