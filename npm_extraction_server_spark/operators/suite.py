@@ -2123,6 +2123,16 @@ def graph_labelprop(spark, sf):
     return propagate_labels(seeds, _kg_graph_edges(spark, sf))
 
 
+def graph_coreness(spark, sf):
+    """Full core decomposition over the KG multigraph (hard oracle:
+    per-k unrolled peels + max-k membership in DuckDB). The suite
+    graph has min degree 4 and an empty 6-core, so the labeling is
+    the exact 498-node coreness-5 / 2-node coreness-4 split."""
+    from ..plans.graph import coreness
+
+    return coreness(_kg_graph_edges(spark, sf))
+
+
 def graph_kcore(spark, sf):
     """5-core of the KG multigraph via iterative peeling (hard oracle:
     the peeling unrolled in DuckDB — the driver graph converges in 2
@@ -2624,6 +2634,7 @@ SPARK_QUERIES = {
     "graph_sssp": graph_sssp,
     "graph_labelprop": graph_labelprop,
     "graph_kcore": graph_kcore,
+    "graph_coreness": graph_coreness,
     "graph_topo_layers": graph_topo_layers,
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
@@ -3628,6 +3639,41 @@ def _ktruss_sql(k: int, rounds: int = 5) -> str:
     return sql
 
 
+def _coreness_sql(kmax: int = 5, rounds: int = 8) -> str:
+    """coreness's SQL twin: for each k in 1..kmax run the unrolled
+    kcore peel (namespaced CTEs), then label every node with the max
+    k whose survivor set contains it — provably the same labeling as
+    the ascending peel (coreness(v) = max k with v in k-core)."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    s0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    )"""
+    for k in range(1, kmax + 1):
+        sql += f""",
+    c{k}s0 AS MATERIALIZED (SELECT a, b FROM s0)"""
+        for r in range(1, rounds + 1):
+            sql += f""",
+    c{k}d{r} AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM c{k}s{r - 1}
+            UNION ALL SELECT b FROM c{k}s{r - 1}) GROUP BY n),
+    c{k}k{r} AS (SELECT n FROM c{k}d{r} WHERE d >= {k}),
+    c{k}s{r} AS MATERIALIZED (
+        SELECT s.a, s.b FROM c{k}s{r - 1} s
+        JOIN c{k}k{r} ka ON ka.n = s.a
+        JOIN c{k}k{r} kb ON kb.n = s.b)"""
+    member = "\n        UNION ALL ".join(
+        f"SELECT n, {k} AS k FROM (SELECT a AS n FROM c{k}s{rounds} "
+        f"UNION SELECT b FROM c{k}s{rounds})"
+        for k in range(1, kmax + 1))
+    sql += f"""
+    SELECT n AS node_id, max(k)::INT AS coreness FROM (
+        {member}) GROUP BY n"""
+    return sql
+
+
 def _kcore_sql(k: int, rounds: int = 4) -> str:
     """kcore's peeling unrolled: s0 = the undirected simple edge set;
     each round keeps edges whose BOTH endpoints have degree >= k in
@@ -4034,6 +4080,7 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_lpa_communities": _lpa_sql(3),
     "graph_coloring": _coloring_sql(12),
+    "graph_coreness": _coreness_sql(5, 8),
     "graph_matching": _matching_sql(7),
     "graph_msf": _msf_sql(5),
     "graph_kcore": _kcore_sql(5, rounds=4),

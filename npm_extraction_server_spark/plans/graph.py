@@ -901,6 +901,63 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     raise RuntimeError(f"kcore: no convergence in {max_rounds} rounds")
 
 
+def coreness(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """Full core decomposition: coreness(v) = the maximum k such that
+    v belongs to the k-core — ``kcore`` asks one k, this labels every
+    node (the standard graph-mining output for influence ranking and
+    dense-subgraph screening). Ascending-threshold peeling: peel at
+    k=1 to fixpoint, raise k, re-peel the SURVIVORS, repeat until the
+    graph is gone; a node removed while the threshold is k has
+    coreness k-1. Nodes recorded as removed are the endpoint-set
+    difference nodes(live) - nodes(next), NOT just the degree<k set —
+    a node can lose its last edge because its neighbors dropped,
+    without ever itself showing degree < k in a surviving edge.
+
+    Returns (node_id, coreness) for every non-isolated node.
+
+    Scale shape: identical per-round cost to kcore (one degree
+    aggregate + two semi-joins over a monotonically shrinking edge
+    set); total rounds = peel rounds + kmax threshold bumps. One
+    count action per round off eager checkpoints.
+
+    Oracle twin: _coreness_sql in operators/suite.py (max-k
+    membership over per-k unrolled peels — provably the same
+    labeling).
+    """
+    live = _und_simple(edges)
+    n_live = live.count()
+    parts: list[DataFrame] = []
+    k = 1
+    for _ in range(max_rounds):
+        if not n_live:
+            if not parts:
+                return live.select(F.col("a").alias("node_id"),
+                                   F.lit(0).cast("int").alias("coreness"))
+            return _union_all(parts)
+        deg = (live.select(F.col("a").alias("n"))
+               .unionByName(live.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("n")
+        nxt = (live.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+               .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+               .select("a", "b")
+               .localCheckpoint(eager=True))
+        n_nxt = nxt.count()
+        if n_nxt == n_live:
+            k += 1
+            continue
+        nxt_nodes = (nxt.select(F.col("a").alias("n"))
+                     .unionByName(nxt.select(F.col("b").alias("n")))
+                     .distinct())
+        dropped = (deg.select("n").join(nxt_nodes, "n", "left_anti")
+                   .select(F.col("n").alias("node_id"),
+                           F.lit(k - 1).cast("int").alias("coreness"))
+                   .localCheckpoint(eager=True))
+        parts.append(dropped)
+        live, n_live = nxt, n_nxt
+    raise RuntimeError(f"coreness: no convergence in {max_rounds} rounds")
+
+
 def topo_layers(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Topological layering of a directed dependency graph (Kahn's
     algorithm by rounds, the public construction): layer 0 = nodes

@@ -638,6 +638,50 @@ def test_boruvka_msf_equals_kruskal(spark):
     assert sum(w for _, _, w in exp) == 1 + 1 + 2 + 3 + 3
 
 
+def test_coreness_matches_python_peel(spark):
+    """coreness pinned against a pure-Python ascending peel on a graph
+    with a 3-core (4-clique), a chain tail, and a pendant that loses
+    its LAST edge because its neighbor dropped (the endpoint-set
+    difference case a degree<k test alone would miss)."""
+    from npm_extraction_server_spark.plans.graph import coreness
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    pendant = [(12, 20)]
+    edge_list = clique + chain + pendant
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    import collections
+
+    def python_coreness():
+        live = {tuple(sorted(e)) for e in edge_list}
+        core: dict[int, int] = {}
+        k = 1
+        while live:
+            deg = collections.Counter()
+            for a, b in live:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in live
+                   if a in keep and b in keep}
+            if nxt == live:
+                k += 1
+                continue
+            gone = {n for e in live for n in e} \
+                - {n for e in nxt for n in e}
+            for n in gone:
+                core[n] = k - 1
+            live = nxt
+        return core
+
+    exp = python_coreness()
+    got = {r.node_id: r.coreness for r in coreness(edges).collect()}
+    assert got == exp
+    assert {exp[n] for n in range(4)} == {3}     # the 4-clique
+    assert exp[20] == 1 and exp[12] == 1
+
+
 def test_assortativity_moments_star_vs_clique(spark):
     """assortativity_moments: exact integer moments against a hand
     count; the derived Pearson r is -1 on a star (perfectly
