@@ -212,9 +212,9 @@ _PRIORITY: list[str] = [
     "graph_pagerank_incr", "kg_bgp_bind",
     "graph_betweenness", "snap_eq_delete", "snap_zorder",
     "kg_bgp_path_ops",
-    "kg_bgp_values", "kg_bgp_group_concat", "kg_bgp_exists_deps",
+    "kg_bgp_values", "kg_bgp_exists_deps",
     "kg_trig_roundtrip",
-    "kg_bgp_quads_meta", "kg_bgp_graph_const", "kg_bgp_topk_deps",
+    "kg_bgp_quads_meta", "kg_bgp_topk_deps",
     # round-5 late additions (HyperBall, SPARQL subquery) — demoted
     # q18_large_orders / snap_dedup_incr / graph_mis to the tail (each
     # family keeps >= 2 head slots; all three green in the committed
@@ -255,11 +255,10 @@ _PRIORITY: list[str] = [
     # version_meta/dep_chain/void, web keeps web_url_normalize)
     "graph_msf", "graph_coloring", "graph_matching",
     "graph_lpa_communities", "text_textrank", "kg_char_sets",
-    "graph_link_predict",
-    # joins / TPC-H / SQL surface
-    "q6_forecast_revenue",
-    # text / retrieval
-    "text_bpe_train",
+    "graph_link_predict", "graph_coreness", "graph_eccentricity",
+    "graph_assortativity", "sim_range_search", "q19_disjunctive_bands",
+    # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
+    # text / retrieval: text_textrank + text_gopher_rules (above)
     # sampling
     "sample_k_per_domain",
     # SPARQL 1.1 Update over the triple store (late round-5 addition;
@@ -272,7 +271,7 @@ _PRIORITY: list[str] = [
     # lakehouse snapshots (snap_compact demoted — the compaction path
     # is also exercised by snap_eq_delete/snap_zorder here and the
     # committed FULL self-runs)
-    "snap_stats_prune", "snap_changelog",
+    "snap_stats_prune",
     # events / sketches
     "events_retention", "sketch_distinct",
     # multimodal / tarballs
