@@ -1928,6 +1928,22 @@ def _kg_graph_edges(spark, sf):
     )
 
 
+def graph_temporal_reach(spark, sf):
+    """Earliest-arrival temporal reachability over the KG graph with
+    deterministic contact times t = (src + 2*dst) % 20 (hard oracle:
+    recursive CTE over (node, arrival) pairs with the t >= arrival
+    admissibility — time-respecting paths, not static reachability)."""
+    from ..plans.graph import temporal_reach
+
+    d = F.col("doc_id")
+    seeds = (_t(spark, sf, "documents").select("doc_id")
+             .filter((d < 500) & (d % 50 == 0))
+             .select(d.alias("node_id")))
+    e = _kg_graph_edges(spark, sf).select(
+        "src", "dst", ((F.col("src") + 2 * F.col("dst")) % 20).alias("t"))
+    return temporal_reach(seeds, e)
+
+
 def graph_bfs(spark, sf):
     """Hop distance from a 10-seed set over the deterministic KG graph
     (hard oracle: recursive-CTE min-distance in DuckDB). The Spark side
@@ -2625,6 +2641,7 @@ SPARK_QUERIES = {
     "graph_components": graph_components,
     "graph_components_incr": graph_components_incr,
     "graph_bfs": graph_bfs,
+    "graph_temporal_reach": graph_temporal_reach,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_incr": graph_pagerank_incr,
     "graph_pagerank_weighted": graph_pagerank_weighted,
@@ -4071,6 +4088,21 @@ ORACLE_SQL = {
     "graph_components": _GRAPH_COMPONENTS_SQL,
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "graph_bfs": _GRAPH_BFS_SQL,
+    "graph_temporal_reach": f"""
+        WITH RECURSIVE {_KG_GRAPH_EDGES_CTE},
+        te AS (
+            SELECT src, dst, (src + 2*dst) % 20 AS t FROM e0
+        ),
+        reach(node, arr) AS (
+            SELECT doc_id, 0 FROM documents
+            WHERE doc_id < 500 AND doc_id % 50 = 0
+            UNION
+            SELECT te.dst, te.t
+            FROM reach r JOIN te ON te.src = r.node AND te.t >= r.arr
+        )
+        SELECT node AS node_id, min(arr)::BIGINT AS arrival
+        FROM reach GROUP BY node
+    """,
     "graph_pagerank": _pagerank_sql(5),
     "graph_pagerank_incr": _pagerank_sql(5, edges="eN"),
     "graph_pagerank_weighted": _pagerank_sql(5, weighted=True),

@@ -805,6 +805,74 @@ def sssp(seeds: DataFrame, edges: DataFrame,
                        "rounds (negative weights or pathological graph?)")
 
 
+def temporal_reach(seeds: DataFrame, edges: DataFrame,
+                   max_rounds: int = 60) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL graph (the
+    contact-sequence model of Holme & Saramäki): an edge
+    (src, dst, t) can be traversed only at its contact time t, and
+    only if you are already at src by then (t >= arrival(src)); you
+    then stand at dst from time t. Time-respecting paths are what
+    static reachability gets WRONG on event data — A->B at t=5 and
+    B->C at t=3 do NOT connect A to C. This is the primitive behind
+    "what could this crawl/update/infection have influenced"
+    questions over the events stream.
+
+    ``seeds``: node_id (present at their node from time 0).
+    ``edges``: (src, dst, t) with non-negative integer contact times.
+    Returns (node_id, arrival) — the provably minimal arrival time
+    per reachable node (earlier arrival admits a superset of outgoing
+    contacts, so min-arrival has optimal substructure and frontier
+    relaxation converges exactly, as in sssp).
+
+    Scale shape: identical to sssp — per round the IMPROVED frontier
+    joins the (persisted, src-hash-partitioned) contact set with the
+    admissibility predicate, one per-dst min, one improvement join;
+    work follows the wavefront. One count action per round.
+
+    Oracle twin: the graph_temporal_reach entry (recursive CTE over
+    (node, arrival) pairs — finite contact times make the closure
+    small).
+    """
+    edges = (edges.select("src", "dst", F.col("t").cast("long").alias("t"))
+             .repartition(F.col("src")).persist())
+    dist = (seeds.select("node_id").distinct()
+            .withColumn("arr", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    try:
+        for _ in range(max_rounds):
+            offers = (frontier.join(
+                edges, (frontier.node_id == edges.src)
+                & (edges.t >= frontier.arr))
+                .groupBy(F.col("dst").alias("o_node"))
+                .agg(F.min("t").alias("cand")))
+            improved = (offers.join(
+                dist, offers.o_node == dist.node_id, "left")
+                .filter(F.col("arr").isNull()
+                        | (F.col("cand") < F.col("arr")))
+                .select(F.col("o_node").alias("node_id"),
+                        F.col("cand").alias("arr"))
+                .localCheckpoint(eager=True))
+            if not improved.count():
+                return dist.select("node_id",
+                                   F.col("arr").alias("arrival"))
+            dist = (dist.join(improved.select(F.col("node_id"), F.col("arr")
+                                              .alias("new_arr")),
+                              "node_id", "left")
+                    .select("node_id",
+                            F.least(F.col("arr"),
+                                    F.coalesce("new_arr", F.col("arr")))
+                            .alias("arr"))
+                    .unionByName(improved.join(dist, "node_id",
+                                               "left_anti"))
+                    .localCheckpoint(eager=True))
+            frontier = improved
+    finally:
+        edges.unpersist()
+    raise RuntimeError(
+        f"temporal_reach: no convergence in {max_rounds} rounds")
+
+
 def propagate_labels(seeds: DataFrame, edges: DataFrame,
                      max_rounds: int = 30) -> DataFrame:
     """Multi-source label propagation: every reachable node takes the

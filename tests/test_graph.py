@@ -638,6 +638,28 @@ def test_boruvka_msf_equals_kruskal(spark):
     assert sum(w for _, _, w in exp) == 1 + 1 + 2 + 3 + 3
 
 
+def test_temporal_reach_time_respecting(spark):
+    """temporal_reach: time-respecting semantics — an edge is usable
+    only at its contact time and only after arrival. A->B@5, B->C@3
+    does NOT reach C; a later parallel contact B->C@7 does, at 7;
+    revisits can IMPROVE arrival via a faster parallel contact."""
+    from npm_extraction_server_spark.plans.graph import temporal_reach
+
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    base = [(0, 1, 5), (1, 2, 3)]
+    edges = spark.createDataFrame(base, "src long, dst long, t long")
+    got = {r.node_id: r.arrival
+           for r in temporal_reach(seeds, edges).collect()}
+    assert got == {0: 0, 1: 5}          # C unreachable: 3 < 5
+
+    edges2 = spark.createDataFrame(base + [(1, 2, 7), (0, 1, 2)],
+                                   "src long, dst long, t long")
+    got2 = {r.node_id: r.arrival
+            for r in temporal_reach(seeds, edges2).collect()}
+    # 0->1@2 (earlier contact wins), then 1->2@3 is now admissible
+    assert got2 == {0: 0, 1: 2, 2: 3}
+
+
 def test_coreness_matches_python_peel(spark):
     """coreness pinned against a pure-Python ascending peel on a graph
     with a 3-core (4-clique), a chain tail, and a pendant that loses
