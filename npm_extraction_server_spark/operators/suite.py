@@ -1582,6 +1582,51 @@ def snap_pos_delete(spark, sf):
     return read_snapshot(spark, table)
 
 
+def snap_meta_tables(spark, sf):
+    """$snapshots metadata table (the Iceberg db.table$snapshots
+    surface) over a deterministic three-commit chain — append /
+    append / MOR equality delete (hard oracle: the chain bookkeeping
+    re-stated in SQL, row counts derived from the same documents
+    table; the rowdelta commit carries its one empty data file).
+    committed_at is wall time and excluded."""
+    import tempfile
+
+    from ..sources.snapshots import commit, mor_delete, snapshots_table
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapmeta_")
+    commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    commit(docs.filter(d < 100), table, partitions=2,
+           cluster_by=["doc_id"])
+    mor_delete(spark, table, docs.filter((d % 7 == 0) & (d < 210))
+               .select("doc_id"), key="doc_id")
+    return snapshots_table(spark, table).drop("committed_at")
+
+
+def snap_files_meta(spark, sf):
+    """$files metadata table over the same chain: live file set by
+    kind with footer row counts, aggregated to (kind, n_files,
+    total_rows) — per-file row splits depend on the range
+    partitioner's sampling, the aggregate does not (hard oracle)."""
+    import tempfile
+
+    from ..sources.snapshots import commit, files_table, mor_delete
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapfiles_")
+    commit(docs, table, partitions=8, cluster_by=["doc_id"])
+    commit(docs.filter(d < 100), table, partitions=2,
+           cluster_by=["doc_id"])
+    mor_delete(spark, table, docs.filter((d % 7 == 0) & (d < 210))
+               .select("doc_id"), key="doc_id")
+    return (files_table(spark, table)
+            .groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("n_rows").alias("total_rows")))
+
+
 def snap_eq_delete(spark, sf):
     """Equality merge-on-read delete (hard oracle): a key-list DELETE
     over the documents table commits one small equality-delete file
@@ -2695,6 +2740,8 @@ SPARK_QUERIES = {
     "snap_wap": snap_wap,
     "snap_pos_delete": snap_pos_delete,
     "snap_eq_delete": snap_eq_delete,
+    "snap_meta_tables": snap_meta_tables,
+    "snap_files_meta": snap_files_meta,
     "kg_sparql_update": kg_sparql_update,
     "kg_sparql_update_graphs": kg_sparql_update_graphs,
     "kg_sparql_load": kg_sparql_load,
@@ -5155,6 +5202,27 @@ ORACLE_SQL = {
     "snap_zorder": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE n_chars >= 200 AND n_chars < 260
+    """,
+    "snap_meta_tables": """
+        SELECT * FROM (VALUES
+          (0::BIGINT, 1::BIGINT, NULL::BIGINT, 'append', 8::INT,
+           (SELECT count(*) FROM documents)::BIGINT, 0::INT, 0::INT),
+          (1, 2, 1, 'append', 2,
+           (SELECT count(*) FROM documents WHERE doc_id < 100), 0, 0),
+          (2, 3, 2, 'rowdelta', 1, 0, 0, 1)
+        ) t(sequence, snapshot_id, parent_id, operation, n_added_files,
+            n_added_rows, n_removed_files, n_delete_files)
+    """,
+    "snap_files_meta": """
+        SELECT * FROM (VALUES
+          ('data',
+           11::BIGINT,
+           ((SELECT count(*) FROM documents)
+            + (SELECT count(*) FROM documents WHERE doc_id < 100))::BIGINT),
+          ('eq_delete', 1,
+           (SELECT count(*) FROM documents
+            WHERE doc_id % 7 = 0 AND doc_id < 210))
+        ) t(kind, n_files, total_rows)
     """,
     "snap_eq_delete": """
         SELECT doc_id, lang, n_chars FROM documents

@@ -1974,3 +1974,98 @@ def snapshot_row_count(table: str,
         return None
     return sum(pq.ParquetFile(f).metadata.num_rows
                for _, files in groups for f in files)
+
+
+def snapshots_table(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg's ``$snapshots``/``$history`` metadata surface as a
+    DataFrame: the reachable snapshot chain (root first) with the
+    per-commit bookkeeping a maintenance job queries — operation,
+    added/removed file counts, appended rows, delete-file counts,
+    commit wall time. Driver-side manifest walk (metadata is O(chain),
+    never data-sized); the result is a normal DataFrame, so the
+    "which commits wrote the most files" / "when did compaction last
+    run" questions are one groupBy away, exactly like querying
+    ``db.table$snapshots`` in Iceberg."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for seq, man in enumerate(snapshot_log(table)):
+        rows.append((
+            seq,
+            int(man["snapshot_id"]),
+            None if man["parent"] is None else int(man["parent"]),
+            man.get("operation", "append"),
+            len(man.get("added_files", [])),
+            int(man.get("added_rows", 0) or 0),
+            len(man.get("removed_files", []) or []),
+            len(man.get("delete_files", []) or []),
+            float(man.get("committed_at", 0.0)),
+        ))
+    schema = T.StructType([
+        T.StructField("sequence", T.LongType(), False),
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("operation", T.StringType(), False),
+        T.StructField("n_added_files", T.IntegerType(), False),
+        T.StructField("n_added_rows", T.LongType(), False),
+        T.StructField("n_removed_files", T.IntegerType(), False),
+        T.StructField("n_delete_files", T.IntegerType(), False),
+        T.StructField("committed_at", T.DoubleType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def files_table(spark: SparkSession, table: str,
+                snapshot_id: int | None = None) -> DataFrame:
+    """Iceberg's ``$files`` metadata surface: the LIVE file set of a
+    snapshot's read view — data files with their origin snapshot and
+    footer row counts, plus the equality-delete files that still
+    shadow older data (``kind`` = 'data' | 'eq_delete'). Row counts
+    come from the manifests' footer stats (no data pages are read);
+    file names are basenames, so the output is stable across the
+    table's temp-dir location."""
+    from pathlib import PurePath
+
+    from pyspark.sql import types as T
+
+    sid = (snapshot_id if snapshot_id is not None
+           else current_snapshot_id(table))
+    if sid is None:
+        raise ValueError(f"{table}: empty table (no CURRENT)")
+    stats: dict = {}
+    walk: int | None = sid
+    while walk is not None:
+        man = _read_json(_meta(table) / f"snap-{walk}.json")
+        stats.update(man.get("file_stats", {}))
+        if man.get("operation", "append") == "replace":
+            break
+        walk = man["parent"]
+    groups, deletes, _sctx = _plan_full(table, sid)
+
+    def _rows_of(f: str) -> int:
+        st = stats.get(f)
+        if st is not None:
+            return int(st.get("rows", -1))
+        # delete files are not in the manifests' data-file stats;
+        # one driver-side footer read (KBs) recovers the count
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(f).metadata.num_rows)
+
+    rows = []
+    for origin, files in groups:
+        for f in files:
+            rows.append((int(origin), PurePath(f).name, "data",
+                         _rows_of(f)))
+    for dsid, key, dfiles, _rng in deletes:
+        kind = "eq_delete" if key is not None else "pos_delete"
+        for f in dfiles:
+            rows.append((int(dsid), PurePath(f).name, kind,
+                         _rows_of(f)))
+    schema = T.StructType([
+        T.StructField("origin_snapshot", T.LongType(), False),
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)

@@ -1807,3 +1807,55 @@ def test_snapshot_row_count_metadata_only(spark, tmp_path):
     assert snapshot_row_count(t) is None
     compact(spark, t, partitions=2)
     assert snapshot_row_count(t) == 430
+
+
+def test_metadata_tables_surface(spark, tmp_path):
+    """snapshots_table / files_table: the $snapshots / $files
+    metadata surface — chain bookkeeping row-for-row, live file set
+    by kind with footer row counts, time travel to an older snapshot,
+    and a compaction chain cut (replace resets the live set)."""
+    from pyspark.sql import functions as F
+
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        compact,
+        files_table,
+        mor_delete,
+        snapshots_table,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"))
+    t = str(tmp_path / "meta_tbl")
+    s1 = commit(docs, t, partitions=4, cluster_by=["doc_id"])
+    commit(docs.filter(F.col("doc_id") < 50), t, partitions=1,
+           cluster_by=["doc_id"])
+    mor_delete(spark, t, docs.filter(F.col("doc_id") % 10 == 0)
+               .select("doc_id"), key="doc_id")
+
+    snaps = snapshots_table(spark, t).collect()
+    assert [r.operation for r in snaps] == ["append", "append", "rowdelta"]
+    assert [r.n_added_rows for r in snaps] == [200, 50, 0]
+    assert [r.parent_id for r in snaps] == [None, s1, s1 + 1]
+    assert snaps[2].n_delete_files == 1
+
+    files = files_table(spark, t).collect()
+    by_kind = {}
+    for r in files:
+        by_kind.setdefault(r.kind, []).append(r)
+    assert sum(r.n_rows for r in by_kind["data"]) == 250
+    assert len(by_kind["eq_delete"]) == 1
+    assert by_kind["eq_delete"][0].n_rows == 20
+    # time travel: the first snapshot's view is just its 4 data files
+    f1 = files_table(spark, t, snapshot_id=s1).collect()
+    assert {r.kind for r in f1} == {"data"}
+    assert sum(r.n_rows for r in f1) == 200
+
+    # compaction cuts the chain: one replace group, no delete files
+    compact(spark, t)
+    fc = files_table(spark, t).collect()
+    assert {r.kind for r in fc} == {"data"}
+    # 250 rows minus the 25 deleted keys (20 in the first commit's
+    # copy, 5 in the 50-row re-append)
+    assert sum(r.n_rows for r in fc) == 225
