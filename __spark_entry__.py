@@ -214,7 +214,7 @@ _PRIORITY: list[str] = [
     "kg_bgp_path_ops",
     "kg_bgp_values", "kg_bgp_exists_deps",
     "kg_trig_roundtrip",
-    "kg_bgp_quads_meta", "kg_bgp_topk_deps",
+    "kg_bgp_quads_meta",
     # round-5 late additions (HyperBall, SPARQL subquery) — demoted
     # q18_large_orders / snap_dedup_incr / graph_mis to the tail (each
     # family keeps >= 2 head slots; all three green in the committed
@@ -240,9 +240,10 @@ _PRIORITY: list[str] = [
     # — both green in the committed FULL self-runs; TPC-H/SQL keeps
     # q6_forecast_revenue in the head)
     "kg_sparql_text_agg", "kg_sparql_text_topk",
-    # text property paths (demoted graph_scc — green in the committed
-    # FULL self-runs; the graph family keeps 8 head slots)
-    "kg_sparql_text_path",
+    # kg_sparql_text_path and kg_bgp_topk_deps demoted for
+    # graph_temporal_reach / snap_meta_tables (text front-end keeps
+    # agg+topk in the head; TakeOrdered stays covered by
+    # kg_sparql_text_topk; both green in the refreshed FULL self-run)
     # continuation-session additions: Borůvka MSF, greedy coloring,
     # maximal matching, LPA communities, TextRank, characteristic
     # sets, and the ra_grid-extended link prediction (demoted
@@ -257,6 +258,7 @@ _PRIORITY: list[str] = [
     "graph_lpa_communities", "text_textrank", "kg_char_sets",
     "graph_link_predict", "graph_coreness", "graph_eccentricity",
     "graph_assortativity", "sim_range_search", "q19_disjunctive_bands",
+    "graph_temporal_reach", "snap_meta_tables",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
     # text / retrieval: text_textrank + text_gopher_rules (above)
     # sampling

@@ -85,6 +85,26 @@ def main() -> None:
     print(f"  shared endpoints: {dup} (must be 0)")
     assert dup == 0
 
+    # --- core decomposition + temporal reachability ---------------------
+    from npm_extraction_server_spark.plans.graph import (
+        coreness,
+        temporal_reach,
+    )
+
+    t0 = time.time()
+    cn = coreness(edges)
+    n_cn = cn.count()
+    kmax = cn.agg(F.max("coreness")).collect()[0][0]
+    print(f"coreness: {time.time() - t0:.1f}s  nodes={n_cn:,} kmax={kmax}")
+
+    te = edges.select("src", "dst",
+                      ((F.col("src") + 2 * F.col("dst")) % 50).alias("t"))
+    seeds = spark.range(0, n, n // 100).select(F.col("id").alias("node_id"))
+    t0 = time.time()
+    tr = temporal_reach(seeds, te)
+    n_tr = tr.count()
+    print(f"temporal_reach: {time.time() - t0:.1f}s  reached={n_tr:,}")
+
     # --- Borůvka MSF over the same graph with grid weights --------------
     from npm_extraction_server_spark.plans.graph import boruvka_msf
 
