@@ -276,8 +276,12 @@ _PRIORITY: list[str] = [
     "snap_stats_prune",
     # events / sketches
     "events_retention", "sketch_distinct",
-    # multimodal / tarballs
-    "mm_audio_features", "tar_members",
+    # bipartite analytics (continuation additions; demoted
+    # mm_audio_features and tar_members — BOTH already hold driver
+    # records from rounds 1-4 (the only head entries that did) and
+    # stay green in the committed FULL self-runs, so these two slots
+    # are the cheapest way to give never-recorded queries a record)
+    "graph_bipartite_project", "graph_butterflies",
     # KG / BGP layer
     "kg_bgp_version_meta", "kg_bgp_dep_chain", "kg_void_stats",
     # web link graph / crawl

@@ -2499,6 +2499,41 @@ def graph_link_predict(spark, sf):
     return link_predict(_kg_graph_edges(spark, sf), min_common=2)
 
 
+def _bipartite_edges(spark, sf):
+    """Deterministic maintainer x package bipartite graph over
+    doc_ids < 600 (fixed at every sf so the oracle SQL is
+    scale-free): 40 left nodes (maintainers), 90 right nodes
+    (packages), two membership edges per doc — arithmetic residues,
+    re-derivable in DuckDB from doc_id alone. The npm shape: the
+    reference's foaf:maker edges (lib/npm/NpmUsers.js) form exactly
+    this user x package bipartite set."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 600)
+    return (docs.select((d % 40).alias("u"), (d % 90).alias("v"))
+            .unionByName(docs.select((d % 40).alias("u"),
+                                     ((3 * d + 1) % 90).alias("v"))))
+
+
+def graph_bipartite_project(spark, sf):
+    """Co-maintainership projection of the bipartite maintainer x
+    package graph: left pairs sharing >= 2 packages, with the shared
+    count (hard oracle: the same center-keyed wedge join + pair
+    aggregation in DuckDB — all-integer output)."""
+    from ..plans.graph import bipartite_project
+
+    return bipartite_project(_bipartite_edges(spark, sf), min_common=2)
+
+
+def graph_butterflies(spark, sf):
+    """Per-maintainer butterfly counts (bipartite 4-cycles) over the
+    maintainer x package graph (hard oracle: C(common,2) per
+    projected pair, rolled up per endpoint — exact integers in both
+    engines; global count = sum/2)."""
+    from ..plans.graph import butterfly_counts
+
+    return butterfly_counts(_bipartite_edges(spark, sf))
+
+
 def graph_assortativity(spark, sf):
     """Degree-assortativity moments over the KG multigraph (hard
     oracle: the same integer sums in DuckDB — all-BIGINT, so the
@@ -2701,6 +2736,8 @@ SPARK_QUERIES = {
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
     "graph_link_predict": graph_link_predict,
+    "graph_bipartite_project": graph_bipartite_project,
+    "graph_butterflies": graph_butterflies,
     "graph_assortativity": graph_assortativity,
     "graph_eccentricity": graph_eccentricity,
     "graph_lpa_communities": graph_lpa_communities,
@@ -2910,6 +2947,21 @@ _KG_GRAPH_EDGES_CTE = """
         UNION ALL
         SELECT doc_id, (doc_id+2) % 500 FROM documents
         WHERE doc_id < 500 AND doc_id % 3 = 0
+    )
+"""
+
+# The deterministic maintainer x package bipartite graph — the SQL
+# twin of _bipartite_edges (DISTINCT = the simple bipartite graph the
+# projection is defined over).
+_BIPARTITE_EDGES_CTE = """
+    be AS (
+        SELECT DISTINCT u, v FROM (
+            SELECT doc_id % 40 AS u, doc_id % 90 AS v
+            FROM documents WHERE doc_id < 600
+            UNION ALL
+            SELECT doc_id % 40, (3 * doc_id + 1) % 90
+            FROM documents WHERE doc_id < 600
+        )
     )
 """
 
@@ -4318,6 +4370,29 @@ ORACLE_SQL = {
     """),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
+    "graph_bipartite_project": f"""
+        WITH {_BIPARTITE_EDGES_CTE}
+        SELECT l.u AS a, r.u AS b, count(*) AS common
+        FROM be l JOIN be r ON l.v = r.v AND l.u < r.u
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
+    "graph_butterflies": f"""
+        WITH {_BIPARTITE_EDGES_CTE},
+        pairs AS (
+            SELECT l.u AS a, r.u AS b, count(*) AS common
+            FROM be l JOIN be r ON l.v = r.v AND l.u < r.u
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        bf AS (
+            SELECT a, b, (common * (common - 1)) // 2 AS bf FROM pairs
+        )
+        SELECT u, sum(bf)::BIGINT AS butterflies
+        FROM (SELECT a AS u, bf FROM bf
+              UNION ALL SELECT b AS u, bf FROM bf)
+        GROUP BY u
+    """,
     "graph_walks": _graph_walks_sql(),
     "graph_weighted_walks": _weighted_walks_sql(),
     "graph_node2vec_walks": _node2vec_sql(),

@@ -1483,3 +1483,57 @@ def test_closeness_harmonic_column(spark):
     assert got[0].harmonic == 0.0
     assert closeness(seeds, e).columns == [
         "node_id", "n_sources", "total_dist"]
+
+
+def test_bipartite_project_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from npm_extraction_server_spark.plans.graph import (
+        bipartite_project, butterfly_counts)
+
+    # maintainer u -> package v; duplicate edge (0,10) must collapse
+    edges = [(0, 10), (0, 10), (0, 11), (0, 12), (1, 10), (1, 11),
+             (2, 10), (2, 11), (2, 12), (3, 13), (4, 12), (4, 13)]
+    e = spark.createDataFrame(edges, "u long, v long")
+
+    adj = {}
+    for u, v in set(edges):
+        adj.setdefault(u, set()).add(v)
+    want_pairs = {}
+    for a, b in combinations(sorted(adj), 2):
+        c = len(adj[a] & adj[b])
+        if c >= 1:
+            want_pairs[(a, b)] = c
+
+    got = {(r.a, r.b): r.common
+           for r in bipartite_project(e, min_common=1).collect()}
+    assert got == want_pairs
+
+    # min_common filters, max_degree drops hub right-nodes (deg>2)
+    got2 = {(r.a, r.b): r.common
+            for r in bipartite_project(e, min_common=2).collect()}
+    assert got2 == {k: c for k, c in want_pairs.items() if c >= 2}
+    hub_deg = {}
+    for u, v in set(edges):
+        hub_deg[v] = hub_deg.get(v, 0) + 1
+    keep_v = {v for v, d in hub_deg.items() if d <= 2}
+    adj_cap = {u: vs & keep_v for u, vs in adj.items()}
+    want_cap = {}
+    for a, b in combinations(sorted(adj_cap), 2):
+        c = len(adj_cap[a] & adj_cap[b])
+        if c >= 1:
+            want_cap[(a, b)] = c
+    got_cap = {(r.a, r.b): r.common
+               for r in bipartite_project(e, max_degree=2).collect()}
+    assert got_cap == want_cap
+
+    # butterflies: per-vertex sum of C(common,2); global = sum/2
+    want_bf = {}
+    for (a, b), c in want_pairs.items():
+        bf = c * (c - 1) // 2
+        if bf:
+            want_bf[a] = want_bf.get(a, 0) + bf
+            want_bf[b] = want_bf.get(b, 0) + bf
+    got_bf = {r.u: r.butterflies for r in butterfly_counts(e).collect()}
+    assert got_bf == want_bf
+    assert sum(got_bf.values()) % 2 == 0
