@@ -256,7 +256,14 @@ _PRIORITY: list[str] = [
     # version_meta/dep_chain/void, web keeps web_url_normalize)
     "graph_msf", "graph_coloring", "graph_matching",
     "graph_lpa_communities", "text_textrank", "kg_char_sets",
-    "graph_link_predict", "graph_coreness", "graph_eccentricity",
+    # WL refinement + DSIR (this session's additions; demoted
+    # graph_link_predict — the ONE head entry with a prior driver
+    # record (r1-r4) — and graph_eccentricity, which shares
+    # _multi_source_sweep with closeness/harmonic; both green in the
+    # committed FULL self-run. graph_wl_colors / text_dsir_sample ride
+    # the same code paths as the two recorded here.)
+    "graph_wl_classes", "text_dsir_weights",
+    "graph_coreness",
     "graph_assortativity", "sim_range_search", "q19_disjunctive_bands",
     "graph_temporal_reach", "snap_meta_tables",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)

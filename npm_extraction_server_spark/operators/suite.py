@@ -810,6 +810,34 @@ def text_gopher_rules(spark, sf):
     return gopher_rules(_t(spark, sf, "documents"))
 
 
+def text_dsir_weights(spark, sf):
+    """DSIR importance log-weights (Xie et al. 2023) over the
+    documents table: hashed unigram+bigram bucket LMs (2^12 buckets),
+    target corpus = the deterministic quality-seed split
+    doc_id % 7 == 0, raw corpus = all documents; per-doc
+    log w = sum of 8-dp-grid bucket log-ratios on the decimal
+    protocol (hard oracle: DuckDB replays the hashing, both smoothed
+    LMs, and the decimal sum bit-exactly)."""
+    from .text import dsir_logweights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_logweights(docs, docs.filter(F.col("doc_id") % 7 == 0))
+
+
+def text_dsir_sample(spark, sf):
+    """Deterministic DSIR selection: the top-50 most-target-like
+    documents by importance log-weight (logw DESC, doc_id ASC) — the
+    resampling step with the reproducible tie-break, planned as
+    TakeOrderedAndProject over the weight table (hard oracle: QUALIFY
+    row_number twin)."""
+    from .text import dsir_logweights
+
+    docs = _t(spark, sf, "documents")
+    w = dsir_logweights(docs, docs.filter(F.col("doc_id") % 7 == 0))
+    return (w.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+            .limit(50))
+
+
 def dedup_containment(spark, sf):
     """EXACT directed set-containment join at >= 4/5 over documents
     (dedup.containment_join) — the asymmetric near-superset dedup
@@ -2568,6 +2596,63 @@ def graph_lpa_communities(spark, sf):
     return lpa_communities(_kg_graph_edges(spark, sf), rounds=3)
 
 
+def graph_wl_colors(spark, sf):
+    """1-WL (Weisfeiler-Leman) color refinement over the KG
+    multigraph, 3 rounds — per-node structural-equivalence colors
+    (hard oracle: every color is a deterministic md5 of the sorted
+    neighbor-color multiset, so the rounds unroll to a bit-exact
+    DuckDB twin — a hard oracle for a graph-kernel primitive)."""
+    from ..plans.graph import wl_refinement
+
+    return wl_refinement(_kg_graph_edges(spark, sf), rounds=3)
+
+
+def _wl_motif_edges(spark, sf):
+    """Deterministic motif forest over doc_ids < 498 (fixed at every
+    sf — the documents table carries >= 500 ids everywhere): 83
+    disjoint 6-node motifs (base = 6*(doc_id//6)), motif type =
+    (doc_id//6)%3 — ring (C6), star (K1,5), path (P6). Copies of the
+    same motif are structurally identical, so 1-WL must collapse the
+    forest to the motifs' role classes: 1 ring color + 2 star colors
+    + 3 path colors. Re-derivable in DuckDB from doc_id arithmetic
+    alone."""
+    d = F.col("doc_id")
+    docs = (_t(spark, sf, "documents").select("doc_id").filter(d < 498)
+            .select("doc_id", (d % 6).alias("p"),
+                    ((d - d % 6) % 18).alias("t6")))
+    base = F.col("doc_id") - F.col("p")
+
+    def e(cond, dst):
+        return (docs.filter(cond)
+                .select(F.col("doc_id").alias("src"), dst.alias("dst")))
+
+    return (
+        # t6 = 0: ring — i -> base + (p+1)%6
+        e(F.col("t6") == 0, base + (F.col("p") + 1) % 6)
+        # t6 = 6: star — center (p=0) -> each leaf
+        .unionByName(e((F.col("t6") == 6) & (F.col("p") > 0), base))
+        # t6 = 12: path — i -> i+1 for p < 5
+        .unionByName(e((F.col("t6") == 12) & (F.col("p") < 5),
+                       F.col("doc_id") + 1)))
+
+
+def graph_wl_classes(spark, sf):
+    """Structural-equivalence class histogram from the 3-round 1-WL
+    refinement over the motif forest (83 copies of ring/star/path
+    6-node motifs): (wl_color, n_nodes) — the WL-kernel feature
+    vector. Copies of a motif are isomorphic, so the 498 nodes MUST
+    collapse to exactly 6 role classes (ring 168, star centers 28 +
+    leaves 140, path ends/mids/centers 54 each) — the invariant the
+    KG multigraph (graph_wl_colors: 500 distinct colors, no
+    symmetry) cannot show (hard oracle: same rollup over the
+    unrolled rounds in DuckDB)."""
+    from ..plans.graph import wl_refinement
+
+    return (wl_refinement(_wl_motif_edges(spark, sf), rounds=3)
+            .groupBy("wl_color")
+            .agg(F.count("*").alias("n_nodes")))
+
+
 def graph_walks(spark, sf):
     """Deterministic hash-seeded random walks over the KG multigraph:
     50 start nodes x 2 walks each, 8 steps (hard oracle: the steps
@@ -2694,6 +2779,8 @@ SPARK_QUERIES = {
     "text_inverted_index": text_inverted_index,
     "text_collocations": text_collocations,
     "text_gopher_rules": text_gopher_rules,
+    "text_dsir_weights": text_dsir_weights,
+    "text_dsir_sample": text_dsir_sample,
     "text_hashed_features": text_hashed_features,
     "sample_k_per_domain": sample_k_per_domain,
     "sample_weighted": sample_weighted,
@@ -2741,6 +2828,8 @@ SPARK_QUERIES = {
     "graph_assortativity": graph_assortativity,
     "graph_eccentricity": graph_eccentricity,
     "graph_lpa_communities": graph_lpa_communities,
+    "graph_wl_colors": graph_wl_colors,
+    "graph_wl_classes": graph_wl_classes,
     "graph_coloring": graph_coloring,
     "graph_matching": graph_matching,
     "graph_msf": graph_msf,
@@ -3491,6 +3580,115 @@ def _lpa_sql(rounds: int = 3) -> str:
 
 
 
+_WL_MOTIF_EDGES_CTE = """
+    e0 AS (
+        SELECT doc_id AS src,
+               doc_id - (doc_id % 6) + (doc_id % 6 + 1) % 6 AS dst
+        FROM documents
+        WHERE doc_id < 498 AND (doc_id - doc_id % 6) % 18 = 0
+        UNION ALL
+        SELECT doc_id, doc_id - (doc_id % 6)
+        FROM documents
+        WHERE doc_id < 498 AND (doc_id - doc_id % 6) % 18 = 6
+              AND doc_id % 6 > 0
+        UNION ALL
+        SELECT doc_id, doc_id + 1
+        FROM documents
+        WHERE doc_id < 498 AND (doc_id - doc_id % 6) % 18 = 12
+              AND doc_id % 6 < 5
+    )
+"""
+
+
+def _wl_sql(rounds: int = 3, classes: bool = False,
+            edges_cte: str | None = None) -> str:
+    """wl_refinement's SQL twin: c0 = md5(degree); each round hashes
+    the node's previous color with the sorted comma-joined multiset of
+    neighbor colors — every color a deterministic md5 string, so the
+    unrolled rounds are bit-exact cross-engine."""
+    sql = f"""
+    WITH {edges_cte or _KG_GRAPH_EDGES_CTE},
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    adj AS (
+        SELECT a AS n, b AS m FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    c0 AS (SELECT n AS node, md5(CAST(count(*) AS VARCHAR)) AS wl_color
+           FROM adj GROUP BY n)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    m{r} AS (
+        SELECT a.n, string_agg(c.wl_color, ',' ORDER BY c.wl_color) AS ms
+        FROM adj a JOIN c{r - 1} c ON c.node = a.m
+        GROUP BY a.n),
+    c{r} AS (
+        SELECT c.node, md5(c.wl_color || '|' || m.ms) AS wl_color
+        FROM c{r - 1} c JOIN m{r} m ON m.n = c.node)"""
+    if classes:
+        sql += f"""
+    SELECT wl_color, count(*)::BIGINT AS n_nodes
+    FROM c{rounds} GROUP BY wl_color"""
+    else:
+        sql += f"\n    SELECT node, wl_color FROM c{rounds}"
+    return sql
+
+
+# DSIR's shared CTE chain: hashed unigram+bigram buckets over the raw
+# corpus (= documents); target grams are the doc_id % 7 == 0 subset of
+# the same stream (target is a subset of raw, so one gram pass feeds
+# both LMs). Mirrors text.dsir_logweights term-for-term.
+_DSIR_SCORED_CTES = """
+    dsarr AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM documents
+    ),
+    dstok AS (
+        SELECT doc_id, unnest(arr) AS w,
+               unnest(generate_series(0, len(arr) - 1))::INT AS pos
+        FROM dsarr
+    ),
+    dsgr AS (
+        SELECT doc_id, w AS term FROM dstok
+        UNION ALL
+        SELECT doc_id, w || ' ' ||
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+        FROM dstok
+        QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NOT NULL
+    ),
+    dsb AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(term), 1, 12))::UBIGINT
+                % 4096)::BIGINT AS b
+        FROM dsgr
+    ),
+    dsrc AS (SELECT b, count(*) AS cr FROM dsb GROUP BY b),
+    dstc AS (SELECT b, count(*) AS ct FROM dsb
+             WHERE doc_id % 7 = 0 GROUP BY b),
+    dstot AS (SELECT (SELECT sum(cr)::DOUBLE FROM dsrc) AS nr,
+                     (SELECT sum(ct)::DOUBLE FROM dstc) AS nt),
+    dslr AS (
+        SELECT dsrc.b,
+               round(ln((coalesce(dstc.ct, 0)::DOUBLE + 1.0)
+                        / ((SELECT nt FROM dstot) + 4096.0))
+                     - ln((dsrc.cr::DOUBLE + 1.0)
+                          / ((SELECT nr FROM dstot) + 4096.0)), 8) AS lr
+        FROM dsrc LEFT JOIN dstc ON dstc.b = dsrc.b
+    ),
+    dsscored AS (
+        SELECT doc_id, count(*)::BIGINT AS n_grams,
+               round(cast(sum(cast(lr AS DECIMAL(28,8))) AS DOUBLE), 6)
+                   AS logw
+        FROM dsb JOIN dslr ON dslr.b = dsb.b
+        GROUP BY doc_id
+    )
+"""
+
+
 _DEP_DAG_EDGES_CTE = """
     depbase AS (SELECT doc_id AS i FROM documents WHERE doc_id < 540),
     depedges AS (
@@ -4210,6 +4408,9 @@ ORACLE_SQL = {
     "graph_sssp": _GRAPH_SSSP_SQL,
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_lpa_communities": _lpa_sql(3),
+    "graph_wl_colors": _wl_sql(3),
+    "graph_wl_classes": _wl_sql(3, classes=True,
+                                 edges_cte=_WL_MOTIF_EDGES_CTE),
     "graph_coloring": _coloring_sql(12),
     "graph_coreness": _coreness_sql(5, 8),
     "graph_matching": _matching_sql(7),
@@ -5192,6 +5393,18 @@ ORACLE_SQL = {
         JOIN n na ON na.doc = p.id_a
         JOIN n nb ON nb.doc = p.id_b
         WHERE 8 * p.inter >= 3 * (na.n + nb.n)
+    """,
+    "text_dsir_weights": f"""
+        WITH {_DSIR_SCORED_CTES}
+        SELECT doc_id, n_grams, logw FROM dsscored
+    """,
+    "text_dsir_sample": f"""
+        WITH {_DSIR_SCORED_CTES}
+        SELECT doc_id, n_grams, logw FROM (
+            SELECT doc_id, n_grams, logw,
+                   row_number() OVER (ORDER BY logw DESC, doc_id) AS rn
+            FROM dsscored)
+        WHERE rn <= 50
     """,
     "text_hashed_features": """
         WITH arrs AS (

@@ -902,3 +902,85 @@ def gopher_rules(documents: DataFrame,
         n_words.alias("n_words"),
         *[c.alias(name) for name, c in rules.items()],
         gopher_pass.alias("gopher_pass"))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    n_bits: int = 12,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): every raw-corpus
+    document is scored by how target-like it is under two hashed
+    n-gram bag models,
+
+        log w(x) = sum over x's grams g of
+                   [ ln p_target(b(g)) - ln p_raw(b(g)) ],
+
+    where b(g) = md5(g) % 2^n_bits is the paper's hashed feature space
+    (unigrams + bigrams, the same gram stream as hashed_features) and
+    both bucket models are Laplace-smoothed multinomials fit on their
+    corpus. Selection is then importance resampling: Gumbel top-k over
+    logw (ride sampling.weighted_sample_k) or deterministic top-k
+    (ORDER BY logw DESC — text_dsir_sample) for held-out-seeded
+    pipelines that need reproducible picks.
+
+    Returns (id_col, n_grams, logw) for raw documents with >= 1 token.
+
+    Cross-engine determinism: bucket counts are exact integers; each
+    bucket's log-ratio is ONE 8-dp-rounded double over exact-integer
+    ratios; per-doc sums follow the decimal(28,8) protocol; the final
+    logw is rounded to 6 dp (text_dsir_weights replays it in DuckDB
+    bit-exactly — hard oracle).
+
+    Shape at 100 TB: tokenize + ONE bucket-count aggregation per
+    corpus (output fixed at 2^n_bits rows — map-side combined, always
+    broadcastable), the log-ratio table broadcast-joined back onto the
+    raw gram stream, one per-doc aggregation. No vocabulary state, no
+    driver loop; the target corpus is the small quality seed set
+    (Wikipedia-like), so its pass is cheap; scoring cost is one scan
+    of raw + one per-doc agg regardless of n_bits.
+    """
+    n_buckets = 1 << n_bits
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+            .alias("pos", "w"))
+        w = Window.partitionBy(id_col).orderBy("pos")
+        g = (toks.select(F.col(id_col), F.col("w").alias("term"))
+             .unionByName(
+                 toks.select(F.col(id_col),
+                             F.concat_ws(" ", "w",
+                                         F.lead("w").over(w)).alias("term"))
+                 .filter(F.col("term").contains(" "))))
+        hx = F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10) \
+            .cast("bigint")
+        return g.select(F.col(id_col),
+                        F.pmod(hx, F.lit(n_buckets)).alias("b"))
+
+    raw_grams = grams(raw)
+    raw_counts = raw_grams.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_counts = grams(target).groupBy("b").agg(F.count("*").alias("ct"))
+    raw_tot = raw_counts.agg(F.sum("cr").cast("double").alias("nr"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").cast("double").alias("nt"))
+    # every scored gram's bucket exists in raw_counts (the stream IS the
+    # raw corpus), so the ratio table is raw-keyed; target-only buckets
+    # are unreachable and absent-target buckets smooth to ct = 0.
+    ratios = (raw_counts.join(tgt_counts, "b", "left")
+              .crossJoin(F.broadcast(raw_tot))
+              .crossJoin(F.broadcast(tgt_tot))
+              .select("b", F.round(
+                  F.log((F.coalesce(F.col("ct"), F.lit(0)).cast("double")
+                         + F.lit(1.0))
+                        / (F.col("nt") + F.lit(float(n_buckets))))
+                  - F.log((F.col("cr").cast("double") + F.lit(1.0))
+                          / (F.col("nr") + F.lit(float(n_buckets)))),
+                  8).alias("lr")))
+    return (raw_grams.join(F.broadcast(ratios), "b")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(
+                     F.sum(F.col("lr").cast("decimal(28,8)")).cast("double"),
+                     6).alias("logw")))

@@ -62,7 +62,7 @@ __all__ = ["bfs_distances", "bipartite_project", "butterfly_counts",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "sssp",
            "triangle_counts", "walk_skipgram_pairs",
-           "weighted_random_walks"]
+           "weighted_random_walks", "wl_refinement"]
 
 
 def bfs_distances(seeds: DataFrame, edges: DataFrame,
@@ -2566,3 +2566,61 @@ def butterfly_counts(edges: DataFrame,
            .groupBy("u")
            .agg(F.sum("bf").alias("butterflies")))
     return per
+
+
+def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """1-WL (Weisfeiler-Leman) color refinement over the undirected
+    simple graph induced by ``edges`` — the structural-equivalence
+    partition: two nodes share a color after r rounds iff their
+    r-hop rooted neighborhood trees are isomorphic. This is the node
+    signature behind graph-isomorphism screening, GNN expressiveness
+    (GIN == 1-WL), and structural role mining (nodes of a KG that
+    "look alike" — e.g. every leaf package with two maintainers and
+    one dependency — collapse to one color, whatever their ids).
+
+    color_0(v)  = md5(degree(v) as string)
+    color_t(v)  = md5(color_{t-1}(v) || '|' ||
+                      comma-join(SORTED multiset of neighbor
+                                 color_{t-1}))
+
+    The multiset hash is the canonical-form trick of the original
+    algorithm (Weisfeiler & Leman 1968; Shervashidze et al. 2011 WL
+    kernels): sorting the neighbor colors makes the concatenation a
+    canonical encoding, and md5 keeps the label width constant across
+    rounds. Everything is a deterministic string function, so the
+    refinement is engine-neutral — the DuckDB oracle (suite
+    graph_wl_colors / graph_wl_classes) reproduces every color
+    bit-for-bit: a HARD oracle for a graph-kernel primitive.
+
+    Returns (node, wl_color) for every non-isolated node.
+
+    Scale shape: the symmetric adjacency is built once and
+    checkpointed; each round is ONE node-keyed
+    join-collect_list-aggregate (sort_array over each node's
+    neighbor-color list — memory ∝ max degree, the same bound
+    neighbor_agg carries) and a hash projection; the color frame is
+    lazily checkpointed so the plan stays round-deep. Per-round
+    shuffle is O(|E|) on the node key, never quadratic; rounds
+    needed in practice = graph diameter's log (refinement stabilizes
+    in <= |V| rounds, typically a handful).
+    """
+    und = _und_simple(edges, eager=None)
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m")))
+           .localCheckpoint(eager=True))
+    colors = (adj.groupBy("n").agg(F.count("*").alias("d"))
+              .select(F.col("n").alias("node"),
+                      F.md5(F.col("d").cast("string")).alias("wl_color")))
+    for _ in range(rounds):
+        nb = (adj.join(colors.select(F.col("node").alias("m"),
+                                     F.col("wl_color").alias("mc")), "m")
+              .groupBy("n")
+              .agg(F.array_join(F.array_sort(F.collect_list("mc")), ",")
+                   .alias("ms")))
+        colors = (colors.join(nb, colors["node"] == nb["n"])
+                  .select("node",
+                          F.md5(F.concat_ws("|", "wl_color", "ms"))
+                          .alias("wl_color"))
+                  .localCheckpoint(eager=False))
+    return colors

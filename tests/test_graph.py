@@ -1537,3 +1537,39 @@ def test_bipartite_project_matches_bruteforce(spark):
     got_bf = {r.u: r.butterflies for r in butterfly_counts(e).collect()}
     assert got_bf == want_bf
     assert sum(got_bf.values()) % 2 == 0
+
+
+def test_wl_refinement_matches_pure_python(spark):
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import wl_refinement
+
+    # two isomorphic 4-stars (centers 0, 10) + one P3 path (20-21-22):
+    # WL must give identical colors to corresponding star nodes and
+    # distinguish path ends from the path center and from star leaves
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4),
+             (10, 11), (10, 12), (10, 13), (10, 14),
+             (20, 21), (21, 22)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    colors = {v: md5(str(len(ns))) for v, ns in adj.items()}
+    for _ in range(3):
+        colors = {v: md5(colors[v] + "|" +
+                         ",".join(sorted(colors[m] for m in adj[v])))
+                  for v in adj}
+
+    got = {r.node: r.wl_color
+           for r in wl_refinement(e, rounds=3).collect()}
+    assert got == colors
+    # structural invariants the hash values imply
+    assert got[0] == got[10] and got[1] == got[11]
+    assert got[20] == got[22] and got[20] != got[21]
+    assert got[21] != got[0] and got[1] != got[20]

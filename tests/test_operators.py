@@ -1537,3 +1537,49 @@ def test_containment_join_asymmetric_and_lossless(spark):
              for a, b in itertools.permutations(toksets, 2)
              if 5 * len(toksets[a] & toksets[b]) >= 4 * len(toksets[a])}
     assert set(got) == brute
+
+
+def test_dsir_logweights_matches_pure_python(spark):
+    import hashlib
+    import math
+    import re
+    from decimal import Decimal
+
+    from npm_extraction_server_spark.operators.text import dsir_logweights
+
+    docs = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "spark shuffles the partitions across executors"),
+            (2, "the the the the spam spam spam"),
+            (3, "quick brown dog runs"),
+            (4, "unrelated tokens entirely zebra quark")]
+    raw = spark.createDataFrame(docs, "doc_id long, text string")
+    target = raw.filter("doc_id IN (0, 3)")
+
+    def grams(text):
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:12], 16) % 4096
+
+    rawb = {i: [bucket(g) for g in grams(t)] for i, t in docs}
+    rc, tc = {}, {}
+    for i, bs in rawb.items():
+        for b in bs:
+            rc[b] = rc.get(b, 0) + 1
+            if i in (0, 3):
+                tc[b] = tc.get(b, 0) + 1
+    nr, nt = float(sum(rc.values())), float(sum(tc.values()))
+    lr = {b: round(math.log((tc.get(b, 0) + 1.0) / (nt + 4096.0))
+                   - math.log((c + 1.0) / (nr + 4096.0)), 8)
+          for b, c in rc.items()}
+    want = {}
+    for i, bs in rawb.items():
+        s = sum(Decimal(str(lr[b])) for b in bs)
+        want[i] = (len(bs), round(float(s), 6))
+
+    got = {r.doc_id: (r.n_grams, r.logw)
+           for r in dsir_logweights(raw, target).collect()}
+    assert got == want
+    # target-like docs outrank the spam and the unrelated doc
+    assert got[0][1] > got[2][1] and got[3][1] > got[4][1]
