@@ -2653,6 +2653,26 @@ def graph_wl_classes(spark, sf):
             .agg(F.count("*").alias("n_nodes")))
 
 
+def graph_rich_club(spark, sf):
+    """Rich-club coefficient curve phi(k) over the KG multigraph —
+    do the high-degree hubs link to each other more than chance
+    (hard oracle: N_k / E_k are exact suffix-sum integers, phi one
+    correctly-rounded 8-dp division — bit-exact in DuckDB)."""
+    from ..plans.graph import rich_club
+
+    return rich_club(_kg_graph_edges(spark, sf))
+
+
+def graph_powerlaw(spark, sf):
+    """Hill / CSN-MLE power-law exponent of the degree distribution
+    (tail d >= 2) — the scale-free scorecard that decides whether a
+    graph needs skew handling (hard oracle: 8-dp ln grid + decimal
+    sum + one 6-dp division, replayed bit-exactly in DuckDB)."""
+    from ..plans.graph import degree_powerlaw
+
+    return degree_powerlaw(_kg_graph_edges(spark, sf), d_min=2)
+
+
 def graph_walks(spark, sf):
     """Deterministic hash-seeded random walks over the KG multigraph:
     50 start nodes x 2 walks each, 8 steps (hard oracle: the steps
@@ -2829,6 +2849,8 @@ SPARK_QUERIES = {
     "graph_eccentricity": graph_eccentricity,
     "graph_lpa_communities": graph_lpa_communities,
     "graph_wl_colors": graph_wl_colors,
+    "graph_rich_club": graph_rich_club,
+    "graph_powerlaw": graph_powerlaw,
     "graph_wl_classes": graph_wl_classes,
     "graph_coloring": graph_coloring,
     "graph_matching": graph_matching,
@@ -4409,6 +4431,66 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_lpa_communities": _lpa_sql(3),
     "graph_wl_colors": _wl_sql(3),
+    "graph_rich_club": f"""
+        WITH {_KG_GRAPH_EDGES_CTE},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT n, count(*) AS d
+            FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+            GROUP BY n
+        ),
+        emin AS (
+            SELECT least(da.d, db.d) AS md
+            FROM und JOIN deg da ON da.n = und.a
+                     JOIN deg db ON db.n = und.b
+        ),
+        dh AS (SELECT d, count(*) AS nd FROM deg GROUP BY d),
+        eh AS (SELECT md AS d, count(*) AS ne FROM emin GROUP BY md),
+        hist AS (
+            SELECT coalesce(dh.d, eh.d) AS d,
+                   coalesce(nd, 0) AS nd, coalesce(ne, 0) AS ne
+            FROM dh FULL JOIN eh ON eh.d = dh.d
+        ),
+        curve AS (
+            SELECT d AS k,
+                   coalesce(sum(nd) OVER (
+                       ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS n_k,
+                   coalesce(sum(ne) OVER (
+                       ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS e_k
+            FROM hist
+        )
+        SELECT k, n_k, e_k,
+               round(2.0 * e_k::DOUBLE
+                     / (n_k::DOUBLE * (n_k::DOUBLE - 1)), 8) AS phi
+        FROM curve WHERE n_k >= 2
+    """,
+    "graph_powerlaw": f"""
+        WITH {_KG_GRAPH_EDGES_CTE},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT n, count(*) AS d
+            FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+            GROUP BY n
+        ),
+        tail AS (
+            SELECT d, round(ln(d::DOUBLE / 1.5), 8) AS lt
+            FROM deg WHERE d >= 2
+        )
+        SELECT 2::BIGINT AS d_min, count(*)::BIGINT AS n_tail,
+               max(d)::BIGINT AS d_max,
+               round(1.0 + count(*)::DOUBLE
+                     / cast(sum(cast(lt AS DECIMAL(28,8))) AS DOUBLE),
+                     6) AS alpha
+        FROM tail
+    """,
     "graph_wl_classes": _wl_sql(3, classes=True,
                                  edges_cte=_WL_MOTIF_EDGES_CTE),
     "graph_coloring": _coloring_sql(12),

@@ -56,11 +56,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bfs_distances", "bipartite_project", "butterfly_counts",
-           "closeness", "clustering_coefficients", "hits",
+           "closeness", "clustering_coefficients", "degree_powerlaw", "hits",
            "hyperball", "hyperball_stats", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
-           "personalized_pagerank", "propagate_labels", "sssp",
+           "personalized_pagerank", "propagate_labels", "rich_club", "sssp",
            "triangle_counts", "walk_skipgram_pairs",
            "weighted_random_walks", "wl_refinement"]
 
@@ -2624,3 +2624,84 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
                           .alias("wl_color"))
                   .localCheckpoint(eager=False))
     return colors
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve over the undirected simple graph:
+    for every degree threshold k present in the graph,
+    phi(k) = 2 * E_k / (N_k * (N_k - 1)) where N_k = #nodes with
+    degree > k and E_k = #edges whose BOTH endpoints have degree > k
+    (Colizza et al. 2006) — the "do the hubs club together" curve
+    that separates a web/citation core from a decentralized topology.
+
+    Exactness: N_k and E_k are exact integers via two cumulative
+    histograms — per-node degrees roll up to a degree histogram, and
+    each edge contributes min(deg(a), deg(b)) so that
+    E_k = #edges with min-endpoint-degree > k, a suffix sum. phi is
+    one correctly-rounded double division re-rounded to 8 dp — the
+    DuckDB oracle (graph_rich_club) is bit-exact.
+
+    Scale shape: one degree aggregation, one edge->degree join keyed
+    on node ids (two joins, the triangle-counting discipline), then
+    ALL window work happens on the degree histogram — whose size is
+    the number of DISTINCT degrees (<= thousands at any graph scale),
+    so the curve costs two |E|-sized aggregations and a toy window,
+    never a per-k pass."""
+    und = _und_simple(edges)
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    emin = (und.join(da, "a").join(db, "b")
+            .select(F.least("da", "db").alias("md")))
+    # suffix-sum both histograms over the shared threshold axis
+    dh = deg.groupBy("d").agg(F.count("*").alias("nd"))
+    eh = emin.groupBy(F.col("md").alias("d")).agg(F.count("*").alias("ne"))
+    hist = dh.join(eh, "d", "full") \
+             .select("d", F.coalesce("nd", F.lit(0)).alias("nd"),
+                     F.coalesce("ne", F.lit(0)).alias("ne"))
+    w = (Window.orderBy(F.col("d").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    curve = hist.select(
+        F.col("d").alias("k"),
+        F.coalesce(F.sum("nd").over(w), F.lit(0)).alias("n_k"),
+        F.coalesce(F.sum("ne").over(w), F.lit(0)).alias("e_k"))
+    return (curve.filter(F.col("n_k") >= 2)
+            .select("k", "n_k", "e_k",
+                    F.round(F.lit(2.0) * F.col("e_k").cast("double")
+                            / (F.col("n_k").cast("double")
+                               * (F.col("n_k").cast("double") - 1)), 8)
+                    .alias("phi")))
+
+
+def degree_powerlaw(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """Hill / discrete-MLE power-law exponent of the degree
+    distribution (Clauset-Shalizi-Newman 2009 eq. 3.7 continuous
+    approximation): over nodes with degree >= d_min,
+
+        alpha_hat = 1 + n_tail / sum ln(d_i / (d_min - 1/2))
+
+    plus the tail size and max degree — the one-row scorecard that
+    says whether a crawl/citation graph is scale-free enough to need
+    skew handling (alpha ~ 2-3) before the expensive operators run.
+
+    Cross-engine: each node's ln term is 8-dp-grid rounded, the sum
+    follows the decimal(28,8) protocol, alpha is one double division
+    re-rounded to 6 dp — graph_powerlaw's DuckDB twin is bit-exact.
+    Scale shape: one degree aggregation + one 1-row aggregate; the ln
+    join never happens (it's a projection on the degree table)."""
+    und = _und_simple(edges)
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    tail = deg.filter(F.col("d") >= d_min).select(
+        "d", F.round(F.log(F.col("d").cast("double")
+                           / F.lit(d_min - 0.5)), 8).alias("lt"))
+    return tail.agg(
+        F.lit(d_min).cast("bigint").alias("d_min"),
+        F.count("*").alias("n_tail"),
+        F.max("d").alias("d_max"),
+        F.round(F.lit(1.0) + F.count("*").cast("double")
+                / F.sum(F.col("lt").cast("decimal(28,8)")).cast("double"),
+                6).alias("alpha"))

@@ -1573,3 +1573,42 @@ def test_wl_refinement_matches_pure_python(spark):
     assert got[0] == got[10] and got[1] == got[11]
     assert got[20] == got[22] and got[20] != got[21]
     assert got[21] != got[0] and got[1] != got[20]
+
+
+def test_rich_club_and_powerlaw_match_pure_python(spark):
+    import math
+    from decimal import Decimal
+    from itertools import combinations
+
+    from npm_extraction_server_spark.plans.graph import (
+        degree_powerlaw, rich_club)
+
+    # hub clique {0,1,2} + pendants so degrees spread: star arms on 0
+    edges = [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (0, 5),
+             (1, 6), (2, 7), (3, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+
+    want = {}
+    for k in sorted(set(deg.values())):
+        nodes = [v for v in deg if deg[v] > k]
+        if len(nodes) < 2:
+            continue
+        ek = sum(1 for a, b in combinations(nodes, 2)
+                 if b in adj[a])
+        want[k] = (len(nodes), ek,
+                   round(2.0 * ek / (len(nodes) * (len(nodes) - 1)), 8))
+    got = {r.k: (r.n_k, r.e_k, r.phi) for r in rich_club(e).collect()}
+    assert got == want
+
+    tail = [d for d in deg.values() if d >= 2]
+    s = sum(Decimal(str(round(math.log(d / 1.5), 8))) for d in tail)
+    alpha = round(1.0 + len(tail) / float(s), 6)
+    row = degree_powerlaw(e, d_min=2).first()
+    assert (row.d_min, row.n_tail, row.d_max, row.alpha) == (
+        2, len(tail), max(deg.values()), alpha)
