@@ -2653,6 +2653,16 @@ def graph_wl_classes(spark, sf):
             .agg(F.count("*").alias("n_nodes")))
 
 
+def graph_trussness(spark, sf):
+    """Full truss decomposition over the KG multigraph: per-edge max
+    trussness via ascending-threshold peeling (hard oracle: max-k
+    membership over per-k unrolled ktruss peels in DuckDB, default 2
+    — the edge-level analog of graph_coreness)."""
+    from ..plans.graph import trussness
+
+    return trussness(_kg_graph_edges(spark, sf))
+
+
 def graph_rich_club(spark, sf):
     """Rich-club coefficient curve phi(k) over the KG multigraph —
     do the high-degree hubs link to each other more than chance
@@ -2850,6 +2860,7 @@ SPARK_QUERIES = {
     "graph_lpa_communities": graph_lpa_communities,
     "graph_wl_colors": graph_wl_colors,
     "graph_rich_club": graph_rich_club,
+    "graph_trussness": graph_trussness,
     "graph_powerlaw": graph_powerlaw,
     "graph_wl_classes": graph_wl_classes,
     "graph_coloring": graph_coloring,
@@ -3975,6 +3986,49 @@ def _ktruss_sql(k: int, rounds: int = 5) -> str:
     return sql
 
 
+def _trussness_sql(kmax: int = 4, rounds: int = 4) -> str:
+    """trussness's SQL twin: for each k in 3..kmax run the unrolled
+    ktruss peel (namespaced CTEs), then label every edge of the
+    simple graph with the max k whose survivor set contains it,
+    default 2 — provably the same labeling as the ascending peel
+    (trussness(e) = max k with e in the k-truss; every edge is in
+    the 2-truss)."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    s0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    )"""
+    for k in range(3, kmax + 1):
+        sql += f""",
+    u{k}s0 AS MATERIALIZED (SELECT a, b FROM s0)"""
+        for r in range(1, rounds + 1):
+            sql += f""",
+    u{k}t{r} AS MATERIALIZED (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM u{k}s{r - 1} e1
+        JOIN u{k}s{r - 1} e2 ON e2.a = e1.b
+        JOIN u{k}s{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+    u{k}p{r} AS MATERIALIZED (
+        SELECT a, b, count(*) AS s FROM (
+            SELECT a, b FROM u{k}t{r}
+            UNION ALL SELECT a, c AS b FROM u{k}t{r}
+            UNION ALL SELECT b AS a, c AS b FROM u{k}t{r}) GROUP BY a, b),
+    u{k}s{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM u{k}s{r - 1} e
+        JOIN u{k}p{r} p ON p.a = e.a AND p.b = e.b
+        WHERE p.s >= {k - 2})"""
+    member = "\n        UNION ALL ".join(
+        f"SELECT a, b, {k} AS k FROM u{k}s{rounds}"
+        for k in range(3, kmax + 1))
+    sql += f"""
+    SELECT s0.a, s0.b, coalesce(max(m.k), 2)::INT AS trussness
+    FROM s0 LEFT JOIN (
+        {member}) m ON m.a = s0.a AND m.b = s0.b
+    GROUP BY s0.a, s0.b"""
+    return sql
+
+
 def _coreness_sql(kmax: int = 5, rounds: int = 8) -> str:
     """coreness's SQL twin: for each k in 1..kmax run the unrolled
     kcore peel (namespaced CTEs), then label every node with the max
@@ -4499,6 +4553,7 @@ ORACLE_SQL = {
     "graph_msf": _msf_sql(5),
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
+    "graph_trussness": _trussness_sql(4, rounds=4),
     "graph_clustering_coeff": f"""
         WITH {_KG_GRAPH_EDGES_CTE},
         und AS MATERIALIZED (

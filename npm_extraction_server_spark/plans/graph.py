@@ -61,7 +61,7 @@ __all__ = ["bfs_distances", "bipartite_project", "butterfly_counts",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "rich_club", "sssp",
-           "triangle_counts", "walk_skipgram_pairs",
+           "triangle_counts", "trussness", "walk_skipgram_pairs",
            "weighted_random_walks", "wl_refinement"]
 
 
@@ -2705,3 +2705,68 @@ def degree_powerlaw(edges: DataFrame, d_min: int = 2) -> DataFrame:
         F.round(F.lit(1.0) + F.count("*").cast("double")
                 / F.sum(F.col("lt").cast("decimal(28,8)")).cast("double"),
                 6).alias("alpha"))
+
+
+def trussness(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """Full truss decomposition: trussness(e) = the maximum k such
+    that edge e belongs to the k-truss — ``ktruss`` asks one k, this
+    labels every edge (the edge-level analog of ``coreness``, the
+    standard output for community-strength ranking: an edge of
+    trussness k lives inside a subgraph where EVERY edge closes
+    >= k-2 triangles). Ascending-threshold peeling: peel at k=3 to
+    fixpoint, raise k, re-peel the survivors; an edge removed while
+    the threshold is k has trussness k-1, and edges that fall out at
+    the first threshold (no triangle support) have trussness 2 (every
+    edge is a 2-truss member by definition).
+
+    Returns (a, b, trussness) for every edge of the undirected simple
+    graph, a < b.
+
+    Scale shape: identical per-round cost to ktruss — one skew-safe
+    oriented triangle enumeration + one per-edge support aggregate +
+    two joins over a monotonically shrinking checkpointed edge set;
+    total rounds = peel rounds + kmax threshold bumps, ONE count
+    action per round (the coreness discipline). The labeled output
+    accumulates ∝ edges dropped, unioned as a balanced tree.
+
+    Oracle twin: _trussness_sql in operators/suite.py (max-k
+    membership over per-k unrolled ktruss peels, default 2 —
+    provably the same labeling).
+    """
+    live = _und_simple(edges)
+    n_live = live.count()
+    parts: list[DataFrame] = []
+    k = 3
+    for _ in range(max_rounds):
+        if not n_live:
+            if not parts:
+                return live.select(
+                    "a", "b", F.lit(2).cast("int").alias("trussness"))
+            return _union_all(parts)
+        tri = _oriented_triangles(live)
+        sup = (
+            tri.select(F.least("u", "v").alias("a"),
+                       F.greatest("u", "v").alias("b"))
+            .unionByName(tri.select(F.least("u", "w").alias("a"),
+                                    F.greatest("u", "w").alias("b")))
+            .unionByName(tri.select(F.least("v", "w").alias("a"),
+                                    F.greatest("v", "w").alias("b")))
+            .groupBy("a", "b").agg(F.count("*").alias("support"))
+        )
+        scored = (live.join(sup, ["a", "b"], "left")
+                  .select("a", "b",
+                          F.coalesce("support", F.lit(0)).alias("support")))
+        nxt = (scored.filter(F.col("support") >= k - 2)
+               .select("a", "b")
+               .localCheckpoint(eager=True))
+        n_nxt = nxt.count()
+        if n_nxt == n_live:
+            k += 1
+            continue
+        dropped = (live.join(nxt, ["a", "b"], "left_anti")
+                   .select("a", "b",
+                           F.lit(k - 1).cast("int").alias("trussness"))
+                   .localCheckpoint(eager=True))
+        parts.append(dropped)
+        live, n_live = nxt, n_nxt
+    raise RuntimeError(f"trussness: no convergence in {max_rounds} rounds")

@@ -1612,3 +1612,47 @@ def test_rich_club_and_powerlaw_match_pure_python(spark):
     row = degree_powerlaw(e, d_min=2).first()
     assert (row.d_min, row.n_tail, row.d_max, row.alpha) == (
         2, len(tail), max(deg.values()), alpha)
+
+
+def test_trussness_matches_bruteforce_peeling(spark):
+    from itertools import combinations
+
+    from npm_extraction_server_spark.plans.graph import trussness
+
+    # K5 on {0..4} (trussness 5), a triangle {10,11,12} glued to it by
+    # bridge 4-10 (trussness 2), and a pendant edge 12-13
+    edges = ([(a, b) for a, b in combinations(range(5), 2)]
+             + [(10, 11), (10, 12), (11, 12), (4, 10), (12, 13)])
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    def peel(es):
+        # pure-python ascending-k peel
+        es = {tuple(sorted(x)) for x in es}
+        truss = {x: 2 for x in es}
+        k = 3
+        while es:
+            while True:
+                sup = {x: 0 for x in es}
+                for (a, b) in es:
+                    common = sum(
+                        1 for c in {n for ed in es for n in ed}
+                        if tuple(sorted((a, c))) in es
+                        and tuple(sorted((b, c))) in es)
+                    sup[(a, b)] = common
+                drop = {x for x in es if sup[x] < k - 2}
+                if not drop:
+                    break
+                es -= drop
+                for x in drop:
+                    truss[x] = k - 1
+            k += 1
+            if k > 20:
+                break
+        return truss
+
+    want = peel(edges)
+    got = {(r.a, r.b): r.trussness for r in trussness(e).collect()}
+    assert got == want
+    assert all(got[x] == 5 for x in combinations(range(5), 2))
+    assert got[(10, 11)] == got[(10, 12)] == got[(11, 12)] == 3
+    assert got[(4, 10)] == 2 and got[(12, 13)] == 2
