@@ -2663,6 +2663,51 @@ def graph_trussness(spark, sf):
     return trussness(_kg_graph_edges(spark, sf))
 
 
+def _bowtie_edges(spark, sf):
+    """Deterministic bow-tie-shaped directed graph over doc_ids < 500
+    (fixed at every sf): a 50-node ring+chord CORE (the unique
+    non-trivial SCC), two 50-node IN layers (150+j -> 100+j -> j),
+    two 50-node OUT layers (j -> 200+j -> 250+j), a 10-node TUBE
+    (150+j -> 300+j -> 250+j, bypassing CORE), 10 forward TENDRILs
+    off IN (150+j -> 350+j), 10 backward TENDRILs into OUT
+    (400+j -> 250+j) and 10 disconnected pairs (450+j -> 460+j).
+    Every class size is known by construction; re-derivable in DuckDB
+    from doc_id arithmetic alone."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 500)
+
+    def e(lo, hi, dst, extra=None):
+        cond = (d >= lo) & (d < hi)
+        if extra is not None:
+            cond = cond & extra
+        return docs.filter(cond).select(d.alias("src"), dst.alias("dst"))
+
+    return (
+        e(0, 50, (d + 1) % 50)                      # core ring
+        .unionByName(e(0, 50, (d + 13) % 50, d % 5 == 0))  # core chords
+        .unionByName(e(100, 150, d - 100))          # IN1 -> core
+        .unionByName(e(150, 200, d - 50))           # IN2 -> IN1
+        .unionByName(e(0, 50, d + 200))             # core -> OUT1
+        .unionByName(e(200, 250, d + 50))           # OUT1 -> OUT2
+        .unionByName(e(150, 160, d + 150))          # IN2 -> TUBE
+        .unionByName(e(300, 310, d - 50))           # TUBE -> OUT2
+        .unionByName(e(150, 160, d + 200))          # IN2 -> TENDRIL(fwd)
+        .unionByName(e(400, 410, d - 150))          # TENDRIL(bwd) -> OUT2
+        .unionByName(e(450, 460, d + 10)))          # disconnected pairs
+
+
+def graph_bowtie(spark, sf):
+    """Broder bow-tie census over the constructed bow-tie graph —
+    CORE/IN/OUT/TUBE/TENDRIL/DISC per node (hard oracle: DuckDB
+    derives the CORE as the mutual-reachability set of node 0 via
+    recursive CTEs — the construction's unique largest SCC — then
+    replays the four reachability sweeps and the same priority
+    classification; class sizes 50/100/100/10/20/20)."""
+    from ..plans.graph import bowtie
+
+    return bowtie(_bowtie_edges(spark, sf))
+
+
 def graph_rich_club(spark, sf):
     """Rich-club coefficient curve phi(k) over the KG multigraph —
     do the high-degree hubs link to each other more than chance
@@ -2859,6 +2904,7 @@ SPARK_QUERIES = {
     "graph_eccentricity": graph_eccentricity,
     "graph_lpa_communities": graph_lpa_communities,
     "graph_wl_colors": graph_wl_colors,
+    "graph_bowtie": graph_bowtie,
     "graph_rich_club": graph_rich_club,
     "graph_trussness": graph_trussness,
     "graph_powerlaw": graph_powerlaw,
@@ -4485,6 +4531,85 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_lpa_communities": _lpa_sql(3),
     "graph_wl_colors": _wl_sql(3),
+    "graph_bowtie": """
+        WITH RECURSIVE bt AS (
+            SELECT doc_id AS src, (doc_id + 1) % 50 AS dst
+            FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id, (doc_id + 13) % 50
+            FROM documents WHERE doc_id < 50 AND doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id, doc_id - 100 FROM documents
+            WHERE doc_id >= 100 AND doc_id < 150
+            UNION ALL
+            SELECT doc_id, doc_id - 50 FROM documents
+            WHERE doc_id >= 150 AND doc_id < 200
+            UNION ALL
+            SELECT doc_id, doc_id + 200 FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id, doc_id + 50 FROM documents
+            WHERE doc_id >= 200 AND doc_id < 250
+            UNION ALL
+            SELECT doc_id, doc_id + 150 FROM documents
+            WHERE doc_id >= 150 AND doc_id < 160
+            UNION ALL
+            SELECT doc_id, doc_id - 50 FROM documents
+            WHERE doc_id >= 300 AND doc_id < 310
+            UNION ALL
+            SELECT doc_id, doc_id + 200 FROM documents
+            WHERE doc_id >= 150 AND doc_id < 160
+            UNION ALL
+            SELECT doc_id, doc_id - 150 FROM documents
+            WHERE doc_id >= 400 AND doc_id < 410
+            UNION ALL
+            SELECT doc_id, doc_id + 10 FROM documents
+            WHERE doc_id >= 450 AND doc_id < 460
+        ),
+        nodes AS (
+            SELECT DISTINCT n FROM (
+                SELECT src AS n FROM bt UNION ALL SELECT dst FROM bt)
+        ),
+        f0(n) AS (
+            SELECT 0
+            UNION
+            SELECT bt.dst FROM f0 JOIN bt ON bt.src = f0.n
+        ),
+        b0(n) AS (
+            SELECT 0
+            UNION
+            SELECT bt.src FROM b0 JOIN bt ON bt.dst = b0.n
+        ),
+        -- setops are not allowed inside a WITH RECURSIVE chain in
+        -- DuckDB, so intersect/except via joins; core is strongly
+        -- connected and contains 0, so fwd(core) = f0, bwd(core) = b0
+        core AS (SELECT f0.n FROM f0 JOIN b0 ON b0.n = f0.n),
+        inn AS (SELECT b0.n FROM b0 LEFT JOIN core ON core.n = b0.n
+                WHERE core.n IS NULL),
+        outt AS (SELECT f0.n FROM f0 LEFT JOIN core ON core.n = f0.n
+                 WHERE core.n IS NULL),
+        fin(n) AS (
+            SELECT n FROM inn
+            UNION
+            SELECT bt.dst FROM fin JOIN bt ON bt.src = fin.n
+        ),
+        bout(n) AS (
+            SELECT n FROM outt
+            UNION
+            SELECT bt.src FROM bout JOIN bt ON bt.dst = bout.n
+        )
+        SELECT nodes.n AS node_id,
+               CASE
+                   WHEN nodes.n IN (SELECT n FROM core) THEN 'CORE'
+                   WHEN nodes.n IN (SELECT n FROM inn) THEN 'IN'
+                   WHEN nodes.n IN (SELECT n FROM outt) THEN 'OUT'
+                   WHEN nodes.n IN (SELECT n FROM fin)
+                        AND nodes.n IN (SELECT n FROM bout) THEN 'TUBE'
+                   WHEN nodes.n IN (SELECT n FROM fin)
+                        OR nodes.n IN (SELECT n FROM bout) THEN 'TENDRIL'
+                   ELSE 'DISC'
+               END AS component
+        FROM nodes
+    """,
     "graph_rich_club": f"""
         WITH {_KG_GRAPH_EDGES_CTE},
         und AS (

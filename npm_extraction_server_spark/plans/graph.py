@@ -55,7 +55,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "bipartite_project", "butterfly_counts",
+__all__ = ["bfs_distances", "bipartite_project", "bowtie",
+           "butterfly_counts",
            "closeness", "clustering_coefficients", "degree_powerlaw", "hits",
            "hyperball", "hyperball_stats", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
@@ -2770,3 +2771,71 @@ def trussness(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
         parts.append(dropped)
         live, n_live = nxt, n_nxt
     raise RuntimeError(f"trussness: no convergence in {max_rounds} rounds")
+
+
+def bowtie(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Broder bow-tie decomposition of a directed graph (Broder et
+    al. 2000, "Graph structure in the Web") — THE structural census
+    of a crawl: every node classified relative to the largest
+    strongly connected component as
+
+      CORE     the largest SCC
+      IN       reaches CORE, not in it
+      OUT      reachable from CORE, not in it
+      TUBE     on an IN -> OUT path that bypasses CORE
+      TENDRIL  hangs off IN (forward) or off OUT (backward) only
+      DISC     none of the above (disconnected from the bow tie)
+
+    Correctness note for TUBE/TENDRIL: for a node outside
+    CORE ∪ IN ∪ OUT, any path from IN to it CANNOT pass through CORE
+    (a CORE-passing path would make it CORE-reachable, i.e. OUT), so
+    plain forward-reach(IN) / backward-reach(OUT) restricted to the
+    residue implements Broder's "without touching CORE" side
+    condition exactly — no path-constrained search needed.
+
+    Returns (node_id, component) over all edge endpoints.
+
+    Scale shape: one SCC run (trim+color+mark, diameter-bound on the
+    core), ONE driver-sized collect for the largest component id,
+    then four multi-source BFS sweeps (forward/backward from CORE,
+    forward from IN, backward from OUT) — each frontier-only — and a
+    single five-way classification projection via left-semi flags.
+    This is the census Common-Crawl-scale link graphs get run on
+    once per snapshot.
+    """
+    comp = strongly_connected_components(edges, max_rounds=max_rounds)
+    top = (comp.groupBy("scc_id").agg(F.count("*").alias("n"))
+           .orderBy(F.col("n").desc(), F.col("scc_id").asc())
+           .limit(1).collect())
+    core_id = top[0]["scc_id"]
+    core = (comp.filter(F.col("scc_id") == F.lit(core_id))
+            .select("node_id").localCheckpoint(eager=True))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd_core = bfs_distances(core, edges, max_rounds).select("node_id")
+    bwd_core = bfs_distances(core, rev, max_rounds).select("node_id")
+    in_set = (bwd_core.join(core, "node_id", "left_anti")
+              .localCheckpoint(eager=True))
+    out_set = (fwd_core.join(core, "node_id", "left_anti")
+               .localCheckpoint(eager=True))
+    t_in = bfs_distances(in_set, edges, max_rounds).select("node_id")
+    t_out = bfs_distances(out_set, rev, max_rounds).select("node_id")
+    nodes = comp.select("node_id")
+
+    def flag(s, name):
+        return (s.distinct().withColumn(name, F.lit(True)))
+
+    lab = (nodes
+           .join(flag(core, "is_core"), "node_id", "left")
+           .join(flag(in_set, "is_in"), "node_id", "left")
+           .join(flag(out_set, "is_out"), "node_id", "left")
+           .join(flag(t_in, "f_in"), "node_id", "left")
+           .join(flag(t_out, "b_out"), "node_id", "left"))
+    c = F.when(F.col("is_core"), F.lit("CORE")) \
+         .when(F.col("is_in"), F.lit("IN")) \
+         .when(F.col("is_out"), F.lit("OUT")) \
+         .when(F.coalesce("f_in", F.lit(False))
+               & F.coalesce("b_out", F.lit(False)), F.lit("TUBE")) \
+         .when(F.coalesce("f_in", F.lit(False))
+               | F.coalesce("b_out", F.lit(False)), F.lit("TENDRIL")) \
+         .otherwise(F.lit("DISC"))
+    return lab.select("node_id", c.alias("component"))

@@ -1656,3 +1656,18 @@ def test_trussness_matches_bruteforce_peeling(spark):
     assert all(got[x] == 5 for x in combinations(range(5), 2))
     assert got[(10, 11)] == got[(10, 12)] == got[(11, 12)] == 3
     assert got[(4, 10)] == 2 and got[(12, 13)] == 2
+
+
+def test_bowtie_classifies_hand_graph(spark):
+    from npm_extraction_server_spark.plans.graph import bowtie
+
+    # core cycle {0,1}; 2 -> core (IN); core -> 3 (OUT);
+    # 2 -> 4 dead end (TENDRIL fwd); 2 -> 5 -> 3 bypass (TUBE);
+    # 6 -> 3 feeds OUT from nowhere (TENDRIL bwd); 8 -> 9 disconnected
+    edges = [(0, 1), (1, 0), (2, 0), (1, 3), (2, 4), (2, 5), (5, 3),
+             (6, 3), (8, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: r.component for r in bowtie(e).collect()}
+    assert got == {0: "CORE", 1: "CORE", 2: "IN", 3: "OUT",
+                   4: "TENDRIL", 5: "TUBE", 6: "TENDRIL",
+                   8: "DISC", 9: "DISC"}
