@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cocitation": _web_cocitation,
         "web_host_pagerank": _web_host_pagerank,
         "web_hits": _web_hits,
+        "web_salsa": _web_salsa,
         "web_anchor_text": _web_anchor_text,
         "web_crawl_schedule": _web_crawl_schedule,
         "web_sitemap_frontier": _web_sitemap_frontier,
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
             "web_cocitation": _WEB_COCITATION_ORACLE,
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
             "web_hits": _WEB_HITS_ORACLE,
+            "web_salsa": _WEB_SALSA_ORACLE,
             "web_anchor_text": _WEB_ANCHOR_TEXT_ORACLE,
             "web_crawl_schedule": _WEB_CRAWL_SCHEDULE_ORACLE,
             "web_sitemap_frontier": _WEB_SITEMAP_FRONTIER_ORACLE,
@@ -775,6 +777,46 @@ def _web_hits_oracle(iterations: int = 2) -> str:
 _WEB_HITS_ORACLE = _web_hits_oracle(2)
 
 
+def _web_salsa_oracle(iterations: int = 2) -> str:
+    """plans/graph.salsa unrolled: contributions round(x/deg, 12),
+    summed as DECIMAL(28,12), re-rounded to the 12-dp grid per
+    half-round (the pagerank protocol), output at 8 dp."""
+    sql = ("WITH " + _WEB_LINKS_SQL + """,
+    e0 AS (SELECT DISTINCT url AS src, canon_url AS dst FROM links),
+    od AS (SELECT src, count(*) AS od FROM e0 GROUP BY src),
+    idg AS (SELECT dst, count(*) AS idg FROM e0 GROUP BY dst),
+    ed AS (SELECT e0.src, e0.dst, od.od, idg.idg
+           FROM e0 JOIN od ON od.src = e0.src
+                   JOIN idg ON idg.dst = e0.dst),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    a0 AS (SELECT dst AS node_id, 1.0::DOUBLE AS auth FROM idg)""")
+    for k in range(1, iterations + 1):
+        sql += f""",
+    h{k} AS (
+        SELECT ed.src AS node_id,
+               round(cast(sum(cast(round(a.auth / ed.idg, 12)
+                              AS DECIMAL(28,12))) AS DOUBLE), 12) AS hub
+        FROM ed JOIN a{k - 1} a ON a.node_id = ed.dst
+        GROUP BY ed.src),
+    a{k} AS (
+        SELECT ed.dst AS node_id,
+               round(cast(sum(cast(round(h.hub / ed.od, 12)
+                              AS DECIMAL(28,12))) AS DOUBLE), 12) AS auth
+        FROM ed JOIN h{k} h ON h.node_id = ed.src
+        GROUP BY ed.dst)"""
+    sql += f"""
+    SELECT n.node_id,
+           round(coalesce(h.hub, 0.0), 8) AS hub,
+           round(coalesce(a.auth, 0.0), 8) AS auth
+    FROM nodes n
+    LEFT JOIN h{iterations} h ON h.node_id = n.node_id
+    LEFT JOIN a{iterations} a ON a.node_id = n.node_id"""
+    return sql
+
+
+_WEB_SALSA_ORACLE = _web_salsa_oracle(2)
+
+
 def _web_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from npm_extraction_server_spark.extract.links import outlinks
 
@@ -978,6 +1020,22 @@ def _web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").alias("src"),
         normalize_url("dst_url").alias("dst"))
     return hits(edges, iterations=2)
+
+
+def _web_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA over the bipartite page -> canonical-URL link graph —
+    the degree-normalized (TKC-immune) counterpart ranked next to
+    web_hits: same support graph, stationary-walk semantics instead
+    of mutual reinforcement. Hard oracle: the degree-normalized
+    half-rounds unrolled on the pagerank decimal grid, bit-exact."""
+    from npm_extraction_server_spark.extract.links import normalize_url
+    from npm_extraction_server_spark.plans.graph import salsa
+
+    links = _web_links_df(spark, sf_dir)
+    edges = links.select(
+        F.col("url").alias("src"),
+        normalize_url("dst_url").alias("dst"))
+    return salsa(edges, iterations=2)
 
 
 def _web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

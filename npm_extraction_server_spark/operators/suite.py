@@ -2562,6 +2562,16 @@ def graph_butterflies(spark, sf):
     return butterfly_counts(_bipartite_edges(spark, sf))
 
 
+def graph_ab_core(spark, sf):
+    """(2,2)-core of the maintainer x package bipartite graph — the
+    bipartite cohesion filter k-core can't express (hard oracle: the
+    alternating two-threshold peel unrolled in DuckDB; fixpoint
+    rounds are no-ops so over-unrolling is safe)."""
+    from ..plans.graph import ab_core
+
+    return ab_core(_bipartite_edges(spark, sf), alpha=2, beta=2)
+
+
 def graph_assortativity(spark, sf):
     """Degree-assortativity moments over the KG multigraph (hard
     oracle: the same integer sums in DuckDB — all-BIGINT, so the
@@ -2900,6 +2910,7 @@ SPARK_QUERIES = {
     "graph_link_predict": graph_link_predict,
     "graph_bipartite_project": graph_bipartite_project,
     "graph_butterflies": graph_butterflies,
+    "graph_ab_core": graph_ab_core,
     "graph_assortativity": graph_assortativity,
     "graph_eccentricity": graph_eccentricity,
     "graph_lpa_communities": graph_lpa_communities,
@@ -4032,6 +4043,28 @@ def _ktruss_sql(k: int, rounds: int = 5) -> str:
     return sql
 
 
+def _ab_core_sql(alpha: int, beta: int, rounds: int = 6) -> str:
+    """ab_core's alternating peel unrolled over the bipartite edge
+    set: each round keeps edges whose LEFT endpoint has degree >=
+    alpha and RIGHT endpoint degree >= beta in the previous survivor
+    set."""
+    sql = f"""
+    WITH {_BIPARTITE_EDGES_CTE},
+    c0 AS (SELECT u, v FROM be)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    lu{r} AS (SELECT u FROM c{r - 1} GROUP BY u
+              HAVING count(*) >= {alpha}),
+    rv{r} AS (SELECT v FROM c{r - 1} GROUP BY v
+              HAVING count(*) >= {beta}),
+    c{r} AS (
+        SELECT c.u, c.v FROM c{r - 1} c
+        JOIN lu{r} ON lu{r}.u = c.u
+        JOIN rv{r} ON rv{r}.v = c.v)"""
+    sql += f"\n    SELECT u, v FROM c{rounds}"
+    return sql
+
+
 def _trussness_sql(kmax: int = 4, rounds: int = 4) -> str:
     """trussness's SQL twin: for each k in 3..kmax run the unrolled
     ktruss peel (namespaced CTEs), then label every edge of the
@@ -4679,6 +4712,7 @@ ORACLE_SQL = {
     "graph_kcore": _kcore_sql(5, rounds=4),
     "graph_ktruss": _ktruss_sql(3, rounds=4),
     "graph_trussness": _trussness_sql(4, rounds=4),
+    "graph_ab_core": _ab_core_sql(2, 2, rounds=6),
     "graph_clustering_coeff": f"""
         WITH {_KG_GRAPH_EDGES_CTE},
         und AS MATERIALIZED (

@@ -55,13 +55,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_distances", "bipartite_project", "bowtie",
+__all__ = ["ab_core", "bfs_distances", "bipartite_project", "bowtie",
            "butterfly_counts",
            "closeness", "clustering_coefficients", "degree_powerlaw", "hits",
            "hyperball", "hyperball_stats", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
-           "personalized_pagerank", "propagate_labels", "rich_club", "sssp",
+           "personalized_pagerank", "propagate_labels", "rich_club",
+           "salsa", "sssp",
            "triangle_counts", "trussness", "walk_skipgram_pairs",
            "weighted_random_walks", "wl_refinement"]
 
@@ -2839,3 +2840,109 @@ def bowtie(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
                | F.coalesce("b_out", F.lit(False)), F.lit("TENDRIL")) \
          .otherwise(F.lit("DISC"))
     return lab.select("node_id", c.alias("component"))
+
+
+def salsa(edges: DataFrame, iterations: int = 2,
+          out_scale: int = 8) -> DataFrame:
+    """SALSA (Lempel & Moran 2000): hub/authority ranking via the two
+    DEGREE-NORMALIZED random walks over the directed support graph —
+    the Twitter-WTF / web-spam-resistant alternative to HITS, whose
+    mutual reinforcement it replaces with the stationary distribution
+    of a bipartite walk (authorities ∝ in-degree within a connected
+    authority component; a few iterations from uniform give the
+    useful TKC-free ranking). Parallel edges collapse (the walk is on
+    the support graph, per the paper).
+
+        hub_k(u)  = sum over (u,v) of auth_{k-1}(v) / indeg(v)
+        auth_k(v) = sum over (u,v) of hub_k(u)      / outdeg(u)
+
+    init auth_0 = 1 on every authority-side node.
+
+    Deterministic across engines on the pagerank decimal protocol:
+    each contribution is round(x / deg, 12) (correctly-rounded IEEE
+    division), summed exactly as decimal(28,12), re-rounded to the
+    12-dp grid; output rounded to ``out_scale`` — the DuckDB twin
+    (_web_salsa_oracle) is bit-exact.
+
+    Scale shape: the degree-annotated edge set is built once and
+    persisted hash-partitioned on src; each half-round shuffles only
+    the |V|-sized score vector into it (the hits discipline). Returns
+    (node_id, hub, auth) with 0 for absent roles.
+    """
+    g = str(_GRID)
+    e = (edges.select("src", "dst").distinct()
+         .repartition(F.col("src")).persist())
+    e.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    ed = (e.join(outdeg, "src").join(indeg, "dst")
+          .localCheckpoint(eager=True))
+
+    def half(scores, score_col, key, deg_col, out_key, out_col):
+        return (ed.join(scores, ed[key] == scores["node_id"])
+                .groupBy(out_key)
+                .agg(F.round(
+                    F.sum(F.round(F.col(score_col) / F.col(deg_col),
+                                  _GRID).cast(f"decimal(28,{g})"))
+                    .cast("double"), _GRID).alias(out_col))
+                .withColumnRenamed(out_key, "node_id"))
+
+    auth = indeg.select(F.col("dst").alias("node_id"),
+                        F.lit(1.0).alias("auth"))
+    hub = None
+    for _ in range(iterations):
+        hub = half(auth, "auth", "dst", "idg", "src", "hub") \
+            .localCheckpoint(eager=False)
+        auth = half(hub, "hub", "src", "od", "dst", "auth") \
+            .localCheckpoint(eager=False)
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id")))
+             .distinct())
+    out = (nodes.join(hub, "node_id", "left")
+           .join(auth, "node_id", "left")
+           .select("node_id",
+                   F.round(F.coalesce("hub", F.lit(0.0)), out_scale)
+                   .alias("hub"),
+                   F.round(F.coalesce("auth", F.lit(0.0)), out_scale)
+                   .alias("auth")))
+    e.unpersist()
+    return out
+
+
+def ab_core(edges: DataFrame, alpha: int, beta: int,
+            max_rounds: int = 100) -> DataFrame:
+    """The (alpha, beta)-core of a bipartite graph (Ding et al. 2017):
+    the maximal bipartite subgraph where every LEFT node keeps degree
+    >= alpha and every RIGHT node degree >= beta — the bipartite
+    analog of k-core (k-core itself is blind to the two-sided
+    structure: a spam farm of 1-degree users on high-degree pages
+    survives a k=1 core but not a (2,2)-core). Computed by
+    alternating peeling to fixpoint. Returns the surviving edges
+    (u, v) of the simple support graph.
+
+    Scale shape: per round one degree aggregate per side + two
+    semi-joins over a monotonically shrinking checkpointed edge set —
+    the kcore discipline with two thresholds; ONE count action per
+    round.
+
+    Oracle twin: _ab_core_sql in operators/suite.py (rounds
+    unrolled; fixpoint rounds are no-ops so over-unrolling is safe).
+    """
+    live = (edges.select("u", "v").distinct()
+            .localCheckpoint(eager=True))
+    n_live = live.count()
+    for _ in range(max_rounds):
+        if not n_live:
+            return live
+        du = (live.groupBy("u").agg(F.count("*").alias("d"))
+              .filter(F.col("d") >= alpha).select("u"))
+        dv = (live.groupBy("v").agg(F.count("*").alias("d"))
+              .filter(F.col("d") >= beta).select("v"))
+        nxt = (live.join(du, "u", "left_semi")
+               .join(dv, "v", "left_semi")
+               .localCheckpoint(eager=True))
+        n_nxt = nxt.count()
+        if n_nxt == n_live:
+            return nxt
+        live, n_live = nxt, n_nxt
+    raise RuntimeError(f"ab_core: no convergence in {max_rounds} rounds")

@@ -1671,3 +1671,44 @@ def test_bowtie_classifies_hand_graph(spark):
     assert got == {0: "CORE", 1: "CORE", 2: "IN", 3: "OUT",
                    4: "TENDRIL", 5: "TUBE", 6: "TENDRIL",
                    8: "DISC", 9: "DISC"}
+
+
+def test_salsa_degree_normalization_and_grid(spark):
+    from decimal import Decimal
+
+    from npm_extraction_server_spark.plans.graph import salsa
+
+    # two hubs point at shared authority 10; hub 0 also points at a
+    # private authority 11; duplicate edge must collapse
+    edges = [(0, 10), (0, 10), (1, 10), (0, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    def rnd(x, s=12):
+        return float(round(Decimal(x).quantize(Decimal(10) ** -s)))
+
+    # support graph degrees: od(0)=2, od(1)=1; idg(10)=2, idg(11)=1
+    # round 1: hub(0)=1/2+1/1=1.5, hub(1)=1/2=0.5
+    #          auth(10)=1.5/2+0.5/1=1.25, auth(11)=1.5/2=0.75
+    # round 2: hub(0)=1.25/2+0.75=1.375, hub(1)=0.625
+    #          auth(10)=1.375/2+0.625=1.3125, auth(11)=0.6875
+    got = {r.node_id: (r.hub, r.auth)
+           for r in salsa(e, iterations=2).collect()}
+    assert got == {0: (1.375, 0.0), 1: (0.625, 0.0),
+                   10: (0.0, 1.3125), 11: (0.0, 0.6875)}
+
+
+def test_ab_core_alternating_peel(spark):
+    from npm_extraction_server_spark.plans.graph import ab_core
+
+    # core block: u in {0,1}, v in {10,11} complete (2x2);
+    # u=2 touches v=10 once (left degree 1 -> peeled at alpha=2);
+    # v=12 held only by u=0 (right degree 1 -> peeled at beta=2,
+    # which must NOT drag u=0 below alpha afterwards)
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (0, 12)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.u, r.v) for r in ab_core(e, alpha=2, beta=2).collect()}
+    assert got == {(0, 10), (0, 11), (1, 10), (1, 11)}
+    # beta=1 keeps the pendant package but still drops the 1-degree
+    # maintainer
+    got2 = {(r.u, r.v) for r in ab_core(e, alpha=2, beta=1).collect()}
+    assert got2 == {(0, 10), (0, 11), (1, 10), (1, 11), (0, 12)}

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Scale probes for the last round-5 graph additions: trussness,
+rich-club curve, power-law estimator, and the Broder bow-tie census.
+
+Trussness/rich-club/powerlaw run on the repo's standard 2M-node / 6M-
+edge probe graph. Bow-tie runs on a 2M-node graph SHAPED like a web
+crawl: a 500k-node core ring+chords, 500k IN chain, 500k OUT chain,
+plus tendrils/tubes/disconnected pairs — so the census exercises deep
+frontier sweeps (chain depth 250k would be adversarial for BFS rounds;
+we use log-depth layered chains instead, the realistic crawl shape).
+Run: python tools/probe_round5f.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from npm_extraction_server_spark.plans.graph import (
+        bowtie,
+        degree_powerlaw,
+        rich_club,
+        trussness,
+    )
+    from npm_extraction_server_spark.plans.session import get_spark
+
+    spark = get_spark(app="probe_round5f")
+
+    n = 2_000_000
+    base = spark.range(n)
+    edges = (
+        base.select(F.col("id").alias("src"),
+                    ((F.col("id") * 7 + 3) % n).alias("dst"))
+        .unionByName(base.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 13 + 5) % n).alias("dst")))
+        .unionByName(base.select(
+            F.col("id").alias("src"),
+            ((F.col("id") + 1) % n).alias("dst")))
+        .repartition(32)
+        .persist()
+    )
+    print(f"edges: {edges.count():,}")
+
+    t0 = time.time()
+    rc = rich_club(edges).collect()
+    print(f"rich_club: {time.time() - t0:.1f}s  thresholds={len(rc)}  "
+          f"curve={[(r.k, r.n_k, round(r.phi, 5)) for r in rc[:4]]}")
+
+    t0 = time.time()
+    pl = degree_powerlaw(edges, d_min=2).first()
+    print(f"degree_powerlaw: {time.time() - t0:.1f}s  "
+          f"n_tail={pl.n_tail:,} d_max={pl.d_max} alpha={pl.alpha}")
+
+    t0 = time.time()
+    tr = trussness(edges)
+    n_edges = tr.count()
+    hist = {r.trussness: r.c for r in
+            tr.groupBy("trussness").agg(F.count("*").alias("c")).collect()}
+    print(f"trussness: {time.time() - t0:.1f}s  edges={n_edges:,}  "
+          f"hist={dict(sorted(hist.items()))}")
+    edges.unpersist()
+
+    # bow-tie-shaped crawl graph: 500k core (ring + every-5th chord),
+    # IN/OUT as 4 layered 125k bands (depth 4, fan-in 1 + a skip), and
+    # planted tube/tendril/disc structures
+    m = 500_000
+    core_ids = spark.range(m)
+    core = (core_ids.select(F.col("id").alias("src"),
+                            ((F.col("id") + 1) % m).alias("dst"))
+            .unionByName(core_ids.filter(F.col("id") % 5 == 0)
+                         .select(F.col("id").alias("src"),
+                                 ((F.col("id") + 13) % m).alias("dst"))))
+    lay = spark.range(m)
+    inn = (lay.select((F.col("id") + m).alias("src"),
+                      F.when(F.col("id") < 125_000, F.col("id"))
+                      .otherwise(F.col("id") + m - 125_000).alias("dst")))
+    out = (lay.select(
+        F.when(F.col("id") < 125_000, F.col("id"))
+        .otherwise(F.col("id") + 2 * m - 125_000).alias("src"),
+        (F.col("id") + 2 * m).alias("dst")))
+    extras = spark.range(100_000)
+    tube = (extras.select((F.col("id") + m + 125_000).alias("src"),
+                          (F.col("id") + 3 * m).alias("dst"))
+            .unionByName(extras.select(
+                (F.col("id") + 3 * m).alias("src"),
+                (F.col("id") + 2 * m + 125_000).alias("dst"))))
+    disc = extras.select((F.col("id") + 3 * m + 200_000).alias("src"),
+                         (F.col("id") + 3 * m + 300_000).alias("dst"))
+    bt_edges = (core.unionByName(inn).unionByName(out)
+                .unionByName(tube).unionByName(disc)
+                .repartition(32).persist())
+    print(f"bowtie edges: {bt_edges.count():,}")
+
+    t0 = time.time()
+    bw = bowtie(bt_edges)
+    sizes = {r.component: r.c for r in
+             bw.groupBy("component").agg(F.count("*").alias("c")).collect()}
+    print(f"bowtie: {time.time() - t0:.1f}s  sizes={dict(sorted(sizes.items()))}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
