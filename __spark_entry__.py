@@ -265,8 +265,14 @@ _PRIORITY: list[str] = [
     # the same code paths as the two recorded here.)
     "graph_wl_classes", "text_dsir_weights",
     "graph_coreness",
-    "graph_assortativity", "sim_range_search", "q19_disjunctive_bands",
-    "graph_temporal_reach", "snap_meta_tables",
+    # bow-tie census + truss decomposition (this session; demoted
+    # graph_assortativity — the simplest integer-moment aggregation in
+    # the family — and snap_meta_tables (snapshots keep stats_prune /
+    # eq_delete / zorder in the head); both green in the committed
+    # FULL self-run)
+    "graph_bowtie", "graph_trussness",
+    "sim_range_search", "q19_disjunctive_bands",
+    "graph_temporal_reach",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
     # text / retrieval: text_textrank + text_gopher_rules (above)
     # sampling

@@ -3,11 +3,13 @@
 rich-club curve, power-law estimator, and the Broder bow-tie census.
 
 Trussness/rich-club/powerlaw run on the repo's standard 2M-node / 6M-
-edge probe graph. Bow-tie runs on a 2M-node graph SHAPED like a web
-crawl: a 500k-node core ring+chords, 500k IN chain, 500k OUT chain,
-plus tendrils/tubes/disconnected pairs — so the census exercises deep
-frontier sweeps (chain depth 250k would be adversarial for BFS rounds;
-we use log-depth layered chains instead, the realistic crawl shape).
+edge probe graph, trussness with 100 planted 12-cliques so the
+ascending peel exercises ten threshold bumps (trussness 12) above the
+triangle-sparse bulk (trussness 2). Bow-tie runs on a 2M-node crawl
+shape: a 500k-node core ring + HASH chords (an expander — SCC's
+forward min-id coloring is diameter-bound, so a chord-13 ring would
+cost ~38k rounds; the hash chords make it O(log)), layered IN/OUT
+bands of depth 4, plus tube/tendril/disc structures.
 Run: python tools/probe_round5f.py
 """
 
@@ -59,13 +61,24 @@ def main() -> None:
     print(f"degree_powerlaw: {time.time() - t0:.1f}s  "
           f"n_tail={pl.n_tail:,} d_max={pl.d_max} alpha={pl.alpha}")
 
+    # plant 100 12-cliques on fresh ids so the ascending peel climbs
+    # to k=12 (clique-edge support 10) above the triangle-sparse bulk
+    cl = spark.range(100 * 12).select(
+        (F.col("id") / 12).cast("long").alias("c"),
+        (F.col("id") + n).alias("m"))
+    cl2 = cl.withColumnRenamed("m", "m2")
+    cliques = (cl.join(cl2, "c")
+               .filter(F.col("m") < F.col("m2"))
+               .select(F.col("m").alias("src"), F.col("m2").alias("dst")))
+    tr_edges = edges.unionByName(cliques).localCheckpoint(eager=True)
+
     t0 = time.time()
-    tr = trussness(edges)
+    tr = trussness(tr_edges)
     n_edges = tr.count()
     hist = {r.trussness: r.c for r in
             tr.groupBy("trussness").agg(F.count("*").alias("c")).collect()}
-    print(f"trussness: {time.time() - t0:.1f}s  edges={n_edges:,}  "
-          f"hist={dict(sorted(hist.items()))}")
+    print(f"trussness(+cliques): {time.time() - t0:.1f}s  "
+          f"edges={n_edges:,}  hist={dict(sorted(hist.items()))}")
     edges.unpersist()
 
     # bow-tie-shaped crawl graph: 500k core (ring + every-5th chord),
@@ -77,7 +90,7 @@ def main() -> None:
                             ((F.col("id") + 1) % m).alias("dst"))
             .unionByName(core_ids.filter(F.col("id") % 5 == 0)
                          .select(F.col("id").alias("src"),
-                                 ((F.col("id") + 13) % m).alias("dst"))))
+                                 ((F.col("id") * 7 + 3) % m).alias("dst"))))
     lay = spark.range(m)
     inn = (lay.select((F.col("id") + m).alias("src"),
                       F.when(F.col("id") < 125_000, F.col("id"))
