@@ -288,8 +288,12 @@ _PRIORITY: list[str] = [
     # is also exercised by snap_eq_delete/snap_zorder here and the
     # committed FULL self-runs)
     "snap_stats_prune",
-    # events / sketches
-    "events_retention", "sketch_distinct",
+    # ExactSubstr duplicate spans (this session; demoted
+    # events_retention — green in the FULL self-run, and the events
+    # family holds r1-r3 driver records via sessionize/funnel)
+    "text_dup_spans",
+    # sketches
+    "sketch_distinct",
     # bipartite analytics (continuation additions; demoted
     # mm_audio_features and tar_members — BOTH already hold driver
     # records from rounds 1-4 (the only head entries that did) and

@@ -838,6 +838,17 @@ def text_dsir_sample(spark, sf):
             .limit(50))
 
 
+def text_dup_spans(spark, sf):
+    """Exact duplicate-substring spans (Lee et al. 2021 ExactSubstr,
+    8-token grams): maximal runs of corpus-repeated k-grams per
+    document (hard oracle: the same gram hashing, count > 1
+    criterion, and run-merge window in DuckDB — all integers/md5,
+    bit-exact)."""
+    from .text import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf, "documents"), k=8)
+
+
 def dedup_containment(spark, sf):
     """EXACT directed set-containment join at >= 4/5 over documents
     (dedup.containment_join) — the asymmetric near-superset dedup
@@ -2864,6 +2875,7 @@ SPARK_QUERIES = {
     "text_inverted_index": text_inverted_index,
     "text_collocations": text_collocations,
     "text_gopher_rules": text_gopher_rules,
+    "text_dup_spans": text_dup_spans,
     "text_dsir_weights": text_dsir_weights,
     "text_dsir_sample": text_dsir_sample,
     "text_hashed_features": text_hashed_features,
@@ -5689,6 +5701,36 @@ ORACLE_SQL = {
         JOIN n na ON na.doc = p.id_a
         JOIN n nb ON nb.doc = p.id_b
         WHERE 8 * p.inter >= 3 * (na.n + nb.n)
+    """,
+    "text_dup_spans": """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(list_slice(arr, i, i + 7), ' '))
+                       AS gh
+            FROM arrs,
+                 unnest(generate_series(1, greatest(len(arr) - 7, 0)))
+                     AS t(i)
+        ),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+        hits AS (
+            SELECT g.doc_id, g.pos FROM grams g
+            JOIN dup ON dup.gh = g.gh
+        ),
+        runs AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM hits
+        )
+        SELECT doc_id, min(pos)::BIGINT AS start_tok,
+               (max(pos) + 7)::BIGINT AS end_tok,
+               count(*)::BIGINT AS n_grams
+        FROM runs GROUP BY doc_id, grp
     """,
     "text_dsir_weights": f"""
         WITH {_DSIR_SCORED_CTES}

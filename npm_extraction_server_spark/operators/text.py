@@ -987,3 +987,56 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
                  F.round(
                      F.sum(F.col("lr").cast("decimal(28,8)")).cast("double"),
                      6).alias("logw")))
+
+
+def duplicate_spans(documents: DataFrame, k: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr criterion, token-gram formulation): a position is
+    duplicated if the k-token gram starting there occurs MORE THAN
+    ONCE in the corpus (any doc, including its own); runs of
+    duplicated positions merge into maximal spans. This is the dedup
+    C4-style fixed-chunk hashing (span_dedup) cannot express — a
+    repeated passage straddling chunk boundaries is invisible to
+    chunk identity but lights up every overlapping k-gram here.
+
+    Returns (id_col, start_tok, end_tok, n_grams): token positions
+    are 0-based, ``end_tok`` inclusive and covering the trailing
+    gram (end_tok = last duplicated position + k - 1), ``n_grams``
+    the number of duplicated grams merged into the span.
+
+    Everything is integer/md5-deterministic, so the DuckDB oracle
+    (text_dup_spans) reproduces the spans bit-for-bit — the suffix
+    array of the paper is an implementation device; the CRITERION is
+    pure counting, and counting is what a shuffle engine does best.
+
+    Scale shape: per-doc gram hashing is one narrow array projection
+    (transform over slices — no window, no shuffle); ONE gram-keyed
+    count aggregate (map-side combined; the gram table is the corpus
+    x ~1 row per token, the same footprint the inverted index pays);
+    one semi-join of positions against the duplicated grams; one
+    doc-keyed window to merge runs (pos - row_number constancy).
+    """
+    arr = (f"regexp_extract_all(lower({text_col}), "
+           f"'[a-z0-9]+', 0)")
+    grams = documents.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"CASE WHEN size({arr}) >= {k} THEN "
+            f"transform(sequence(1, size({arr}) - {k} + 1), "
+            f"i -> md5(concat_ws(' ', slice({arr}, i, {k})))) "
+            f"ELSE array() END")).alias("pos", "gh"))
+    dup = (grams.groupBy("gh").agg(F.count("*").alias("c"))
+           .filter(F.col("c") > 1).select("gh"))
+    hits = grams.join(dup, "gh", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w))
+    return (runs.groupBy(id_col, "grp")
+            .agg(F.min("pos").alias("start_tok"),
+                 (F.max("pos") + F.lit(k - 1)).alias("end_tok"),
+                 F.count("*").alias("n_grams"))
+            .drop("grp")
+            .select(id_col, "start_tok", "end_tok", "n_grams"))

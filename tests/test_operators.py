@@ -1583,3 +1583,50 @@ def test_dsir_logweights_matches_pure_python(spark):
     assert got == want
     # target-like docs outrank the spam and the unrelated doc
     assert got[0][1] > got[2][1] and got[3][1] > got[4][1]
+
+
+def test_duplicate_spans_exact_substr_criterion(spark):
+    from npm_extraction_server_spark.operators.text import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (0, f"unique opening words here {shared} and a unique tail x"),
+        (1, f"totally different start {shared} different ending words"),
+        # doc 2 repeats a 9-token run -> two overlapping duplicated
+        # grams within ONE doc must merge into one span of n_grams=2
+        (2, "p q r s t u v w x p q r s t u v w x"),
+        (3, "no duplicated content anywhere in this document at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.start_tok, r.end_tok, r.n_grams)
+           for r in duplicate_spans(df, k=8).collect()}
+    # docs 0/1: the shared 8-gram starts at token 4/3 respectively
+    assert (0, 4, 11, 1) in got and (1, 3, 10, 1) in got
+    # doc 2: tokens 0..17 = two copies of a 9-token pattern; every
+    # 8-gram whose content repeats is duplicated; spans merge
+    d2 = sorted(x for x in got if x[0] == 2)
+    assert d2 and all(s[3] >= 1 for s in d2)
+    assert not any(x[0] == 3 for x in got)
+
+    # cross-check doc 2 against a pure-python recount
+    toks = docs[2][1].split()
+    from collections import Counter
+    allgrams = []
+    for i, t in docs:
+        ws = t.lower().split()
+        allgrams += [" ".join(ws[j:j + 8]) for j in range(len(ws) - 7)]
+    cnt = Counter(allgrams)
+    dup_pos = [j for j in range(len(toks) - 7)
+               if cnt[" ".join(w.lower() for w in toks[j:j + 8])] > 1]
+    spans, cur = [], None
+    for p in dup_pos:
+        if cur and p == cur[1] + 1:
+            cur = (cur[0], p, cur[2] + 1)
+        else:
+            if cur:
+                spans.append(cur)
+            cur = (p, p, 1)
+    if cur:
+        spans.append(cur)
+    want2 = {(2, s, e + 7, n) for s, e, n in spans}
+    assert {x for x in got if x[0] == 2} == want2
