@@ -2717,6 +2717,21 @@ def _bowtie_edges(spark, sf):
         .unionByName(e(450, 460, d + 10)))          # disconnected pairs
 
 
+def graph_ic_cascade(spark, sf):
+    """One deterministic Independent-Cascade sample over the KG
+    multigraph: seeds = node ids divisible by 97, p = 1/2 via md5
+    coins keyed (round, src, dst) — every edge tried exactly once
+    when its source first activates (hard oracle: the rounds unrolled
+    in DuckDB with the identical coin, bit-exact activation rounds —
+    a hard oracle for a randomized diffusion process)."""
+    from ..plans.graph import ic_cascade
+
+    edges = _kg_graph_edges(spark, sf)
+    seeds = (edges.select(F.col("src").alias("node_id"))
+             .filter(F.col("node_id") % 97 == 0).distinct())
+    return ic_cascade(edges, seeds, rounds=4, p_num=1, p_den=2)
+
+
 def graph_bowtie(spark, sf):
     """Broder bow-tie census over the constructed bow-tie graph —
     CORE/IN/OUT/TUBE/TENDRIL/DISC per node (hard oracle: DuckDB
@@ -2928,6 +2943,7 @@ SPARK_QUERIES = {
     "graph_lpa_communities": graph_lpa_communities,
     "graph_wl_colors": graph_wl_colors,
     "graph_bowtie": graph_bowtie,
+    "graph_ic_cascade": graph_ic_cascade,
     "graph_rich_club": graph_rich_club,
     "graph_trussness": graph_trussness,
     "graph_powerlaw": graph_powerlaw,
@@ -3700,6 +3716,33 @@ _WL_MOTIF_EDGES_CTE = """
               AND doc_id % 6 < 5
     )
 """
+
+
+def _ic_cascade_sql(rounds: int = 4, p_num: int = 1,
+                    p_den: int = 2) -> str:
+    """ic_cascade's rounds unrolled: a0 = seeds (node % 97 == 0) at
+    round 0; n{r} = frontier out-neighbors whose md5 coin fires,
+    minus already-active; a{r} accumulates (node, round)."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    e AS (SELECT DISTINCT src, dst FROM e0),
+    a0 AS (
+        SELECT DISTINCT src AS node_id, 0 AS round FROM e
+        WHERE src % 97 = 0),
+    f0 AS (SELECT node_id FROM a0)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    n{r} AS (
+        SELECT DISTINCT e.dst AS node_id, {r} AS round
+        FROM f{r - 1} f JOIN e ON e.src = f.node_id
+        WHERE ('0x' || substr(md5('ic:{r}:' || e.src || ':' || e.dst),
+                              1, 12))::UBIGINT % {p_den} < {p_num}
+          AND e.dst NOT IN (SELECT node_id FROM a{r - 1})),
+    a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM n{r}),
+    f{r} AS (SELECT node_id FROM n{r})"""
+    sql += f"""
+    SELECT node_id, round::INT AS round FROM a{rounds}"""
+    return sql
 
 
 def _wl_sql(rounds: int = 3, classes: bool = False,
@@ -4576,6 +4619,7 @@ ORACLE_SQL = {
     "graph_labelprop": _GRAPH_LABELPROP_SQL,
     "graph_lpa_communities": _lpa_sql(3),
     "graph_wl_colors": _wl_sql(3),
+    "graph_ic_cascade": _ic_cascade_sql(4, 1, 2),
     "graph_bowtie": """
         WITH RECURSIVE bt AS (
             SELECT doc_id AS src, (doc_id + 1) % 50 AS dst

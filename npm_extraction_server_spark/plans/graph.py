@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 __all__ = ["ab_core", "bfs_distances", "bipartite_project", "bowtie",
            "butterfly_counts",
            "closeness", "clustering_coefficients", "degree_powerlaw", "hits",
-           "hyperball", "hyperball_stats", "kcore", "ktruss", "link_predict",
+           "hyperball", "hyperball_stats", "ic_cascade", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "rich_club",
@@ -2946,3 +2946,55 @@ def ab_core(edges: DataFrame, alpha: int, beta: int,
             return nxt
         live, n_live = nxt, n_nxt
     raise RuntimeError(f"ab_core: no convergence in {max_rounds} rounds")
+
+
+def ic_cascade(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
+               p_num: int = 1, p_den: int = 2) -> DataFrame:
+    """Independent-Cascade influence spread (Kempe, Kleinberg & Tardos
+    2003) with DETERMINISTIC md5 coins — the influence-maximization
+    inner loop (one Monte-Carlo sample of the cascade), done the
+    reproducible way: when node u first activates at round r-1, each
+    out-edge (u, v) gets its single activation trial at round r and
+    fires iff md5("ic:r:u:v") mod ``p_den`` < ``p_num`` (probability
+    p_num/p_den under the uniform hash). Because a node activates at
+    most once, every edge is tried at most once — the IC contract —
+    and the whole cascade is a pure function of (edge set, seed set,
+    p), identical on every run and every engine: a HARD oracle for a
+    randomized diffusion process (vary the coin namespace to draw
+    independent samples).
+
+    ``seeds``: one column ``node_id`` (activated at round 0). Returns
+    (node_id, round) for every activated node within ``rounds``.
+
+    Scale shape: the edge set is persisted hash-partitioned on src
+    once; each round joins only the NEW-activation frontier against
+    it (frontier-proportional work, the bfs_distances discipline) plus
+    one anti-join against the activated set; stops early when a round
+    activates nothing.
+    """
+    e = (edges.select("src", "dst").distinct()
+         .repartition(F.col("src")).persist())
+    e.count()
+    active = (seeds.select("node_id").distinct()
+              .withColumn("round", F.lit(0).cast("int"))
+              .localCheckpoint(eager=True))
+    frontier = active.select("node_id")
+    try:
+        for r in range(1, rounds + 1):
+            coin = (F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit("ic"), F.lit(r), F.col("src"),
+                F.col("dst"))), 1, 12), 16, 10).cast("bigint")
+                % F.lit(p_den) < F.lit(p_num))
+            cand = (frontier.join(e, frontier["node_id"] == e["src"])
+                    .filter(coin)
+                    .select(F.col("dst").alias("node_id")).distinct())
+            new = (cand.join(active, "node_id", "left_anti")
+                   .withColumn("round", F.lit(r).cast("int"))
+                   .localCheckpoint(eager=True))
+            if not new.count():
+                break
+            active = active.unionByName(new).localCheckpoint(eager=True)
+            frontier = new.select("node_id")
+    finally:
+        e.unpersist()
+    return active

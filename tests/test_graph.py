@@ -1712,3 +1712,40 @@ def test_ab_core_alternating_peel(spark):
     # maintainer
     got2 = {(r.u, r.v) for r in ab_core(e, alpha=2, beta=1).collect()}
     assert got2 == {(0, 10), (0, 11), (1, 10), (1, 11), (0, 12)}
+
+
+def test_ic_cascade_matches_pure_python(spark):
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import ic_cascade
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 0), (5, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+
+    def coin(r, u, v, num, den):
+        h = hashlib.md5(f"ic:{r}:{u}:{v}".encode()).hexdigest()[:12]
+        return int(h, 16) % den < num
+
+    def simulate(num, den, rounds=6):
+        active = {0: 0}
+        frontier = [0]
+        for r in range(1, rounds + 1):
+            new = sorted({v for u in frontier for (s, v) in edges
+                          if s == u and v not in active
+                          and coin(r, u, v, num, den)})
+            if not new:
+                break
+            for v in new:
+                active[v] = r
+            frontier = new
+        return active
+
+    for num, den in ((1, 2), (3, 4), (1, 1)):
+        got = {r.node_id: r.round
+               for r in ic_cascade(e, seeds, rounds=6,
+                                   p_num=num, p_den=den).collect()}
+        assert got == simulate(num, den), (num, den)
+    # p=1 must behave exactly like BFS from the seed: 5,6 unreachable
+    full = simulate(1, 1)
+    assert full == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
