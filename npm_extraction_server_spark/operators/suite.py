@@ -838,6 +838,16 @@ def text_dsir_sample(spark, sf):
             .limit(50))
 
 
+def text_domain_kl(spark, sf):
+    """Pairwise KL divergence between per-source hashed-unigram LMs
+    over the documents table — the domain-shift scorecard (hard
+    oracle: DuckDB replays the densified 4096-bucket grid, the 8-dp
+    ln terms, and the decimal sums bit-exactly)."""
+    from .text import domain_kl
+
+    return domain_kl(_t(spark, sf, "documents"))
+
+
 def text_dup_spans(spark, sf):
     """Exact duplicate-substring spans (Lee et al. 2021 ExactSubstr,
     8-token grams): maximal runs of corpus-repeated k-grams per
@@ -2891,6 +2901,7 @@ SPARK_QUERIES = {
     "text_collocations": text_collocations,
     "text_gopher_rules": text_gopher_rules,
     "text_dup_spans": text_dup_spans,
+    "text_domain_kl": text_domain_kl,
     "text_dsir_weights": text_dsir_weights,
     "text_dsir_sample": text_dsir_sample,
     "text_hashed_features": text_hashed_features,
@@ -5745,6 +5756,39 @@ ORACLE_SQL = {
         JOIN n na ON na.doc = p.id_a
         JOIN n nb ON nb.doc = p.id_b
         WHERE 8 * p.inter >= 3 * (na.n + nb.n)
+    """,
+    "text_domain_kl": """
+        WITH toks AS (
+            SELECT source AS dom,
+                   (('0x' || substr(md5(unnest(regexp_extract_all(
+                        lower(text), '[a-z0-9]+'))), 1, 12))::UBIGINT
+                    % 4096)::BIGINT AS b
+            FROM documents
+        ),
+        cnt AS (SELECT dom, b, count(*) AS c FROM toks GROUP BY dom, b),
+        tot AS (SELECT dom, sum(c) AS n FROM cnt GROUP BY dom),
+        grid AS (
+            SELECT tot.dom, gs.b, coalesce(cnt.c, 0) AS c, tot.n
+            FROM tot
+            CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS b) gs
+            LEFT JOIN cnt ON cnt.dom = tot.dom AND cnt.b = gs.b
+        ),
+        g AS (
+            SELECT dom, b,
+                   (c::DOUBLE + 1.0) / (n::DOUBLE + 4096.0) AS p,
+                   round(ln((c::DOUBLE + 1.0) / (n::DOUBLE + 4096.0)),
+                         8) AS lp
+            FROM grid
+        )
+        SELECT ga.dom AS domain_a, gb.dom AS domain_b,
+               round(cast(sum(cast(round(ga.p * (ga.lp - gb.lp), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS kl_ab,
+               round(cast(sum(cast(round(gb.p * (gb.lp - ga.lp), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS kl_ba
+        FROM g ga JOIN g gb ON gb.b = ga.b AND ga.dom < gb.dom
+        GROUP BY ga.dom, gb.dom
     """,
     "text_dup_spans": """
         WITH arrs AS (

@@ -1040,3 +1040,67 @@ def duplicate_spans(documents: DataFrame, k: int = 8,
                  F.count("*").alias("n_grams"))
             .drop("grp")
             .select(id_col, "start_tok", "end_tok", "n_grams"))
+
+
+def domain_kl(documents: DataFrame, domain_col: str = "source",
+              n_bits: int = 12, text_col: str = "text") -> DataFrame:
+    """Pairwise KL divergence between per-domain hashed-unigram
+    language models — the corpus-drift / domain-shift scorecard a
+    mixing pipeline watches (which sources actually differ, which new
+    crawl slice moved): for each ordered-free domain pair (a < b),
+
+        KL(a || b) = sum over ALL 2^n_bits buckets of
+                     p_a(t) * (ln p_a(t) - ln p_b(t)),
+
+    with Laplace-smoothed bucket probabilities p(t) = (c_t + 1) /
+    (N + B) — smoothing makes every bucket (observed or not)
+    contribute, so the sum runs over the DENSIFIED domain x bucket
+    grid (B = 2^n_bits rows per domain — tiny and fixed, which is
+    the point of feature hashing).
+
+    Returns (domain_a, domain_b, kl_ab, kl_ba) per unordered pair
+    (KL is asymmetric; both directions come from the same joined
+    grid row).
+
+    Cross-engine: counts exact; each ln is 8-dp-grid rounded; each
+    bucket term p_a * (la - lb) is one correctly-rounded double
+    product re-rounded to 12 dp; sums decimal(38,12); output 6 dp —
+    the DuckDB oracle (text_domain_kl) replays it bit-exactly.
+
+    Scale shape: one tokenize + ONE (domain, bucket) count aggregate
+    (map-side combined, output <= |domains| * 4096 rows); the grid
+    densification, pair join, and KL fold all happen on that
+    fixed-size table — corpus-sized work is one scan, full stop.
+    """
+    n_buckets = 1 << n_bits
+    spark = documents.sparkSession
+    hx = F.conv(F.substring(F.md5(F.col("w")), 1, 12), 16, 10) \
+        .cast("bigint")
+    toks = documents.select(
+        F.col(domain_col).alias("dom"),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("w")).select("dom", F.pmod(hx, F.lit(n_buckets)).alias("b"))
+    cnt = toks.groupBy("dom", "b").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("dom").agg(F.sum("c").alias("n"))
+    grid = (tot.crossJoin(spark.range(n_buckets)
+                          .select(F.col("id").alias("b")))
+            .join(cnt, ["dom", "b"], "left")
+            .select("dom", "b",
+                    F.coalesce("c", F.lit(0)).alias("c"), "n"))
+    p = ((F.col("c").cast("double") + F.lit(1.0))
+         / (F.col("n").cast("double") + F.lit(float(n_buckets))))
+    lp = F.round(F.log(p), 8)
+    g = grid.select("dom", "b", p.alias("p"), lp.alias("lp"))
+    ga = g.select(F.col("dom").alias("domain_a"), "b",
+                  F.col("p").alias("pa"), F.col("lp").alias("la"))
+    gb = g.select(F.col("dom").alias("domain_b"), "b",
+                  F.col("p").alias("pb"), F.col("lp").alias("lb"))
+    joined = ga.join(gb, "b").filter(F.col("domain_a") < F.col("domain_b"))
+    term_ab = F.round(F.col("pa") * (F.col("la") - F.col("lb")), 12)
+    term_ba = F.round(F.col("pb") * (F.col("lb") - F.col("la")), 12)
+    return (joined.groupBy("domain_a", "domain_b")
+            .agg(F.round(F.sum(term_ab.cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("kl_ab"),
+                 F.round(F.sum(term_ba.cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("kl_ba")))

@@ -1630,3 +1630,48 @@ def test_duplicate_spans_exact_substr_criterion(spark):
         spans.append(cur)
     want2 = {(2, s, e + 7, n) for s, e, n in spans}
     assert {x for x in got if x[0] == 2} == want2
+
+
+def test_domain_kl_matches_pure_python(spark):
+    import hashlib
+    import math
+    import re
+    from decimal import Decimal
+
+    from npm_extraction_server_spark.operators.text import domain_kl
+
+    docs = [("web", "the cat sat on the mat"),
+            ("web", "a cat and a dog"),
+            ("wiki", "the encyclopedia of cats and dogs"),
+            ("wiki", "feline canine taxonomy article"),
+            ("mirror", "the cat sat on the mat"),
+            ("mirror", "a cat and a dog")]
+    df = spark.createDataFrame(docs, "source string, text string")
+
+    B = 4096
+    cnt, tot = {}, {}
+    for dom, t in docs:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            b = int(hashlib.md5(w.encode()).hexdigest()[:12], 16) % B
+            cnt[(dom, b)] = cnt.get((dom, b), 0) + 1
+            tot[dom] = tot.get(dom, 0) + 1
+
+    def kl(a, b):
+        s = Decimal(0)
+        for t_ in range(B):
+            pa = (cnt.get((a, t_), 0) + 1.0) / (tot[a] + B)
+            pb = (cnt.get((b, t_), 0) + 1.0) / (tot[b] + B)
+            la = round(math.log(pa), 8)
+            lb = round(math.log(pb), 8)
+            s += Decimal(str(round(pa * (la - lb), 12)))
+        return round(float(s), 6)
+
+    got = {(r.domain_a, r.domain_b): (r.kl_ab, r.kl_ba)
+           for r in domain_kl(df).collect()}
+    doms = sorted(tot)
+    want = {(a, b): (kl(a, b), kl(b, a))
+            for i, a in enumerate(doms) for b in doms[i + 1:]}
+    assert got == want
+    # mirror == web corpus exactly -> KL ~ 0 both ways; web vs wiki > 0
+    assert abs(got[("mirror", "web")][0]) < 1e-9
+    assert got[("web", "wiki")][0] > 0 and got[("web", "wiki")][1] > 0
