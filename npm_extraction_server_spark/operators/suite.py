@@ -2727,6 +2727,16 @@ def _bowtie_edges(spark, sf):
         .unionByName(e(450, 460, d + 10)))          # disconnected pairs
 
 
+def graph_katz(spark, sf):
+    """Truncated Katz centrality over the KG multigraph, 4 hops at
+    beta = 0.1 (hard oracle: integer walk counts folded through the
+    same Horner recurrence in DuckDB HUGEINTs, one final double
+    division — bit-exact with no float protocol in the loop)."""
+    from ..plans.graph import katz
+
+    return katz(_kg_graph_edges(spark, sf), iterations=4, decay_pow=1)
+
+
 def graph_ic_cascade(spark, sf):
     """One deterministic Independent-Cascade sample over the KG
     multigraph: seeds = node ids divisible by 97, p = 1/2 via md5
@@ -2955,6 +2965,7 @@ SPARK_QUERIES = {
     "graph_wl_colors": graph_wl_colors,
     "graph_bowtie": graph_bowtie,
     "graph_ic_cascade": graph_ic_cascade,
+    "graph_katz": graph_katz,
     "graph_rich_club": graph_rich_club,
     "graph_trussness": graph_trussness,
     "graph_powerlaw": graph_powerlaw,
@@ -3727,6 +3738,38 @@ _WL_MOTIF_EDGES_CTE = """
               AND doc_id % 6 < 5
     )
 """
+
+
+def _katz_sql(iterations: int = 4, decay_pow: int = 1,
+              out_scale: int = 8) -> str:
+    """katz's Horner recurrence unrolled: integer walk counts w{k}
+    (multiplicity semantics — e0 directly), acc{k} = acc{k-1} * S +
+    w{k} in HUGEINT, one final double division by S^K."""
+    s = 10 ** decay_pow
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    w0 AS (SELECT node_id, 1::HUGEINT AS w FROM nodes)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    w{k} AS (
+        SELECT e0.dst AS node_id, sum(w.w)::HUGEINT AS w
+        FROM e0 JOIN w{k - 1} w ON w.node_id = e0.src
+        GROUP BY e0.dst),
+    acc{k} AS ("""
+        if k == 1:
+            sql += "SELECT node_id, w AS acc FROM w1)"
+        else:
+            sql += f"""
+        SELECT coalesce(a.node_id, w.node_id) AS node_id,
+               coalesce(a.acc, 0) * {s} + coalesce(w.w, 0) AS acc
+        FROM acc{k - 1} a FULL JOIN w{k} w ON w.node_id = a.node_id)"""
+    sql += f"""
+    SELECT n.node_id,
+           round(coalesce(a.acc, 0)::DOUBLE / {float(s ** iterations)!r},
+                 {out_scale}) AS katz
+    FROM nodes n LEFT JOIN acc{iterations} a ON a.node_id = n.node_id"""
+    return sql
 
 
 def _ic_cascade_sql(rounds: int = 4, p_num: int = 1,
@@ -4631,6 +4674,7 @@ ORACLE_SQL = {
     "graph_lpa_communities": _lpa_sql(3),
     "graph_wl_colors": _wl_sql(3),
     "graph_ic_cascade": _ic_cascade_sql(4, 1, 2),
+    "graph_katz": _katz_sql(4, 1),
     "graph_bowtie": """
         WITH RECURSIVE bt AS (
             SELECT doc_id AS src, (doc_id + 1) % 50 AS dst

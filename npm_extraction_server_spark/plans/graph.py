@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 __all__ = ["ab_core", "bfs_distances", "bipartite_project", "bowtie",
            "butterfly_counts",
            "closeness", "clustering_coefficients", "degree_powerlaw", "hits",
-           "hyperball", "hyperball_stats", "ic_cascade", "kcore", "ktruss", "link_predict",
+           "hyperball", "hyperball_stats", "ic_cascade", "katz", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
            "personalized_pagerank", "propagate_labels", "rich_club",
@@ -2998,3 +2998,76 @@ def ic_cascade(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
     finally:
         e.unpersist()
     return active
+
+
+def katz(edges: DataFrame, iterations: int = 4, decay_pow: int = 1,
+         out_scale: int = 8) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953): c(v) = sum over path
+    lengths k = 1..iterations of beta^k * (number of walks of length
+    k ending at v) — the influence measure that counts ALL inbound
+    walks with geometric attenuation, where PageRank counts only the
+    random-walk mass (Katz rewards being reachable many ways;
+    in-degree is its k=1 truncation). Parallel edges count with
+    multiplicity (walk semantics).
+
+    beta is restricted to 10^-``decay_pow`` ON PURPOSE: walk counts
+    are exact integers (the HITS discipline), and with S = 10^d the
+    whole truncated sum folds as a HORNER recurrence on integers,
+
+        acc_k(v) = acc_{k-1}(v) * S + w_k(v),
+        c(v)     = acc_K(v) / S^K,
+
+    so there is NO decimal division (whose precision/scale rules
+    differ between engines) and no float protocol anywhere in the
+    loop — acc is exact decimal(38,0) integer state, and the only
+    floating step is the final correctly-rounded double division by
+    the exactly-representable S^K, re-rounded to ``out_scale``. The
+    DuckDB twin (_katz_sql, HUGEINT accumulator) is bit-exact by
+    construction. Requires iterations * decay_pow <= 15 so S^K stays
+    an exact double.
+
+    Returns (node_id, katz) over all edge endpoints.
+
+    Scale shape: the edge set is persisted hash-partitioned on src
+    once; each round shuffles only the |V|-row walk-count vector (one
+    join + one dst-keyed sum) plus one node-keyed outer join folding
+    the Horner state. Truncation depth is the adversarial knob, not
+    |V|: walk counts grow like degree^k and decimal(38) holds
+    hub-degree 10^4 graphs to k ~ 8 — beyond that the attenuated
+    terms are below any practical output grid anyway.
+    """
+    assert iterations * decay_pow <= 15, "S^K must stay an exact double"
+    s = 10 ** decay_pow
+    e = edges.select("src", "dst").repartition(F.col("src")).persist()
+    e.count()
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id")))
+             .distinct().localCheckpoint(eager=True))
+    walks = nodes.withColumn("w", F.lit(1).cast("decimal(38,0)"))
+    acc = None
+    for _ in range(iterations):
+        walks = (e.join(walks.withColumnRenamed("node_id", "src"), "src")
+                 .groupBy("dst")
+                 .agg(F.sum("w").cast("decimal(38,0)").alias("w"))
+                 .withColumnRenamed("dst", "node_id")
+                 .localCheckpoint(eager=False))
+        if acc is None:
+            acc = walks.select("node_id", F.col("w").alias("acc"))
+        else:
+            a = acc.select("node_id", "acc")
+            acc = (a.join(walks, "node_id", "full")
+                   .select("node_id",
+                           (F.coalesce(F.col("acc"),
+                                       F.lit(0).cast("decimal(38,0)"))
+                            * F.lit(s)
+                            + F.coalesce(F.col("w"),
+                                         F.lit(0).cast("decimal(38,0)")))
+                           .cast("decimal(38,0)").alias("acc"))
+                   .localCheckpoint(eager=False))
+    denom = float(s ** iterations)
+    return (nodes.join(acc, "node_id", "left")
+            .select("node_id",
+                    F.round(F.coalesce(F.col("acc"),
+                                       F.lit(0).cast("decimal(38,0)"))
+                            .cast("double") / F.lit(denom),
+                            out_scale).alias("katz")))

@@ -1749,3 +1749,28 @@ def test_ic_cascade_matches_pure_python(spark):
     # p=1 must behave exactly like BFS from the seed: 5,6 unreachable
     full = simulate(1, 1)
     assert full == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_katz_matches_pure_python_horner(spark):
+    from npm_extraction_server_spark.plans.graph import katz
+
+    # chain with a parallel edge (multiplicity counts) and a cycle
+    edges = [(0, 1), (0, 1), (1, 2), (2, 0), (3, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    nodes = {u for ed in edges for u in ed}
+    w = {v: 1 for v in nodes}
+    acc = {}
+    for k in range(4):
+        nw = {}
+        for (u, v) in edges:
+            nw[v] = nw.get(v, 0) + w.get(u, 0)
+        w = nw
+        for v in nodes:
+            acc[v] = acc.get(v, 0) * 10 + w.get(v, 0)
+    want = {v: round(acc[v] / 1e4, 8) for v in nodes}
+
+    got = {r.node_id: r.katz for r in katz(e, iterations=4).collect()}
+    assert got == want
+    # the doubled edge makes 1 the most central; 3 has no in-walks
+    assert got[1] == max(got.values()) and got[3] == 0.0
