@@ -1490,6 +1490,31 @@ def snap_compact(spark, sf):
     return read_snapshot(spark, table)
 
 
+def events_markov(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    streams — the user-journey model (what follows a click? where do
+    error paths lead?): per user, events ordered by (ts, event_id)
+    pair into (prev_type -> next_type) bigrams; output one row per
+    transition with the count and the row-normalized probability on
+    the 6-dp grid (hard oracle: the same lead() window + integer
+    counts + one correctly-rounded division in DuckDB). Scale shape:
+    one user-keyed window pass + one (prev, next)-keyed count — the
+    sessionize budget; the matrix is |event_types|^2, driver-tiny."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id", "event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    cnt = (pairs.groupBy(F.col("event_type").alias("prev_type"),
+                         "next_type")
+           .agg(F.count("*").alias("n")))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(wp).cast("double"), 6).alias("p"))
+
+
 def events_retention(spark, sf):
     """Cohort retention matrix: users bucketed by first-event ISO
     week, distinct-user counts at each week offset (hard oracle: the
@@ -2993,6 +3018,7 @@ SPARK_QUERIES = {
     "snap_incremental": snap_incremental,
     "snap_compact": snap_compact,
     "q17_small_quantity": q17_small_quantity,
+    "events_markov": events_markov,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
     "snap_zorder": snap_zorder,
@@ -5393,6 +5419,24 @@ ORACLE_SQL = {
     """,
     "snap_compact": """
         SELECT doc_id, lang, n_chars FROM documents
+    """,
+    "events_markov": """
+        WITH pairs AS (
+            SELECT event_type AS prev_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS next_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT prev_type, next_type, count(*) AS n
+            FROM pairs WHERE next_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n::BIGINT AS n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type)
+                     ::DOUBLE, 6) AS p
+        FROM cnt
     """,
     "events_retention": """
         WITH f AS (

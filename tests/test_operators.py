@@ -1675,3 +1675,42 @@ def test_domain_kl_matches_pure_python(spark):
     # mirror == web corpus exactly -> KL ~ 0 both ways; web vs wiki > 0
     assert abs(got[("mirror", "web")][0]) < 1e-9
     assert got[("web", "wiki")][0] > 0 and got[("web", "wiki")][1] > 0
+
+
+def test_events_markov_transitions(spark):
+    from datetime import datetime
+
+    from npm_extraction_server_spark.operators.suite import ORACLE_SQL
+
+    assert "events_markov" in ORACLE_SQL
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 0, 1), 1, "click"),
+        (3, datetime(2024, 1, 1, 0, 2), 1, "view"),
+        (4, datetime(2024, 1, 1, 0, 0), 2, "view"),
+        (5, datetime(2024, 1, 1, 0, 5), 2, "click"),
+        # user 3: single event -> contributes no transition
+        (6, datetime(2024, 1, 1, 0, 0), 3, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    cnt = (pairs.groupBy(F.col("event_type").alias("prev_type"),
+                         "next_type").agg(F.count("*").alias("n")))
+    wp = Window.partitionBy("prev_type")
+    got = {(r.prev_type, r.next_type): (r.n, r.p)
+           for r in cnt.select(
+               "prev_type", "next_type", "n",
+               F.round(F.col("n").cast("double")
+                       / F.sum("n").over(wp).cast("double"), 6)
+               .alias("p")).collect()}
+    # view -> click twice (users 1 and 2), click -> view once; rows
+    # normalize per prev_type; the lone error event adds nothing
+    assert got == {("view", "click"): (2, 1.0),
+                   ("click", "view"): (1, 1.0)}
