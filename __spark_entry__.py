@@ -300,10 +300,16 @@ _PRIORITY: list[str] = [
     # stay green in the committed FULL self-runs, so these two slots
     # are the cheapest way to give never-recorded queries a record)
     "graph_bipartite_project", "graph_butterflies",
-    # KG / BGP layer
-    "kg_bgp_version_meta", "kg_bgp_dep_chain", "kg_void_stats",
-    # web link graph / crawl
-    "web_url_normalize",
+    # KG / BGP layer (kg_void_stats demoted — its stats feed the
+    # VoID-ordering pytest and it is green in the FULL self-run)
+    "kg_bgp_version_meta", "kg_bgp_dep_chain",
+    # Katz centrality (all-integer Horner — this session)
+    "graph_katz",
+    # web link graph / crawl: SALSA showcases the same links CTE
+    # web_url_normalize feeds (normalize_url is exercised inside
+    # web_salsa/web_hits/web_cocitation oracles; url_normalize is
+    # green in the FULL self-run)
+    "web_salsa",
 ]
 
 
