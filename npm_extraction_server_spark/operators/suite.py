@@ -3778,11 +3778,11 @@ def _katz_sql(iterations: int = 4, decay_pow: int = 1,
     w0 AS (SELECT node_id, 1::HUGEINT AS w FROM nodes)"""
     for k in range(1, iterations + 1):
         sql += f""",
-    w{k} AS (
+    w{k} AS MATERIALIZED (
         SELECT e0.dst AS node_id, sum(w.w)::HUGEINT AS w
         FROM e0 JOIN w{k - 1} w ON w.node_id = e0.src
         GROUP BY e0.dst),
-    acc{k} AS ("""
+    acc{k} AS MATERIALIZED ("""
         if k == 1:
             sql += "SELECT node_id, w AS acc FROM w1)"
         else:
@@ -3812,13 +3812,14 @@ def _ic_cascade_sql(rounds: int = 4, p_num: int = 1,
     f0 AS (SELECT node_id FROM a0)"""
     for r in range(1, rounds + 1):
         sql += f""",
-    n{r} AS (
+    n{r} AS MATERIALIZED (
         SELECT DISTINCT e.dst AS node_id, {r} AS round
         FROM f{r - 1} f JOIN e ON e.src = f.node_id
         WHERE ('0x' || substr(md5('ic:{r}:' || e.src || ':' || e.dst),
                               1, 12))::UBIGINT % {p_den} < {p_num}
           AND e.dst NOT IN (SELECT node_id FROM a{r - 1})),
-    a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM n{r}),
+    a{r} AS MATERIALIZED (
+        SELECT * FROM a{r - 1} UNION ALL SELECT * FROM n{r}),
     f{r} AS (SELECT node_id FROM n{r})"""
     sql += f"""
     SELECT node_id, round::INT AS round FROM a{rounds}"""
@@ -3845,11 +3846,11 @@ def _wl_sql(rounds: int = 3, classes: bool = False,
            FROM adj GROUP BY n)"""
     for r in range(1, rounds + 1):
         sql += f""",
-    m{r} AS (
+    m{r} AS MATERIALIZED (
         SELECT a.n, string_agg(c.wl_color, ',' ORDER BY c.wl_color) AS ms
         FROM adj a JOIN c{r - 1} c ON c.node = a.m
         GROUP BY a.n),
-    c{r} AS (
+    c{r} AS MATERIALIZED (
         SELECT c.node, md5(c.wl_color || '|' || m.ms) AS wl_color
         FROM c{r - 1} c JOIN m{r} m ON m.n = c.node)"""
     if classes:
@@ -3940,8 +3941,12 @@ def _topo_layers_sql(rounds: int = 7) -> str:
     ctes, selects = [], []
     for r in range(rounds):
         prev = f"(SELECT n FROM a{r - 1})" if r else "(SELECT NULL WHERE 1=0)"
+        # MATERIALIZED is load-bearing: each a{r} is referenced 3x by
+        # round r+1 (two NOT INs + the union), so without it DuckDB
+        # re-inlines the whole chain — measured 146.5 s for the
+        # 540-node DAG vs ~1 s materialized
         ctes.append(f"""
-    p{r} AS (
+    p{r} AS MATERIALIZED (
         SELECT n FROM depnodes
         WHERE n NOT IN {prev}
           AND n NOT IN (SELECT dst FROM depedges
@@ -3950,7 +3955,7 @@ def _topo_layers_sql(rounds: int = 7) -> str:
         acc = f"SELECT n FROM a{r - 1} UNION SELECT n FROM p{r}" if r \
             else f"SELECT n FROM p{r}"
         ctes.append(f"""
-    a{r} AS ({acc})""")
+    a{r} AS MATERIALIZED ({acc})""")
         selects.append(f"SELECT n AS node_id, {r} AS layer FROM p{r}")
     selects.append(
         f"SELECT n, CAST(NULL AS INT) FROM depnodes "
@@ -4188,11 +4193,11 @@ def _ab_core_sql(alpha: int, beta: int, rounds: int = 6) -> str:
     c0 AS (SELECT u, v FROM be)"""
     for r in range(1, rounds + 1):
         sql += f""",
-    lu{r} AS (SELECT u FROM c{r - 1} GROUP BY u
+    lu{r} AS MATERIALIZED (SELECT u FROM c{r - 1} GROUP BY u
               HAVING count(*) >= {alpha}),
-    rv{r} AS (SELECT v FROM c{r - 1} GROUP BY v
+    rv{r} AS MATERIALIZED (SELECT v FROM c{r - 1} GROUP BY v
               HAVING count(*) >= {beta}),
-    c{r} AS (
+    c{r} AS MATERIALIZED (
         SELECT c.u, c.v FROM c{r - 1} c
         JOIN lu{r} ON lu{r}.u = c.u
         JOIN rv{r} ON rv{r}.v = c.v)"""
