@@ -3719,11 +3719,11 @@ def _lpa_sql(rounds: int = 3) -> str:
     label asc) argmax over neighbor labels in l{r-1}."""
     sql = f"""
     WITH {_KG_GRAPH_EDGES_CTE},
-    und AS (
+    und AS MATERIALIZED (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM e0 WHERE src <> dst
     ),
-    adj AS (
+    adj AS MATERIALIZED (
         SELECT a AS n, b AS m FROM und
         UNION ALL SELECT b, a FROM und
     ),
@@ -3834,11 +3834,11 @@ def _wl_sql(rounds: int = 3, classes: bool = False,
     unrolled rounds are bit-exact cross-engine."""
     sql = f"""
     WITH {edges_cte or _KG_GRAPH_EDGES_CTE},
-    und AS (
+    und AS MATERIALIZED (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM e0 WHERE src <> dst
     ),
-    adj AS (
+    adj AS MATERIALIZED (
         SELECT a AS n, b AS m FROM und
         UNION ALL SELECT b, a FROM und
     ),
@@ -4264,11 +4264,11 @@ def _coreness_sql(kmax: int = 5, rounds: int = 8) -> str:
     c{k}s0 AS MATERIALIZED (SELECT a, b FROM s0)"""
         for r in range(1, rounds + 1):
             sql += f""",
-    c{k}d{r} AS (
+    c{k}d{r} AS MATERIALIZED (
         SELECT n, count(*) AS d FROM (
             SELECT a AS n FROM c{k}s{r - 1}
             UNION ALL SELECT b FROM c{k}s{r - 1}) GROUP BY n),
-    c{k}k{r} AS (SELECT n FROM c{k}d{r} WHERE d >= {k}),
+    c{k}k{r} AS MATERIALIZED (SELECT n FROM c{k}d{r} WHERE d >= {k}),
     c{k}s{r} AS MATERIALIZED (
         SELECT s.a, s.b FROM c{k}s{r - 1} s
         JOIN c{k}k{r} ka ON ka.n = s.a
@@ -4290,18 +4290,18 @@ def _kcore_sql(k: int, rounds: int = 4) -> str:
     so unrolling more rounds than the graph needs is safe."""
     sql = f"""
     WITH {_KG_GRAPH_EDGES_CTE},
-    s0 AS (
+    s0 AS MATERIALIZED (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM e0 WHERE src <> dst
     )"""
     for r in range(1, rounds + 1):
         sql += f""",
-    d{r} AS (
+    d{r} AS MATERIALIZED (
         SELECT n, count(*) AS d FROM (
             SELECT a AS n FROM s{r - 1}
             UNION ALL SELECT b FROM s{r - 1}) GROUP BY n),
-    k{r} AS (SELECT n FROM d{r} WHERE d >= {k}),
-    s{r} AS (
+    k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k}),
+    s{r} AS MATERIALIZED (
         SELECT s.a, s.b FROM s{r - 1} s
         JOIN k{r} ka ON ka.n = s.a
         JOIN k{r} kb ON kb.n = s.b)"""
