@@ -838,6 +838,16 @@ def text_dsir_sample(spark, sf):
             .limit(50))
 
 
+def text_readability(spark, sf):
+    """Flesch reading-ease + Flesch-Kincaid grade per document —
+    the classic readability quality gate (hard oracle: exact
+    sentence/word/vowel-group-syllable counts, two correctly-rounded
+    divisions, 4-dp affine combinations replayed in DuckDB)."""
+    from .text import readability_scores
+
+    return readability_scores(_t(spark, sf, "documents"))
+
+
 def text_domain_kl(spark, sf):
     """Pairwise KL divergence between per-source hashed-unigram LMs
     over the documents table — the domain-shift scorecard (hard
@@ -1488,6 +1498,46 @@ def snap_compact(spark, sf):
     post = len(plan_scan(table, [])[1])
     assert post < pre, (pre, post)
     return read_snapshot(spark, table)
+
+
+def events_rate_outliers(spark, sf):
+    """Per-type event-rate anomaly scan — the ops question (which
+    hours spiked? which type went quiet?) asked deterministically:
+    counts on the DENSE epoch-hour grid between the dataset's first
+    and last hour (zeros count — a silent hour IS the anomaly),
+    per-type mean/variance over the grid, and the outlier test as
+    (x - mean)^2 > 4 * var — the z > 2 rule squared, so there is NO
+    sqrt and every comparison is between identically-derived doubles
+    (hard oracle: same grid, same integer sums, same correctly-
+    rounded divisions in DuckDB). One count aggregate + a tiny
+    type x hours grid; corpus-sized work is one scan."""
+    ev = _t(spark, sf, "events")
+    # date_trunc first: unix_timestamp truncates sub-second fractions
+    # while DuckDB's epoch() rounds them — the hour boundary must be
+    # derived from a fraction-free timestamp in both engines
+    hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+          / 3600).cast("bigint")
+    cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
+           .groupBy("et", "h").agg(F.count("*").alias("n")))
+    span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (cnt.select("et").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("et", F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(cnt, ["et", "h"], "left")
+            .select("et", "h", F.coalesce("n", F.lit(0)).alias("n")))
+    stats = (grid.groupBy("et")
+             .agg(F.count("*").alias("nh"),
+                  F.sum("n").alias("s"),
+                  F.sum(F.col("n") * F.col("n")).alias("ss")))
+    mean = F.col("s").cast("double") / F.col("nh").cast("double")
+    var = (F.col("ss").cast("double") / F.col("nh").cast("double")
+           - mean * mean)
+    j = grid.join(stats, "et")
+    dev = F.col("n").cast("double") - mean
+    return (j.filter(dev * dev > F.lit(4.0) * var)
+            .select(F.col("et").alias("event_type"), F.col("h").alias("hour"),
+                    "n", F.round(mean, 6).alias("mean_rate"),
+                    F.round(var, 6).alias("var_rate")))
 
 
 def events_markov(spark, sf):
@@ -2752,6 +2802,16 @@ def _bowtie_edges(spark, sf):
         .unionByName(e(450, 460, d + 10)))          # disconnected pairs
 
 
+def graph_dyad_census(spark, sf):
+    """Holland-Leinhardt dyad census + reciprocity over the KG
+    multigraph (hard oracle: mutual/asym from one pair-keyed
+    direction-bit aggregate, nulls in closed form — exact BIGINTs,
+    one 6-dp division)."""
+    from ..plans.graph import dyad_census
+
+    return dyad_census(_kg_graph_edges(spark, sf))
+
+
 def graph_katz(spark, sf):
     """Truncated Katz centrality over the KG multigraph, 4 hops at
     beta = 0.1 (hard oracle: integer walk counts folded through the
@@ -2937,6 +2997,7 @@ SPARK_QUERIES = {
     "text_gopher_rules": text_gopher_rules,
     "text_dup_spans": text_dup_spans,
     "text_domain_kl": text_domain_kl,
+    "text_readability": text_readability,
     "text_dsir_weights": text_dsir_weights,
     "text_dsir_sample": text_dsir_sample,
     "text_hashed_features": text_hashed_features,
@@ -2991,6 +3052,7 @@ SPARK_QUERIES = {
     "graph_bowtie": graph_bowtie,
     "graph_ic_cascade": graph_ic_cascade,
     "graph_katz": graph_katz,
+    "graph_dyad_census": graph_dyad_census,
     "graph_rich_club": graph_rich_club,
     "graph_trussness": graph_trussness,
     "graph_powerlaw": graph_powerlaw,
@@ -3019,6 +3081,7 @@ SPARK_QUERIES = {
     "snap_compact": snap_compact,
     "q17_small_quantity": q17_small_quantity,
     "events_markov": events_markov,
+    "events_rate_outliers": events_rate_outliers,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
     "snap_zorder": snap_zorder,
@@ -4706,6 +4769,33 @@ ORACLE_SQL = {
     "graph_wl_colors": _wl_sql(3),
     "graph_ic_cascade": _ic_cascade_sql(4, 1, 2),
     "graph_katz": _katz_sql(4, 1),
+    "graph_dyad_census": f"""
+        WITH {_KG_GRAPH_EDGES_CTE},
+        d AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                   max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+                   max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+            FROM e0 WHERE src <> dst GROUP BY 1, 2
+        ),
+        nn AS (
+            SELECT count(*) AS n_nodes FROM (
+                SELECT DISTINCT n FROM (
+                    SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0))
+        ),
+        agg AS (
+            SELECT sum(f * r)::BIGINT AS mutual,
+                   sum(CASE WHEN f + r = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS asym
+            FROM d
+        )
+        SELECT nn.n_nodes::BIGINT AS n_nodes, agg.mutual, agg.asym,
+               (nn.n_nodes * (nn.n_nodes - 1) // 2
+                - agg.mutual - agg.asym)::BIGINT AS nulls,
+               round(agg.mutual::DOUBLE
+                     / (agg.mutual + agg.asym)::DOUBLE, 6)
+                   AS reciprocity
+        FROM agg CROSS JOIN nn
+    """,
     "graph_bowtie": """
         WITH RECURSIVE bt AS (
             SELECT doc_id AS src, (doc_id + 1) % 50 AS dst
@@ -5425,6 +5515,37 @@ ORACLE_SQL = {
     "snap_compact": """
         SELECT doc_id, lang, n_chars FROM documents
     """,
+    "events_rate_outliers": """
+        WITH cnt AS (
+            SELECT event_type AS et,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h,
+                   count(*) AS n
+            FROM events GROUP BY et, h
+        ),
+        span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+        grid AS (
+            SELECT t.et, gs.h, coalesce(cnt.n, 0) AS n
+            FROM (SELECT DISTINCT et FROM cnt) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT h0 FROM span), (SELECT h1 FROM span))) AS h) gs
+            LEFT JOIN cnt ON cnt.et = t.et AND cnt.h = gs.h
+        ),
+        stats AS (
+            SELECT et, count(*) AS nh, sum(n) AS s, sum(n * n) AS ss
+            FROM grid GROUP BY et
+        )
+        SELECT g.et AS event_type, g.h AS hour, g.n::BIGINT AS n,
+               round(s::DOUBLE / nh::DOUBLE, 6) AS mean_rate,
+               round(ss::DOUBLE / nh::DOUBLE
+                     - (s::DOUBLE / nh::DOUBLE) * (s::DOUBLE / nh::DOUBLE),
+                     6) AS var_rate
+        FROM grid g JOIN stats st ON st.et = g.et
+        WHERE (g.n::DOUBLE - s::DOUBLE / nh::DOUBLE)
+              * (g.n::DOUBLE - s::DOUBLE / nh::DOUBLE)
+              > 4.0 * (ss::DOUBLE / nh::DOUBLE
+                       - (s::DOUBLE / nh::DOUBLE)
+                         * (s::DOUBLE / nh::DOUBLE))
+    """,
     "events_markov": """
         WITH pairs AS (
             SELECT event_type AS prev_type,
@@ -5849,6 +5970,39 @@ ORACLE_SQL = {
         JOIN n na ON na.doc = p.id_a
         JOIN n nb ON nb.doc = p.id_b
         WHERE 8 * p.inter >= 3 * (na.n + nb.n)
+    """,
+    "text_readability": """
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS words,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[.!?]+'),
+                               s -> regexp_matches(s, '[a-z0-9]'))
+                       AS sents
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, len(words) AS n_words,
+                   len(sents)::BIGINT AS n_sentences,
+                   coalesce(list_sum(list_transform(words,
+                       x -> greatest(len(regexp_extract_all(
+                                x, '[aeiouy]+')), 1))), 0)::BIGINT
+                       AS n_syllables,
+                   greatest(len(sents), 1) AS ns
+            FROM w
+        )
+        SELECT doc_id, n_words::BIGINT AS n_words, n_sentences,
+               n_syllables,
+               round(206.835
+                     - 1.015 * (n_words::DOUBLE / ns::DOUBLE)
+                     - 84.6 * (CASE WHEN n_words > 0 THEN
+                                   n_syllables::DOUBLE / n_words::DOUBLE
+                               ELSE 0.0 END), 4) AS flesch_ease,
+               round(0.39 * (n_words::DOUBLE / ns::DOUBLE)
+                     + 11.8 * (CASE WHEN n_words > 0 THEN
+                                   n_syllables::DOUBLE / n_words::DOUBLE
+                               ELSE 0.0 END) - 15.59, 4) AS fk_grade
+        FROM c
     """,
     "text_domain_kl": """
         WITH toks AS (

@@ -57,7 +57,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["ab_core", "bfs_distances", "bipartite_project", "bowtie",
            "butterfly_counts",
-           "closeness", "clustering_coefficients", "degree_powerlaw", "hits",
+           "closeness", "clustering_coefficients", "degree_powerlaw",
+           "dyad_census", "hits",
            "hyperball", "hyperball_stats", "ic_cascade", "katz", "kcore", "ktruss", "link_predict",
            "maximal_independent_set", "modularity", "node2vec_walks",
            "neighbor_agg", "pagerank", "random_walks", "topo_layers",
@@ -3071,3 +3072,47 @@ def katz(edges: DataFrame, iterations: int = 4, decay_pow: int = 1,
                                        F.lit(0).cast("decimal(38,0)"))
                             .cast("double") / F.lit(denom),
                             out_scale).alias("katz")))
+
+
+def dyad_census(edges: DataFrame) -> DataFrame:
+    """Holland-Leinhardt dyad census of a directed graph: the number
+    of MUTUAL (both directions present), ASYMMETRIC (exactly one),
+    and NULL (neither) dyads over all unordered node pairs, plus the
+    reciprocity ratio mutual / (mutual + asym) — the first statistic
+    of any social/link-graph analysis (a crawl graph with high
+    reciprocity is a link exchange; citation DAGs sit near zero).
+    Self-loops dropped; parallel edges collapse (dyads are about the
+    support).
+
+    Exact and one-pass: canonicalize each arc to its unordered pair
+    with a direction bit, then one pair-keyed aggregate — a dyad with
+    both bits is mutual, one bit asymmetric; nulls are
+    C(n, 2) - mutual - asym in closed form (never materialized: the
+    null count at web scale is ~n^2/2 and exists only as arithmetic).
+    Reciprocity is one correctly-rounded 6-dp division. Returns ONE
+    row (n_nodes, mutual, asym, nulls, reciprocity) — bit-exact in
+    any engine.
+    """
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"),
+                 (F.col("src") < F.col("dst")).cast("int").alias("fwd"),
+                 (F.col("src") > F.col("dst")).cast("int").alias("rev")))
+    dyads = (e.groupBy("a", "b")
+             .agg(F.max("fwd").alias("f"), F.max("rev").alias("r")))
+    nodes = (edges.select(F.col("src").alias("n"))
+             .unionByName(edges.select(F.col("dst").alias("n")))
+             .distinct().agg(F.count("*").alias("n_nodes")))
+    agg = dyads.agg(
+        F.sum((F.col("f") * F.col("r")).cast("bigint")).alias("mutual"),
+        F.sum(((F.col("f") + F.col("r")) == 1).cast("bigint"))
+        .alias("asym"))
+    return (agg.crossJoin(F.broadcast(nodes))
+            .select("n_nodes", "mutual", "asym",
+                    (F.expr("n_nodes * (n_nodes - 1) DIV 2")
+                     - F.col("mutual") - F.col("asym")).cast("bigint")
+                    .alias("nulls"),
+                    F.round(F.col("mutual").cast("double")
+                            / (F.col("mutual")
+                               + F.col("asym")).cast("double"), 6)
+                    .alias("reciprocity")))

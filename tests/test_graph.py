@@ -1774,3 +1774,16 @@ def test_katz_matches_pure_python_horner(spark):
     assert got == want
     # the doubled edge makes 1 the most central; 3 has no in-walks
     assert got[1] == max(got.values()) and got[3] == 0.0
+
+
+def test_dyad_census_hand_graph(spark):
+    from npm_extraction_server_spark.plans.graph import dyad_census
+
+    # mutual: 0<->1 (with a duplicate arc), asym: 0->2, 2->3, self-loop
+    # dropped, node 4 joins via 4->0
+    edges = [(0, 1), (1, 0), (0, 1), (0, 2), (2, 3), (3, 3), (4, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    r = dyad_census(e).first()
+    # 5 nodes -> C(5,2)=10 dyads; mutual 1 (0-1); asym 3 (0-2, 2-3, 4-0)
+    assert (r.n_nodes, r.mutual, r.asym, r.nulls) == (5, 1, 3, 6)
+    assert r.reciprocity == 0.25

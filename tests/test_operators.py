@@ -1714,3 +1714,30 @@ def test_events_markov_transitions(spark):
     # normalize per prev_type; the lone error event adds nothing
     assert got == {("view", "click"): (2, 1.0),
                    ("click", "view"): (1, 1.0)}
+
+
+def test_readability_scores_hand_computed(spark):
+    from npm_extraction_server_spark.operators.text import (
+        readability_scores)
+
+    docs = [(0, "The cat sat. The dog ran! Did it?"),
+            (1, "supercalifragilisticexpialidocious"),
+            (2, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+
+    # doc 0: 3 sentences, 8 words, syllables: the=1 cat=1 sat=1 the=1
+    # dog=1 ran=1 did=1 it=1 -> 8; wps=8/3, spw=1
+    r0 = got[0]
+    assert (r0.n_words, r0.n_sentences, r0.n_syllables) == (8, 3, 8)
+    wps, spw = 8 / 3, 1.0
+    assert r0.flesch_ease == round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    assert r0.fk_grade == round(0.39 * wps + 11.8 * spw - 15.59, 4)
+
+    # doc 1: one word, vowel groups: u-e-a-i-a-i-i-i-e-ia-i-o-iou = 13
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (1, 1, 13)
+
+    # doc 2: empty -> zero counts, spw guarded to 0
+    r2 = got[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (0, 0, 0)
