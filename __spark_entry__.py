@@ -255,7 +255,7 @@ _PRIORITY: list[str] = [
     # slots: hyperball keeps graph_hyperball, pagerank keeps
     # graph_pagerank_incr, text keeps gopher/bpe_train, BGP keeps
     # version_meta/dep_chain/void, web keeps web_url_normalize)
-    "graph_msf", "graph_coloring", "graph_matching",
+    "graph_msf",
     "graph_lpa_communities", "text_textrank", "kg_char_sets",
     # WL refinement + DSIR (this session's additions; demoted
     # graph_link_predict — the ONE head entry with a prior driver
@@ -281,7 +281,7 @@ _PRIORITY: list[str] = [
     # demoted graph_labelprop and graph_ppr — both green in the
     # committed FULL self-runs and the judge's round-4 independent
     # re-run)
-    "kg_sparql_update", "kg_sparql_update_graphs", "kg_sparql_load",
+    "kg_sparql_update", "kg_sparql_load",
     # graph
     "graph_topo_layers",
     # lakehouse snapshots (snap_compact demoted — the compaction path
@@ -299,10 +299,20 @@ _PRIORITY: list[str] = [
     # records from rounds 1-4 (the only head entries that did) and
     # stay green in the committed FULL self-runs, so these two slots
     # are the cheapest way to give never-recorded queries a record)
-    "graph_bipartite_project", "graph_butterflies",
+    "graph_butterflies",
     # KG / BGP layer (kg_void_stats demoted — its stats feed the
     # VoID-ordering pytest and it is green in the FULL self-run)
-    "kg_bgp_version_meta", "kg_bgp_dep_chain",
+    "kg_bgp_dep_chain",
+    # final-session additions: Zipf OLS fit, Heaps vocabulary curve,
+    # Kneser-Ney bigram LM, MMR diversified retrieval, CUSUM
+    # changepoint scan. Demoted graph_coloring / graph_matching /
+    # graph_bipartite_project (graph family keeps 12+ head slots),
+    # kg_sparql_update_graphs (update family keeps update + load) and
+    # kg_bgp_version_meta (BGP keeps dep_chain/bind/path_ops/values/
+    # exists/quads_meta/subquery/char_sets) — all five hard-green in
+    # the committed CORRECTNESS_FULL_r05.json self-run.
+    "text_zipf_fit", "text_heaps_curve", "text_kn_bigram",
+    "sim_mmr_diverse", "events_changepoint",
     # Katz centrality (all-integer Horner — this session)
     "graph_katz",
     # web link graph / crawl: SALSA showcases the same links CTE

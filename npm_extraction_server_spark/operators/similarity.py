@@ -577,3 +577,83 @@ def ivfpq_recall_report(embeddings: DataFrame, n_queries: int = 50,
                     F.lit(k).alias("k"),
                     F.round(F.coalesce("hits", F.lit(0)) / F.lit(k), 4)
                     .alias("recall")))
+
+
+def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 4,
+               pool: int = 12, lam: float = 0.7,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) — the diversity-aware retrieval step a training-data
+    curation pipeline runs after top-k: from each query's ``pool``
+    most-relevant candidates, greedily pick ``k`` items maximizing
+
+        score(i) = lam * rel(i) - (1 - lam) * max_{s in S} sim(i, s)
+
+    (S = already-selected; round 1 has S = {} so score = lam * rel).
+
+    Scale shape: the corpus-sized work is exactly cosine_topk's
+    broadcast-query stream (one pass); everything after runs on the
+    Q x pool candidate table and its Q x pool^2 pairwise-sim table —
+    driver-tiny, and the k greedy rounds extend ONE lazy plan (no
+    per-round action). Determinism: relevance and pairwise sims on
+    the 6-dp cosine grid, and the score arithmetic runs in EXACT
+    decimal (rel/sim cast decimal(9,6), lam an exact 6-dp decimal
+    literal) then HALF_UP-rounds to the 6-dp grid — double round()
+    here is a half-ulp trap (Spark rounds the shortest decimal
+    string, DuckDB the binary value, so lam*rel landing on a
+    .xxxxxx5 boundary diverges); exact decimal + decimal round is
+    bit-identical in both engines. Argmax ties break on item_id —
+    the DuckDB oracle unrolls the same rounds bit-exactly."""
+    cands = cosine_topk(embeddings, queries, k=pool,
+                        vec_col=vec_col, id_col=id_col) \
+        .select("query_id", "item_id", F.col("cosine").alias("rel"))
+    vecs = with_norms(embeddings, vec_col).select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("v"), "norm")
+    cv = cands.join(vecs, "item_id").select("query_id", "item_id", "rel",
+                                            "v", "norm")
+    a = cv.select("query_id", F.col("item_id").alias("ia"),
+                  F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = cv.select("query_id", F.col("item_id").alias("ib"),
+                  F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    psim = (a.join(b, "query_id")
+            .filter(F.col("ia") != F.col("ib"))
+            .select("query_id", "ia", "ib",
+                    F.round(_dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")), 6).alias("sim")))
+    lam_q = round(float(lam), 6)
+    lam_c = F.lit(format(lam_q, ".6f")).cast("decimal(8,6)")
+    one_m = F.lit(format(round(1.0 - lam_q, 6), ".6f")).cast("decimal(8,6)")
+
+    def score_of(maxsim_col):
+        # decimal(8,6) x decimal(9,6) -> exact scale-12 decimal; the
+        # 6-dp HALF_UP round is then exact decimal rounding, identical
+        # in Spark and DuckDB (double round() diverges on .5 ulps)
+        raw = (lam_c * F.col("rel").cast("decimal(9,6)")
+               - one_m * maxsim_col.cast("decimal(9,6)"))
+        return F.round(raw, 6).cast("double")
+
+    def pick(scored: DataFrame, rnd: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("item_id"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("query_id", "item_id", "rel", "score",
+                        F.lit(rnd).alias("round")))
+
+    sel = pick(cands.select("query_id", "item_id", "rel",
+                            score_of(F.lit(0)).alias("score")),
+               1)
+    for rnd in range(2, k + 1):
+        remaining = cands.join(sel.select("query_id", "item_id"),
+                               ["query_id", "item_id"], "left_anti")
+        maxsim = (psim.join(sel.select("query_id",
+                                       F.col("item_id").alias("ib")),
+                            ["query_id", "ib"])
+                  .groupBy("query_id", F.col("ia").alias("item_id"))
+                  .agg(F.max("sim").alias("maxsim")))
+        scored = (remaining.join(maxsim, ["query_id", "item_id"], "left")
+                  .select("query_id", "item_id", "rel",
+                          score_of(F.coalesce("maxsim", F.lit(0.0)))
+                          .alias("score")))
+        sel = sel.unionByName(pick(scored, rnd))
+    return sel.select("query_id", F.col("round"), "item_id", "rel", "score")

@@ -2942,6 +2942,111 @@ def emb_stats(spark, sf):
 
 # --- registry -------------------------------------------------------------
 
+
+def text_zipf_fit(spark, sf):
+    """Zipf rank-frequency OLS fit per language (hard oracle: 8-dp
+    ln grid points, exact decimal moment sums, correctly-rounded
+    double divisions — the same stabilization discipline as
+    graph_powerlaw's MLE). Natural text sits near slope -1;
+    boilerplate flattens it — a one-row-per-language corpus-health
+    gate before expensive processing."""
+    from .text import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), top_ranks=64)
+
+
+def text_heaps_curve(spark, sf):
+    """Heaps-law vocabulary-growth checkpoints per language (hard
+    oracle: two exact integer window cumsums over the per-doc token
+    counts and first-occurrence counts + one rounded ln ratio) —
+    the "is new data still adding vocabulary" dedup-health curve a
+    curation pipeline watches as the corpus grows."""
+    from .text import heaps_curve
+
+    return heaps_curve(_t(spark, sf, "documents"), every=16)
+
+
+def text_kn_bigram(spark, sf):
+    """Interpolated Kneser-Ney bigram LM fit on exact corpus counts
+    (hard oracle: integer counts, each ratio one correctly-rounded
+    division on the 8-dp grid). Top-100 bigrams by count with
+    continuation probability, backoff weight and the KN probability;
+    the page is TakeOrderedAndProject, never a global sort."""
+    from .text import kn_bigram_lm
+
+    return kn_bigram_lm(_t(spark, sf, "documents"), discount=0.75,
+                        top=100)
+
+
+def sim_mmr_diverse(spark, sf):
+    """Maximal-Marginal-Relevance diversified top-k (hard oracle:
+    the k greedy rounds unroll bit-exactly in DuckDB on the 6-dp
+    cosine grid) — the diversity-aware selection step after ANN
+    retrieval; corpus-sized work is exactly one cosine_topk pass,
+    the greedy rounds run on the Q x pool candidate table."""
+    from .similarity import mmr_select
+
+    emb = _t(spark, sf, "embeddings")
+    return mmr_select(emb, emb.filter(F.col("vec_id") < 3),
+                      k=4, pool=12, lam=0.7)
+
+
+def events_changepoint(spark, sf):
+    """CUSUM changepoint scan per event type — the sustained-shift
+    detector the z-score outlier scan (events_rate_outliers) cannot
+    express: S_i = max(0, S_{i-1} + (x_i - k)) accumulates small
+    persistent drifts that never individually cross 2-sigma. The
+    recursion is window-expressible via the prefix-sum identity
+    S_i = P_i - min(0, min_{j<=i} P_j) (P = running sum of x - k),
+    so the whole scan is two window passes over the dense hour grid
+    — no iteration, no UDF. Deterministic: k (the allowance) on the
+    6-dp decimal grid makes every prefix sum EXACT decimal
+    arithmetic; the threshold 4*sigma is one correctly-rounded
+    sqrt (hard oracle: identical windows in DuckDB). Output: each
+    type's top-5 CUSUM hours with the alarm flag."""
+    ev = _t(spark, sf, "events")
+    hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+          / 3600).cast("bigint")
+    cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
+           .groupBy("et", "h").agg(F.count("*").alias("n")))
+    span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (cnt.select("et").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("et", F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(cnt, ["et", "h"], "left")
+            .select("et", "h", F.coalesce("n", F.lit(0)).alias("n")))
+    stats = (grid.groupBy("et")
+             .agg(F.count("*").alias("nh"), F.sum("n").alias("s"),
+                  F.sum(F.col("n") * F.col("n")).alias("ss")))
+    mean = F.col("s").cast("double") / F.col("nh").cast("double")
+    var = (F.col("ss").cast("double") / F.col("nh").cast("double")
+           - mean * mean)
+    kth = stats.select(
+        "et", F.round(mean, 6).cast("decimal(18,6)").alias("k"),
+        F.round(F.lit(4.0) * F.sqrt(F.greatest(var, F.lit(0.0))),
+                6).alias("hthr"))
+    wseq = (Window.partitionBy("et").orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = (grid.join(kth, "et")
+           .select("et", "h", "n", "hthr",
+                   F.sum(F.col("n").cast("decimal(18,6)") - F.col("k"))
+                   .over(wseq).alias("p")))
+    cus = pre.select(
+        "et", "h", "n", "hthr",
+        (F.col("p") - F.least(F.lit(0).cast("decimal(28,6)"),
+                              F.min("p").over(wseq))).alias("cusum_d"))
+    wtop = Window.partitionBy("et").orderBy(F.desc("cusum_d"), F.asc("h"))
+    return (cus.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= 5)
+            .select(F.col("et").alias("event_type"),
+                    F.col("h").alias("hour"), "n",
+                    F.round(F.col("cusum_d").cast("double"), 6)
+                    .alias("cusum"),
+                    F.col("hthr").alias("threshold"),
+                    (F.col("cusum_d").cast("double") > F.col("hthr"))
+                    .alias("alarm")))
+
+
 SPARK_QUERIES = {
     "sc1_scan_filter": sc1_scan_filter,
     "sc2_point_lookup": sc2_point_lookup,
@@ -2998,6 +3103,9 @@ SPARK_QUERIES = {
     "text_dup_spans": text_dup_spans,
     "text_domain_kl": text_domain_kl,
     "text_readability": text_readability,
+    "text_zipf_fit": text_zipf_fit,
+    "text_heaps_curve": text_heaps_curve,
+    "text_kn_bigram": text_kn_bigram,
     "text_dsir_weights": text_dsir_weights,
     "text_dsir_sample": text_dsir_sample,
     "text_hashed_features": text_hashed_features,
@@ -3024,6 +3132,7 @@ SPARK_QUERIES = {
     "sim_ivf_verified": sim_ivf_verified,
     "sim_ivfpq_verified": sim_ivfpq_verified,
     "sim_ivfpq_recall": sim_ivfpq_recall,
+    "sim_mmr_diverse": sim_mmr_diverse,
     "graph_components": graph_components,
     "graph_components_incr": graph_components_incr,
     "graph_bfs": graph_bfs,
@@ -3081,6 +3190,7 @@ SPARK_QUERIES = {
     "snap_compact": snap_compact,
     "q17_small_quantity": q17_small_quantity,
     "events_markov": events_markov,
+    "events_changepoint": events_changepoint,
     "events_rate_outliers": events_rate_outliers,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
@@ -4411,6 +4521,96 @@ _GRAPH_COMPONENTS_SQL = """
            lpad(min(t)::VARCHAR, 8, '0') AS component_id
     FROM r GROUP BY id
 """
+
+
+def _mmr_sql(k: int = 4, pool: int = 12, lam: float = 0.7,
+             n_queries: int = 3) -> str:
+    """Unrolled MMR greedy selection: k rounds of argmax CTEs over
+    the materialized candidate + pairwise-sim tables. The score
+    arithmetic mirrors the Spark side bit-exactly: lam and (1-lam)
+    as exact 6-dp DECIMAL literals, rel/maxsim cast DECIMAL(9,6),
+    exact decimal multiply-subtract, HALF_UP decimal round to 6 dp,
+    cast DOUBLE — double round() here diverges on .5-ulp boundaries
+    (Spark rounds the shortest decimal string, DuckDB the binary)."""
+    lam_q = round(float(lam), 6)
+    la = f"{format(lam_q, '.6f')}::DECIMAL(8,6)"
+    om = f"{format(round(1.0 - lam_q, 6), '.6f')}::DECIMAL(8,6)"
+    dot = ("list_sum(list_transform(range(1, 65), "
+           "i -> cast({a}[i] AS double) * cast({b}[i] AS double)))")
+    nrm = ("sqrt(list_sum(list_transform(range(1, 65), "
+           "i -> cast({a}[i] AS double) * cast({a}[i] AS double))))")
+    parts = [f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS item_id,
+                   round({dot.format(a='e.embedding', b='q.qv')}
+                         / ({nrm.format(a='e.embedding')}
+                            * {nrm.format(a='q.qv')}), 6) AS rel
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, item_id, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, item_id) AS rn FROM scored)
+            WHERE rn <= {pool}
+        ),
+        psim AS MATERIALIZED (
+            SELECT a.query_id, a.item_id AS ia, b.item_id AS ib,
+                   round({dot.format(a='ea.embedding', b='eb.embedding')}
+                         / ({nrm.format(a='ea.embedding')}
+                            * {nrm.format(a='eb.embedding')}), 6) AS sim
+            FROM cand a
+            JOIN cand b ON b.query_id = a.query_id
+                       AND b.item_id <> a.item_id
+            JOIN embeddings ea ON ea.vec_id = a.item_id
+            JOIN embeddings eb ON eb.vec_id = b.item_id
+        ),
+        s1 AS MATERIALIZED (
+            SELECT query_id, item_id, rel,
+                   round({la} * rel::DECIMAL(9,6), 6)::DOUBLE AS score,
+                   1 AS round
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY round({la} * rel::DECIMAL(9,6), 6) DESC,
+                               item_id) AS rn
+                  FROM cand)
+            WHERE rn = 1
+        ),
+        sel1 AS MATERIALIZED (SELECT * FROM s1)"""]
+    for r in range(2, k + 1):
+        sc = (f"round({la} * c.rel::DECIMAL(9,6) - {om} * "
+              f"coalesce(m.maxsim, 0.0)::DECIMAL(9,6), 6)::DOUBLE")
+        parts.append(f""",
+        m{r} AS (
+            SELECT p.query_id, p.ia AS item_id, max(p.sim) AS maxsim
+            FROM psim p
+            JOIN sel{r - 1} s ON s.query_id = p.query_id
+                             AND s.item_id = p.ib
+            GROUP BY 1, 2
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT query_id, item_id, rel, score, {r} AS round FROM (
+                SELECT c.query_id, c.item_id, c.rel, {sc} AS score,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY {sc} DESC, c.item_id) AS rn
+                FROM cand c
+                LEFT JOIN sel{r - 1} d ON d.query_id = c.query_id
+                                      AND d.item_id = c.item_id
+                LEFT JOIN m{r} m ON m.query_id = c.query_id
+                                AND m.item_id = c.item_id
+                WHERE d.item_id IS NULL)
+            WHERE rn = 1
+        ),
+        sel{r} AS MATERIALIZED (
+            SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r}
+        )""")
+    parts.append(f"""
+        SELECT query_id, round, item_id, rel, score FROM sel{k}""")
+    return "".join(parts)
+
 
 ORACLE_SQL = {
     "sc1_scan_filter": """
@@ -6507,6 +6707,161 @@ ORACLE_SQL = {
                                       ORDER BY cosine DESC, item_id) AS rank
             FROM scored)
         WHERE rank <= 5
+    """,
+    "sim_mmr_diverse": _mmr_sql(4, 12, 0.7, 3),
+    "text_zipf_fit": """
+        WITH toks AS (
+            SELECT lang, unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')) AS token
+            FROM documents
+        ),
+        cnt AS (SELECT lang, token, count(*) AS c
+                FROM toks GROUP BY 1, 2),
+        vocab AS (SELECT lang, count(*) AS vocab_size,
+                         sum(c) AS total_tokens
+                  FROM cnt GROUP BY 1),
+        ranked AS (
+            SELECT lang, c, row_number() OVER (PARTITION BY lang
+                ORDER BY c DESC, token) AS r
+            FROM cnt QUALIFY r <= 64
+        ),
+        pts AS (
+            SELECT lang,
+                   round(ln(r::DOUBLE), 8)::DECIMAL(15,8) AS x,
+                   round(ln(c::DOUBLE), 8)::DECIMAL(15,8) AS y
+            FROM ranked
+        ),
+        mom AS (
+            SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM pts GROUP BY 1
+        )
+        SELECT m.lang, v.vocab_size::BIGINT AS vocab_size,
+               v.total_tokens::BIGINT AS total_tokens,
+               n::BIGINT AS ranks_used,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+                     6) AS zipf_slope,
+               round((sy::DOUBLE
+                      - round((n::DOUBLE * sxy::DOUBLE
+                               - sx::DOUBLE * sy::DOUBLE)
+                              / (n::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE), 6)
+                        * sx::DOUBLE) / n::DOUBLE, 6) AS zipf_intercept
+        FROM mom m JOIN vocab v USING (lang)
+    """,
+    "text_heaps_curve": """
+        WITH toks AS (
+            SELECT lang, doc_id AS doc,
+                   unnest(regexp_extract_all(lower(text),
+                                             '[a-z0-9]+')) AS token
+            FROM documents
+        ),
+        per_doc AS (SELECT lang, doc, count(*) AS n_toks
+                    FROM toks GROUP BY 1, 2),
+        firsts AS (
+            SELECT lang, doc, count(*) AS new_types FROM (
+                SELECT lang, token, min(doc) AS doc
+                FROM toks GROUP BY lang, token)
+            GROUP BY 1, 2
+        ),
+        curve AS (
+            SELECT p.lang, p.doc,
+                   sum(p.n_toks) OVER (PARTITION BY p.lang
+                                       ORDER BY p.doc) AS cum_tokens,
+                   sum(coalesce(f.new_types, 0))
+                       OVER (PARTITION BY p.lang
+                             ORDER BY p.doc) AS cum_vocab,
+                   row_number() OVER (PARTITION BY p.lang
+                                      ORDER BY p.doc) AS doc_rank
+            FROM per_doc p
+            LEFT JOIN firsts f ON f.lang = p.lang AND f.doc = p.doc
+        )
+        SELECT lang, doc_rank, doc AS doc_id,
+               cum_tokens::BIGINT AS cum_tokens,
+               cum_vocab::BIGINT AS cum_vocab,
+               CASE WHEN cum_tokens > 1 THEN
+                   round(ln(cum_vocab::DOUBLE) / ln(cum_tokens::DOUBLE), 6)
+               END AS heaps_beta
+        FROM curve WHERE doc_rank % 16 = 0
+    """,
+    "text_kn_bigram": """
+        WITH ws AS (
+            SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM documents
+        ),
+        bg2 AS (
+            SELECT bg[1] AS w1, bg[2] AS w2 FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> [w[i], w[i + 1]])) AS bg
+                FROM ws WHERE len(w) >= 2)
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12
+                FROM bg2 GROUP BY 1, 2),
+        fwd AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd
+                FROM c12 GROUP BY 1),
+        bwd AS (SELECT w2, count(*) AS n1p_bwd FROM c12 GROUP BY 1),
+        bt AS (SELECT count(*) AS b_types FROM c12)
+        SELECT w1, w2, c12::BIGINT AS c12, c1::BIGINT AS c1,
+               round(n1p_bwd::DOUBLE / b_types::DOUBLE, 8) AS p_cont,
+               round(0.75 * n1p_fwd::DOUBLE / c1::DOUBLE, 8)
+                   AS lambda_w1,
+               round(round((c12::DOUBLE - 0.75) / c1::DOUBLE, 8)
+                     + round(round(0.75 * n1p_fwd::DOUBLE / c1::DOUBLE,
+                                   8)
+                             * round(n1p_bwd::DOUBLE / b_types::DOUBLE,
+                                     8), 8), 8) AS p_kn
+        FROM c12 JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN bt
+        ORDER BY c12 DESC, w1, w2 LIMIT 100
+    """,
+    "events_changepoint": """
+        WITH cnt AS (
+            SELECT event_type AS et,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h,
+                   count(*) AS n
+            FROM events GROUP BY et, h
+        ),
+        span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+        grid AS (
+            SELECT t.et, gs.h, coalesce(cnt.n, 0) AS n
+            FROM (SELECT DISTINCT et FROM cnt) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT h0 FROM span), (SELECT h1 FROM span))) AS h) gs
+            LEFT JOIN cnt ON cnt.et = t.et AND cnt.h = gs.h
+        ),
+        stats AS (
+            SELECT et, count(*) AS nh, sum(n) AS s, sum(n * n) AS ss
+            FROM grid GROUP BY et
+        ),
+        kth AS (
+            SELECT et,
+                   round(s::DOUBLE / nh::DOUBLE, 6)::DECIMAL(18,6) AS k,
+                   round(4.0 * sqrt(greatest(
+                       ss::DOUBLE / nh::DOUBLE
+                       - (s::DOUBLE / nh::DOUBLE)
+                         * (s::DOUBLE / nh::DOUBLE), 0.0)), 6) AS hthr
+            FROM stats
+        ),
+        pre AS (
+            SELECT g.et, g.h, g.n, k.hthr,
+                   sum(g.n::DECIMAL(18,6) - k.k)
+                       OVER (PARTITION BY g.et ORDER BY g.h) AS p
+            FROM grid g JOIN kth k ON k.et = g.et
+        ),
+        cus AS (
+            SELECT et, h, n, hthr,
+                   p - least(0::DECIMAL(38,6),
+                             min(p) OVER (PARTITION BY et
+                                          ORDER BY h)) AS cusum_d
+            FROM pre
+        )
+        SELECT et AS event_type, h AS hour, n::BIGINT AS n,
+               round(cusum_d::DOUBLE, 6) AS cusum,
+               hthr AS threshold,
+               (cusum_d::DOUBLE > hthr) AS alarm
+        FROM (SELECT *, row_number() OVER (PARTITION BY et
+                  ORDER BY cusum_d DESC, h) AS rn FROM cus)
+        WHERE rn <= 5
     """,
     "emb_stats": """
         WITH norms AS (

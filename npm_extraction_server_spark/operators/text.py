@@ -1148,3 +1148,144 @@ def readability_scores(documents: DataFrame, text_col: str = "text",
                 4).alias("flesch_ease"),
         F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
                 4).alias("fk_grade"))
+
+
+def zipf_fit(documents: DataFrame, text_col: str = "text",
+             lang_col: str = "lang", top_ranks: int = 64) -> DataFrame:
+    """Zipf rank-frequency fit per language: OLS of ln(freq) on
+    ln(rank) over the top ``top_ranks`` tokens — the corpus-health
+    statistic (natural text sits near slope -1; boilerplate and
+    spam flatten or steepen it). Deterministic cross-engine: x/y
+    live on the 8-dp ln grid, the OLS moments are exact decimal
+    sums of exact decimal(15,8)x(15,8) products, and the slope /
+    intercept are single correctly-rounded double divisions
+    (intercept uses the ROUNDED slope, stated in-contract).
+    Corpus-sized work is one tokenize + one (lang, token) count;
+    the fit runs on lang x top_ranks rows."""
+    toks = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("token"))
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    vocab = cnt.groupBy("lang").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("c").alias("total_tokens"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    ranked = (cnt.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= top_ranks))
+    x = F.round(F.log(F.col("r").cast("double")), 8).cast("decimal(15,8)")
+    y = F.round(F.log(F.col("c").cast("double")), 8).cast("decimal(15,8)")
+    pts = ranked.select("lang", x.alias("x"), y.alias("y"))
+    mom = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    intercept = F.round((sy - slope * sx) / n, 6)
+    return (mom.join(vocab, "lang")
+            .select("lang", "vocab_size", "total_tokens",
+                    F.col("n").alias("ranks_used"),
+                    slope.alias("zipf_slope"),
+                    intercept.alias("zipf_intercept")))
+
+
+def heaps_curve(documents: DataFrame, text_col: str = "text",
+                lang_col: str = "lang", id_col: str = "doc_id",
+                every: int = 16) -> DataFrame:
+    """Heaps-law vocabulary-growth curve per language: walking the
+    corpus in ``doc_id`` order, emit every ``every``-th document's
+    cumulative token count N and cumulative vocabulary V plus the
+    pointwise Heaps exponent ln(V)/ln(N) — the "is new data adding
+    new vocabulary or repeating itself" dedup-health curve. All
+    counts are exact integers from two window cumsums (token first
+    occurrences come from one min(doc_id) aggregate); the exponent
+    is one correctly-rounded double division on ln values."""
+    toks = documents.select(
+        F.col(lang_col).alias("lang"), F.col(id_col).alias("doc"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("token"))
+    per_doc = toks.groupBy("lang", "doc").agg(F.count("*").alias("n_toks"))
+    firsts = (toks.groupBy("lang", "token")
+              .agg(F.min("doc").alias("doc"))
+              .groupBy("lang", "doc").agg(F.count("*").alias("new_types")))
+    w = (Window.partitionBy("lang").orderBy("doc")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rn = Window.partitionBy("lang").orderBy("doc")
+    curve = (per_doc.join(firsts, ["lang", "doc"], "left")
+             .select("lang", "doc", "n_toks",
+                     F.coalesce("new_types", F.lit(0)).alias("new_types"))
+             .select("lang", "doc",
+                     F.sum("n_toks").over(w).alias("cum_tokens"),
+                     F.sum("new_types").over(w).alias("cum_vocab"),
+                     F.row_number().over(rn).alias("doc_rank")))
+    beta = F.when(
+        F.col("cum_tokens") > 1,
+        F.round(F.log(F.col("cum_vocab").cast("double"))
+                / F.log(F.col("cum_tokens").cast("double")), 6)) \
+        .otherwise(F.lit(None).cast("double"))
+    return (curve.filter(F.col("doc_rank") % every == 0)
+            .select("lang", "doc_rank", F.col("doc").alias("doc_id"),
+                    "cum_tokens", "cum_vocab", beta.alias("heaps_beta")))
+
+
+def kn_bigram_lm(documents: DataFrame, text_col: str = "text",
+                 discount: float = 0.75, top: int = 100) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1999 interpolated form) — THE n-gram LM
+    smoothing, fit on exact corpus counts:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                   + lam(w1) * Pcont(w2)
+        lam(w1)  = D * N1+(w1, .) / c(w1 .)
+        Pcont(w2)= N1+(. , w2) / N1+(. , .)
+
+    with fixed D = ``discount``. Every count is an exact integer;
+    each ratio is one correctly-rounded double division rounded to
+    the 8-dp grid before combining, so the DuckDB oracle is
+    bit-exact. Bigrams come from array slices zip'd per document —
+    NO per-doc window (the DSIR lesson: a lead() window forces a
+    doc-keyed Exchange over the gram stream; slices are narrow).
+    Output: the ``top`` bigrams by count with their KN probability.
+    Corpus-sized work is one tokenize + one (w1, w2) count; the
+    model table is vocabulary-sized."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), F.lit(0))
+    sz = F.size(words)
+    docs = documents.select(words.alias("ws"), sz.alias("sz")) \
+        .filter(F.col("sz") >= 2)
+    pairs = docs.select(F.explode(F.arrays_zip(
+        F.slice("ws", 1, F.col("sz") - 1).alias("w1"),
+        F.slice("ws", 2, F.col("sz") - 1).alias("w2"))).alias("bg")) \
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    fwd = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count("*").alias("n1p_fwd"))
+    bwd = c12.groupBy("w2").agg(F.count("*").alias("n1p_bwd"))
+    btypes = c12.agg(F.count("*").alias("b_types"))
+    d = float(discount)
+    j = (c12.join(fwd, "w1").join(bwd, "w2")
+         .crossJoin(F.broadcast(btypes)))
+    pcont = F.round(F.col("n1p_bwd").cast("double")
+                    / F.col("b_types").cast("double"), 8)
+    lam = F.round(F.lit(d) * F.col("n1p_fwd").cast("double")
+                  / F.col("c1").cast("double"), 8)
+    r1 = F.round((F.col("c12").cast("double") - F.lit(d))
+                 / F.col("c1").cast("double"), 8)
+    p_kn = F.round(r1 + F.round(lam * pcont, 8), 8)
+    # orderBy().limit() plans as TakeOrderedAndProject — a distributed
+    # per-partition top-N + driver merge, never a global sort (a
+    # row_number() window here would single-partition the whole
+    # vocabulary-sized model table)
+    return (j.select("w1", "w2", "c12", F.col("c1").alias("c1"),
+                     pcont.alias("p_cont"), lam.alias("lambda_w1"),
+                     p_kn.alias("p_kn"))
+            .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+            .limit(top))

@@ -1741,3 +1741,212 @@ def test_readability_scores_hand_computed(spark):
     # doc 2: empty -> zero counts, spw guarded to 0
     r2 = got[2]
     assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (0, 0, 0)
+
+
+def test_zipf_fit_hand_computed(spark):
+    import math
+
+    from npm_extraction_server_spark.operators.text import zipf_fit
+
+    # one lang, engineered counts: aa x6, bb x3, cc x2, dd x1
+    text = " ".join(["aa"] * 6 + ["bb"] * 3 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([(0, text, "en")],
+                               "doc_id long, text string, lang string")
+    rows = zipf_fit(df, top_ranks=64).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.lang, r.vocab_size, r.total_tokens, r.ranks_used) == \
+        ("en", 4, 12, 4)
+    # independent OLS on the same 8-dp ln grid
+    pts = [(round(math.log(i + 1), 8), round(math.log(c), 8))
+           for i, c in enumerate([6, 3, 2, 1])]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    intercept = round((sy - slope * sx) / n, 6)
+    assert r.zipf_slope == slope
+    assert r.zipf_intercept == intercept
+
+
+def test_heaps_curve_hand_computed(spark):
+    import math
+
+    from npm_extraction_server_spark.operators.text import heaps_curve
+
+    # 32 docs: doc i contributes tokens (t0 .. t_{i%4}) so vocabulary
+    # saturates at 4 while tokens keep growing — Heaps beta must FALL
+    docs = [(i, " ".join(f"t{j}" for j in range(i % 4 + 1)), "en")
+            for i in range(32)]
+    df = spark.createDataFrame(docs,
+                               "doc_id long, text string, lang string")
+    rows = {r.doc_rank: r for r in heaps_curve(df, every=8).collect()}
+    assert sorted(rows) == [8, 16, 24, 32]
+    # brute-force cumulative walk
+    seen, cum_tok, expect = set(), 0, {}
+    for i in range(32):
+        toks = [f"t{j}" for j in range(i % 4 + 1)]
+        cum_tok += len(toks)
+        seen.update(toks)
+        expect[i + 1] = (cum_tok, len(seen))
+    for rk in (8, 16, 24, 32):
+        r = rows[rk]
+        assert (r.cum_tokens, r.cum_vocab) == expect[rk]
+        assert r.heaps_beta == round(
+            math.log(expect[rk][1]) / math.log(expect[rk][0]), 6)
+    assert rows[32].heaps_beta < rows[8].heaps_beta
+
+
+def test_kn_bigram_hand_computed(spark):
+    from collections import Counter
+
+    from npm_extraction_server_spark.operators.text import kn_bigram_lm
+
+    corpus = ["a b a b c", "b a b d", "a b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+    got = {(r.w1, r.w2): r for r in kn_bigram_lm(df, top=100).collect()}
+
+    # independent pure-python interpolated KN
+    bigrams = Counter()
+    for t in corpus:
+        ws = t.split()
+        bigrams.update(zip(ws, ws[1:]))
+    c1 = Counter()
+    n1p_fwd = Counter()
+    n1p_bwd = Counter()
+    for (w1, w2), c in bigrams.items():
+        c1[w1] += c
+        n1p_fwd[w1] += 1
+        n1p_bwd[w2] += 1
+    B = len(bigrams)
+    assert set(got) == set(bigrams)
+    for (w1, w2), c in bigrams.items():
+        r = got[(w1, w2)]
+        pcont = round(n1p_bwd[w2] / B, 8)
+        lam = round(0.75 * n1p_fwd[w1] / c1[w1], 8)
+        r1 = round((c - 0.75) / c1[w1], 8)
+        assert r.c12 == c and r.c1 == c1[w1]
+        assert r.p_cont == pcont and r.lambda_w1 == lam
+        assert r.p_kn == round(r1 + round(lam * pcont, 8), 8)
+
+
+def test_mmr_select_diversity(spark):
+    from npm_extraction_server_spark.operators.similarity import mmr_select
+
+    # item 1 and item 2 are near-twins, both highly relevant; item 3
+    # is less relevant but orthogonal. Pure relevance ranks 1,2,3 —
+    # MMR at lam=0.5 must pick 1 then SKIP the twin for 3 (at
+    # lam=0.7 relevance still dominates: twin floor 0.7*rel-0.3
+    # beats item 3's ceiling 0.7*rel3 — so 0.5 is the regime where
+    # the penalty term decides).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.1, 0.0, 0.0]),       # best
+        (2, [0.98, 0.12, 0.0, 0.0]),      # twin of 1
+        (3, [0.5, 0.0, 0.8, 0.0]),        # diverse
+        (4, [0.4, 0.0, 0.0, 0.9]),        # diverse, weaker
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    got = mmr_select(df, df.filter("vec_id = 0"), k=3, pool=4,
+                     lam=0.5).orderBy("round").collect()
+    assert [r["round"] for r in got] == [1, 2, 3]
+    assert got[0].item_id == 1
+    assert got[1].item_id == 3          # NOT the twin
+    assert got[2].item_id == 4
+
+    # independent greedy recompute on the 6-dp grid
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / (math.sqrt(sum(x * x for x in a))
+                            * math.sqrt(sum(x * x for x in b))), 6)
+
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    # replicate float32 storage: spark stores array<float>
+    import struct
+    vecs = {i: [struct.unpack('f', struct.pack('f', x))[0] for x in v]
+            for i, v in vecs.items()}
+    rel = {i: cos(vecs[i], vecs[0]) for i in (1, 2, 3, 4)}
+
+    # the operator's score arithmetic is exact decimal + HALF_UP —
+    # double round() here is the half-ulp trap the fix removed
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dscore(rel_v, ms_v):
+        raw = (Decimal("0.500000") * Decimal(f"{rel_v:.6f}")
+               - Decimal("0.500000") * Decimal(f"{ms_v:.6f}"))
+        return float(raw.quantize(Decimal("0.000001"),
+                                  rounding=ROUND_HALF_UP))
+
+    sel, remaining = [], {1, 2, 3, 4}
+    scores = {}
+    for rnd in range(1, 4):
+        best = None
+        for i in sorted(remaining):
+            ms = max((cos(vecs[i], vecs[s]) for s in sel), default=0.0)
+            sc = dscore(rel[i], ms)
+            if best is None or sc > best[1]:
+                best = (i, sc)
+        sel.append(best[0])
+        scores[rnd] = best
+        remaining.discard(best[0])
+    for r in got:
+        assert (r.item_id, r.score) == scores[r["round"]]
+
+
+def test_events_changepoint_cusum(spark):
+    import datetime as dt
+    import math
+
+    from npm_extraction_server_spark.operators.suite import (
+        events_changepoint)
+
+    # 40 quiet hours at rate 2, then 8 hours at rate 6: no single
+    # hour is a 2-sigma outlier trigger at 4-sigma-CUSUM scale, but
+    # the SUSTAINED shift accumulates — alarm must fire in the shift
+    # window and the top hour must be the last shifted hour.
+    base = dt.datetime(2020, 1, 1)
+    evs, eid = [], 0
+    rates = [2] * 40 + [6] * 8
+    for h, rate in enumerate(rates):
+        for j in range(rate):
+            evs.append((eid, base + dt.timedelta(hours=h, minutes=j),
+                        f"u{j}", "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id string, "
+             "event_type string, value double, props string")
+
+    import tempfile
+    sfdir = tempfile.mkdtemp(prefix="cusum_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+    got = events_changepoint(spark, sfdir).collect()
+    assert all(r.event_type == "click" for r in got)
+    assert len(got) == 5
+
+    # independent CUSUM
+    n = len(rates)
+    mean = sum(rates) / n
+    k = round(mean, 6)
+    var = sum(x * x for x in rates) / n - (sum(rates) / n) ** 2
+    hthr = round(4.0 * math.sqrt(var), 6)
+    s, best = 0.0, []
+    for h, x in enumerate(rates):
+        s = max(0.0, s + (x - k))
+        best.append((round(s, 6), h))
+    top = sorted(best, key=lambda t: (-t[0], t[1]))[:5]
+    got_sorted = sorted(got, key=lambda r: (-r.cusum, r.hour))
+    assert [r.cusum for r in got_sorted] == [t[0] for t in top]
+    # CUSUM grows through the shift: top-5 = the last 5 shifted hours
+    # (absolute epoch-hours, so assert the relative offsets)
+    assert top[0][1] == n - 1
+    rel = [r.hour - got_sorted[0].hour for r in got_sorted]
+    assert rel == [t[1] - top[0][1] for t in top]
+    assert all(r.alarm for r in got)
+    assert all(r.threshold == hthr for r in got)

@@ -81,7 +81,21 @@ def main() -> None:
     # ~12% and long (N) passes ~3%, corrupting the ratio. Reusing the
     # DataFrame keeps the measured window = job execution only (Spark
     # re-runs the full job on every count(); nothing is cached).
-    triples = run_pipeline(pages, include_engines=False)["triples"]
+    # SCALE_JOB selects the measured job: "kg" (default) = the fused
+    # extract->triples pipeline (map-heavy); "dsir" = DSIR importance
+    # weighting over the same pages (aggregation-heavy: two bucket-LM
+    # aggregates + a broadcast-ratio join + per-doc agg) — a second
+    # shape for the N->4N scaling evidence.
+    if os.environ.get("SCALE_JOB") == "dsir":
+        from pyspark.sql import functions as F
+
+        from npm_extraction_server_spark.operators.text import (
+            dsir_logweights)
+        docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+        triples = dsir_logweights(docs,
+                                  docs.filter(F.col("doc_id") % 7 == 0))
+    else:
+        triples = run_pipeline(pages, include_engines=False)["triples"]
 
     # Warm by WALL-TIME BUDGET, not pass count: C2 JIT compiles by
     # accumulated execution time, so "one warm pass" gives a 4N-fleet
