@@ -604,9 +604,16 @@ def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 4,
     .xxxxxx5 boundary diverges); exact decimal + decimal round is
     bit-identical in both engines. Argmax ties break on item_id —
     the DuckDB oracle unrolls the same rounds bit-exactly."""
+    # localCheckpoint the Q x pool candidate table: every greedy round
+    # references it (directly and via psim), and Spark reuses NOTHING
+    # across references in one plan — without this the corpus-sized
+    # cosine_topk subtree replays per round (measured: 158 parquet
+    # scans in the k=4 executed plan; 1 after). Lazy: materializes on
+    # the first action, tiny (pool rows per query) thereafter.
     cands = cosine_topk(embeddings, queries, k=pool,
                         vec_col=vec_col, id_col=id_col) \
-        .select("query_id", "item_id", F.col("cosine").alias("rel"))
+        .select("query_id", "item_id", F.col("cosine").alias("rel")) \
+        .localCheckpoint(eager=False)
     vecs = with_norms(embeddings, vec_col).select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("v"), "norm")
     cv = cands.join(vecs, "item_id").select("query_id", "item_id", "rel",
@@ -615,11 +622,15 @@ def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 4,
                   F.col("v").alias("va"), F.col("norm").alias("na"))
     b = cv.select("query_id", F.col("item_id").alias("ib"),
                   F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    # same treatment for the Q x pool^2 pairwise-sim table: it joins
+    # the corpus-sized vector attach once, then rounds 2..k reuse the
+    # materialized rows instead of replaying the attach per round
     psim = (a.join(b, "query_id")
             .filter(F.col("ia") != F.col("ib"))
             .select("query_id", "ia", "ib",
                     F.round(_dot(F.col("va"), F.col("vb"))
-                            / (F.col("na") * F.col("nb")), 6).alias("sim")))
+                            / (F.col("na") * F.col("nb")), 6).alias("sim"))
+            .localCheckpoint(eager=False))
     lam_q = round(float(lam), 6)
     lam_c = F.lit(format(lam_q, ".6f")).cast("decimal(8,6)")
     one_m = F.lit(format(round(1.0 - lam_q, 6), ".6f")).cast("decimal(8,6)")
