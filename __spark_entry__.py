@@ -270,7 +270,7 @@ _PRIORITY: list[str] = [
     # the family — and snap_meta_tables (snapshots keep stats_prune /
     # eq_delete / zorder in the head); both green in the committed
     # FULL self-run)
-    "graph_bowtie", "graph_trussness",
+    "graph_trussness",
     "sim_range_search", "q19_disjunctive_bands",
     "graph_temporal_reach",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
@@ -299,10 +299,15 @@ _PRIORITY: list[str] = [
     # records from rounds 1-4 (the only head entries that did) and
     # stay green in the committed FULL self-runs, so these two slots
     # are the cheapest way to give never-recorded queries a record)
-    "graph_butterflies",
     # KG / BGP layer (kg_void_stats demoted — its stats feed the
     # VoID-ordering pytest and it is green in the FULL self-run)
     "kg_bgp_dep_chain",
+    # seasonally-adjusted anomaly scan + langid confusion-matrix eval
+    # (final session; demoted graph_bowtie and graph_butterflies —
+    # both hard-green in the committed FULL self-run; the graph
+    # family keeps 11 head slots incl. trussness on the same peel
+    # machinery as bowtie's SCC dependencies)
+    "events_seasonality", "text_langid_eval",
     # final-session additions: Zipf OLS fit, Heaps vocabulary curve,
     # Kneser-Ney bigram LM, MMR diversified retrieval, CUSUM
     # changepoint scan. Demoted graph_coloring / graph_matching /

@@ -3047,6 +3047,84 @@ def events_changepoint(spark, sf):
                     .alias("alarm")))
 
 
+def events_seasonality(spark, sf):
+    """Seasonally-adjusted anomaly scan — the third leg of the
+    anomaly triad: events_rate_outliers flags POINT outliers against
+    a global mean (so a daily traffic peak false-positives every
+    day), events_changepoint finds SUSTAINED shifts, and this one
+    removes the hour-of-day seasonal profile first and flags hours
+    whose RESIDUAL variance-tests out. Per type: dense epoch-hour
+    grid (silent hours are zeros), seasonal mean per (type,
+    hour-of-day) as ONE correctly-rounded division on the 6-dp
+    decimal grid, residuals thereafter EXACT decimals, and the
+    threshold resid^2 > 4*var(resid) compared sqrt-free like
+    rate_outliers. Corpus-sized work is one (type, hour) count; the
+    seasonal/stat tables are type x 24 and type x 1."""
+    ev = _t(spark, sf, "events")
+    hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+          / 3600).cast("bigint")
+    cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
+           .groupBy("et", "h").agg(F.count("*").alias("n")))
+    span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (cnt.select("et").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("et", F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(cnt, ["et", "h"], "left")
+            .select("et", "h", (F.col("h") % 24).alias("hod"),
+                    F.coalesce("n", F.lit(0)).alias("n")))
+    seas = (grid.groupBy("et", "hod")
+            .agg(F.round(F.sum("n").cast("double") / F.count("*"), 6)
+                 .cast("decimal(16,6)").alias("mu")))
+    resid = (F.col("n").cast("decimal(16,6)") - F.col("mu"))
+    dev = (grid.join(F.broadcast(seas), ["et", "hod"])
+           .select("et", "h", "hod", "n", "mu", resid.alias("r")))
+    stats = (dev.groupBy("et")
+             .agg(F.count("*").alias("nh"),
+                  F.sum(F.col("r") * F.col("r")).alias("ssq")))
+    thr = stats.select(
+        "et", F.round(F.lit(4.0) * F.col("ssq").cast("double")
+                      / F.col("nh").cast("double"), 6).alias("thr"))
+    return (dev.join(F.broadcast(thr), "et")
+            .filter((F.col("r") * F.col("r")).cast("double")
+                    > F.col("thr"))
+            .select(F.col("et").alias("event_type"),
+                    F.col("h").alias("hour"), "hod", "n",
+                    F.col("mu").cast("double").alias("seasonal_mean"),
+                    F.col("r").cast("double").alias("resid"),
+                    F.col("thr").alias("threshold")))
+
+
+def text_langid_eval(spark, sf):
+    """Classifier evaluation for the langid heuristic against the
+    corpus's gold ``lang`` labels: the (gold, pred) confusion matrix
+    with row-normalized (recall_share: of gold g, what fraction got
+    pred p) and column-normalized (precision_share) rates — the
+    quality gate a curation pipeline runs before trusting a cheap
+    classifier to route 10^12 documents. Corpus-sized work is the
+    lang_id projection + one (gold, pred) count; the shares are two
+    window sums over the |gold| x |pred| matrix. Hard oracle: counts
+    are exact integers, each share one correctly-rounded 6-dp
+    division."""
+    from .text import lang_id
+
+    docs = _t(spark, sf, "documents")
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    cm = (docs.select("doc_id", F.col("lang").alias("gold"))
+          .join(pred, "doc_id")
+          .groupBy("gold", F.col("lang_pred").alias("pred"))
+          .agg(F.count("*").alias("n")))
+    wg = Window.partitionBy("gold")
+    wp = Window.partitionBy("pred")
+    return cm.select(
+        "gold", "pred", "n",
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(wg).cast("double"), 6)
+        .alias("recall_share"),
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(wp).cast("double"), 6)
+        .alias("precision_share"))
+
+
 SPARK_QUERIES = {
     "sc1_scan_filter": sc1_scan_filter,
     "sc2_point_lookup": sc2_point_lookup,
@@ -3114,6 +3192,7 @@ SPARK_QUERIES = {
     "text_bigram_ppl": text_bigram_ppl,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "text_langid_eval": text_langid_eval,
     "text_fingerprint": text_fingerprint,
     "text_textrank": text_textrank,
     "text_pii_scrub": text_pii_scrub,
@@ -3191,6 +3270,7 @@ SPARK_QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "events_markov": events_markov,
     "events_changepoint": events_changepoint,
+    "events_seasonality": events_seasonality,
     "events_rate_outliers": events_rate_outliers,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
@@ -6573,6 +6653,43 @@ ORACLE_SQL = {
                     ELSE 'und' END AS lang_pred
         FROM feat
     """,
+    "text_langid_eval": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS words
+            FROM documents
+        ), feat AS (
+            SELECT doc_id,
+                   len(list_distinct(list_filter(words, w -> list_contains(
+                       ['the','and','of','to','in','is','that','for','with','on'],
+                       w)))) AS en_hits,
+                   len(list_distinct(list_filter(words, w -> list_contains(
+                       ['el','la','de','que','y','en','los','por','con','una'],
+                       w)))) AS es_hits,
+                   cast(length(regexp_replace(text, '[^一-鿿぀-ヿ]', '', 'g'))
+                        AS double) / greatest(length(text), 1) AS cjk_raw
+            FROM base
+        ), pred AS (
+            SELECT doc_id,
+                   CASE WHEN cjk_raw > 0.2 THEN 'cjk'
+                        WHEN en_hits > es_hits THEN 'en'
+                        WHEN es_hits > en_hits THEN 'es'
+                        ELSE 'und' END AS pred
+            FROM feat
+        ), cm AS (
+            SELECT d.lang AS gold, p.pred, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
+        )
+        SELECT gold, pred, n::BIGINT AS n,
+               round(n::DOUBLE /
+                     (sum(n) OVER (PARTITION BY gold))::DOUBLE, 6)
+                   AS recall_share,
+               round(n::DOUBLE /
+                     (sum(n) OVER (PARTITION BY pred))::DOUBLE, 6)
+                   AS precision_share
+        FROM cm
+    """,
     "text_textrank": _textrank_sql(4),
     "text_fingerprint": """
         WITH norm AS (
@@ -6862,6 +6979,43 @@ ORACLE_SQL = {
         FROM (SELECT *, row_number() OVER (PARTITION BY et
                   ORDER BY cusum_d DESC, h) AS rn FROM cus)
         WHERE rn <= 5
+    """,
+    "events_seasonality": """
+        WITH cnt AS (
+            SELECT event_type AS et,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h,
+                   count(*) AS n
+            FROM events GROUP BY et, h
+        ),
+        span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+        grid AS (
+            SELECT t.et, gs.h, gs.h % 24 AS hod, coalesce(cnt.n, 0) AS n
+            FROM (SELECT DISTINCT et FROM cnt) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT h0 FROM span), (SELECT h1 FROM span))) AS h) gs
+            LEFT JOIN cnt ON cnt.et = t.et AND cnt.h = gs.h
+        ),
+        seas AS (
+            SELECT et, hod,
+                   round(sum(n)::DOUBLE / count(*), 6)::DECIMAL(16,6)
+                       AS mu
+            FROM grid GROUP BY et, hod
+        ),
+        dev AS (
+            SELECT g.et, g.h, g.hod, g.n, s.mu,
+                   g.n::DECIMAL(16,6) - s.mu AS r
+            FROM grid g JOIN seas s ON s.et = g.et AND s.hod = g.hod
+        ),
+        thr AS (
+            SELECT et, round(4.0 * sum(r * r)::DOUBLE / count(*), 6)
+                       AS thr
+            FROM dev GROUP BY et
+        )
+        SELECT d.et AS event_type, d.h AS hour, d.hod,
+               d.n::BIGINT AS n, d.mu::DOUBLE AS seasonal_mean,
+               d.r::DOUBLE AS resid, t.thr AS threshold
+        FROM dev d JOIN thr t ON t.et = d.et
+        WHERE (d.r * d.r)::DOUBLE > t.thr
     """,
     "emb_stats": """
         WITH norms AS (

@@ -1950,3 +1950,86 @@ def test_events_changepoint_cusum(spark):
     assert rel == [t[1] - top[0][1] for t in top]
     assert all(r.alarm for r in got)
     assert all(r.threshold == hthr for r in got)
+
+
+def test_events_seasonality_diurnal(spark):
+    import datetime as dt
+
+    from npm_extraction_server_spark.operators.suite import (
+        events_seasonality)
+
+    # 10 days of a strong diurnal profile (rate = hod % 4, so the
+    # GLOBAL-mean scan would flag every daily peak); one planted
+    # anomaly (hod 2 of day 7 at rate 40). Seasonal adjustment must
+    # flag ONLY the planted hour.
+    base = dt.datetime(2020, 1, 1)
+    evs, eid = [], 0
+    for day in range(10):
+        for hod in range(24):
+            rate = 40 if (day == 7 and hod == 2) else hod % 4
+            for j in range(rate):
+                evs.append((eid, base + dt.timedelta(days=day,
+                                                     hours=hod,
+                                                     minutes=j % 60),
+                            f"u{j}", "click", 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id string, "
+             "event_type string, value double, props string")
+    import tempfile
+    sfdir = tempfile.mkdtemp(prefix="seas_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+    got = events_seasonality(spark, sfdir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.event_type, r.hod, r.n) == ("click", 2, 40)
+
+    # independent recompute on the operator's ACTUAL span: the dense
+    # grid runs from the first OBSERVED hour to the last — hod 0 has
+    # rate 0, so day-0 hour-0 precedes the span (first event is day-0
+    # hod-1, last is day-9 hod-23 -> absolute hours 1..239)
+    def rate(h):
+        d, hod = divmod(h, 24)
+        return 40 if (d == 7 and hod == 2) else hod % 4
+
+    hours = list(range(1, 240))
+    from collections import defaultdict
+    by_hod = defaultdict(list)
+    for h in hours:
+        by_hod[h % 24].append(rate(h))
+    mus = {hod: round(sum(xs) / len(xs), 6)
+           for hod, xs in by_hod.items()}
+    resids = [rate(h) - mus[h % 24] for h in hours]
+    thr = round(4.0 * sum(x * x for x in resids) / len(resids), 6)
+    assert r.threshold == thr
+    assert r.seasonal_mean == mus[2]
+    assert r.resid == round(40 - mus[2], 6)
+
+
+def test_langid_eval_confusion(spark):
+    from npm_extraction_server_spark.operators.suite import (
+        text_langid_eval)
+
+    docs = [
+        (0, "the cat and the dog of to in", "en"),     # en -> en
+        (1, "el perro de la casa y los gatos", "es"),  # es -> es
+        (2, "la de y los que con una el", "en"),       # en -> es (miss)
+        (3, "zzz qqq www", "de"),                      # de -> und
+    ]
+    df = spark.createDataFrame(docs,
+                               "doc_id long, text string, lang string")
+    import tempfile
+    sfdir = tempfile.mkdtemp(prefix="lid_sf_")
+    df.write.parquet(f"{sfdir}/documents.parquet")
+    got = {(r.gold, r.pred): r for r in
+           text_langid_eval(spark, sfdir).collect()}
+    assert set(got) == {("en", "en"), ("en", "es"), ("es", "es"),
+                        ("de", "und")}
+    # en row-normalizes over 2 gold-en docs; pred-es column has one
+    # true es and one mislabeled en
+    assert got[("en", "en")].recall_share == 0.5
+    assert got[("en", "es")].recall_share == 0.5
+    assert got[("en", "es")].precision_share == 0.5
+    assert got[("es", "es")].precision_share == 0.5
+    assert got[("de", "und")].recall_share == 1.0
+    assert got[("de", "und")].precision_share == 1.0
