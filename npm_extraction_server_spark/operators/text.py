@@ -1161,7 +1161,15 @@ def zipf_fit(documents: DataFrame, text_col: str = "text",
     intercept are single correctly-rounded double divisions
     (intercept uses the ROUNDED slope, stated in-contract).
     Corpus-sized work is one tokenize + one (lang, token) count;
-    the fit runs on lang x top_ranks rows."""
+    the fit runs on lang x top_ranks rows.
+
+    Scale shape: the naive top-``top_ranks`` window partitions by
+    lang alone — ONE task per language over the vocabulary-sized
+    count table. Instead tokens are hash-sharded (each token lives
+    in exactly one shard, so the union of per-shard top-k contains
+    the global top-k exactly), the heavy window runs per
+    (lang, shard) in parallel, and the global window sees only
+    langs x shards x top_ranks rows."""
     toks = documents.select(
         F.col(lang_col).alias("lang"),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
@@ -1171,8 +1179,14 @@ def zipf_fit(documents: DataFrame, text_col: str = "text",
     vocab = cnt.groupBy("lang").agg(
         F.count("*").alias("vocab_size"),
         F.sum("c").alias("total_tokens"))
+    shard = F.pmod(F.xxhash64("token"), F.lit(32))
+    ws = Window.partitionBy("lang", "shard").orderBy(F.desc("c"),
+                                                     F.asc("token"))
+    pruned = (cnt.withColumn("shard", shard)
+              .withColumn("sr", F.row_number().over(ws))
+              .filter(F.col("sr") <= top_ranks))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
-    ranked = (cnt.withColumn("r", F.row_number().over(w))
+    ranked = (pruned.withColumn("r", F.row_number().over(w))
               .filter(F.col("r") <= top_ranks))
     x = F.round(F.log(F.col("r").cast("double")), 8).cast("decimal(15,8)")
     y = F.round(F.log(F.col("c").cast("double")), 8).cast("decimal(15,8)")
@@ -1206,7 +1220,16 @@ def heaps_curve(documents: DataFrame, text_col: str = "text",
     new vocabulary or repeating itself" dedup-health curve. All
     counts are exact integers from two window cumsums (token first
     occurrences come from one min(doc_id) aggregate); the exponent
-    is one correctly-rounded double division on ln values."""
+    is one correctly-rounded double division on ln values.
+
+    Scale shape: a prefix sum partitioned by lang alone is ONE task
+    per language over the documents-sized table, so the cumsums run
+    as a two-level distributed prefix sum — exclusive per-bucket
+    offsets from a tiny (lang, bucket) table (the only lang-wide
+    sequential pass), then intra-bucket windows partitioned by
+    (lang, bucket) in parallel. ``bucket_span`` groups consecutive
+    doc ids; results are bit-identical to the single window."""
+    bucket_span = 4096
     toks = documents.select(
         F.col(lang_col).alias("lang"), F.col(id_col).alias("doc"),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
@@ -1216,16 +1239,35 @@ def heaps_curve(documents: DataFrame, text_col: str = "text",
     firsts = (toks.groupBy("lang", "token")
               .agg(F.min("doc").alias("doc"))
               .groupBy("lang", "doc").agg(F.count("*").alias("new_types")))
-    w = (Window.partitionBy("lang").orderBy("doc")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    rn = Window.partitionBy("lang").orderBy("doc")
-    curve = (per_doc.join(firsts, ["lang", "doc"], "left")
-             .select("lang", "doc", "n_toks",
-                     F.coalesce("new_types", F.lit(0)).alias("new_types"))
+    rows = (per_doc.join(firsts, ["lang", "doc"], "left")
+            .select("lang", "doc",
+                    (F.col("doc") / bucket_span).cast("long").alias("b"),
+                    "n_toks",
+                    F.coalesce("new_types", F.lit(0)).alias("new_types")))
+    wb = (Window.partitionBy("lang").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (rows.groupBy("lang", "b")
+               .agg(F.sum("n_toks").alias("bt"),
+                    F.sum("new_types").alias("bv"),
+                    F.count("*").alias("bn"))
+               .select("lang", "b",
+                       F.coalesce(F.sum("bt").over(wb), F.lit(0))
+                       .alias("off_toks"),
+                       F.coalesce(F.sum("bv").over(wb), F.lit(0))
+                       .alias("off_vocab"),
+                       F.coalesce(F.sum("bn").over(wb), F.lit(0))
+                       .alias("off_rows")))
+    wi = (Window.partitionBy("lang", "b").orderBy("doc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ri = Window.partitionBy("lang", "b").orderBy("doc")
+    curve = (rows.join(offsets, ["lang", "b"])
              .select("lang", "doc",
-                     F.sum("n_toks").over(w).alias("cum_tokens"),
-                     F.sum("new_types").over(w).alias("cum_vocab"),
-                     F.row_number().over(rn).alias("doc_rank")))
+                     (F.col("off_toks") + F.sum("n_toks").over(wi))
+                     .alias("cum_tokens"),
+                     (F.col("off_vocab") + F.sum("new_types").over(wi))
+                     .alias("cum_vocab"),
+                     (F.col("off_rows") + F.row_number().over(ri))
+                     .alias("doc_rank")))
     beta = F.when(
         F.col("cum_tokens") > 1,
         F.round(F.log(F.col("cum_vocab").cast("double"))
