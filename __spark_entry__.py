@@ -281,9 +281,14 @@ _PRIORITY: list[str] = [
     # demoted graph_labelprop and graph_ppr — both green in the
     # committed FULL self-runs and the judge's round-4 independent
     # re-run)
-    "kg_sparql_update", "kg_sparql_load",
-    # graph
-    "graph_topo_layers",
+    "kg_sparql_update",
+    # Good-Turing rare-tail table + Goh-Barabasi burstiness (final
+    # session; demoted kg_sparql_load — the update family keeps
+    # kg_sparql_update, and LOAD rides the same store machinery —
+    # and graph_topo_layers, whose one-action-per-round loop is
+    # pinned by its own deep-DAG pytest probes; both hard-green in
+    # the refreshed CORRECTNESS_FULL_r05.json)
+    "text_good_turing", "events_burstiness",
     # lakehouse snapshots (snap_compact demoted — the compaction path
     # is also exercised by snap_eq_delete/snap_zorder here and the
     # committed FULL self-runs)

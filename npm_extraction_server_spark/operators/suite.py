@@ -3094,6 +3094,54 @@ def events_seasonality(spark, sf):
                     F.col("thr").alias("threshold")))
 
 
+def events_burstiness(spark, sf):
+    """Goh-Barabasi burstiness B = (sigma - mu) / (sigma + mu) of
+    inter-arrival times per event type (B -> -1 periodic, 0 Poisson,
+    -> +1 bursty) — the point-process statistic that separates
+    machine-regular from human-bursty traffic. Gaps are EXACT integer
+    seconds between consecutive events WITHIN each user's per-type
+    stream (window partitioned by (user, type) — millions of users
+    means the lag pass parallelizes; a type-wide gap stream would be
+    one task per type at corpus scale); the per-type moments are
+    exact integer sums and mu / var / sigma / B are the identical
+    IEEE expression tree in both engines (division, sqrt, +/- all
+    correctly rounded on identical inputs — the rate_outliers
+    discipline), with only B itself rounded to 6 dp."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    gaps = (ev.select("user_id", "event_type", "ts", "event_id")
+            .withColumn("prev", F.lag("ts").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select("event_type",
+                    (F.unix_timestamp("ts")
+                     - F.unix_timestamp("prev")).alias("g")))
+    mom = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ss"))
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s").cast("double") / n
+    var = F.greatest(F.col("ss").cast("double") / n - mu * mu,
+                     F.lit(0.0))
+    sig = F.sqrt(var)
+    return mom.select(
+        "event_type", "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sig, 6).alias("std_gap_s"),
+        F.round((sig - mu) / (sig + mu), 6).alias("burstiness"))
+
+
+def text_good_turing(spark, sf):
+    """Good-Turing frequency-of-frequencies per language (hard
+    oracle: exact integer n_r table, r* and unseen mass each one
+    correctly-rounded 8-dp division) — the unseen-probability-mass
+    estimate a smoothing or OOV-budget decision reads."""
+    from .text import good_turing
+
+    return good_turing(_t(spark, sf, "documents"), max_freq=10)
+
+
 def text_langid_eval(spark, sf):
     """Classifier evaluation for the langid heuristic against the
     corpus's gold ``lang`` labels: the (gold, pred) confusion matrix
@@ -3193,6 +3241,7 @@ SPARK_QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_langid_eval": text_langid_eval,
+    "text_good_turing": text_good_turing,
     "text_fingerprint": text_fingerprint,
     "text_textrank": text_textrank,
     "text_pii_scrub": text_pii_scrub,
@@ -3271,6 +3320,7 @@ SPARK_QUERIES = {
     "events_markov": events_markov,
     "events_changepoint": events_changepoint,
     "events_seasonality": events_seasonality,
+    "events_burstiness": events_burstiness,
     "events_rate_outliers": events_rate_outliers,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
@@ -6652,6 +6702,74 @@ ORACLE_SQL = {
                     WHEN es_hits > en_hits THEN 'es'
                     ELSE 'und' END AS lang_pred
         FROM feat
+    """,
+    "text_good_turing": """
+        WITH toks AS (
+            SELECT lang, unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')) AS token
+            FROM documents
+        ),
+        cnt AS (SELECT lang, token, count(*) AS c
+                FROM toks GROUP BY 1, 2),
+        fof AS (SELECT lang, c AS r, count(*) AS n_r
+                FROM cnt GROUP BY 1, 2),
+        tot AS (
+            SELECT lang, sum(c) AS big_n,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1
+            FROM cnt GROUP BY 1
+        ),
+        tail AS (
+            SELECT lang, r, n_r FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY r) AS rk FROM fof)
+            WHERE rk <= 10
+        )
+        SELECT f.lang, f.r::BIGINT AS r, f.n_r::BIGINT AS n_r,
+               CASE WHEN x.n_r IS NOT NULL THEN
+                   round((f.r + 1)::DOUBLE * x.n_r::DOUBLE
+                         / f.n_r::DOUBLE, 8)
+               END AS r_star,
+               round(t.n1::DOUBLE / t.big_n::DOUBLE, 8) AS unseen_mass
+        FROM tail f
+        LEFT JOIN fof x ON x.lang = f.lang AND x.r = f.r + 1
+        JOIN tot t ON t.lang = f.lang
+    """,
+    "events_burstiness": """
+        WITH gaps AS (
+            -- date_trunc('second') before epoch(): Spark's
+            -- unix_timestamp TRUNCATES sub-second fractions, DuckDB's
+            -- bare epoch() ROUNDS them (the pinned rate_outliers trap)
+            SELECT event_type,
+                   epoch(date_trunc('second', ts))::BIGINT
+                   - epoch(date_trunc('second',
+                         lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id)))::BIGINT
+                       AS g
+            FROM events
+        ),
+        mom AS (
+            SELECT event_type, count(*) AS n_gaps,
+                   sum(g) AS s, sum(g * g) AS ss
+            FROM gaps WHERE g IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n_gaps::BIGINT AS n_gaps,
+               round(s::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+               round(sqrt(greatest(
+                   ss::DOUBLE / n_gaps::DOUBLE
+                   - (s::DOUBLE / n_gaps::DOUBLE)
+                     * (s::DOUBLE / n_gaps::DOUBLE), 0.0)), 6)
+                   AS std_gap_s,
+               round((sqrt(greatest(
+                          ss::DOUBLE / n_gaps::DOUBLE
+                          - (s::DOUBLE / n_gaps::DOUBLE)
+                            * (s::DOUBLE / n_gaps::DOUBLE), 0.0))
+                      - s::DOUBLE / n_gaps::DOUBLE)
+                     / (sqrt(greatest(
+                          ss::DOUBLE / n_gaps::DOUBLE
+                          - (s::DOUBLE / n_gaps::DOUBLE)
+                            * (s::DOUBLE / n_gaps::DOUBLE), 0.0))
+                        + s::DOUBLE / n_gaps::DOUBLE), 6) AS burstiness
+        FROM mom
     """,
     "text_langid_eval": """
         WITH base AS (

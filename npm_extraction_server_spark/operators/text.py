@@ -1278,6 +1278,52 @@ def heaps_curve(documents: DataFrame, text_col: str = "text",
                     "cum_tokens", "cum_vocab", beta.alias("heaps_beta")))
 
 
+def good_turing(documents: DataFrame, text_col: str = "text",
+                lang_col: str = "lang", max_freq: int = 10) -> DataFrame:
+    """Simple Turing frequency-of-frequencies table per language:
+    n_r = number of token types observed exactly r times, the Turing
+    adjusted count r* = (r+1) * n_{r+1} / n_r over the ``max_freq``
+    SMALLEST observed frequencies per language (the rare tail,
+    wherever it sits — an absolute r cutoff returns nothing when the
+    corpus has no singletons), and the Good-Turing unseen-mass
+    estimate P0 = n_1 / N repeated per row (Good 1953; P0 = 0 when
+    no singletons exist) — the "how much probability mass belongs to
+    words we have not seen yet" corpus statistic a smoothing or
+    OOV-budget decision reads. Everything is exact integers from one
+    (lang, token) count + one (lang, r) count; r* and P0 are each
+    ONE correctly-rounded 8-dp double division. Corpus-sized work is
+    the token count; the fof table is lang x |distinct r| rows."""
+    toks = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit("[a-z0-9]+"), F.lit(0)))
+        .alias("token"))
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    fof = cnt.groupBy("lang", F.col("c").alias("r")) \
+        .agg(F.count("*").alias("n_r"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("big_n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"))
+    nxt = fof.select("lang", (F.col("r") - 1).alias("r"),
+                     F.col("n_r").alias("n_r1"))
+    rstar = F.when(
+        F.col("n_r1").isNotNull(),
+        F.round((F.col("r") + 1).cast("double")
+                * F.col("n_r1").cast("double")
+                / F.col("n_r").cast("double"), 8)) \
+        .otherwise(F.lit(None).cast("double"))
+    wr = Window.partitionBy("lang").orderBy("r")
+    tail = (fof.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= max_freq).drop("rk"))
+    return (tail
+            .join(nxt, ["lang", "r"], "left")
+            .join(F.broadcast(tot), "lang")
+            .select("lang", "r", "n_r", rstar.alias("r_star"),
+                    F.round(F.col("n1").cast("double")
+                            / F.col("big_n").cast("double"), 8)
+                    .alias("unseen_mass")))
+
+
 def kn_bigram_lm(documents: DataFrame, text_col: str = "text",
                  discount: float = 0.75, top: int = 100) -> DataFrame:
     """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney

@@ -2033,3 +2033,77 @@ def test_langid_eval_confusion(spark):
     assert got[("es", "es")].precision_share == 0.5
     assert got[("de", "und")].recall_share == 1.0
     assert got[("de", "und")].precision_share == 1.0
+
+
+def test_good_turing_hand_computed(spark):
+    from npm_extraction_server_spark.operators.text import good_turing
+
+    # counts: aa x1, bb x1, cc x2, dd x3, ee x3 -> n_1=2, n_2=1, n_3=2
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd ee", "en"), (1, "cc dd ee dd ee", "en")],
+        "doc_id long, text string, lang string")
+    rows = {r.r: r for r in good_turing(df, max_freq=10).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert (rows[1].n_r, rows[2].n_r, rows[3].n_r) == (2, 1, 2)
+    # r* = (r+1) n_{r+1} / n_r ; N = 10, n1 = 2 -> P0 = 0.2
+    assert rows[1].r_star == round(2 * 1 / 2, 8)
+    assert rows[2].r_star == round(3 * 2 / 1, 8)
+    assert rows[3].r_star is None          # no n_4
+    assert all(r.unseen_mass == 0.2 for r in rows.values())
+
+    # rare-tail semantics: with max_freq=2 keep the two SMALLEST
+    # observed frequencies even when they are not 1 and 2
+    df2 = spark.createDataFrame(
+        [(0, " ".join(["xx"] * 5 + ["yy"] * 5 + ["zz"] * 9), "en")],
+        "doc_id long, text string, lang string")
+    rows2 = {r.r: r for r in good_turing(df2, max_freq=2).collect()}
+    assert sorted(rows2) == [5, 9]
+    assert rows2[5].unseen_mass == 0.0     # no singletons
+
+
+def test_events_burstiness_regimes(spark):
+    import datetime as dt
+    import math
+
+    from npm_extraction_server_spark.operators.suite import (
+        events_burstiness)
+
+    base = dt.datetime(2020, 1, 1)
+    evs, eid = [], 0
+    # periodic: one user, constant 60 s gaps -> sigma=0 -> B = -1
+    for i in range(50):
+        evs.append((eid, base + dt.timedelta(seconds=60 * i),
+                    "u0", "tick", 1.0, "{}"))
+        eid += 1
+    # bursty: gaps alternate 1 s within bursts, 3600 s between
+    t = base
+    gaps_b = []
+    for burst in range(10):
+        for j in range(5):
+            g = 1 if j else 3600
+            if burst == 0 and j == 0:
+                g = 0
+            t = t + dt.timedelta(seconds=g)
+            if not (burst == 0 and j == 0):
+                gaps_b.append(g)
+            evs.append((eid, t, "u1", "spike", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id string, "
+             "event_type string, value double, props string")
+    import tempfile
+    sfdir = tempfile.mkdtemp(prefix="burst_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+    got = {r.event_type: r for r in events_burstiness(spark, sfdir)
+           .collect()}
+    assert got["tick"].burstiness == -1.0
+    assert got["tick"].std_gap_s == 0.0
+    # independent recompute for the bursty stream
+    n = len(gaps_b)
+    mu = sum(gaps_b) / n
+    var = max(sum(g * g for g in gaps_b) / n - mu * mu, 0.0)
+    sig = math.sqrt(var)
+    b = round((sig - mu) / (sig + mu), 6)
+    assert got["spike"].n_gaps == n
+    assert got["spike"].burstiness == b
+    assert b > 0.3                       # bursty regime (B > 0)
