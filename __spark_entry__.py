@@ -289,10 +289,10 @@ _PRIORITY: list[str] = [
     # pinned by its own deep-DAG pytest probes; both hard-green in
     # the refreshed CORRECTNESS_FULL_r05.json)
     "text_good_turing", "events_burstiness",
-    # lakehouse snapshots (snap_compact demoted — the compaction path
-    # is also exercised by snap_eq_delete/snap_zorder here and the
-    # committed FULL self-runs)
-    "snap_stats_prune",
+    # last-touch attribution (final session; demoted snap_stats_prune
+    # — snapshots keep eq_delete + zorder in the head, and the
+    # stats-pruning path is green in the refreshed FULL self-run)
+    "events_attribution",
     # ExactSubstr duplicate spans (this session; demoted
     # events_retention — green in the FULL self-run, and the events
     # family holds r1-r3 driver records via sessionize/funnel)

@@ -3132,6 +3132,45 @@ def events_burstiness(spark, sf):
         F.round((sig - mu) / (sig + mu), 6).alias("burstiness"))
 
 
+def events_attribution(spark, sf,
+                       conversion: str = "purchase",
+                       lookback_s: int = 7 * 86400):
+    """Last-touch conversion attribution: each ``conversion`` event
+    is credited to the most recent OTHER event type by the same user
+    within ``lookback_s`` seconds (or 'direct' when none) — the
+    funnel question events_funnel's fixed path can't answer. One
+    user-partitioned window pass carries the last non-conversion
+    (type, ts) forward via last(ignorenulls) over an exclusive-end
+    frame (total order (ts, event_id), so the carry is
+    deterministic); attribution shares are exact counts + one 6-dp
+    division. Scale: the window partitions by user_id — millions of
+    partitions; the rollup table is |types| rows."""
+    ev = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_conv = F.col("event_type") == conversion
+    touch_t = F.when(~is_conv, F.col("event_type"))
+    touch_ts = F.when(~is_conv, F.unix_timestamp("ts"))
+    tagged = (ev.select("user_id", "ts", "event_id", "event_type",
+                        F.last(touch_t, ignorenulls=True).over(w)
+                        .alias("lt"),
+                        F.last(touch_ts, ignorenulls=True).over(w)
+                        .alias("lt_ts"))
+              .filter(is_conv))
+    credited = F.when(
+        F.col("lt").isNotNull()
+        & ((F.unix_timestamp("ts") - F.col("lt_ts")) <= lookback_s),
+        F.col("lt")).otherwise(F.lit("direct"))
+    cm = (tagged.select(credited.alias("touch_type"))
+          .groupBy("touch_type").agg(F.count("*").alias("n_conversions")))
+    tot = cm.agg(F.sum("n_conversions").alias("total"))
+    return (cm.crossJoin(F.broadcast(tot))
+            .select("touch_type", "n_conversions",
+                    F.round(F.col("n_conversions").cast("double")
+                            / F.col("total").cast("double"), 6)
+                    .alias("share")))
+
+
 def text_good_turing(spark, sf):
     """Good-Turing frequency-of-frequencies per language (hard
     oracle: exact integer n_r table, r* and unseen mass each one
@@ -3321,6 +3360,7 @@ SPARK_QUERIES = {
     "events_changepoint": events_changepoint,
     "events_seasonality": events_seasonality,
     "events_burstiness": events_burstiness,
+    "events_attribution": events_attribution,
     "events_rate_outliers": events_rate_outliers,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
@@ -6733,6 +6773,38 @@ ORACLE_SQL = {
         FROM tail f
         LEFT JOIN fof x ON x.lang = f.lang AND x.r = f.r + 1
         JOIN tot t ON t.lang = f.lang
+    """,
+    "events_attribution": """
+        WITH tagged AS (
+            -- epoch(date_trunc('second', .)) matches Spark's
+            -- truncating unix_timestamp (the pinned rounding trap)
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lt,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN epoch(date_trunc('second', ts))::BIGINT
+                              END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lt_ts
+            FROM events
+        ),
+        conv AS (
+            SELECT CASE WHEN lt IS NOT NULL
+                         AND epoch(date_trunc('second', ts))::BIGINT
+                             - lt_ts <= 604800
+                   THEN lt ELSE 'direct' END AS touch_type
+            FROM tagged WHERE event_type = 'purchase'
+        ),
+        cm AS (SELECT touch_type, count(*) AS n_conversions
+               FROM conv GROUP BY 1),
+        tot AS (SELECT sum(n_conversions) AS total FROM cm)
+        SELECT touch_type, n_conversions::BIGINT AS n_conversions,
+               round(n_conversions::DOUBLE / total::DOUBLE, 6) AS share
+        FROM cm CROSS JOIN tot
     """,
     "events_burstiness": """
         WITH gaps AS (

@@ -2107,3 +2107,50 @@ def test_events_burstiness_regimes(spark):
     assert got["spike"].n_gaps == n
     assert got["spike"].burstiness == b
     assert b > 0.3                       # bursty regime (B > 0)
+
+
+def test_events_attribution_last_touch(spark):
+    import datetime as dt
+
+    from npm_extraction_server_spark.operators.suite import (
+        events_attribution)
+
+    base = dt.datetime(2020, 1, 1)
+
+    def ev(eid, secs, user, typ):
+        return (eid, base + dt.timedelta(seconds=secs), user, typ,
+                1.0, "{}")
+
+    evs = [
+        # u0: click -> email -> purchase  => credited to email (last)
+        ev(0, 0, "u0", "click"), ev(1, 100, "u0", "email"),
+        ev(2, 200, "u0", "purchase"),
+        # u1: purchase with NO preceding touch => direct
+        ev(3, 0, "u1", "purchase"),
+        # u2: click 8 days before purchase => outside lookback, direct
+        ev(4, 0, "u2", "click"),
+        ev(5, 8 * 86400, "u2", "purchase"),
+        # u3: two purchases, touch between => 1st direct, 2nd to click
+        ev(6, 0, "u3", "purchase"), ev(7, 50, "u3", "click"),
+        ev(8, 90, "u3", "purchase"),
+        # u4: a purchase then click: earlier purchase never credited
+        # to the LATER click (frame is strictly preceding)
+        ev(9, 10, "u4", "purchase"), ev(10, 20, "u4", "click"),
+    ]
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id string, "
+             "event_type string, value double, props string")
+    import tempfile
+    sfdir = tempfile.mkdtemp(prefix="attr_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+    got = {r.touch_type: r for r in
+           events_attribution(spark, sfdir).collect()}
+    # 6 conversions: email 1, click 1, direct 4... wait: u0 email,
+    # u1 direct, u2 direct, u3 direct + click, u4 direct -> 5 direct?
+    # recount: conversions = 6 (ids 2,3,5,6,8,9): email 1, click 1,
+    # direct 4
+    assert got["email"].n_conversions == 1
+    assert got["click"].n_conversions == 1
+    assert got["direct"].n_conversions == 4
+    assert got["email"].share == round(1 / 6, 6)
+    assert got["direct"].share == round(4 / 6, 6)
