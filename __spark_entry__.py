@@ -240,7 +240,12 @@ _PRIORITY: list[str] = [
     # SPARQL text front-end (demoted j11_asof_forward and sql_lang_stats
     # — both green in the committed FULL self-runs; TPC-H/SQL keeps
     # q6_forecast_revenue in the head)
-    "kg_sparql_text_agg", "kg_sparql_text_topk",
+    "kg_sparql_text_agg",
+    # RDFa-lite end-to-end extraction (final session; demoted
+    # kg_sparql_text_topk — TakeOrderedAndProject coverage moved to
+    # text_kn_bigram in this head, and the text front-end keeps
+    # kg_sparql_text_agg; green in the refreshed FULL self-run)
+    "kg_rdfa_triples",
     # kg_sparql_text_path and kg_bgp_topk_deps demoted for
     # graph_temporal_reach / snap_meta_tables (text front-end keeps
     # agg+topk in the head; TakeOrdered stays covered by

@@ -13,6 +13,11 @@ Recovered doc kinds:
 - ``jsonld``: ``<script type="application/ld+json">`` blobs.
 - ``microdata``: itemscope/itemtype/itemprop trees, converted to a
   JSON-LD dict with vocabulary-resolved property IRIs.
+- ``rdfa``: RDFa-lite vocab/typeof/property scopes (the fourth
+  embedded-structured-data syntax next to JSON-LD, manifest blobs and
+  microdata), converted to the same JSON-LD dict shape — downstream
+  the pipeline's generic JSON-LD branch emits their triples with no
+  kind-specific code.
 """
 
 from __future__ import annotations
@@ -38,6 +43,14 @@ _ITEMPROP_TEXT_RE = re.compile(r'<[^>]*\bitemprop="([^"]+)"[^>]*>([^<]*)<', re.S
 _ITEMPROP_HREF_RE = re.compile(
     r'<a[^>]*\bitemprop="([^"]+)"[^>]*\bhref="([^"]+)"', re.S
 )
+_RDFA_SCOPE_RE = re.compile(
+    r'<(\w+)[^>]*\bvocab="([^"]+)"[^>]*\btypeof="([^"]+)"[^>]*>(.*?)</\1>',
+    re.S,
+)
+_RDFA_PROP_HREF_RE = re.compile(
+    r'<a[^>]*\bproperty="([^"]+)"[^>]*\bhref="([^"]+)"', re.S
+)
+_RDFA_PROP_TEXT_RE = re.compile(r'<[^>]*\bproperty="([^"]+)"[^>]*>([^<]*)<', re.S)
 
 
 def doc_sha(doc_json: str) -> str:
@@ -50,6 +63,21 @@ def microdata_to_jsonld(url: str, idx: int, itemtype: str, body: str) -> dict:
     for prop, href in _ITEMPROP_HREF_RE.findall(body):
         node[vocab + prop] = {"@id": href}
     for prop, value in _ITEMPROP_TEXT_RE.findall(body):
+        key = vocab + prop
+        if key not in node and value.strip():
+            node[key] = value.strip()
+    return node
+
+
+def rdfa_to_jsonld(url: str, idx: int, vocab: str, typeof: str,
+                   body: str) -> dict:
+    """RDFa-lite scope -> JSON-LD node, mirroring microdata_to_jsonld:
+    href properties become IRI objects, first non-empty text value per
+    property wins, property IRIs resolve against the scope's vocab."""
+    node: dict = {"@id": f"{url}#rdfa{idx}", "@type": vocab + typeof}
+    for prop, href in _RDFA_PROP_HREF_RE.findall(body):
+        node[vocab + prop] = {"@id": href}
+    for prop, value in _RDFA_PROP_TEXT_RE.findall(body):
         key = vocab + prop
         if key not in node and value.strip():
             node[key] = value.strip()
@@ -78,6 +106,9 @@ def extract_parsed(url: str, html: bytes) -> list[tuple[str, dict]]:
             continue
     for i, m in enumerate(_ITEMSCOPE_RE.finditer(text)):
         out.append(("microdata", microdata_to_jsonld(url, i, m.group(2), m.group(3))))
+    for i, m in enumerate(_RDFA_SCOPE_RE.finditer(text)):
+        out.append(("rdfa",
+                    rdfa_to_jsonld(url, i, m.group(2), m.group(3), m.group(4))))
     return out
 
 

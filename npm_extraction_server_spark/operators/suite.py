@@ -3132,6 +3132,39 @@ def events_burstiness(spark, sf):
         F.round((sig - mu) / (sig + mu), 6).alias("burstiness"))
 
 
+def kg_rdfa_triples(spark, sf):
+    """End-to-end RDFa-lite extraction: deterministic RDFa pages are
+    built from documents (one vocab/typeof scope with a name literal,
+    a license href and an inLanguage literal, all pure functions of
+    doc_id/lang), pushed through the REAL pages->triples pipeline
+    (extract/html.py RDFa scope regexes -> generic JSON-LD kernel
+    branch — the same code path jsonld/microdata ride), and the
+    emitted triple set is re-derived bit-exactly from documents in
+    DuckDB (hard oracle: 4 triples per doc). Completes the embedded
+    structured-data family the north star names: JSON-LD, manifest
+    blobs, microdata, RDFa."""
+    from ..plans.kg import run_pipeline
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang") \
+        .filter(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><div vocab="http://schema.org/" '
+              'typeof="Dataset"><span property="name">doc'), d,
+        F.lit('</span><a property="license" '
+              'href="https://example.org/license/'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('">L</a><span property="inLanguage">'), F.col("lang"),
+        F.lit('</span></div></body></html>')).cast("binary")
+    pages = docs.select(
+        F.concat(F.lit("https://pages.example.org/rdfa/"), d)
+        .alias("url"),
+        F.lit("2017-06-01").cast("timestamp").alias("warc_ts"),
+        html.alias("html"), F.lit("").alias("text"), "lang")
+    t = run_pipeline(pages, include_engines=False)["triples"]
+    return t.select("subj", "pred", "obj", "obj_is_literal")
+
+
 def events_attribution(spark, sf,
                        conversion: str = "purchase",
                        lookback_s: int = 7 * 86400):
@@ -3361,6 +3394,7 @@ SPARK_QUERIES = {
     "events_seasonality": events_seasonality,
     "events_burstiness": events_burstiness,
     "events_attribution": events_attribution,
+    "kg_rdfa_triples": kg_rdfa_triples,
     "events_rate_outliers": events_rate_outliers,
     "events_retention": events_retention,
     "snap_stats_prune": snap_stats_prune,
@@ -4249,8 +4283,10 @@ _DSIR_SCORED_CTES = """
         FROM dsrc LEFT JOIN dstc ON dstc.b = dsrc.b
     ),
     dsscored AS (
+        -- round the exact DECIMAL sum, THEN cast: round(double, 6)
+        -- diverges cross-engine on ..50 scale-8 boundaries
         SELECT doc_id, count(*)::BIGINT AS n_grams,
-               round(cast(sum(cast(lr AS DECIMAL(28,8))) AS DOUBLE), 6)
+               cast(round(sum(cast(lr AS DECIMAL(28,8))), 6) AS DOUBLE)
                    AS logw
         FROM dsb JOIN dslr ON dslr.b = dsb.b
         GROUP BY doc_id
@@ -6773,6 +6809,31 @@ ORACLE_SQL = {
         FROM tail f
         LEFT JOIN fof x ON x.lang = f.lang AND x.r = f.r + 1
         JOIN tot t ON t.lang = f.lang
+    """,
+    "kg_rdfa_triples": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   'https://pages.example.org/rdfa/' || doc_id
+                       || '#rdfa0' AS s
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT s AS subj,
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+               'http://schema.org/Dataset' AS obj,
+               false AS obj_is_literal
+        FROM d
+        UNION ALL
+        SELECT s, 'http://schema.org/license',
+               'https://example.org/license/' || (doc_id % 4), false
+        FROM d
+        UNION ALL
+        SELECT s, 'http://schema.org/name',
+               '"doc' || doc_id || '"', true
+        FROM d
+        UNION ALL
+        SELECT s, 'http://schema.org/inLanguage',
+               '"' || lang || '"', true
+        FROM d
     """,
     "events_attribution": """
         WITH tagged AS (

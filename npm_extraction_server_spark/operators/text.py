@@ -981,12 +981,15 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
                   - F.log((F.col("cr").cast("double") + F.lit(1.0))
                           / (F.col("nr") + F.lit(float(n_buckets)))),
                   8).alias("lr")))
+    # round the EXACT decimal sum to 6 dp, then cast — round(double, 6)
+    # here is the half-ulp trap (a scale-8 sum ending in ..50 rounds
+    # differently from its binary double in the two engines; the sf0.1
+    # head-50 dual-scale run caught exactly that on 2 of 5000 docs)
     return (raw_grams.join(F.broadcast(ratios), "b")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_grams"),
-                 F.round(
-                     F.sum(F.col("lr").cast("decimal(28,8)")).cast("double"),
-                     6).alias("logw")))
+                 F.round(F.sum(F.col("lr").cast("decimal(28,8)")), 6)
+                 .cast("double").alias("logw")))
 
 
 def duplicate_spans(documents: DataFrame, k: int = 8,

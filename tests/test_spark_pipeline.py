@@ -163,3 +163,40 @@ def test_select_bundle_docs(pipeline, spark):
     triples, _ = split_errors(docs_to_triples(picked))
     got = {r["bundle"] for r in triples.select("bundle").distinct().collect()}
     assert got <= set(names) and "hotpkg" in got
+
+
+def test_rdfa_lite_extraction():
+    from npm_extraction_server_spark.extract.html import extract_parsed
+    from npm_extraction_server_spark.kernel.jsonld_rdf import to_triples
+
+    html = (b'<html><body>'
+            b'<div vocab="http://schema.org/" typeof="Dataset">'
+            b'<span property="name">ds1</span>'
+            b'<a property="license" href="https://ex.org/l/1">L</a>'
+            b'<span property="name">ignored-second-value</span>'
+            b'</div>'
+            b'<div vocab="http://schema.org/" typeof="Person">'
+            b'<span property="name">alice</span>'
+            b'</div></body></html>')
+    out = extract_parsed("https://ex.org/p", html)
+    rdfa = [doc for kind, doc in out if kind == "rdfa"]
+    assert len(rdfa) == 2
+    a, b = rdfa
+    # scope indices skolemize per page; first text value per prop wins
+    assert a["@id"] == "https://ex.org/p#rdfa0"
+    assert a["@type"] == "http://schema.org/Dataset"
+    assert a["http://schema.org/name"] == "ds1"
+    assert a["http://schema.org/license"] == {"@id": "https://ex.org/l/1"}
+    assert b["@id"] == "https://ex.org/p#rdfa1"
+    assert b["http://schema.org/name"] == "alice"
+    # rides the generic JSON-LD kernel branch: 3 triples for scope a
+    ts = to_triples(a, root="https://ex.org/p")
+    assert {(t.pred, t.obj) for t in ts} == {
+        ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://schema.org/Dataset"),
+        ("http://schema.org/license", "https://ex.org/l/1"),
+        ("http://schema.org/name", '"ds1"'),
+    }
+    # pages without RDFa are untouched (no new kinds, no new docs)
+    plain = extract_parsed("https://ex.org/q", b"<html><p>hi</p></html>")
+    assert plain == []
