@@ -3739,12 +3739,12 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
         ),
         scored AS (
             SELECT doc_id,
-                   round(cast(sum(cast(round(
+                   cast(round(sum(cast(round(
                        idf * ((tf::DOUBLE * {{k1p1}})
                               / (tf::DOUBLE + {{k1r}} * ({{one_m_b}}
                                  + {{br}} * dl::DOUBLE
                                    / (SELECT avgdl FROM avgl)))), 8)
-                       AS DECIMAL(28,8))) AS DOUBLE), 6) AS score
+                       AS DECIMAL(28,8))), 6) AS DOUBLE) AS score
             FROM dt JOIN idf USING (term) GROUP BY doc_id
         )
         SELECT doc_id, score, rank::INT AS rank FROM (
@@ -5876,8 +5876,8 @@ ORACLE_SQL = {
         ),
         scored AS (
             SELECT doc_id,
-                   round(cast(sum(cast(tf * idf AS DECIMAL(28,8)))
-                              AS DOUBLE), 6) AS score
+                   cast(round(sum(cast(tf * idf AS DECIMAL(28,8))),
+                              6) AS DOUBLE) AS score
             FROM dt JOIN idf USING (term) GROUP BY doc_id
         )
         SELECT doc_id, score, rank::INT AS rank FROM (
@@ -6434,11 +6434,11 @@ ORACLE_SQL = {
             FROM grid
         )
         SELECT ga.dom AS domain_a, gb.dom AS domain_b,
-               round(cast(sum(cast(round(ga.p * (ga.lp - gb.lp), 12)
-                                   AS DECIMAL(38,12))) AS DOUBLE), 6)
+               cast(round(sum(cast(round(ga.p * (ga.lp - gb.lp), 12)
+                                   AS DECIMAL(38,12))), 6) AS DOUBLE)
                    AS kl_ab,
-               round(cast(sum(cast(round(gb.p * (gb.lp - ga.lp), 12)
-                                   AS DECIMAL(38,12))) AS DOUBLE), 6)
+               cast(round(sum(cast(round(gb.p * (gb.lp - ga.lp), 12)
+                                   AS DECIMAL(38,12))), 6) AS DOUBLE)
                    AS kl_ba
         FROM g ga JOIN g gb ON gb.b = ga.b AND ga.dom < gb.dom
         GROUP BY ga.dom, gb.dom

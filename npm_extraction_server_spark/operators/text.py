@@ -514,8 +514,8 @@ def tfidf_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
         dt.join(F.broadcast(idf), "term")
         .groupBy(id_col)
         .agg(F.round(
-            F.sum((F.col("tf") * F.col("idf")).cast("decimal(28,8)"))
-            .cast("double"), 6).alias("score"))
+            F.sum((F.col("tf") * F.col("idf")).cast("decimal(28,8)")),
+            6).cast("double").alias("score"))
     )
     # top-k via orderBy+limit = TakeOrderedAndProject (each partition
     # keeps its local k, the driver merges k*p rows) — NOT a global
@@ -586,7 +586,7 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 20,
         .select(id_col, F.round(F.col("idf") * (num / den), 8)
                 .cast("decimal(28,8)").alias("sc"))
         .groupBy(id_col)
-        .agg(F.round(F.sum("sc").cast("double"), 6).alias("score"))
+        .agg(F.round(F.sum("sc"), 6).cast("double").alias("score"))
     )
     # top-k via orderBy+limit = TakeOrderedAndProject (each partition
     # keeps its local k, the driver merges k*p rows) — NOT a global
@@ -1102,11 +1102,14 @@ def domain_kl(documents: DataFrame, domain_col: str = "source",
     joined = ga.join(gb, "b").filter(F.col("domain_a") < F.col("domain_b"))
     term_ab = F.round(F.col("pa") * (F.col("la") - F.col("lb")), 12)
     term_ba = F.round(F.col("pb") * (F.col("lb") - F.col("la")), 12)
+    # round the exact decimal sums BEFORE the double cast (the DSIR
+    # half-ulp class: a scale-12 sum ending ..50 at 6 dp rounds
+    # engine-dependently once it is a double)
     return (joined.groupBy("domain_a", "domain_b")
-            .agg(F.round(F.sum(term_ab.cast("decimal(38,12)"))
-                         .cast("double"), 6).alias("kl_ab"),
-                 F.round(F.sum(term_ba.cast("decimal(38,12)"))
-                         .cast("double"), 6).alias("kl_ba")))
+            .agg(F.round(F.sum(term_ab.cast("decimal(38,12)")), 6)
+                 .cast("double").alias("kl_ab"),
+                 F.round(F.sum(term_ba.cast("decimal(38,12)")), 6)
+                 .cast("double").alias("kl_ba")))
 
 
 def readability_scores(documents: DataFrame, text_col: str = "text",
