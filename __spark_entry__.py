@@ -276,7 +276,11 @@ _PRIORITY: list[str] = [
     # eq_delete / zorder in the head); both green in the committed
     # FULL self-run)
     "graph_trussness",
-    "sim_range_search", "q19_disjunctive_bands",
+    # GROUPING SETS + batch interval join (final session; demoted
+    # sim_range_search — sim keeps ivfpq_recall and mmr_diverse — and
+    # q19_disjunctive_bands — SQL/TPC-H keeps g4 + the plan-asserted
+    # q19 pytest; both hard-green in the refreshed FULL self-run)
+    "g4_grouping_sets", "j13_interval_join",
     "graph_temporal_reach",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
     # text / retrieval: text_textrank + text_gopher_rules (above)

@@ -433,6 +433,60 @@ def g2_cube(spark, sf):
     )
 
 
+def g4_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the generalization rollup (g1) and
+    cube (g2) are shorthands for: exactly the three groupings
+    (status), (status, priority), () in ONE pass (Spark plans one
+    Expand + one aggregate — not a union of three scans). grouping()
+    flags disambiguate real NULLs from subtotal rows; sum on the
+    _dec_sum same-scale protocol."""
+    o = _t(spark, sf, "orders")
+    o.createOrReplaceTempView("g4_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               cast(grouping(o_orderstatus) AS int) AS g_status,
+               cast(grouping(o_orderpriority) AS int) AS g_prio,
+               count(*) AS n_orders,
+               round(cast(sum(cast(round(o_totalprice, 2)
+                                   AS decimal(28,2))) AS double), 2)
+                   AS total_price
+        FROM g4_orders
+        GROUP BY GROUPING SETS ((o_orderstatus),
+                                (o_orderstatus, o_orderpriority),
+                                ())
+    """)
+
+
+def j13_interval_join(spark, sf):
+    """Batch interval (range) join: every event joined to the
+    maintenance windows containing its timestamp — ts BETWEEN w_start
+    AND w_end, a NON-equi join the asof family (j9/j11) cannot
+    express (asof picks one nearest row; this keeps every containing
+    interval). The window dim is tiny and explicitly broadcast, so
+    the plan is BroadcastNestedLoopJoin streaming the fact side once
+    — the shape that survives at corpus scale because the build side
+    is |windows|, never |events|. Windows derive deterministically
+    from the events span (every 11th hour opens a 3-hour window), so
+    the DuckDB twin rebuilds them bit-exactly."""
+    ev = _t(spark, sf, "events")
+    hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+          / 3600).cast("bigint")
+    span = (ev.select(hr.alias("h"))
+            .agg(F.min("h").alias("h0"), F.max("h").alias("h1")))
+    wins = (span.select(F.explode(F.sequence(F.col("h0"), F.col("h1")))
+                        .alias("ws"))
+            .filter(F.col("ws") % 11 == 0)
+            .select(F.col("ws").alias("w_start"),
+                    (F.col("ws") + 2).alias("w_end")))
+    evh = ev.select("event_id", "event_type", hr.alias("eh"))
+    j = evh.join(F.broadcast(wins),
+                 (F.col("eh") >= F.col("w_start"))
+                 & (F.col("eh") <= F.col("w_end")))
+    return (j.groupBy("event_type", "w_start")
+            .agg(F.count("*").alias("n_events"))
+            .filter(F.col("n_events") > 0))
+
+
 def g3_pivot(spark, sf):
     """Pivot linestatus into columns (manual CASE aggregation shape so
     the DuckDB oracle matches column-for-column)."""
@@ -3262,6 +3316,7 @@ SPARK_QUERIES = {
     "j9_asof_join": j9_asof_join,
     "j11_asof_forward": j11_asof_forward,
     "j12_auto_salted_join": j12_auto_salted_join,
+    "j13_interval_join": j13_interval_join,
     "j10_fuzzy_block_join": j10_fuzzy_block_join,
     "w1_topk_per_group": w1_topk_per_group,
     "w4_running_sum": w4_running_sum,
@@ -3277,6 +3332,7 @@ SPARK_QUERIES = {
     "events_funnel": events_funnel,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
+    "g4_grouping_sets": g4_grouping_sets,
     "g3_pivot": g3_pivot,
     "s1_set_ops": s1_set_ops,
     "p1_percentiles": p1_percentiles,
@@ -6064,6 +6120,34 @@ ORACLE_SQL = {
                r.next_orderkey, r.next_total
         FROM events e ASOF LEFT JOIN r
           ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
+    """,
+    "g4_grouping_sets": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               cast(grouping(o_orderstatus) AS INT) AS g_status,
+               cast(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n_orders,
+               {_dec_sum_sql('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus),
+                                (o_orderstatus, o_orderpriority),
+                                ())
+    """,
+    "j13_interval_join": """
+        WITH evh AS (
+            SELECT event_id, event_type,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS eh
+            FROM events
+        ),
+        span AS (SELECT min(eh) AS h0, max(eh) AS h1 FROM evh),
+        wins AS (
+            SELECT ws AS w_start, ws + 2 AS w_end
+            FROM (SELECT unnest(generate_series(
+                (SELECT h0 FROM span), (SELECT h1 FROM span))) AS ws)
+            WHERE ws % 11 = 0
+        )
+        SELECT event_type, w_start, count(*) AS n_events
+        FROM evh JOIN wins ON evh.eh BETWEEN wins.w_start AND wins.w_end
+        GROUP BY 1, 2
     """,
     "j12_auto_salted_join": f"""
         WITH dim AS (

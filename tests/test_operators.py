@@ -2154,3 +2154,57 @@ def test_events_attribution_last_touch(spark):
     assert got["direct"].n_conversions == 4
     assert got["email"].share == round(1 / 6, 6)
     assert got["direct"].share == round(4 / 6, 6)
+
+
+def test_g4_grouping_sets_semantics(spark):
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import (
+        g4_grouping_sets)
+
+    rows = [(i, "O" if i % 2 else "F", f"{i % 3}-PRIO", 10.0 + i)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, "
+              "o_orderpriority string, o_totalprice double")
+    sfdir = tempfile.mkdtemp(prefix="g4_sf_")
+    df.write.parquet(f"{sfdir}/orders.parquet")
+    got = g4_grouping_sets(spark, sfdir).collect()
+    # exactly three groupings: (), (status), (status, priority)
+    grand = [r for r in got if (r.g_status, r.g_prio) == (1, 1)]
+    per_s = [r for r in got if (r.g_status, r.g_prio) == (0, 1)]
+    per_sp = [r for r in got if (r.g_status, r.g_prio) == (0, 0)]
+    assert len(grand) == 1 and grand[0].n_orders == 12
+    assert {r.o_orderstatus for r in per_s} == {"O", "F"}
+    assert sum(r.n_orders for r in per_s) == 12
+    assert len(per_sp) == 6 and sum(r.n_orders for r in per_sp) == 12
+    # no priority-only grouping (that's what distinguishes this from
+    # cube); every subtotal's sum ties out
+    assert not [r for r in got if (r.g_status, r.g_prio) == (1, 0)]
+    assert grand[0].total_price == round(sum(10.0 + i
+                                             for i in range(12)), 2)
+
+
+def test_j13_interval_join_plan_and_values(spark):
+    from npm_extraction_server_spark.operators.suite import (
+        j13_interval_join)
+
+    df = j13_interval_join(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact side must stream through a broadcast join of the tiny
+    # window dim — never a SortMergeJoin or unbroadcast cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert rows and all(r.n_events > 0 for r in rows)
+    # brute-force recount for one (type, window)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+    hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+          / 3600).cast("bigint")
+    evh = ev.select("event_type", hr.alias("eh")).collect()
+    r0 = rows[0]
+    expect = sum(1 for e in evh
+                 if e.event_type == r0.event_type
+                 and r0.w_start <= e.eh <= r0.w_start + 2)
+    assert r0.n_events == expect
