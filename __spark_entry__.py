@@ -281,7 +281,9 @@ _PRIORITY: list[str] = [
     # q19_disjunctive_bands — SQL/TPC-H keeps g4 + the plan-asserted
     # q19 pytest; both hard-green in the refreshed FULL self-run)
     "g4_grouping_sets", "j13_interval_join",
-    "graph_temporal_reach",
+    # EWMA smoothing (final session; demoted graph_temporal_reach —
+    # FULL-green, and the graph family keeps 10+ head slots)
+    "ts_ewma",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
     # text / retrieval: text_textrank + text_gopher_rules (above)
     # sampling

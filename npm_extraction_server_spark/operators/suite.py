@@ -1354,6 +1354,82 @@ def ts_resample(spark, sf):
                            step_s=300)
 
 
+def ts_ewma(spark, sf, alpha: float = 0.3, window: int = 24):
+    """Exponentially-weighted moving average of hourly event rates per
+    type — the smoothing/forecast primitive next to ts_resample's
+    interpolation. The recurrence is folded into its TRUNCATED closed
+    form S_t = sum_{i<W} alpha(1-alpha)^i x_{t-i} (zero-padded before
+    the series start, stated contract): the W weights are computed
+    ONCE on the driver, rounded to the 8-dp grid and emitted as
+    INTEGER literals scaled by 10^8 into BOTH engines — no
+    cross-engine pow, and (the trap this operator pinned) no decimal
+    ADD CHAIN: folding 24 decimal(.,8) terms grows Spark's result
+    precision past 38 and allowPrecisionLoss silently DROPS SCALE
+    (0.98437568 came back 0.984375). All-integer Horner-style
+    arithmetic never loses digits (the graph_katz discipline); the
+    single final /10^8 is one correctly-rounded double division.
+    Bound: hourly count x 10^8 per term must fit int64 — counts up to
+    ~9x10^10/hour/type, far past any real stream. One window pass:
+    all W lags share one window spec, so Spark plans a single
+    sort+Window over the dense grid."""
+    ev = _t(spark, sf, "events")
+    hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+          / 3600).cast("bigint")
+    cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
+           .groupBy("et", "h").agg(F.count("*").alias("n")))
+    span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (cnt.select("et").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("et", F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(cnt, ["et", "h"], "left")
+            .select("et", "h", F.coalesce("n", F.lit(0)).alias("n")))
+    w = Window.partitionBy("et").orderBy("h")
+    wints = [int(round(alpha * (1.0 - alpha) ** i, 8) * 1e8 + 0.5)
+             for i in range(window)]
+    s = None
+    for i, wi in enumerate(wints):
+        x = F.col("n") if i == 0 else F.coalesce(F.lag("n", i).over(w),
+                                                 F.lit(0))
+        term = F.lit(wi) * x
+        s = term if s is None else s + term
+    return grid.select(F.col("et").alias("event_type"),
+                       F.col("h").alias("hour"), "n",
+                       (s.cast("double") / F.lit(1e8)).alias("ewma"))
+
+
+def _ts_ewma_sql(alpha: float = 0.3, window: int = 24) -> str:
+    """DuckDB twin: the identical driver-computed scaled-integer
+    weight literals over the identical lag frame (shared WINDOW
+    clause); all-BIGINT sum, one final /10^8 double division."""
+    wints = [int(round(alpha * (1.0 - alpha) ** i, 8) * 1e8 + 0.5)
+             for i in range(window)]
+    terms = []
+    for i, wi in enumerate(wints):
+        x = "n" if i == 0 else f"coalesce(lag(n, {i}) OVER w, 0)"
+        terms.append(f"{wi}::BIGINT * ({x})")
+    expr = "(" + "\n                 + ".join(terms) + ")"
+    return f"""
+        WITH cnt AS (
+            SELECT event_type AS et,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h,
+                   count(*) AS n
+            FROM events GROUP BY et, h
+        ),
+        span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+        grid AS (
+            SELECT t.et, gs.h, coalesce(cnt.n, 0) AS n
+            FROM (SELECT DISTINCT et FROM cnt) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT h0 FROM span), (SELECT h1 FROM span))) AS h) gs
+            LEFT JOIN cnt ON cnt.et = t.et AND cnt.h = gs.h
+        )
+        SELECT et AS event_type, h AS hour, n::BIGINT AS n,
+               cast({expr} AS DOUBLE) / 100000000.0 AS ewma
+        FROM grid
+        WINDOW w AS (PARTITION BY et ORDER BY h)
+    """
+
+
 def snap_stats_prune(spark, sf):
     """Manifest-stats file pruning (hard oracle): documents are
     committed range-clustered on doc_id, then a doc_id window is read
@@ -3450,6 +3526,7 @@ SPARK_QUERIES = {
     "events_seasonality": events_seasonality,
     "events_burstiness": events_burstiness,
     "events_attribution": events_attribution,
+    "ts_ewma": ts_ewma,
     "kg_rdfa_triples": kg_rdfa_triples,
     "events_rate_outliers": events_rate_outliers,
     "events_retention": events_retention,
@@ -6919,6 +6996,7 @@ ORACLE_SQL = {
                '"' || lang || '"', true
         FROM d
     """,
+    "ts_ewma": _ts_ewma_sql(),
     "events_attribution": """
         WITH tagged AS (
             -- epoch(date_trunc('second', .)) matches Spark's

@@ -2208,3 +2208,43 @@ def test_j13_interval_join_plan_and_values(spark):
                  if e.event_type == r0.event_type
                  and r0.w_start <= e.eh <= r0.w_start + 2)
     assert r0.n_events == expect
+
+
+def test_ts_ewma_hand_computed(spark):
+    import datetime as dt
+
+    from npm_extraction_server_spark.operators.suite import ts_ewma
+
+    # 30 hours of known counts (one event per count unit)
+    base = dt.datetime(2020, 1, 1)
+    counts = [(i * 3) % 7 for i in range(30)]
+    evs, eid = [], 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            evs.append((eid, base + dt.timedelta(hours=h, minutes=j),
+                        "u", "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id string, "
+             "event_type string, value double, props string")
+    import tempfile
+    sfdir = tempfile.mkdtemp(prefix="ewma_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+    got = {r.hour - 438288: r for r in ts_ewma(spark, sfdir).collect()}
+
+    # grid starts at the first NON-EMPTY hour (counts[0] == 0), so
+    # offsets are relative to hour 1
+    first = min(got)
+    wints = [int(round(0.3 * 0.7 ** i, 8) * 1e8 + 0.5)
+             for i in range(24)]
+    series = counts[1:] if counts[0] == 0 else counts
+    for t in range(len(series)):
+        s = sum(w * (series[t - i] if t - i >= 0 else 0)
+                for i, w in enumerate(wints))
+        assert got[first + t].ewma == s / 1e8
+        assert got[first + t].n == series[t]
+    # smoothing sanity: ewma variance < raw variance
+    import statistics
+    ew = [got[first + t].ewma for t in range(len(series))]
+    assert statistics.pvariance(ew) < statistics.pvariance(
+        [float(x) for x in series])
