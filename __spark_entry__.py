@@ -304,10 +304,6 @@ _PRIORITY: list[str] = [
     # — snapshots keep eq_delete + zorder in the head, and the
     # stats-pruning path is green in the refreshed FULL self-run)
     "events_attribution",
-    # ExactSubstr duplicate spans (this session; demoted
-    # events_retention — green in the FULL self-run, and the events
-    # family holds r1-r3 driver records via sessionize/funnel)
-    "text_dup_spans",
     # sketches
     "sketch_distinct",
     # bipartite analytics (continuation additions; demoted
@@ -333,6 +329,9 @@ _PRIORITY: list[str] = [
     # exists/quads_meta/subquery/char_sets) — all five hard-green in
     # the committed CORRECTNESS_FULL_r05.json self-run.
     "text_zipf_fit", "text_heaps_curve", "text_kn_bigram",
+    # char-bigram entropy (final session; demoted text_dup_spans —
+    # FULL-green, the ExactSubstr path also pinned by its own pytest)
+    "text_char_entropy",
     "sim_mmr_diverse", "events_changepoint",
     # Katz centrality (all-integer Horner — this session)
     "graph_katz",

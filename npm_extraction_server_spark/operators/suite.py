@@ -3334,6 +3334,39 @@ def events_attribution(spark, sf,
                     .alias("share")))
 
 
+def text_char_entropy(spark, sf):
+    """Per-document character-bigram Shannon entropy — the
+    information-theoretic quality axis (low entropy = repetitive /
+    template / spam text; compressibility without a compressor, so it
+    stays hard-oracle-able). H = ln(n) - (1/n) * sum c*ln(c) over the
+    doc's bigram counts: ln values on the 8-dp grid, c*ln(c) terms
+    re-rounded to 8 dp and summed as exact decimals (emitted at term
+    scale — tie-free), the final combination one ln + one quotient +
+    one subtraction on identical doubles. Corpus work is one narrow
+    bigram explode + one (doc, gram) count; no window anywhere."""
+    docs = _t(spark, sf, "documents")
+    n_big = F.length("text") - 1
+    grams = (docs.filter(F.length("text") >= 2)
+             .select("doc_id",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), n_big),
+                         lambda i: F.col("text").substr(i, F.lit(2))))
+                     .alias("g")))
+    cnt = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    clnc = F.round(F.col("c").cast("double")
+                   * F.round(F.log(F.col("c").cast("double")), 8), 8) \
+        .cast("decimal(28,8)")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("distinct_bigrams"),
+        F.sum(clnc).cast("double").alias("s"))
+    ent = F.round(
+        F.round(F.log(F.col("n").cast("double")), 8)
+        - F.col("s") / F.col("n").cast("double"), 6)
+    return agg.select("doc_id", F.col("n").alias("n_bigrams"),
+                      "distinct_bigrams", ent.alias("entropy"))
+
+
 def text_good_turing(spark, sf):
     """Good-Turing frequency-of-frequencies per language (hard
     oracle: exact integer n_r table, r* and unseen mass each one
@@ -3446,6 +3479,7 @@ SPARK_QUERIES = {
     "text_langid": text_langid,
     "text_langid_eval": text_langid_eval,
     "text_good_turing": text_good_turing,
+    "text_char_entropy": text_char_entropy,
     "text_fingerprint": text_fingerprint,
     "text_textrank": text_textrank,
     "text_pii_scrub": text_pii_scrub,
@@ -6939,6 +6973,29 @@ ORACLE_SQL = {
                     WHEN es_hits > en_hits THEN 'es'
                     ELSE 'und' END AS lang_pred
         FROM feat
+    """,
+    "text_char_entropy": """
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, length(text)),
+                       i -> substr(text, i, 2))) AS g
+            FROM documents WHERE length(text) >= 2
+        ),
+        cnt AS (SELECT doc_id, g, count(*) AS c
+                FROM grams GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id, sum(c) AS n, count(*) AS distinct_bigrams,
+                   cast(sum(cast(round(c::DOUBLE
+                                       * round(ln(c::DOUBLE), 8), 8)
+                                 AS DECIMAL(28,8))) AS DOUBLE) AS s
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id, n::BIGINT AS n_bigrams,
+               distinct_bigrams::BIGINT AS distinct_bigrams,
+               round(round(ln(n::DOUBLE), 8) - s / n::DOUBLE, 6)
+                   AS entropy
+        FROM agg
     """,
     "text_good_turing": """
         WITH toks AS (

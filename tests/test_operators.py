@@ -2248,3 +2248,35 @@ def test_ts_ewma_hand_computed(spark):
     ew = [got[first + t].ewma for t in range(len(series))]
     assert statistics.pvariance(ew) < statistics.pvariance(
         [float(x) for x in series])
+
+
+def test_text_char_entropy_hand_computed(spark):
+    import math
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import (
+        text_char_entropy)
+
+    docs = [
+        (0, "aaaa"),       # bigrams aa,aa,aa -> H = 0
+        (1, "abcd"),       # ab,bc,cd all distinct -> H = ln(3)
+        (2, "ababab"),     # ab x3, ba x2
+        (3, "x"),          # too short: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sfdir = tempfile.mkdtemp(prefix="ent_sf_")
+    df.write.parquet(f"{sfdir}/documents.parquet")
+    got = {r.doc_id: r for r in text_char_entropy(spark, sfdir).collect()}
+    assert sorted(got) == [0, 1, 2]
+    assert (got[0].n_bigrams, got[0].distinct_bigrams) == (3, 1)
+    assert got[0].entropy == 0.0
+    assert got[1].entropy == round(round(math.log(3), 8), 6)
+
+    def h(counts):
+        n = sum(counts)
+        s = sum(round(c * round(math.log(c), 8), 8) for c in counts)
+        return round(round(math.log(n), 8) - s / n, 6)
+
+    assert got[2].entropy == h([3, 2])
+    # repetitive text scores strictly below diverse text
+    assert got[0].entropy < got[2].entropy < got[1].entropy
