@@ -304,8 +304,10 @@ _PRIORITY: list[str] = [
     # — snapshots keep eq_delete + zorder in the head, and the
     # stats-pruning path is green in the refreshed FULL self-run)
     "events_attribution",
-    # sketches
-    "sketch_distinct",
+    # DAU/WAU sliding-distinct (final session; demoted sketch_distinct
+    # — the sketch family's KMV/HLL paths are also exercised by
+    # sketch_hll/sketch_set_ops in the FULL self-runs, all green)
+    "events_dau_wau",
     # bipartite analytics (continuation additions; demoted
     # mm_audio_features and tar_members — BOTH already hold driver
     # records from rounds 1-4 (the only head entries that did) and

@@ -3295,6 +3295,40 @@ def kg_rdfa_triples(spark, sf):
     return t.select("subj", "pred", "obj", "obj_is_literal")
 
 
+def events_dau_wau(spark, sf):
+    """DAU / WAU / stickiness per day — EXACT sliding-window distinct
+    actives via the explode-into-windows identity: a (user, day)
+    activity fact contributes to the 7 window-ends [day, day+6], so
+    WAU(d) = count of distinct (user, window-end=d) pairs — one
+    explode (bounded 7x row multiplier, stated cost) + one distinct
+    aggregate, fully parallel, no sliding-state operator and no
+    approximate sketch (the HLL path exists separately in
+    sketch_hll for when 7x is too dear). DAU is the plain per-day
+    distinct; stickiness = DAU/WAU one 6-dp division. Dense day grid
+    so inactive days report zeros."""
+    ev = _t(spark, sf, "events")
+    day = (F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+           / 86400).cast("bigint")
+    act = (ev.select("user_id", day.alias("d")).distinct())
+    span = act.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dau = act.groupBy("d").agg(F.count("*").alias("dau"))
+    wau = (act.select("user_id",
+                      F.explode(F.sequence(F.col("d"),
+                                           F.col("d") + 6)).alias("d"))
+           .distinct()
+           .groupBy("d").agg(F.count("*").alias("wau")))
+    grid = (span.select(F.explode(F.sequence("d0", "d1")).alias("d")))
+    return (grid.join(dau, "d", "left").join(wau, "d", "left")
+            .select(F.col("d").alias("day"),
+                    F.coalesce("dau", F.lit(0)).alias("dau"),
+                    F.coalesce("wau", F.lit(0)).alias("wau"),
+                    F.when(F.coalesce("wau", F.lit(0)) > 0,
+                           F.round(F.coalesce("dau", F.lit(0))
+                                   .cast("double")
+                                   / F.col("wau").cast("double"), 6))
+                    .alias("stickiness")))
+
+
 def events_attribution(spark, sf,
                        conversion: str = "purchase",
                        lookback_s: int = 7 * 86400):
@@ -3560,6 +3594,7 @@ SPARK_QUERIES = {
     "events_seasonality": events_seasonality,
     "events_burstiness": events_burstiness,
     "events_attribution": events_attribution,
+    "events_dau_wau": events_dau_wau,
     "ts_ewma": ts_ewma,
     "kg_rdfa_triples": kg_rdfa_triples,
     "events_rate_outliers": events_rate_outliers,
@@ -7052,6 +7087,34 @@ ORACLE_SQL = {
         SELECT s, 'http://schema.org/inLanguage',
                '"' || lang || '"', true
         FROM d
+    """,
+    "events_dau_wau": """
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   epoch(date_trunc('day', ts))::BIGINT // 86400 AS d
+            FROM events
+        ),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM act),
+        dau AS (SELECT d, count(*) AS dau FROM act GROUP BY d),
+        wau AS (
+            SELECT d, count(*) AS wau FROM (
+                SELECT DISTINCT user_id,
+                       unnest(generate_series(d, d + 6)) AS d
+                FROM act)
+            GROUP BY d
+        ),
+        grid AS (SELECT unnest(generate_series(
+            (SELECT d0 FROM span), (SELECT d1 FROM span))) AS d)
+        SELECT g.d AS day,
+               coalesce(dau.dau, 0)::BIGINT AS dau,
+               coalesce(wau.wau, 0)::BIGINT AS wau,
+               CASE WHEN coalesce(wau.wau, 0) > 0 THEN
+                   round(coalesce(dau.dau, 0)::DOUBLE
+                         / wau.wau::DOUBLE, 6)
+               END AS stickiness
+        FROM grid g
+        LEFT JOIN dau ON dau.d = g.d
+        LEFT JOIN wau ON wau.d = g.d
     """,
     "ts_ewma": _ts_ewma_sql(),
     "events_attribution": """

@@ -2280,3 +2280,44 @@ def test_text_char_entropy_hand_computed(spark):
     assert got[2].entropy == h([3, 2])
     # repetitive text scores strictly below diverse text
     assert got[0].entropy < got[2].entropy < got[1].entropy
+
+
+def test_events_dau_wau_sliding_distinct(spark):
+    import datetime as dt
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import events_dau_wau
+
+    base = dt.datetime(2020, 1, 1)
+    # u0 active days 0..9; u1 days 0 and 7 only; u2 day 3 only;
+    # duplicate events same day must not double-count
+    acts = [("u0", d) for d in range(10)] + \
+           [("u1", 0), ("u1", 7), ("u2", 3), ("u2", 3)]
+    evs = [(i, base + dt.timedelta(days=d, hours=1 + (i % 3)), u,
+            "click", 1.0, "{}") for i, (u, d) in enumerate(acts)]
+    df = spark.createDataFrame(
+        evs, "event_id long, ts timestamp, user_id string, "
+             "event_type string, value double, props string")
+    sfdir = tempfile.mkdtemp(prefix="dau_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+    got = {r.day - 18262: r for r in events_dau_wau(spark, sfdir)
+           .collect()}
+    assert sorted(got) == list(range(10))
+
+    # brute-force recount
+    daily = {}
+    for u, d in acts:
+        daily.setdefault(d, set()).add(u)
+    for d in range(10):
+        dau = len(daily.get(d, set()))
+        wau = len(set().union(*(daily.get(x, set())
+                                for x in range(d - 6, d + 1))))
+        r = got[d]
+        assert (r.dau, r.wau) == (dau, wau)
+        assert r.stickiness == round(dau / wau, 6)
+    # day-6 window [0..6]: u0, u1 (day 0), u2 (day 3) all count
+    assert got[6].wau == 3 and got[6].dau == 1
+    # day 9 window [3..9]: u0, u1(day7), u2(day3)
+    assert got[9].wau == 3
+    # day 2 window [0..2] predates u2: only u0 and u1
+    assert got[2].wau == 2
