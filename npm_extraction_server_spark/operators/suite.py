@@ -2344,11 +2344,13 @@ def graph_pagerank_incr(spark, sf):
 
 def graph_betweenness(spark, sf):
     """Sampled Brandes betweenness (plans/graph.betweenness) on the
-    standard KG graph, 10 hash-spread sources, scaled to n — rows-only
-    by nature (the backward dependency sweep is an IEEE-double
-    accumulation; no SQL twin exists), exactness pinned by the
-    pure-Python Brandes twin in tests/test_graph.py on multi-path /
-    cycle / pendant graphs."""
+    standard KG graph, 10 hash-spread sources, scaled to n. HARD
+    oracle since the sweep moved to the pagerank grid protocol
+    (contributions 8-dp-rounded + exact decimal level sums): the
+    DuckDB twin unrolls 8 forward sigma levels and the backward
+    dependency chain term-for-term (_betweenness_sql). Textbook
+    agreement stays pinned by the pure-Python Brandes pytest on
+    multi-path / cycle / pendant graphs."""
     from ..plans.graph import betweenness
 
     d = F.col("doc_id")
@@ -3770,6 +3772,74 @@ _ANN_VERIFIED_SQL = """
 # min-label/pointer-doubling connected components.
 # The deterministic KG graph shared by graph_bfs / graph_pagerank /
 # graph_triangles — the SQL twin of _kg_graph_edges.
+def _betweenness_sql(levels: int = 10, n_nodes: int = 500,
+                     n_sources: int = 10) -> str:
+    """Unrolled Brandes twin (house style: one MATERIALIZED CTE per
+    round): ``levels`` forward BFS levels carrying exact-integer
+    sigma path counts with NOT EXISTS de-dup against the visited set,
+    then the backward dependency chain where each level's delta is
+    the exact scale-8 decimal of sum(round(sigma_v/sigma_w *
+    (1+delta_w), 8)) — mirroring plans/graph.betweenness
+    term-for-term. Seeds: doc_id < 500, doc_id % 50 = 0 (10 sources);
+    scale_to_n multiplies by 500 (exact decimal x int) before the one
+    output division by 10. Levels beyond the true per-source depth (8 on this
+    graph) are empty CTEs and contribute nothing."""
+    parts = [f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    ebc AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+    ),
+    l0 AS MATERIALIZED (
+        SELECT doc_id AS s, doc_id AS v, 1::BIGINT AS sigma
+        FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0
+    ),
+    vis0 AS MATERIALIZED (SELECT s, v FROM l0)"""]
+    for k in range(1, levels):
+        parts.append(f""",
+    l{k} AS MATERIALIZED (
+        SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+        FROM l{k - 1} f JOIN ebc e ON e.src = f.v
+        WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} x
+                          WHERE x.s = f.s AND x.v = e.dst)
+        GROUP BY 1, 2
+    ),
+    vis{k} AS MATERIALIZED (
+        SELECT * FROM vis{k - 1} UNION ALL SELECT s, v FROM l{k}
+    )""")
+    for d in range(levels - 2, -1, -1):
+        dn_join = ("" if d == levels - 2 else f"""
+        LEFT JOIN dl{d + 1} dn ON dn.s = f.s AND dn.v = e.dst""")
+        dw8 = ("0::BIGINT" if d == levels - 2
+               else "coalesce(dn.delta8, 0)::BIGINT")
+        parts.append(f""",
+    dl{d} AS MATERIALIZED (
+        SELECT f.s, f.v,
+               sum((2 * f.sigma * (100000000 + {dw8}) + w.sigma)
+                   // (2 * w.sigma))::BIGINT AS delta8
+        FROM l{d} f
+        JOIN ebc e ON e.src = f.v
+        JOIN l{d + 1} w ON w.s = f.s AND w.v = e.dst{dn_join}
+        GROUP BY 1, 2
+    )""")
+    accs = "\n            UNION ALL ".join(
+        f"SELECT v, delta8 FROM dl{d} WHERE s <> v"
+        for d in range(levels - 1))
+    parts.append(f""",
+    acc AS ({accs}),
+    agg AS (
+        SELECT v AS node_id,
+               cast(round((sum(delta8)
+                           * {n_nodes // n_sources})::DECIMAL(20,0)
+                          * 0.00000001::DECIMAL(10,8), 6) AS DOUBLE)
+                   AS bc
+        FROM acc GROUP BY 1
+    )
+    SELECT d.doc_id AS node_id, coalesce(agg.bc, 0.0) AS betweenness
+    FROM documents d LEFT JOIN agg ON agg.node_id = d.doc_id
+    WHERE d.doc_id < 500""")
+    return "".join(parts)
+
+
 _KG_GRAPH_EDGES_CTE = """
     e0 AS (
         SELECT doc_id AS src, (7*doc_id+3) % 500 AS dst
@@ -5348,6 +5418,7 @@ ORACLE_SQL = {
     "sim_lsh_verified": _ANN_VERIFIED_SQL,
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
     "sim_ivfpq_verified": _ANN_VERIFIED_SQL,
+    "graph_betweenness": _betweenness_sql(),
     "graph_components": _GRAPH_COMPONENTS_SQL,
     "graph_components_incr": _GRAPH_COMPONENTS_SQL,
     "graph_bfs": _GRAPH_BFS_SQL,

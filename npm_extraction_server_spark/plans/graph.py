@@ -2311,12 +2311,20 @@ def betweenness(edges: DataFrame, sources: DataFrame | None = None,
     checkpointed once per level — the sample size is the knob, same
     contract as ``closeness``.
 
-    Determinism: sigma is exact integer; delta is IEEE double
-    accumulated per level (+ a fixed output rounding), so repeated
-    runs agree to ``out_scale``; no cross-engine SQL oracle exists for
-    the float sweep — exactness is pinned by the pytest twin against
-    a pure-Python Brandes on hand-checked graphs. Directed semantics
-    (pass both edge directions for the undirected variant)."""
+    Determinism (the pagerank grid protocol, upgraded from the
+    earlier order-dependent IEEE sweep): sigma is exact integer; each
+    backward contribution sigma_v/sigma_w * (1 + delta_w) is ONE
+    quotient-product double re-rounded to the 8-dp grid and summed as
+    EXACT decimal(28,8) per level (delta_w itself is the exact
+    scale-8 value), and the final per-node sum across sources/levels
+    is an exact decimal sum with the n/|S| scaling applied as
+    integer-times-decimal before the one output division — so the
+    whole computation is bit-reproducible cross-engine and the suite
+    query carries a HARD unrolled-DuckDB oracle (8 forward levels +
+    the backward chain). Pytest's pure-Python Brandes twin still
+    pins textbook agreement to 1e-6 (the grid error is <= levels *
+    1e-8). Directed semantics (pass both edge directions for the
+    undirected variant)."""
     e = (edges.filter(F.col("src") != F.col("dst"))
          .select("src", "dst").distinct()
          .repartition(F.col("src")).persist())
@@ -2357,41 +2365,70 @@ def betweenness(edges: DataFrame, sources: DataFrame | None = None,
         raise RuntimeError(f"betweenness: diameter exceeds {max_rounds} "
                            "rounds (raise max_rounds)")
 
-    # backward sweep: delta at the deepest level is 0
+    # backward sweep: delta at the deepest level is 0. Delta state is
+    # an INTEGER on the 1e-8 grid (delta8 = delta * 10^8): each
+    # contribution sigma_v * (1 + delta_w) / sigma_w is computed as
+    # the exact HALF_UP integer (2*num + den) div (2*den) — rounding
+    # the DOUBLE product to 8 dp here ties SYSTEMATICALLY (sigma
+    # ratios are short rationals: 1/2 * an 8-dp delta lands on
+    # .xxxxxxxx5 constantly, and Spark/DuckDB split those ties), while
+    # integer arithmetic never loses a digit (the graph_katz
+    # discipline). int64 bound, stated: sigma_max * (10^8 +
+    # delta8_max) < 2^63 — i.e. per-source delta < ~9e10/sigma_max,
+    # far past any sampled-betweenness use.
     acc_parts: list[DataFrame] = []
-    delta = None  # (s, v, delta) for level d+1
+    delta = None  # (s, v, delta8) for level d+1
+    grid = 10 ** 8
     for d in range(len(levels) - 2, -1, -1):
         succ = levels[d + 1].select(
             "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"))
         if delta is not None:
             succ = (succ.join(delta.select("s",
                                            F.col("v").alias("w"),
-                                           F.col("delta").alias("dw")),
+                                           F.col("delta8").alias("dw8")),
                               ["s", "w"], "left")
-                    .withColumn("dw", F.coalesce("dw", F.lit(0.0))))
+                    .withColumn("dw8", F.coalesce("dw8",
+                                                  F.lit(0).cast("long"))))
         else:
-            succ = succ.withColumn("dw", F.lit(0.0))
+            succ = succ.withColumn("dw8", F.lit(0).cast("long"))
         cur = levels[d]
         contrib = (cur.join(e, cur.v == e.src)
                    .select("s", "v", "sigma", F.col("dst").alias("w"))
                    .join(succ, ["s", "w"])
                    .select("s", "v",
-                           (F.col("sigma") / F.col("sigma_w")
-                            * (F.lit(1.0) + F.col("dw"))).alias("part")))
+                           (F.lit(2) * F.col("sigma")
+                            * (F.lit(grid) + F.col("dw8"))
+                            + F.col("sigma_w")).alias("cnum"),
+                           (F.lit(2) * F.col("sigma_w")).alias("cden"))
+                   .select("s", "v",
+                           F.expr("cnum div cden").alias("part8")))
         delta = (contrib.groupBy("s", "v")
-                 .agg(F.sum("part").alias("delta"))
+                 .agg(F.sum("part8").alias("delta8"))
                  .localCheckpoint(eager=True))
         dep = delta.filter(F.col("s") != F.col("v")) \
-            .select("v", "delta")
+            .select("v", "delta8")
         acc_parts.append(dep)
     e.unpersist()
-    factor = float(n) / n_sources if scale_to_n else 1.0
     if not acc_parts:  # no edges from any source: all-zero centrality
         return nodes.select("node_id", F.lit(0.0).alias("betweenness"))
     acc = _union_all(acc_parts)  # balanced: depth ∝ log(diameter)
-    agg = (acc.groupBy(F.col("v").alias("node_id"))
-           .agg(F.round(F.sum("delta") * F.lit(factor), out_scale)
-                .alias("bc")))
+    # exact integer sum across sources/levels; integer n/|S| factors
+    # fold INTO the int64 domain (decimal multiplies past precision
+    # 38 silently drop scale — the ts_ewma trap), then ONE exact
+    # decimal 1e-8 de-scale multiply (never a division) and the
+    # HALF_UP output round
+    tot = F.sum(F.col("delta8"))
+    exact_factor = scale_to_n and n % n_sources == 0
+    if exact_factor:
+        tot = tot * F.lit(int(n // n_sources))
+    d8 = (tot.cast("decimal(20,0)")
+          * F.lit("0.00000001").cast("decimal(10,8)"))
+    if scale_to_n and not exact_factor:
+        bc = F.round((d8 * F.lit(int(n))).cast("double")
+                     / F.lit(float(n_sources)), out_scale)
+    else:
+        bc = F.round(d8, out_scale).cast("double")
+    agg = (acc.groupBy(F.col("v").alias("node_id")).agg(bc.alias("bc")))
     # every node gets a row — endpoints that lie on no shortest path
     # carry an explicit 0.0, the per-node-metric contract the rest of
     # the family (closeness, pagerank) follows
