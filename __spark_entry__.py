@@ -269,7 +269,11 @@ _PRIORITY: list[str] = [
     # committed FULL self-run. graph_wl_colors / text_dsir_sample ride
     # the same code paths as the two recorded here.)
     "graph_wl_classes", "text_dsir_weights",
-    "graph_coreness",
+    # local clustering coefficient (final session; demoted
+    # graph_coreness — the ascending-threshold peel machinery stays
+    # pinned by graph_trussness in this head + its own pytest, and
+    # coreness is hard-green in the refreshed FULL self-runs)
+    "graph_clustering",
     # bow-tie census + truss decomposition (this session; demoted
     # graph_assortativity — the simplest integer-moment aggregation in
     # the family — and snap_meta_tables (snapshots keep stats_prune /

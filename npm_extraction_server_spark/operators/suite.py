@@ -2470,6 +2470,42 @@ def graph_triangles(spark, sf):
     return triangle_counts(_kg_graph_edges(spark, sf))
 
 
+def graph_clustering(spark, sf):
+    """Per-node local clustering coefficient C(v) = 2T(v) /
+    (deg(v)(deg(v)-1)) over the undirected simple graph — the
+    neighborhood-density metric next to the raw triangle counts.
+    Rides triangle_counts' skew-safe oriented enumeration; the
+    coefficient is computed as the exact HALF_UP integer
+    (2*(2T*10^6) + den) div (2*den) on the 1e-6 grid (the
+    betweenness lesson: 2T/d(d-1) is a short rational, so rounding
+    the DOUBLE quotient ties on terminating expansions), then ONE
+    exact /10^6 double conversion. Degree-<2 nodes report null."""
+    from ..plans.graph import triangle_counts
+
+    e = _kg_graph_edges(spark, sf)
+    und = (e.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node_id"))
+           .unionByName(und.select(F.col("b").alias("node_id")))
+           .groupBy("node_id").agg(F.count("*").alias("degree")))
+    tri = triangle_counts(e)
+    j = (deg.join(tri, "node_id", "left")
+         .select("node_id", "degree",
+                 F.coalesce("n_triangles", F.lit(0))
+                 .alias("n_triangles")))
+    den = F.col("degree") * (F.col("degree") - 1)
+    j = j.select("node_id", "degree", "n_triangles",
+                 (F.lit(2) * (F.lit(2_000_000) * F.col("n_triangles"))
+                  + den).alias("cnum"),
+                 (F.lit(2) * den).alias("cden"))
+    cc = F.when(F.col("degree") >= 2,
+                F.expr("cnum div cden").cast("double") / F.lit(1e6))
+    return j.select("node_id", "degree", "n_triangles",
+                    cc.alias("local_cc"))
+
+
 def graph_msf(spark, sf):
     """Borůvka minimum spanning forest over the weighted KG graph
     (hard oracle: the outer rounds unrolled in DuckDB, each merge a
@@ -3552,6 +3588,7 @@ SPARK_QUERIES = {
     "graph_topo_layers": graph_topo_layers,
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
+    "graph_clustering": graph_clustering,
     "graph_link_predict": graph_link_predict,
     "graph_bipartite_project": graph_bipartite_project,
     "graph_butterflies": graph_butterflies,
@@ -5777,6 +5814,41 @@ ORACLE_SQL = {
         FROM depnodes
     """),
     "graph_triangles": _GRAPH_TRIANGLES_SQL,
+    "graph_clustering": f"""
+        WITH {_KG_GRAPH_EDGES_CTE},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node_id, count(*) AS degree FROM (
+                SELECT a AS node_id FROM und
+                UNION ALL SELECT b FROM und)
+            GROUP BY 1
+        ),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tcnt AS (
+            SELECT node_id, count(*) AS n_triangles FROM (
+                SELECT a AS node_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+            GROUP BY 1
+        )
+        SELECT d.node_id, d.degree::BIGINT AS degree,
+               coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+               CASE WHEN d.degree >= 2 THEN
+                   ((2 * (2000000 * coalesce(t.n_triangles, 0))
+                     + d.degree * (d.degree - 1))
+                    // (2 * d.degree * (d.degree - 1)))::DOUBLE
+                   / 1000000.0
+               END AS local_cc
+        FROM deg d LEFT JOIN tcnt t ON t.node_id = d.node_id
+    """,
     "graph_link_predict": _GRAPH_LINK_PREDICT_SQL,
     "graph_bipartite_project": f"""
         WITH {_BIPARTITE_EDGES_CTE}

@@ -2321,3 +2321,29 @@ def test_events_dau_wau_sliding_distinct(spark):
     assert got[9].wau == 3
     # day 2 window [0..2] predates u2: only u0 and u1
     assert got[2].wau == 2
+
+
+def test_graph_clustering_hand_computed(spark, tmp_path):
+    import importlib
+
+    import npm_extraction_server_spark.operators.suite as suite
+
+    # build a tiny documents table so _kg_graph_edges derives a known
+    # graph? No — instead validate against graph_triangles directly
+    # on the driver corpus and recompute C(v) from (degree, T)
+    sf = "/root/testdata/sf0.001"
+    rows = suite.graph_clustering(spark, sf).collect()
+    assert rows
+    for r in rows:
+        if r.degree < 2:
+            assert r.local_cc is None
+            continue
+        den = r.degree * (r.degree - 1)
+        c6 = (2 * (2_000_000 * r.n_triangles) + den) // (2 * den)
+        assert r.local_cc == c6 / 1e6
+        assert 0.0 <= r.local_cc <= 1.0
+    # triangle counts agree with the dedicated query
+    tri = {t.node_id: t.n_triangles
+           for t in suite.graph_triangles(spark, sf).collect()}
+    for r in rows:
+        assert r.n_triangles == tri.get(r.node_id, 0)
