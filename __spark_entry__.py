@@ -260,7 +260,6 @@ _PRIORITY: list[str] = [
     # slots: hyperball keeps graph_hyperball, pagerank keeps
     # graph_pagerank_incr, text keeps gopher/bpe_train, BGP keeps
     # version_meta/dep_chain/void, web keeps web_url_normalize)
-    "graph_msf",
     "graph_lpa_communities", "text_textrank", "kg_char_sets",
     # WL refinement + DSIR (this session's additions; demoted
     # graph_link_predict — the ONE head entry with a prior driver
@@ -312,6 +311,11 @@ _PRIORITY: list[str] = [
     # — the sketch family's KMV/HLL paths are also exercised by
     # sketch_hll/sketch_set_ops in the FULL self-runs, all green)
     "events_dau_wau",
+    # Kaplan-Meier time-to-conversion survival (final session; demoted
+    # graph_msf — Borůvka stays pinned by its own pytest and is
+    # hard-green in the refreshed FULL self-runs, and the graph family
+    # keeps 8 head slots incl. lpa/wl/clustering/trussness)
+    "events_survival",
     # bipartite analytics (continuation additions; demoted
     # mm_audio_features and tar_members — BOTH already hold driver
     # records from rounds 1-4 (the only head entries that did) and

@@ -3406,6 +3406,94 @@ def events_attribution(spark, sf,
                     .alias("share")))
 
 
+def events_survival(spark, sf, conversion: str = "purchase",
+                    horizon_h: int = 120):
+    """Kaplan-Meier time-to-conversion survival curves per acquisition
+    cohort (each user's FIRST event type): duration = hours from a
+    user's first event to their first ``conversion`` event,
+    administratively censored ``horizon_h`` hours after the corpus
+    start — conversions past the cutoff (or never) are censored at
+    cut - first_h, users entering after the cutoff are out of the
+    study. The retention question the funnel/attribution scans cannot
+    answer: WHEN does conversion happen, with censoring handled
+    correctly instead of dropped. The product-limit estimator runs on
+    the EXACT integer grid (the graph_betweenness / graph_katz
+    discipline): S scaled by 10^8, each step
+    S_k = round_half_up(S_{k-1} * (n_k - d_k) / n_k) as the
+    all-integer expression (2*s*(n-d) + n) div (2*n) — no doubles in
+    the recurrence, so the curve is bit-exact cross-engine (hard
+    oracle: DuckDB recursive CTE carries the identical recurrence).
+    Corpus-sized work is ONE user-keyed window pass + one user
+    groupBy (millions of partitions — parallel); risk sets are a
+    cumulative window over the tiny per-cohort step table and the
+    sequential product folds per cohort via ONE aggregate()
+    higher-order function (JVM-side, no UDF, state ∝ death times).
+    Censoring convention: ties at a death time keep the censored
+    user at risk (exits subtracted strictly before t). Overflow
+    bound: 2 * 10^8 * n_risk must fit int64 — fine to ~4.6*10^10
+    users per cohort."""
+    ev = _t(spark, sf, "events")
+    h = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+         / 3600).cast("bigint")
+    base = ev.select("user_id", "event_type", "ts", "event_id",
+                     h.alias("h"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pu = (base.withColumn("rn", F.row_number().over(w))
+          .groupBy("user_id").agg(
+              F.max(F.when(F.col("rn") == 1,
+                           F.col("event_type"))).alias("cohort"),
+              F.min("h").alias("first_h"),
+              F.min(F.when(F.col("event_type") == conversion,
+                           F.col("h"))).alias("conv_h")))
+    cut = base.agg((F.min("h") + horizon_h).alias("cut"))
+    dead = (F.col("conv_h").isNotNull()
+            & (F.col("conv_h") <= F.col("cut")))
+    obs = (pu.crossJoin(F.broadcast(cut))
+           .filter(F.col("first_h") <= F.col("cut"))
+           .select("cohort",
+                   F.when(dead, F.col("conv_h") - F.col("first_h"))
+                   .otherwise(F.col("cut") - F.col("first_h"))
+                   .alias("t"),
+                   F.when(dead, 1).otherwise(0).alias("is_death")))
+    ex = obs.groupBy("cohort", "t").agg(
+        F.count("*").alias("exits"),
+        F.sum("is_death").alias("d"))
+    tot = obs.groupBy("cohort").agg(F.count("*").alias("tot"))
+    wc = (Window.partitionBy("cohort").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (ex.join(tot, "cohort")
+            .select("cohort", "t", "d",
+                    (F.col("tot")
+                     - F.coalesce(F.sum("exits").over(wc), F.lit(0)))
+                    .alias("n_risk"))
+            .filter(F.col("d") > 0))
+    steps = risk.groupBy("cohort").agg(
+        F.array_sort(F.collect_list(F.struct("t", "n_risk", "d")))
+        .alias("steps"))
+    km = steps.select(
+        "cohort",
+        F.explode(F.expr(
+            "aggregate(steps,"
+            " struct(CAST(100000000 AS BIGINT) AS s,"
+            "  CAST(array() AS"
+            "   array<struct<t:bigint,n_risk:bigint,d:bigint,"
+            "s_e8:bigint>>) AS rows),"
+            " (acc, x) -> struct("
+            "   (2*acc.s*(x.n_risk - x.d) + x.n_risk)"
+            "     div (2*x.n_risk) AS s,"
+            "   array_append(acc.rows, struct("
+            "     x.t AS t, x.n_risk AS n_risk, x.d AS d,"
+            "     (2*acc.s*(x.n_risk - x.d) + x.n_risk)"
+            "       div (2*x.n_risk) AS s_e8)) AS rows),"
+            " acc -> acc.rows)")).alias("r"))
+    return km.select(
+        "cohort", F.col("r.t").alias("t_hours"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.d").alias("deaths"),
+        F.col("r.s_e8").alias("surv_e8"),
+        (F.col("r.s_e8").cast("double") / F.lit(1e8)).alias("survival"))
+
+
 def text_char_entropy(spark, sf):
     """Per-document character-bigram Shannon entropy — the
     information-theoretic quality axis (low entropy = repetitive /
@@ -3634,6 +3722,7 @@ SPARK_QUERIES = {
     "events_burstiness": events_burstiness,
     "events_attribution": events_attribution,
     "events_dau_wau": events_dau_wau,
+    "events_survival": events_survival,
     "ts_ewma": ts_ewma,
     "kg_rdfa_triples": kg_rdfa_triples,
     "events_rate_outliers": events_rate_outliers,
@@ -7291,6 +7380,74 @@ ORACLE_SQL = {
         SELECT touch_type, n_conversions::BIGINT AS n_conversions,
                round(n_conversions::DOUBLE / total::DOUBLE, 6) AS share
         FROM cm CROSS JOIN tot
+    """,
+    "events_survival": """
+        WITH RECURSIVE base AS (
+            SELECT user_id, event_type, ts, event_id,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h
+            FROM events
+        ),
+        pu AS (
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS cohort,
+                   min(h) AS first_h,
+                   min(CASE WHEN event_type = 'purchase' THEN h END)
+                       AS conv_h
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM base)
+            GROUP BY user_id
+        ),
+        cut AS (SELECT min(h) + 120 AS cut FROM base),
+        obs AS (
+            SELECT cohort,
+                   CASE WHEN conv_h IS NOT NULL AND conv_h <= cut
+                        THEN conv_h - first_h
+                        ELSE cut - first_h END AS t,
+                   CASE WHEN conv_h IS NOT NULL AND conv_h <= cut
+                        THEN 1 ELSE 0 END AS is_death
+            FROM pu CROSS JOIN cut
+            WHERE first_h <= cut
+        ),
+        ex AS (
+            SELECT cohort, t, count(*) AS exits, sum(is_death) AS d
+            FROM obs GROUP BY cohort, t
+        ),
+        tot AS (SELECT cohort, count(*) AS tot FROM obs GROUP BY 1),
+        -- ties at a death time keep the censored user at risk:
+        -- exits are subtracted STRICTLY before t (1 PRECEDING)
+        risk AS (
+            SELECT e.cohort, e.t, e.d,
+                   (tot.tot - coalesce(sum(e.exits) OVER (
+                        PARTITION BY e.cohort ORDER BY e.t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0))::BIGINT AS n_risk
+            FROM ex e JOIN tot ON tot.cohort = e.cohort
+        ),
+        steps AS (
+            SELECT cohort, t, n_risk, d,
+                   row_number() OVER (
+                       PARTITION BY cohort ORDER BY t) AS rn
+            FROM risk WHERE d > 0
+        ),
+        -- the IDENTICAL all-integer product-limit recurrence:
+        -- s_k = (2*s_{k-1}*(n-d) + n) div (2*n), s_0 = 1e8
+        km AS (
+            SELECT cohort, rn, t, n_risk, d,
+                   (2 * 100000000 * (n_risk - d) + n_risk)
+                       // (2 * n_risk) AS s
+            FROM steps WHERE rn = 1
+            UNION ALL
+            SELECT s2.cohort, s2.rn, s2.t, s2.n_risk, s2.d,
+                   (2 * km.s * (s2.n_risk - s2.d) + s2.n_risk)
+                       // (2 * s2.n_risk)
+            FROM km JOIN steps s2
+              ON s2.cohort = km.cohort AND s2.rn = km.rn + 1
+        )
+        SELECT cohort, t AS t_hours, n_risk,
+               d::BIGINT AS deaths, s::BIGINT AS surv_e8,
+               s::DOUBLE / 100000000.0 AS survival
+        FROM km
     """,
     "events_burstiness": """
         WITH gaps AS (

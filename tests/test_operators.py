@@ -2323,6 +2323,62 @@ def test_events_dau_wau_sliding_distinct(spark):
     assert got[2].wau == 2
 
 
+def test_events_survival_km_hand_computed(spark):
+    import datetime as dt
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import events_survival
+
+    base = dt.datetime(2021, 6, 1)
+    # horizon 10h from corpus start (hour 0) => cut = 10
+    # u1 click@0  purchase@3   -> click cohort, death  t=3
+    # u4 click@1  purchase@4   -> click cohort, death  t=3
+    # u9 click@7  (none)       -> click cohort, censor t=3 (tie!)
+    # u3 click@2  (none)       -> click cohort, censor t=8
+    # u2 click@0  purchase@15  -> past cut: censor t=10
+    # u5 view@0   purchase@0   -> view cohort, death t=0
+    # u6 click@25 purchase@26  -> first_h > cut at BOTH horizons below
+    evs = [("u1", "click", 0), ("u1", "purchase", 3),
+           ("u4", "click", 1), ("u4", "purchase", 4),
+           ("u9", "click", 7),
+           ("u3", "click", 2),
+           ("u2", "click", 0), ("u2", "purchase", 15),
+           ("u5", "view", 0), ("u5", "purchase", 0),
+           ("u6", "click", 25), ("u6", "purchase", 26)]
+    rows = [(i, base + dt.timedelta(hours=h, minutes=7), u, et, 1.0, "{}")
+            for i, (u, et, h) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, "
+              "event_type string, value double, props string")
+    sfdir = tempfile.mkdtemp(prefix="surv_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+
+    got = {(r.cohort, r.t_hours): r
+           for r in events_survival(spark, sfdir, horizon_h=10).collect()}
+    # click cohort: 5 observations in-study; only death time t=3 with
+    # d=2; the t=3 CENSORED exit (u9) stays at risk => n_risk=5, and
+    # S = round_half_up(1e8 * 3/5) = 6e7
+    assert set(got) == {("click", 3), ("view", 0)}
+    c = got[("click", 3)]
+    assert (c.n_risk, c.deaths, c.surv_e8) == (5, 2, 60_000_000)
+    assert c.survival == 0.6
+    # view cohort: single user converts at its first hour => S drops
+    # to 0 at t=0 with n_risk=1
+    v = got[("view", 0)]
+    assert (v.n_risk, v.deaths, v.surv_e8, v.survival) == (1, 1, 0, 0.0)
+
+    # sequential-product check on a 2-step curve: horizon wide enough
+    # that u2's purchase@15 becomes a death at t=15 (n_risk=2 there:
+    # u3 censors at t=cut-2=18 AFTER 15, u9 at t=13 BEFORE 15)
+    got2 = {(r.cohort, r.t_hours): r
+            for r in events_survival(spark, sfdir, horizon_h=20)
+            .collect()}
+    c2 = got2[("click", 15)]
+    # S(3) = round(1e8*3/5) = 6e7; S(15) = round_half_up(6e7 * 1/2)
+    assert (c2.n_risk, c2.deaths) == (2, 1)
+    assert c2.surv_e8 == (2 * 60_000_000 * 1 + 2) // 4 == 30_000_000
+
+
 def test_graph_clustering_hand_computed(spark, tmp_path):
     import importlib
 
