@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_graph_const": _kg_bgp_graph_const,
         "kg_bgp_topk_deps": _kg_bgp_topk_deps,
         "kg_transitive_deps": _kg_transitive_deps,
+        "kg_dep_assoc": _kg_dep_assoc,
         "web_outlinks": _web_outlinks,
         "web_url_normalize": _web_url_normalize,
         "web_main_content": _web_main_content,
@@ -302,7 +303,12 @@ _PRIORITY: list[str] = [
     # and graph_topo_layers, whose one-action-per-round loop is
     # pinned by its own deep-DAG pytest probes; both hard-green in
     # the refreshed CORRECTNESS_FULL_r05.json)
-    "text_good_turing", "events_burstiness",
+    "text_good_turing",
+    # Gini activity concentration on the exact 1e-8 grid (continuation
+    # session; demoted events_burstiness — the family's simplest
+    # moment aggregation, hard-green in the refreshed FULL self-runs;
+    # events keeps 6 head slots incl. survival/dau_wau/attribution)
+    "events_gini",
     # last-touch attribution (final session; demoted snap_stats_prune
     # — snapshots keep eq_delete + zorder in the head, and the
     # stats-pruning path is green in the refreshed FULL self-run)
@@ -338,7 +344,12 @@ _PRIORITY: list[str] = [
     # kg_bgp_version_meta (BGP keeps dep_chain/bind/path_ops/values/
     # exists/quads_meta/subquery/char_sets) — all five hard-green in
     # the committed CORRECTNESS_FULL_r05.json self-run.
-    "text_zipf_fit", "text_heaps_curve", "text_kn_bigram",
+    "text_zipf_fit", "text_heaps_curve",
+    # dependency-basket association rules (continuation session;
+    # demoted text_kn_bigram — hard-green in the refreshed FULL
+    # self-runs, and the text family keeps 8+ head slots incl.
+    # zipf/heaps/good_turing/char_entropy/textrank/gopher)
+    "kg_dep_assoc",
     # char-bigram entropy (final session; demoted text_dup_spans —
     # FULL-green, the ExactSubstr path also pinned by its own pytest)
     "text_char_entropy",
@@ -402,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_graph_const": _KG_BGP_GRAPH_CONST_ORACLE,
             "kg_bgp_topk_deps": _KG_BGP_TOPK_DEPS_ORACLE,
             "kg_transitive_deps": _KG_TRANSITIVE_DEPS_ORACLE,
+            "kg_dep_assoc": _KG_DEP_ASSOC_ORACLE,
             "kg_incremental": _KG_INCREMENTAL_ORACLE,
             "web_outlinks": _WEB_OUTLINKS_ORACLE,
             "web_url_normalize": _WEB_URL_NORMALIZE_ORACLE,
@@ -608,6 +620,77 @@ reach(node_id, dist) AS (
 )
 SELECT node_id, min(dist)::INT AS dist FROM reach GROUP BY node_id
 """)
+
+
+# Market-basket association rules over dependency baskets. The synth
+# vers replica re-derives each basket (bundle -> distinct valid-semver
+# dep targets across its versions) from doc_id arithmetic alone:
+# trio deps when hv%10 < 8, the pkg-(hv%1000) tail dep when hv%9 <= 5
+# (ranges 6-8 of _RANGES fail valid_range, matching sources/synth.py).
+_KG_DEP_ASSOC_ORACLE = (
+    "WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+bitems AS (
+  SELECT DISTINCT name AS b,
+    CASE hv%3 WHEN 0 THEN 'hotpkg' WHEN 1 THEN 'megalib'
+              ELSE 'ultrautil' END AS item
+  FROM vers WHERE hv%10 < 8
+  UNION
+  SELECT DISTINCT name, 'pkg-' || (hv%1000) FROM vers WHERE hv%9 <= 5
+),
+nb AS (SELECT count(DISTINCT b)::HUGEINT AS n FROM bitems),
+supp AS (SELECT item, count(*)::HUGEINT AS s FROM bitems GROUP BY 1),
+freq AS (SELECT * FROM supp WHERE s >= 2),
+fb AS (SELECT b, item FROM bitems
+       WHERE item IN (SELECT item FROM freq)),
+pairs AS (
+  SELECT x.item AS xi, y.item AS yi, count(*)::HUGEINT AS sxy
+  FROM fb x JOIN fb y ON x.b = y.b AND x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+rules AS (
+  SELECT xi AS antecedent, yi AS consequent, sxy FROM pairs
+  UNION ALL
+  SELECT yi, xi, sxy FROM pairs
+),
+r AS (
+  SELECT antecedent, consequent, n, sa.s AS supp_a, sc.s AS supp_c, sxy
+  FROM rules
+  JOIN freq sa ON sa.item = rules.antecedent
+  JOIN freq sc ON sc.item = rules.consequent
+  CROSS JOIN nb
+)
+SELECT antecedent, consequent, n::BIGINT AS n_baskets,
+       supp_a::BIGINT AS supp_a, supp_c::BIGINT AS supp_c,
+       sxy::BIGINT AS supp_both,
+       ((2*sxy*100000000 + supp_a) // (2*supp_a))::BIGINT AS conf_e8,
+       (((2*sxy*100000000 + supp_a) // (2*supp_a))::DOUBLE
+        / 100000000.0) AS confidence,
+       ((2*n*sxy*100000000 + supp_a*supp_c)
+        // (2*supp_a*supp_c))::BIGINT AS lift_e8,
+       (((2*n*sxy*100000000 + supp_a*supp_c)
+         // (2*supp_a*supp_c))::DOUBLE / 100000000.0) AS lift
+FROM r
+""")
+
+
+def _kg_dep_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over dependency baskets — "packages that
+    depend on X also depend on Y" (A-priori, pairwise; see
+    operators/assoc.py for the exactness + scale contract): basket =
+    package, items = its distinct valid-semver dep targets across all
+    versions (operators/semver_join.dependency_edges), min support 2
+    on items AND pairs, confidence/lift exact on the 1e-8 grid."""
+    from npm_extraction_server_spark.operators.assoc import assoc_rules
+    from npm_extraction_server_spark.operators.semver_join import (
+        dependency_edges,
+    )
+    from npm_extraction_server_spark.plans.kg import extract_docs, repartition_pages
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    docs = extract_docs(repartition_pages(pages))
+    return assoc_rules(
+        dependency_edges(docs).select("src_bundle", "dep_pkg"),
+        min_supp=2)
 
 
 def _kg_transitive_deps(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3494,6 +3494,58 @@ def events_survival(spark, sf, conversion: str = "purchase",
         (F.col("r.s_e8").cast("double") / F.lit(1e8)).alias("survival"))
 
 
+def events_gini(spark, sf):
+    """Gini concentration of per-user activity per event type — the
+    "how top-heavy is engagement" inequality index (0 = uniform,
+    -> 1 = one whale). With per-user counts x sorted ascending and
+    1-based rank i, G = (2*sum(i*x_i) - (n+1)*S) / (n*S); sum(i*x_i)
+    is invariant under permutations within equal counts, so G is
+    well-defined without a tiebreak. Exact on the 1e-8 grid: all
+    moments integer decimal(38,0), HALF_UP via
+    (2*num*10^8 + den) div (2*den) — no doubles anywhere before the
+    final exact /10^8 (hard oracle: DuckDB carries the identical
+    HUGEINT expression).
+
+    Scale shape: the rank sum is computed from the count HISTOGRAM,
+    never a sort — users holding count v occupy the rank block
+    (c_<v, c_<v + h_v], so 2*sum(i*x_i) = sum_v v*(2*h_v*c_<v +
+    h_v*(h_v+1)) needs only a cumulative window over the tiny
+    per-type histogram (|distinct counts| rows, thousands at any
+    corpus size). Corpus-sized work is ONE combine-enabled groupBy
+    to per-user counts + one histogram rollup; no per-type
+    single-partition rank window (the classic Gini scale killer).
+    Overflow bound: 2*10^8 * n * S must fit decimal(38,0) —
+    n*S < 5*10^29, far past any corpus."""
+    ev = _t(spark, sf, "events")
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("x"))
+    hist = cnt.groupBy("event_type", F.col("x").alias("v")).agg(
+        F.count("*").alias("h"))
+    w = (Window.partitionBy("event_type").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "cprev", F.coalesce(F.sum("h").over(w), F.lit(0)))
+    g = cum.groupBy("event_type").agg(
+        F.sum("h").alias("n"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0))"
+                     " * CAST(h AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr(
+            "CAST(v AS DECIMAL(38,0)) *"
+            " (2 * CAST(h AS DECIMAL(38,0))"
+            "    * CAST(cprev AS DECIMAL(38,0))"
+            "  + CAST(h AS DECIMAL(38,0))"
+            "    * (CAST(h AS DECIMAL(38,0)) + 1))")).alias("t2"))
+    gini_e8 = F.expr(
+        "(2 * (t2 - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 100000000"
+        " + CAST(n AS DECIMAL(38,0)) * s)"
+        " div (2 * CAST(n AS DECIMAL(38,0)) * s)")
+    return g.select(
+        "event_type", F.col("n").alias("n_users"),
+        F.col("s").cast("bigint").alias("total_events"),
+        gini_e8.alias("gini_e8"),
+        (gini_e8.cast("double") / F.lit(1e8)).alias("gini"))
+
+
 def text_char_entropy(spark, sf):
     """Per-document character-bigram Shannon entropy — the
     information-theoretic quality axis (low entropy = repetitive /
@@ -3723,6 +3775,7 @@ SPARK_QUERIES = {
     "events_attribution": events_attribution,
     "events_dau_wau": events_dau_wau,
     "events_survival": events_survival,
+    "events_gini": events_gini,
     "ts_ewma": ts_ewma,
     "kg_rdfa_triples": kg_rdfa_triples,
     "events_rate_outliers": events_rate_outliers,
@@ -7448,6 +7501,39 @@ ORACLE_SQL = {
                d::BIGINT AS deaths, s::BIGINT AS surv_e8,
                s::DOUBLE / 100000000.0 AS survival
         FROM km
+    """,
+    "events_gini": """
+        WITH cnt AS (
+            SELECT event_type, user_id, count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        hist AS (
+            SELECT event_type, x AS v, count(*) AS h
+            FROM cnt GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, v, h,
+                   coalesce(sum(h) OVER (
+                       PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cprev
+            FROM hist
+        ),
+        agg AS (
+            SELECT event_type,
+                   sum(h)::HUGEINT AS n,
+                   sum(v::HUGEINT * h::HUGEINT) AS s,
+                   sum(v::HUGEINT * (2 * h::HUGEINT * cprev::HUGEINT
+                       + h::HUGEINT * (h::HUGEINT + 1))) AS t2
+            FROM cum GROUP BY 1
+        )
+        SELECT event_type, n::BIGINT AS n_users,
+               s::BIGINT AS total_events,
+               ((2 * (t2 - (n + 1) * s) * 100000000 + n * s)
+                // (2 * n * s))::BIGINT AS gini_e8,
+               ((2 * (t2 - (n + 1) * s) * 100000000 + n * s)
+                // (2 * n * s))::DOUBLE / 100000000.0 AS gini
+        FROM agg
     """,
     "events_burstiness": """
         WITH gaps AS (

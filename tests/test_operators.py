@@ -2379,6 +2379,75 @@ def test_events_survival_km_hand_computed(spark):
     assert c2.surv_e8 == (2 * 60_000_000 * 1 + 2) // 4 == 30_000_000
 
 
+def test_events_gini_hand_computed(spark):
+    import datetime as dt
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import events_gini
+
+    base = dt.datetime(2022, 3, 1)
+    # click: per-user counts [1, 1, 2, 4] -> ascending rank sum
+    # t = 1+2+6+16 = 25, n=4, S=8: G = (50 - 5*8)/(4*8) = 10/32
+    # view: 3 users x 2 events each -> G = 0
+    # buy: counts [1, 2] -> G = 1/6 (HALF_UP rounding exercised:
+    # 16666666.67 -> 16666667)
+    per_user = {("a", "click"): 1, ("b", "click"): 1,
+                ("c", "click"): 2, ("d", "click"): 4,
+                ("a", "view"): 2, ("b", "view"): 2, ("c", "view"): 2,
+                ("a", "buy"): 1, ("b", "buy"): 2}
+    rows = []
+    for (u, et), k in sorted(per_user.items()):
+        for _ in range(k):
+            rows.append((len(rows), base + dt.timedelta(minutes=len(rows)),
+                         u, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, "
+              "event_type string, value double, props string")
+    sfdir = tempfile.mkdtemp(prefix="gini_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+
+    got = {r.event_type: r for r in events_gini(spark, sfdir).collect()}
+    assert set(got) == {"click", "view", "buy"}
+    c = got["click"]
+    assert (c.n_users, c.total_events) == (4, 8)
+    assert c.gini_e8 == 31_250_000 and c.gini == 0.3125
+    v = got["view"]
+    assert (v.n_users, v.total_events, v.gini_e8, v.gini) == (3, 6, 0, 0.0)
+    b = got["buy"]
+    assert (b.n_users, b.total_events) == (2, 3)
+    # 1/6 on the 1e-8 grid, HALF_UP: (2*1*1e8 + 6) div 12 = 16666667
+    assert b.gini_e8 == 16_666_667
+
+
+def test_assoc_rules_hand_computed(spark):
+    from npm_extraction_server_spark.operators.assoc import assoc_rules
+
+    baskets = spark.createDataFrame(
+        [("b1", "A"), ("b1", "B"), ("b1", "C"),
+         ("b2", "A"), ("b2", "B"),
+         ("b3", "A"), ("b3", "C"),
+         ("b4", "A"),
+         ("b5", "B"), ("b5", "D"),
+         ("b5", "D")],  # duplicate (basket, item) must not inflate
+        "basket string, item string")
+    got = {(r.antecedent, r.consequent): r
+           for r in assoc_rules(baskets, min_supp=2).collect()}
+    # D (support 1) pruned by A-priori; (B,C) pair support 1 pruned
+    assert set(got) == {("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")}
+    ab = got[("A", "B")]
+    assert (ab.n_baskets, ab.supp_a, ab.supp_c, ab.supp_both) == (5, 4, 3, 2)
+    # conf 2/4; lift 5*2/(4*3) = 10/12 -> HALF_UP 83333333
+    assert (ab.conf_e8, ab.lift_e8) == (50_000_000, 83_333_333)
+    assert ab.confidence == 0.5
+    ba = got[("B", "A")]
+    # conf 2/3 -> HALF_UP 66666667; lift symmetric
+    assert (ba.conf_e8, ba.lift_e8) == (66_666_667, 83_333_333)
+    ac, ca = got[("A", "C")], got[("C", "A")]
+    assert (ac.conf_e8, ac.lift_e8) == (50_000_000, 125_000_000)
+    assert (ca.conf_e8, ca.lift_e8) == (100_000_000, 125_000_000)
+    assert ca.lift == 1.25
+
+
 def test_graph_clustering_hand_computed(spark, tmp_path):
     import importlib
 
