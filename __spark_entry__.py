@@ -285,9 +285,11 @@ _PRIORITY: list[str] = [
     # q19_disjunctive_bands — SQL/TPC-H keeps g4 + the plan-asserted
     # q19 pytest; both hard-green in the refreshed FULL self-run)
     "g4_grouping_sets", "j13_interval_join",
-    # EWMA smoothing (final session; demoted graph_temporal_reach —
-    # FULL-green, and the graph family keeps 10+ head slots)
-    "ts_ewma",
+    # hourly-count autocorrelation on the exact 1e-8 grid with
+    # cross-engine-safe signed rounding (continuation session;
+    # demoted ts_ewma — FULL-green, its integer-weight Horner pinned
+    # by its own pytest; the ts family keeps this head slot)
+    "ts_autocorr",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
     # text / retrieval: text_textrank + text_gopher_rules (above)
     # sampling

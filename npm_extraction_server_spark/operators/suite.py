@@ -3546,6 +3546,72 @@ def events_gini(spark, sf):
         (gini_e8.cast("double") / F.lit(1e8)).alias("gini"))
 
 
+def ts_autocorr(spark, sf, max_lag: int = 24):
+    """Lag-1..max_lag autocorrelation (ACF) of the hourly event-count
+    series per event type, on the zero-filled global hour grid — the
+    periodicity diagnostic next to events_seasonality's factor table
+    and ts_ewma's smoother. Exact on the 1e-8 grid: with the full-
+    series mean S/n a rational, scale deviations by n so every term
+    is integer — r_k = sum((n*x_t - S)(n*x_{t+k} - S)) /
+    sum((n*x_t - S)^2) — then HALF_UP on |num| with the sign
+    re-applied OUTSIDE the division (the cross-engine trap this
+    family must dodge: Spark's `div` truncates toward zero, DuckDB's
+    `//` floors toward -inf, so negatives round differently unless
+    the quotient is kept nonnegative). Products in decimal(38,0):
+    |n*x - S| <= n*max_count, so den sums to < n^3*max_count^2 —
+    fine to ~1e5 hours x 1e9 events/hour. Lags with no overlapping
+    pair (k >= grid length) are omitted on both engines.
+
+    Scale shape: corpus-sized work is ONE (type, hour) groupBy; the
+    grid explode, the lead window, and the lag aggregation all run
+    on the dense grid (|hours| rows per type — bounded by the time
+    span, ~1e5 for a decade, never by event count). The per-type
+    lead window serializes a single type's grid — 1e5 rows, trivial."""
+    ev = _t(spark, sf, "events")
+    h = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+         / 3600).cast("bigint")
+    cnt = (ev.select(F.col("event_type").alias("et"), h.alias("h"))
+           .groupBy("et", "h").agg(F.count("*").alias("x")))
+    span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (span.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+            .crossJoin(F.broadcast(cnt.select("et").distinct())))
+    dense = (grid.join(cnt, ["et", "h"], "left")
+             .select("et", "h", F.coalesce("x", F.lit(0)).alias("x")))
+    tot = dense.groupBy("et").agg(F.count("*").alias("n"),
+                                  F.sum("x").alias("s"))
+    d = (dense.join(F.broadcast(tot), "et")
+         .select("et", "h", "n",
+                 (F.col("n") * F.col("x") - F.col("s")).alias("d")))
+    w = Window.partitionBy("et").orderBy("h")
+    led = d.select(
+        "et", "n", "d",
+        *[F.lead("d", k).over(w).alias(f"d{k}")
+          for k in range(1, max_lag + 1)])
+    a = led.groupBy("et").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0))"
+                     " * CAST(d AS DECIMAL(38,0))")).alias("den"),
+        *[F.sum(F.expr(f"CAST(d AS DECIMAL(38,0))"
+                       f" * CAST(d{k} AS DECIMAL(38,0))"))
+          .alias(f"num{k}") for k in range(1, max_lag + 1)])
+    lagged = a.select(
+        "et", "n", "den",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col(f"num{k}").alias("num"))
+            for k in range(1, max_lag + 1)])).alias("p"))
+    r_e8 = F.expr(
+        "CASE WHEN p.num < 0 THEN"
+        " -((2 * (-p.num) * 100000000 + den) div (2 * den))"
+        " ELSE (2 * p.num * 100000000 + den) div (2 * den) END")
+    return (lagged.filter(F.col("p.num").isNotNull()
+                          & (F.col("den") > 0))
+            .select(F.col("et").alias("event_type"),
+                    F.col("p.lag").alias("lag"),
+                    F.col("n").alias("n_hours"),
+                    r_e8.alias("r_e8"),
+                    (r_e8.cast("double") / F.lit(1e8)).alias("r")))
+
+
 def text_char_entropy(spark, sf):
     """Per-document character-bigram Shannon entropy — the
     information-theoretic quality axis (low entropy = repetitive /
@@ -3776,6 +3842,7 @@ SPARK_QUERIES = {
     "events_dau_wau": events_dau_wau,
     "events_survival": events_survival,
     "events_gini": events_gini,
+    "ts_autocorr": ts_autocorr,
     "ts_ewma": ts_ewma,
     "kg_rdfa_triples": kg_rdfa_triples,
     "events_rate_outliers": events_rate_outliers,
@@ -7501,6 +7568,59 @@ ORACLE_SQL = {
                d::BIGINT AS deaths, s::BIGINT AS surv_e8,
                s::DOUBLE / 100000000.0 AS survival
         FROM km
+    """,
+    "ts_autocorr": """
+        WITH base AS (
+            SELECT event_type AS et,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h
+            FROM events
+        ),
+        cnt AS (SELECT et, h, count(*) AS x FROM base GROUP BY 1, 2),
+        span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+        grid AS (
+            SELECT et, g.h
+            FROM (SELECT DISTINCT et FROM cnt),
+                 (SELECT unnest(generate_series(
+                      (SELECT h0 FROM span),
+                      (SELECT h1 FROM span))) AS h) g
+        ),
+        dense AS (
+            SELECT grid.et, grid.h, coalesce(cnt.x, 0) AS x
+            FROM grid LEFT JOIN cnt
+              ON cnt.et = grid.et AND cnt.h = grid.h
+        ),
+        tot AS (SELECT et, count(*) AS n, sum(x) AS s
+                FROM dense GROUP BY 1),
+        d AS (
+            SELECT dense.et, h, tot.n,
+                   (tot.n * dense.x - tot.s)::HUGEINT AS d
+            FROM dense JOIN tot ON tot.et = dense.et
+        ),
+        lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+        num AS (
+            SELECT a.et, lags.lag, sum(a.d * b.d) AS num
+            FROM d a
+            CROSS JOIN lags
+            JOIN d b ON b.et = a.et AND b.h = a.h + lags.lag
+            GROUP BY 1, 2
+        ),
+        den AS (SELECT et, max(n) AS n, sum(d * d) AS den
+                FROM d GROUP BY 1)
+        SELECT num.et AS event_type, num.lag::INT AS lag,
+               den.n::BIGINT AS n_hours,
+               (CASE WHEN num.num < 0 THEN
+                    -((2 * (-num.num) * 100000000 + den.den)
+                      // (2 * den.den))
+                ELSE (2 * num.num * 100000000 + den.den)
+                      // (2 * den.den) END)::BIGINT AS r_e8,
+               (CASE WHEN num.num < 0 THEN
+                    -((2 * (-num.num) * 100000000 + den.den)
+                      // (2 * den.den))
+                ELSE (2 * num.num * 100000000 + den.den)
+                      // (2 * den.den) END)::DOUBLE
+                   / 100000000.0 AS r
+        FROM num JOIN den ON den.et = num.et
+        WHERE den.den > 0
     """,
     "events_gini": """
         WITH cnt AS (

@@ -2419,6 +2419,43 @@ def test_events_gini_hand_computed(spark):
     assert b.gini_e8 == 16_666_667
 
 
+def test_ts_autocorr_hand_computed(spark):
+    import datetime as dt
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import ts_autocorr
+
+    base = dt.datetime(2023, 1, 1)
+    # type a: hourly counts [1, 2, 3] -> d = 3x-6 = [-3, 0, 3],
+    #   den 18; lag1 num = 0, lag2 num = -9 -> r = [0, -0.5]
+    # type b: counts [2, 0, 0] on the SAME global grid (zero-fill) ->
+    #   d = [4, -2, -2], den 24; lag1 num = -4 -> -1/6 (HALF_UP on
+    #   |num|, sign applied outside); lag2 num = -8 -> -1/3
+    counts = {("a", 0): 1, ("a", 1): 2, ("a", 2): 3, ("b", 0): 2}
+    rows = []
+    for (et, hh), k in sorted(counts.items()):
+        for _ in range(k):
+            rows.append((len(rows),
+                         base + dt.timedelta(hours=hh, minutes=9),
+                         f"u{len(rows)}", et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, "
+              "event_type string, value double, props string")
+    sfdir = tempfile.mkdtemp(prefix="acf_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+
+    got = {(r.event_type, r.lag): r
+           for r in ts_autocorr(spark, sfdir).collect()}
+    # grid length 3 -> only lags 1 and 2 have overlapping pairs
+    assert set(got) == {("a", 1), ("a", 2), ("b", 1), ("b", 2)}
+    assert all(r.n_hours == 3 for r in got.values())
+    assert (got[("a", 1)].r_e8, got[("a", 2)].r_e8) == (0, -50_000_000)
+    assert got[("a", 2)].r == -0.5
+    # -1/6 and -1/3: HALF_UP magnitudes 16666667 / 33333333
+    assert (got[("b", 1)].r_e8, got[("b", 2)].r_e8) == (-16_666_667,
+                                                        -33_333_333)
+
+
 def test_assoc_rules_hand_computed(spark):
     from npm_extraction_server_spark.operators.assoc import assoc_rules
 
