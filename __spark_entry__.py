@@ -355,7 +355,12 @@ _PRIORITY: list[str] = [
     # char-bigram entropy (final session; demoted text_dup_spans —
     # FULL-green, the ExactSubstr path also pinned by its own pytest)
     "text_char_entropy",
-    "sim_mmr_diverse", "events_changepoint",
+    "sim_mmr_diverse",
+    # RFM segment matrix with histogram-derived quantile thresholds
+    # (continuation session; demoted events_changepoint — FULL-green,
+    # its CUSUM semantics pinned by a dedicated pytest; events keeps
+    # 7 head slots)
+    "events_rfm",
     # Katz centrality (all-integer Horner — this session)
     "graph_katz",
     # web link graph / crawl: SALSA showcases the same links CTE

@@ -3546,6 +3546,68 @@ def events_gini(spark, sf):
         (gini_e8.cast("double") / F.lit(1e8)).alias("gini"))
 
 
+def events_rfm(spark, sf):
+    """Recency-Frequency segment matrix over users — the classic RFM
+    cut, made deterministic and shuffle-lean: per user, recency
+    r = hours from their LAST event to the corpus end and frequency
+    f = event count; each axis is binned into quintile scores 1..5
+    using VALUE thresholds t_q = min{v : 5*cum(<=v) >= q*n} derived
+    from the COUNT HISTOGRAM (the events_gini discipline), so users
+    tied on a value always share a score — no ntile() tie ambiguity,
+    no global sort, all comparisons integer (5*cum >= q*n instead of
+    fractional quantiles). f_score counts thresholds strictly
+    exceeded (higher = better); r_score mirrors it (lower recency =
+    better = 5). Output: the 25-cell segment matrix with user and
+    event mass per cell.
+
+    Scale shape: corpus-sized work is ONE user groupBy (the (r,f)
+    rollup); everything downstream — the 2-D histogram, both
+    marginals, the 4-threshold scans, scoring, and the <=25-row
+    matrix — runs on |distinct (r,f)| rows. The rollup feeds both the
+    threshold and scoring branches of one plan; AQE's ReusedExchange
+    dedups the underlying scan. The single-partition cumulative
+    windows are over the tiny marginal histograms only."""
+    ev = _t(spark, sf, "events")
+    h = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+         / 3600).cast("bigint")
+    pu = (ev.select("user_id", h.alias("h"))
+          .groupBy("user_id").agg(F.max("h").alias("last_h"),
+                                  F.count("*").alias("f")))
+    cut = pu.agg(F.max("last_h").alias("cut"))
+    hist2 = (pu.crossJoin(F.broadcast(cut))
+             .select((F.col("cut") - F.col("last_h")).alias("r"), "f")
+             .groupBy("r", "f").agg(F.count("*").alias("cnt")))
+    nb = hist2.agg(F.sum("cnt").alias("n"))
+    qs = spark.range(1, 5).select(F.col("id").alias("q"))
+
+    def thresholds(marginal, out):
+        wcum = (Window.orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0))
+        cum = marginal.select("v", F.sum("cnt").over(wcum).alias("cum"))
+        return (cum.crossJoin(F.broadcast(nb))
+                .crossJoin(F.broadcast(qs))
+                .filter(F.lit(5) * F.col("cum") >= F.col("q") * F.col("n"))
+                .groupBy("q").agg(F.min("v").alias("t"))
+                .groupBy().agg(F.collect_list(F.struct("q", "t"))
+                               .alias("ts"))
+                .select(F.expr(
+                    "transform(array_sort(ts), x -> x.t)").alias(out)))
+
+    fm = hist2.groupBy(F.col("f").alias("v")).agg(F.sum("cnt").alias("cnt"))
+    rm = hist2.groupBy(F.col("r").alias("v")).agg(F.sum("cnt").alias("cnt"))
+    tf, tr = thresholds(fm, "tf"), thresholds(rm, "tr")
+    scored = (hist2.crossJoin(F.broadcast(tf)).crossJoin(F.broadcast(tr))
+              .select(
+                  "cnt", (F.col("f") * F.col("cnt")).alias("fmass"),
+                  (F.lit(1) + F.expr(
+                      "size(filter(tf, t -> f > t))")).alias("f_score"),
+                  (F.lit(5) - F.expr(
+                      "size(filter(tr, t -> r > t))")).alias("r_score")))
+    return (scored.groupBy("r_score", "f_score")
+            .agg(F.sum("cnt").alias("n_users"),
+                 F.sum("fmass").alias("n_events")))
+
+
 def ts_autocorr(spark, sf, max_lag: int = 24):
     """Lag-1..max_lag autocorrelation (ACF) of the hourly event-count
     series per event type, on the zero-filled global hour grid — the
@@ -3842,6 +3904,7 @@ SPARK_QUERIES = {
     "events_dau_wau": events_dau_wau,
     "events_survival": events_survival,
     "events_gini": events_gini,
+    "events_rfm": events_rfm,
     "ts_autocorr": ts_autocorr,
     "ts_ewma": ts_ewma,
     "kg_rdfa_triples": kg_rdfa_triples,
@@ -7568,6 +7631,51 @@ ORACLE_SQL = {
                d::BIGINT AS deaths, s::BIGINT AS surv_e8,
                s::DOUBLE / 100000000.0 AS survival
         FROM km
+    """,
+    "events_rfm": """
+        WITH base AS (
+            SELECT user_id,
+                   epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h
+            FROM events
+        ),
+        pu AS (SELECT user_id, max(h) AS last_h, count(*) AS f
+               FROM base GROUP BY 1),
+        cut AS (SELECT max(last_h) AS cut FROM pu),
+        hist2 AS (
+            SELECT (cut - last_h) AS r, f, count(*) AS cnt
+            FROM pu CROSS JOIN cut GROUP BY 1, 2
+        ),
+        nb AS (SELECT sum(cnt) AS n FROM hist2),
+        fm AS (SELECT f AS v, sum(cnt) AS cnt FROM hist2 GROUP BY 1),
+        rm AS (SELECT r AS v, sum(cnt) AS cnt FROM hist2 GROUP BY 1),
+        qs AS (SELECT unnest(generate_series(1, 4)) AS q),
+        tfq AS (
+            SELECT q, min(v) AS t
+            FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum FROM fm)
+            CROSS JOIN nb CROSS JOIN qs
+            WHERE 5 * cum >= q * n GROUP BY q
+        ),
+        trq AS (
+            SELECT q, min(v) AS t
+            FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum FROM rm)
+            CROSS JOIN nb CROSS JOIN qs
+            WHERE 5 * cum >= q * n GROUP BY q
+        ),
+        scored AS (
+            SELECT (5 - (SELECT count(*) FROM trq
+                         WHERE hist2.r > trq.t))::INT AS r_score,
+                   (1 + (SELECT count(*) FROM tfq
+                         WHERE hist2.f > tfq.t))::INT AS f_score,
+                   cnt, f * cnt AS fmass
+            FROM hist2
+        )
+        SELECT r_score, f_score, sum(cnt)::BIGINT AS n_users,
+               sum(fmass)::BIGINT AS n_events
+        FROM scored GROUP BY 1, 2
     """,
     "ts_autocorr": """
         WITH base AS (

@@ -2419,6 +2419,41 @@ def test_events_gini_hand_computed(spark):
     assert b.gini_e8 == 16_666_667
 
 
+def test_events_rfm_hand_computed(spark):
+    import datetime as dt
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import events_rfm
+
+    base = dt.datetime(2024, 2, 1)
+    # (user, event hours): cut = 3
+    # u1 [0,1,2] -> r=1 f=3 | u2 [2,2] -> r=1 f=2 | u3 [0] -> r=3 f=1
+    # u4 [1,3] -> r=0 f=2   | u5 [3]   -> r=0 f=1
+    # f thresholds (n=5, 5*cum>=q*n): [1,1,2,2] -> f 1/2/3 -> 1/3/5
+    # r thresholds: [0,0,1,1] -> r 0/1/3 -> 5/3/1
+    hours = {"u1": [0, 1, 2], "u2": [2, 2], "u3": [0],
+             "u4": [1, 3], "u5": [3]}
+    rows = []
+    for u, hs in sorted(hours.items()):
+        for hh in hs:
+            rows.append((len(rows),
+                         base + dt.timedelta(hours=hh, minutes=11),
+                         u, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, "
+              "event_type string, value double, props string")
+    sfdir = tempfile.mkdtemp(prefix="rfm_sf_")
+    df.write.parquet(f"{sfdir}/events.parquet")
+
+    got = {(r.r_score, r.f_score): (r.n_users, r.n_events)
+           for r in events_rfm(spark, sfdir).collect()}
+    assert got == {(3, 5): (1, 3),   # u1
+                   (3, 3): (1, 2),   # u2
+                   (1, 1): (1, 1),   # u3
+                   (5, 3): (1, 2),   # u4
+                   (5, 1): (1, 1)}   # u5
+
+
 def test_ts_autocorr_hand_computed(spark):
     import datetime as dt
     import tempfile
