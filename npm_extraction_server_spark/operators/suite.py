@@ -3560,23 +3560,28 @@ def events_rfm(spark, sf):
     better = 5). Output: the 25-cell segment matrix with user and
     event mass per cell.
 
-    Scale shape: corpus-sized work is ONE user groupBy (the (r,f)
-    rollup); everything downstream — the 2-D histogram, both
-    marginals, the 4-threshold scans, scoring, and the <=25-row
-    matrix — runs on |distinct (r,f)| rows. The rollup feeds both the
-    threshold and scoring branches of one plan; AQE's ReusedExchange
-    dedups the underlying scan. The single-partition cumulative
+    Scale shape: the corpus is read exactly TWICE — a column-pruned
+    max scan for the corpus-end hour (no shuffle beyond a 1-row
+    partial-max merge) and ONE user groupBy for the (r,f) rollup; the
+    2-D histogram is then eagerly localCheckpoint-ed (the
+    kg_entity_linking precedent) because it feeds FOUR downstream
+    branches (both marginals, the basket count, scoring) — without
+    the checkpoint Catalyst replans the rollup per branch (measured:
+    10 FileScans, 0 ReusedExchange). Everything past the checkpoint
+    — marginals, the 4-threshold scans, scoring, the <=25-row matrix
+    — runs on |distinct (r,f)| rows; the single-partition cumulative
     windows are over the tiny marginal histograms only."""
     ev = _t(spark, sf, "events")
     h = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
          / 3600).cast("bigint")
+    cut = ev.select(h.alias("h")).agg(F.max("h").alias("cut"))
     pu = (ev.select("user_id", h.alias("h"))
           .groupBy("user_id").agg(F.max("h").alias("last_h"),
                                   F.count("*").alias("f")))
-    cut = pu.agg(F.max("last_h").alias("cut"))
     hist2 = (pu.crossJoin(F.broadcast(cut))
              .select((F.col("cut") - F.col("last_h")).alias("r"), "f")
-             .groupBy("r", "f").agg(F.count("*").alias("cnt")))
+             .groupBy("r", "f").agg(F.count("*").alias("cnt"))
+             .localCheckpoint(eager=True))
     nb = hist2.agg(F.sum("cnt").alias("n"))
     qs = spark.range(1, 5).select(F.col("id").alias("q"))
 

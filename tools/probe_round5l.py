@@ -24,15 +24,18 @@ def main() -> None:
 
     spark = get_spark(app="probe_round5l")
 
-    # --- assoc_rules: 20M rows, 4M baskets, ~5 items each ----------
-    # 30% of rows draw from a 1,000-item head, the rest from a
-    # 100,003-item tail -> the A-priori prune kills most of the tail
+    # --- assoc_rules: 20M rows, 4M baskets, 5 items each ----------
+    # two CORRELATED head items per basket (31-item head -> each head
+    # pair co-occurs in ~4M/961 = 4k baskets, far past min_supp) plus
+    # three ~unique tail items from a 100,003-item space that the
+    # A-priori prune must kill before pair generation
     nr = 20_000_000
+    b = F.col("id") % 4_000_000
+    j = (F.col("id") / F.lit(4_000_000)).cast("bigint")
     rows = spark.range(nr).select(
-        (F.col("id") % 4_000_000).alias("basket"),
-        F.when((F.col("id") * 7919) % 10 < 3,
-               F.concat(F.lit("h"), ((F.col("id") * 104729) % 1000)
-                        .cast("string")))
+        b.alias("basket"),
+        F.when(j == 0, F.concat(F.lit("h"), (b % 31).cast("string")))
+        .when(j == 1, F.concat(F.lit("h"), ((b * 7) % 31).cast("string")))
         .otherwise(F.concat(F.lit("t"), ((F.col("id") * 15485863)
                                          % 100_003).cast("string")))
         .alias("item"))
@@ -40,7 +43,7 @@ def main() -> None:
     got = assoc_rules(rows, min_supp=1000)
     n = got.count()
     dt = time.time() - t0
-    print(f"assoc_rules 20M rows / 4M baskets / 101k items "
+    print(f"assoc_rules 20M rows / 4M baskets / 100k+31 items "
           f"(min_supp=1000): {dt:.1f}s  rules={n:,}")
 
     # --- ts_autocorr: 50M events on an 8,760-hour grid -------------
@@ -66,6 +69,13 @@ def main() -> None:
     dt = time.time() - t0
     print(f"ts_autocorr 50M events / 8,760-hour grid x 24 lags: "
           f"{dt:.1f}s  rows={n:,}")
+
+    from npm_extraction_server_spark.operators.suite import events_rfm
+
+    t0 = time.time()
+    n = events_rfm(spark, sfdir).count()
+    dt = time.time() - t0
+    print(f"events_rfm 50M events / 100k users: {dt:.1f}s  cells={n:,}")
 
 
 if __name__ == "__main__":
