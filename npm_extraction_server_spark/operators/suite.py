@@ -3455,10 +3455,17 @@ def events_survival(spark, sf, conversion: str = "purchase",
                    .otherwise(F.col("cut") - F.col("first_h"))
                    .alias("t"),
                    F.when(dead, 1).otherwise(0).alias("is_death")))
+    # the exit grid is tiny (per-(cohort, death/censor time)) and
+    # feeds BOTH the totals and the risk-set window; eagerly
+    # localCheckpoint it and derive per-cohort totals from it (every
+    # observation exits exactly once) so the corpus-sized user rollup
+    # runs exactly once — without this Catalyst replans the heavy
+    # window+groupBy per branch (the events_rfm lesson; audited:
+    # 4 FileScans before, 0 downstream after)
     ex = obs.groupBy("cohort", "t").agg(
         F.count("*").alias("exits"),
-        F.sum("is_death").alias("d"))
-    tot = obs.groupBy("cohort").agg(F.count("*").alias("tot"))
+        F.sum("is_death").alias("d")).localCheckpoint(eager=True)
+    tot = ex.groupBy("cohort").agg(F.sum("exits").alias("tot"))
     wc = (Window.partitionBy("cohort").orderBy("t")
           .rowsBetween(Window.unboundedPreceding, -1))
     risk = (ex.join(tot, "cohort")
@@ -3629,16 +3636,20 @@ def ts_autocorr(spark, sf, max_lag: int = 24):
     fine to ~1e5 hours x 1e9 events/hour. Lags with no overlapping
     pair (k >= grid length) are omitted on both engines.
 
-    Scale shape: corpus-sized work is ONE (type, hour) groupBy; the
-    grid explode, the lead window, and the lag aggregation all run
-    on the dense grid (|hours| rows per type — bounded by the time
-    span, ~1e5 for a decade, never by event count). The per-type
+    Scale shape: corpus-sized work is ONE (type, hour) groupBy whose
+    result is eagerly localCheckpoint-ed — it feeds the span, the
+    type list, and the grid join, and without the checkpoint Catalyst
+    replans the corpus scan per branch (measured: 6 FileScans; with:
+    1). The grid explode, the lead window, and the lag aggregation
+    all run on the dense grid (|hours| rows per type — bounded by the
+    time span, ~1e5 for a decade, never by event count). The per-type
     lead window serializes a single type's grid — 1e5 rows, trivial."""
     ev = _t(spark, sf, "events")
     h = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
          / 3600).cast("bigint")
     cnt = (ev.select(F.col("event_type").alias("et"), h.alias("h"))
-           .groupBy("et", "h").agg(F.count("*").alias("x")))
+           .groupBy("et", "h").agg(F.count("*").alias("x"))
+           .localCheckpoint(eager=True))
     span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (span.select(F.explode(F.sequence("h0", "h1")).alias("h"))
             .crossJoin(F.broadcast(cnt.select("et").distinct())))
