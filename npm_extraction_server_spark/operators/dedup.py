@@ -94,8 +94,17 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3, threshold: float = 0.5
 
     shingle-join candidate generation + |A∩B| / (|A|+|B|-|A∩B|).
     ``max_shingle_freq`` drops stop-shingles that would otherwise
-    produce quadratic hot buckets (skew control at scale)."""
-    sh = word_shingles(documents, k, text_col)
+    produce quadratic hot buckets (skew control at scale).
+
+    The shingle table feeds FOUR branches (stop-shingle frequencies,
+    the anti-join, sizes, and both join sides), so it is eagerly
+    localCheckpoint-ed — without it Catalyst replans the text scan +
+    shingle explode per branch (audited: 8 FileScans of the heavy
+    text column; with: 1). Trade documented: this materializes the
+    exploded shingles (~k x text bytes) to executor-local disk; at
+    cluster scale prefer the MinHash path (signatures are
+    fixed-width) when that footprint exceeds local storage."""
+    sh = word_shingles(documents, k, text_col).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     # broadcast the SMALL side: the stop-shingles (df > cap) are a
     # bounded set at any corpus size, while the kept shingles grow with

@@ -135,11 +135,14 @@ def kmv_set_ops(df: DataFrame, group_col: str, value_col: str,
 
     Scale shape: the heavy distributed work is the per-group sketch
     build (one shuffle of DISTINCT (group, hash) rows, then a k-row
-    window per group — exactly kmv_distinct's plan); everything
-    pairwise runs on the G·k sketch rows, independent of table size —
-    the whole reason sketch algebra exists at 100 TB. Deterministic
-    md5 hashing keeps the estimates themselves cross-engine
-    verifiable (same philosophy as kmv_distinct/hll_distinct).
+    window per group — exactly kmv_distinct's plan), run EXACTLY ONCE:
+    the G·k sketch is eagerly localCheckpoint-ed because it feeds the
+    group list and both pair sides (audited: 6 FileScans without the
+    checkpoint, 0 downstream with). Everything pairwise runs on the
+    G·k sketch rows, independent of table size — the whole reason
+    sketch algebra exists at 100 TB. Deterministic md5 hashing keeps
+    the estimates themselves cross-engine verifiable (same philosophy
+    as kmv_distinct/hll_distinct).
 
     Returns (ga, gb, n_kept, k_cap, union_est, jaccard, inter_est).
     """
@@ -150,7 +153,8 @@ def kmv_set_ops(df: DataFrame, group_col: str, value_col: str,
     )
     w = Window.partitionBy("grp").orderBy("h")
     sk = (rows.withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= k).drop("rn"))
+          .filter(F.col("rn") <= k).drop("rn")
+          .localCheckpoint(eager=True))
     groups = sk.select("grp").distinct()
     pairs = (groups.alias("x").join(groups.alias("y"),
                                     F.col("x.grp") < F.col("y.grp"))

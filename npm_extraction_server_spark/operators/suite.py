@@ -1375,8 +1375,11 @@ def ts_ewma(spark, sf, alpha: float = 0.3, window: int = 24):
     ev = _t(spark, sf, "events")
     hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
           / 3600).cast("bigint")
+    # the (type, hour) count feeds span/types/grid — checkpoint it so
+    # the corpus scan runs once (the plan-diamond sweep; audited)
     cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
-           .groupBy("et", "h").agg(F.count("*").alias("n")))
+           .groupBy("et", "h").agg(F.count("*").alias("n"))
+           .localCheckpoint(eager=True))
     span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (cnt.select("et").distinct()
             .crossJoin(F.broadcast(span))
@@ -1640,7 +1643,10 @@ def events_rate_outliers(spark, sf):
     sqrt and every comparison is between identically-derived doubles
     (hard oracle: same grid, same integer sums, same correctly-
     rounded divisions in DuckDB). One count aggregate + a tiny
-    type x hours grid; corpus-sized work is one scan."""
+    type x hours grid; corpus-sized work is one scan — the count is
+    eagerly localCheckpoint-ed since it feeds span/types/grid and the
+    stats/test fork (audited: 6 FileScans without, 0 downstream
+    with)."""
     ev = _t(spark, sf, "events")
     # date_trunc first: unix_timestamp truncates sub-second fractions
     # while DuckDB's epoch() rounds them — the hour boundary must be
@@ -1648,7 +1654,8 @@ def events_rate_outliers(spark, sf):
     hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
           / 3600).cast("bigint")
     cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
-           .groupBy("et", "h").agg(F.count("*").alias("n")))
+           .groupBy("et", "h").agg(F.count("*").alias("n"))
+           .localCheckpoint(eager=True))
     span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (cnt.select("et").distinct()
             .crossJoin(F.broadcast(span))
@@ -3175,8 +3182,11 @@ def events_changepoint(spark, sf):
     ev = _t(spark, sf, "events")
     hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
           / 3600).cast("bigint")
+    # the (type, hour) count feeds span/types/grid — checkpoint it so
+    # the corpus scan runs once (the plan-diamond sweep; audited)
     cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
-           .groupBy("et", "h").agg(F.count("*").alias("n")))
+           .groupBy("et", "h").agg(F.count("*").alias("n"))
+           .localCheckpoint(eager=True))
     span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (cnt.select("et").distinct()
             .crossJoin(F.broadcast(span))
@@ -3226,13 +3236,18 @@ def events_seasonality(spark, sf):
     hour-of-day) as ONE correctly-rounded division on the 6-dp
     decimal grid, residuals thereafter EXACT decimals, and the
     threshold resid^2 > 4*var(resid) compared sqrt-free like
-    rate_outliers. Corpus-sized work is one (type, hour) count; the
-    seasonal/stat tables are type x 24 and type x 1."""
+    rate_outliers. Corpus-sized work is one (type, hour) count,
+    eagerly localCheckpoint-ed: it feeds span/types/grid and the
+    residual chain forks twice more, and without the checkpoint
+    Catalyst replans the corpus scan per branch (audited: 12
+    FileScans; with: 0 downstream). The seasonal/stat tables are
+    type x 24 and type x 1."""
     ev = _t(spark, sf, "events")
     hr = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
           / 3600).cast("bigint")
     cnt = (ev.select(F.col("event_type").alias("et"), hr.alias("h"))
-           .groupBy("et", "h").agg(F.count("*").alias("n")))
+           .groupBy("et", "h").agg(F.count("*").alias("n"))
+           .localCheckpoint(eager=True))
     span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (cnt.select("et").distinct()
             .crossJoin(F.broadcast(span))
