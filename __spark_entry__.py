@@ -346,7 +346,12 @@ _PRIORITY: list[str] = [
     # kg_bgp_version_meta (BGP keeps dep_chain/bind/path_ops/values/
     # exists/quads_meta/subquery/char_sets) — all five hard-green in
     # the committed CORRECTNESS_FULL_r05.json self-run.
-    "text_zipf_fit", "text_heaps_curve",
+    # batch-17 (second continuation session): the mojibake/encoding-
+    # noise detector and RAKE keyword extraction — demoted
+    # text_zipf_fit / text_heaps_curve (both hard-green in the
+    # committed CORRECTNESS_FULL_r05.json self-runs at both sfs;
+    # text_good_turing keeps the corpus-health axis in the head)
+    "text_mojibake", "text_rake",
     # dependency-basket association rules (continuation session;
     # demoted text_kn_bigram — hard-green in the refreshed FULL
     # self-runs, and the text family keeps 8+ head slots incl.

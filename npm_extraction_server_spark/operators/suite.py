@@ -3779,6 +3779,45 @@ def text_langid_eval(spark, sf):
         .alias("precision_share"))
 
 
+def text_mojibake(spark, sf):
+    """Encoding-noise detection over an adversarially corrupted copy of
+    the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
+    UTF-8-as-Latin-1 'e-acute' pair, %11==0 get trailing replacement
+    characters plus a BEL control byte, %13==0 get mojibake right
+    quotes — then operators/text.encoding_noise must flag exactly
+    those and count every artifact. Detection is pure length-diff /
+    translate string algebra (no regex), so the DuckDB twin carries
+    the identical expressions built from the same signature table
+    (hard oracle, counts + the HALF_UP ppm density bit-for-bit)."""
+    from .text import MOJIBAKE_SIGNATURES, encoding_noise
+
+    docs = _t(spark, sf, "documents")
+    sig_e = MOJIBAKE_SIGNATURES[0]      # e-acute pair
+    sig_q = MOJIBAKE_SIGNATURES[5]      # right-quote triple
+    d = F.col("doc_id")
+    t1 = F.when(d % 7 == 0,
+                F.replace(F.col("text"), F.lit("e"), F.lit(sig_e))) \
+        .otherwise(F.col("text"))
+    t2 = F.when(d % 11 == 0,
+                F.concat(t1,
+                         F.repeat(F.lit("\ufffd"), (1 + d % 3).cast("int")),
+                         F.lit("\u0007"))).otherwise(t1)
+    t3 = F.when(d % 13 == 0,
+                F.replace(t2, F.lit("s"), F.lit(sig_q))).otherwise(t2)
+    return encoding_noise(docs.select("doc_id", t3.alias("text")))
+
+
+def text_rake(spark, sf):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    top-50 candidate phrases by summed word deg/freq scores on the
+    1e-8 integer grid (operators/text.rake_keywords). Hard oracle:
+    DuckDB replays the sentinel phrase split and the identical
+    HALF_UP integer arithmetic."""
+    from .text import rake_keywords
+
+    return rake_keywords(_t(spark, sf, "documents"))
+
+
 SPARK_QUERIES = {
     "sc1_scan_filter": sc1_scan_filter,
     "sc2_point_lookup": sc2_point_lookup,
@@ -3851,6 +3890,8 @@ SPARK_QUERIES = {
     "text_langid_eval": text_langid_eval,
     "text_good_turing": text_good_turing,
     "text_char_entropy": text_char_entropy,
+    "text_mojibake": text_mojibake,
+    "text_rake": text_rake,
     "text_fingerprint": text_fingerprint,
     "text_textrank": text_textrank,
     "text_pii_scrub": text_pii_scrub,
@@ -5430,7 +5471,124 @@ def _mmr_sql(k: int = 4, pool: int = 12, lam: float = 0.7,
     return "".join(parts)
 
 
+
+def _mojibake_sql() -> str:
+    """The text_mojibake oracle: the identical corruption chain and
+    length-diff/translate detector, with every mojibake signature
+    emitted as chr() concatenations so no raw C1 bytes live in this
+    source file. HALF_UP ppm on the 1e6 grid via // (positive, so
+    DuckDB floor == Spark truncation)."""
+    from .text import CTRL_CHARS, MOJIBAKE_SIGNATURES
+
+    def lit(s: str) -> str:
+        return " || ".join(f"chr({ord(c)})" for c in s)
+
+    moji_terms = " + ".join(
+        f"(length(text) - length(replace(text, {lit(sig)}, ''))) // {len(sig)}"
+        for sig in MOJIBAKE_SIGNATURES)
+    ctrl = lit(CTRL_CHARS)
+    sig_e = lit(MOJIBAKE_SIGNATURES[0])
+    sig_q = lit(MOJIBAKE_SIGNATURES[5])
+    return f"""
+    WITH c1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN replace(text, 'e', {sig_e}) ELSE text END AS t1
+        FROM documents
+    ),
+    c2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN t1 || repeat(chr(65533), (1 + doc_id % 3)::INT)
+                            || chr(7)
+                    ELSE t1 END AS t2
+        FROM c1
+    ),
+    c AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                    THEN replace(t2, 's', {sig_q}) ELSE t2 END AS text
+        FROM c2
+    ),
+    det AS (
+        SELECT doc_id, length(text) AS ln,
+               {moji_terms} AS n_moji,
+               length(text) - length(replace(text, chr(65533), ''))
+                   AS n_repl,
+               length(text) - length(translate(text, {ctrl}, ''))
+                   AS n_ctrl
+        FROM c
+    )
+    SELECT doc_id, n_moji::BIGINT AS n_moji, n_repl::BIGINT AS n_repl,
+           n_ctrl::BIGINT AS n_ctrl,
+           CASE WHEN ln > 0
+                THEN ((2 * (n_moji + n_repl + n_ctrl) * 1000000 + ln)
+                      // (2 * ln))::BIGINT
+                ELSE 0 END AS noise_ppm,
+           (n_moji + n_repl + n_ctrl) > 0 AS flag
+    FROM det"""
+
+
+def _rake_sql() -> str:
+    """The text_rake oracle: sentinel phrase split + HALF_UP integer
+    deg/freq word scores, replayed verbatim (stopword list inlined
+    from the operator's RAKE_STOPWORDS)."""
+    from .text import RAKE_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+        FROM documents
+    ),
+    marked AS (
+        SELECT list_transform(
+                   l, t -> CASE WHEN t IN ({stops})
+                                THEN '|' ELSE t END) AS m
+        FROM toks
+    ),
+    ph0 AS (
+        SELECT trim(p) AS phrase
+        FROM (SELECT unnest(string_split(array_to_string(m, ' '), '|'))
+                     AS p
+              FROM marked)
+        WHERE trim(p) <> ''
+    ),
+    ph AS (
+        SELECT phrase, len(string_split(phrase, ' ')) AS plen
+        FROM ph0 WHERE len(string_split(phrase, ' ')) <= 4
+    ),
+    w AS (
+        SELECT unnest(string_split(phrase, ' ')) AS word, plen FROM ph
+    ),
+    ws AS (
+        SELECT word,
+               (2 * sum(plen) * 100000000 + count(*))
+                   // (2 * count(*)) AS w_e8
+        FROM w GROUP BY word
+    ),
+    pc AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase),
+    pw AS (
+        SELECT phrase, n_occ,
+               unnest(string_split(phrase, ' ')) AS word
+        FROM pc
+    ),
+    psc AS (
+        SELECT phrase, n_occ, sum(w_e8) AS score_e8,
+               count(*) AS n_words
+        FROM pw JOIN ws USING (word) GROUP BY 1, 2
+    )
+    SELECT phrase, n_words::BIGINT AS n_words, n_occ::BIGINT AS n_occ,
+           score_e8::BIGINT AS score_e8,
+           score_e8::BIGINT::DOUBLE / 1e8 AS score
+    FROM psc
+    ORDER BY score_e8 DESC, n_occ DESC, phrase
+    LIMIT 50"""
+
+
 ORACLE_SQL = {
+    "text_mojibake": _mojibake_sql(),
+    "text_rake": _rake_sql(),
     "sc1_scan_filter": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE source <> 'src0' AND n_chars > 200

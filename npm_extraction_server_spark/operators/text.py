@@ -1389,3 +1389,152 @@ def kn_bigram_lm(documents: DataFrame, text_col: str = "text",
                      p_kn.alias("p_kn"))
             .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
             .limit(top))
+
+
+# Classic UTF-8-decoded-as-Latin-1 byte sequences plus the Unicode
+# replacement character: the signatures ftfy-style fixers key on.
+# Kept as plain literals (counted via length-difference, no regex) so
+# the DuckDB oracle can carry the identical expressions. The C1
+# continuation characters are written as escapes (they are real
+# codepoints U+0080-U+009F in the signature strings).
+MOJIBAKE_SIGNATURES = [
+    "\u00c3\u00a9",        # 'e-acute' double-decoded
+    "\u00c3\u00a8",        # 'e-grave'
+    "\u00c3\u00a4",        # 'a-umlaut'
+    "\u00c3\u00bc",        # 'u-umlaut'
+    "\u00c3\u00b1",        # 'n-tilde'
+    "\u00e2\u0080\u0099",  # right single quote double-decoded
+    "\u00e2\u0080\u009c",  # left double quote double-decoded
+    "\u00c2\u00a0",        # NBSP double-decoded
+]
+
+# Control characters the detector counts (outside \t \n \r): the C0
+# set a binary-in-text accident leaves behind.
+CTRL_CHARS = "".join(chr(c) for c in range(1, 32) if chr(c) not in "\t\n\r")
+
+
+def encoding_noise(documents: DataFrame, text_col: str = "text",
+                   signatures: list[str] | None = None,
+                   ctrl_chars: str | None = None,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Encoding-noise / mojibake detector — the crawl-QA gate that
+    catches double-decoded UTF-8, replacement characters, and stray
+    control bytes before they poison a training corpus.
+
+    Every signature count is a substring-occurrence computed by the
+    length difference ``(len(s) - len(replace(s, sig, ''))) / len(sig)``
+    and control chars by a ``translate`` delete — pure whole-stage-
+    codegen string ops, ZERO regex, so the detector is portable
+    verbatim to any SQL engine and immune to regex-dialect drift.
+    Noise density is reported per 10^6 characters on the exact
+    integer grid via HALF_UP ``(2*noise*10^6 + len) div (2*len)``
+    (the events_gini discipline).
+
+    Columns: n_moji (sum over the signature table), n_repl (U+FFFD
+    count), n_ctrl (C0 controls outside whitespace), noise_ppm, flag.
+    Scale shape: ONE projection over the corpus — no shuffle, no UDF;
+    the signature table is a compile-time constant folded into the
+    plan.
+    """
+    sigs = MOJIBAKE_SIGNATURES if signatures is None else signatures
+    ctrl = CTRL_CHARS if ctrl_chars is None else ctrl_chars
+    text = F.col(text_col)
+
+    def occ(sig: str) -> Column:
+        return ((F.length(text)
+                 - F.length(F.replace(text, F.lit(sig), F.lit(""))))
+                / F.lit(len(sig))).cast("long")
+
+    n_moji = sum((occ(s) for s in sigs), F.lit(0).cast("long"))
+    n_repl = occ("\ufffd")
+    n_ctrl = (F.length(text)
+              - F.length(F.translate(text, ctrl, ""))).cast("long")
+    base = documents.select(
+        id_col, F.length(text).cast("long").alias("ln"),
+        n_moji.alias("n_moji"), n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"),
+        (n_moji + n_repl + n_ctrl).alias("t"))
+    ppm = F.when(F.col("ln") > 0, F.expr(
+        "(2 * CAST(t AS DECIMAL(38,0)) * 1000000"
+        " + CAST(ln AS DECIMAL(38,0)))"
+        " div (2 * CAST(ln AS DECIMAL(38,0)))").cast("long")) \
+        .otherwise(F.lit(0).cast("long"))
+    return base.select(
+        id_col, "n_moji", "n_repl", "n_ctrl",
+        ppm.alias("noise_ppm"),
+        (F.col("t") > 0).alias("flag"))
+
+
+RAKE_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "that",
+                  "for", "with", "on"]
+
+
+def rake_keywords(documents: DataFrame, text_col: str = "text",
+                  stopwords: list[str] | None = None,
+                  max_phrase_len: int = 4, top: int = 50) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; a word's
+    score is deg(w)/freq(w) where freq counts its phrase occurrences
+    and deg sums the lengths of the phrases containing it; a phrase
+    scores the sum of its member words' scores. The degree/frequency
+    formulation needs no graph iteration — the statistical complement
+    to textrank_keywords.
+
+    Exactness: word scores live on the 1e-8 integer grid via HALF_UP
+    ``(2*deg*10^8 + freq) div (2*freq)``; phrase scores are exact
+    integer sums of those — no doubles before the final display
+    division, so the DuckDB twin is bit-identical.
+
+    Phrase splitting never leaves Catalyst and never shuffles the
+    token stream: stopwords map to a ``|`` sentinel INSIDE the token
+    array, the array is re-joined and split on the sentinel — one
+    whole-stage projection (contrast the classic posexplode+cumsum
+    formulation, which exchanges the corpus-sized token stream by
+    doc).
+
+    Scale shape: ONE corpus-sized explode of phrases; the phrase
+    frame is lazily localCheckpoint-ed because it feeds both the
+    word-statistics branch and the phrase-count branch (the plan-
+    diamond rule — without it Catalyst replays the documents scan
+    per branch). Word stats are vocabulary-sized, distinct phrases
+    bounded by vocabulary^(phrase length) in theory and corpus size
+    in fact, and the final page is a TakeOrderedAndProject
+    top-``top`` — never a global sort.
+    """
+    stops = RAKE_STOPWORDS if stopwords is None else stopwords
+    toks = _tokens(F.lower(F.col(text_col)))
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    marked = F.transform(
+        toks, lambda t: F.when(F.array_contains(stop_arr, t), F.lit("|"))
+        .otherwise(t))
+    raw = F.split(F.array_join(marked, " "), r"\|")
+    phrases = F.filter(F.transform(raw, lambda p: F.trim(p)),
+                       lambda p: p != F.lit(""))
+    ph = (documents
+          .select(F.explode(phrases).alias("phrase"))
+          .withColumn("plen", F.size(F.split("phrase", " ")))
+          .filter(F.col("plen") <= max_phrase_len)
+          .localCheckpoint(eager=False))
+
+    words = ph.select(F.explode(F.split("phrase", " ")).alias("word"),
+                      "plen")
+    ws = words.groupBy("word").agg(
+        F.sum("plen").alias("deg"), F.count("*").alias("freq"))
+    score_e8 = F.expr(
+        "(2 * CAST(deg AS DECIMAL(38,0)) * 100000000"
+        " + CAST(freq AS DECIMAL(38,0)))"
+        " div (2 * CAST(freq AS DECIMAL(38,0)))")
+    ws = ws.select("word", score_e8.cast("long").alias("w_e8"))
+
+    pc = ph.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    pw = pc.select("phrase", "n_occ",
+                   F.explode(F.split("phrase", " ")).alias("word"))
+    psc = (pw.join(ws, "word")
+           .groupBy("phrase", "n_occ")
+           .agg(F.sum("w_e8").alias("score_e8"),
+                F.count("*").alias("n_words")))
+    return (psc.select("phrase", "n_words", "n_occ", "score_e8",
+                       (F.col("score_e8").cast("double") / F.lit(1e8))
+                       .alias("score"))
+            .orderBy(F.desc("score_e8"), F.desc("n_occ"), F.asc("phrase"))
+            .limit(top))

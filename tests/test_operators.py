@@ -2544,3 +2544,64 @@ def test_graph_clustering_hand_computed(spark, tmp_path):
            for t in suite.graph_triangles(spark, sf).collect()}
     for r in rows:
         assert r.n_triangles == tri.get(r.node_id, 0)
+
+
+def test_encoding_noise_hand_computed(spark):
+    from npm_extraction_server_spark.operators.text import encoding_noise
+
+    moji = "caf\u00c3\u00a9 menu \u00e2\u0080\u009chi\u00e2\u0080\u0099 \ufffd"
+    ctrl = "a\u0007b\u0001c\td"  # tab is whitespace, not counted
+    docs = spark.createDataFrame(
+        [(0, "perfectly clean ascii text"), (1, moji), (2, ctrl), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding_noise(docs).collect()}
+
+    assert (got[0].n_moji, got[0].n_repl, got[0].n_ctrl,
+            got[0].noise_ppm, got[0].flag) == (0, 0, 0, 0, False)
+    # moji doc: one e-acute pair, one left-quote, one right-quote,
+    # one replacement char; length counted in codepoints
+    r1 = got[1]
+    assert (r1.n_moji, r1.n_repl, r1.n_ctrl) == (3, 1, 0)
+    n = len(moji)
+    assert r1.noise_ppm == (2 * 4 * 1000000 + n) // (2 * n)
+    assert r1.flag
+    r2 = got[2]
+    assert (r2.n_moji, r2.n_repl, r2.n_ctrl) == (0, 0, 2)
+    assert got[3].noise_ppm == 0 and not got[3].flag
+
+
+def test_rake_keywords_hand_computed(spark):
+    from npm_extraction_server_spark.operators.text import rake_keywords
+
+    # doc 0: phrases [quick brown fox runs], [river], [hides]
+    # doc 1: [quick brown fox] (then "the the" double stopword),
+    #        a 5-word run dropped by max_phrase_len
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox runs to the river and hides"),
+         (1, "a quick brown fox the the alpha beta gamma delta eps"),
+         (2, "")],
+        "doc_id long, text string")
+    rows = rake_keywords(docs, top=10).collect()
+    by_phrase = {r.phrase: r for r in rows}
+
+    # word stats: quick/brown/fox freq 2, deg 4+3=7 -> 3.5
+    #             runs freq 1 deg 4 -> 4.0
+    # phrase [quick brown fox runs] = 3*3.5 + 4 = 14.5
+    top = rows[0]
+    assert top.phrase == "quick brown fox runs"
+    assert top.score_e8 == 3 * 350000000 + 400000000
+    assert by_phrase["quick brown fox"].score_e8 == 3 * 350000000
+    assert by_phrase["quick brown fox"].n_occ == 1
+    # single-word phrases score deg/freq = 1
+    assert by_phrase["river"].score_e8 == 100000000
+    # the 5-word run was dropped
+    assert "alpha beta gamma delta eps" not in by_phrase
+    # HALF_UP rounding path: word in one 2-phrase and one 3-phrase
+    # (deg 5, freq 2 -> 2.5 exactly) exercised via a fresh corpus
+    docs2 = spark.createDataFrame(
+        [(0, "red car"), (1, "red car tyre the red")],
+        "doc_id long, text string")
+    rows2 = {r.phrase: r for r in rake_keywords(docs2).collect()}
+    # red: deg 2+3+1=6, freq 3 -> 2.0; car: deg 5, freq 2 -> 2.5
+    assert rows2["red car"].score_e8 == 200000000 + 250000000
+    assert rows2["red"].score_e8 == 200000000
