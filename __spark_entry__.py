@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_pagerank": _web_host_pagerank,
         "web_hits": _web_hits,
         "web_salsa": _web_salsa,
+        "web_trustrank": _web_trustrank,
+        "web_redirects": _web_redirects,
         "web_anchor_text": _web_anchor_text,
         "web_crawl_schedule": _web_crawl_schedule,
         "web_sitemap_frontier": _web_sitemap_frontier,
@@ -234,10 +236,16 @@ _PRIORITY: list[str] = [
     # PROV-O provenance star per source document (demoted
     # sample_weighted — green in the committed FULL self-run; sampling
     # keeps sample_k_per_domain in the head)
-    "kg_prov_triples",
+    # batch-17 swap: kg_prov_triples -> kg_ifp_smush (IFP entity
+    # smushing; prov_triples is hard-green in the committed FULL
+    # self-runs at both sfs)
+    "kg_ifp_smush",
     # property-graph export (demoted text_collocations — green in the
     # committed FULL self-run; text family keeps gopher/hashed/bpe)
-    "kg_property_graph",
+    # batch-17 swap: kg_property_graph -> graph_simrank (all-integer
+    # SimRank; property_graph is hard-green in the committed FULL
+    # self-runs at both sfs)
+    "graph_simrank",
     # SPARQL text front-end (demoted j11_asof_forward and sql_lang_stats
     # — both green in the committed FULL self-runs; TPC-H/SQL keeps
     # q6_forecast_revenue in the head)
@@ -273,13 +281,19 @@ _PRIORITY: list[str] = [
     # graph_coreness — the ascending-threshold peel machinery stays
     # pinned by graph_trussness in this head + its own pytest, and
     # coreness is hard-green in the refreshed FULL self-runs)
-    "graph_clustering",
+    # batch-17 swap: graph_clustering -> web_trustrank (TrustRank +
+    # spam mass; clustering is hard-green in the committed FULL
+    # self-runs at both sfs and pinned by its own pytest)
+    "web_trustrank",
     # bow-tie census + truss decomposition (this session; demoted
     # graph_assortativity — the simplest integer-moment aggregation in
     # the family — and snap_meta_tables (snapshots keep stats_prune /
     # eq_delete / zorder in the head); both green in the committed
     # FULL self-run)
-    "graph_trussness",
+    # batch-17 swap: graph_trussness -> web_redirects (pointer-
+    # doubling redirect resolution; trussness is hard-green in the
+    # committed FULL self-runs and pinned by its clique probe)
+    "web_redirects",
     # GROUPING SETS + batch interval join (final session; demoted
     # sim_range_search — sim keeps ivfpq_recall and mmr_diverse — and
     # q19_disjunctive_bands — SQL/TPC-H keeps g4 + the plan-asserted
@@ -435,6 +449,8 @@ def oracle_sql() -> dict[str, str]:
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
             "web_hits": _WEB_HITS_ORACLE,
             "web_salsa": _WEB_SALSA_ORACLE,
+            "web_trustrank": _WEB_TRUSTRANK_ORACLE,
+            "web_redirects": _WEB_REDIRECTS_ORACLE,
             "web_anchor_text": _WEB_ANCHOR_TEXT_ORACLE,
             "web_crawl_schedule": _WEB_CRAWL_SCHEDULE_ORACLE,
             "web_sitemap_frontier": _WEB_SITEMAP_FRONTIER_ORACLE,
@@ -889,6 +905,155 @@ def _web_pagerank_oracle(iterations: int = 5) -> str:
 
 
 _WEB_HOST_PAGERANK_ORACLE = _web_pagerank_oracle(5)
+
+
+def _web_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass over the symmetrized host
+    co-citation graph (plans/graph.spam_mass): trust teleports to the
+    'hub*' seed hosts via personalized PageRank; spam mass is the
+    PageRank share not explained by trusted flow. Hard oracle: both
+    power iterations unrolled on the 12-dp grid, the normalizing sums
+    as exact DECIMAL(38,12) aggregates, the share quotient the same
+    IEEE op sequence — bit-identical."""
+    from npm_extraction_server_spark.extract.links import cocitation
+    from npm_extraction_server_spark.plans.graph import spam_mass
+
+    co = cocitation(_web_links_df(spark, sf_dir))
+    edges = (co.select(F.col("host_a").alias("src"),
+                       F.col("host_b").alias("dst"))
+             .unionByName(co.select(F.col("host_b").alias("src"),
+                                    F.col("host_a").alias("dst"))))
+    seeds = (edges.select(F.col("src").alias("node_id")).distinct()
+             .filter(F.col("node_id").startswith("hub")))
+    return (spam_mass(edges, seeds, iterations=5)
+            .select(F.col("node_id").alias("host"), "pr", "tr",
+                    "spam_mass"))
+
+
+def _web_trustrank_oracle(iterations: int = 5) -> str:
+    """plans/graph.spam_mass unrolled: the normalized=False pagerank
+    chain (init 1, teleport 0.15) AND the personalized chain (init =
+    teleport vector, update round((1.0-0.85)*t + 0.85*inflow, 12))
+    over the same adjacency, then exact decimal normalizing sums and
+    the identical IEEE share quotient — both taken over the 8-dp
+    OUTPUT grid (pagerank rounds its published ranks to out_scale=8;
+    the 12-dp grid is internal). (1-d) is repr-injected from
+    the SAME Python subtraction the Spark side performs (one ulp off
+    the 0.15 literal, which DuckDB would otherwise parse as exact
+    DECIMAL)."""
+    omd = repr(1.0 - 0.85)
+    sql = ("WITH " + _WEB_COCITATION_CTE + """,
+    e0 AS (SELECT host_a AS src, host_b AS dst FROM co
+           UNION ALL SELECT host_b, host_a FROM co),
+    deg AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src),
+    adj AS (SELECT e0.src, e0.dst, deg.out_deg
+            FROM e0 JOIN deg USING (src)),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    base AS (
+        SELECT node_id,
+               CASE WHEN node_id LIKE 'hub%'
+                    THEN round(1.0 / (SELECT count(*) FROM nodes
+                                      WHERE node_id LIKE 'hub%'), 12)
+                    ELSE 0.0 END AS t
+        FROM nodes),
+    p0 AS (SELECT node_id, 1.0::DOUBLE AS rank FROM nodes),
+    t0 AS (SELECT node_id, t AS rank FROM base)""")
+    for k in range(1, iterations + 1):
+        sql += f""",
+    p{k} AS (
+        SELECT n.node_id,
+               round(0.15 + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT a.dst,
+                   cast(sum(cast(round(r.rank / a.out_deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+            FROM adj a JOIN p{k - 1} r ON r.node_id = a.src
+            GROUP BY a.dst) s ON s.dst = n.node_id),
+    t{k} AS (
+        SELECT b.node_id,
+               round({omd} * b.t
+                     + 0.85 * coalesce(s.inflow, 0.0), 12) AS rank
+        FROM base b LEFT JOIN (
+            SELECT a.dst,
+                   cast(sum(cast(round(r.rank / a.out_deg, 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+            FROM adj a JOIN t{k - 1} r ON r.node_id = a.src
+            GROUP BY a.dst) s ON s.dst = b.node_id)"""
+    sql += f""",
+    p8 AS (SELECT node_id, round(rank, 8) AS rank FROM p{iterations}),
+    t8 AS (SELECT node_id, round(rank, 8) AS rank FROM t{iterations}),
+    sp AS (SELECT cast(sum(cast(rank AS DECIMAL(38,12))) AS DOUBLE)
+               AS spr FROM p8),
+    st AS (SELECT cast(sum(cast(rank AS DECIMAL(38,12))) AS DOUBLE)
+               AS strn FROM t8)
+    SELECT p.node_id AS host, p.rank AS pr, t.rank AS tr,
+           round(1.0 - (t.rank / st.strn) / (p.rank / sp.spr), 8)
+               AS spam_mass
+    FROM p8 p JOIN t8 t USING (node_id), sp, st"""
+    return sql
+
+
+_WEB_TRUSTRANK_ORACLE = _web_trustrank_oracle(5)
+
+
+def _web_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (extract/links.resolve_redirects)
+    over a deterministic redirect map on doc_ids < 500: ids >= 490
+    form a 10-cycle, other non-multiples-of-8 redirect one step down
+    (chains up to 7 hops ending at multiples of 8). Pointer doubling
+    must report the TRUE hop count for every resolved chain and mark
+    the cycle block unresolved. Hard oracle: a recursive CTE walks
+    every chain step-by-step (hop cap 16) and classifies terminals
+    identically."""
+    from npm_extraction_server_spark.extract.links import (
+        resolve_redirects,
+    )
+
+    d = F.col("doc_id")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").filter(d < 500))
+
+    def u(c):
+        return F.concat(F.lit("http://r.example.org/u/"),
+                        c.cast("long").cast("string"))
+
+    red = (docs.filter((d >= 490) | (d % 8 != 0))
+           .select(u(d).alias("src_url"),
+                   u(F.when(d >= 490, 490 + ((d - 490 + 1) % 10))
+                     .otherwise(d - 1)).alias("dst_url")))
+    return resolve_redirects(red, max_hops=16)
+
+
+_WEB_REDIRECTS_ORACLE = """
+    WITH RECURSIVE r AS (
+        SELECT 'http://r.example.org/u/' || doc_id AS src,
+               'http://r.example.org/u/' ||
+               (CASE WHEN doc_id >= 490
+                     THEN 490 + ((doc_id - 490 + 1) % 10)
+                     ELSE doc_id - 1 END) AS dst
+        FROM documents
+        WHERE doc_id < 500 AND (doc_id >= 490 OR doc_id % 8 <> 0)
+    ),
+    walk(src, cur, hops) AS (
+        SELECT src, dst, 1 FROM r
+        UNION ALL
+        SELECT w.src, r.dst, w.hops + 1
+        FROM walk w JOIN r ON r.src = w.cur
+        WHERE w.hops < 16
+    ),
+    last AS (
+        SELECT src, max_by(cur, hops) AS cur, max(hops) AS hops
+        FROM walk GROUP BY src
+    )
+    SELECT l.src AS src_url,
+           CASE WHEN d.src IS NOT NULL OR l.hops > 16
+                THEN NULL ELSE l.cur END AS final_url,
+           (CASE WHEN d.src IS NOT NULL OR l.hops > 16
+                 THEN NULL ELSE l.hops END)::BIGINT AS hops,
+           (d.src IS NOT NULL OR l.hops > 16) AS unresolved
+    FROM last l
+    LEFT JOIN (SELECT DISTINCT src FROM r) d ON d.src = l.cur"""
+
 
 
 _WEB_ANCHOR_TEXT_ORACLE = ("WITH " + _WEB_LINKS_SQL + """

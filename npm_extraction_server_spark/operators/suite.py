@@ -3779,6 +3779,51 @@ def text_langid_eval(spark, sf):
         .alias("precision_share"))
 
 
+def graph_simrank(spark, sf):
+    """3-iteration SimRank over the deterministic KG multigraph
+    (plans/graph.simrank): all-integer 1e-8-grid HALF_UP updates, so
+    the unrolled DuckDB twin (HUGEINT arithmetic, multiset in-
+    neighbor joins) is bit-identical with no float protocol at all.
+    Returns the u < v half of the symmetric nonzero pair frame."""
+    from ..plans.graph import simrank
+
+    return simrank(_kg_graph_edges(spark, sf), iterations=3)
+
+
+def kg_ifp_smush(spark, sf):
+    """owl:InverseFunctionalProperty entity smushing
+    (plans/linking.ifp_smush): 500 author mentions carry two IFP
+    assertions each (a shared mailbox drawn from 97 values, a shared
+    homepage from 61), and subjects sharing EITHER value must smush
+    transitively into one canonical entity. Star edges to the
+    per-(pred,value) min + pointer-doubling connected components;
+    hard oracle: DuckDB re-derives both IFP values from the same
+    sha256 recipe and closes the equivalence with a recursive CTE."""
+    from ..plans.linking import ifp_smush
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 500)
+
+    def smod(salt, n):
+        return F.pmod(
+            F.conv(F.substring(
+                F.sha2(F.concat(F.lit(salt), d.cast("string")), 256),
+                1, 15), 16, 10).cast("long"), F.lit(n))
+
+    ent = F.concat(F.lit("ent:m"),
+                   F.lpad(d.cast("string"), 4, "0")).alias("subj")
+    mbox = docs.select(
+        ent, F.lit("foaf:mbox").alias("pred"),
+        F.concat(F.lit("mailto:dev"), smod("ifpm:", 97).cast("string"),
+                 F.lit("@example.org")).alias("obj"))
+    home = docs.select(
+        ent, F.lit("foaf:homepage").alias("pred"),
+        F.concat(F.lit("http://home.example.org/u/"),
+                 smod("ifph:", 61).cast("string")).alias("obj"))
+    triples = mbox.unionByName(home)
+    return ifp_smush(triples, ["foaf:mbox", "foaf:homepage"])
+
+
 def text_mojibake(spark, sf):
     """Encoding-noise detection over an adversarially corrupted copy of
     the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
@@ -3929,6 +3974,8 @@ SPARK_QUERIES = {
     "graph_scc": graph_scc,
     "graph_triangles": graph_triangles,
     "graph_clustering": graph_clustering,
+    "graph_simrank": graph_simrank,
+    "kg_ifp_smush": kg_ifp_smush,
     "graph_link_predict": graph_link_predict,
     "graph_bipartite_project": graph_bipartite_project,
     "graph_butterflies": graph_butterflies,
@@ -5472,6 +5519,71 @@ def _mmr_sql(k: int = 4, pool: int = 12, lam: float = 0.7,
 
 
 
+def _simrank_sql(iterations: int = 3) -> str:
+    """plans/graph.simrank unrolled: multiset in-neighbor pair joins
+    over e0, HALF_UP integer updates (8*num + 5*ia*ib) // (10*ia*ib)
+    in HUGEINT, diagonal pinned to 1e8, zero rows dropped per round —
+    bit-exact with no float anywhere."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    nodes AS (SELECT src AS n FROM e0 UNION SELECT dst FROM e0),
+    ind AS (SELECT dst, count(*) AS ind FROM e0 GROUP BY dst),
+    s0 AS (SELECT n AS u, n AS v, 100000000::HUGEINT AS s FROM nodes)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+    n{k} AS MATERIALIZED (
+        SELECT ea.dst AS a, eb.dst AS b, sum(p.s) AS num
+        FROM s{k - 1} p
+        JOIN e0 ea ON ea.src = p.u
+        JOIN e0 eb ON eb.src = p.v
+        GROUP BY 1, 2),
+    s{k} AS MATERIALIZED (
+        SELECT n AS u, n AS v, 100000000::HUGEINT AS s FROM nodes
+        UNION ALL
+        SELECT u, v, s FROM (
+            SELECT n{k}.a AS u, n{k}.b AS v,
+                   (8 * num + 5 * ia.ind * ib.ind)
+                       // (10 * ia.ind * ib.ind) AS s
+            FROM n{k}
+            JOIN ind ia ON ia.dst = n{k}.a
+            JOIN ind ib ON ib.dst = n{k}.b
+            WHERE n{k}.a <> n{k}.b)
+        WHERE s > 0)"""
+    sql += f"""
+    SELECT u, v, s::BIGINT AS s_e8, s::BIGINT::DOUBLE / 1e8 AS simrank
+    FROM s{iterations} WHERE u < v"""
+    return sql
+
+
+_KG_IFP_SMUSH_SQL = """
+    WITH RECURSIVE m AS (
+        SELECT 'ent:m' || lpad(doc_id::VARCHAR, 4, '0') AS ent,
+               ('0x' || substr(sha256('ifpm:' || doc_id), 1, 15))::UBIGINT
+                   % 97 AS vm,
+               ('0x' || substr(sha256('ifph:' || doc_id), 1, 15))::UBIGINT
+                   % 61 AS vh
+        FROM documents WHERE doc_id < 500
+    ),
+    p AS (
+        SELECT 'foaf:mbox' AS pred, vm::VARCHAR AS val, ent FROM m
+        UNION ALL
+        SELECT 'foaf:homepage', vh::VARCHAR, ent FROM m
+    ),
+    g AS (SELECT pred, val, min(ent) AS canon FROM p GROUP BY 1, 2),
+    e0 AS (
+        SELECT DISTINCT p.ent AS a, g.canon AS b
+        FROM p JOIN g USING (pred, val) WHERE p.ent <> g.canon
+    ),
+    sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    r(id, t) AS (
+        SELECT ent, ent FROM m
+        UNION
+        SELECT r.id, sym.b FROM r JOIN sym ON r.t = sym.a
+    )
+    SELECT id AS entity_iri, min(t) AS canonical_id FROM r GROUP BY id
+"""
+
+
 def _mojibake_sql() -> str:
     """The text_mojibake oracle: the identical corruption chain and
     length-diff/translate detector, with every mojibake signature
@@ -5587,6 +5699,8 @@ def _rake_sql() -> str:
 
 
 ORACLE_SQL = {
+    "graph_simrank": _simrank_sql(3),
+    "kg_ifp_smush": _KG_IFP_SMUSH_SQL,
     "text_mojibake": _mojibake_sql(),
     "text_rake": _rake_sql(),
     "sc1_scan_filter": """

@@ -3153,3 +3153,109 @@ def dyad_census(edges: DataFrame) -> DataFrame:
                             / (F.col("mutual")
                                + F.col("asym")).cast("double"), 6)
                     .alias("reciprocity")))
+
+
+def spam_mass(edges: DataFrame, seeds: DataFrame, iterations: int = 5,
+              damping: float = 0.85) -> DataFrame:
+    """TrustRank + relative spam mass (Gyongyi, Garcia-Molina &
+    Pedersen, VLDB 2004) — the link-spam demotion signal a crawl
+    pipeline runs before trusting PageRank: trust flows from a
+    hand-vetted seed set via :func:`personalized_pagerank`, and a
+    node's spam mass is the fraction of its PageRank share NOT
+    accounted for by trusted flow,
+    ``m = 1 - (tr/sum_tr) / (pr/sum_pr)``.
+
+    Determinism: both rank vectors live on the 12-dp grid (the
+    pagerank protocol); the two normalizing sums are EXACT
+    decimal(38,12) aggregates of grid values cast to double at the
+    end (an IEEE double sum would be partition-order-dependent), and
+    the share quotient is a fixed sequence of IEEE ops on identical
+    doubles — so the DuckDB twin is bit-identical. ``pr`` runs
+    ``normalized=False`` (init 1, teleport 0.15 — constants free of
+    the data-dependent |V|).
+
+    Scale shape: two rank iterations over the same persisted
+    adjacency + one node-keyed join + two 1-row broadcast sums; the
+    only corpus-sized exchanges are the per-round inflow aggregates
+    both pageranks already pay.
+    """
+    pr = pagerank(edges, iterations=iterations, damping=damping,
+                  normalized=False)
+    tr = (personalized_pagerank(edges, seeds, iterations=iterations,
+                                damping=damping)
+          .withColumnRenamed("rank", "trank"))
+    spr = pr.agg(F.sum(F.col("rank").cast("decimal(38,12)"))
+                 .cast("double").alias("spr"))
+    str_ = tr.agg(F.sum(F.col("trank").cast("decimal(38,12)"))
+                  .cast("double").alias("str"))
+    j = (pr.join(tr, "node_id")
+         .crossJoin(F.broadcast(spr))
+         .crossJoin(F.broadcast(str_)))
+    share_pr = F.col("rank") / F.col("spr")
+    share_tr = F.col("trank") / F.col("str")
+    return j.select(
+        "node_id",
+        F.round("rank", 8).alias("pr"),
+        F.round("trank", 8).alias("tr"),
+        F.round(F.lit(1.0) - share_tr / share_pr, 8).alias("spam_mass"))
+
+
+def simrank(edges: DataFrame, iterations: int = 3, decay_num: int = 4,
+            decay_den: int = 5, scale: int = 8) -> DataFrame:
+    """SimRank structural similarity (Jeh & Widom, KDD 2002): two
+    nodes are similar if their in-neighbors are similar —
+    ``s_k(a,b) = C/(|I(a)||I(b)|) * sum s_{k-1}(I(a) x I(b))`` with
+    ``s(a,a) = 1``; the KG use is ranking candidate duplicate
+    entities by how interchangeably the graph cites them.
+
+    ALL-INTEGER protocol: scores live on the 10^-scale grid as
+    longs; C = decay_num/decay_den stays rational, each update is one
+    exact HALF_UP integer division
+    ``(2*num*C_n + C_d*|Ia|*|Ib|) div (2*C_d*|Ia|*|Ib|)`` — no
+    doubles anywhere, so the DuckDB twin (HUGEINT) is bit-identical
+    with zero float protocol. In-neighbor sets are MULTISETS (every
+    parallel edge contributes), matching the multigraph inputs.
+
+    Scale shape and honest contract: the pair frame is the classic
+    SimRank cost — it grows toward the co-citation closure, and each
+    iteration is |pairs| x (out-deg)^2 join work. The sparse
+    formulation only materializes pairs with s > 0 (zero rows are
+    dropped every round) and checkpoints per round, but SimRank at
+    web scale is a per-ER-BLOCK operator (bounded candidate sets
+    from blocking, like the linking pipeline's), not a whole-graph
+    one; for whole-graph similarity use the random-walk samplers.
+    """
+    E = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (E.select(F.col("src").alias("n"))
+             .unionByName(E.select(F.col("dst").alias("n")))
+             .distinct().localCheckpoint(eager=True))
+    ind = E.groupBy("dst").agg(F.count("*").alias("ind"))
+    grid = 10 ** scale
+    diag = nodes.select(F.col("n").alias("u"), F.col("n").alias("v"),
+                        F.lit(grid).cast("long").alias("s_e8"))
+    ea = E.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+    eb = E.select(F.col("src").alias("v"), F.col("dst").alias("b"))
+    pairs = diag
+    s_expr = F.expr(
+        f"(2 * {decay_num} * CAST(num AS DECIMAL(38,0))"
+        f" + {decay_den} * CAST(ia AS DECIMAL(38,0))"
+        f"   * CAST(ib AS DECIMAL(38,0)))"
+        f" div (2 * {decay_den} * CAST(ia AS DECIMAL(38,0))"
+        f"      * CAST(ib AS DECIMAL(38,0)))")
+    for _ in range(iterations):
+        num = (pairs.join(ea, "u").join(eb, "v")
+               .groupBy("a", "b").agg(F.sum("s_e8").alias("num")))
+        nxt = (num
+               .join(ind.select(F.col("dst").alias("a"),
+                                F.col("ind").alias("ia")), "a")
+               .join(ind.select(F.col("dst").alias("b"),
+                                F.col("ind").alias("ib")), "b"))
+        off = (nxt.filter(F.col("a") != F.col("b"))
+               .select(F.col("a").alias("u"), F.col("b").alias("v"),
+                       s_expr.cast("long").alias("s_e8"))
+               .filter(F.col("s_e8") > 0))
+        pairs = off.unionByName(diag).localCheckpoint(eager=True)
+    return (pairs.filter(F.col("u") < F.col("v"))
+            .select("u", "v", "s_e8",
+                    (F.col("s_e8").cast("double") / F.lit(float(grid)))
+                    .alias("simrank")))

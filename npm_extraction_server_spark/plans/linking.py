@@ -374,3 +374,37 @@ def pair_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
             .select("n_items", F.col("tp").cast("bigint").alias("tp"),
                     (F.col("p2") - F.col("tp")).cast("bigint").alias("fp"),
                     (F.col("g2") - F.col("tp")).cast("bigint").alias("fn")))
+
+
+def ifp_smush(triples: DataFrame, ifp_preds: list[str],
+              subj_col: str = "subj", pred_col: str = "pred",
+              obj_col: str = "obj") -> DataFrame:
+    """owl:InverseFunctionalProperty smushing — the classic RDF
+    entity-resolution rule (two subjects sharing a value of an IFP
+    like foaf:mbox denote the SAME entity), run as equality blocking
+    + connected components: no pairwise scoring, no similarity join.
+
+    Scale shape: for each (ifp predicate, value) group the members
+    link to the group MIN as a STAR (|members| - 1 edges), never a
+    clique — a 10^6-subject shared-mailbox hub costs 10^6 edges, not
+    10^12 pairs. Transitivity across different IFPs (A~B via mbox,
+    B~C via homepage) is closed by the same pointer-doubling
+    connected components the entity-linking pipeline uses.
+
+    Returns (entity_iri, canonical_id) for every subject holding at
+    least one IFP assertion; canonical = lexicographic min of the
+    connected equivalence class.
+    """
+    t = (triples.filter(F.col(pred_col).isin(list(ifp_preds)))
+         .select(F.col(pred_col).alias("p"),
+                 F.col(obj_col).alias("o"),
+                 F.col(subj_col).alias("s"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    grp = t.groupBy("p", "o").agg(F.min("s").alias("canon"))
+    edges = (t.join(grp, ["p", "o"])
+             .filter(F.col("s") != F.col("canon"))
+             .select(F.col("s").alias("src"), F.col("canon").alias("dst"))
+             .distinct())
+    vertices = t.select(F.col("s").alias("entity_iri")).distinct()
+    return connected_components(vertices, edges)

@@ -1787,3 +1787,43 @@ def test_dyad_census_hand_graph(spark):
     # 5 nodes -> C(5,2)=10 dyads; mutual 1 (0-1); asym 3 (0-2, 2-3, 4-0)
     assert (r.n_nodes, r.mutual, r.asym, r.nulls) == (5, 1, 3, 6)
     assert r.reciprocity == 0.25
+
+
+def test_simrank_matches_pure_python_integer_twin(spark):
+    from npm_extraction_server_spark.plans.graph import simrank
+
+    # multigraph with a parallel edge, a shared-in-neighbor pair, and
+    # a sink: classic SimRank shapes
+    edges = [(0, 2), (1, 2), (0, 3), (1, 3), (2, 4), (3, 4), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.u, r.v): r.s_e8 for r in simrank(df, iterations=3).collect()}
+
+    # independent integer twin (multiset in-neighbors, HALF_UP div)
+    from collections import defaultdict
+    GRID = 10 ** 8
+    innb = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        innb[d].append(s)
+        nodes |= {s, d}
+    cur = {(n, n): GRID for n in nodes}
+    for _ in range(3):
+        nxt = {}
+        for a in nodes:
+            for b in nodes:
+                if a == b or not innb[a] or not innb[b]:
+                    continue
+                num = sum(cur.get((u, v), 0)
+                          for u in innb[a] for v in innb[b])
+                den = len(innb[a]) * len(innb[b])
+                s = (2 * 4 * num + 5 * den) // (2 * 5 * den)
+                if s > 0:
+                    nxt[(a, b)] = s
+        for n in nodes:
+            nxt[(n, n)] = GRID
+        cur = nxt
+    want = {(a, b): s for (a, b), s in cur.items() if a < b and s > 0}
+    assert got == want
+    # nodes 2 and 3 share BOTH in-neighbors (with the parallel 0->3
+    # edge diluting): similarity strictly positive and below 1
+    assert 0 < got[(2, 3)] < GRID

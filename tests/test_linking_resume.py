@@ -756,3 +756,27 @@ def test_pair_metrics_hand_computed(spark):
                       .select("item", F.col("c").alias("cluster")),
                       gold).collect()[0]
     assert (r2.tp, r2.fp, r2.fn) == (4, 0, 0)
+
+
+def test_ifp_smush_transitive_across_predicates(spark):
+    from npm_extraction_server_spark.plans.linking import ifp_smush
+
+    triples = spark.createDataFrame(
+        [("ent:a", "foaf:mbox", "mailto:x"),
+         ("ent:b", "foaf:mbox", "mailto:x"),
+         ("ent:b", "foaf:homepage", "http://h/1"),
+         ("ent:c", "foaf:homepage", "http://h/1"),
+         ("ent:d", "foaf:mbox", "mailto:solo"),
+         # non-IFP assertions must not link anything
+         ("ent:a", "foaf:name", "same"),
+         ("ent:e", "foaf:name", "same")],
+        "subj string, pred string, obj string")
+    got = {r.entity_iri: r.canonical_id
+           for r in ifp_smush(triples,
+                              ["foaf:mbox", "foaf:homepage"]).collect()}
+
+    # a~b via mbox, b~c via homepage -> one class with min canon
+    assert got["ent:a"] == got["ent:b"] == got["ent:c"] == "ent:a"
+    assert got["ent:d"] == "ent:d"
+    # ent:e holds no IFP assertion -> not in the output at all
+    assert "ent:e" not in got

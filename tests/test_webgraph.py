@@ -451,3 +451,62 @@ def test_synth_sitemaps_roundtrip_through_parser(spark):
         & ((F.col("loc") == "") | (F.col("lastmod") == "")
            | (F.col("priority") == ""))).count()
     assert bad == 0
+
+
+def test_resolve_redirects_chains_cycles_and_caps(spark):
+    from npm_extraction_server_spark.extract.links import resolve_redirects
+
+    # a->b->c->T (3 hops), d->T (1 hop), cycle x->y->x, feeder f->x,
+    # and a 6-chain resolved only when max_hops allows it
+    six = [(f"c{i}", f"c{i+1}") for i in range(6)]  # c0..c5 -> c6
+    red = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "T"), ("d", "T"),
+         ("x", "y"), ("y", "x"), ("f", "x")] + six,
+        "src_url string, dst_url string")
+
+    got = {r.src_url: r for r in resolve_redirects(red, max_hops=16)
+           .collect()}
+    assert (got["a"].final_url, got["a"].hops,
+            got["a"].unresolved) == ("T", 3, False)
+    assert (got["d"].final_url, got["d"].hops) == ("T", 1)
+    # exact hop counts survive pointer doubling
+    assert (got["c0"].final_url, got["c0"].hops) == ("c6", 6)
+    assert (got["c4"].final_url, got["c4"].hops) == ("c6", 2)
+    # cycle members AND the feeder into the cycle are unresolved
+    for u in ("x", "y", "f"):
+        assert got[u].unresolved and got[u].final_url is None \
+            and got[u].hops is None
+
+    # hop cap: with max_hops=4 the 6-chain head exceeds the budget
+    got4 = {r.src_url: r for r in resolve_redirects(red, max_hops=4)
+            .collect()}
+    assert got4["c0"].unresolved
+    assert (got4["c3"].final_url, got4["c3"].hops) == ("c6", 3)
+
+
+def test_spam_mass_trust_separates_seeded_cluster(spark):
+    from npm_extraction_server_spark.plans.graph import spam_mass
+
+    # two symmetric triangles bridged by one edge; seeds in the left
+    tri = lambda a, b, c: [(a, b), (b, c), (c, a),
+                           (b, a), (c, b), (a, c)]
+    edges = spark.createDataFrame(
+        tri("h0", "h1", "h2") + tri("s0", "s1", "s2")
+        + [("h2", "s0"), ("s0", "h2")], "src string, dst string")
+    seeds = spark.createDataFrame([("h0",), ("h1",)], "node_id string")
+    rows = {r.node_id: r for r in spam_mass(edges, seeds).collect()}
+
+    assert len(rows) == 6
+    # trusted cluster holds nearly all trust mass; spam cluster's
+    # spam_mass is strictly higher than every trusted node's
+    worst_trusted = max(rows[n].spam_mass for n in ("h0", "h1", "h2"))
+    best_spam = min(rows[n].spam_mass for n in ("s0", "s1", "s2"))
+    assert best_spam > worst_trusted
+    # the quotient stage is pinned: recompute spam_mass from the
+    # published 8-dp columns with exact sums
+    from decimal import Decimal
+    spr = float(sum(Decimal(str(r.pr)) for r in rows.values()))
+    strn = float(sum(Decimal(str(r.tr)) for r in rows.values()))
+    for r in rows.values():
+        want = round(1.0 - (r.tr / strn) / (r.pr / spr), 8)
+        assert r.spam_mass == want, r
