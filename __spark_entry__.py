@@ -216,7 +216,12 @@ _PRIORITY: list[str] = [
     "graph_pagerank_incr", "kg_bgp_bind",
     "graph_betweenness", "snap_eq_delete", "snap_zorder",
     "kg_bgp_path_ops",
-    "kg_bgp_values", "kg_bgp_exists_deps",
+    # batch-18 swap: kg_bgp_values / kg_bgp_exists_deps ->
+    # kg_rdfs_entail / kg_owl_entail (RDFS rho-df + OWL-Horst closure
+    # materialization; both demoted BGP forms are hard-green in the
+    # committed FULL self-runs at both sfs, and BGP keeps bind /
+    # path_ops / quads_meta / subquery / dep_chain in the head)
+    "kg_rdfs_entail", "kg_owl_entail",
     "kg_trig_roundtrip",
     "kg_bgp_quads_meta",
     # round-5 late additions (HyperBall, SPARQL subquery) — demoted

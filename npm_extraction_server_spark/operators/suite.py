@@ -3824,6 +3824,80 @@ def kg_ifp_smush(spark, sf):
     return ifp_smush(triples, ["foaf:mbox", "foaf:homepage"])
 
 
+def kg_rdfs_entail(spark, sf):
+    """RDFS rho-df closure materialization (plans/entail.rdfs_closure)
+    over a deterministic doc-derived ABox: 500 entities typed into a
+    4-class hierarchy with a branch (c0<c1<c2, c3<c2), three
+    properties in a subPropertyOf chain (p0<p1<p2) with a domain on
+    p0 and a range on p2 — so one asserted (s p0 o) entails the p1/p2
+    triples, types s into c3 (domain) then c2 (rdfs9), and types o
+    into c0 (range, inherited through the chain) then c1, c2. Hard
+    oracle: DuckDB closes both schema hierarchies with recursive CTEs
+    and replays the rho-df stratification rule for rule."""
+    from ..plans.entail import rdfs_closure
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 500)
+    ent = F.concat(F.lit("ent:e"),
+                   F.lpad(d.cast("string"), 4, "0"))
+    ent2 = F.concat(F.lit("ent:e"),
+                    F.lpad(((d * 7 + 1) % 500).cast("string"), 4, "0"))
+    data = (docs.select(ent.alias("subj"),
+                        F.lit("rdf:type").alias("pred"),
+                        F.concat(F.lit("c"), (d % 4).cast("string"))
+                        .alias("obj"))
+            .unionByName(docs.select(
+                ent.alias("subj"),
+                F.concat(F.lit("p"), (d % 3).cast("string")).alias("pred"),
+                ent2.alias("obj"))))
+    schema = spark.createDataFrame(
+        [("c0", "rdfs:subClassOf", "c1"), ("c1", "rdfs:subClassOf", "c2"),
+         ("c3", "rdfs:subClassOf", "c2"),
+         ("p0", "rdfs:subPropertyOf", "p1"),
+         ("p1", "rdfs:subPropertyOf", "p2"),
+         ("p0", "rdfs:domain", "c3"), ("p2", "rdfs:range", "c0")],
+        "subj string, pred string, obj string")
+    return rdfs_closure(data, schema)
+
+
+def kg_owl_entail(spark, sf):
+    """OWL-Horst property-rule closure (plans/entail.owl_horst_closure)
+    over a doc-derived ABox: partOf chains inside 16-blocks (declared
+    owl:TransitiveProperty), hasPart cross-block edges (declared
+    owl:inverseOf partOf — their inverses SPLICE chains together, so
+    the transitive closure crosses blocks), and a symmetric
+    connectedTo relation. The full closure — inverse images of the
+    transitive closure included — must come back. Hard oracle:
+    recursive-CTE reachability per transitive predicate plus fixed-
+    depth symmetric/inverse strata (depth 2 covers this schema; the
+    operator itself iterates to fixpoint)."""
+    from ..plans.entail import owl_horst_closure
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id").filter(d < 500)
+
+    def e(c):
+        return F.concat(F.lit("ent:e"), F.lpad(c.cast("string"), 4, "0"))
+
+    part = (docs.filter((d % 16 != 15) & (d < 499))
+            .select(e(d).alias("subj"), F.lit("partOf").alias("pred"),
+                    e(d + 1).alias("obj")))
+    haspart = (docs.filter(d % 50 == 0)
+               .select(e(d).alias("subj"), F.lit("hasPart").alias("pred"),
+                       e((d + 250) % 500).alias("obj")))
+    conn = (docs.filter(d % 5 == 0)
+            .select(e(d).alias("subj"),
+                    F.lit("connectedTo").alias("pred"),
+                    e((d * 7 + 3) % 500).alias("obj")))
+    data = part.unionByName(haspart).unionByName(conn)
+    schema = spark.createDataFrame(
+        [("partOf", "rdf:type", "owl:TransitiveProperty"),
+         ("hasPart", "owl:inverseOf", "partOf"),
+         ("connectedTo", "rdf:type", "owl:SymmetricProperty")],
+        "subj string, pred string, obj string")
+    return owl_horst_closure(data, schema)
+
+
 def text_mojibake(spark, sf):
     """Encoding-noise detection over an adversarially corrupted copy of
     the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
@@ -3976,6 +4050,8 @@ SPARK_QUERIES = {
     "graph_clustering": graph_clustering,
     "graph_simrank": graph_simrank,
     "kg_ifp_smush": kg_ifp_smush,
+    "kg_rdfs_entail": kg_rdfs_entail,
+    "kg_owl_entail": kg_owl_entail,
     "graph_link_predict": graph_link_predict,
     "graph_bipartite_project": graph_bipartite_project,
     "graph_butterflies": graph_butterflies,
@@ -5519,6 +5595,162 @@ def _mmr_sql(k: int = 4, pool: int = 12, lam: float = 0.7,
 
 
 
+_ENTAIL_ENT = "'ent:e' || lpad(doc_id::VARCHAR, 4, '0')"
+_ENTAIL_ENT2 = "'ent:e' || lpad(((doc_id*7+1) % 500)::VARCHAR, 4, '0')"
+
+_KG_RDFS_ENTAIL_SQL = f"""
+    WITH RECURSIVE d AS (
+        SELECT {_ENTAIL_ENT} AS subj, 'rdf:type' AS pred,
+               'c' || (doc_id % 4) AS obj
+        FROM documents WHERE doc_id < 500
+        UNION ALL
+        SELECT {_ENTAIL_ENT}, 'p' || (doc_id % 3), {_ENTAIL_ENT2}
+        FROM documents WHERE doc_id < 500
+    ),
+    sch(subj, pred, obj) AS (
+        VALUES ('c0', 'rdfs:subClassOf', 'c1'),
+               ('c1', 'rdfs:subClassOf', 'c2'),
+               ('c3', 'rdfs:subClassOf', 'c2'),
+               ('p0', 'rdfs:subPropertyOf', 'p1'),
+               ('p1', 'rdfs:subPropertyOf', 'p2'),
+               ('p0', 'rdfs:domain', 'c3'),
+               ('p2', 'rdfs:range', 'c0')
+    ),
+    spc(sub, sup) AS (
+        SELECT subj, obj FROM sch WHERE pred = 'rdfs:subPropertyOf'
+        UNION
+        SELECT spc.sub, s.obj FROM spc
+        JOIN sch s ON s.subj = spc.sup
+        WHERE s.pred = 'rdfs:subPropertyOf'
+    ),
+    scc(sub, sup) AS (
+        SELECT subj, obj FROM sch WHERE pred = 'rdfs:subClassOf'
+        UNION
+        SELECT scc.sub, s.obj FROM scc
+        JOIN sch s ON s.subj = scc.sup
+        WHERE s.pred = 'rdfs:subClassOf'
+    ),
+    ext AS MATERIALIZED (
+        SELECT subj, pred, obj FROM d
+        UNION
+        SELECT d.subj, spc.sup, d.obj FROM d JOIN spc ON d.pred = spc.sub
+    ),
+    ty0 AS MATERIALIZED (
+        SELECT subj AS s, obj AS c FROM ext WHERE pred = 'rdf:type'
+        UNION
+        SELECT ext.subj, sch.obj FROM ext
+        JOIN sch ON sch.subj = ext.pred AND sch.pred = 'rdfs:domain'
+        UNION
+        SELECT ext.obj, sch.obj FROM ext
+        JOIN sch ON sch.subj = ext.pred AND sch.pred = 'rdfs:range'
+    ),
+    ty AS (
+        SELECT s, c FROM ty0
+        UNION
+        SELECT ty0.s, scc.sup FROM ty0 JOIN scc ON ty0.c = scc.sub
+    ),
+    closure AS (
+        SELECT subj, pred, obj FROM ext
+        UNION
+        SELECT s, 'rdf:type', c FROM ty
+        UNION
+        SELECT subj, pred, obj FROM sch
+        UNION
+        SELECT sub, 'rdfs:subPropertyOf', sup FROM spc
+        UNION
+        SELECT sub, 'rdfs:subClassOf', sup FROM scc
+    ),
+    given AS (SELECT subj, pred, obj FROM d
+              UNION SELECT subj, pred, obj FROM sch)
+    SELECT DISTINCT c.subj, c.pred, c.obj, (g.subj IS NULL) AS inferred
+    FROM closure c
+    LEFT JOIN given g ON g.subj = c.subj AND g.pred = c.pred
+                     AND g.obj = c.obj
+"""
+
+_KG_OWL_ENTAIL_SQL = """
+    WITH RECURSIVE ee AS (
+        SELECT doc_id AS i, 'ent:e' || lpad(doc_id::VARCHAR, 4, '0') AS e
+        FROM documents WHERE doc_id < 500
+    ),
+    d AS (
+        SELECT a.e AS subj, 'partOf' AS pred, b.e AS obj
+        FROM ee a JOIN ee b ON b.i = a.i + 1
+        WHERE a.i % 16 <> 15 AND a.i < 499
+        UNION ALL
+        SELECT a.e, 'hasPart', b.e
+        FROM ee a JOIN ee b ON b.i = (a.i + 250) % 500
+        WHERE a.i % 50 = 0
+        UNION ALL
+        SELECT a.e, 'connectedTo', b.e
+        FROM ee a JOIN ee b ON b.i = (a.i * 7 + 3) % 500
+        WHERE a.i % 5 = 0
+    ),
+    sch(subj, pred, obj) AS (
+        VALUES ('partOf', 'rdf:type', 'owl:TransitiveProperty'),
+               ('hasPart', 'owl:inverseOf', 'partOf'),
+               ('connectedTo', 'rdf:type', 'owl:SymmetricProperty')
+    ),
+    inv(p, q) AS (
+        SELECT subj, obj FROM sch WHERE pred = 'owl:inverseOf'
+        UNION
+        SELECT obj, subj FROM sch WHERE pred = 'owl:inverseOf'
+    ),
+    sym(p) AS (SELECT subj FROM sch
+               WHERE pred = 'rdf:type' AND obj = 'owl:SymmetricProperty'),
+    tp(p) AS (SELECT subj FROM sch
+              WHERE pred = 'rdf:type' AND obj = 'owl:TransitiveProperty'),
+    si1 AS MATERIALIZED (
+        SELECT subj, pred, obj FROM d
+        UNION
+        SELECT t.obj, t.pred, t.subj FROM d t JOIN sym ON sym.p = t.pred
+        UNION
+        SELECT t.obj, inv.q, t.subj FROM d t JOIN inv ON inv.p = t.pred
+    ),
+    si2 AS MATERIALIZED (
+        SELECT subj, pred, obj FROM si1
+        UNION
+        SELECT t.obj, t.pred, t.subj FROM si1 t JOIN sym ON sym.p = t.pred
+        UNION
+        SELECT t.obj, inv.q, t.subj FROM si1 t JOIN inv ON inv.p = t.pred
+    ),
+    tc(p, s, o) AS (
+        SELECT t.pred, t.subj, t.obj FROM si2 t JOIN tp ON tp.p = t.pred
+        UNION
+        SELECT tc.p, tc.s, t.obj
+        FROM tc JOIN si2 t ON t.pred = tc.p AND t.subj = tc.o
+    ),
+    u1 AS MATERIALIZED (
+        SELECT subj, pred, obj FROM si2
+        UNION SELECT s, p, o FROM tc
+    ),
+    f1 AS MATERIALIZED (
+        SELECT subj, pred, obj FROM u1
+        UNION
+        SELECT t.obj, t.pred, t.subj FROM u1 t JOIN sym ON sym.p = t.pred
+        UNION
+        SELECT t.obj, inv.q, t.subj FROM u1 t JOIN inv ON inv.p = t.pred
+    ),
+    f2 AS MATERIALIZED (
+        SELECT subj, pred, obj FROM f1
+        UNION
+        SELECT t.obj, t.pred, t.subj FROM f1 t JOIN sym ON sym.p = t.pred
+        UNION
+        SELECT t.obj, inv.q, t.subj FROM f1 t JOIN inv ON inv.p = t.pred
+    ),
+    closure AS (
+        SELECT subj, pred, obj FROM f2
+        UNION SELECT subj, pred, obj FROM sch
+    ),
+    given AS (SELECT subj, pred, obj FROM d
+              UNION SELECT subj, pred, obj FROM sch)
+    SELECT DISTINCT c.subj, c.pred, c.obj, (g.subj IS NULL) AS inferred
+    FROM closure c
+    LEFT JOIN given g ON g.subj = c.subj AND g.pred = c.pred
+                     AND g.obj = c.obj
+"""
+
+
 def _simrank_sql(iterations: int = 3) -> str:
     """plans/graph.simrank unrolled: multiset in-neighbor pair joins
     over e0, HALF_UP integer updates (8*num + 5*ia*ib) // (10*ia*ib)
@@ -5701,6 +5933,8 @@ def _rake_sql() -> str:
 ORACLE_SQL = {
     "graph_simrank": _simrank_sql(3),
     "kg_ifp_smush": _KG_IFP_SMUSH_SQL,
+    "kg_rdfs_entail": _KG_RDFS_ENTAIL_SQL,
+    "kg_owl_entail": _KG_OWL_ENTAIL_SQL,
     "text_mojibake": _mojibake_sql(),
     "text_rake": _rake_sql(),
     "sc1_scan_filter": """
