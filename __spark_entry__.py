@@ -223,13 +223,12 @@ _PRIORITY: list[str] = [
     # path_ops / quads_meta / subquery / dep_chain in the head)
     "kg_rdfs_entail", "kg_owl_entail",
     "kg_trig_roundtrip",
-    "kg_bgp_quads_meta",
     # round-5 late additions (HyperBall, SPARQL subquery) — demoted
     # q18_large_orders / snap_dedup_incr / graph_mis to the tail (each
     # family keeps >= 2 head slots; all three green in the committed
     # CORRECTNESS_FULL_r04/r05 self-runs + the judge's independent
     # round-4 re-run)
-    "graph_hyperball", "kg_bgp_subquery",
+    "graph_hyperball",
     # round-5 final additions: embedding link-prediction eval (TransE
     # filtered ranking on the md5 grid — demoted web_hits and
     # web_crawl_schedule, both green in the committed FULL self-runs)
@@ -371,6 +370,13 @@ _PRIORITY: list[str] = [
     # committed CORRECTNESS_FULL_r05.json self-runs at both sfs;
     # text_good_turing keeps the corpus-health axis in the head)
     "text_mojibake", "text_rake",
+    # batch-19 swap: kg_bgp_quads_meta / kg_bgp_subquery ->
+    # text_idf_drift / events_paths (cross-snapshot IDF drift and
+    # user-journey trigrams; both demoted BGP forms are hard-green in
+    # the committed FULL self-runs at both sfs — BGP keeps bind /
+    # path_ops / dep_chain and the quad model stays pinned by
+    # kg_bgp_graph_const in the tail plus its pytest suite)
+    "text_idf_drift", "events_paths",
     # dependency-basket association rules (continuation session;
     # demoted text_kn_bigram — hard-green in the refreshed FULL
     # self-runs, and the text family keeps 8+ head slots incl.

@@ -3898,6 +3898,65 @@ def kg_owl_entail(spark, sf):
     return owl_horst_closure(data, schema)
 
 
+def text_idf_drift(spark, sf):
+    """Cross-snapshot IDF drift — the vocabulary-shift monitor between
+    two crawl snapshots (here the deterministic doc_id-parity split):
+    terms whose inverse document frequency moved most between the
+    halves, i.e. the topical drift a refreshed corpus introduces.
+    idf = round(ln(n/df), 8) per split on identical integer inputs
+    (bit-equal doubles cross-engine); shift = round(idf_new -
+    idf_old, 8); page = top 50 by |shift| with the term tiebreak,
+    planned as TakeOrderedAndProject. Diamond-free: the tokenized
+    projection is checkpointed once and feeds both the per-split
+    totals and the per-term document frequencies."""
+    docs = _t(spark, sf, "documents")
+    base = (docs.select((F.col("doc_id") % 2 == 1).alias("is_new"),
+                        F.array_distinct(
+                            F.regexp_extract_all(
+                                F.lower(F.col("text")),
+                                F.lit("[a-z0-9]+"), 0)).alias("toks"))
+            .localCheckpoint(eager=False))
+    totals = (base.groupBy("is_new").agg(F.count("*").alias("n"))
+              .select(
+                  F.max(F.when(~F.col("is_new"), F.col("n"))).alias("n_old"),
+                  F.max(F.when(F.col("is_new"), F.col("n"))).alias("n_new")))
+    df_ = (base.select("is_new", F.explode("toks").alias("term"))
+           .groupBy("term").agg(
+               F.sum((~F.col("is_new")).cast("long")).alias("df_old"),
+               F.sum(F.col("is_new").cast("long")).alias("df_new"))
+           .filter((F.col("df_old") >= 2) & (F.col("df_new") >= 2)))
+    j = df_.crossJoin(F.broadcast(totals))
+    idf_old = F.round(F.log(F.col("n_old").cast("double")
+                            / F.col("df_old").cast("double")), 8)
+    idf_new = F.round(F.log(F.col("n_new").cast("double")
+                            / F.col("df_new").cast("double")), 8)
+    shift = F.round(idf_new - idf_old, 8)
+    out = j.select("term", "df_old", "df_new",
+                   idf_old.alias("idf_old"), idf_new.alias("idf_new"),
+                   shift.alias("shift"))
+    return (out.orderBy(F.abs(F.col("shift")).desc(),
+                        F.asc("term")).limit(50))
+
+
+def events_paths(spark, sf):
+    """Top user-journey paths of length 3: per user, events ordered by
+    (ts, event_id), consecutive type trigrams counted corpus-wide —
+    the path-analysis complement to events_markov's bigram matrix
+    (a>b>c reveals detours a Markov chain factorizes away). One
+    user-keyed window pass + one path count; page = top 25 by count
+    with the path tiebreak (TakeOrderedAndProject)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (ev.select("user_id", "event_type",
+                     F.lead("event_type", 1).over(w).alias("t2"),
+                     F.lead("event_type", 2).over(w).alias("t3"))
+           .filter(F.col("t3").isNotNull()))
+    paths = (tri.select(F.concat_ws(">", "event_type", "t2", "t3")
+                        .alias("path"))
+             .groupBy("path").agg(F.count("*").alias("n")))
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(25)
+
+
 def text_mojibake(spark, sf):
     """Encoding-noise detection over an adversarially corrupted copy of
     the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
@@ -4011,6 +4070,8 @@ SPARK_QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_mojibake": text_mojibake,
     "text_rake": text_rake,
+    "text_idf_drift": text_idf_drift,
+    "events_paths": events_paths,
     "text_fingerprint": text_fingerprint,
     "text_textrank": text_textrank,
     "text_pii_scrub": text_pii_scrub,
@@ -5751,6 +5812,56 @@ _KG_OWL_ENTAIL_SQL = """
 """
 
 
+_TEXT_IDF_DRIFT_SQL = """
+    WITH base AS (
+        SELECT (doc_id % 2 = 1) AS is_new,
+               list_distinct(regexp_extract_all(lower(text),
+                                                '[a-z0-9]+')) AS toks
+        FROM documents
+    ),
+    totals AS (
+        SELECT max(CASE WHEN NOT is_new THEN n END) AS n_old,
+               max(CASE WHEN is_new THEN n END) AS n_new
+        FROM (SELECT is_new, count(*) AS n FROM base GROUP BY is_new)
+    ),
+    df AS (
+        SELECT term,
+               sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS df_old,
+               sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS df_new
+        FROM (SELECT is_new, unnest(toks) AS term FROM base)
+        GROUP BY term
+        HAVING df_old >= 2 AND df_new >= 2
+    )
+    SELECT term, df_old::BIGINT AS df_old, df_new::BIGINT AS df_new,
+           round(ln(n_old::DOUBLE / df_old::DOUBLE), 8) AS idf_old,
+           round(ln(n_new::DOUBLE / df_new::DOUBLE), 8) AS idf_new,
+           round(round(ln(n_new::DOUBLE / df_new::DOUBLE), 8)
+                 - round(ln(n_old::DOUBLE / df_old::DOUBLE), 8), 8)
+               AS shift
+    FROM df, totals
+    ORDER BY abs(round(round(ln(n_new::DOUBLE / df_new::DOUBLE), 8)
+                 - round(ln(n_old::DOUBLE / df_old::DOUBLE), 8), 8))
+                 DESC, term
+    LIMIT 50
+"""
+
+_EVENTS_PATHS_SQL = """
+    WITH tri AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           count(*) AS n
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 25
+"""
+
+
 def _simrank_sql(iterations: int = 3) -> str:
     """plans/graph.simrank unrolled: multiset in-neighbor pair joins
     over e0, HALF_UP integer updates (8*num + 5*ia*ib) // (10*ia*ib)
@@ -5937,6 +6048,8 @@ ORACLE_SQL = {
     "kg_owl_entail": _KG_OWL_ENTAIL_SQL,
     "text_mojibake": _mojibake_sql(),
     "text_rake": _rake_sql(),
+    "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
+    "events_paths": _EVENTS_PATHS_SQL,
     "sc1_scan_filter": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE source <> 'src0' AND n_chars > 200

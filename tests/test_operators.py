@@ -2605,3 +2605,55 @@ def test_rake_keywords_hand_computed(spark):
     # red: deg 2+3+1=6, freq 3 -> 2.0; car: deg 5, freq 2 -> 2.5
     assert rows2["red car"].score_e8 == 200000000 + 250000000
     assert rows2["red"].score_e8 == 200000000
+
+
+def test_text_idf_drift_hand_computed(spark):
+    import math
+
+    from npm_extraction_server_spark.operators.suite import text_idf_drift
+
+    # old split (even ids): 4 docs; new split (odd ids): 4 docs
+    # 'aa' df 4 -> 2 (rarer: idf rises), 'bb' df 2 -> 4 (commoner),
+    # 'cc' df 2 -> 2 (stable), 'dd' only old (filtered by min_df)
+    rows = [(0, "aa bb cc dd"), (2, "aa bb cc"), (4, "aa dd"), (6, "aa"),
+            (1, "aa bb"), (3, "bb aa"), (5, "bb cc"), (7, "bb cc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="idfdrift_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.term: r for r in text_idf_drift(spark, d).collect()}
+
+    assert set(got) == {"aa", "bb", "cc"}
+    idf = lambda n, df: round(math.log(n / df), 8)
+    r = got["aa"]
+    assert (r.df_old, r.df_new) == (4, 2)
+    assert r.idf_old == idf(4, 4) and r.idf_new == idf(4, 2)
+    assert r.shift == round(idf(4, 2) - idf(4, 4), 8)
+    assert got["bb"].shift == round(idf(4, 4) - idf(4, 2), 8)
+    assert got["cc"].shift == 0.0
+    # ordering: |shift| desc then term — aa and bb tie, aa first
+    ordered = [t for t in got]
+    assert sorted(got, key=lambda t: (-abs(got[t].shift), t)) == \
+        ["aa", "bb", "cc"]
+
+
+def test_events_paths_hand_computed(spark):
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import events_paths
+
+    # user 1: a b c d -> paths a>b>c, b>c>d ; user 2: a b c -> a>b>c
+    rows = [(1, 1, 100, "a"), (2, 1, 200, "b"), (3, 1, 300, "c"),
+            (4, 1, 400, "d"),
+            (5, 2, 100, "a"), (6, 2, 200, "b"), (7, 2, 300, "c"),
+            # user 3 has only 2 events: no trigram
+            (8, 3, 100, "a"), (9, 3, 200, "b")]
+    ev = spark.createDataFrame(
+        [(eid, f"u{u}", ts, t) for eid, u, ts, t in rows],
+        "event_id long, user_id string, ts long, event_type string") \
+        .selectExpr("event_id", "user_id",
+                    "timestamp_seconds(ts) AS ts", "event_type")
+    d = tempfile.mkdtemp(prefix="paths_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = [(r.path, r.n) for r in events_paths(spark, d).collect()]
+    assert got == [("a>b>c", 2), ("b>c>d", 1)]
