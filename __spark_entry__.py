@@ -228,7 +228,11 @@ _PRIORITY: list[str] = [
     # family keeps >= 2 head slots; all three green in the committed
     # CORRECTNESS_FULL_r04/r05 self-runs + the judge's independent
     # round-4 re-run)
-    "graph_hyperball",
+    # batch-20 swap: graph_hyperball -> graph_triads (full 16-class
+    # directed triad census, brute-force cross-checked; hyperball is
+    # hard-green in the committed FULL self-runs at both sfs and
+    # keeps its nf sibling + 2M probe)
+    "graph_triads",
     # round-5 final additions: embedding link-prediction eval (TransE
     # filtered ranking on the md5 grid — demoted web_hits and
     # web_crawl_schedule, both green in the committed FULL self-runs)

@@ -3957,6 +3957,20 @@ def events_paths(spark, sf):
     return paths.orderBy(F.desc("n"), F.asc("path")).limit(25)
 
 
+def graph_triads(spark, sf):
+    """Holland-Leinhardt 16-class directed triad census over the
+    deterministic KG multigraph (plans/graph.triad_census): connected
+    triads enumerated via wedge joins (Batagelj-Mrvar), disconnected
+    classes closed-form. Hard oracle: DuckDB classifies ALL C(500,3)
+    = 20.7M node triples BRUTE FORCE with the same generated 64->16
+    code CASE — a fully independent enumeration (no wedge trick, no
+    closed forms), so the decomposition identities themselves are
+    cross-checked, not just replayed."""
+    from ..plans.graph import triad_census
+
+    return triad_census(_kg_graph_edges(spark, sf))
+
+
 def text_mojibake(spark, sf):
     """Encoding-noise detection over an adversarially corrupted copy of
     the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
@@ -4110,6 +4124,7 @@ SPARK_QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_clustering": graph_clustering,
     "graph_simrank": graph_simrank,
+    "graph_triads": graph_triads,
     "kg_ifp_smush": kg_ifp_smush,
     "kg_rdfs_entail": kg_rdfs_entail,
     "kg_owl_entail": kg_owl_entail,
@@ -5862,6 +5877,47 @@ _EVENTS_PATHS_SQL = """
 """
 
 
+def _triad_census_sql() -> str:
+    """Brute-force triad census twin: every a<b<c triple from the
+    500-node universe, dyad codes via LEFT JOINs, the SAME generated
+    64->16 CASE as the Spark operator (imported, not re-derived)."""
+    from ..plans.graph import TRIAD_LABELS, triad_code_table
+
+    tbl = triad_code_table()
+    case = "CASE c12*16 + c13*4 + c23 " + " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in sorted(tbl.items())) + " END"
+    labels = ", ".join(f"('{x}')" for x in TRIAD_LABELS)
+    return f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    ed AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    dy AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS code
+        FROM ed GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+    tri AS (
+        SELECT n1.v AS t1, n2.v AS t2, n3.v AS t3
+        FROM nodes n1 JOIN nodes n2 ON n2.v > n1.v
+                      JOIN nodes n3 ON n3.v > n2.v
+    ),
+    coded AS (
+        SELECT coalesce(d12.code, 0) AS c12,
+               coalesce(d13.code, 0) AS c13,
+               coalesce(d23.code, 0) AS c23
+        FROM tri
+        LEFT JOIN dy d12 ON d12.a = tri.t1 AND d12.b = tri.t2
+        LEFT JOIN dy d13 ON d13.a = tri.t1 AND d13.b = tri.t3
+        LEFT JOIN dy d23 ON d23.a = tri.t2 AND d23.b = tri.t3
+    ),
+    census AS (SELECT {case} AS triad, count(*) AS n
+               FROM coded GROUP BY 1),
+    lbl(triad) AS (VALUES {labels})
+    SELECT lbl.triad, coalesce(census.n, 0)::BIGINT AS n
+    FROM lbl LEFT JOIN census USING (triad)"""
+
+
 def _simrank_sql(iterations: int = 3) -> str:
     """plans/graph.simrank unrolled: multiset in-neighbor pair joins
     over e0, HALF_UP integer updates (8*num + 5*ia*ib) // (10*ia*ib)
@@ -6043,6 +6099,7 @@ def _rake_sql() -> str:
 
 ORACLE_SQL = {
     "graph_simrank": _simrank_sql(3),
+    "graph_triads": _triad_census_sql(),
     "kg_ifp_smush": _KG_IFP_SMUSH_SQL,
     "kg_rdfs_entail": _KG_RDFS_ENTAIL_SQL,
     "kg_owl_entail": _KG_OWL_ENTAIL_SQL,

@@ -1827,3 +1827,59 @@ def test_simrank_matches_pure_python_integer_twin(spark):
     # nodes 2 and 3 share BOTH in-neighbors (with the parallel 0->3
     # edge diluting): similarity strictly positive and below 1
     assert 0 < got[(2, 3)] < GRID
+
+
+def test_triad_census_every_class_planted(spark):
+    """One disjoint node triple per connected class (plus an empty
+    triple), built from the textbook patterns; the disconnected
+    classes are checked against an independent pure-Python
+    brute-force census of all C(n,3) triples."""
+    from npm_extraction_server_spark.plans.graph import triad_census
+
+    pat = {
+        "012":  [(0, 1)],
+        "102":  [(0, 1), (1, 0)],
+        "021D": [(1, 0), (1, 2)],            # A<-B->C
+        "021U": [(0, 1), (2, 1)],            # A->B<-C
+        "021C": [(0, 1), (1, 2)],            # A->B->C
+        "111D": [(0, 1), (1, 0), (2, 1)],    # A<->B<-C
+        "111U": [(0, 1), (1, 0), (1, 2)],    # A<->B->C
+        "030T": [(0, 1), (0, 2), (1, 2)],
+        "030C": [(0, 1), (1, 2), (2, 0)],
+        "201":  [(0, 1), (1, 0), (1, 2), (2, 1)],
+        "120D": [(1, 0), (1, 2), (0, 2), (2, 0)],
+        "120U": [(0, 1), (2, 1), (0, 2), (2, 0)],
+        "120C": [(0, 1), (1, 2), (0, 2), (2, 0)],
+        "210":  [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2)],
+        "300":  [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)],
+    }
+    edges = []
+    base = 0
+    for lbl in sorted(pat):
+        edges += [(base + x, base + y) for x, y in pat[lbl]]
+        base += 3
+    # plus an isolated pair to perturb the disconnected counts: the
+    # node universe is edge endpoints, so add one extra linked dyad
+    edges.append((base, base + 1))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.triad: r.n for r in triad_census(df).collect()}
+
+    # independent brute force over all C(n,3) triples
+    from itertools import combinations
+
+    from npm_extraction_server_spark.plans.graph import triad_code_table
+    tbl = triad_code_table()
+    arcs = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    want = {lbl: 0 for lbl in got}
+    for a, b, c in combinations(nodes, 3):
+        def code(x, y):
+            return ((x, y) in arcs) + 2 * ((y, x) in arcs)
+        k = code(a, b) * 16 + code(a, c) * 4 + code(b, c)
+        want[tbl[k]] += 1
+    assert got == want
+    # each planted connected pattern contributes exactly one triad of
+    # its class among the within-triple triads
+    for lbl in pat:
+        if lbl != "012":
+            assert got[lbl] >= 1, lbl
