@@ -222,7 +222,6 @@ _PRIORITY: list[str] = [
     # committed FULL self-runs at both sfs, and BGP keeps bind /
     # path_ops / quads_meta / subquery / dep_chain in the head)
     "kg_rdfs_entail", "kg_owl_entail",
-    "kg_trig_roundtrip",
     # round-5 late additions (HyperBall, SPARQL subquery) — demoted
     # q18_large_orders / snap_dedup_incr / graph_mis to the tail (each
     # family keeps >= 2 head slots; all three green in the committed
@@ -374,6 +373,10 @@ _PRIORITY: list[str] = [
     # committed CORRECTNESS_FULL_r05.json self-runs at both sfs;
     # text_good_turing keeps the corpus-health axis in the head)
     "text_mojibake", "text_rake",
+    # batch-21 swap: kg_trig_roundtrip -> text_fertility (per-lang BPE
+    # fertility; trig roundtrip is hard-green in the committed FULL
+    # self-runs at both sfs and pinned by the 5-format parser pytests)
+    "text_fertility",
     # batch-19 swap: kg_bgp_quads_meta / kg_bgp_subquery ->
     # text_idf_drift / events_paths (cross-snapshot IDF drift and
     # user-journey trigrams; both demoted BGP forms are hard-green in

@@ -3971,6 +3971,42 @@ def graph_triads(spark, sf):
     return triad_census(_kg_graph_edges(spark, sf))
 
 
+def text_fertility(spark, sf):
+    """Per-language tokenizer fertility — tokens-per-word and
+    chars-per-token under the frozen toy-BPE vocab, the budget stats
+    a tokenizer owner watches per language (high fertility = the
+    vocab under-serves that language and its docs cost more tokens
+    than their text warrants). ONE mapInPandas pass carries lang and
+    word-char sums through (no second corpus scan); the rollup is a
+    |langs|-row groupBy; ratios are HALF_UP on the 1e6 integer grid.
+    Hard oracle: the recursive-CTE greedy segmentation (the
+    text_bpe_tokens twin) aggregated per language with identical
+    integer arithmetic."""
+    from .text import bpe_token_counts
+
+    base = bpe_token_counts(_t(spark, sf, "documents"),
+                            passthrough=["lang"], with_chars=True)
+    g = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.sum("n_word_chars").alias("n_word_chars"))
+    fert = F.expr(
+        "(2 * CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000"
+        " + CAST(n_words AS DECIMAL(38,0)))"
+        " div (2 * CAST(n_words AS DECIMAL(38,0)))").cast("long")
+    cpt = F.expr(
+        "(2 * CAST(n_word_chars AS DECIMAL(38,0)) * 1000000"
+        " + CAST(n_bpe_tokens AS DECIMAL(38,0)))"
+        " div (2 * CAST(n_bpe_tokens AS DECIMAL(38,0)))").cast("long")
+    return g.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens", "n_word_chars",
+        fert.alias("fertility_e6"),
+        (fert.cast("double") / F.lit(1e6)).alias("fertility"),
+        cpt.alias("chars_per_token_e6"),
+        (cpt.cast("double") / F.lit(1e6)).alias("chars_per_token"))
+
+
 def text_mojibake(spark, sf):
     """Encoding-noise detection over an adversarially corrupted copy of
     the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
@@ -4085,6 +4121,7 @@ SPARK_QUERIES = {
     "text_mojibake": text_mojibake,
     "text_rake": text_rake,
     "text_idf_drift": text_idf_drift,
+    "text_fertility": text_fertility,
     "events_paths": events_paths,
     "text_fingerprint": text_fingerprint,
     "text_textrank": text_textrank,
@@ -5918,6 +5955,32 @@ def _triad_census_sql() -> str:
     FROM lbl LEFT JOIN census USING (triad)"""
 
 
+_TEXT_FERTILITY_SQL = _bpe_ctes() + """
+    , wl AS (SELECT doc_id, sum(length(w)) AS wchars
+             FROM words GROUP BY doc_id),
+    per AS (
+        SELECT d.lang, count(*) AS n_docs,
+               sum(coalesce(p.n_words, 0)) AS n_words,
+               sum(coalesce(p.n_bpe, 0)) AS n_bpe,
+               sum(coalesce(wl.wchars, 0)) AS n_chars
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN wl USING (doc_id)
+        GROUP BY d.lang)
+    SELECT lang, n_docs::BIGINT AS n_docs, n_words::BIGINT AS n_words,
+           n_bpe::BIGINT AS n_bpe_tokens, n_chars::BIGINT AS n_word_chars,
+           ((2 * n_bpe * 1000000 + n_words)
+                // (2 * n_words))::BIGINT AS fertility_e6,
+           ((2 * n_bpe * 1000000 + n_words)
+                // (2 * n_words))::BIGINT::DOUBLE / 1e6 AS fertility,
+           ((2 * n_chars * 1000000 + n_bpe)
+                // (2 * n_bpe))::BIGINT AS chars_per_token_e6,
+           ((2 * n_chars * 1000000 + n_bpe)
+                // (2 * n_bpe))::BIGINT::DOUBLE / 1e6 AS chars_per_token
+    FROM per
+    """
+
+
 def _simrank_sql(iterations: int = 3) -> str:
     """plans/graph.simrank unrolled: multiset in-neighbor pair joins
     over e0, HALF_UP integer updates (8*num + 5*ia*ib) // (10*ia*ib)
@@ -6106,6 +6169,7 @@ ORACLE_SQL = {
     "text_mojibake": _mojibake_sql(),
     "text_rake": _rake_sql(),
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
+    "text_fertility": _TEXT_FERTILITY_SQL,
     "events_paths": _EVENTS_PATHS_SQL,
     "sc1_scan_filter": """
         SELECT doc_id, lang, n_chars FROM documents

@@ -267,7 +267,9 @@ BPE_PIECES = [
 
 
 def bpe_token_counts(documents: DataFrame,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     passthrough: list[str] | None = None,
+                     with_chars: bool = False) -> DataFrame:
     """Deterministic subword token counts (doc_id, n_words,
     n_bpe_tokens): words = lowercase ``[a-z0-9]+`` runs; each word is
     segmented by greedy longest-match against the fixed ``BPE_PIECES``
@@ -277,6 +279,12 @@ def bpe_token_counts(documents: DataFrame,
     ``pack_tokens`` / curation a subword-realistic budget while staying
     exactly replayable cross-engine (the DuckDB oracle replays the same
     greedy segmentation with a recursive CTE).
+
+    ``passthrough`` copies extra input columns (e.g. lang) into the
+    output unchanged; ``with_chars=True`` adds ``n_word_chars`` (sum
+    of word lengths — the numerator for chars-per-token fertility
+    stats) so per-language rollups need no second scan of the corpus
+    (plan-diamond rule).
 
     Scale shape: one Arrow-batched ``mapInPandas`` stage, zero shuffle;
     segmentation is memoized per distinct word within a batch (Zipf
@@ -289,11 +297,15 @@ def bpe_token_counts(documents: DataFrame,
 
     pieces = sorted(BPE_PIECES, key=len, reverse=True)
     word_re = re.compile(r"[a-z0-9]+")
-    out_schema = T.StructType([
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("n_words", T.LongType(), False),
-        T.StructField("n_bpe_tokens", T.LongType(), False),
-    ])
+    extra = list(passthrough or [])
+    in_schema = {f.name: f.dataType for f in documents.schema.fields}
+    fields = [T.StructField("doc_id", T.LongType(), False)]
+    fields += [T.StructField(c, in_schema[c], True) for c in extra]
+    fields += [T.StructField("n_words", T.LongType(), False),
+               T.StructField("n_bpe_tokens", T.LongType(), False)]
+    if with_chars:
+        fields.append(T.StructField("n_word_chars", T.LongType(), False))
+    out_schema = T.StructType(fields)
 
     def seg_len(word: str) -> int:
         pos, n, L = 0, 0, len(word)
@@ -310,7 +322,7 @@ def bpe_token_counts(documents: DataFrame,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, int] = {}
         for pdf in batches:
-            ids, nw, nb = [], [], []
+            ids, nw, nb, nc = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 words = word_re.findall((text or "").lower())
                 total = 0
@@ -322,13 +334,22 @@ def bpe_token_counts(documents: DataFrame,
                 ids.append(int(doc_id))
                 nw.append(len(words))
                 nb.append(total)
-            yield pd.DataFrame(
-                {"doc_id": ids, "n_words": nw, "n_bpe_tokens": nb})
+                if with_chars:
+                    nc.append(sum(len(w) for w in words))
+            out = {"doc_id": ids}
+            for c in extra:
+                out[c] = pdf[c].values
+            out["n_words"] = nw
+            out["n_bpe_tokens"] = nb
+            if with_chars:
+                out["n_word_chars"] = nc
+            yield pd.DataFrame(out)
 
     from .dedup import spread_partitions
 
+    cols = ["doc_id", *extra, text_col]
     return spread_partitions(
-        documents.select("doc_id", text_col)).mapInPandas(fn, out_schema)
+        documents.select(*cols)).mapInPandas(fn, out_schema)
 
 
 def _re_quote(s: str) -> str:

@@ -2657,3 +2657,38 @@ def test_events_paths_hand_computed(spark):
     ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
     got = [(r.path, r.n) for r in events_paths(spark, d).collect()]
     assert got == [("a>b>c", 2), ("b>c>d", 1)]
+
+
+def test_bpe_fertility_passthrough_and_chars(spark):
+    from npm_extraction_server_spark.operators.text import (
+        BPE_PIECES,
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaa bb", "en"), (1, "", "de")],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in
+           bpe_token_counts(docs, passthrough=["lang"],
+                            with_chars=True).collect()}
+    assert got[0].lang == "en" and got[1].lang == "de"
+    assert (got[0].n_words, got[0].n_word_chars) == (2, 5)
+    assert (got[1].n_words, got[1].n_bpe_tokens,
+            got[1].n_word_chars) == (0, 0, 0)
+
+    # independent greedy segmentation for the token count
+    pieces = sorted(BPE_PIECES, key=len, reverse=True)
+
+    def seg(w):
+        pos = n = 0
+        while pos < len(w):
+            for p in pieces:
+                if w.startswith(p, pos):
+                    pos += len(p)
+                    break
+            else:
+                pos += 1
+            n += 1
+        return n
+
+    assert got[0].n_bpe_tokens == seg("aaa") + seg("bb")
