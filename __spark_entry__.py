@@ -214,7 +214,7 @@ _PRIORITY: list[str] = [
     # IVF-PQ recall, Gopher rules, equality deletes)
     "text_gopher_rules", "sim_ivfpq_recall", "dedup_containment",
     "graph_pagerank_incr", "kg_bgp_bind",
-    "graph_betweenness", "snap_eq_delete", "snap_zorder",
+    "snap_eq_delete", "snap_zorder",
     "kg_bgp_path_ops",
     # batch-18 swap: kg_bgp_values / kg_bgp_exists_deps ->
     # kg_rdfs_entail / kg_owl_entail (RDFS rho-df + OWL-Horst closure
@@ -232,6 +232,11 @@ _PRIORITY: list[str] = [
     # hard-green in the committed FULL self-runs at both sfs and
     # keeps its nf sibling + 2M probe)
     "graph_triads",
+    # batch-22 swap: graph_betweenness -> graph_ppr_push (ACL local
+    # push with exact integer mass conservation; betweenness is
+    # hard-green in the committed FULL self-runs at both sfs with its
+    # own Brandes pytest + 2M probe)
+    "graph_ppr_push",
     # round-5 final additions: embedding link-prediction eval (TransE
     # filtered ranking on the md5 grid — demoted web_hits and
     # web_crawl_schedule, both green in the committed FULL self-runs)

@@ -4007,6 +4007,19 @@ def text_fertility(spark, sf):
         (cpt.cast("double") / F.lit(1e6)).alias("chars_per_token"))
 
 
+def graph_ppr_push(spark, sf):
+    """Batched ACL local-push PPR (plans/graph.ppr_push) from the 10
+    node_id%50==0 seeds, 8 rounds, exact integer mass conservation on
+    the 1e-12 grid (sum p + sum r == 10^12 every round). Hard oracle:
+    8 unrolled rounds of the identical long arithmetic in DuckDB."""
+    from ..plans.graph import ppr_push
+
+    edges = _kg_graph_edges(spark, sf)
+    seeds = (edges.select(F.col("src").alias("node_id"))
+             .filter(F.col("node_id") % 50 == 0).distinct())
+    return ppr_push(edges, seeds, rounds=8)
+
+
 def text_mojibake(spark, sf):
     """Encoding-noise detection over an adversarially corrupted copy of
     the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
@@ -4162,6 +4175,7 @@ SPARK_QUERIES = {
     "graph_clustering": graph_clustering,
     "graph_simrank": graph_simrank,
     "graph_triads": graph_triads,
+    "graph_ppr_push": graph_ppr_push,
     "kg_ifp_smush": kg_ifp_smush,
     "kg_rdfs_entail": kg_rdfs_entail,
     "kg_owl_entail": kg_owl_entail,
@@ -5981,6 +5995,55 @@ _TEXT_FERTILITY_SQL = _bpe_ctes() + """
     """
 
 
+def _ppr_push_sql(rounds: int = 8, alpha_num: int = 15,
+                  alpha_den: int = 100, eps_thresh: int = 0) -> str:
+    """plans/graph.ppr_push unrolled: per round, pushers move
+    r*an//ad into p, spread (rem // deg) per out-edge, keep the
+    integer dust — BIGINT arithmetic end to end."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+    nodes AS (SELECT src AS node_id FROM e0 UNION SELECT dst FROM e0),
+    ns AS (SELECT count(*) AS n FROM (
+               SELECT DISTINCT node_id FROM nodes
+               WHERE node_id % 50 = 0)),
+    s0 AS (
+        SELECT n.node_id, coalesce(d.deg, 0)::BIGINT AS deg,
+               0::BIGINT AS p,
+               CASE WHEN n.node_id % 50 = 0
+                    THEN (1000000000000 // (SELECT n FROM ns))::BIGINT
+                    ELSE 0::BIGINT END AS r
+        FROM nodes n LEFT JOIN deg d ON d.src = n.node_id)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    t{k} AS MATERIALIZED (
+        SELECT node_id, deg,
+               CASE WHEN deg > 0 AND r > {eps_thresh} * deg
+                    THEN p + (r * {alpha_num}) // {alpha_den}
+                    ELSE p END AS p,
+               CASE WHEN deg > 0 AND r > {eps_thresh} * deg
+                    THEN (r - (r * {alpha_num}) // {alpha_den})
+                         - ((r - (r * {alpha_num}) // {alpha_den})
+                            // deg) * deg
+                    ELSE r END AS keep,
+               CASE WHEN deg > 0 AND r > {eps_thresh} * deg
+                    THEN (r - (r * {alpha_num}) // {alpha_den}) // deg
+                    ELSE 0 END AS q
+        FROM s{k - 1}),
+    g{k} AS MATERIALIZED (
+        SELECT e0.dst, sum(t.q) AS gain
+        FROM t{k} t JOIN e0 ON e0.src = t.node_id
+        WHERE t.q > 0 GROUP BY e0.dst),
+    s{k} AS MATERIALIZED (
+        SELECT t.node_id, t.deg, t.p,
+               (t.keep + coalesce(g.gain, 0))::BIGINT AS r
+        FROM t{k} t LEFT JOIN g{k} g ON g.dst = t.node_id)"""
+    sql += f"""
+    SELECT node_id, p::BIGINT AS p_e12, r::BIGINT AS r_e12
+    FROM s{rounds} WHERE p > 0 OR r > 0"""
+    return sql
+
+
 def _simrank_sql(iterations: int = 3) -> str:
     """plans/graph.simrank unrolled: multiset in-neighbor pair joins
     over e0, HALF_UP integer updates (8*num + 5*ia*ib) // (10*ia*ib)
@@ -6163,6 +6226,7 @@ def _rake_sql() -> str:
 ORACLE_SQL = {
     "graph_simrank": _simrank_sql(3),
     "graph_triads": _triad_census_sql(),
+    "graph_ppr_push": _ppr_push_sql(8),
     "kg_ifp_smush": _KG_IFP_SMUSH_SQL,
     "kg_rdfs_entail": _KG_RDFS_ENTAIL_SQL,
     "kg_owl_entail": _KG_OWL_ENTAIL_SQL,

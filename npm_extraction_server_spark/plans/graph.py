@@ -3433,3 +3433,75 @@ def triad_census(edges: DataFrame) -> DataFrame:
     out["003"] = total - counted
     rows = [(lbl, int(out.get(lbl, 0))) for lbl in TRIAD_LABELS]
     return spark.createDataFrame(rows, "triad string, n long")
+
+
+def ppr_push(edges: DataFrame, seeds: DataFrame, rounds: int = 8,
+             alpha_num: int = 15, alpha_den: int = 100,
+             eps_thresh: int = 0, scale: int = 12) -> DataFrame:
+    """Personalized PageRank by BATCHED local push (the synchronized
+    variant of Andersen-Chung-Lang, FOCS 2006): residual mass starts
+    on the seeds and spreads one hop per round; a node pushes only
+    when its residual clears ``r > eps_thresh * out_deg`` — so the
+    computation touches ONLY the seed neighborhood the tolerance
+    implies, never the whole graph. This is the shape that matters at
+    10^9 nodes: power-iteration PPR (personalized_pagerank) costs a
+    full rank-vector shuffle per round regardless of |seeds|; push
+    cost follows the touched frontier.
+
+    ALL-INTEGER mass accounting on the 10^-scale grid (longs):
+    a push moves ``r*alpha_num div alpha_den`` into the estimate p,
+    spreads ``(r - pushed) div out_deg`` along EACH out-edge
+    (multiset semantics), and the integer dust
+    ``rem - q*out_deg`` stays in the node's residual — mass is
+    conserved EXACTLY (sum(p) + sum(r) == 10^scale at every round),
+    every quantity is a long, and the DuckDB twin is bit-identical
+    with zero float protocol. Sinks and sub-threshold nodes hold
+    their residual (documented contract).
+
+    Returns (node_id, p_e12, r_e12) for nodes with any mass. Rounds
+    are FIXED (not convergence-tested) so the unrolled oracle has the
+    same shape; each round lazily checkpoints the state frame — no
+    driver action until the caller's.
+    """
+    grid = 10 ** scale
+    E = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = E.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (E.select(F.col("src").alias("node_id"))
+             .unionByName(E.select(F.col("dst").alias("node_id")))
+             .distinct())
+    n_seeds = seeds.select("node_id").distinct().count()
+    init_r = grid // n_seeds
+    cur = (nodes
+           .join(deg.withColumnRenamed("src", "node_id"), "node_id",
+                 "left")
+           .join(seeds.select("node_id").distinct()
+                 .withColumn("_s", F.lit(True)), "node_id", "left")
+           .select("node_id",
+                   F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+                   F.lit(0).cast("long").alias("p"),
+                   F.when(F.col("_s"), F.lit(init_r)).otherwise(F.lit(0))
+                   .cast("long").alias("r")))
+    for _ in range(rounds):
+        cur = cur.localCheckpoint(eager=False)
+        push = (F.col("deg") > 0) & \
+               (F.col("r") > F.lit(eps_thresh) * F.col("deg"))
+        pushed = F.expr(f"(r * {alpha_num}) div {alpha_den}")
+        rem = F.col("r") - pushed
+        q = F.expr(f"(r - (r * {alpha_num}) div {alpha_den}) div deg")
+        st = cur.select(
+            "node_id", "deg",
+            F.when(push, F.col("p") + pushed).otherwise(F.col("p"))
+            .alias("p"),
+            F.when(push, rem - q * F.col("deg")).otherwise(F.col("r"))
+            .alias("keep"),
+            F.when(push, q).otherwise(F.lit(0)).alias("q"))
+        gains = (st.filter(F.col("q") > 0)
+                 .join(E, st.node_id == E.src)
+                 .groupBy("dst").agg(F.sum("q").alias("gain")))
+        cur = (st.join(gains, st.node_id == gains.dst, "left")
+               .select("node_id", "deg", "p",
+                       (F.col("keep") + F.coalesce("gain", F.lit(0)))
+                       .alias("r")))
+    return (cur.filter((F.col("p") > 0) | (F.col("r") > 0))
+            .select("node_id", F.col("p").alias("p_e12"),
+                    F.col("r").alias("r_e12")))

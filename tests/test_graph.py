@@ -1883,3 +1883,56 @@ def test_triad_census_every_class_planted(spark):
     for lbl in pat:
         if lbl != "012":
             assert got[lbl] >= 1, lbl
+
+
+def test_ppr_push_exact_mass_conservation_and_locality(spark):
+    from npm_extraction_server_spark.plans.graph import ppr_push
+
+    # long path: seed at node 0; after k rounds mass cannot have
+    # travelled past node k (one hop per round) — locality
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    rows = {r.node_id: r for r in
+            ppr_push(edges, seeds, rounds=5).collect()}
+
+    grid = 10 ** 12
+    # exact conservation: estimates + residuals == the whole grid
+    assert sum(r.p_e12 + r.r_e12 for r in rows.values()) == grid
+    # locality: nothing past hop 5
+    assert all(k <= 5 for k in rows)
+
+    # independent integer twin on a branchy graph with a sink and a
+    # parallel edge
+    e2 = [(0, 1), (0, 2), (1, 2), (2, 3), (0, 1), (3, 3)]
+    df = spark.createDataFrame(e2, "src long, dst long")
+    got = {r.node_id: (r.p_e12, r.r_e12) for r in
+           ppr_push(df, seeds, rounds=4).collect()}
+
+    from collections import defaultdict
+    deg = defaultdict(int)
+    out = defaultdict(list)
+    nodes = set()
+    for s, d in e2:
+        deg[s] += 1
+        out[s].append(d)
+        nodes |= {s, d}
+    p = {v: 0 for v in nodes}
+    r = {v: 0 for v in nodes}
+    r[0] = grid
+    for _ in range(4):
+        gain = defaultdict(int)
+        for v in nodes:
+            if deg[v] > 0 and r[v] > 0:
+                pushed = r[v] * 15 // 100
+                rem = r[v] - pushed
+                q = rem // deg[v]
+                p[v] += pushed
+                r[v] = rem - q * deg[v]
+                for d in out[v]:
+                    gain[d] += q
+        for v, g in gain.items():
+            r[v] += g
+    want = {v: (p[v], r[v]) for v in nodes if p[v] > 0 or r[v] > 0}
+    assert got == want
