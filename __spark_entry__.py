@@ -340,7 +340,6 @@ _PRIORITY: list[str] = [
     # last-touch attribution (final session; demoted snap_stats_prune
     # — snapshots keep eq_delete + zorder in the head, and the
     # stats-pruning path is green in the refreshed FULL self-run)
-    "events_attribution",
     # DAU/WAU sliding-distinct (final session; demoted sketch_distinct
     # — the sketch family's KMV/HLL paths are also exercised by
     # sketch_hll/sketch_set_ops in the FULL self-runs, all green)
@@ -389,6 +388,10 @@ _PRIORITY: list[str] = [
     # path_ops / dep_chain and the quad model stays pinned by
     # kg_bgp_graph_const in the tail plus its pytest suite)
     "text_idf_drift", "events_paths",
+    # batch-23 swap: events_attribution -> events_entropy_rate (the
+    # Markov predictability scalar; attribution is hard-green in the
+    # committed FULL self-runs at both sfs with its 50M-event probe)
+    "events_entropy_rate",
     # dependency-basket association rules (continuation session;
     # demoted text_kn_bigram — hard-green in the refreshed FULL
     # self-runs, and the text family keeps 8+ head slots incl.

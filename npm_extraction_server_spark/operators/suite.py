@@ -4020,6 +4020,45 @@ def graph_ppr_push(spark, sf):
     return ppr_push(edges, seeds, rounds=8)
 
 
+def events_entropy_rate(spark, sf):
+    """Entropy rate of the user-journey Markov chain — the single
+    predictability scalar over the transition matrix (low = rigid
+    funnels, high = undirected wandering): per prev-type conditional
+    entropy H_i = -sum_j p_ij * ln(p_ij) with p_ij the exact
+    empirical ratio n_ij/n_i (IEEE division of exact integers), each
+    term re-rounded to 8 dp and summed as exact decimals; the rate
+    is sum_i pi_i * H_i with pi the prev-type share, terms on the
+    same 8-dp grid. One user-keyed window pass + one matrix-sized
+    aggregate (the events_markov budget); every float op is a fixed
+    IEEE sequence on identical inputs, so the DuckDB twin is
+    bit-exact."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    cnt = (pairs.groupBy(F.col("event_type").alias("prev_type"),
+                         "next_type")
+           .agg(F.count("*").alias("n")))
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    term = F.round(p * F.round(F.log(p), 8), 8).cast("decimal(28,8)")
+    h = (cnt.join(tot, "prev_type")
+         .groupBy("prev_type")
+         .agg(F.max("tot").alias("n_from"),
+              (-F.sum(term).cast("double")).alias("h_cond")))
+    big_n = h.agg(F.sum("n_from").cast("double").alias("big_n"))
+    hj = h.crossJoin(F.broadcast(big_n))
+    share = F.col("n_from").cast("double") / F.col("big_n")
+    contrib = F.round(share * F.col("h_cond"), 8).cast("decimal(28,8)")
+    rate = hj.agg(F.sum(contrib).cast("double").alias("rate"))
+    return (hj.crossJoin(F.broadcast(rate))
+            .select("prev_type", "n_from",
+                    F.round(share, 6).alias("share"),
+                    F.round("h_cond", 8).alias("h_cond"),
+                    F.round("rate", 8).alias("rate")))
+
+
 def text_mojibake(spark, sf):
     """Encoding-noise detection over an adversarially corrupted copy of
     the corpus: docs with doc_id%7==0 get 'e' double-decoded to the
@@ -4136,6 +4175,7 @@ SPARK_QUERIES = {
     "text_idf_drift": text_idf_drift,
     "text_fertility": text_fertility,
     "events_paths": events_paths,
+    "events_entropy_rate": events_entropy_rate,
     "text_fingerprint": text_fingerprint,
     "text_textrank": text_textrank,
     "text_pii_scrub": text_pii_scrub,
@@ -6044,6 +6084,39 @@ def _ppr_push_sql(rounds: int = 8, alpha_num: int = 15,
     return sql
 
 
+_EVENTS_ENTROPY_RATE_SQL = """
+    WITH pairs AS (
+        SELECT event_type AS prev_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    cnt AS (SELECT prev_type, next_type, count(*) AS n
+            FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, sum(n) AS tot FROM cnt GROUP BY 1),
+    h AS (
+        SELECT c.prev_type, max(t.tot) AS n_from,
+               -cast(sum(cast(round((c.n::DOUBLE / t.tot::DOUBLE)
+                                    * round(ln(c.n::DOUBLE
+                                               / t.tot::DOUBLE), 8), 8)
+                              AS DECIMAL(28,8))) AS DOUBLE) AS h_cond
+        FROM cnt c JOIN tot t USING (prev_type) GROUP BY c.prev_type
+    ),
+    bn AS (SELECT sum(n_from)::DOUBLE AS big_n FROM h),
+    rate AS (
+        SELECT cast(sum(cast(round((h.n_from::DOUBLE / bn.big_n)
+                                   * h.h_cond, 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS rate
+        FROM h, bn
+    )
+    SELECT h.prev_type, h.n_from::BIGINT AS n_from,
+           round(h.n_from::DOUBLE / bn.big_n, 6) AS share,
+           round(h.h_cond, 8) AS h_cond,
+           round(rate.rate, 8) AS rate
+    FROM h, bn, rate
+"""
+
+
 def _simrank_sql(iterations: int = 3) -> str:
     """plans/graph.simrank unrolled: multiset in-neighbor pair joins
     over e0, HALF_UP integer updates (8*num + 5*ia*ib) // (10*ia*ib)
@@ -6235,6 +6308,7 @@ ORACLE_SQL = {
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
     "text_fertility": _TEXT_FERTILITY_SQL,
     "events_paths": _EVENTS_PATHS_SQL,
+    "events_entropy_rate": _EVENTS_ENTROPY_RATE_SQL,
     "sc1_scan_filter": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE source <> 'src0' AND n_chars > 200

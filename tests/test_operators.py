@@ -2692,3 +2692,35 @@ def test_bpe_fertility_passthrough_and_chars(spark):
         return n
 
     assert got[0].n_bpe_tokens == seg("aaa") + seg("bb")
+
+
+def test_events_entropy_rate_hand_computed(spark):
+    import math
+    import tempfile
+
+    from npm_extraction_server_spark.operators.suite import (
+        events_entropy_rate,
+    )
+
+    # user u1: a b a b a  -> transitions a>b, b>a, a>b, b>a
+    # user u2: a a c      -> a>a, a>c
+    rows = [(1, "u1", 10, "a"), (2, "u1", 20, "b"), (3, "u1", 30, "a"),
+            (4, "u1", 40, "b"), (5, "u1", 50, "a"),
+            (6, "u2", 10, "a"), (7, "u2", 20, "a"), (8, "u2", 30, "c")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts long, event_type string") \
+        .selectExpr("event_id", "user_id",
+                    "timestamp_seconds(ts) AS ts", "event_type")
+    d = tempfile.mkdtemp(prefix="entropy_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.prev_type: r for r in events_entropy_rate(spark, d).collect()}
+
+    # from a: a>b x2, a>a x1, a>c x1 (n_from=4); from b: b>a x2
+    assert got["a"].n_from == 4 and got["b"].n_from == 2
+    term = lambda p: round(p * round(math.log(p), 8), 8)
+    h_a = -(term(2 / 4) + term(1 / 4) + term(1 / 4))
+    assert got["a"].h_cond == round(h_a, 8)
+    assert got["b"].h_cond == 0.0  # deterministic: p=1, ln 1 = 0
+    want_rate = round(round((4 / 6) * h_a, 8) + round((2 / 6) * 0.0, 8), 8)
+    assert got["a"].rate == want_rate == got["b"].rate
+    assert got["a"].share == round(4 / 6, 6)
