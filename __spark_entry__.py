@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_prov_triples": _kg_prov_triples,
         "kg_property_graph": _kg_property_graph,
         "kg_char_sets": _kg_char_sets,
+        "kg_graph_hash": _kg_graph_hash,
         "kg_sparql_text_agg": _kg_sparql_text_agg,
         "kg_sparql_text_topk": _kg_sparql_text_topk,
         "kg_sparql_text_path": _kg_sparql_text_path,
@@ -281,7 +282,12 @@ _PRIORITY: list[str] = [
     # slots: hyperball keeps graph_hyperball, pagerank keeps
     # graph_pagerank_incr, text keeps gopher/bpe_train, BGP keeps
     # version_meta/dep_chain/void, web keeps web_url_normalize)
-    "graph_lpa_communities", "text_textrank", "kg_char_sets",
+    "graph_lpa_communities", "text_textrank",
+    # batch-24 swap: kg_char_sets -> kg_graph_hash (WL canonical
+    # RDF-graph fingerprints over the SAME oracle-able KG slice
+    # construction; char_sets is hard-green in the committed FULL
+    # self-runs at both sfs)
+    "kg_graph_hash",
     # WL refinement + DSIR (this session's additions; demoted
     # graph_link_predict — the ONE head entry with a prior driver
     # record (r1-r4) — and graph_eccentricity, which shares
@@ -318,8 +324,11 @@ _PRIORITY: list[str] = [
     "ts_autocorr",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
     # text / retrieval: text_textrank + text_gopher_rules (above)
-    # sampling
-    "sample_k_per_domain",
+    # batch-24 swap: sample_k_per_domain -> sample_kcenter (Gonzalez
+    # k-center coreset selection; k_per_domain is hard-green in the
+    # committed FULL self-runs at both sfs and its window machinery
+    # is shared with the recorded w1/w4 family)
+    "sample_kcenter",
     # SPARQL 1.1 Update over the triple store (late round-5 addition;
     # demoted graph_labelprop and graph_ppr — both green in the
     # committed FULL self-runs and the judge's round-4 independent
@@ -408,11 +417,11 @@ _PRIORITY: list[str] = [
     "events_rfm",
     # Katz centrality (all-integer Horner — this session)
     "graph_katz",
-    # web link graph / crawl: SALSA showcases the same links CTE
-    # web_url_normalize feeds (normalize_url is exercised inside
-    # web_salsa/web_hits/web_cocitation oracles; url_normalize is
-    # green in the FULL self-run)
-    "web_salsa",
+    # batch-24 swap: web_salsa -> web_template_lines (CCNet-style
+    # per-site boilerplate line removal; salsa is hard-green in the
+    # committed FULL self-runs at both sfs and the web family keeps
+    # trustrank + redirects + template_lines in the head)
+    "web_template_lines",
 ]
 
 
@@ -453,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_bgp_ask": _KG_BGP_ASK_ORACLE,
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_char_sets": _KG_CHAR_SETS_ORACLE,
+            "kg_graph_hash": _KG_GRAPH_HASH_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_bgp_exists_deps": _KG_BGP_EXISTS_DEPS_ORACLE,
             "kg_bgp_bind": _KG_BGP_BIND_ORACLE,
@@ -3250,6 +3260,130 @@ SELECT char_set, min(n_preds)::BIGINT AS n_preds,
        count(*)::BIGINT AS n_subjects, sum(n_triples)::BIGINT AS n_triples
 FROM per_subj GROUP BY char_set
 """)
+
+
+def _kg_graph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical per-package RDF graph fingerprints
+    (plans/fingerprint.wl_graph_hash, structural mode): the pipeline's
+    oracle-able KG slice (doap literal star + dependency edges) is
+    grouped into per-package graphs by SUBJECT locality (the package
+    segment of the subject IRI, scoped names decoded), then 2 rounds
+    of predicate-labeled WL color refinement hash each graph
+    invariantly to node identity — packages whose dependency-star
+    SHAPES are isomorphic collide into one class (class_rep/
+    class_size), the KG-document structural-dedup primitive. Hard
+    oracle: every color and hash is a deterministic md5 string
+    function, so DuckDB unrolls both rounds bit-exactly from the
+    synth replica."""
+    from npm_extraction_server_spark.plans.fingerprint import (
+        wl_graph_hash,
+    )
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    NPM = "https://linkedsoftwaredependencies.org/vocabularies/npm#"
+    pref = "http://example.org/bundles/npm/"
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    t = run_pipeline(pages)["triples"]
+    dep_edges = (
+        t.filter((F.col("pred") == NPM + "dependency")
+                 & F.col("obj").startswith(pref)
+                 & ~F.col("obj").contains("/.well-known/")
+                 & ~F.col("subj").contains("/.well-known/"))
+        .select("subj", "pred", "obj")
+    )
+    trip = (_doap_slice(t).unionByName(dep_edges)
+            .dropDuplicates(["subj", "pred", "obj"]))
+    rest = F.regexp_replace("subj", "^http://example\\.org/bundles/npm/",
+                            "")
+    parts = F.split(rest, "/")
+    pkgseg = (F.when(rest.startswith("@"),
+                     F.concat(parts[0], F.lit("/"), parts[1]))
+              .otherwise(parts[0]))
+    graph = F.replace(F.replace(pkgseg, F.lit("%40"), F.lit("@")),
+                      F.lit("%2F"), F.lit("/"))
+    return wl_graph_hash(trip.withColumn("graph", graph), rounds=2)
+
+
+def _kg_graph_hash_oracle(rounds: int = 2) -> str:
+    """WL fingerprint rounds unrolled over the synth KG-slice replica
+    with the graph key assigned at generation time (subject's package
+    name) — the same md5 color/hash algebra as wl_graph_hash."""
+    sql = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + ",\n"
+           + _SYNTH_DEPS_CTES + """,
+trip AS MATERIALIZED (
+  SELECT DISTINCT g, s, p, o FROM (
+    SELECT name AS g, module_iri AS s,
+           'http://usefulinc.com/ns/doap#name' AS p,
+           '"' || name || '"' AS o
+    FROM vers
+    UNION ALL
+    SELECT name, module_iri, 'http://usefulinc.com/ns/doap#revision',
+           '"' || ver || '"' FROM vers
+    UNION ALL
+    SELECT name, 'http://example.org/bundles/npm/' || name,
+           'http://usefulinc.com/ns/doap#name', '"' || name || '"'
+    FROM pkg
+    UNION ALL
+    SELECT dep_pkg,
+           'http://example.org/bundles/npm/' || dep_pkg || '/' ||
+             """ + _RNG_ENC_CASE + """,
+           'http://usefulinc.com/ns/doap#revision', '"' || rng || '"'
+    FROM pkgdeps
+    UNION ALL
+    SELECT vr.name, a.v,
+       'https://linkedsoftwaredependencies.org/vocabularies/npm#dependency',
+           'http://example.org/bundles/npm/' || a.dep_pkg || '/' ||
+             """ + _RNG_ENC_CASE.replace("rng", "a.rng") + """
+    FROM alldeps a JOIN vers vr ON vr.module_iri = a.v
+  )
+),
+nodes AS (
+  SELECT DISTINCT g, s AS node FROM trip
+  UNION
+  SELECT DISTINCT g, o FROM trip),
+c0 AS MATERIALIZED (
+  SELECT g, node,
+         md5(CASE WHEN node LIKE '"%' THEN 'lit' ELSE 'n' END) AS c
+  FROM nodes)""")
+    for r in range(1, rounds + 1):
+        sql += f""",
+o{r} AS (
+  SELECT t.g, t.s,
+         string_agg(md5(t.p || '>' || c.c), ','
+                    ORDER BY md5(t.p || '>' || c.c)) AS outs
+  FROM trip t JOIN c{r - 1} c ON c.g = t.g AND c.node = t.o
+  GROUP BY t.g, t.s),
+i{r} AS (
+  SELECT t.g, t.o,
+         string_agg(md5(t.p || '<' || c.c), ','
+                    ORDER BY md5(t.p || '<' || c.c)) AS ins
+  FROM trip t JOIN c{r - 1} c ON c.g = t.g AND c.node = t.s
+  GROUP BY t.g, t.o),
+c{r} AS MATERIALIZED (
+  SELECT n.g, n.node,
+         md5(n.c || '|' || coalesce(o{r}.outs, '') || '|' ||
+             coalesce(i{r}.ins, '')) AS c
+  FROM c{r - 1} n
+  LEFT JOIN o{r} ON o{r}.g = n.g AND o{r}.s = n.node
+  LEFT JOIN i{r} ON i{r}.g = n.g AND i{r}.o = n.node)"""
+    sql += f""",
+ts AS (
+  SELECT t.g, md5(cs.c || ' ' || t.p || ' ' || co.c) AS tsg
+  FROM trip t
+  JOIN c{rounds} cs ON cs.g = t.g AND cs.node = t.s
+  JOIN c{rounds} co ON co.g = t.g AND co.node = t.o),
+gh AS MATERIALIZED (
+  SELECT g, md5(string_agg(tsg, ',' ORDER BY tsg)) AS wl_hash,
+         count(*) AS n_triples
+  FROM ts GROUP BY g),
+rep AS (SELECT wl_hash, min(g) AS class_rep, count(*) AS class_size
+        FROM gh GROUP BY 1)
+SELECT g AS graph, gh.wl_hash, n_triples, class_rep, class_size
+FROM gh JOIN rep USING (wl_hash)"""
+    return sql
+
+
+_KG_GRAPH_HASH_ORACLE = _kg_graph_hash_oracle(2)
 
 
 # --- SPARQL text front-end (plans/sparql.py) --------------------------------

@@ -668,3 +668,66 @@ def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 4,
                           .alias("score")))
         sel = sel.unionByName(pick(scored, rnd))
     return sel.select("query_id", F.col("round"), "item_id", "rel", "score")
+
+
+def kcenter_select(embeddings: DataFrame, k: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Gonzalez greedy k-center coreset selection over an embedding
+    column — the classic 2-approximation to the k-center objective and
+    a standard diversity-first data-pruning pass for training corpora
+    (pick the k mutually-farthest exemplars; every other point is
+    within the final covering radius of one of them).
+
+    Deterministic protocol (so the DuckDB twin is bit-exact, suite
+    ``sample_kcenter``): the first center is the smallest id; distance
+    is (1 - cosine) rounded to the 6-dp grid (the sim family's
+    published grid, identical in both engines on these inputs); each round selects the point with the
+    MAXIMUM current distance-to-selected-set, ties broken by smallest
+    id. ``sel_dist`` is that max-min distance at selection time — the
+    covering radius of the PREVIOUS center set, so the sequence is the
+    standard k-center radius curve (non-increasing).
+
+    Scale shape: the selection loop is inherently k-sequential
+    (Gonzalez), but each round is corpus-PARALLEL: one broadcast of the
+    newly-picked center vector, one narrow least()-projection updating
+    the running min-distance, and one TakeOrdered(1) action — never a
+    pairwise join, never a collect of the corpus. State (id, vec,
+    mind) is lazily checkpointed per round so the plan stays flat at
+    any k. Per-round cost is one scan of N rows; total k scans —
+    the distributed k-center pattern (cf. Gonzalez 1985; used by
+    coreset pipelines at corpus scale).
+    """
+    iid, vec = F.col(id_col), F.col(vec_col)
+    base = (embeddings
+            .select(iid.alias("_id"), vec.alias("_vec"),
+                    _norm(vec).alias("_nrm"))
+            .localCheckpoint(eager=False))
+
+    first = base.orderBy("_id").limit(1).collect()[0]
+    centers = [(0, first["_id"], None)]
+    cvec, cnrm = first["_vec"], first["_nrm"]
+
+    def dist_to(cv, cn):
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        cos = _dot(F.col("_vec"), carr) / (F.col("_nrm") * F.lit(float(cn)))
+        return F.round(F.lit(1.0) - cos, 6)
+
+    state = (base.select("_id", "_vec", "_nrm",
+                         dist_to(cvec, cnrm).alias("_mind"))
+             .localCheckpoint(eager=False))
+    for rnd in range(1, k):
+        nxt = (state.orderBy(F.desc("_mind"), F.asc("_id"))
+               .limit(1).collect()[0])
+        centers.append((rnd, nxt["_id"], float(nxt["_mind"])))
+        if rnd < k - 1:
+            state = (state.select(
+                "_id", "_vec", "_nrm",
+                F.least("_mind",
+                        dist_to(nxt["_vec"], nxt["_nrm"])).alias("_mind"))
+                .localCheckpoint(eager=False))
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        centers, schema="sel_round INT, " + id_col + " BIGINT, "
+                        "sel_dist DOUBLE")

@@ -4098,6 +4098,49 @@ def text_rake(spark, sf):
     return rake_keywords(_t(spark, sf, "documents"))
 
 
+def web_template_lines(spark, sf):
+    """Per-site template/boilerplate line removal (the CCNet /
+    RefinedWeb repeated-line discipline, operators/
+    text.remove_template_lines) over a deterministically templated
+    page corpus: every doc gets a NAV header + Copyright footer for
+    its source site, ~2/3 get a cookie banner (all three above the
+    30% site threshold -> removed), ~1/17 get a PROMO line (below ->
+    kept), and the body line is the document's own unique text. The
+    flagging rule is exact integer arithmetic (nd*10 >= 3*total), so
+    the DuckDB twin — same injection, same threshold, anti-join
+    removal — is bit-identical including the reassembled clean_text
+    strings."""
+    from .text import remove_template_lines
+
+    docs = _t(spark, sf, "documents")
+    d, s = F.col("doc_id"), F.col("source")
+    page = F.concat(
+        F.lit("NAV "), s, F.lit(" | HOME | ABOUT\n"),
+        F.col("text"),
+        F.when(d % 3 != 2,
+               F.concat(F.lit("\nCookie notice for "), s,
+                        F.lit(" - accept to continue")))
+        .otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.concat(F.lit("\nPROMO "), s))
+        .otherwise(F.lit("")),
+        F.lit("\nCopyright "), s)
+    return remove_template_lines(
+        docs.select("doc_id", "source", page.alias("text")))
+
+
+def sample_kcenter(spark, sf):
+    """Gonzalez greedy k-center coreset selection over the embeddings
+    table (operators/similarity.kcenter_select): 8 mutually-farthest
+    exemplars under (1 - cosine) on the 6-dp grid, first center = min
+    vec_id, ties by id. sel_dist is the covering radius of the
+    previous center set (non-increasing — the k-center radius curve).
+    Hard oracle: the 8 rounds unrolled as MATERIALIZED DuckDB CTEs
+    carrying the identical least()/round() arithmetic."""
+    from .similarity import kcenter_select
+
+    return kcenter_select(_t(spark, sf, "embeddings"), k=8)
+
+
 SPARK_QUERIES = {
     "sc1_scan_filter": sc1_scan_filter,
     "sc2_point_lookup": sc2_point_lookup,
@@ -4172,6 +4215,8 @@ SPARK_QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_mojibake": text_mojibake,
     "text_rake": text_rake,
+    "web_template_lines": web_template_lines,
+    "sample_kcenter": sample_kcenter,
     "text_idf_drift": text_idf_drift,
     "text_fertility": text_fertility,
     "events_paths": events_paths,
@@ -6296,6 +6341,87 @@ def _rake_sql() -> str:
     LIMIT 50"""
 
 
+_WEB_TEMPLATE_LINES_SQL = """
+    WITH base AS (
+        SELECT doc_id, source,
+               'NAV ' || source || ' | HOME | ABOUT' || chr(10) || text
+               || CASE WHEN doc_id % 3 <> 2
+                       THEN chr(10) || 'Cookie notice for ' || source
+                            || ' - accept to continue' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0
+                       THEN chr(10) || 'PROMO ' || source ELSE '' END
+               || chr(10) || 'Copyright ' || source AS page
+        FROM documents),
+    lines AS (
+        SELECT doc_id, source,
+               unnest(string_split(page, chr(10))) AS line,
+               unnest(generate_series(1, len(string_split(page, chr(10)))))
+                   ::INT AS ord
+        FROM base),
+    dl AS (SELECT DISTINCT doc_id, source, line FROM lines),
+    stat AS (SELECT source, line, count(*) AS nd FROM dl GROUP BY 1, 2),
+    tot AS (SELECT source, count(*) AS total FROM base GROUP BY 1),
+    boiler AS (
+        SELECT s.source, s.line FROM stat s JOIN tot t USING (source)
+        WHERE s.nd * 10 >= 3 * t.total AND t.total >= 5),
+    kept AS (
+        SELECT l.doc_id, l.line, l.ord FROM lines l
+        ANTI JOIN boiler b ON b.source = l.source AND b.line = l.line),
+    agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, b.source,
+           coalesce(a.clean_text, '') AS clean_text,
+           len(string_split(b.page, chr(10))) AS n_lines,
+           len(string_split(b.page, chr(10))) - coalesce(a.n_kept, 0)
+               AS n_removed
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Gonzalez k-center unrolled: round r picks argmax-mind (ties by
+    id) from MATERIALIZED state s{r}, then s{r+1} folds the new
+    center's distance in with the identical least()/round(,6)."""
+    def dot(a, b):
+        return (f"list_sum(list_transform(range(1, 65), i -> "
+                f"cast({a}[i] AS double) * cast({b}[i] AS double)))")
+
+    sql = f"""
+    WITH st AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt({dot('embedding', 'embedding')}) AS nrm
+        FROM embeddings),
+    c0 AS (SELECT * FROM st WHERE vec_id = (SELECT min(vec_id) FROM st)),
+    s1 AS MATERIALIZED (
+        SELECT s.vec_id, s.embedding, s.nrm,
+               round(1.0 - {dot('s.embedding', 'c.embedding')}
+                     / (s.nrm * c.nrm), 6) AS mind
+        FROM st s CROSS JOIN c0 c)"""
+    for r in range(1, k):
+        sql += f""",
+    p{r} AS (SELECT vec_id, mind FROM s{r}
+             ORDER BY mind DESC, vec_id LIMIT 1)"""
+        if r < k - 1:
+            sql += f""",
+    c{r} AS (SELECT s.vec_id, s.embedding, s.nrm
+             FROM s{r} s JOIN p{r} USING (vec_id)),
+    s{r + 1} AS MATERIALIZED (
+        SELECT s.vec_id, s.embedding, s.nrm,
+               least(s.mind, round(1.0 - {dot('s.embedding', 'c.embedding')}
+                                   / (s.nrm * c.nrm), 6)) AS mind
+        FROM s{r} s CROSS JOIN c{r} c)"""
+    picks = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS sel_round, vec_id, mind AS sel_dist FROM p{r}"
+        for r in range(1, k))
+    sql += f"""
+    SELECT 0 AS sel_round, vec_id, NULL::DOUBLE AS sel_dist FROM c0
+    UNION ALL
+    {picks}"""
+    return sql
+
+
 ORACLE_SQL = {
     "graph_simrank": _simrank_sql(3),
     "graph_triads": _triad_census_sql(),
@@ -6305,6 +6431,8 @@ ORACLE_SQL = {
     "kg_owl_entail": _KG_OWL_ENTAIL_SQL,
     "text_mojibake": _mojibake_sql(),
     "text_rake": _rake_sql(),
+    "web_template_lines": _WEB_TEMPLATE_LINES_SQL,
+    "sample_kcenter": _kcenter_sql(8),
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
     "text_fertility": _TEXT_FERTILITY_SQL,
     "events_paths": _EVENTS_PATHS_SQL,

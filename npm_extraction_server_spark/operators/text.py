@@ -1559,3 +1559,58 @@ def rake_keywords(documents: DataFrame, text_col: str = "text",
                        .alias("score"))
             .orderBy(F.desc("score_e8"), F.desc("n_occ"), F.asc("phrase"))
             .limit(top))
+
+
+def remove_template_lines(documents: DataFrame,
+                          id_col: str = "doc_id",
+                          group_col: str = "source",
+                          text_col: str = "text",
+                          min_docs: int = 5,
+                          frac_num: int = 3,
+                          frac_den: int = 10) -> DataFrame:
+    """Per-site template/boilerplate line removal (the CCNet / RefinedWeb
+    discipline): a line is boilerplate for a site iff it appears in at
+    least ``frac_num/frac_den`` of the site's documents (and the site has
+    >= ``min_docs`` docs) — nav bars, cookie banners, copyright footers
+    repeat across a host's pages while real content does not. Removal
+    drops EVERY occurrence of a flagged line from the site's docs,
+    preserving the order of surviving lines.
+
+    All decisions are exact integer comparisons (nd * frac_den >=
+    frac_num * total), so the DuckDB twin is bit-identical
+    (suite ``web_template_lines``).
+
+    Scale shape: corpus-sized work is ONE (site, line)-keyed count
+    aggregate with map-side combine (a line string occurring in f docs
+    collapses to one row before the shuffle) plus one site-keyed count;
+    the per-site boilerplate line SET joins back site-keyed and the
+    cleanup itself is a single whole-stage-codegen array projection
+    (split -> array filter -> join) — documents are never re-exploded
+    and never shuffled. Contract at 10^12 pages: the per-site template
+    set is assumed template-sized (nav/footer/banner lines — the join
+    value is one array per site); a host whose pages are >30% shared
+    lines is itself near-duplicate spam and belongs to the dedup
+    family, not this operator.
+    """
+    g, i, t = F.col(group_col), F.col(id_col), F.col(text_col)
+    base = documents.select(i.alias("_id"), g.alias("_grp"), t.alias("_text"))
+    lines = base.select(
+        "_id", "_grp", F.explode(F.array_distinct(F.split("_text", "\n")))
+        .alias("_line"))
+    stat = lines.groupBy("_grp", "_line").agg(F.count("*").alias("nd"))
+    tot = base.groupBy("_grp").agg(F.count("*").alias("total"))
+    boiler = (stat.join(tot, "_grp")
+              .filter((F.col("nd") * F.lit(frac_den)
+                       >= F.lit(frac_num) * F.col("total"))
+                      & (F.col("total") >= F.lit(min_docs)))
+              .groupBy("_grp")
+              .agg(F.array_sort(F.collect_list("_line")).alias("_bl")))
+    arr = F.split("_text", "\n")
+    kept = F.filter(arr, lambda x: ~F.array_contains(
+        F.coalesce(F.col("_bl"), F.array().cast("array<string>")), x))
+    return (base.join(boiler, "_grp", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.col("_grp").alias(group_col),
+                    F.array_join(kept, "\n").alias("clean_text"),
+                    F.size(arr).alias("n_lines"),
+                    (F.size(arr) - F.size(kept)).alias("n_removed")))

@@ -2724,3 +2724,79 @@ def test_events_entropy_rate_hand_computed(spark):
     want_rate = round(round((4 / 6) * h_a, 8) + round((2 / 6) * 0.0, 8), 8)
     assert got["a"].rate == want_rate == got["b"].rate
     assert got["a"].share == round(4 / 6, 6)
+
+
+def test_remove_template_lines_hand_computed(spark):
+    from npm_extraction_server_spark.operators.text import (
+        remove_template_lines,
+    )
+
+    rows = [
+        # site A: 6 docs; HDR in all 6 (60 >= 18), AD in 2 (20 >= 18),
+        # RARE in 1 (10 < 18)
+        (0, "A", "HDR\nbody0\nAD\nHDR"),       # HDR twice: stats count once
+        (1, "A", "HDR\nbody1\nAD"),
+        (2, "A", "HDR"),                        # everything removed
+        (3, "A", "HDR\nbody3"),
+        (4, "A", "HDR\nbody4"),
+        (5, "A", "HDR\nbody5\nRARE"),
+        # site B: 2 docs < min_docs=5 -> nothing removed
+        (6, "B", "SHARED\nx"),
+        (7, "B", "SHARED\ny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in remove_template_lines(docs).collect()}
+
+    assert (got[0].clean_text, got[0].n_lines, got[0].n_removed) == ("body0", 4, 3)
+    assert (got[1].clean_text, got[1].n_removed) == ("body1", 2)
+    assert (got[2].clean_text, got[2].n_lines, got[2].n_removed) == ("", 1, 1)
+    assert got[5].clean_text == "body5\nRARE"      # order preserved, RARE kept
+    assert got[6].clean_text == "SHARED\nx" and got[6].n_removed == 0
+    assert got[7].n_removed == 0
+
+
+def test_kcenter_select_hand_computed(spark):
+    from npm_extraction_server_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.6, 0.8]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r.sel_round: r for r in kcenter_select(emb, k=4).collect()}
+    # c0 = min id; then greedy max-min cosine distance, ties by id
+    assert (got[0].vec_id, got[0].sel_dist) == (0, None)
+    assert (got[1].vec_id, got[1].sel_dist) == (3, 2.0)
+    assert (got[2].vec_id, got[2].sel_dist) == (1, 1.0)
+    assert (got[3].vec_id, round(got[3].sel_dist, 6)) == (2, 0.2)
+    # radius curve is non-increasing
+    assert got[1].sel_dist >= got[2].sel_dist >= got[3].sel_dist
+
+
+def test_wl_graph_hash_isomorphism_classes(spark):
+    from npm_extraction_server_spark.plans.fingerprint import wl_graph_hash
+
+    rows = [
+        # g1 and g2: isomorphic modulo node renaming + literal values
+        ("g1", "a", "p", "b"), ("g1", "a", "q", '"x"'),
+        ("g2", "n1", "p", "n2"), ("g2", "n1", "q", '"y"'),
+        # g3: same size, different shape (chain, not star)
+        ("g3", "a", "p", "b"), ("g3", "b", "q", "c"),
+        # g4/g5: direction matters (p out+p2 out vs p out+p2 back)
+        ("g4", "a", "p", "b"), ("g4", "a", "p2", "b"),
+        ("g5", "a", "p", "b"), ("g5", "b", "p2", "a"),
+    ]
+    quads = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string")
+    got = {r.graph: r for r in wl_graph_hash(quads, rounds=2).collect()}
+
+    assert got["g1"].wl_hash == got["g2"].wl_hash
+    assert got["g1"].class_rep == "g1" and got["g1"].class_size == 2
+    assert got["g3"].wl_hash != got["g1"].wl_hash
+    assert got["g4"].wl_hash != got["g5"].wl_hash
+    assert got["g1"].n_triples == 2
+
+    # value mode: differing literals now separate g1 and g2
+    val = {r.graph: r for r in
+           wl_graph_hash(quads, rounds=2, structural=False).collect()}
+    assert val["g1"].wl_hash != val["g2"].wl_hash
