@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirects": _web_redirects,
         "web_anchor_text": _web_anchor_text,
         "web_crawl_schedule": _web_crawl_schedule,
+        "web_url_patterns": _web_url_patterns,
         "web_sitemap_frontier": _web_sitemap_frontier,
         "warc_roundtrip": _warc_roundtrip,
         "warc_cdx": _warc_cdx,
@@ -311,7 +312,11 @@ _PRIORITY: list[str] = [
     # batch-17 swap: graph_trussness -> web_redirects (pointer-
     # doubling redirect resolution; trussness is hard-green in the
     # committed FULL self-runs and pinned by its clique probe)
-    "web_redirects",
+    # batch-25 swap: web_redirects -> web_url_patterns (URL template
+    # mining; redirects is hard-green in the committed FULL self-runs
+    # at both sfs, its pointer-doubling loop pinned by the 1,023-hop
+    # probe + pytest)
+    "web_url_patterns",
     # GROUPING SETS + batch interval join (final session; demoted
     # sim_range_search — sim keeps ivfpq_recall and mmr_diverse — and
     # q19_disjunctive_bands — SQL/TPC-H keeps g4 + the plan-asserted
@@ -371,7 +376,11 @@ _PRIORITY: list[str] = [
     # both hard-green in the committed FULL self-run; the graph
     # family keeps 11 head slots incl. trussness on the same peel
     # machinery as bowtie's SCC dependencies)
-    "events_seasonality", "text_langid_eval",
+    # batch-25 swap: text_langid_eval -> text_lang_mix (per-segment
+    # code-switching detection carries the same marker heuristic the
+    # langid eval scored, plus the majority/ppm rollup; langid_eval is
+    # hard-green in the committed FULL self-runs at both sfs)
+    "events_seasonality", "text_lang_mix",
     # final-session additions: Zipf OLS fit, Heaps vocabulary curve,
     # Kneser-Ney bigram LM, MMR diversified retrieval, CUSUM
     # changepoint scan. Demoted graph_coloring / graph_matching /
@@ -401,11 +410,11 @@ _PRIORITY: list[str] = [
     # Markov predictability scalar; attribution is hard-green in the
     # committed FULL self-runs at both sfs with its 50M-event probe)
     "events_entropy_rate",
-    # dependency-basket association rules (continuation session;
-    # demoted text_kn_bigram — hard-green in the refreshed FULL
-    # self-runs, and the text family keeps 8+ head slots incl.
-    # zipf/heaps/good_turing/char_entropy/textrank/gopher)
-    "kg_dep_assoc",
+    # batch-25 swap: kg_dep_assoc -> kg_direct_mapping (W3C RDB2RDF
+    # Direct Mapping — the relational entrance into the triple model;
+    # dep_assoc is hard-green in the committed FULL self-runs at both
+    # sfs with its A-priori pruning pinned by pytest)
+    "kg_direct_mapping",
     # char-bigram entropy (final session; demoted text_dup_spans —
     # FULL-green, the ExactSubstr path also pinned by its own pytest)
     "text_char_entropy",
@@ -484,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
             "web_cocitation": _WEB_COCITATION_ORACLE,
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
             "web_hits": _WEB_HITS_ORACLE,
+            "web_url_patterns": _WEB_URL_PATTERNS_ORACLE,
             "web_salsa": _WEB_SALSA_ORACLE,
             "web_trustrank": _WEB_TRUSTRANK_ORACLE,
             "web_redirects": _WEB_REDIRECTS_ORACLE,
@@ -1270,6 +1280,44 @@ def _web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_join(F.array_sort(F.collect_set("anchor")), ",")
                  .alias("anchor_terms"),
                  F.count("*").alias("n_anchors")))
+
+
+def _web_url_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining over the canonicalized link corpus: path
+    digit-runs collapse to '{N}' and the (host, template) rollup
+    counts links, distinct URLs, and the smallest example — the
+    crawl-ops primitive behind frontier dedup, pagination detection,
+    and per-site URL-space budgeting. One codegen projection + one
+    grouped aggregate (map-side combined); the skewed hub hosts
+    collapse before the shuffle. Hard oracle: the identical
+    regex algebra over the sha256 link replica."""
+    from npm_extraction_server_spark.extract.links import normalize_url
+
+    links = _web_links_df(spark, sf_dir)
+    cu = normalize_url("dst_url")
+    host = F.regexp_extract("cu", "^https?://([^/]+)", 1)
+    path = F.regexp_extract("cu", "^https?://[^/]+(/.*)?$", 1)
+    tmpl = F.regexp_replace(path, "[0-9]+", "{N}")
+    return (links.select(cu.alias("cu"))
+            .select(host.alias("host"), tmpl.alias("path_template"), "cu")
+            .groupBy("host", "path_template")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("cu").alias("n_urls"),
+                 F.min("cu").alias("example_url")))
+
+
+_WEB_URL_PATTERNS_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
+, pat AS (
+    SELECT regexp_extract(canon_url, '^https?://([^/]+)', 1) AS host,
+           regexp_replace(
+               regexp_extract(canon_url, '^https?://[^/]+(/.*)?$', 1),
+               '[0-9]+', '{N}', 'g') AS path_template,
+           canon_url
+    FROM links)
+SELECT host, path_template, count(*)::BIGINT AS n_links,
+       count(DISTINCT canon_url)::BIGINT AS n_urls,
+       min(canon_url) AS example_url
+FROM pat GROUP BY 1, 2""")
 
 
 def _web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:

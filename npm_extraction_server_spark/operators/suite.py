@@ -4141,6 +4141,56 @@ def sample_kcenter(spark, sf):
     return kcenter_select(_t(spark, sf, "embeddings"), k=8)
 
 
+def text_lang_mix(spark, sf):
+    """Mixed-language / code-switching detection
+    (operators/text.lang_mix) over a deterministically code-switched
+    corpus: every doc keeps its base (en-ish) text as segment 1, 1/5
+    gain a Spanish-marker segment, 1/7 a second English segment, 1/11
+    a pure-CJK segment — the rollup must report the majority label,
+    agreement count, and the exact HALF_UP off-majority ppm. Hard
+    oracle: DuckDB replays the injection, the per-segment marker
+    heuristic (the text_langid expressions), and the integer
+    arithmetic bit-for-bit."""
+    from .text import lang_mix
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0,
+               F.lit("\nel la de que y en los por con una"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\nthe of to in is that"))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0,
+               F.lit("\n一二三四五"))
+        .otherwise(F.lit("")))
+    return lang_mix(docs.select("doc_id", t.alias("text")))
+
+
+def kg_direct_mapping(spark, sf):
+    """W3C Direct Mapping (RDB2RDF REC) of the relational side —
+    region / nation / supplier mapped to RDF with row IRIs, per-column
+    literal triples, rdf:type rows, and FK reference triples
+    (supplier -> nation -> region), plans/warehouse.direct_mapping.
+    The relational entrance into the same triple model the web
+    pipeline emits. Hard oracle: every triple is a deterministic
+    string function of the row, re-built verbatim in DuckDB."""
+    from ..plans.warehouse import direct_mapping
+
+    return (
+        direct_mapping(_t(spark, sf, "region"), "region",
+                       ["r_regionkey"], cols=["r_name"])
+        .unionByName(direct_mapping(
+            _t(spark, sf, "nation"), "nation", ["n_nationkey"],
+            cols=["n_name"],
+            fks=[(["n_regionkey"], "region", ["r_regionkey"])]))
+        .unionByName(direct_mapping(
+            _t(spark, sf, "supplier"), "supplier", ["s_suppkey"],
+            cols=["s_name", "s_acctbal"],
+            fks=[(["s_nationkey"], "nation", ["n_nationkey"])])))
+
+
 SPARK_QUERIES = {
     "sc1_scan_filter": sc1_scan_filter,
     "sc2_point_lookup": sc2_point_lookup,
@@ -4217,6 +4267,8 @@ SPARK_QUERIES = {
     "text_rake": text_rake,
     "web_template_lines": web_template_lines,
     "sample_kcenter": sample_kcenter,
+    "text_lang_mix": text_lang_mix,
+    "kg_direct_mapping": kg_direct_mapping,
     "text_idf_drift": text_idf_drift,
     "text_fertility": text_fertility,
     "events_paths": events_paths,
@@ -6380,6 +6432,101 @@ _WEB_TEMPLATE_LINES_SQL = """
 """
 
 
+_TEXT_LANG_MIX_SQL = """
+    WITH base AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || 'el la de que y en los por con una'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN chr(10) || 'the of to in is that' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN chr(10) || '一二三四五'
+                       ELSE '' END AS t
+        FROM documents),
+    segs AS (
+        SELECT doc_id, unnest(string_split(t, chr(10))) AS seg FROM base),
+    nz AS (SELECT doc_id, seg FROM segs WHERE length(seg) > 0),
+    feat AS (
+        SELECT doc_id,
+               len(list_distinct(list_filter(
+                   regexp_extract_all(lower(seg), '[a-z0-9]+'),
+                   w -> list_contains(
+                       ['the','and','of','to','in','is','that','for',
+                        'with','on'], w)))) AS en_hits,
+               len(list_distinct(list_filter(
+                   regexp_extract_all(lower(seg), '[a-z0-9]+'),
+                   w -> list_contains(
+                       ['el','la','de','que','y','en','los','por','con',
+                        'una'], w)))) AS es_hits,
+               cast(length(regexp_replace(seg,
+                    '[^一-鿿぀-ヿ]', '', 'g')) AS double)
+                   / greatest(length(seg), 1) AS cjk
+        FROM nz),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN cjk > 0.2 THEN 'cjk'
+                    WHEN en_hits > es_hits THEN 'en'
+                    WHEN es_hits > en_hits THEN 'es'
+                    ELSE 'und' END AS lang
+        FROM feat),
+    pl AS (SELECT doc_id, lang, count(*) AS n FROM lab GROUP BY 1, 2),
+    roll AS (SELECT doc_id, sum(n) AS n_segments, count(*) AS n_langs
+             FROM pl GROUP BY 1),
+    top AS (
+        SELECT doc_id, lang AS majority_lang, n AS n_majority FROM (
+            SELECT doc_id, lang, n,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, lang) AS rk
+            FROM pl) WHERE rk = 1)
+    SELECT r.doc_id, r.n_segments, r.n_langs, t.majority_lang,
+           t.n_majority,
+           (2 * (r.n_segments - t.n_majority) * 1000000 + r.n_segments)
+               // (2 * r.n_segments) AS off_ppm,
+           r.n_langs > 1 AS mixed
+    FROM roll r JOIN top t USING (doc_id)
+"""
+
+
+def _dm_table_sql(table: str, alias: str, pk: str, cols: list[str],
+                  fk: tuple[str, str, str] | None) -> str:
+    """One table's W3C Direct Mapping arms (type + pk/col literals +
+    optional FK reference), mirroring warehouse.direct_mapping."""
+    base = "http://example.org/db/"
+    subj = f"'{base}{table}/{pk}=' || {pk}"
+
+    def esc(c):
+        return ("replace(replace(cast(" + c + " AS VARCHAR),"
+                " '\\', '\\\\'), '\"', '\\\"')")
+
+    arms = [f"""SELECT {subj} AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       '{base}{table}' AS obj FROM {alias}"""]
+    for c in [pk] + cols:
+        arms.append(f"""SELECT {subj}, '{base}{table}#{c}',
+       '"' || {esc(c)} || '"' FROM {alias} WHERE {c} IS NOT NULL""")
+    if fk:
+        fkc, tgt, tpk = fk
+        arms.append(f"""SELECT {subj}, '{base}{table}#ref-{fkc}',
+       '{base}{tgt}/{tpk}=' || {fkc} FROM {alias}
+       WHERE {fkc} IS NOT NULL""")
+    return "\n    UNION ALL\n    ".join(arms)
+
+
+_KG_DIRECT_MAPPING_SQL = ("""
+    """ + _dm_table_sql("region", "region", "r_regionkey",
+                        ["r_name"], None)
+    + "\n    UNION ALL\n    "
+    + _dm_table_sql("nation", "nation", "n_nationkey",
+                    ["n_name"],
+                    ("n_regionkey", "region", "r_regionkey"))
+    + "\n    UNION ALL\n    "
+    + _dm_table_sql("supplier", "supplier", "s_suppkey",
+                    ["s_name", "s_acctbal"],
+                    ("s_nationkey", "nation", "n_nationkey")))
+
+
 def _kcenter_sql(k: int = 8) -> str:
     """Gonzalez k-center unrolled: round r picks argmax-mind (ties by
     id) from MATERIALIZED state s{r}, then s{r+1} folds the new
@@ -6433,6 +6580,8 @@ ORACLE_SQL = {
     "text_rake": _rake_sql(),
     "web_template_lines": _WEB_TEMPLATE_LINES_SQL,
     "sample_kcenter": _kcenter_sql(8),
+    "text_lang_mix": _TEXT_LANG_MIX_SQL,
+    "kg_direct_mapping": _KG_DIRECT_MAPPING_SQL,
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
     "text_fertility": _TEXT_FERTILITY_SQL,
     "events_paths": _EVENTS_PATHS_SQL,

@@ -1614,3 +1614,61 @@ def remove_template_lines(documents: DataFrame,
                     F.array_join(kept, "\n").alias("clean_text"),
                     F.size(arr).alias("n_lines"),
                     (F.size(arr) - F.size(kept)).alias("n_removed")))
+
+
+def lang_mix(documents: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", seg_sep: str = "\n") -> DataFrame:
+    """Mixed-language / code-switching detection: the document is cut
+    into segments (paragraphs by default), each segment gets the same
+    marker-word + CJK-script language heuristic ``lang_id`` uses, and
+    the per-document rollup reports the majority language, how many
+    segments agree with it, and the off-majority share — the
+    corpus-quality gate that catches documents whose DOC-level label
+    is right while half the content is another language (boilerplate
+    translations, embedded quotes, spam keyword blocks), which a
+    whole-document classifier averages away.
+
+    All counts are integers and the ppm share is exact HALF_UP integer
+    division, majority ties break on the lexicographically smallest
+    label — the DuckDB twin (suite ``text_lang_mix``) is bit-exact.
+
+    Scale shape: one narrow explode of the segment array, one
+    (doc, lang) count with map-side combine, one doc-keyed window for
+    the majority pick, one doc rollup — everything whole-stage
+    codegen, work proportional to total text size.
+    """
+    i, t = F.col(id_col), F.col(text_col)
+    segs = (documents
+            .select(i.alias("_id"),
+                    F.explode(F.split(t, seg_sep)).alias("_seg"))
+            .filter(F.length("_seg") > 0))
+    words = _tokens(F.lower(F.col("_seg")))
+    en_hits = F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    es_hits = F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in ES_STOPWORDS])))
+    cjk = F.length(F.regexp_replace(F.col("_seg"),
+                                    r"[^一-鿿぀-ヿ]", ""))
+    cjk_ratio = cjk.cast("double") / F.greatest(F.length("_seg"), F.lit(1))
+    seg_lang = (F.when(cjk_ratio > 0.2, F.lit("cjk"))
+                .when(en_hits > es_hits, F.lit("en"))
+                .when(es_hits > en_hits, F.lit("es"))
+                .otherwise(F.lit("und")))
+    per_lang = (segs.select("_id", seg_lang.alias("_lang"))
+                .groupBy("_id", "_lang").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("_id").orderBy(F.desc("n"), F.asc("_lang"))
+    ranked = per_lang.withColumn("_rk", F.row_number().over(w))
+    roll = (per_lang.groupBy("_id")
+            .agg(F.sum("n").alias("n_segments"),
+                 F.count("*").alias("n_langs")))
+    top = (ranked.filter(F.col("_rk") == 1)
+           .select("_id", F.col("_lang").alias("majority_lang"),
+                   F.col("n").alias("n_majority")))
+    off_ppm = F.expr(
+        "(2 * (n_segments - n_majority) * 1000000 + n_segments)"
+        " div (2 * n_segments)")
+    return (roll.join(top, "_id")
+            .select(F.col("_id").alias(id_col), "n_segments", "n_langs",
+                    "majority_lang", "n_majority",
+                    off_ppm.cast("long").alias("off_ppm"),
+                    (F.col("n_langs") > 1).alias("mixed")))

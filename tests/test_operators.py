@@ -2800,3 +2800,56 @@ def test_wl_graph_hash_isomorphism_classes(spark):
     val = {r.graph: r for r in
            wl_graph_hash(quads, rounds=2, structural=False).collect()}
     assert val["g1"].wl_hash != val["g2"].wl_hash
+
+
+def test_lang_mix_hand_computed(spark):
+    from npm_extraction_server_spark.operators.text import lang_mix
+
+    rows = [
+        # 3 segments: en, es, en -> majority en 2/3, off_ppm HALF_UP
+        (0, "the cat is here\nel perro de la casa\nwith the dog"),
+        # single segment
+        (1, "the of and"),
+        # tie 1-1 between en and es -> lexicographic: en
+        (2, "the cat\nel perro la"),
+        # CJK segment dominates by script ratio
+        (3, "一二三四五\nthe end"),
+        # no markers at all -> und
+        (4, "zzz qqq\nrrr vvv"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lang_mix(docs).collect()}
+
+    r0 = got[0]
+    assert (r0.majority_lang, r0.n_segments, r0.n_majority) == ("en", 3, 2)
+    assert r0.off_ppm == (2 * 1 * 1000000 + 3) // (2 * 3)  # 333333
+    assert r0.mixed
+    assert (got[1].majority_lang, got[1].mixed) == ("en", False)
+    assert got[1].off_ppm == 0
+    assert got[2].majority_lang == "en" and got[2].n_majority == 1
+    assert got[3].n_langs == 2 and got[3].majority_lang in ("cjk", "en")
+    assert got[4].majority_lang == "und" and not got[4].mixed
+
+
+def test_direct_mapping_hand_computed(spark):
+    from npm_extraction_server_spark.plans.warehouse import direct_mapping
+
+    df = spark.createDataFrame(
+        [(1, 'say "hi"', 10), (2, None, None)],
+        "id int, label string, ref int")
+    out = direct_mapping(df, "t", ["id"], cols=["label"],
+                         fks=[(["ref"], "u", ["uid"])])
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    base = "http://example.org/db/"
+    s1 = base + "t/id=1"
+    assert (s1, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            base + "t") in rows
+    assert (s1, base + "t#id", '"1"') in rows
+    # N-Triples escaping of embedded quotes
+    assert (s1, base + "t#label", '"say \\"hi\\""') in rows
+    assert (s1, base + "t#ref-ref", base + "u/uid=10") in rows
+    # NULLs emit no literal / FK triple
+    s2 = base + "t/id=2"
+    assert not any(p == base + "t#label" and s == s2 for s, p, _ in rows)
+    assert not any(p == base + "t#ref-ref" and s == s2 for s, p, _ in rows)
+    assert len(rows) == 4 + 2  # row1: type+id+label+fk; row2: type+id
