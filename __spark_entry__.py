@@ -259,7 +259,11 @@ _PRIORITY: list[str] = [
     # batch-17 swap: kg_property_graph -> graph_simrank (all-integer
     # SimRank; property_graph is hard-green in the committed FULL
     # self-runs at both sfs)
-    "graph_simrank",
+    # batch-26 swap: graph_simrank -> graph_louvain (semi-synchronous
+    # one-level Louvain with exact integer gains; simrank is
+    # hard-green in the committed FULL self-runs at both sfs with its
+    # per-ER-block contract pinned by probe + pytest)
+    "graph_louvain",
     # SPARQL text front-end (demoted j11_asof_forward and sql_lang_stats
     # — both green in the committed FULL self-runs; TPC-H/SQL keeps
     # q6_forecast_revenue in the head)

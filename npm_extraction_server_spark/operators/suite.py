@@ -2877,6 +2877,17 @@ def graph_lpa_communities(spark, sf):
     return lpa_communities(_kg_graph_edges(spark, sf), rounds=3)
 
 
+def graph_louvain(spark, sf):
+    """One-level Louvain modularity moves over the KG multigraph —
+    3 synchronous integer-gain passes (hard oracle: the determinized
+    rounds unrolled in DuckDB; possible because the gain comparison
+    is cross-multiplied onto exact integers and ties break to the
+    smallest community id)."""
+    from ..plans.graph import louvain_moves
+
+    return louvain_moves(_kg_graph_edges(spark, sf), rounds=3)
+
+
 def graph_wl_colors(spark, sf):
     """1-WL (Weisfeiler-Leman) color refinement over the KG
     multigraph, 3 rounds — per-node structural-equivalence colors
@@ -4269,6 +4280,7 @@ SPARK_QUERIES = {
     "sample_kcenter": sample_kcenter,
     "text_lang_mix": text_lang_mix,
     "kg_direct_mapping": kg_direct_mapping,
+    "graph_louvain": graph_louvain,
     "text_idf_drift": text_idf_drift,
     "text_fertility": text_fertility,
     "events_paths": events_paths,
@@ -5128,6 +5140,59 @@ _GRAPH_LINK_PREDICT_SQL = f"""
     JOIN deg da ON da.n = c.u
     JOIN deg db ON db.n = c.w
 """
+
+
+def _louvain_sql(rounds: int = 3) -> str:
+    """louvain_moves' SQL twin: the synchronous integer-gain move
+    rounds unrolled — candidates = neighbor communities + own (k=0
+    floor), score = 2m*k - deg*(tot - own-degree correction), argmax
+    by (score DESC, comm ASC)."""
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS n, b AS m FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS MATERIALIZED (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+    tm AS (SELECT sum(deg) AS two_m FROM deg),
+    l0 AS MATERIALIZED (SELECT n AS node, n AS comm, deg FROM deg)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    k{r} AS (
+        SELECT a.n, l.comm, count(*) AS k
+        FROM adj a JOIN l{r - 1} l ON l.node = a.m
+        GROUP BY a.n, l.comm),
+    cand{r} AS (
+        SELECT n, comm, max(k) AS k FROM (
+            SELECT n, comm, k FROM k{r}
+            UNION ALL
+            SELECT node, comm, 0 FROM l{r - 1})
+        GROUP BY n, comm),
+    sig{r} AS (SELECT comm, sum(deg) AS tot FROM l{r - 1} GROUP BY comm),
+    l{r} AS MATERIALIZED (
+        SELECT p.node,
+               CASE WHEN p.node % 2 = {(r - 1) % 2}
+                    THEN p.new_comm ELSE cur2.comm END AS comm,
+               cur2.deg
+        FROM (
+            SELECT node, new_comm FROM (
+                SELECT c.n AS node, c.comm AS new_comm,
+                       row_number() OVER (PARTITION BY c.n ORDER BY
+                           (tm.two_m * c.k - cur.deg *
+                            (s.tot - CASE WHEN c.comm = cur.comm
+                                          THEN cur.deg ELSE 0 END)) DESC,
+                           c.comm ASC) AS rn
+                FROM cand{r} c
+                JOIN sig{r} s USING (comm)
+                JOIN l{r - 1} cur ON cur.node = c.n, tm)
+            WHERE rn = 1) p
+        JOIN l{r - 1} cur2 ON cur2.node = p.node)"""
+    sql += f"\n    SELECT node, comm AS community FROM l{rounds}"
+    return sql
 
 
 def _lpa_sql(rounds: int = 3) -> str:
@@ -6582,6 +6647,7 @@ ORACLE_SQL = {
     "sample_kcenter": _kcenter_sql(8),
     "text_lang_mix": _TEXT_LANG_MIX_SQL,
     "kg_direct_mapping": _KG_DIRECT_MAPPING_SQL,
+    "graph_louvain": _louvain_sql(3),
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
     "text_fertility": _TEXT_FERTILITY_SQL,
     "events_paths": _EVENTS_PATHS_SQL,

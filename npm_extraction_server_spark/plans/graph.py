@@ -2666,6 +2666,93 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return colors
 
 
+def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """One-level Louvain local-move passes (Blondel et al. 2008) over
+    the undirected simple graph — THE modularity-ascent community
+    heuristic — synchronized and determinized so a fixed round count
+    unrolls to a bit-exact DuckDB twin: every node i simultaneously
+    scores joining each neighbor community C (labels from the
+    previous round) with the standard gain ordering
+
+        k_{i,C}  -  k_i * sigma_tot(C \\ {i}) / 2m
+
+    cross-multiplied onto integers: score(C) = 2m * k_{i,C} -
+    k_i * sigma'(C), where sigma'(C) excludes i's own degree when C
+    is its current community (the "remove i first" convention). The
+    node's own community competes as a candidate even with zero
+    internal edges; argmax wins, ties break to the SMALLEST community
+    id (this also makes label basins merge deterministically, the
+    same role the min tie-break plays in lpa_communities).
+
+    Moves are SEMI-synchronous: round r only lets nodes with
+    node % 2 == r % 2 move (everyone else keeps their label) — the
+    standard parallel-Louvain/LPA fix (cf. Cordasco & Gargano 2010)
+    for the oscillation a fully synchronous schedule exhibits on
+    symmetric structures (two triangle nodes swapping into each
+    other's community forever); with alternating phases the two-
+    triangle-plus-bridge graph settles into its triangles by round 3
+    (pinned in tests).
+
+    Returns (node, community) for every non-isolated node after
+    ``rounds`` synchronous passes — the first (and dominant) level of
+    the Louvain hierarchy; iterating graph-contraction levels on top
+    composes with the existing modularity() scorer.
+
+    Scale shape: per round ONE |E|-sized label join + a map-side-
+    combinable (node, community) count, a |V|-sized community-degree
+    aggregate, and a node-keyed window pick; 2m is a 1-row broadcast.
+    Everything is keyed on node/community ids — cost ∝ |E| per round.
+    Scores are 64-bit products (2m * k): exact up to ~10^18, i.e.
+    2m * max-degree < 2^63 — beyond that lift the two products to
+    decimal(38,0). Labels are lazily checkpointed per round so the
+    plan stays round-deep.
+
+    Oracle twin: _louvain_sql in operators/suite.py.
+    """
+    und = _und_simple(edges, eager=None)
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m")))
+           .localCheckpoint(eager=True))
+    deg = adj.groupBy("n").agg(F.count("*").alias("deg"))
+    two_m = deg.agg(F.sum("deg").alias("two_m"))
+    labels = deg.select(F.col("n").alias("node"),
+                        F.col("n").alias("comm"), "deg")
+    w = Window.partitionBy("n").orderBy(F.desc("score"), F.asc("comm"))
+    for r in range(rounds):
+        kic = (adj.join(labels.select(F.col("node").alias("m"), "comm"),
+                        "m")
+               .groupBy("n", "comm").agg(F.count("*").alias("k")))
+        own = labels.select(F.col("node").alias("n"), "comm",
+                            F.lit(0).cast("long").alias("k"))
+        cand = (kic.unionByName(own)
+                .groupBy("n", "comm").agg(F.max("k").alias("k")))
+        sig = labels.groupBy("comm").agg(F.sum("deg").alias("tot"))
+        cur = labels.select(F.col("node").alias("n"),
+                            F.col("comm").alias("own_comm"), "deg")
+        scored = (cand.join(sig, "comm").join(cur, "n")
+                  .crossJoin(F.broadcast(two_m))
+                  .withColumn(
+                      "score",
+                      F.col("two_m") * F.col("k")
+                      - F.col("deg")
+                      * (F.col("tot")
+                         - F.when(F.col("comm") == F.col("own_comm"),
+                                  F.col("deg")).otherwise(F.lit(0)))))
+        moved = (scored.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select(F.col("n").alias("node"),
+                         F.col("comm").alias("new_comm")))
+        labels = (labels.join(moved, "node")
+                  .select("node",
+                          F.when(F.col("node") % 2 == F.lit(r % 2),
+                                 F.col("new_comm"))
+                          .otherwise(F.col("comm")).alias("comm"),
+                          "deg")
+                  .localCheckpoint(eager=False))
+    return labels.select("node", F.col("comm").alias("community"))
+
+
 def rich_club(edges: DataFrame) -> DataFrame:
     """Rich-club coefficient curve over the undirected simple graph:
     for every degree threshold k present in the graph,

@@ -1936,3 +1936,52 @@ def test_ppr_push_exact_mass_conservation_and_locality(spark):
             r[v] += g
     want = {v: (p[v], r[v]) for v in nodes if p[v] > 0 or r[v] > 0}
     assert got == want
+
+
+def test_louvain_moves_pure_python_twin(spark):
+    from npm_extraction_server_spark.plans.graph import louvain_moves
+
+    # two triangles bridged by one edge + a pendant
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+             (5, 6)]
+    rounds = 3
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in louvain_moves(df, rounds=rounds).collect()}
+
+    # independent pure-python replay of the synchronous integer-gain
+    # protocol
+    und = {tuple(sorted(e)) for e in edges}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {n: len(ms) for n, ms in adj.items()}
+    two_m = sum(deg.values())
+    lab = {n: n for n in adj}
+    for r in range(rounds):
+        sig = {}
+        for n in adj:
+            sig[lab[n]] = sig.get(lab[n], 0) + deg[n]
+        new = {}
+        for n in adj:
+            if n % 2 != r % 2:          # semi-synchronous phase gate
+                new[n] = lab[n]
+                continue
+            kic = {lab[n]: 0}
+            for m in adj[n]:
+                kic[lab[m]] = kic.get(lab[m], 0) + 1
+            best = None
+            for c, k in kic.items():
+                tot = sig[c] - (deg[n] if c == lab[n] else 0)
+                score = two_m * k - deg[n] * tot
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            new[n] = best[1]
+        lab = new
+    assert got == lab
+    # the two triangles resolve to separate communities
+    assert len({got[0], got[1], got[2]}) == 1
+    assert len({got[3], got[4], got[5]}) == 1
+    assert got[0] != got[3]
