@@ -214,7 +214,11 @@ _PRIORITY: list[str] = [
     # round-5 additions (SPARQL quads/modifiers/paths/VALUES/1.1 aggs,
     # TriG parse round trip, incremental PageRank, betweenness,
     # IVF-PQ recall, Gopher rules, equality deletes)
-    "text_gopher_rules", "sim_ivfpq_recall", "dedup_containment",
+    # batch-27 swap: sim_ivfpq_recall -> sim_knn_components (the
+    # mutual-kNN graph + connected-components semantic-cluster
+    # composition, hard-oracled; the rows-only recall instrument
+    # keeps its pytest floor and is green in the FULL self-runs)
+    "text_gopher_rules", "sim_knn_components", "dedup_containment",
     "graph_pagerank_incr", "kg_bgp_bind",
     "snap_eq_delete", "snap_zorder",
     "kg_bgp_path_ops",
@@ -326,11 +330,10 @@ _PRIORITY: list[str] = [
     # q19_disjunctive_bands — SQL/TPC-H keeps g4 + the plan-asserted
     # q19 pytest; both hard-green in the refreshed FULL self-run)
     "g4_grouping_sets", "j13_interval_join",
-    # hourly-count autocorrelation on the exact 1e-8 grid with
-    # cross-engine-safe signed rounding (continuation session;
-    # demoted ts_ewma — FULL-green, its integer-weight Horner pinned
-    # by its own pytest; the ts family keeps this head slot)
-    "ts_autocorr",
+    # batch-27 swap: ts_autocorr -> ts_theilsen (exact pairwise-median
+    # robust trend on the same dense grid; autocorr is hard-green in
+    # the committed FULL self-runs at both sfs with its own pytest)
+    "ts_theilsen",
     # joins / TPC-H / SQL surface: q19_disjunctive_bands (above)
     # text / retrieval: text_textrank + text_gopher_rules (above)
     # batch-24 swap: sample_k_per_domain -> sample_kcenter (Gonzalez

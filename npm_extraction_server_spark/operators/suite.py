@@ -4202,6 +4202,116 @@ def kg_direct_mapping(spark, sf):
             fks=[(["s_nationkey"], "nation", ["n_nationkey"])])))
 
 
+def sim_knn_components(spark, sf):
+    """Embedding clustering via the mutual-kNN graph: exact top-3
+    cosine neighbors per vector (the fixed vec_id < 500 slice so the
+    oracle is scale-free), an undirected edge where BOTH endpoints
+    rank each other (mutual kNN — the standard robustification), and
+    connected components over that graph give cluster ids — the
+    similarity layer feeding the graph layer in one Catalyst plan
+    (the SemDeDup-style semantic-cluster primitive). Hard oracle: the
+    6-dp cosine ranking + mutuality + a recursive-CTE transitive
+    closure in DuckDB. Scale path: swap the brute kNN for
+    lsh_topk/ivf_topk (same interface) and the CC is the existing
+    pointer-doubling machinery — both already probed at 2M rows."""
+    from ..plans.linking import connected_components
+    from .similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    nn = cosine_topk(emb, emb, k=3)
+    a, b = nn.alias("a"), nn.alias("b")
+    mutual = (a.join(b, (F.col("a.query_id") == F.col("b.item_id"))
+                     & (F.col("a.item_id") == F.col("b.query_id")))
+              .filter(F.col("a.query_id") < F.col("a.item_id"))
+              .select(F.col("a.query_id").alias("x"),
+                      F.col("a.item_id").alias("y")))
+
+    def nid(col):
+        return F.lpad(col.cast("string"), 8, "0")
+
+    vertices = emb.select(nid(F.col("vec_id")).alias("entity_iri"))
+    edges = mutual.select(nid(F.col("x")).alias("src"),
+                          nid(F.col("y")).alias("dst"))
+    return (connected_components(vertices, edges)
+            .select(F.col("entity_iri").alias("node_id"),
+                    F.col("canonical_id").alias("component_id")))
+
+
+def ts_theilsen(spark, sf):
+    """Theil-Sen robust trend per event type over the zero-filled
+    hourly count grid: slope = exact MEDIAN of all pairwise
+    (dy/dt) slopes on the 1e-8 grid, intercept = median of the
+    per-hour residuals against that slope — the outlier-robust rate
+    trend the OLS/CUSUM family can't give (a single spike hour moves
+    OLS, not the pairwise median). All arithmetic integer: slopes
+    HALF_UP on |dy| with the sign applied OUTSIDE the division (the
+    family's pinned div-vs-floor trap), medians as the (min+max) of
+    the two middle ranks with a sign-aware HALF_UP halving. Corpus
+    work is ONE (type, hour) groupBy (checkpointed — the plan-diamond
+    rule); the pairwise expansion runs on the DENSE GRID only
+    (|hours|^2 per type, bounded by the time span, never by event
+    count)."""
+    ev = _t(spark, sf, "events")
+    h = (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+         / 3600).cast("bigint")
+    cnt = (ev.select(F.col("event_type").alias("et"), h.alias("h"))
+           .groupBy("et", "h").agg(F.count("*").alias("x"))
+           .localCheckpoint(eager=True))
+    span = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (span.select(F.col("h0"),
+                        F.explode(F.sequence("h0", "h1")).alias("h"))
+            .crossJoin(F.broadcast(cnt.select("et").distinct())))
+    dense = (grid.join(cnt, ["et", "h"], "left")
+             .select("et", (F.col("h") - F.col("h0")).alias("t"),
+                     F.coalesce("x", F.lit(0)).alias("x0"))
+             # deterministic planted drift (+1/day, error type -2/day)
+             # so the suite series actually exercises the signed
+             # median machinery — the raw corpus is stationary
+             .select("et", "t", F.expr(
+                 "x0 + (CASE WHEN et = 'error' THEN -2 ELSE 1 END)"
+                 " * (t div 24)").alias("x"))
+             .localCheckpoint(eager=False))
+
+    pa, pb = dense.alias("pa"), dense.alias("pb")
+    pairs = (pa.join(pb, (F.col("pa.et") == F.col("pb.et"))
+                     & (F.col("pb.t") > F.col("pa.t")))
+             .select(F.col("pa.et").alias("et"),
+                     (F.col("pb.x") - F.col("pa.x")).alias("dy"),
+                     (F.col("pb.t") - F.col("pa.t")).alias("dt"))
+             .select("et", F.expr(
+                 "CASE WHEN dy < 0 THEN -1 ELSE 1 END *"
+                 " ((2 * abs(dy) * 100000000 + dt) div (2 * dt))")
+                 .alias("v")))
+
+    def _median(df, out):
+        """Exact median of column v per et: (m1+m2) of the two middle
+        ranks ((n+1) div 2 and (n+2) div 2), halved HALF_UP on the
+        magnitude with the sign applied outside."""
+        n = df.groupBy("et").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("et").orderBy("v")
+        picked = (df.withColumn("rn", F.row_number().over(w))
+                  .join(n, "et")
+                  .filter(F.expr("rn = (n + 1) div 2"
+                                 " OR rn = (n + 2) div 2")))
+        return (picked.groupBy("et")
+                .agg(F.min("v").alias("m1"), F.max("v").alias("m2"))
+                .select("et", F.expr(
+                    "CASE WHEN m1 + m2 < 0 THEN -1 ELSE 1 END *"
+                    " ((abs(m1 + m2) + 1) div 2)").alias(out)))
+
+    slope = _median(pairs, "slope_e8")
+    resid = (dense.join(F.broadcast(slope), "et")
+             .select("et", (F.col("x") * F.lit(100000000)
+                            - F.col("slope_e8") * F.col("t")).alias("v")))
+    inter = _median(resid, "intercept_e8")
+    nh = dense.groupBy("et").agg(F.count("*").alias("n_hours"))
+    return (nh.join(slope, "et").join(inter, "et")
+            .select(F.col("et").alias("event_type"), "n_hours",
+                    (F.col("slope_e8").cast("double") / 1e8).alias("slope"),
+                    (F.col("intercept_e8").cast("double") / 1e8)
+                    .alias("intercept")))
+
+
 SPARK_QUERIES = {
     "sc1_scan_filter": sc1_scan_filter,
     "sc2_point_lookup": sc2_point_lookup,
@@ -4281,6 +4391,8 @@ SPARK_QUERIES = {
     "text_lang_mix": text_lang_mix,
     "kg_direct_mapping": kg_direct_mapping,
     "graph_louvain": graph_louvain,
+    "sim_knn_components": sim_knn_components,
+    "ts_theilsen": ts_theilsen,
     "text_idf_drift": text_idf_drift,
     "text_fertility": text_fertility,
     "events_paths": events_paths,
@@ -6592,6 +6704,106 @@ _KG_DIRECT_MAPPING_SQL = ("""
                     ("s_nationkey", "nation", "n_nationkey")))
 
 
+_SIM_KNN_COMPONENTS_SQL = """
+    WITH RECURSIVE emb AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS item_id,
+               round(
+                   list_sum(list_transform(range(1, 65),
+                       i -> cast(e.embedding[i] AS double)
+                            * cast(q.embedding[i] AS double)))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> cast(e.embedding[i] AS double)
+                               * cast(e.embedding[i] AS double))))
+                      * sqrt(list_sum(list_transform(range(1, 65),
+                          i -> cast(q.embedding[i] AS double)
+                               * cast(q.embedding[i] AS double))))), 6)
+                   AS cosine
+        FROM emb e CROSS JOIN emb q WHERE e.vec_id <> q.vec_id),
+    ranked AS (
+        SELECT query_id, item_id FROM (
+            SELECT query_id, item_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, item_id)
+                       AS rank
+            FROM scored) WHERE rank <= 3),
+    mutual AS (
+        SELECT a.query_id AS x, a.item_id AS y
+        FROM ranked a JOIN ranked b
+          ON b.query_id = a.item_id AND b.item_id = a.query_id
+        WHERE a.query_id < a.item_id),
+    sym AS (SELECT x AS a, y AS b FROM mutual
+            UNION SELECT y, x FROM mutual),
+    r(id, t) AS (
+        SELECT vec_id, vec_id FROM emb
+        UNION
+        SELECT r.id, sym.b FROM r JOIN sym ON r.t = sym.a)
+    SELECT lpad(id::VARCHAR, 8, '0') AS node_id,
+           lpad(min(t)::VARCHAR, 8, '0') AS component_id
+    FROM r GROUP BY id
+"""
+
+
+def _theilsen_median_sql(src: str, name: str, out: str) -> str:
+    """Exact per-type median of column v in CTE ``src``: the two
+    middle ranks' (min+max), halved HALF_UP on the magnitude."""
+    return f"""
+    {name}_n AS (SELECT et, count(*) AS n FROM {src} GROUP BY et),
+    {name}_rk AS (
+        SELECT s.et, s.v,
+               row_number() OVER (PARTITION BY s.et ORDER BY s.v) AS rn,
+               n.n
+        FROM {src} s JOIN {name}_n n USING (et)),
+    {name} AS (
+        SELECT et,
+               (CASE WHEN m1 + m2 < 0 THEN -1 ELSE 1 END)
+                   * ((abs(m1 + m2) + 1) // 2) AS {out}
+        FROM (SELECT et, min(v) AS m1, max(v) AS m2
+              FROM {name}_rk
+              WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+              GROUP BY et))"""
+
+
+_TS_THEILSEN_SQL = ("""
+    WITH base AS (
+        SELECT event_type AS et,
+               epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h
+        FROM events
+    ),
+    cnt AS (SELECT et, h, count(*) AS x FROM base GROUP BY 1, 2),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+    grid AS (
+        SELECT et, g.h, (SELECT h0 FROM span) AS h0
+        FROM (SELECT DISTINCT et FROM cnt),
+             (SELECT unnest(generate_series(
+                  (SELECT h0 FROM span),
+                  (SELECT h1 FROM span))) AS h) g),
+    dense AS MATERIALIZED (
+        SELECT g.et, g.h - g.h0 AS t,
+               coalesce(c.x, 0)
+               + (CASE WHEN g.et = 'error' THEN -2 ELSE 1 END)
+                 * ((g.h - g.h0) // 24) AS x
+        FROM grid g LEFT JOIN cnt c ON c.et = g.et AND c.h = g.h),
+    pairs AS (
+        SELECT a.et,
+               (CASE WHEN (b.x - a.x) < 0 THEN -1 ELSE 1 END)
+                   * ((2 * abs(b.x - a.x) * 100000000 + (b.t - a.t))
+                      // (2 * (b.t - a.t))) AS v
+        FROM dense a JOIN dense b ON b.et = a.et AND b.t > a.t),"""
+    + _theilsen_median_sql("pairs", "smed", "slope_e8") + """,
+    resid AS (
+        SELECT d.et, d.x * 100000000 - s.slope_e8 * d.t AS v
+        FROM dense d JOIN smed s USING (et)),"""
+    + _theilsen_median_sql("resid", "imed", "intercept_e8") + """,
+    nh AS (SELECT et, count(*) AS n_hours FROM dense GROUP BY et)
+    SELECT nh.et AS event_type, nh.n_hours,
+           smed.slope_e8 / 1e8 AS slope,
+           imed.intercept_e8 / 1e8 AS intercept
+    FROM nh JOIN smed USING (et) JOIN imed USING (et)
+""")
+
+
 def _kcenter_sql(k: int = 8) -> str:
     """Gonzalez k-center unrolled: round r picks argmax-mind (ties by
     id) from MATERIALIZED state s{r}, then s{r+1} folds the new
@@ -6648,6 +6860,8 @@ ORACLE_SQL = {
     "text_lang_mix": _TEXT_LANG_MIX_SQL,
     "kg_direct_mapping": _KG_DIRECT_MAPPING_SQL,
     "graph_louvain": _louvain_sql(3),
+    "sim_knn_components": _SIM_KNN_COMPONENTS_SQL,
+    "ts_theilsen": _TS_THEILSEN_SQL,
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
     "text_fertility": _TEXT_FERTILITY_SQL,
     "events_paths": _EVENTS_PATHS_SQL,

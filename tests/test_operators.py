@@ -2853,3 +2853,41 @@ def test_direct_mapping_hand_computed(spark):
     assert not any(p == base + "t#label" and s == s2 for s, p, _ in rows)
     assert not any(p == base + "t#ref-ref" and s == s2 for s, p, _ in rows)
     assert len(rows) == 4 + 2  # row1: type+id+label+fk; row2: type+id
+
+
+def test_theilsen_median_machinery(spark):
+    """The suite's Theil-Sen estimator on a hand-built series: exact
+    pairwise-slope median, robust to one outlier spike, negative
+    slopes HALF_UP on the magnitude (the div-vs-floor trap)."""
+    from npm_extraction_server_spark.operators.suite import ts_theilsen
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type 'up': y = 2*t on hours 0..4 with an outlier spike at t=2
+    for t, n in [(0, 1), (1, 3), (2, 40), (3, 7), (4, 9)]:
+        for k in range(n):
+            rows.append((len(rows), base + dt.timedelta(hours=t),
+                         1, "up", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    class SF:
+        pass
+
+    import npm_extraction_server_spark.operators.suite as suite
+    orig = suite._t
+    suite._t = lambda spark, sf, name: df
+    try:
+        got = {r.event_type: r for r in ts_theilsen(spark, "x").collect()}
+    finally:
+        suite._t = orig
+
+    r = got["up"]
+    # pairwise slopes of (1,3,40,7,9) at t=0..4:
+    # 2,19.5,2,2 | 37,2,2 | -16.5,-15.5 | 2  -> sorted median = 2.0
+    assert r.n_hours == 5
+    assert r.slope == 2.0
+    # residuals y - 2t = (1,1,36,1,1) -> median 1.0
+    assert r.intercept == 1.0
