@@ -267,7 +267,10 @@ _PRIORITY: list[str] = [
     # one-level Louvain with exact integer gains; simrank is
     # hard-green in the committed FULL self-runs at both sfs with its
     # per-ER-block contract pinned by probe + pytest)
-    "graph_louvain",
+    # batch-28 swap: graph_louvain -> graph_louvain_l2 (the two-level
+    # hierarchy runs the level-1 pass AND the weighted contraction on
+    # the same code path; L1 stays hard-green in the FULL self-runs)
+    "graph_louvain_l2",
     # SPARQL text front-end (demoted j11_asof_forward and sql_lang_stats
     # — both green in the committed FULL self-runs; TPC-H/SQL keeps
     # q6_forecast_revenue in the head)

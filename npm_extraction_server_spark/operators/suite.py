@@ -2888,6 +2888,19 @@ def graph_louvain(spark, sf):
     return louvain_moves(_kg_graph_edges(spark, sf), rounds=3)
 
 
+def graph_louvain_l2(spark, sf):
+    """Two-level Louvain hierarchy over the KG multigraph: the
+    level-1 move pass, integer graph contraction (communities ->
+    supernodes, intra-community weight -> self-loops counted twice in
+    strength so 2m is level-invariant), and a weighted level-2 pass;
+    every original node reports its top-level community (hard oracle:
+    both levels + the contraction unrolled in DuckDB)."""
+    from ..plans.graph import louvain_levels
+
+    return louvain_levels(_kg_graph_edges(spark, sf), rounds=3,
+                          levels=2)
+
+
 def graph_wl_colors(spark, sf):
     """1-WL (Weisfeiler-Leman) color refinement over the KG
     multigraph, 3 rounds — per-node structural-equivalence colors
@@ -4392,6 +4405,7 @@ SPARK_QUERIES = {
     "kg_direct_mapping": kg_direct_mapping,
     "graph_louvain": graph_louvain,
     "sim_knn_components": sim_knn_components,
+    "graph_louvain_l2": graph_louvain_l2,
     "ts_theilsen": ts_theilsen,
     "text_idf_drift": text_idf_drift,
     "text_fertility": text_fertility,
@@ -5304,6 +5318,90 @@ def _louvain_sql(rounds: int = 3) -> str:
             WHERE rn = 1) p
         JOIN l{r - 1} cur2 ON cur2.node = p.node)"""
     sql += f"\n    SELECT node, comm AS community FROM l{rounds}"
+    return sql
+
+
+def _louvain_levels_sql(rounds: int = 3, levels: int = 2) -> str:
+    """louvain_levels' SQL twin: per level, the weighted
+    semi-synchronous move rounds (strength = sum(w) + 2*self-loop),
+    then integer contraction (inter-community weight sums, intra
+    becomes a self-loop), and the final mapping composes levels with
+    the isolated-supernode LEFT-join rule. The final SELECT composes
+    exactly two levels."""
+    assert levels == 2, "final mapping below is written for levels=2"
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    adj1 AS MATERIALIZED (
+        SELECT a AS n, b AS m, 1::BIGINT AS w FROM und
+        UNION ALL SELECT b, a, 1::BIGINT FROM und
+    ),
+    sl1 AS (SELECT 0::BIGINT AS n, 0::BIGINT AS sl WHERE 1 = 0)"""
+    for lv in range(1, levels + 1):
+        sql += f""",
+    s{lv} AS MATERIALIZED (
+        SELECT d.n, d.ws + 2 * coalesce(s.sl, 0) AS s
+        FROM (SELECT n, sum(w) AS ws FROM adj{lv} GROUP BY n) d
+        LEFT JOIN sl{lv} s USING (n)),
+    tm{lv} AS (SELECT sum(s) AS two_m FROM s{lv}),
+    L{lv}r0 AS MATERIALIZED (SELECT n AS node, n AS comm, s FROM s{lv})"""
+        for r in range(1, rounds + 1):
+            p = f"L{lv}r{r - 1}"
+            sql += f""",
+    k{lv}_{r} AS (
+        SELECT a.n, l.comm, sum(a.w) AS k
+        FROM adj{lv} a JOIN {p} l ON l.node = a.m
+        GROUP BY a.n, l.comm),
+    cand{lv}_{r} AS (
+        SELECT n, comm, max(k) AS k FROM (
+            SELECT n, comm, k FROM k{lv}_{r}
+            UNION ALL SELECT node, comm, 0 FROM {p})
+        GROUP BY n, comm),
+    sig{lv}_{r} AS (SELECT comm, sum(s) AS tot FROM {p} GROUP BY comm),
+    L{lv}r{r} AS MATERIALIZED (
+        SELECT p.node,
+               CASE WHEN p.node % 2 = {(r - 1) % 2}
+                    THEN p.new_comm ELSE cur2.comm END AS comm,
+               cur2.s
+        FROM (
+            SELECT node, new_comm FROM (
+                SELECT c.n AS node, c.comm AS new_comm,
+                       row_number() OVER (PARTITION BY c.n ORDER BY
+                           (tm{lv}.two_m * c.k - cur.s *
+                            (sg.tot - CASE WHEN c.comm = cur.comm
+                                           THEN cur.s ELSE 0 END)) DESC,
+                           c.comm ASC) AS rn
+                FROM cand{lv}_{r} c
+                JOIN sig{lv}_{r} sg USING (comm)
+                JOIN {p} cur ON cur.node = c.n, tm{lv})
+            WHERE rn = 1) p
+        JOIN {p} cur2 ON cur2.node = p.node)"""
+        if lv < levels:
+            last = f"L{lv}r{rounds}"
+            sql += f""",
+    rel{lv} AS MATERIALIZED (
+        SELECT a.n, a.m, a.w, la.comm AS ca, lb.comm AS cb
+        FROM adj{lv} a
+        JOIN {last} la ON la.node = a.n
+        JOIN {last} lb ON lb.node = a.m),
+    adj{lv + 1} AS MATERIALIZED (
+        SELECT ca AS n, cb AS m, sum(w) AS w FROM rel{lv}
+        WHERE ca <> cb GROUP BY 1, 2),
+    sl{lv + 1} AS MATERIALIZED (
+        SELECT n, sum(sl) AS sl FROM (
+            SELECT ca AS n, sum(w) // 2 AS sl FROM rel{lv}
+            WHERE ca = cb GROUP BY ca
+            UNION ALL
+            SELECT l.comm, s.sl FROM sl{lv} s
+            JOIN {last} l ON l.node = s.n)
+        GROUP BY n)"""
+    sql += f"""
+    SELECT m.node, coalesce(l2.comm, m.comm) AS community
+    FROM L1r{rounds} m
+    LEFT JOIN L{levels}r{rounds} l2 ON l2.node = m.comm"""
     return sql
 
 
@@ -6861,6 +6959,7 @@ ORACLE_SQL = {
     "kg_direct_mapping": _KG_DIRECT_MAPPING_SQL,
     "graph_louvain": _louvain_sql(3),
     "sim_knn_components": _SIM_KNN_COMPONENTS_SQL,
+    "graph_louvain_l2": _louvain_levels_sql(3, 2),
     "ts_theilsen": _TS_THEILSEN_SQL,
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
     "text_fertility": _TEXT_FERTILITY_SQL,

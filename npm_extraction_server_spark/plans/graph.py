@@ -2753,6 +2753,131 @@ def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels.select("node", F.col("comm").alias("community"))
 
 
+def _louvain_pass(adj: DataFrame, sloop: DataFrame, rounds: int,
+                  phase_offset: int = 0) -> DataFrame:
+    """One Louvain move level over a WEIGHTED adjacency: ``adj`` is
+    the direction-expanded simple adjacency (n, m, w), ``sloop`` the
+    per-node self-loop weight (n, sl; empty at level 1 — contraction
+    creates them). Node strength s = sum(w) + 2*sl (self-loops count
+    twice, the igraph/python-louvain convention, which preserves 2m
+    across contraction levels); gains and phases exactly as
+    louvain_moves. Returns (node, comm, s)."""
+    deg = (adj.groupBy("n").agg(F.sum("w").alias("ws"))
+           .join(sloop, "n", "left")
+           .select("n", (F.col("ws")
+                         + 2 * F.coalesce("sl", F.lit(0))).alias("s")))
+    two_m = deg.agg(F.sum("s").alias("two_m"))
+    labels = deg.select(F.col("n").alias("node"),
+                        F.col("n").alias("comm"), "s")
+    w = Window.partitionBy("n").orderBy(F.desc("score"), F.asc("comm"))
+    for r in range(rounds):
+        kic = (adj.join(labels.select(F.col("node").alias("m"), "comm"),
+                        "m")
+               .groupBy("n", "comm").agg(F.sum("w").alias("k")))
+        own = labels.select(F.col("node").alias("n"), "comm",
+                            F.lit(0).cast("long").alias("k"))
+        cand = (kic.unionByName(own)
+                .groupBy("n", "comm").agg(F.max("k").alias("k")))
+        sig = labels.groupBy("comm").agg(F.sum("s").alias("tot"))
+        cur = labels.select(F.col("node").alias("n"),
+                            F.col("comm").alias("own_comm"), "s")
+        scored = (cand.join(sig, "comm").join(cur, "n")
+                  .crossJoin(F.broadcast(two_m))
+                  .withColumn(
+                      "score",
+                      F.col("two_m") * F.col("k")
+                      - F.col("s")
+                      * (F.col("tot")
+                         - F.when(F.col("comm") == F.col("own_comm"),
+                                  F.col("s")).otherwise(F.lit(0)))))
+        moved = (scored.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select(F.col("n").alias("node"),
+                         F.col("comm").alias("new_comm")))
+        labels = (labels.join(moved, "node")
+                  .select("node",
+                          F.when(F.col("node") % 2
+                                 == F.lit((r + phase_offset) % 2),
+                                 F.col("new_comm"))
+                          .otherwise(F.col("comm")).alias("comm"),
+                          "s")
+                  .localCheckpoint(eager=False))
+    return labels
+
+
+def louvain_levels(edges: DataFrame, rounds: int = 3,
+                   levels: int = 2) -> DataFrame:
+    """The full Louvain hierarchy (Blondel et al. 2008) to ``levels``
+    depth, determinized end-to-end: level 1 is louvain_moves'
+    semi-synchronous integer-gain pass over the unit-weight simple
+    graph; then the graph CONTRACTS — communities become supernodes,
+    inter-community edge weights sum, intra-community weight becomes
+    a self-loop (counted twice in strength, so 2m is invariant across
+    levels) — and the same weighted pass runs on the supergraph. The
+    final mapping composes levels: every original node reports its
+    top-level community. This is the part of Louvain that delivers
+    the big modularity gains at web scale (hub-dominated level-1
+    communities merge into stable super-communities), and it stays a
+    bit-exact DuckDB twin because contraction is pure integer
+    aggregation and the weighted gains reuse the same cross-
+    multiplied ordering.
+
+    Scale shape: each level's pass is the louvain_moves shape (|E|
+    label join + (node, comm) sum + window pick per round); the
+    contraction is ONE |E|-sized double label join + a (comm, comm)
+    sum — and every level's graph is no larger than the last. Labels
+    and contracted edges are checkpointed between levels.
+
+    Oracle twin: _louvain_levels_sql in operators/suite.py.
+    """
+    und = _und_simple(edges, eager=None)
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m")))
+           .select("n", "m", F.lit(1).cast("long").alias("w"))
+           .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    sloop = spark.createDataFrame([], "n long, sl long")
+
+    mapping = None  # node -> current top community
+    for lvl in range(levels):
+        labels = _louvain_pass(adj, sloop, rounds)
+        lab = labels.select("node", "comm").localCheckpoint(eager=True)
+        # LEFT join: a community that contracted into an isolated
+        # supernode (no inter-community edges) is absent from the next
+        # level's adjacency and keeps its id
+        mapping = lab if mapping is None else (
+            mapping.join(lab.select(F.col("node").alias("comm"),
+                                    F.col("comm").alias("next_comm")),
+                         "comm", "left")
+            .select("node", F.coalesce("next_comm", "comm").alias("comm"))
+            .localCheckpoint(eager=True))
+        if lvl == levels - 1:
+            break
+        # contract: relabel both endpoints, aggregate weights
+        la = lab.withColumnsRenamed({"node": "n", "comm": "ca"})
+        lb = lab.withColumnsRenamed({"node": "m", "comm": "cb"})
+        rel = adj.join(la, "n").join(lb, "m")
+        inter = (rel.filter(F.col("ca") != F.col("cb"))
+                 .groupBy(F.col("ca").alias("n"), F.col("cb").alias("m"))
+                 .agg(F.sum("w").alias("w")))
+        # intra weight: each undirected {a,b} edge appears twice in
+        # adj — sum(w)/2 per community is the self-loop weight; plus
+        # inherited self-loops mapped up
+        intra = (rel.filter(F.col("ca") == F.col("cb"))
+                 .groupBy(F.col("ca").alias("n"))
+                 .agg(F.expr("sum(w) div 2").alias("sl0")))
+        inh = (sloop.join(lab.withColumnsRenamed({"node": "n"}), "n")
+               .groupBy(F.col("comm").alias("n"))
+               .agg(F.sum("sl").alias("sl1")))
+        sloop = (intra.join(inh, "n", "full")
+                 .select("n", (F.coalesce("sl0", F.lit(0))
+                               + F.coalesce("sl1", F.lit(0))).alias("sl"))
+                 .localCheckpoint(eager=True))
+        adj = inter.localCheckpoint(eager=True)
+    return mapping.select("node", F.col("comm").alias("community"))
+
+
 def rich_club(edges: DataFrame) -> DataFrame:
     """Rich-club coefficient curve over the undirected simple graph:
     for every degree threshold k present in the graph,

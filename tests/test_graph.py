@@ -1985,3 +1985,68 @@ def test_louvain_moves_pure_python_twin(spark):
     assert len({got[0], got[1], got[2]}) == 1
     assert len({got[3], got[4], got[5]}) == 1
     assert got[0] != got[3]
+
+
+def test_louvain_levels_pure_python_twin(spark):
+    from npm_extraction_server_spark.plans.graph import louvain_levels
+
+    # 4 triangles in a ring, bridged by single edges
+    tri = lambda b: [(b, b + 1), (b + 1, b + 2), (b + 2, b)]
+    edges = tri(0) + tri(3) + tri(6) + tri(9) + \
+        [(2, 3), (5, 6), (8, 9), (11, 0)]
+    rounds, levels = 3, 2
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in louvain_levels(df, rounds=rounds,
+                                   levels=levels).collect()}
+
+    # pure-python replay: weighted semi-synchronous pass + contraction
+    def lpass(adj, sl, rounds):
+        # adj: {n: {m: w}}, sl: {n: w}
+        s = {n: sum(ws.values()) + 2 * sl.get(n, 0)
+             for n, ws in adj.items()}
+        two_m = sum(s.values())
+        lab = {n: n for n in adj}
+        for r in range(rounds):
+            sig = {}
+            for n in adj:
+                sig[lab[n]] = sig.get(lab[n], 0) + s[n]
+            new = {}
+            for n in adj:
+                if n % 2 != r % 2:
+                    new[n] = lab[n]
+                    continue
+                kic = {lab[n]: 0}
+                for m, wt in adj[n].items():
+                    kic[lab[m]] = kic.get(lab[m], 0) + wt
+                best = None
+                for c, k in kic.items():
+                    tot = sig[c] - (s[n] if c == lab[n] else 0)
+                    key = (-(two_m * k - s[n] * tot), c)
+                    if best is None or key < best[0]:
+                        best = (key, c)
+                new[n] = best[1]
+            lab = new
+        return lab
+
+    und = {tuple(sorted(e)) for e in edges}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, {})[b] = 1
+        adj.setdefault(b, {})[a] = 1
+    lab1 = lpass(adj, {}, rounds)
+    # contraction
+    adj2, sl2 = {}, {}
+    for a, b in und:
+        ca, cb = lab1[a], lab1[b]
+        if ca == cb:
+            sl2[ca] = sl2.get(ca, 0) + 1
+        else:
+            adj2.setdefault(ca, {})[cb] = adj2.get(ca, {}).get(cb, 0) + 1
+            adj2.setdefault(cb, {})[ca] = adj2.get(cb, {}).get(ca, 0) + 1
+    lab2 = lpass(adj2, sl2, rounds) if adj2 else {}
+    expect = {n: lab2.get(lab1[n], lab1[n]) for n in adj}
+    assert got == expect
+    # triangles never split across the hierarchy
+    for b in (0, 3, 6, 9):
+        assert len({got[b], got[b + 1], got[b + 2]}) == 1
