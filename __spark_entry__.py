@@ -220,7 +220,11 @@ _PRIORITY: list[str] = [
     # keeps its pytest floor and is green in the FULL self-runs)
     "text_gopher_rules", "sim_knn_components", "dedup_containment",
     "graph_pagerank_incr", "kg_bgp_bind",
-    "snap_eq_delete", "snap_zorder",
+    # batch-29 swap: snap_zorder -> snap_branch_diff (diverged-refs
+    # row diff over the branch machinery; zorder is hard-green in the
+    # committed FULL self-runs at both sfs with its pruning gate
+    # asserted inside the query itself)
+    "snap_eq_delete", "snap_branch_diff",
     "kg_bgp_path_ops",
     # batch-18 swap: kg_bgp_values / kg_bgp_exists_deps ->
     # kg_rdfs_entail / kg_owl_entail (RDFS rho-df + OWL-Horst closure
@@ -390,7 +394,11 @@ _PRIORITY: list[str] = [
     # code-switching detection carries the same marker heuristic the
     # langid eval scored, plus the majority/ppm rollup; langid_eval is
     # hard-green in the committed FULL self-runs at both sfs)
-    "events_seasonality", "text_lang_mix",
+    # batch-29 swap: events_seasonality -> events_ab_test (exact
+    # decimal(38,0) chi-square experiment scorecard; seasonality is
+    # hard-green in the committed FULL self-runs at both sfs and its
+    # variance test is pinned by the diurnal-plant pytest)
+    "events_ab_test", "text_lang_mix",
     # final-session additions: Zipf OLS fit, Heaps vocabulary curve,
     # Kneser-Ney bigram LM, MMR diversified retrieval, CUSUM
     # changepoint scan. Demoted graph_coloring / graph_matching /

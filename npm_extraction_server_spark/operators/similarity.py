@@ -143,10 +143,21 @@ def _lsh_buckets_udf(dim: int, tables: int, bits: int):
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              tables: int = 4, bits: int = 8,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             broadcast_queries: bool = True) -> DataFrame:
     """Approximate top-k: same-bucket candidates over ``tables``
     hash tables, exact cosine re-rank. The candidate join is an
-    equi-join on (table, bucket) — shuffle-friendly and AQE-splittable."""
+    equi-join on (table, bucket) — shuffle-friendly and AQE-splittable.
+
+    The cosine is computed IN the bucket-join projection, so the
+    per-(query, item) dedup shuffle carries three scalars, never the
+    two vectors (at a 200k x 200k self-join with bits=8 the vector-
+    bearing formulation measured ~400 GB of spill; this shape is
+    ~20x lighter). ``broadcast_queries=False`` switches the bucket
+    join to a shuffle join for the self-join / large-query-set regime
+    where the bucketized query side is itself corpus-sized; size
+    ``bits`` so 2^bits ~ n/expected-bucket-size — candidate volume is
+    sum over buckets of n_i * n_q."""
     from .dedup import spread_partitions
 
     buckets_udf = _lsh_buckets_udf(dim, tables, bits)
@@ -163,14 +174,16 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
 
     base = bucketize(embeddings, "item")
     q = bucketize(queries, "query")
-    cand = (
-        base.join(F.broadcast(q), ["table_id", "bucket"])
-        .filter(F.col("item_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "item_id"])
-    )
+    if broadcast_queries:
+        q = F.broadcast(q)
     sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
         F.col("item_norm") * F.col("query_norm"))
-    scored = cand.select("query_id", "item_id", F.round(sim, 6).alias("cosine"))
+    scored = (
+        base.join(q, ["table_id", "bucket"])
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", F.round(sim, 6).alias("cosine"))
+        .dropDuplicates(["query_id", "item_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -4325,6 +4325,83 @@ def ts_theilsen(spark, sf):
                     .alias("intercept")))
 
 
+def snap_branch_diff(spark, sf):
+    """Row-level diff between DIVERGED refs (snapshots.diff_refs):
+    main seeds doc_id<300, an 'audit' branch freezes there, then main
+    diverges — appends [300,350) and equality-deletes doc_id%7==0
+    under 210 — and diff_refs(main, audit) must report exactly those
+    rows as added/removed (multiset exceptAll both ways). Hard
+    oracle: both deltas re-derived from doc_id arithmetic. The
+    changelog family covers chain-related anchors; this is the
+    branch-audit comparison no changelog connects."""
+    import tempfile
+
+    from ..sources.snapshots import (
+        commit,
+        create_branch,
+        diff_refs,
+        mor_delete,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    table = tempfile.mkdtemp(prefix="snapdiff_")
+    commit(docs.filter(d < 300), table, partitions=4)
+    create_branch(table, "audit")
+    commit(docs.filter((d >= 300) & (d < 350)), table)
+    mor_delete(spark, table,
+               docs.filter((d % 7 == 0) & (d < 210)).select("doc_id"),
+               key="doc_id")
+    return diff_refs(spark, table, None, "audit")
+
+
+def events_ab_test(spark, sf):
+    """Two-variant experiment scorecard: users split A/B by id parity,
+    per goal event type the conversion contingency (exposed vs
+    converted users per variant), exact 1e-6-grid conversion rates,
+    and the chi-square statistic n(ad-bc)^2/((a+b)(c+d)(a+c)(b+d))
+    computed entirely in decimal(38,0) with one HALF_UP landing on
+    the 1e-8 grid — the experiment-analysis primitive, bit-exact in
+    DuckDB HUGEINT. Corpus work: one distinct-users pass + one
+    (type, user) distinct + two tiny aggregates."""
+    ev = _t(spark, sf, "events")
+    v = F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    users = ev.select("user_id").distinct().select(v.alias("v"))
+    tot = users.groupBy().agg(
+        F.sum(F.when(F.col("v") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == "B", 1).otherwise(0)).alias("n_b"))
+    conv = (ev.select("event_type", "user_id").distinct()
+            .select("event_type", v.alias("v"))
+            .groupBy("event_type")
+            .agg(F.sum(F.when(F.col("v") == "A", 1).otherwise(0))
+                 .alias("conv_a"),
+                 F.sum(F.when(F.col("v") == "B", 1).otherwise(0))
+                 .alias("conv_b")))
+    out = conv.crossJoin(F.broadcast(tot))
+    big = "cast({} as decimal(38,0))"
+    expr = (
+        "CASE WHEN conv_a + conv_b = 0 OR "
+        "(n_a - conv_a) + (n_b - conv_b) = 0 THEN 0 ELSE "
+        f"cast((2 * ({big.format('n_a + n_b')})"
+        f" * ({big.format('conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b')})"
+        f" * ({big.format('conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b')})"
+        " * 100000000"
+        f" + ({big.format('n_a')} * {big.format('n_b')}"
+        f"    * {big.format('conv_a + conv_b')}"
+        f"    * {big.format('(n_a - conv_a) + (n_b - conv_b)')})) div"
+        f" (2 * {big.format('n_a')} * {big.format('n_b')}"
+        f"    * {big.format('conv_a + conv_b')}"
+        f"    * {big.format('(n_a - conv_a) + (n_b - conv_b)')})"
+        " as bigint) END")
+    rate = ("cast((2 * cast({c} as decimal(38,0)) * 1000000 + {n})"
+            " div (2 * cast({n} as decimal(38,0))) as bigint)")
+    return out.select(
+        "event_type", "n_a", "conv_a", "n_b", "conv_b",
+        F.expr(rate.format(c="conv_a", n="n_a")).alias("rate_a_e6"),
+        F.expr(rate.format(c="conv_b", n="n_b")).alias("rate_b_e6"),
+        (F.expr(expr).cast("double") / 1e8).alias("chi2"))
+
+
 SPARK_QUERIES = {
     "sc1_scan_filter": sc1_scan_filter,
     "sc2_point_lookup": sc2_point_lookup,
@@ -4406,6 +4483,8 @@ SPARK_QUERIES = {
     "graph_louvain": graph_louvain,
     "sim_knn_components": sim_knn_components,
     "graph_louvain_l2": graph_louvain_l2,
+    "snap_branch_diff": snap_branch_diff,
+    "events_ab_test": events_ab_test,
     "ts_theilsen": ts_theilsen,
     "text_idf_drift": text_idf_drift,
     "text_fertility": text_fertility,
@@ -6902,6 +6981,49 @@ _TS_THEILSEN_SQL = ("""
 """)
 
 
+_SNAP_BRANCH_DIFF_SQL = """
+    SELECT doc_id, lang, n_chars, 'added' AS op FROM documents
+    WHERE doc_id >= 300 AND doc_id < 350
+    UNION ALL
+    SELECT doc_id, lang, n_chars, 'removed' FROM documents
+    WHERE doc_id % 7 = 0 AND doc_id < 210
+"""
+
+_EVENTS_AB_TEST_SQL = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    tot AS (
+        SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+        FROM u),
+    cu AS (SELECT DISTINCT event_type, user_id FROM events),
+    conv AS (
+        SELECT event_type,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS conv_a,
+               sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS conv_b
+        FROM cu GROUP BY 1)
+    SELECT event_type, n_a, conv_a, n_b, conv_b,
+           (2 * conv_a::HUGEINT * 1000000 + n_a)
+               // (2 * n_a::HUGEINT) AS rate_a_e6,
+           (2 * conv_b::HUGEINT * 1000000 + n_b)
+               // (2 * n_b::HUGEINT) AS rate_b_e6,
+           (CASE WHEN conv_a + conv_b = 0
+                      OR (n_a - conv_a) + (n_b - conv_b) = 0
+                 THEN 0::HUGEINT
+                 ELSE (2 * (n_a + n_b)::HUGEINT
+                       * ((conv_a * (n_b - conv_b)
+                           - (n_a - conv_a) * conv_b)::HUGEINT
+                          * (conv_a * (n_b - conv_b)
+                             - (n_a - conv_a) * conv_b)::HUGEINT)
+                       * 100000000
+                       + (n_a::HUGEINT * n_b * (conv_a + conv_b)
+                          * ((n_a - conv_a) + (n_b - conv_b))))
+                      // (2 * n_a::HUGEINT * n_b * (conv_a + conv_b)
+                          * ((n_a - conv_a) + (n_b - conv_b)))
+            END) / 1e8 AS chi2
+    FROM conv, tot
+"""
+
+
 def _kcenter_sql(k: int = 8) -> str:
     """Gonzalez k-center unrolled: round r picks argmax-mind (ties by
     id) from MATERIALIZED state s{r}, then s{r+1} folds the new
@@ -6960,6 +7082,8 @@ ORACLE_SQL = {
     "graph_louvain": _louvain_sql(3),
     "sim_knn_components": _SIM_KNN_COMPONENTS_SQL,
     "graph_louvain_l2": _louvain_levels_sql(3, 2),
+    "snap_branch_diff": _SNAP_BRANCH_DIFF_SQL,
+    "events_ab_test": _EVENTS_AB_TEST_SQL,
     "ts_theilsen": _TS_THEILSEN_SQL,
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,
     "text_fertility": _TEXT_FERTILITY_SQL,

@@ -2069,3 +2069,29 @@ def files_table(spark: SparkSession, table: str,
         T.StructField("n_rows", T.LongType(), False),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+def diff_refs(spark: SparkSession, table: str, ref_a=None, ref_b=None) -> DataFrame:
+    """Row-level diff between two snapshot anchors (ids, ref names, or
+    None = CURRENT): rows visible at A but not B come back op='added',
+    the reverse op='removed' (multiset semantics via exceptAll, so
+    duplicate-row count changes surface too). This is the DIVERGED-refs
+    comparison — audit a WAP branch against main, compare a tag to
+    today — where no single changelog connects the two anchors; for
+    chain-related anchors read_changes/read_incremental is the
+    delta-proportional path and this full-table diff is the wrong
+    tool. Cost: one scan + one hash aggregate per side (the exceptAll
+    shuffle), ∝ the two visible row sets."""
+    from pyspark.sql import functions as F
+
+    def _resolve(r):
+        if r is None:
+            return None
+        if isinstance(r, str):
+            return ref_snapshot(table, r)
+        return r
+
+    a = read_snapshot(spark, table, _resolve(ref_a))
+    b = read_snapshot(spark, table, _resolve(ref_b))
+    return (a.exceptAll(b).withColumn("op", F.lit("added"))
+            .unionByName(b.exceptAll(a).withColumn("op", F.lit("removed"))))

@@ -1859,3 +1859,26 @@ def test_metadata_tables_surface(spark, tmp_path):
     # 250 rows minus the 25 deleted keys (20 in the first commit's
     # copy, 5 in the 50-row re-append)
     assert sum(r.n_rows for r in fc) == 225
+
+
+def test_diff_refs_multiset_and_direction(spark, tmp_path):
+    from npm_extraction_server_spark.sources.snapshots import (
+        commit,
+        create_branch,
+        diff_refs,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")],
+                               "k long, s string")
+    commit(df, t, partitions=1)
+    create_branch(t, "aud")
+    # main diverges: add one row and one EXTRA duplicate of (2,b)
+    commit(spark.createDataFrame([(3, "c"), (2, "b")], "k long, s string"),
+           t)
+    out = [(r.op, r.k, r.s) for r in diff_refs(spark, t, None, "aud").collect()]
+    assert sorted(out) == [("added", 2, "b"), ("added", 3, "c")]
+    # reversed anchors flip the direction
+    rev = [(r.op, r.k, r.s)
+           for r in diff_refs(spark, t, "aud", None).collect()]
+    assert sorted(rev) == [("removed", 2, "b"), ("removed", 3, "c")]
