@@ -246,7 +246,11 @@ _PRIORITY: list[str] = [
     # push with exact integer mass conservation; betweenness is
     # hard-green in the committed FULL self-runs at both sfs with its
     # own Brandes pytest + 2M probe)
-    "graph_ppr_push",
+    # batch-30 swap: graph_ppr_push -> graph_conductance (the
+    # community-quality rollup composing on the Louvain pass already
+    # in this head; ppr_push is hard-green in the committed FULL
+    # self-runs at both sfs with conservation pinned by pytest+probe)
+    "graph_conductance",
     # round-5 final additions: embedding link-prediction eval (TransE
     # filtered ranking on the md5 grid — demoted web_hits and
     # web_crawl_schedule, both green in the committed FULL self-runs)

@@ -2888,6 +2888,18 @@ def graph_louvain(spark, sf):
     return louvain_moves(_kg_graph_edges(spark, sf), rounds=3)
 
 
+def graph_conductance(spark, sf):
+    """Community-quality scorecard: conductance phi(C) = cut /
+    min(vol, 2m - vol) for every level-1 Louvain community of the KG
+    multigraph — the evaluation half of the community family (hard
+    oracle: the Louvain rounds + the integer cut/volume rollup, phi
+    landing once on the 1e-8 HALF_UP grid)."""
+    from ..plans.graph import conductance, louvain_moves
+
+    e = _kg_graph_edges(spark, sf)
+    return conductance(e, louvain_moves(e, rounds=3))
+
+
 def graph_louvain_l2(spark, sf):
     """Two-level Louvain hierarchy over the KG multigraph: the
     level-1 move pass, integer graph contraction (communities ->
@@ -4484,6 +4496,7 @@ SPARK_QUERIES = {
     "sim_knn_components": sim_knn_components,
     "graph_louvain_l2": graph_louvain_l2,
     "snap_branch_diff": snap_branch_diff,
+    "graph_conductance": graph_conductance,
     "events_ab_test": events_ab_test,
     "ts_theilsen": ts_theilsen,
     "text_idf_drift": text_idf_drift,
@@ -5398,6 +5411,33 @@ def _louvain_sql(rounds: int = 3) -> str:
         JOIN l{r - 1} cur2 ON cur2.node = p.node)"""
     sql += f"\n    SELECT node, comm AS community FROM l{rounds}"
     return sql
+
+
+def _conductance_sql(rounds: int = 3) -> str:
+    """graph_conductance's twin: the louvain rounds (same generator
+    body as _louvain_sql) + the integer cut/volume/phi rollup."""
+    body = _louvain_sql(rounds)
+    body = body[:body.rindex("\n    SELECT node, comm AS community")]
+    return body + f""",
+    lab AS MATERIALIZED (SELECT node AS n, comm AS c FROM l{rounds}),
+    dg AS MATERIALIZED (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+    vol AS (
+        SELECT l.c, count(*) AS n_nodes, sum(d.deg) AS volume
+        FROM dg d JOIN lab l USING (n) GROUP BY l.c),
+    cut AS (
+        SELECT la.c, count(*) AS cut_edges
+        FROM adj a JOIN lab la ON la.n = a.n
+                   JOIN lab lb ON lb.n = a.m
+        WHERE la.c <> lb.c GROUP BY la.c),
+    tm2 AS (SELECT sum(deg) AS two_m FROM dg)
+    SELECT v.c AS community, v.n_nodes, v.volume,
+           coalesce(cut.cut_edges, 0) AS cut_edges,
+           (CASE WHEN least(v.volume, tm2.two_m - v.volume) = 0 THEN 0
+                 ELSE (2 * coalesce(cut.cut_edges, 0) * 100000000
+                       + least(v.volume, tm2.two_m - v.volume))
+                      // (2 * least(v.volume, tm2.two_m - v.volume))
+            END) / 1e8 AS phi
+    FROM vol v LEFT JOIN cut USING (c), tm2"""
 
 
 def _louvain_levels_sql(rounds: int = 3, levels: int = 2) -> str:
@@ -7083,6 +7123,7 @@ ORACLE_SQL = {
     "sim_knn_components": _SIM_KNN_COMPONENTS_SQL,
     "graph_louvain_l2": _louvain_levels_sql(3, 2),
     "snap_branch_diff": _SNAP_BRANCH_DIFF_SQL,
+    "graph_conductance": _conductance_sql(3),
     "events_ab_test": _EVENTS_AB_TEST_SQL,
     "ts_theilsen": _TS_THEILSEN_SQL,
     "text_idf_drift": _TEXT_IDF_DRIFT_SQL,

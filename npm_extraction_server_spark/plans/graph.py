@@ -2805,6 +2805,54 @@ def _louvain_pass(adj: DataFrame, sloop: DataFrame, rounds: int,
     return labels
 
 
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple graph:
+    phi(C) = cut(C) / min(vol(C), 2m - vol(C)) — the standard
+    community-QUALITY metric (low phi = few edges escape relative to
+    the community's volume; the complement of what modularity scores
+    globally). ``labels`` is any (node, community) assignment —
+    Louvain, LPA, CC, an external partition — so this is the
+    evaluation half of the community family.
+
+    Exact arithmetic: cut and volume are integers; phi lands once on
+    the 1e-8 grid via HALF_UP integer division (whole-graph
+    communities, where min(vol, 2m-vol) = 0, report phi = 0 — there
+    is no cut). Returns (community, n_nodes, volume, cut_edges, phi).
+
+    Scale shape: one |E| double label join (cut), one |V| degree
+    aggregate joined to labels (volume), a |communities|-sized rollup;
+    2m is a 1-row broadcast. Nothing exceeds the Louvain pass cost.
+    """
+    und = _und_simple(edges, eager=None)
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m"))))
+    lab = labels.select(F.col("node").alias("n"),
+                        F.col("community").alias("c"))
+    deg = adj.groupBy("n").agg(F.count("*").alias("deg"))
+    per_node = deg.join(lab, "n")
+    vol = (per_node.groupBy("c")
+           .agg(F.count("*").alias("n_nodes"),
+                F.sum("deg").alias("volume")))
+    la = lab
+    lb = lab.select(F.col("n").alias("m"), F.col("c").alias("cb"))
+    cut = (adj.join(la, "n").join(lb, "m")
+           .filter(F.col("c") != F.col("cb"))
+           .groupBy("c").agg(F.count("*").alias("cut_edges")))
+    two_m = deg.agg(F.sum("deg").alias("two_m"))
+    out = (vol.join(cut, "c", "left")
+           .crossJoin(F.broadcast(two_m))
+           .select("c", "n_nodes", "volume",
+                   F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+                   F.expr("least(volume, two_m - volume)").alias("mind")))
+    phi = F.expr("CASE WHEN mind = 0 THEN 0 ELSE"
+                 " (2 * cut_edges * 100000000 + mind) div (2 * mind)"
+                 " END")
+    return out.select(F.col("c").alias("community"), "n_nodes",
+                      "volume", "cut_edges",
+                      (phi.cast("double") / 1e8).alias("phi"))
+
+
 def louvain_levels(edges: DataFrame, rounds: int = 3,
                    levels: int = 2) -> DataFrame:
     """The full Louvain hierarchy (Blondel et al. 2008) to ``levels``

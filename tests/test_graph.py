@@ -2050,3 +2050,26 @@ def test_louvain_levels_pure_python_twin(spark):
     # triangles never split across the hierarchy
     for b in (0, 3, 6, 9):
         assert len({got[b], got[b + 1], got[b + 2]}) == 1
+
+
+def test_conductance_hand_computed(spark):
+    from npm_extraction_server_spark.plans.graph import conductance
+
+    # triangle {0,1,2} + pendant 3 attached to 2; 2m = 8
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 3)], "node long, community long")
+    got = {r.community: r for r in conductance(edges, labels).collect()}
+
+    c = got[10]
+    # vol = 2+2+3 = 7, cut = 1 (edge 2-3), min(7, 8-7)=1 -> phi = 1.0
+    assert (c.n_nodes, c.volume, c.cut_edges, c.phi) == (3, 7, 1, 1.0)
+    p = got[3]
+    assert (p.n_nodes, p.volume, p.cut_edges, p.phi) == (1, 1, 1, 1.0)
+
+    # whole-graph community: no cut, min = 0 -> phi = 0
+    one = spark.createDataFrame([(0, 5), (1, 5), (2, 5), (3, 5)],
+                                "node long, community long")
+    w = conductance(edges, one).collect()[0]
+    assert (w.cut_edges, w.phi) == (0, 0.0)
