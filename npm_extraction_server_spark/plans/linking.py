@@ -201,15 +201,24 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     neighbor label, and localCheckpoints the frontier (truncates the
     lineage Catalyst would otherwise re-derive). Converges in O(log n)
     rounds; raises if not converged by ``max_rounds``."""
-    sym = (
+    # _stats_fresh, not a plain checkpoint: localCheckpoint preserves
+    # the ORIGIN plan's estimated sizeInBytes, and _cc_iterate feeds
+    # checkpoints back into two joins per round — an edge frame whose
+    # upstream estimate is huge (an LSH bucket join's Cartesian-ish
+    # guess) squares through the rounds until the size-only estimator
+    # overflows BigInteger (observed: 200k mutual-kNN edges from
+    # lsh_topk killed round ~20 with "BigInteger would overflow
+    # supported range" — the boruvka_msf pathology, same fix)
+    from .graph import _stats_fresh
+
+    sym = _stats_fresh(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col("entity_iri"), F.col("entity_iri").alias("canonical_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _stats_fresh(labels)
 
     return _cc_iterate(labels, sym, max_rounds)
 
@@ -246,7 +255,9 @@ def _cc_iterate(labels: DataFrame, sym: DataFrame,
                 F.col("canonical_id").alias("old_label"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        from .graph import _stats_fresh
+
+        updated = _stats_fresh(updated)
         prev = labels.select(F.col("entity_iri").alias("p_iri"),
                              F.col("canonical_id").alias("p_label"))
         n_changed = (
