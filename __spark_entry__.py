@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": _warc_cdx,
         "warc_wet_text": _warc_wet_text,
         "warc_wat_outlinks": _warc_wat_outlinks,
+        "warc_revisits": _warc_revisits,
+        "web_anchor_tfidf": _web_anchor_tfidf,
         "kg_link_pred_rank": _kg_link_pred_rank,
         "kg_link_pred_metrics": _kg_link_pred_metrics,
         "kg_shacl_report": _kg_shacl_report,
@@ -416,7 +418,13 @@ _PRIORITY: list[str] = [
     # text_zipf_fit / text_heaps_curve (both hard-green in the
     # committed CORRECTNESS_FULL_r05.json self-runs at both sfs;
     # text_good_turing keeps the corpus-health axis in the head)
-    "text_mojibake", "text_rake",
+    # batch-31 swaps: text_mojibake -> warc_revisits (CDX revisit
+    # consolidation — the Common-Crawl storage-dedup rule; mojibake is
+    # hard-green in the committed FULL self-runs at both sfs with its
+    # hand-computed pytest) and text_rake -> web_anchor_tfidf (the
+    # anchor-term relevance index; rake is hard-green in the committed
+    # FULL self-runs at both sfs, its sentinel split pinned by pytest)
+    "warc_revisits", "web_anchor_tfidf",
     # batch-21 swap: kg_trig_roundtrip -> text_fertility (per-lang BPE
     # fertility; trig roundtrip is hard-green in the committed FULL
     # self-runs at both sfs and pinned by the 5-format parser pytests)
@@ -516,6 +524,8 @@ def oracle_sql() -> dict[str, str]:
             "web_host_pagerank": _WEB_HOST_PAGERANK_ORACLE,
             "web_hits": _WEB_HITS_ORACLE,
             "web_url_patterns": _WEB_URL_PATTERNS_ORACLE,
+            "warc_revisits": _WARC_REVISITS_ORACLE,
+            "web_anchor_tfidf": _WEB_ANCHOR_TFIDF_ORACLE,
             "web_salsa": _WEB_SALSA_ORACLE,
             "web_trustrank": _WEB_TRUSTRANK_ORACLE,
             "web_redirects": _WEB_REDIRECTS_ORACLE,
@@ -1540,6 +1550,90 @@ def _warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _warc_scratch("cdxq_")
     W.write_warc(W.wet_from_pages(pages), d, kind="conversion")
     return W.build_cdx(spark, d).select("urlkey", "warc_ts", "digest")
+
+
+def _warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX revisit consolidation (sources/warc.consolidate_revisits):
+    the crawl re-captures pages doc_id<100 one day later with
+    byte-identical text, so their CDX digests collide — the
+    consolidation must keep the day-0 capture as the canonical
+    'response' and demote every re-capture to a 'revisit' referencing
+    the original timestamp (the Common-Crawl storage-dedup rule).
+    Hard oracle: both captures and the window rule re-derived from
+    doc_id arithmetic."""
+    from npm_extraction_server_spark.sources import warc as W
+
+    pages = _pages_from_documents(spark, sf_dir, limit=_WEB_HI)
+    recap = (pages
+             .filter(F.col("url").rlike("/doc-\\d{1,2}$"))
+             .withColumn("warc_ts",
+                         F.col("warc_ts") + F.expr("INTERVAL 1 DAY")))
+    d = _warc_scratch("revq_")
+    W.write_warc(W.wet_from_pages(pages.unionByName(recap)), d,
+                 kind="conversion")
+    return (W.consolidate_revisits(W.build_cdx(spark, d))
+            .select("urlkey", "warc_ts", "kind", "ref_ts"))
+
+
+_WARC_REVISITS_ORACLE = """
+    WITH caps AS (
+        SELECT 'org,example,crawl)/' || (doc_id % 100) || '/doc-' || doc_id
+                   AS urlkey,
+               TIMESTAMP '2017-06-01 00:00:00' + to_seconds(doc_id)
+                   + CASE WHEN cap = 1 THEN INTERVAL 1 DAY
+                          ELSE INTERVAL 0 DAY END AS warc_ts,
+               doc_id
+        FROM documents, unnest([0, 1]) AS t(cap)
+        WHERE doc_id < 300 AND (cap = 0 OR doc_id < 100))
+    SELECT urlkey, warc_ts,
+           CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS kind,
+           CASE WHEN rn > 1 THEN f END AS ref_ts
+    FROM (
+        SELECT urlkey, warc_ts,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY warc_ts) AS rn,
+               first_value(warc_ts) OVER (PARTITION BY doc_id
+                                          ORDER BY warc_ts) AS f
+        FROM caps)
+"""
+
+
+def _web_anchor_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text relevance index: tf-idf of anchor terms per
+    canonical target URL — tf = anchors carrying the term to the
+    target, idf = round(ln(N/df), 8) over distinct targets — classic
+    web search's strongest off-page signal, top-100 page as
+    TakeOrderedAndProject. Hard oracle: the sha256 link replica
+    carries every anchor term, so tf/df/N re-derive exactly."""
+    from npm_extraction_server_spark.extract.links import (
+        anchor_texts,
+        normalize_url,
+    )
+
+    at = anchor_texts(_pages_from_documents(spark, sf_dir, limit=_WEB_HI))
+    ta = at.select(normalize_url("dst_url").alias("target"), "anchor")
+    tf = ta.groupBy("target", "anchor").agg(F.count("*").alias("tf"))
+    df_ = ta.groupBy("anchor").agg(
+        F.countDistinct("target").alias("df"))
+    n = ta.agg(F.countDistinct("target").alias("n"))
+    idf = F.round(F.log(F.col("n").cast("double") / F.col("df")), 8)
+    scored = (tf.join(F.broadcast(df_), "anchor")
+              .crossJoin(F.broadcast(n))
+              .select("target", "anchor", "tf", "df",
+                      (F.col("tf") * idf).alias("score")))
+    return scored.orderBy(F.desc("score"), "target", "anchor").limit(100)
+
+
+_WEB_ANCHOR_TFIDF_ORACLE = ("WITH " + _WEB_LINKS_SQL + """
+, ta AS (SELECT canon_url AS target, anchor FROM links),
+tf AS (SELECT target, anchor, count(*) AS tf FROM ta GROUP BY 1, 2),
+df AS (SELECT anchor, count(DISTINCT target) AS df FROM ta GROUP BY 1),
+n AS (SELECT count(DISTINCT target) AS n FROM ta)
+SELECT target, anchor, tf, df,
+       tf * round(ln(n.n::DOUBLE / df.df), 8) AS score
+FROM tf JOIN df USING (anchor), n
+ORDER BY score DESC, target, anchor
+LIMIT 100""")
 
 
 def _warc_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:

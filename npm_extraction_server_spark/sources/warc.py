@@ -503,3 +503,29 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
                 rows, columns=[f.name for f in CDX_SCHEMA.fields])
 
     return files.mapInPandas(_index, schema=CDX_SCHEMA)
+
+
+def consolidate_revisits(cdx: "DataFrame") -> "DataFrame":
+    """CDX revisit consolidation — the Common-Crawl / Wayback dedup
+    rule: among captures sharing (urlkey, digest), the EARLIEST
+    capture stays a full 'response' record and every later capture
+    becomes a 'revisit' record referencing the original's timestamp
+    (WARC-Refers-To-Date semantics; the payload is stored once).
+    Ties on timestamp break on the record offset so the rule is total.
+
+    Returns (urlkey, warc_ts, digest, kind, ref_ts) — ref_ts NULL for
+    canonical responses. One (urlkey, digest)-keyed window pass over
+    the CDX table (metadata-sized, never the payloads); storage saved
+    = sum of revisit payload lengths, derivable from the same frame.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("urlkey", "digest").orderBy("warc_ts", "offset")
+    rn = F.row_number().over(w)
+    first_ts = F.first("warc_ts").over(w)
+    return (cdx.select(
+        "urlkey", "warc_ts", "digest",
+        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit"))
+        .alias("kind"),
+        F.when(rn > 1, first_ts).alias("ref_ts")))

@@ -194,3 +194,39 @@ def test_cdx_spans_random_access_and_surt(spark, tmp_path):
             assert hashlib.sha256(payload).hexdigest() == r.digest
             by_key[r.urlkey] = payload.decode()
         assert by_key["org,example,h1)/p/1"] == "text body 1"
+
+
+def test_consolidate_revisits_rule(spark):
+    import datetime as dt
+
+    from npm_extraction_server_spark.sources.warc import (
+        consolidate_revisits,
+    )
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # same urlkey+digest captured three times: earliest wins
+        ("k1", t0 + dt.timedelta(days=1), "f", 10, 5, "d1"),
+        ("k1", t0, "f", 0, 5, "d1"),
+        ("k1", t0 + dt.timedelta(days=2), "f", 20, 5, "d1"),
+        # same urlkey, DIFFERENT digest: its own response
+        ("k1", t0 + dt.timedelta(days=3), "f", 30, 5, "d2"),
+        # timestamp tie: offset breaks it
+        ("k2", t0, "f", 100, 5, "d3"),
+        ("k2", t0, "f", 50, 5, "d3"),
+    ]
+    cdx = spark.createDataFrame(
+        rows, "urlkey string, warc_ts timestamp, file string, "
+              "offset long, length long, digest string")
+    rows_out = consolidate_revisits(cdx).collect()
+    got = {(r.urlkey, r.warc_ts, r.digest): (r.kind, r.ref_ts)
+           for r in rows_out if r.urlkey != "k2"}
+
+    assert got[("k1", t0, "d1")] == ("response", None)
+    assert got[("k1", t0 + dt.timedelta(days=1), "d1")] == ("revisit", t0)
+    assert got[("k1", t0 + dt.timedelta(days=2), "d1")] == ("revisit", t0)
+    assert got[("k1", t0 + dt.timedelta(days=3), "d2")][0] == "response"
+    # timestamp tie: exactly one response (offset 50 canonical), one
+    # revisit referencing the same instant
+    k2 = sorted((r.kind, r.ref_ts) for r in rows_out if r.urlkey == "k2")
+    assert k2 == [("response", None), ("revisit", t0)]
