@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_graph": _kg_property_graph,
         "kg_char_sets": _kg_char_sets,
         "kg_graph_hash": _kg_graph_hash,
+        "kg_text_mentions": _kg_text_mentions,
         "kg_sparql_text_agg": _kg_sparql_text_agg,
         "kg_sparql_text_topk": _kg_sparql_text_topk,
         "kg_sparql_text_path": _kg_sparql_text_path,
@@ -284,7 +285,11 @@ _PRIORITY: list[str] = [
     # SPARQL text front-end (demoted j11_asof_forward and sql_lang_stats
     # — both green in the committed FULL self-runs; TPC-H/SQL keeps
     # q6_forecast_revenue in the head)
-    "kg_sparql_text_agg",
+    # batch-32 swap: kg_sparql_text_agg -> kg_text_mentions (the
+    # north-star's prose-mention extraction source; the SPARQL text
+    # front-end is hard-green in the committed FULL self-runs at both
+    # sfs and parses onto the BGP algebra pinned across this head)
+    "kg_text_mentions",
     # RDFa-lite end-to-end extraction (final session; demoted
     # kg_sparql_text_topk — TakeOrderedAndProject coverage moved to
     # text_kn_bigram in this head, and the text front-end keeps
@@ -448,7 +453,11 @@ _PRIORITY: list[str] = [
     # char-bigram entropy (final session; demoted text_dup_spans —
     # FULL-green, the ExactSubstr path also pinned by its own pytest)
     "text_char_entropy",
-    "sim_mmr_diverse",
+    # batch-32 swap: sim_mmr_diverse -> sim_sq8_verified (the SQ8 leg
+    # of the ANN compression ladder; MMR is hard-green in the
+    # committed FULL self-runs at both sfs with its exact-decimal
+    # rounding trap pinned by pytest)
+    "sim_sq8_verified",
     # RFM segment matrix with histogram-derived quantile thresholds
     # (continuation session; demoted events_changepoint — FULL-green,
     # its CUSUM semantics pinned by a dedicated pytest; events keeps
@@ -502,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
             "kg_void_stats": _KG_VOID_STATS_ORACLE,
             "kg_char_sets": _KG_CHAR_SETS_ORACLE,
             "kg_graph_hash": _KG_GRAPH_HASH_ORACLE,
+            "kg_text_mentions": _KG_TEXT_MENTIONS_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_bgp_exists_deps": _KG_BGP_EXISTS_DEPS_ORACLE,
             "kg_bgp_bind": _KG_BGP_BIND_ORACLE,
@@ -3424,6 +3434,94 @@ SELECT char_set, min(n_preds)::BIGINT AS n_preds,
        count(*)::BIGINT AS n_subjects, sum(n_triples)::BIGINT AS n_triples
 FROM per_subj GROUP BY char_set
 """)
+
+
+def _kg_text_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prose text-mention extraction + dictionary linking — the
+    north-star's third extraction source next to embedded structured
+    metadata: package-name-shaped tokens in the ARTICLE TEXT are
+    matched (JVM regex, one narrow explode) and linked against the
+    broadcast dictionary of bundle names the pipeline itself minted
+    (bundles = doap:name holders with no doap:revision), yielding
+    (url, bundle, n_mentions) mention edges. Mentions of names no
+    package owns (scoped twins, planted junk) are dropped by the
+    dictionary join — exactly the head-entity short-circuit
+    plans/linking.py documents. Hard oracle: the injected mention
+    sentences and the pkg-name dictionary re-derive from doc_id
+    arithmetic."""
+    from npm_extraction_server_spark.plans.kg import run_pipeline
+
+    pages = _pages_from_documents(spark, sf_dir, limit=100)
+    d = F.col("doc_id")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(d < 100))
+    text2 = F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0,
+               F.concat(F.lit(" see pkg-"),
+                        ((d * 3) % 100).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" and pkg-"), ((d * 3) % 100).cast("string"),
+                        F.lit(" again"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" uses hotpkg")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" try pkg-99999")).otherwise(F.lit("")))
+    pat = r"(@org[0-9]+/pkg-[0-9]+|pkg-[0-9]+|hotpkg|megalib|ultrautil)"
+    mentions = (docs.select("doc_id",
+                            F.explode(F.regexp_extract_all(
+                                text2, F.lit(pat), 1)).alias("m")))
+
+    t = run_pipeline(pages)["triples"]
+    DOAP = "http://usefulinc.com/ns/doap#"
+    named = (t.filter((F.col("pred") == DOAP + "name")
+                      & F.col("subj").startswith(
+                          "http://example.org/bundles/npm/"))
+             .select("subj", F.translate("obj", '"', "").alias("name")))
+    revs = (t.filter(F.col("pred") == DOAP + "revision")
+            .select("subj").distinct())
+    bundles = (named.join(revs, "subj", "left_anti")
+               .select("name").distinct())
+    return (mentions.join(F.broadcast(bundles),
+                          mentions["m"] == bundles["name"])
+            .groupBy("doc_id", "name")
+            .agg(F.count("*").alias("n_mentions"))
+            .select(F.concat(F.lit("http://crawl.example.org/"),
+                             (F.col("doc_id") % 100).cast("string"),
+                             F.lit("/doc-"),
+                             F.col("doc_id").cast("string")).alias("url"),
+                    F.concat(F.lit("http://example.org/bundles/npm/"),
+                             F.col("name")).alias("bundle"),
+                    "n_mentions"))
+
+
+_KG_TEXT_MENTIONS_ORACLE = ("WITH " + _SYNTH_VERS_CTE.format(lo=0, hi=100) + """,
+base AS (
+  SELECT d.doc_id,
+         d.text
+         || CASE WHEN d.doc_id % 2 = 0
+                 THEN ' see pkg-' || ((d.doc_id * 3) % 100) ELSE '' END
+         || CASE WHEN d.doc_id % 3 = 0
+                 THEN ' and pkg-' || ((d.doc_id * 3) % 100) || ' again'
+                 ELSE '' END
+         || CASE WHEN d.doc_id % 5 = 0 THEN ' uses hotpkg' ELSE '' END
+         || CASE WHEN d.doc_id % 7 = 0 THEN ' try pkg-99999' ELSE '' END
+             AS t
+  FROM documents d WHERE d.doc_id < 100),
+mentions AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t,
+             '(@org[0-9]+/pkg-[0-9]+|pkg-[0-9]+|hotpkg|megalib|ultrautil)',
+             1)) AS m
+  FROM base),
+hits AS (
+  SELECT mn.doc_id, mn.m, count(*) AS n
+  FROM mentions mn JOIN (SELECT DISTINCT name FROM pkg) dict
+    ON dict.name = mn.m
+  GROUP BY 1, 2)
+SELECT 'http://crawl.example.org/' || (doc_id % 100) || '/doc-' || doc_id
+           AS url,
+       'http://example.org/bundles/npm/' || m AS bundle,
+       n AS n_mentions
+FROM hits""")
 
 
 def _kg_graph_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -744,3 +744,82 @@ def kcenter_select(embeddings: DataFrame, k: int = 8,
     return spark.createDataFrame(
         centers, schema="sel_round INT, " + id_col + " BIGINT, "
                         "sel_dist DOUBLE")
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             rerank: int = 32, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Scalar-quantization (SQ8) ANN: every vector is compressed to
+    one uint8 code per dimension on the corpus's per-dim [min, max]
+    grid (the FAISS SQ8 index family); candidates are preselected by
+    the asymmetric ADC inner product — the item RECONSTRUCTED from its
+    code (lo + c/scale), the query kept float (a raw code x code dot
+    has per-dim affine bias terms that break the ranking) — and the
+    top ``rerank`` survivors per query get the exact float cosine
+    re-rank. The stored index is 1 byte/dim: 4x less memory traffic
+    than a float scan. Inner-product preselection assumes roughly
+    comparable item norms (normalize the corpus first otherwise).
+    Completes the ANN compression ladder next to brute / LSH / IVF /
+    IVF-PQ.
+
+    Per-dim bounds come from ONE corpus aggregate (64 scalars,
+    collected and folded back as literals — the centroid-collect
+    pattern); codes are a JVM transform; preselection is a broadcast-
+    query scan with an integer aggregate, top-rerank per query a
+    window; only the survivors touch float vectors again.
+    """
+    dim = len(queries.select(vec_col).first()[0])
+    bounds = embeddings.agg(
+        *[F.min(F.col(vec_col)[i].cast("double")).alias(f"lo{i}")
+          for i in range(dim)],
+        *[F.max(F.col(vec_col)[i].cast("double")).alias(f"hi{i}")
+          for i in range(dim)]).collect()[0]
+    lo = [float(bounds[f"lo{i}"]) for i in range(dim)]
+    hi = [float(bounds[f"hi{i}"]) for i in range(dim)]
+    scale = [255.0 / (hi[i] - lo[i]) if hi[i] > lo[i] else 0.0
+             for i in range(dim)]
+
+    def codes(col):
+        return F.array(*[
+            F.greatest(F.lit(0), F.least(F.lit(255), F.round(
+                (col[i].cast("double") - F.lit(lo[i])) * F.lit(scale[i]),
+                0).cast("int"))) for i in range(dim)])
+
+    base = embeddings.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"),
+        _norm(F.col(vec_col)).alias("inorm"),
+        codes(F.col(vec_col)).alias("icode"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("qnorm"))
+    # asymmetric ADC: reconstruct the item from its code (lo + c/scale)
+    # and dot against the FLOAT query — the standard SQ distance
+    # computation (a raw code x code dot has per-dim affine bias terms
+    # that break the ranking)
+    recon = F.transform(
+        F.col("icode"),
+        lambda c, i: F.element_at(F.array(*[F.lit(v) for v in lo]), i + 1)
+        + c.cast("double")
+        / F.element_at(F.array(*[F.lit(s if s else 1.0) for s in scale]),
+                       i + 1))
+    adc = F.aggregate(
+        F.zip_with(recon, F.col("query_vec"),
+                   lambda a, b: a * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (base.crossJoin(F.broadcast(q))
+            .filter(F.col("item_id") != F.col("query_id"))
+            .select("query_id", "item_id", "item_vec", "inorm",
+                    "query_vec", "qnorm", adc.alias("idot")))
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("idot"),
+                                                  F.asc("item_id"))
+    surv = (cand.withColumn("prn", F.row_number().over(wpre))
+            .filter(F.col("prn") <= rerank))
+    sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
+        F.col("inorm") * F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("item_id"))
+    return (surv.select("query_id", "item_id",
+                        F.round(sim, 6).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "cosine", "rank"))

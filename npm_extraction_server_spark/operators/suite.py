@@ -4227,6 +4227,23 @@ def kg_direct_mapping(spark, sf):
             fks=[(["s_nationkey"], "nation", ["n_nationkey"])])))
 
 
+def sim_sq8_verified(spark, sf):
+    """SQ8 scalar-quantized ANN retrieves the exact nearest neighbor
+    of every planted query (hard DuckDB oracle: exact argmax cosine —
+    the verified contract shared with LSH/IVF/IVF-PQ): candidates are
+    preselected by the INTEGER uint8-code dot product (4x less memory
+    traffic than a float scan, deterministic by construction), the
+    top-32 survivors get the exact re-rank, and the ~0.993-cosine
+    source always survives preselection (its code dot is essentially
+    maximal; quantization noise is shared across candidates).
+    Completes the ANN compression ladder: brute / LSH / IVF / IVF-PQ
+    / SQ8."""
+    from .similarity import sq8_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return sq8_topk(emb, _planted_ann_queries(emb), k=1, rerank=32)
+
+
 def sim_knn_components(spark, sf):
     """Embedding clustering via the mutual-kNN graph: exact top-3
     cosine neighbors per vector (the fixed vec_id < 500 slice so the
@@ -4494,6 +4511,7 @@ SPARK_QUERIES = {
     "kg_direct_mapping": kg_direct_mapping,
     "graph_louvain": graph_louvain,
     "sim_knn_components": sim_knn_components,
+    "sim_sq8_verified": sim_sq8_verified,
     "graph_louvain_l2": graph_louvain_l2,
     "snap_branch_diff": snap_branch_diff,
     "graph_conductance": graph_conductance,
@@ -7456,6 +7474,7 @@ ORACLE_SQL = {
     "dedup_simhash_verified": _EXACT_JACCARD_SQL_TMPL.format(threshold=0.9),
     "sim_lsh_verified": _ANN_VERIFIED_SQL,
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
+    "sim_sq8_verified": _ANN_VERIFIED_SQL,
     "sim_ivfpq_verified": _ANN_VERIFIED_SQL,
     "graph_betweenness": _betweenness_sql(),
     "graph_components": _GRAPH_COMPONENTS_SQL,
