@@ -315,13 +315,18 @@ _PRIORITY: list[str] = [
     # construction; char_sets is hard-green in the committed FULL
     # self-runs at both sfs)
     "kg_graph_hash",
+    # batch-33 swaps: sim_mrl_verified and graph_fastrp join the head
+    # for graph_wl_classes and text_dsir_weights (both hard-green in
+    # the committed FULL self-runs at both sfs; WL machinery stays
+    # exercised via kg_graph_hash in this head, DSIR via
+    # text_dsir_sample on the same code path)
+    "sim_mrl_verified", "graph_fastrp",
     # WL refinement + DSIR (this session's additions; demoted
     # graph_link_predict — the ONE head entry with a prior driver
     # record (r1-r4) — and graph_eccentricity, which shares
     # _multi_source_sweep with closeness/harmonic; both green in the
     # committed FULL self-run. graph_wl_colors / text_dsir_sample ride
     # the same code paths as the two recorded here.)
-    "graph_wl_classes", "text_dsir_weights",
     # local clustering coefficient (final session; demoted
     # graph_coreness — the ascending-threshold peel machinery stays
     # pinned by graph_trussness in this head + its own pytest, and

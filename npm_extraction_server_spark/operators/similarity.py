@@ -823,3 +823,49 @@ def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "item_id", "cosine", "rank"))
+
+
+def matryoshka_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    prefix_dim: int = 16, rerank: int = 32,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval: preselect by cosine over
+    the FIRST ``prefix_dim`` dimensions only (the coarse head of a
+    matryoshka-trained embedding — 4x less compute and memory traffic
+    at prefix 16/64), then exact full-dimension cosine re-rank of the
+    top ``rerank`` survivors. The production pattern behind
+    adaptive-retrieval stacks (Kusupati et al. 2022); with generic
+    embeddings the prefix is just a projection, so recall depends on
+    how much mass the head carries — the verified suite query uses
+    the planted near-dup regime where the head cosine is ~ the full
+    cosine and top-1 recall is exact.
+    """
+    pre = F.slice(F.col(vec_col), 1, prefix_dim)
+    base = embeddings.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"),
+        _norm(F.col(vec_col)).alias("inorm"),
+        pre.alias("ipre"), _norm(pre).alias("ipnorm"))
+    qpre = F.slice(F.col(vec_col), 1, prefix_dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+        qpre.alias("qpre"), _norm(qpre).alias("qpnorm"))
+    psim = _dot(F.col("ipre"), F.col("qpre")) / (
+        F.col("ipnorm") * F.col("qpnorm"))
+    cand = (base.crossJoin(F.broadcast(q))
+            .filter(F.col("item_id") != F.col("query_id"))
+            .select("query_id", "item_id", "item_vec", "inorm",
+                    "query_vec", "qnorm", psim.alias("psim")))
+    wpre = Window.partitionBy("query_id").orderBy(F.desc("psim"),
+                                                  F.asc("item_id"))
+    surv = (cand.withColumn("prn", F.row_number().over(wpre))
+            .filter(F.col("prn") <= rerank))
+    sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
+        F.col("inorm") * F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("item_id"))
+    return (surv.select("query_id", "item_id",
+                        F.round(sim, 6).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "item_id", "cosine", "rank"))

@@ -2877,6 +2877,17 @@ def graph_lpa_communities(spark, sf):
     return lpa_communities(_kg_graph_edges(spark, sf), rounds=3)
 
 
+def graph_fastrp(spark, sf):
+    """FastRP structural embeddings over the KG multigraph — 8 dims,
+    2 propagation rounds, md5 sparse-sign init, all arithmetic on the
+    exact 1e-8 integer grid (hard oracle: init + both neighbor-mean
+    rounds unrolled in DuckDB, bit-exact coordinates)."""
+    from ..plans.graph import fastrp_embeddings
+
+    return fastrp_embeddings(_kg_graph_edges(spark, sf), dims=8,
+                             rounds=2)
+
+
 def graph_louvain(spark, sf):
     """One-level Louvain modularity moves over the KG multigraph —
     3 synchronous integer-gain passes (hard oracle: the determinized
@@ -4244,6 +4255,19 @@ def sim_sq8_verified(spark, sf):
     return sq8_topk(emb, _planted_ann_queries(emb), k=1, rerank=32)
 
 
+def sim_mrl_verified(spark, sf):
+    """Matryoshka (MRL) two-stage retrieval finds the exact nearest
+    neighbor of every planted query (hard oracle: exact argmax cosine,
+    the shared verified contract): prefix-16 cosine preselection (4x
+    cheaper scan), exact 64-dim re-rank of the top-32. Sixth leg of
+    the ANN ladder: brute / LSH / IVF / IVF-PQ / SQ8 / MRL."""
+    from .similarity import matryoshka_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return matryoshka_topk(emb, _planted_ann_queries(emb), k=1,
+                           prefix_dim=16, rerank=32)
+
+
 def sim_knn_components(spark, sf):
     """Embedding clustering via the mutual-kNN graph: exact top-3
     cosine neighbors per vector (the fixed vec_id < 500 slice so the
@@ -4512,6 +4536,8 @@ SPARK_QUERIES = {
     "graph_louvain": graph_louvain,
     "sim_knn_components": sim_knn_components,
     "sim_sq8_verified": sim_sq8_verified,
+    "sim_mrl_verified": sim_mrl_verified,
+    "graph_fastrp": graph_fastrp,
     "graph_louvain_l2": graph_louvain_l2,
     "snap_branch_diff": snap_branch_diff,
     "graph_conductance": graph_conductance,
@@ -5539,6 +5565,54 @@ def _louvain_levels_sql(rounds: int = 3, levels: int = 2) -> str:
     SELECT m.node, coalesce(l2.comm, m.comm) AS community
     FROM L1r{rounds} m
     LEFT JOIN L{levels}r{rounds} l2 ON l2.node = m.comm"""
+    return sql
+
+
+def _fastrp_sql(dims: int = 8, rounds: int = 2) -> str:
+    """fastrp_embeddings' twin: md5 {-1,0,1} init on the 1e-8 grid,
+    per-round HALF_UP neighbor means (sign outside), equal-weight sum
+    of round outputs."""
+    def cols(fn, sep=",\n           "):
+        return sep.join(fn(d) for d in range(dims))
+
+    sql = f"""
+    WITH {_KG_GRAPH_EDGES_CTE},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS n, b AS m FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS MATERIALIZED (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+    x0 AS MATERIALIZED (
+        SELECT n AS node, deg,
+           """ + cols(lambda d: (
+        f"((('0x' || substr(md5(n::VARCHAR || '#f{d}'), 1, 8))::BIGINT"
+        f" % 3) - 1) * 100000000 AS x{d}")) + """
+        FROM deg)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    s{r} AS (
+        SELECT a.n,
+           """ + cols(lambda d: f"sum(x.x{d}) AS s{d}") + f"""
+        FROM adj a JOIN x{r - 1} x ON x.node = a.m GROUP BY a.n),
+    x{r} AS MATERIALIZED (
+        SELECT s.n AS node, d.deg,
+           """ + cols(lambda d: (
+            f"(CASE WHEN s{d} < 0 THEN -1 ELSE 1 END)"
+            f" * ((2 * abs(s{d}) + d.deg) // (2 * d.deg)) AS x{d}")) + f"""
+        FROM s{r} s JOIN deg d ON d.n = s.n)"""
+    total = " + ".join(f"x{r}.x{{d}}" for r in range(1, rounds + 1))
+    sel = ",\n           ".join(
+        "(" + total.format(d=d) + f") / 1e8 AS f{d}" for d in range(dims))
+    joins = " ".join(f"JOIN x{r} ON x{r}.node = x1.node"
+                     for r in range(2, rounds + 1))
+    sql += f"""
+    SELECT x1.node,
+           {sel}
+    FROM x1 {joins}"""
     return sql
 
 
@@ -7475,6 +7549,8 @@ ORACLE_SQL = {
     "sim_lsh_verified": _ANN_VERIFIED_SQL,
     "sim_ivf_verified": _ANN_VERIFIED_SQL,
     "sim_sq8_verified": _ANN_VERIFIED_SQL,
+    "sim_mrl_verified": _ANN_VERIFIED_SQL,
+    "graph_fastrp": _fastrp_sql(8, 2),
     "sim_ivfpq_verified": _ANN_VERIFIED_SQL,
     "graph_betweenness": _betweenness_sql(),
     "graph_components": _GRAPH_COMPONENTS_SQL,

@@ -2805,6 +2805,75 @@ def _louvain_pass(adj: DataFrame, sloop: DataFrame, rounds: int,
     return labels
 
 
+def fastrp_embeddings(edges: DataFrame, dims: int = 8,
+                      rounds: int = 2) -> DataFrame:
+    """FastRP graph embeddings (Chen, Sultan, Tyree & Perozzi, CIKM
+    2019) determinized onto the engine's exact-arithmetic protocol:
+    the very-sparse random projection r_d(v) in {-1, 0, +1} comes from
+    md5(node '#f' d) (engine-neutral, no RNG state), each round
+    propagates the HALF_UP integer MEAN over simple-graph neighbors
+    (sign applied outside the division — the family's div-vs-floor
+    rule), and the embedding is the equal-weight sum of the round
+    outputs on the 1e-8 grid. Nodes embed near each other iff their
+    r-hop neighborhoods mix the same random signs — the degree-mean
+    variant of A_norm^k R, the production-grade structural embedding
+    (Neo4j GDS ships exactly this family) at a fraction of node2vec's
+    walk cost.
+
+    Returns (node, f0..f{dims-1}) as doubles on the 1e-8 grid — a
+    hard-oracle-able embedding VECTOR output (node2vec here emits
+    walk corpora; this emits coordinates).
+
+    Scale shape: per round ONE |E| join + a (node)-keyed sum of
+    ``dims`` columns (map-side combined) + a |V| mean projection —
+    the pagerank cost times dims; state checkpointed per round.
+    Oracle twin: _fastrp_sql in operators/suite.py.
+    """
+    und = _und_simple(edges, eager=None)
+    adj = (und.select(F.col("a").alias("n"), F.col("b").alias("m"))
+           .unionByName(und.select(F.col("b").alias("n"),
+                                   F.col("a").alias("m")))
+           .localCheckpoint(eager=True))
+    deg = adj.groupBy("n").agg(F.count("*").alias("deg"))
+
+    def init(d):
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.col("n").cast("string"),
+                           F.lit(f"#f{d}"))), 1, 8), 16, 10).cast("long")
+        return ((h % 3) - 1) * F.lit(100000000).cast("long")
+
+    x = deg.select(F.col("n").alias("node"), "deg",
+                   *[init(d).alias(f"x{d}") for d in range(dims)])
+    x = x.localCheckpoint(eager=False)
+    acc = None
+    for _ in range(rounds):
+        nb = (adj.join(x.select(F.col("node").alias("m"),
+                                *[f"x{d}" for d in range(dims)]), "m")
+              .groupBy("n")
+              .agg(*[F.sum(f"x{d}").alias(f"s{d}") for d in range(dims)]))
+        mean = [F.expr(
+            f"CASE WHEN s{d} < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * abs(s{d}) + deg) div (2 * deg))").alias(f"x{d}")
+            for d in range(dims)]
+        x = (nb.join(deg, "n")
+             .select(F.col("n").alias("node"), "deg", *mean)
+             .localCheckpoint(eager=False))
+        if acc is None:
+            acc = x.select("node", *[F.col(f"x{d}").alias(f"a{d}")
+                                     for d in range(dims)])
+        else:
+            acc = (acc.join(x.select("node",
+                                     *[f"x{d}" for d in range(dims)]),
+                            "node")
+                   .select("node",
+                           *[(F.col(f"a{d}") + F.col(f"x{d}"))
+                             .alias(f"a{d}") for d in range(dims)])
+                   .localCheckpoint(eager=False))
+    return acc.select(
+        "node", *[(F.col(f"a{d}").cast("double") / 1e8).alias(f"f{d}")
+                  for d in range(dims)])
+
+
 def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Per-community conductance over the undirected simple graph:
     phi(C) = cut(C) / min(vol(C), 2m - vol(C)) — the standard

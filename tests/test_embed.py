@@ -104,3 +104,29 @@ def test_deterministic_test_split(spark):
     a = sorted(map(tuple, link_pred_ranks(edges, test_mod=2).collect()))
     b = sorted(map(tuple, link_pred_ranks(edges, test_mod=2).collect()))
     assert a == b and 0 < len(a) < len(EDGES)
+
+
+def test_sq8_and_mrl_recall_on_separated_corpus(spark):
+    """SQ8 and Matryoshka preselection both recover the exact top-1
+    on a corpus with a clearly separated nearest neighbor."""
+    from npm_extraction_server_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_topk,
+        sq8_topk,
+    )
+
+    import math
+    rows = []
+    for i in range(40):
+        a = 2 * math.pi * i / 40
+        rows.append((i, [math.cos(a), math.sin(a)] * 32))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(1000, [math.cos(0.05), math.sin(0.05)] * 32)],
+        "vec_id long, embedding array<float>")
+
+    exact = cosine_topk(emb, q, k=1).collect()[0]
+    s = sq8_topk(emb, q, k=1, rerank=8).collect()[0]
+    m = matryoshka_topk(emb, q, k=1, prefix_dim=16, rerank=8).collect()[0]
+    assert s.item_id == exact.item_id == m.item_id
+    assert s.cosine == exact.cosine == m.cosine

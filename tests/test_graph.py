@@ -2073,3 +2073,44 @@ def test_conductance_hand_computed(spark):
                                 "node long, community long")
     w = conductance(edges, one).collect()[0]
     assert (w.cut_edges, w.phi) == (0, 0.0)
+
+
+def test_fastrp_pure_python_twin(spark):
+    import hashlib
+
+    from npm_extraction_server_spark.plans.graph import fastrp_embeddings
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    dims, rounds, S = 4, 2, 10 ** 8
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: [r.f0, r.f1, r.f2, r.f3]
+           for r in fastrp_embeddings(df, dims=dims, rounds=rounds).collect()}
+
+    adj = {}
+    for a, b in {tuple(sorted(e)) for e in edges}:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    def init(n, d):
+        h = int(hashlib.md5(f"{n}#f{d}".encode()).hexdigest()[:8], 16)
+        return (h % 3 - 1) * S
+
+    x = {n: [init(n, d) for d in range(dims)] for n in adj}
+    acc = None
+    for _ in range(rounds):
+        nx = {}
+        for n in adj:
+            deg = len(adj[n])
+            row = []
+            for d in range(dims):
+                s = sum(x[m][d] for m in adj[n])
+                sign = -1 if s < 0 else 1
+                row.append(sign * ((2 * abs(s) + deg) // (2 * deg)))
+            nx[n] = row
+        x = nx
+        acc = ({n: list(v) for n, v in x.items()} if acc is None else
+               {n: [a + b for a, b in zip(acc[n], x[n])] for n in adj})
+    expect = {n: [v / S for v in acc[n]] for n in adj}
+    assert set(got) == set(expect)
+    for n in expect:
+        assert got[n] == expect[n], (n, got[n], expect[n])
