@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_char_sets": _kg_char_sets,
         "kg_graph_hash": _kg_graph_hash,
         "kg_text_mentions": _kg_text_mentions,
+        "kg_truth_fusion": _kg_truth_fusion,
+        "kg_truth_trust": _kg_truth_trust,
         "kg_sparql_text_agg": _kg_sparql_text_agg,
         "kg_sparql_text_topk": _kg_sparql_text_topk,
         "kg_sparql_text_path": _kg_sparql_text_path,
@@ -334,7 +336,13 @@ _PRIORITY: list[str] = [
     # batch-17 swap: graph_clustering -> web_trustrank (TrustRank +
     # spam mass; clustering is hard-green in the committed FULL
     # self-runs at both sfs and pinned by its own pytest)
-    "web_trustrank",
+    # batch-34 swap: web_trustrank -> kg_truth_fusion (conflicting-
+    # fact truth discovery — the claim-level source-reliability
+    # fixpoint next to trustrank's link-level one; trustrank is
+    # hard-green in the committed FULL self-runs at both sfs, and the
+    # web family keeps url_patterns/anchor_tfidf/template_lines in
+    # this head)
+    "kg_truth_fusion",
     # bow-tie census + truss decomposition (this session; demoted
     # graph_assortativity — the simplest integer-moment aggregation in
     # the family — and snap_meta_tables (snapshots keep stats_prune /
@@ -517,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
             "kg_char_sets": _KG_CHAR_SETS_ORACLE,
             "kg_graph_hash": _KG_GRAPH_HASH_ORACLE,
             "kg_text_mentions": _KG_TEXT_MENTIONS_ORACLE,
+            "kg_truth_fusion": _KG_TRUTH_FUSION_ORACLE,
+            "kg_truth_trust": _KG_TRUTH_TRUST_ORACLE,
             "kg_bgp_minus_deps": _KG_BGP_MINUS_DEPS_ORACLE,
             "kg_bgp_exists_deps": _KG_BGP_EXISTS_DEPS_ORACLE,
             "kg_bgp_bind": _KG_BGP_BIND_ORACLE,
@@ -3708,3 +3718,126 @@ def _kg_sparql_text_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ?src ?dst
         WHERE { ?src (npm:dependency/doap:revision)|owl:sameAs ?dst }
     """)
+
+
+def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic conflicting-claims corpus for the truth-discovery
+    queries, a pure function of doc_id (so DuckDB re-derives it):
+    480 docs -> the full 24-source x 20-entity grid. Sources s%8==0
+    ({0,8,16}) are a colluding spam clique asserting the same wrong
+    license for EVERY entity; s%4==0 non-clique ({4,12,20}) are lone
+    spammers with their own wrong values; the 18 honest sources assert
+    the truth L(e%5) densely for e<16 and THINLY for the planted tail
+    e>=16 (exactly one honest claimant) — on the tail a majority vote
+    picks the clique's value 4:1, the fixpoint recovers the truth."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter(F.col("doc_id") < 480))
+    base = d.select((F.col("doc_id") % 24).alias("s"),
+                    F.floor(F.col("doc_id") / 24).cast("long").alias("e"))
+    s, e = F.col("s"), F.col("e")
+    keep = ((s % 4 == 0)
+            | ((e < 16) & ((s + e) % 3 != 0))
+            | ((e >= 16) & (s == 1 + e % 2)))
+    val = (F.when(s % 8 == 0, 5 + e % 3)
+           .when(s % 4 == 0, 5 + (e + s) % 3)
+           .otherwise(e % 5))
+    return (base.filter(keep)
+            .select(F.concat(F.lit("src-"), s.cast("string")).alias("source"),
+                    F.concat(F.lit("pkg-"), e.cast("string")).alias("entity"),
+                    F.lit("license").alias("attr"),
+                    F.concat(F.lit("L"), val.cast("string")).alias("value")))
+
+
+def _kg_truth_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over conflicting multi-source claims
+    (plans/fusion.truth_discovery, 4 iterations): one fused
+    (entity, attr) row each — the belief-argmax value, its belief on
+    the 8-dp grid, and the distinct-source count. The reference never
+    fuses (it renders one curated registry JSON per package,
+    lib/npm/NpmCouchDb.js); a crawl-scale extractor must. The planted
+    tail entities pkg-16..19 are majority-vote-WRONG (spam clique 3 +
+    a coinciding lone spammer vs 1 honest source) and fusion-right —
+    pinned by tests/test_fusion.py. Hard oracle: the same fixpoint
+    unrolled as chained CTEs on the identical 12-dp decimal grid."""
+    from npm_extraction_server_spark.plans.fusion import truth_discovery
+
+    return truth_discovery(_truth_claims(spark, sf_dir), iterations=4)
+
+
+def _kg_truth_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final per-source trust vector of the same fixpoint
+    (return_trust=True): honest sources score ~0.85-1.0, the spam
+    clique ~0.013, lone spammers ~1e-4 — the source-reliability
+    scorecard a crawl pipeline feeds back into fetch scheduling."""
+    from npm_extraction_server_spark.plans.fusion import truth_discovery
+
+    return truth_discovery(_truth_claims(spark, sf_dir), iterations=4,
+                           return_trust=True)
+
+
+_TRUTH_CLAIMS_CTE = """
+grid AS (SELECT doc_id % 24 AS s, doc_id // 24 AS e
+         FROM documents WHERE doc_id < 480),
+claims AS MATERIALIZED (
+  SELECT DISTINCT 'src-' || s AS source, 'pkg-' || e AS entity,
+         'license' AS attr,
+         CASE WHEN s % 8 = 0 THEN 'L' || (5 + e % 3)
+              WHEN s % 4 = 0 THEN 'L' || (5 + (e + s) % 3)
+              ELSE 'L' || (e % 5) END AS value
+  FROM grid
+  WHERE s % 4 = 0
+     OR (e < 16 AND (s + e) % 3 <> 0)
+     OR (e >= 16 AND s = 1 + e % 2))"""
+
+
+def _truth_sql(iterations: int = 4) -> str:
+    """plans/fusion.truth_discovery unrolled: belief = exact
+    decimal(28,12) sum of 12-dp trusts, max-normalized and re-rounded
+    to 12; trust = the MEAN of 12-dp beliefs on the same grid,
+    max-normalized — expression-for-expression the Spark loop, so both
+    vectors match bit-for-bit at every iteration. Every per-iteration
+    CTE is AS MATERIALIZED: each level references its predecessor ~4
+    times (select + scalar-max, twice per half-step), so DuckDB's
+    default inlining re-evaluates the chain 4^k times — the trust
+    oracle at k=4 ran past 4 minutes before materialization, ~1 s
+    after."""
+    sql = "WITH " + _TRUTH_CLAIMS_CTE + """,
+t0 AS (SELECT DISTINCT source, 1.0::DOUBLE AS trust FROM claims)"""
+    for k in range(1, iterations + 1):
+        sql += f""",
+b{k} AS MATERIALIZED (
+  SELECT entity, attr, value,
+         cast(sum(cast(round(t.trust, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS raw
+  FROM claims c JOIN t{k - 1} t USING (source)
+  GROUP BY entity, attr, value),
+bn{k} AS MATERIALIZED (
+  SELECT entity, attr, value,
+         round(raw / (SELECT max(raw) FROM b{k}), 12) AS belief
+  FROM b{k}),
+tr{k} AS MATERIALIZED (
+  SELECT c.source,
+         cast(sum(cast(round(b.belief, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           / count(*) AS raw
+  FROM claims c JOIN bn{k} b USING (entity, attr, value)
+  GROUP BY c.source),
+t{k} AS MATERIALIZED (
+  SELECT source, round(raw / (SELECT max(raw) FROM tr{k}), 12) AS trust
+  FROM tr{k})"""
+    return sql
+
+
+_KG_TRUTH_FUSION_ORACLE = _truth_sql(4) + """,
+nsrc AS (SELECT entity, attr, value, count(DISTINCT source) AS n_sources
+         FROM claims GROUP BY entity, attr, value),
+ranked AS (
+  SELECT b.entity, b.attr, b.value, b.belief, n.n_sources,
+         row_number() OVER (PARTITION BY b.entity, b.attr
+                            ORDER BY b.belief DESC, b.value ASC) AS rk
+  FROM bn4 b JOIN nsrc n USING (entity, attr, value))
+SELECT entity, attr, value, round(belief, 8) AS belief, n_sources
+FROM ranked WHERE rk = 1"""
+
+
+_KG_TRUTH_TRUST_ORACLE = _truth_sql(4) + """
+SELECT source, round(trust, 8) AS trust FROM t4"""
