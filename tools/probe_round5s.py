@@ -33,8 +33,12 @@ def main():
 
     spark = get_spark(app="probe5s", shuffle_partitions=64)
     n = 5_000_000
+    # source id mixed with a multiplier coprime to the entity modulus:
+    # each entity's 25 docs land on 25 DISTINCT sources (a first cut
+    # used nested moduli — every entity collapsed to one source and
+    # the dedup ate 96% of the corpus before the fixpoint ever ran)
     base = spark.range(n).select(
-        (F.col("id") % 10_000).alias("s"),
+        ((F.col("id") * 7) % 9_973).alias("s"),
         (F.col("id") % 200_000).alias("e"))
     spam = F.col("s") % 5 == 0
     claims = base.select(
