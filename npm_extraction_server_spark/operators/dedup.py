@@ -195,25 +195,43 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
             # whitespace-normalize + lowercase + split, batch-vectorized
             words_col = (pdf[text_col].fillna("").str.strip().str.lower()
                          .str.split(r"\s+", regex=True))
-            ids, sigs = [], []
+            ids = [int(d) for d in pdf["doc_id"]]
+            if not ids:
+                yield pd.DataFrame({"doc_id": [], "sig": []})
+                continue
+            # Round-6 vectorization (guide §4.2): ONE hash_array call
+            # over the batch's concatenated words + one rolling k-gram
+            # combine over global window indices + one per-doc
+            # minimum.reduceat — replaces the per-doc Python loop
+            # (per-doc hash_array setup, np.unique sort, and the m x 64
+            # outer alloc dominated at 50k docs). np.unique was only a
+            # dedup before the min — min over the duplicate-bearing
+            # multiset is identical, so it is dropped. Signature VALUES
+            # are bit-identical to the loop form (same hashes, same
+            # uint64 arithmetic, same window rule).
+            lens = np.array([len(w) for w in words_col], dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(w, dtype=object) for w in words_col])
+            hw = pd.util.hash_array(flat).astype(np.uint64)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # same window rule as word_shingles: windows i in
+            # 0..max(n-k,0); a short doc yields ONE window of all n
+            # words (keff = min(k, n) varies only for n < k)
+            m = np.maximum(lens - k, 0) + 1
+            starts = np.cumsum(m) - m
+            tot = int(m.sum())
+            doc_of = np.repeat(np.arange(len(ids)), m)
+            within = np.arange(tot) - np.repeat(starts, m)
+            g = offs[doc_of] + within          # global window start
+            keff = np.minimum(lens, k)[doc_of]  # per-window word count
+            acc = np.zeros(tot, dtype=np.uint64)
             with np.errstate(over="ignore"):
-                for doc_id, words in zip(pdf["doc_id"], words_col):
-                    n = len(words)
-                    hw = pd.util.hash_array(
-                        np.asarray(words, dtype=object)).astype(np.uint64)
-                    # rolling k-word combine == hashing the k-gram, with
-                    # the same window rule as word_shingles: windows
-                    # i in 0..max(n-k,0); a short doc yields ONE window
-                    # of all n words
-                    m = max(n - k, 0) + 1
-                    keff = min(k, n)
-                    acc = np.zeros(m, dtype=np.uint64)
-                    for j in range(keff):
-                        acc = acc * GOLD + hw[j:j + m]
-                    uniq = np.unique(_mix(acc))  # array_distinct analog
-                    mixed = _mix(uniq[:, None] + seeds[None, :] * GOLD)
-                    ids.append(int(doc_id))
-                    sigs.append(mixed.min(axis=0).astype(np.int64))
+                for j in range(k):
+                    live = keff > j
+                    acc[live] = acc[live] * GOLD + hw[g[live] + j]
+                mixed = _mix(_mix(acc)[:, None] + seeds[None, :] * GOLD)
+            sig_mat = np.minimum.reduceat(mixed, starts, axis=0)
+            sigs = list(sig_mat.astype(np.int64))
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
     return spread_partitions(
@@ -232,7 +250,7 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
     quadratic within-bucket pairing — the skew guard for boilerplate
     clusters at scale (a bucket of B docs costs B^2 candidate pairs)."""
     rows_per_band = num_hashes // bands
-    # both sides of the candidate self-join read the signatures:
+    # the signatures feed the band explode AND both pair join-backs:
     # localCheckpoint (eager) runs the shingle+agg pipeline once, and —
     # unlike persist(), whose CacheManager entry outlives the query —
     # its blocks are dropped by the ContextCleaner as soon as the
@@ -241,38 +259,64 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
     sigs = minhash_signatures(documents, num_hashes, k,
                               text_col).localCheckpoint(eager=True)
     # band rows carry ONLY (doc_id, band_id, band_hash) — 24 bytes —
-    # through the bands-x explode and self-join; the 64-long signature
-    # (~0.5 KB) joins back onto the candidate PAIRS afterwards, which
-    # are orders of magnitude fewer than band rows. Carrying sig
-    # through the exploded shuffle measured ~60% of the query's time.
+    # through the bands-x explode and ONE bucket aggregation; the
+    # 64-long signature (~0.5 KB) joins back onto the candidate PAIRS
+    # afterwards, which are orders of magnitude fewer than band rows.
+    # Carrying sig through the exploded shuffle measured ~60% of the
+    # query's time.
+    # band_hash = xxhash64 over the band's sig values DIRECTLY (round
+    # 6): the old form stringified each 2-long slice and hashed the
+    # joined string — 1.6M short-lived strings per pass at sf1.0,
+    # measured as the explode stage's main cost. Bucket membership is
+    # equality of the slice values either way (any injective-up-to-
+    # collision keying yields the same buckets), and a 64-bit collision
+    # can only add a CANDIDATE, which the jaccard_est / exact-Jaccard
+    # re-check filters — output pairs are unchanged (snapshot-verified
+    # at sf0.01/sf0.1).
     banded = sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    F.xxhash64(F.array_join(
-                        F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ), ",")).alias("band_hash"),
+                    F.xxhash64(*[
+                        F.element_at("sig", b * rows_per_band + 1 + j)
+                        for j in range(rows_per_band)
+                    ]).alias("band_hash"),
                 )
                 for b in range(bands)
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
-    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_n"))
-    banded = banded.join(
-        F.broadcast(bucket_sizes.filter(F.col("bucket_n") > max_bucket_size)
-                    .select("band_id", "band_hash")),
-        ["band_id", "band_hash"], "left_anti")
-    a, b = banded.alias("a"), banded.alias("b")
+    # Round-6 plan (guide §2.4 — remove shuffles outright): ONE
+    # groupBy(bucket) with collect_list replaces the old three-branch
+    # shape (bucket-size aggregate + broadcast anti-join + band-table
+    # self-join, which planned a 1.6M-row broadcast hashed relation at
+    # sf1.0 and 3 recomputes of the explode). Size cap and pair
+    # generation happen INSIDE the bucket row: buckets over
+    # ``max_bucket_size`` are dropped exactly as the anti-join did
+    # (the boilerplate-cluster skew guard — a bucket of B docs costs
+    # B^2 pairs), surviving buckets emit their sorted within-bucket
+    # (doc_a < doc_b) pairs via nested transforms. Candidate set is
+    # IDENTICAL to the self-join formulation; the shuffle carries each
+    # bucket once (24-byte rows) instead of both join sides.
+    ids_sorted = F.array_sort(F.collect_list("doc_id"))
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(ids_sorted.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2),
+                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    ))
     cand = (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))

@@ -41,8 +41,16 @@ def with_norms(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
-    ``queries`` is small -> broadcast; the big side streams."""
-    base = with_norms(embeddings, vec_col).select(
+    ``queries`` is small -> broadcast; the big side streams.
+
+    Round 6: the corpus side is ``spread_partitions``-ed first — the
+    driver-provided single-row-group parquet yields a 1-partition scan,
+    which serialized the whole O(N*Q) scoring stage onto one core
+    (guide §2.5 input skew; measured 1.3 s -> 0.35 s at sf1.0)."""
+    from .dedup import spread_partitions
+
+    base = with_norms(
+        spread_partitions(embeddings, id_col), vec_col).select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"), "norm")
     q = with_norms(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
@@ -68,8 +76,13 @@ def cosine_range(embeddings: DataFrame, queries: DataFrame,
     stream-corpus plan as cosine_topk, no window: output size is
     data-dependent, so no per-query ordering pass is needed at all.
     Cosines are rounded to the 6-dp grid BEFORE the threshold
-    compare, so the boundary is bit-identical cross-engine."""
-    base = with_norms(embeddings, vec_col).select(
+    compare, so the boundary is bit-identical cross-engine.
+    Corpus side spread like cosine_topk (1-row-group scan -> 1
+    partition otherwise)."""
+    from .dedup import spread_partitions
+
+    base = with_norms(
+        spread_partitions(embeddings, id_col), vec_col).select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"), "norm")
     q = with_norms(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),

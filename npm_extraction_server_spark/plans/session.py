@@ -53,7 +53,24 @@ def get_spark(app: str = "npm_extraction_server_spark",
         .config("spark.driver.extraJavaOptions", jopts)
         .config("spark.executor.extraJavaOptions", jopts)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Round-6 broadcast policy (guide §3.1): the STATIC threshold
+        # decides from size ESTIMATES, and Spark 4's column-pruned scan
+        # estimates put multi-million-row fact slices (e.g. a 4-column
+        # lineitem projection) under the old 64 MB bar — measured: q3/q5
+        # built 3.6-6M-row hashed relations single-threaded per pass and
+        # dedup_minhash broadcast a 1.6M-row band table. 8 MB static
+        # keeps every true dimension (nation/region/supplier/customer)
+        # on the broadcast path; the AQE threshold then re-promotes
+        # joins whose build side is ACTUALLY small at runtime (exact
+        # shuffle sizes, local shuffle read — no network exchange).
+        # Both parameterised: production values scale with executor
+        # memory, not with this sandbox.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                str(int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "8"))
+                    * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(int(os.environ.get("SPARK_GRAFT_AQE_BROADCAST_MB", "32"))
+                    * 1024 * 1024))
         # Iterative graph loops use LAZY localCheckpoint so one count
         # action per round materializes everything. By default Spark
         # truncates only the NEAREST checkpoint-marked RDD of the
