@@ -159,7 +159,8 @@ def minhash_signatures_agg(documents: DataFrame, num_hashes: int = 64, k: int = 
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       with_bands: int | None = None) -> DataFrame:
     """(doc_id, sig: array<bigint>) — shingle + minhash fused into ONE
     Arrow-batched ``mapInPandas`` stage: ZERO shuffle (the expression
     form explodes ~150 shingle rows/doc and feeds a 64-column
@@ -170,13 +171,25 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
     Deterministic (no RNG, no per-run state); signature VALUES differ
     from minhash_signatures_agg (different base hash family) but the
     minhash collision property — P(sig_a[i]==sig_b[i]) = Jaccard — is
-    the same, and every downstream consumer is hash-family agnostic."""
+    the same, and every downstream consumer is hash-family agnostic.
+
+    ``with_bands`` (round 6): additionally emit ``bands`` —
+    ``with_bands`` LSH band hashes per doc, each a splitmix64 chain
+    over the band's signature slice, computed in the SAME numpy pass
+    (nearly free next to the signature matmul). The JVM side then only
+    posexplodes the array instead of evaluating a bands-wide
+    hash-expression tree per row. Any injective-up-to-collision band
+    keying yields identical buckets, so downstream pair sets are
+    unchanged."""
     from pyspark.sql import types as T
 
-    out_schema = T.StructType([
+    fields = [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("sig", T.ArrayType(T.LongType()), False),
-    ])
+    ]
+    if with_bands:
+        fields.append(T.StructField("bands", T.ArrayType(T.LongType()), False))
+    out_schema = T.StructType(fields)
 
     def fn(batches):
         import numpy as np
@@ -197,7 +210,10 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
                          .str.split(r"\s+", regex=True))
             ids = [int(d) for d in pdf["doc_id"]]
             if not ids:
-                yield pd.DataFrame({"doc_id": [], "sig": []})
+                empty = {"doc_id": [], "sig": []}
+                if with_bands:
+                    empty["bands"] = []
+                yield pd.DataFrame(empty)
                 continue
             # Round-6 vectorization (guide §4.2): ONE hash_array call
             # over the batch's concatenated words + one rolling k-gram
@@ -231,8 +247,18 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 64, k: int = 3,
                     acc[live] = acc[live] * GOLD + hw[g[live] + j]
                 mixed = _mix(_mix(acc)[:, None] + seeds[None, :] * GOLD)
             sig_mat = np.minimum.reduceat(mixed, starts, axis=0)
-            sigs = list(sig_mat.astype(np.int64))
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+            out = {"doc_id": ids, "sig": list(sig_mat.astype(np.int64))}
+            if with_bands:
+                # band b covers sig positions [b*rpb, (b+1)*rpb);
+                # sig_mat[:, j::rpb][:, b] is position b*rpb+j, so the
+                # strided chain combines each band's contiguous slice
+                rpb = num_hashes // with_bands
+                with np.errstate(over="ignore"):
+                    bacc = np.zeros((len(ids), with_bands), dtype=np.uint64)
+                    for j in range(rpb):
+                        bacc = bacc * GOLD + sig_mat[:, j::rpb]
+                out["bands"] = list(_mix(bacc).astype(np.int64))
+            yield pd.DataFrame(out)
 
     return spread_partitions(
         documents.select("doc_id", text_col)).mapInPandas(fn, schema=out_schema)
@@ -249,45 +275,31 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
     ``max_bucket_size`` drops oversized LSH buckets before the
     quadratic within-bucket pairing — the skew guard for boilerplate
     clusters at scale (a bucket of B docs costs B^2 candidate pairs)."""
-    rows_per_band = num_hashes // bands
     # the signatures feed the band explode AND both pair join-backs:
     # localCheckpoint (eager) runs the shingle+agg pipeline once, and —
     # unlike persist(), whose CacheManager entry outlives the query —
     # its blocks are dropped by the ContextCleaner as soon as the
     # returned DataFrame is unreferenced (no cache leak across a
     # long-lived session; on a real cluster use reliable checkpoint)
-    sigs = minhash_signatures(documents, num_hashes, k,
-                              text_col).localCheckpoint(eager=True)
+    sigs = minhash_signatures(documents, num_hashes, k, text_col,
+                              with_bands=bands).localCheckpoint(eager=True)
     # band rows carry ONLY (doc_id, band_id, band_hash) — 24 bytes —
-    # through the bands-x explode and ONE bucket aggregation; the
-    # 64-long signature (~0.5 KB) joins back onto the candidate PAIRS
+    # through the explode and ONE bucket aggregation; the 64-long
+    # signature (~0.5 KB) joins back onto the candidate PAIRS
     # afterwards, which are orders of magnitude fewer than band rows.
     # Carrying sig through the exploded shuffle measured ~60% of the
-    # query's time.
-    # band_hash = xxhash64 over the band's sig values DIRECTLY (round
-    # 6): the old form stringified each 2-long slice and hashed the
-    # joined string — 1.6M short-lived strings per pass at sf1.0,
-    # measured as the explode stage's main cost. Bucket membership is
-    # equality of the slice values either way (any injective-up-to-
-    # collision keying yields the same buckets), and a 64-bit collision
-    # can only add a CANDIDATE, which the jaccard_est / exact-Jaccard
-    # re-check filters — output pairs are unchanged (snapshot-verified
-    # at sf0.01/sf0.1).
+    # query's time. Band hashes come precomputed from the signature
+    # kernel (with_bands — splitmix64 over each band's slice, computed
+    # next to the signature matmul for ~free), so the JVM explode is a
+    # plain posexplode: the old per-row bands-wide hash-expression tree
+    # (stringified slices + xxhash64) was the explode stage's main
+    # cost. Bucket membership is equality of the band's sig values
+    # under ANY injective-up-to-collision keying, and a 64-bit
+    # collision can only add a CANDIDATE, which the jaccard_est /
+    # exact-Jaccard re-check filters — output pairs are unchanged
+    # (snapshot-verified at sf0.01/sf0.1).
     banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(*[
-                        F.element_at("sig", b * rows_per_band + 1 + j)
-                        for j in range(rows_per_band)
-                    ]).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
     # Round-6 plan (guide §2.4 — remove shuffles outright): ONE
     # groupBy(bucket) with collect_list replaces the old three-branch
     # shape (bucket-size aggregate + broadcast anti-join + band-table
@@ -322,9 +334,17 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     cand = cand.join(sa, "doc_a").join(sb, "doc_b")
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda v: v)) / F.lit(num_hashes), 6)
+    # agreement count as an UNROLLED integer sum (round 6): codegen
+    # compiles the 64 equality terms to straight-line code where the
+    # zip_with/filter higher-order form is interpreted per element.
+    # Integer count and the /num_hashes ratio are exact, so jaccard_est
+    # values are identical to the HOF form.
+    n_agree = None
+    for i in range(1, num_hashes + 1):
+        term = (F.element_at("sig_a", i) == F.element_at("sig_b", i)) \
+            .cast("int")
+        n_agree = term if n_agree is None else n_agree + term
+    est = F.round(n_agree / F.lit(num_hashes), 6)
     return (
         cand.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= threshold)

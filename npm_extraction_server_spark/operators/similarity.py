@@ -20,43 +20,69 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    """Dot product of two array columns. With ``dim`` (round 6), the
+    sum is UNROLLED as a flat left-associated expression chain —
+    whole-stage-codegen compiles it to straight-line JVM code, where
+    the higher-order ``aggregate``/``zip_with`` form is interpreted
+    per element with closure dispatch (measured ~4x slower on the
+    bucket-join re-rank). The unrolled chain adds terms in the exact
+    same left-to-right IEEE order as the fold, so doubles are
+    bit-identical; only pass ``dim`` when every array has exactly that
+    length (ANSI element_at errors out-of-bounds)."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") \
+                * F.element_at(b, i).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     )
 
 
-def _norm(a):
+def _norm(a, dim: int | None = None):
+    """L2 norm; same unrolling contract as ``_dot``."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            e = F.element_at(a, i).cast("double")
+            acc = acc + e * e
+        return F.sqrt(acc)
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     ))
 
 
-def with_norms(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return embeddings.withColumn("norm", _norm(F.col(vec_col)))
+def with_norms(embeddings: DataFrame, vec_col: str = "embedding",
+               dim: int | None = None) -> DataFrame:
+    return embeddings.withColumn("norm", _norm(F.col(vec_col), dim))
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                dim: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
     ``queries`` is small -> broadcast; the big side streams.
 
     Round 6: the corpus side is ``spread_partitions``-ed first — the
     driver-provided single-row-group parquet yields a 1-partition scan,
     which serialized the whole O(N*Q) scoring stage onto one core
-    (guide §2.5 input skew; measured 1.3 s -> 0.35 s at sf1.0)."""
+    (guide §2.5 input skew; measured 1.3 s -> 0.35 s at sf1.0).
+    ``dim`` (optional) unrolls the dot/norm sums for codegen — same
+    IEEE order, bit-identical cosines (see ``_dot``)."""
     from .dedup import spread_partitions
 
     base = with_norms(
-        spread_partitions(embeddings, id_col), vec_col).select(
+        spread_partitions(embeddings, id_col), vec_col, dim).select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"), "norm")
-    q = with_norms(queries, vec_col).select(
+    q = with_norms(queries, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
         F.col("norm").alias("qnorm"))
     joined = base.crossJoin(F.broadcast(q)).filter(F.col("item_id") != F.col("query_id"))
-    sim = _dot(F.col("item_vec"), F.col("query_vec")) / (F.col("norm") * F.col("qnorm"))
+    sim = _dot(F.col("item_vec"), F.col("query_vec"), dim) / (F.col("norm") * F.col("qnorm"))
     scored = joined.select("query_id", "item_id", F.round(sim, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return (
@@ -68,7 +94,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def cosine_range(embeddings: DataFrame, queries: DataFrame,
                  threshold: float = 0.8, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id", dim: int | None = None) -> DataFrame:
     """Exact cosine RANGE search — every corpus vector within
     ``threshold`` of each query — the second query shape of an ANN
     API next to top-k (radius queries: "all near-duplicates of X",
@@ -82,14 +108,14 @@ def cosine_range(embeddings: DataFrame, queries: DataFrame,
     from .dedup import spread_partitions
 
     base = with_norms(
-        spread_partitions(embeddings, id_col), vec_col).select(
+        spread_partitions(embeddings, id_col), vec_col, dim).select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"), "norm")
-    q = with_norms(queries, vec_col).select(
+    q = with_norms(queries, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
         F.col("norm").alias("qnorm"))
     joined = base.crossJoin(F.broadcast(q)).filter(
         F.col("item_id") != F.col("query_id"))
-    sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
+    sim = _dot(F.col("item_vec"), F.col("query_vec"), dim) / (
         F.col("norm") * F.col("qnorm"))
     return (joined.select("query_id", "item_id",
                           F.round(sim, 6).alias("cosine"))
@@ -181,7 +207,9 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
         df = spread_partitions(df, id_col)
         return df.select(
             F.col(id_col).alias(f"{label}_id"), F.col(vec_col).alias(f"{label}_vec"),
-            _norm(F.col(vec_col)).alias(f"{label}_norm"),
+            # dim is a required lsh_topk arg, so the norm/dot sums are
+            # unrolled for codegen (round 6; bit-identical — see _dot)
+            _norm(F.col(vec_col), dim).alias(f"{label}_norm"),
             F.posexplode(buckets_udf(F.col(vec_col))).alias("table_id", "bucket"),
         )
 
@@ -189,7 +217,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     q = bucketize(queries, "query")
     if broadcast_queries:
         q = F.broadcast(q)
-    sim = _dot(F.col("item_vec"), F.col("query_vec")) / (
+    sim = _dot(F.col("item_vec"), F.col("query_vec"), dim) / (
         F.col("item_norm") * F.col("query_norm"))
     scored = (
         base.join(q, ["table_id", "bucket"])
