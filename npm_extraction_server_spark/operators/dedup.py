@@ -28,11 +28,30 @@ def spread_partitions(df: DataFrame, key: str = "doc_id") -> DataFrame:
     is under-parallel (e.g. one small parquet file -> one partition,
     which would serialize the shingle/signature stages onto one core).
     At production layouts (files >= cores) this is a no-op — same
-    policy as plans/kg.maybe_repartition_pages."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    policy as plans/kg.maybe_repartition_pages.
+
+    Round 6: the partition-count probe (``df.rdd.getNumPartitions()``
+    compiles the plan to an RDD — ~0.3 s of driver work per call) is
+    memoized per (session, semantic plan), so repeated invocations of
+    the same query pay it once."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cache_key = (sc.applicationId, df.semanticHash())
+        nparts = _SPREAD_CACHE.get(cache_key)
+        if nparts is None:
+            nparts = df.rdd.getNumPartitions()
+            if len(_SPREAD_CACHE) > 4096:
+                _SPREAD_CACHE.clear()
+            _SPREAD_CACHE[cache_key] = nparts
+    except Exception:  # semanticHash unavailable -> direct probe
+        nparts = df.rdd.getNumPartitions()
+    if nparts >= target:
         return df
     return df.repartition(target, F.col(key))
+
+
+_SPREAD_CACHE: dict = {}
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
