@@ -353,17 +353,14 @@ def minhash_lsh_pairs(documents: DataFrame, num_hashes: int = 64, bands: int = 1
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     cand = cand.join(sa, "doc_a").join(sb, "doc_b")
-    # agreement count as an UNROLLED integer sum (round 6): codegen
-    # compiles the 64 equality terms to straight-line code where the
-    # zip_with/filter higher-order form is interpreted per element.
-    # Integer count and the /num_hashes ratio are exact, so jaccard_est
-    # values are identical to the HOF form.
-    n_agree = None
-    for i in range(1, num_hashes + 1):
-        term = (F.element_at("sig_a", i) == F.element_at("sig_b", i)) \
-            .cast("int")
-        n_agree = term if n_agree is None else n_agree + term
-    est = F.round(n_agree / F.lit(num_hashes), 6)
+    # agreement count stays the higher-order zip_with/filter form: an
+    # unrolled 64-term element_at chain was A/B-measured ~3x SLOWER
+    # end-to-end here (8.9 s vs 2.9 s at sf1.0) — with two array
+    # columns fresh out of a join, per-term element_at re-walks the
+    # array offsets while the HOF iterates both arrays once.
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v)) / F.lit(num_hashes), 6)
     return (
         cand.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= threshold)
