@@ -592,10 +592,19 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         F.lit(0.0), lambda a, v: a + v))
     base = base.withColumn("norm", norm)
 
+    # cosine is computed IN the join projection (round 6 — same shape
+    # as similarity.lsh_topk's round-5 fix): the dedup shuffle then
+    # carries (id_a, id_b, cosine) — 3 scalars — instead of 2 x dim
+    # float vectors per candidate pair. Cosine is deterministic per
+    # pair, so deduplicating after scoring yields the identical result.
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
     pair_cols = [
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-        F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"),
-        F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b"),
+        cos.alias("cosine"),
     ]
     if mode == "lsh":
         from .similarity import _lsh_buckets_udf
@@ -629,15 +638,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         a, b = base.alias("a"), base.alias("b")
         cand = a.join(b, F.col("a.id") < F.col("b.id")).select(*pair_cols)
 
-    dot = F.aggregate(
-        F.zip_with(F.col("vec_a"), F.col("vec_b"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    cos = F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6)
-    return (
-        cand.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return cand.filter(F.col("cosine") >= threshold)
 
 
 def setsim_join(documents: DataFrame, threshold_num: int = 3,

