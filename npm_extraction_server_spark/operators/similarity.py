@@ -60,8 +60,8 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     driver-provided single-row-group parquet yields a 1-partition scan,
     which serialized the whole O(N*Q) scoring stage onto one core
     (guide §2.5 input skew; measured 1.3 s -> 0.35 s at sf1.0).
-    ``dim`` (optional) unrolls the dot/norm sums for codegen — same
-    IEEE order, bit-identical cosines (see ``_dot``)."""
+    ``dim`` (optional) documents the fixed vector width; the dot/norm
+    sums stay the HOF fold (see ``_dot`` for the unroll A/B)."""
     from .dedup import spread_partitions
 
     base = with_norms(

@@ -123,17 +123,23 @@ def test_ivf_assignment_is_map_side(spark):
 
 
 def test_minhash_band_rows_do_not_carry_signatures(spark):
-    """The band self-join's shuffled rows must not include the sig
-    array (the ~60x-bytes regression fixed in round 2): no SortMergeJoin
-    / ShuffledHashJoin input on (band_id, band_hash) projects `sig`."""
+    """Band rows shuffled for bucketing must not include the sig array
+    (the ~60x-bytes regression fixed in round 2). Round 6 removed the
+    band self-join entirely — ONE groupBy(band_id, band_hash) with the
+    pair explode inside the bucket row replaces it — so the stronger
+    invariant is: no Join keyed on band_hash at all, and the bucket
+    aggregation's exchange carries only the 24-byte band rows."""
     from npm_extraction_server_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(minhash_lsh_pairs(docs, 64, 32, threshold=0.2))
     joins = [seg for seg in plan.split("\n")
              if "band_hash" in seg and "Join" in seg]
-    assert joins, "expected an equi-join keyed on band_hash"
-    assert all("sig" not in seg for seg in joins)
+    assert not joins, "band self-join should be gone (round-6 groupBy plan)"
+    exchanges = [seg for seg in plan.split("\n")
+                 if "band_hash" in seg and "Exchange" in seg]
+    assert exchanges, "expected the bucket groupBy exchange on band_hash"
+    assert all("sig" not in seg for seg in exchanges)
 
 
 def test_read_where_pushes_residual_to_scan(spark, tmp_path):
