@@ -4250,11 +4250,13 @@ def sim_sq8_verified(spark, sf):
     """SQ8 scalar-quantized ANN retrieves the exact nearest neighbor
     of every planted query (hard DuckDB oracle: exact argmax cosine —
     the verified contract shared with LSH/IVF/IVF-PQ): candidates are
-    preselected by the INTEGER uint8-code dot product (4x less memory
-    traffic than a float scan, deterministic by construction), the
-    top-32 survivors get the exact re-rank, and the ~0.993-cosine
-    source always survives preselection (its code dot is essentially
-    maximal; quantization noise is shared across candidates).
+    preselected by the asymmetric ADC score — each item reconstructed
+    from its uint8 codes as lo + c/scale and dotted against the FLOAT
+    query (4x less memory traffic than a float-vector scan,
+    deterministic by construction) — the top-32 survivors get the
+    exact re-rank, and the ~0.993-cosine source always survives
+    preselection (its ADC dot is essentially maximal; quantization
+    noise is shared across candidates).
     Completes the ANN compression ladder: brute / LSH / IVF / IVF-PQ
     / SQ8."""
     from .similarity import sq8_topk
